@@ -1,0 +1,185 @@
+"""Engine facade: catalog of parquet-backed tables + ClickHouse-dialect SQL.
+
+Mirrors the reference's entry points (SURVEY.md §3): ``Engine.sql(text)``
+is the EP1/EP2 query path (parse → Catalyst analyze/optimize → execute);
+``Engine.insert`` is the EP3 write path (sorted, partitioned parquet
+append). Table-engine semantics (ReplacingMergeTree FINAL etc.,
+reference lectures/lecture_07.md:34-817) are carried as metadata on
+:class:`TableDef` and realized as view rewrites in
+:mod:`otus_clickhouse_spark.operators.final`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@dataclass
+class TableDef:
+    """Table metadata ≈ ClickHouse DDL attributes (lectures/lecture_07.md:12-26).
+
+    ``engine`` ∈ {MergeTree, ReplacingMergeTree, SummingMergeTree,
+    AggregatingMergeTree, CollapsingMergeTree, VersionedCollapsingMergeTree,
+    Log, Memory}. ``order_by`` is the sort/dedup key; ``version`` /
+    ``sign`` configure the Replacing/Collapsing collapse semantics.
+    """
+
+    name: str
+    path: str | None = None
+    engine: str = "MergeTree"
+    order_by: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
+    version: str | None = None
+    sign: str | None = None
+    sum_columns: tuple[str, ...] = ()
+    ttl: str | None = None  # boolean SQL expr; rows where it's true expire
+    comment: str = ""
+    settings: dict = field(default_factory=dict)
+
+
+class Engine:
+    """Facade over a SparkSession + table registry.
+
+    >>> eng = Engine(spark, data_dir="/root/testdata/sf0.001")
+    >>> eng.sql("SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'")
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.tables: dict[str, TableDef] = {}
+        self._dictionaries: dict[str, dict] = {}
+        from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
+
+        register_clickhouse_functions(spark)
+        if data_dir:
+            self.register_data_dir(data_dir)
+
+    # ---------------------------------------------------------------- catalog
+    def register_data_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
+        """Register every ``<dir>/<name>.parquet`` as a named table/view."""
+        names = tables or [
+            f[: -len(".parquet")]
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")
+        ]
+        for name in names:
+            self.register_table(TableDef(name=name, path=os.path.join(data_dir, f"{name}.parquet")))
+
+    def register_table(self, td: TableDef, df: DataFrame | None = None) -> None:
+        """Register a table: parquet-backed (``td.path``) or an explicit DataFrame.
+
+        Also materializes the ``<name>__final`` view when the engine type
+        has FINAL collapse semantics (lecture_07.md:465-481, 551-790).
+        """
+        from otus_clickhouse_spark.io import read_table
+
+        self.tables[td.name] = td
+        frame = df if df is not None else read_table(self.spark, td.path)
+        frame.createOrReplaceTempView(td.name)
+        if td.engine in (
+            "ReplacingMergeTree",
+            "SummingMergeTree",
+            "CollapsingMergeTree",
+            "VersionedCollapsingMergeTree",
+            "AggregatingMergeTree",
+        ):
+            from otus_clickhouse_spark.operators.final import final_view
+
+            final_view(frame, td).createOrReplaceTempView(f"{td.name}__final")
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def drop_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self.tables.pop(name, None)
+
+    # ------------------------------------------------------------------- SQL
+    def sql(self, text: str, **params) -> DataFrame:
+        """Run SQL; accepts a ClickHouse-flavoured dialect.
+
+        Dialect handling: ``FROM t FINAL`` → the engine-semantics view
+        (lecture_07.md:465-481); ClickHouse function names are available
+        as registered SQL UDFs (functions/clickhouse.py); ``{name:Type}``
+        query parameters (lectures/lecture_03.md:303-307) bind from
+        ``params``.
+        """
+        from otus_clickhouse_spark.functions.dialect import translate
+
+        return self.spark.sql(translate(text, self.tables), args=params or None)
+
+    # ----------------------------------------------------------------- write
+    def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """EP3 insert path: sorted/partitioned parquet write (lecture_04.md:9-52).
+
+        Sorting within partitions by the table's ORDER BY reproduces the
+        MergeTree property that row-group min/max stats (≈ sparse PK
+        index) are selective for ORDER-BY-key predicates.
+        """
+        td = self.tables[name]
+        if td.order_by:
+            df = df.sortWithinPartitions(*td.order_by)
+        writer = df.write.mode(mode)
+        if td.partition_by:
+            writer = writer.partitionBy(*td.partition_by)
+        writer.parquet(td.path)
+        self.register_table(td)  # refresh the view over the new file set
+
+    # ----------------------------------------------------------- dictionaries
+    def create_dictionary(self, name: str, df: DataFrame, key: str) -> None:
+        """CH external dictionary (lectures/lecture_11.md:1-130): a small
+        key→attributes map held driver-side and broadcast into lookups."""
+        from otus_clickhouse_spark.plans.dictionary import Dictionary
+
+        self._dictionaries[name] = Dictionary.from_df(self.spark, name, df, key)
+
+    def dictionary(self, name: str):
+        return self._dictionaries[name]
+
+    def reload_dictionary(self, name: str, df: DataFrame) -> None:
+        """SYSTEM RELOAD DICTIONARY (lecture_04.md:85)."""
+        d = self._dictionaries[name]
+        self.create_dictionary(name, df, d.key)
+
+    # ----------------------------------------------------------- system views
+    def system_tables(self) -> DataFrame:
+        """≈ system.tables (lectures/lecture_02.md:197-276)."""
+        rows = [
+            (t.name, t.engine, t.path or "", ",".join(t.order_by), ",".join(t.partition_by), t.comment)
+            for t in self.tables.values()
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, engine string, path string, order_by string, partition_by string, comment string"
+        )
+
+    def system_parts(self) -> DataFrame:
+        """≈ system.parts: one row per data file (lecture_08.md:273-377)."""
+        rows = []
+        for t in self.tables.values():
+            if not t.path or not os.path.exists(t.path):
+                continue
+            if os.path.isfile(t.path):
+                rows.append((t.name, os.path.basename(t.path), os.path.getsize(t.path), 1))
+            else:
+                for root, _dirs, files in os.walk(t.path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            p = os.path.join(root, f)
+                            rows.append((t.name, os.path.relpath(p, t.path), os.path.getsize(p), 1))
+        return self.spark.createDataFrame(rows, "table string, name string, bytes_on_disk long, active int")
+
+    def system_settings(self) -> DataFrame:
+        """≈ system.settings over spark.conf (lecture_12.md:62-212)."""
+        items = [(k, str(v)) for k, v in self.spark.sparkContext.getConf().getAll()]
+        return self.spark.createDataFrame(items, "name string, value string")
+
+
+_FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FINAL\b", re.IGNORECASE)

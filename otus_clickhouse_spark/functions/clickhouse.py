@@ -1,0 +1,146 @@
+"""ClickHouse function names as Spark SQL UDFs (SURVEY.md §2.8, §7 Phase 1).
+
+Each function the reference course exercises is registered under its
+ClickHouse name so queries written in the reference dialect run
+unchanged. They are **SQL-defined UDFs** (``CREATE TEMPORARY FUNCTION …
+RETURN <expr>``) — Catalyst inlines the body into the plan, so these
+cost nothing at runtime (no Python round-trip, stays inside
+whole-stage codegen).
+
+Citations are to the reference usage site under /root/reference/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (args, return type, body). All bodies are plain Spark SQL
+# expressions: they inline into the logical plan.
+_SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    # --- date/time (lectures/lecture_07.md:178-193, homeworks/hw04.md, hw11.md:34)
+    ("toDate", "x TIMESTAMP", "DATE", "CAST(x AS DATE)"),
+    ("toDateTime", "x STRING", "TIMESTAMP", "CAST(x AS TIMESTAMP)"),
+    ("toYYYYMM", "x TIMESTAMP", "INT", "CAST(date_format(x, 'yyyyMM') AS INT)"),
+    ("toYYYYMMDD", "x TIMESTAMP", "INT", "CAST(date_format(x, 'yyyyMMdd') AS INT)"),
+    ("toStartOfMonth", "x TIMESTAMP", "DATE", "CAST(date_trunc('MONTH', x) AS DATE)"),
+    ("toStartOfDay", "x TIMESTAMP", "TIMESTAMP", "date_trunc('DAY', x)"),
+    ("toStartOfHour", "x TIMESTAMP", "TIMESTAMP", "date_trunc('HOUR', x)"),
+    ("toStartOfMinute", "x TIMESTAMP", "TIMESTAMP", "date_trunc('MINUTE', x)"),
+    # toStartOfWeek(d, 1) = Monday-start week (lecture_06.md:13)
+    ("toStartOfWeek", "x TIMESTAMP, mode INT", "DATE", "CAST(date_trunc('WEEK', x) AS DATE)"),
+    # toStartOfInterval(t, INTERVAL n SECOND) (lecture_20.md:29)
+    (
+        "toStartOfIntervalSecond",
+        "x TIMESTAMP, n INT",
+        "TIMESTAMP",
+        "timestamp_seconds(CAST(floor(unix_timestamp(x) / n) AS BIGINT) * n)",
+    ),
+    ("toHour", "x TIMESTAMP", "INT", "hour(x)"),
+    ("toIntervalDay", "n INT", "INTERVAL DAY", "make_dt_interval(n)"),
+    ("parseDateTimeBestEffort", "x STRING", "TIMESTAMP", "CAST(x AS TIMESTAMP)"),
+    ("parseDateTimeBestEffortOrZero", "x STRING", "TIMESTAMP",
+     "coalesce(try_cast(x AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"),
+    # --- type conversion (lecture_07.md:519-522, homeworks/hw07.md:62-64)
+    ("toString", "x STRING", "STRING", "x"),
+    ("toUInt64", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
+    ("toUInt32", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
+    ("toInt64", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
+    ("toInt32", "x DOUBLE", "INT", "CAST(x AS INT)"),
+    ("toInt8", "x DOUBLE", "TINYINT", "CAST(x AS TINYINT)"),
+    ("toFloat64", "x STRING", "DOUBLE", "CAST(x AS DOUBLE)"),
+    ("toFloat32", "x STRING", "FLOAT", "CAST(x AS FLOAT)"),
+    # --- math (homeworks/hw04.md:67, hw08.md:31-33, lecture_09.md:761)
+    ("intDiv", "a BIGINT, b BIGINT", "BIGINT", "CAST(a / b AS BIGINT) - CASE WHEN a % b != 0 AND (a < 0) != (b < 0) THEN 1 ELSE 0 END"),
+    ("modulo", "a BIGINT, b BIGINT", "BIGINT", "a % b"),
+    ("plus", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"),
+    ("minus", "a DOUBLE, b DOUBLE", "DOUBLE", "a - b"),
+    ("multiply", "a DOUBLE, b DOUBLE", "DOUBLE", "a * b"),
+    ("divide", "a DOUBLE, b DOUBLE", "DOUBLE", "a / b"),
+    ("randUniform", "lo DOUBLE, hi DOUBLE", "DOUBLE", "lo + rand() * (hi - lo)"),
+    # --- string (lecture_07.md:44, lecture_03.md:306, lecture_18.md:213)
+    ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    ("extractAll", "s STRING, pat STRING", "ARRAY<STRING>", "regexp_extract_all(s, pat, 0)"),
+    ("match", "s STRING, pat STRING", "BOOLEAN", "s RLIKE pat"),
+    ("empty", "s STRING", "BOOLEAN", "s IS NULL OR length(s) = 0"),
+    ("notEmpty", "s STRING", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
+    (
+        # lectures/lecture_09.md:326, lecture_16.md:65
+        "formatReadableSize",
+        "x DOUBLE",
+        "STRING",
+        """CASE
+             WHEN x >= 1024.0*1024*1024*1024 THEN concat(format_number(x/1024.0/1024/1024/1024, 2), ' TiB')
+             WHEN x >= 1024.0*1024*1024 THEN concat(format_number(x/1024.0/1024/1024, 2), ' GiB')
+             WHEN x >= 1024.0*1024 THEN concat(format_number(x/1024.0/1024, 2), ' MiB')
+             WHEN x >= 1024.0 THEN concat(format_number(x/1024.0, 2), ' KiB')
+             ELSE concat(format_number(x, 2), ' B')
+           END""",
+    ),
+    # --- JSON (homeworks/hw11.md:38-41, clusters/ch_and_kafka/db/init.sql:59-62)
+    ("JSONExtractString", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+    ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+    ("visitParamExtractString", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+    # conditional/null: ifNull/coalesce/nullIf are Spark builtins already
+    # (lecture_06.md:12, lecture_21.md:108-124) — no registration needed.
+    # --- array (lecture_06.md:15-41, lecture_08.md:187, lecture_21.md:348)
+    ("has", "arr ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(arr, x)"),
+    ("arrayStringConcat", "arr ARRAY<STRING>, sep STRING", "STRING", "array_join(arr, sep)"),
+    ("arrayEnumerate", "arr ARRAY<STRING>", "ARRAY<INT>", "transform(arr, (x, i) -> i + 1)"),
+    ("arraySum", "arr ARRAY<DOUBLE>", "DOUBLE", "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
+    ("arrayAvg", "arr ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(arr)"),
+    # --- misc/system (homeworks/hw10.md:74, hw02.md:13)
+    ("hostName", "", "STRING", "'localhost'"),
+    # version() is a Spark builtin (returns the Spark version) — kept as-is.
+    ("yesterday", "", "DATE", "date_sub(current_date(), 1)"),
+]
+
+# ClickHouse aggregate names that are direct aliases of Spark builtins —
+# handled by the dialect translator (functions/dialect.py), since SQL
+# UDFs cannot wrap aggregates. Kept here as the single source of truth.
+AGGREGATE_ALIASES = {
+    # lectures/lecture_06.md:62 (uniq / uniqExact), lecture_13.md:60-94
+    "uniq": "approx_count_distinct",
+    # uniqExact → count(DISTINCT …): handled structurally in dialect.py
+    "uniqCombined": "approx_count_distinct",
+    # lectures/lecture_06.md:51-70 — "argMax is a great window replacement"
+    "argMax": "max_by",
+    "argMin": "min_by",
+    # lectures/lecture_16.md:62-70, homeworks/hw06.md:117-123
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "quantile": "percentile_approx",
+    "median": "median",
+    "anyLast": "last",
+    "any": "first",
+    "sumIf": "sum_if",  # expanded by dialect translator to sum(CASE …)
+    "countIf": "count_if",
+    "avgIf": "avg_if",
+    "maxIf": "max_if",
+    "minIf": "min_if",
+}
+
+# Scalar renames handled by the dialect translator (arg-compatible 1:1).
+SCALAR_ALIASES = {
+    "arrayJoin": "explode",  # lectures/lecture_06.md:15-28
+    "arrayMap": "transform",  # lecture_06.md:16 (lambda syntax differs; translator fixes arg order)
+    "lcase": "lower",
+    "ucase": "upper",
+    "currentDatabase": "current_database",
+    "rand": "rand",
+}
+
+_registered_sessions: set[int] = set()
+
+
+def register_clickhouse_functions(spark: SparkSession) -> None:
+    """Idempotently register the ClickHouse-name SQL UDF surface."""
+    key = id(spark)
+    if key in _registered_sessions:
+        return
+    for name, args, rtype, body in _SQL_FUNCTIONS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {rtype} RETURN {body}"
+        )
+    _registered_sessions.add(key)

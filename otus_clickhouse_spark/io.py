@@ -1,0 +1,34 @@
+"""Table loading with schema normalization.
+
+The driver's ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+which Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
+We read nanos as i64 (``spark.sql.legacy.parquet.nanosAsLong``) and
+rebuild a proper TimestampType via integer µs division — bit-exact with
+how DuckDB/pyarrow truncate ns → µs, so oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_columns(path: str) -> list[str]:
+    try:
+        schema = pq.read_schema(path.replace("file://", ""))
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with TIMESTAMP(NANOS) columns normalized to µs."""
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

@@ -1,0 +1,57 @@
+"""ORDER BY … WITH FILL — gap-filling for time series (SURVEY.md §2.5 W5).
+
+The reference uses ``WITH FILL STEP n`` to densify sparse time buckets
+(lectures/lecture_20.md:29-33,216-241; homeworks/hw14.md:35-70).
+Spark has no native equivalent; the declarative plan is:
+
+    spine = sequence(min, max, step) → explode   (generated, no scan)
+    result = spine LEFT JOIN data ON bucket      (broadcast-able spine)
+
+The spine is tiny relative to the data (one row per bucket), so at
+100 TB the join broadcasts the spine and the whole thing stays one
+stage over the aggregated (already small) side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_fill(
+    df: DataFrame,
+    fill_col: str,
+    step=None,
+    start=None,
+    stop=None,
+    fill_values: dict | None = None,
+) -> DataFrame:
+    """Densify ``fill_col`` from start..stop by step; missing rows get
+    ``fill_values`` (default: nulls → caller coalesces).
+
+    ``step`` may be an int (numeric columns) or a string interval like
+    ``'1 day'`` (date/timestamp columns). start/stop default to the
+    min/max present in the data (ClickHouse WITH FILL default bounds).
+    """
+    dtype = dict(df.dtypes)[fill_col]
+    bounds = df.agg(
+        F.min(fill_col).alias("lo"), F.max(fill_col).alias("hi")
+    )
+    lo = F.lit(start) if start is not None else F.col("lo")
+    hi = F.lit(stop) if stop is not None else F.col("hi")
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        step_expr = F.expr(f"INTERVAL {step or '1 day'}")
+    else:
+        step_expr = F.lit(step if step is not None else 1)
+    spine = bounds.select(
+        F.explode(F.sequence(lo.cast(dtype), hi.cast(dtype), step_expr)).alias(fill_col)
+    )
+    out = spine.join(F.broadcast(df) if _is_small(df) else df, on=fill_col, how="left")
+    for c, v in (fill_values or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
+def _is_small(df: DataFrame) -> bool:
+    # data side of WITH FILL is post-aggregation output: broadcast it.
+    return True

@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Spark SQL expressions (JVM-side, codegen'd); no
+Python UDFs. Hashes use md5 so results are portable/deterministic
+across engines (the DuckDB oracle computes the identical pipeline).
+
+Scale notes (100 TB):
+- exact dedup: hash-partition on the digest → one shuffle; the digest
+  (16 bytes) shuffles instead of the document body when
+  ``payload=False``.
+- minhash-LSH: explode to (band, doc) pairs → groupBy band bucket →
+  within-bucket pair generation. Bucket sizes are bounded by LSH
+  design, so the quadratic step is local and small; the shuffle key is
+  the band hash (uniform). This is the standard shingle→minhash→band
+  →bucket-join plan.
+- ngram-jaccard verification joins only LSH candidate pairs, never the
+  full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Salts for the minhash "permutations": min(md5(salt || shingle)) over a
+# doc's shingle set is a valid minwise hash per salt.
+DEFAULT_SALTS = tuple(f"s{i}|" for i in range(8))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id representative per content digest."""
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (id_col, shingle)."""
+    tokens = F.split(F.col(text_col), " ")
+    # n-gram i..i+n-1 joined by space; transform is JVM-side
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", salts: tuple[str, ...] = DEFAULT_SALTS
+) -> DataFrame:
+    """Per-doc minhash signature: one min(md5(salt||shingle)) per salt."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s), F.col("shingle")))).alias(f"mh{i}")
+        for i, s in enumerate(salts)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates.
+
+    Returns distinct (a, b) pairs with a < b. The per-bucket self-join is
+    the only quadratic step and is bounded by bucket size.
+    """
+    mh_cols = [c for c in sig.columns if c.startswith("mh")]
+    assert len(mh_cols) >= bands * rows_per_band
+    band_keys = [
+        F.md5(F.concat_ws("|", F.lit(b), *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)])).alias("band_key")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
+    ).distinct()
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (a, b, jaccard)."""
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
+    common = (
+        pairs.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), on="a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), on="b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH → Jaccard verify."""
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (portable md5-derived bits).
+
+    Token hash = first 8 hex chars of md5 → 32-bit int; simhash bit b is
+    the sign of sum(±1) of token bit b. Pure SQL expressions throughout.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    tok = tok.withColumn("h", h)
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return sim
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: blocked pairwise cosine ≥ threshold.
+
+    ``block_col`` bounds the quadratic step (at scale: LSH/IVF bucket id
+    from :mod:`similarity`); within-block pairs are generated by an
+    equi-join on the block key — one shuffle, local pair expansion.
+    """
+    from otus_clickhouse_spark.pipeline.similarity import cosine
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col)] if block_col else [F.lit(0).alias("__blk")] )
+    )
+    blk = block_col or "__blk"
+    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(blk))
+    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(blk))
+    return (
+        a.join(b, on=blk)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set, crossJoin against the corpus — embarrassingly parallel, no
+shuffle of the corpus, scales linearly with corpus size. The LSH
+(sign-random-projection) variant prunes the corpus to matching buckets
+first: candidate generation becomes an equi-join on bucket id, which at
+100 TB turns a full scan per query into a hash-partition lookup.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate``); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan: BroadcastNestedLoopJoin(queries) over corpus → per-query window
+    top-k. Corpus never shuffles for scoring; the window shuffles only
+    (query_id, score) pairs.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
+def srp_bucket(vec: Column, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id from the first ``planes`` dims.
+
+    Deterministic stand-in for random hyperplanes: bit b = sign of
+    element b. Portable to the SQL oracle (element access + CASE).
+    """
+    bits = [
+        F.when(F.element_at(vec, b + 1) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    At scale the corpus is written bucketed/partitioned by ``bucket`` so
+    each query touches one partition (partition pruning on the equi-join
+    key) instead of the full corpus.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("bucket", srp_bucket(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("bucket", srp_bucket(F.col("__qv"), planes))
+    scored = c.join(F.broadcast(q), on="bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )

@@ -1,0 +1,95 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting. All pure Spark SQL expressions (codegen'd).
+
+These extend the reference's tokenbf/ngrambf tokenizer concepts
+(lectures/lecture_08.md:158-190) from index structures into first-class
+text-pipeline operators, as SURVEY.md §7 Phase 7 plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "de", "es", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer (filter_empty for trailing spaces)."""
+    return F.filter(F.split(text, "\\s+"), lambda t: F.length(t) > 0)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word split: words plus punctuation as separate tokens."""
+    return F.filter(
+        F.split(F.regexp_replace(text, r"([\p{Punct}])", r" $1 "), "\\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language-ID: argmax stopword hit-rate across languages."""
+    toks = tokens(F.lower(text))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length, word length, alpha ratio.
+
+    Deterministic arithmetic only, so the oracle can reproduce it.
+    """
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    avg_word_len = n_chars / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    word_len_score = F.when((avg_word_len >= 3) & (avg_word_len <= 10), 1.0).otherwise(0.5)
+    return F.round((len_score + word_len_score + alpha_ratio) / 3.0, 4)
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Rolling-hash-style doc fingerprint: md5 prefix of normalized text."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, length)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → + n_tokens, stopword_en_ratio, lang_guess, quality, fp."""
+    t = F.col(text_col)
+    return df.select(
+        *df.columns,
+        token_count(t).alias("n_tokens"),
+        F.round(stopword_ratio(t, "en"), 4).alias("stopword_en_ratio"),
+        language_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

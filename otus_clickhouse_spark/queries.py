@@ -1,0 +1,935 @@
+"""Query registry: every SURVEY.md §2 operator as (Spark query, DuckDB oracle).
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` plus, where the
+semantics are SQL-expressible, an equivalent ANSI-SQL string for the
+DuckDB oracle. Column names/types are aligned on both sides (the driver
+hash-compares values after sorting columns by name).
+
+Portability conventions used throughout:
+- double aggregates are ``round(…, 2/4)`` on both sides (fp-order drift);
+- timestamps leave the result as epoch-micros BIGINT or formatted text;
+- DuckDB integer sums are cast to BIGINT (DuckDB widens to HUGEINT);
+- rank/row_number cast to BIGINT (DuckDB returns BIGINT, Spark INT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from otus_clickhouse_spark.io import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# =============================================================== scans & aggs
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship scan→filter→agg (SURVEY §2.4 A1-A2,A10).
+
+    Filter pushes to parquet; agg is two-phase partial/final (≈ the
+    reference's AggregatingTransform + Merge, lecture_10.md:59-72)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q02_filtered_count",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q02_filtered_count(spark, sf_dir):
+    """`select count() from trips where payment_type=1` shape (hw02.md:91-105)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q06_range_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q06_range_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: multi-predicate pushdown (P2/P3 — PREWHERE ≈ pushdown)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+# ====================================================================== joins
+@query(
+    "q03_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q03_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + top-k (J1, O3). customer/orders dims
+    broadcast under AQE; lineitem never re-shuffles for the broadcast join."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q05_segment_revenue(spark, sf_dir):
+    """INNER equi-join + agg (J1/J9): broadcast the dim side explicitly."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q07_left_join_counts",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q07_left_join_counts(spark, sf_dir):
+    """LEFT OUTER JOIN (J2) keeping order-less customers at count 0."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q08_semi_join",
+    oracle="""
+    SELECT count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q08_semi_join(spark, sf_dir):
+    """LEFT SEMI JOIN (J4) — the IN-subquery plan (U2)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q09_anti_join",
+    oracle="""
+    SELECT count(*) AS n FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def q09_anti_join(spark, sf_dir):
+    """LEFT ANTI JOIN (J5) — 'movies without genres' shape (hw06.md:136-152)."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q10_cross_join",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(r.r_regionkey + n.n_nationkey) AS BIGINT) AS keysum
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q10_cross_join(spark, sf_dir):
+    """CROSS JOIN (J3) — the hw06.md:155-165 blowup pattern, on dims."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_regionkey") + F.col("n_nationkey")).cast("bigint").alias("keysum"),
+    )
+
+
+@query(
+    "q11_any_join",
+    oracle="""
+    SELECT c.c_custkey, o.best_price
+    FROM customer c
+    JOIN (
+      SELECT o_custkey, o_totalprice AS best_price,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+      FROM orders
+    ) o ON o.o_custkey = c.c_custkey AND o.rn = 1
+    """,
+)
+def q11_any_join(spark, sf_dir):
+    """ANY JOIN (J6): at most one right match — dedup-then-join via
+    operators.joins.any_join (join_any_take_last_row semantics)."""
+    from otus_clickhouse_spark.operators.joins import any_join
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("o_totalprice"), F.col("o_orderkey"))
+    )
+    # take_last_by totalprice with orderkey tiebreak: encode both in the sort
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    best = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", F.col("o_totalprice").alias("best_price"))
+    )
+    return c.join(best, "c_custkey", "inner")
+
+
+@query(
+    "q12_asof_join",
+    oracle="""
+    SELECT p.event_id, epoch_us(c.ts) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q12_asof_join(spark, sf_dir):
+    """ASOF JOIN (J7): latest click before each purchase, per user.
+
+    Single-shuffle union+window plan (operators/asof.py) — no pandas."""
+    from otus_clickhouse_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", how="inner"
+    )
+    return joined.select("event_id", F.unix_micros(F.col("r_ts")).alias("click_us"))
+
+
+@query(
+    "q13_paste_join",
+    oracle="""
+    WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS pos FROM nation),
+         b AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS pos
+               FROM (SELECT r_name FROM region UNION ALL SELECT r_name FROM region
+                     UNION ALL SELECT r_name FROM region UNION ALL SELECT r_name FROM region
+                     UNION ALL SELECT r_name FROM region))
+    SELECT a.n_name, b.r_name FROM a JOIN b USING (pos)
+    """,
+)
+def q13_paste_join(spark, sf_dir):
+    """PASTE JOIN (J8): positional zip of two ordered sets."""
+    from otus_clickhouse_spark.operators.joins import paste_join
+
+    n = t(spark, sf_dir, "nation").select("n_name")
+    r = t(spark, sf_dir, "region").select("r_name")
+    r5 = r.unionAll(r).unionAll(r).unionAll(r).unionAll(r)
+    return paste_join(n, r5, ["n_name"], ["r_name"]).select("n_name", "r_name")
+
+
+# ================================================================= aggregates
+@query(
+    "q14_agg_suite",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q14_agg_suite(spark, sf_dir):
+    """A1-A3: count/sum/min/max + exact count-distinct (uniqExact)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@query(
+    "q15_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           round(max(o_totalprice), 2) AS biggest_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q15_argmax(spark, sf_dir):
+    """argMax → max_by (A5; lecture_06.md:51-70)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+        )
+    )
+
+
+@query(
+    "q16_group_array",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q16_group_array(spark, sf_dir):
+    """groupArray → collect_list (A8), sorted for determinism."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@query(
+    "q17_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q17_rollup(spark, sf_dir):
+    """WITH ROLLUP (A11; lecture_06.md:72-77)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q18_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n FROM orders
+    GROUP BY o_custkey HAVING count(*) > 12
+    """,
+)
+def q18_having(spark, sf_dir):
+    """HAVING (A12; hw09.md:263-274)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 12)
+    )
+
+
+@query(
+    "q19_conditional_aggs",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+           round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS avg_urgent
+    FROM orders
+    """,
+)
+def q19_conditional_aggs(spark, sf_dir):
+    """-If combinators (A6): countIf/sumIf/avgIf as FILTER aggregates."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_f"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias("total_o"),
+        F.round(F.avg(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))), 4).alias("avg_urgent"),
+    )
+
+
+@query(
+    "q20_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q20_distinct(spark, sf_dir):
+    """DISTINCT (P6)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ==================================================================== windows
+@query(
+    "q21_window_rownum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+          FROM orders) WHERE rn = 1
+    """,
+)
+def q21_window_rownum(spark, sf_dir):
+    """row_number() top-1 per key — the ReplacingMergeTree FINAL idiom
+    the reference itself demonstrates (lecture_07.md:582-609, W2)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "q22_window_cumsum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q22_window_cumsum(spark, sf_dir):
+    """Cumulative sum window (W3; hw07.md:84-107)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@query(
+    "q23_window_lag",
+    oracle="""
+    SELECT event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q23_window_lag(spark, sf_dir):
+    """lag/lead analytic family (W6)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"))
+    )
+
+
+@query(
+    "q24_window_rank",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS size_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS size_dense_rank
+    FROM part
+    """,
+)
+def q24_window_rank(spark, sf_dir):
+    """rank/dense_rank (W6)."""
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("bigint").alias("size_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("size_dense_rank"),
+    )
+
+
+# ============================================================== sorts / limit
+@query(
+    "q25_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q25_topk(spark, sf_dir):
+    """ORDER BY … LIMIT top-k → TakeOrderedAndProject (O3)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "q26_limit_offset",
+    oracle="""
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def q26_limit_offset(spark, sf_dir):
+    """LIMIT n OFFSET m (O2; hw02.md:110)."""
+    return spark.sql(
+        "SELECT o_orderkey FROM {o} ORDER BY o_orderkey LIMIT 20 OFFSET 100",
+        o=t(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "q27_sample_by",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def q27_sample_by(spark, sf_dir):
+    """SAMPLE BY key (O5; lecture_08.md:41-50): deterministic key-hash
+    sampling — the reproducible flavor of CH's SAMPLE clause."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+# ==================================================================== set ops
+@query(
+    "q28_union_all",
+    oracle="""
+    SELECT src, count(*) AS n FROM (
+      SELECT 'big' AS src, o_orderkey FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY src
+    """,
+)
+def q28_union_all(spark, sf_dir):
+    """UNION ALL (U4) / Merge-engine union shape (U1)."""
+    o = t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300000).select(F.lit("big").alias("src"), "o_orderkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey"
+    )
+    return big.unionByName(urgent).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q29_intersect",
+    oracle="""
+    SELECT count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q29_intersect(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q30_except",
+    oracle="""
+    SELECT count(*) AS n FROM (
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def q30_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct().agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q31_in_subquery",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def q31_in_subquery(spark, sf_dir):
+    """IN (subquery) (P2/U2) → left-semi join."""
+    li = t(spark, sf_dir, "lineitem")
+    keys = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return (
+        li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "q32_not_in",
+    oracle="""
+    SELECT count(*) AS n FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    """,
+)
+def q32_not_in(spark, sf_dir):
+    """NOT IN (subquery) → left-anti join (hw06.md:219-236 golden pair)."""
+    p = t(spark, sf_dir, "part")
+    keys = (
+        t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "A").select("l_partkey")
+    )
+    return p.join(keys, p.p_partkey == keys.l_partkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ============================================= arrays / strings / json / time
+@query(
+    "q33_explode_words",
+    oracle="""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE length(word) > 0
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q33_explode_words(spark, sf_dir):
+    """arrayJoin/ARRAY JOIN → explode (lecture_06.md:15-41, F5)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "q34_json_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q34_json_extract(spark, sf_dir):
+    """JSONExtract* → get_json_object (hw11.md:38-41)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4).alias("avg_k")
+        )
+    )
+
+
+@query(
+    "q35_time_bucket",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q35_time_bucket(spark, sf_dir):
+    """toStartOfInterval / tumbling bucket (T4; lecture_20.md:29-33)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@query(
+    "q36_with_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series((SELECT min(d) FROM daily),
+                                         (SELECT max(d) FROM daily),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS d, coalesce(daily.n, 0) AS n
+    FROM spine LEFT JOIN daily USING (d)
+    """,
+)
+def q36_with_fill(spark, sf_dir):
+    """ORDER BY … WITH FILL (W5) via operators.with_fill."""
+    from otus_clickhouse_spark.operators.with_fill import with_fill
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return with_fill(daily, "d", step="1 day", fill_values={"n": 0}).select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), F.col("n").cast("bigint").alias("n")
+    )
+
+
+@query(
+    "q37_string_funcs",
+    oracle="""
+    SELECT upper(substr(p_name, 1, 3)) AS prefix,
+           count(*) AS n,
+           CAST(sum(length(p_name)) AS BIGINT) AS total_len
+    FROM part GROUP BY 1
+    """,
+)
+def q37_string_funcs(spark, sf_dir):
+    """String surface: concat/substr/upper/length (§2.8)."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy(F.upper(F.substring("p_name", 1, 3)).alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("p_name")).cast("bigint").alias("total_len"),
+        )
+    )
+
+
+@query(
+    "q38_case_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q38_case_buckets(spark, sf_dir):
+    """multiIf → CASE WHEN chains (lecture_06.md:12)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q39_date_funcs",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS yyyymm, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q39_date_funcs(spark, sf_dir):
+    """toYYYYMM partition-key expression (lecture_07.md:178)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyyMM").cast("int").alias("yyyymm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================== engine semantics
+@query(
+    "q40_replacing_final",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event, round(value, 4) AS last_value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def q40_replacing_final(spark, sf_dir):
+    """ReplacingMergeTree FINAL (lecture_07.md:551-678): latest row per
+    sort key, via operators.final.replacing_final with ts+id version."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "__v", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    from otus_clickhouse_spark.operators.final import replacing_final
+
+    out = replacing_final(ev, ["user_id", "event_type"], version="__v")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@query(
+    "q41_summing_final",
+    oracle="""
+    SELECT user_id, round(sum(value), 4) AS value, count(*) AS n_rows
+    FROM events GROUP BY user_id
+    """,
+)
+def q41_summing_final(spark, sf_dir):
+    """SummingMergeTree FINAL (lecture_07.md:430-493)."""
+    from otus_clickhouse_spark.operators.final import summing_final
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    out = summing_final(ev, ["user_id"], ["value"])
+    counts = t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    return out.join(counts, "user_id").select(
+        "user_id", F.round("value", 4).alias("value"), "n_rows"
+    )
+
+
+@query(
+    "q42_collapsing",
+    oracle="""
+    SELECT count(*) AS survivors FROM (
+      SELECT user_id, CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) s
+      FROM events GROUP BY user_id HAVING s > 0
+    )
+    """,
+)
+def q42_collapsing(spark, sf_dir):
+    """CollapsingMergeTree contract (lecture_07.md:680-736): +1/-1 rows
+    cancel; groups with positive sign-sum survive."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "sign", F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    )
+    surv = (
+        ev.groupBy("user_id")
+        .agg(F.sum("sign").alias("s"))
+        .where(F.col("s") > 0)
+    )
+    return surv.agg(F.count(F.lit(1)).alias("survivors"))
+
+
+@query(
+    "q43_dict_get",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q43_dict_get(spark, sf_dir):
+    """dictGet (J13; lecture_11.md:20-40): broadcast dictionary lookup."""
+    from otus_clickhouse_spark.plans.dictionary import Dictionary
+
+    nation = t(spark, sf_dir, "nation")
+    d = Dictionary(name="nations", key="n_nationkey", df=nation.select("n_nationkey", "n_name"))
+    c = t(spark, sf_dir, "customer")
+    return d.get("n_name", c, "c_nationkey").groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q44_merge_engine",
+    oracle="""
+    SELECT _table, count(*) AS n FROM (
+      SELECT 'orders_f' AS _table FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'orders_o' AS _table FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY _table
+    """,
+)
+def q44_merge_engine(spark, sf_dir):
+    """Merge engine / merge() (S8): regex-union with the `_table` column."""
+    from otus_clickhouse_spark.sources.readers import merge_tables
+
+    o = t(spark, sf_dir, "orders")
+    o.where(F.col("o_orderstatus") == "F").createOrReplaceTempView("orders_f")
+    o.where(F.col("o_orderstatus") == "O").createOrReplaceTempView("orders_o")
+    merged = merge_tables(spark, r"orders_[fo]", ["orders_f", "orders_o"])
+    return merged.groupBy("_table").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q45_numbers",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(number) AS BIGINT) AS total
+    FROM (SELECT range AS number FROM range(0, 100000, 7))
+    """,
+)
+def q45_numbers(spark, sf_dir):
+    """numbers(start,end,step) generator (S9; lecture_07.md:44-49)."""
+    from otus_clickhouse_spark.sources.readers import numbers
+
+    n = numbers(spark, 0, 100000, 7)
+    return n.agg(F.count(F.lit(1)).alias("n"), F.sum("number").cast("bigint").alias("total"))
+
+
+def all_queries() -> dict[str, Callable]:
+    # import extension modules for their registration side effects
+    from otus_clickhouse_spark import queries_pipeline  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from otus_clickhouse_spark import queries_pipeline  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,333 @@
+"""Training-data pipeline queries (SURVEY.md §7 Phase 7) + oracles.
+
+These register into the same QUERIES/ORACLES maps as queries.py. All
+hashing is md5-based so the DuckDB oracle reproduces the exact pipeline
+(minhash = min over salted md5; simhash bits from md5 hex→int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.queries import ORACLES, QUERIES, query, t
+
+_SALTS = [f"s{i}|" for i in range(8)]
+
+# Shared oracle CTEs: word 3-gram shingles per doc (mirrors pipeline.dedup.shingles)
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM w
+      ) WHERE length(shingle) > 0
+    )
+"""
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+    FROM documents
+    """,
+)
+def x01_dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (hash-groupBy; one shuffle of 16-byte
+    digests, never the document bodies)."""
+    d = t(spark, sf_dir, "documents").select(F.md5("text").alias("digest"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("digest").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("digest")).alias("n_dup_rows"),
+    )
+
+
+@query(
+    "x02_minhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5('{s}' || shingle)) AS mh{i}" for i, s in enumerate(_SALTS))}
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          md5(concat_ws('|', 0, mh0, mh1)),
+          md5(concat_ws('|', 1, mh2, mh3)),
+          md5(concat_ws('|', 2, mh4, mh5)),
+          md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
+        FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.a, i.b, round(i.i / (na.n + nb.n - i.i), 4) AS jaccard
+    FROM inter i JOIN sizes na ON na.doc_id = i.a
+                 JOIN sizes nb ON nb.doc_id = i.b
+    WHERE round(i.i / (na.n + nb.n - i.i), 4) >= 0.7
+    """,
+)
+def x02_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join
+    → exact-Jaccard verify (candidates only). pipeline.dedup end to end."""
+    from otus_clickhouse_spark.pipeline.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
+    "x03_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS hv
+      FROM tok WHERE length(tk) > 0
+    ),
+    bits AS (
+      SELECT doc_id,
+             {BITS}
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, CAST({SUM} AS BIGINT) AS simhash FROM bits
+    )
+    SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_sigs,
+           count(*) - count(DISTINCT simhash) AS n_collisions
+    FROM sim
+    """.replace(
+        "{BITS}",
+        ", ".join(
+            f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+        ),
+    ).replace(
+        "{SUM}",
+        " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)),
+    ),
+)
+def x03_simhash(spark, sf_dir):
+    """SimHash fingerprint collisions (near-dup signal) — pipeline.dedup.simhash."""
+    from otus_clickhouse_spark.pipeline.dedup import simhash
+
+    sim = simhash(t(spark, sf_dir, "documents"), bits=16)
+    return sim.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("simhash").alias("n_sigs"),
+        (F.count(F.lit(1)) - F.count_distinct("simhash")).alias("n_collisions"),
+    )
+
+
+@query(
+    "x04_embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, round(list_cosine_similarity(q.qv, c.cv), 4) AS cos
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def x04_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (pipeline.similarity):
+    broadcast queries × corpus scan, JVM-side vector math."""
+    from otus_clickhouse_spark.pipeline.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "x05_embedding_lsh_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id, round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+      FROM e JOIN q USING (bucket)
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
+    """.replace(
+        "{BUCKET}",
+        " + ".join(f"(CASE WHEN v[{b + 1}] >= 0 THEN {2**b} ELSE 0 END)" for b in range(8)),
+    ),
+)
+def x05_embedding_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (sign-random-projection): equi-join on bucket id
+    prunes the corpus instead of scanning it — the 100 TB scale path."""
+    from otus_clickhouse_spark.pipeline.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, planes=8)
+
+
+@query(
+    "x06_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+    """,
+)
+def x06_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label to bound the
+    quadratic step (pipeline.dedup.embedding_neardup_pairs)."""
+    from otus_clickhouse_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.9
+    )
+
+
+@query(
+    "x07_text_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             round(len(list_filter(list_transform(toks, x -> lower(x)),
+                       x -> list_contains(['the','a','and','of','to','in','is'], x)))
+                   / len(toks), 4) AS stopword_en_ratio,
+             least(len(toks) / 64.0, 1.0) AS len_score,
+             CASE WHEN n_chars / greatest(len(toks), 1) BETWEEN 3 AND 10
+                  THEN 1.0 ELSE 0.5 END AS word_len_score,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / greatest(n_chars, 1) AS alpha_ratio,
+             substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp
+      FROM base
+    )
+    SELECT doc_id, n_tokens, stopword_en_ratio,
+           round((len_score + word_len_score + alpha_ratio) / 3.0, 4) AS quality, fp
+    FROM feat
+    """,
+)
+def x07_text_stats(spark, sf_dir):
+    """Text-quality feature extraction: token count, stopword ratio,
+    composite quality score, md5 fingerprint (pipeline.text)."""
+    from otus_clickhouse_spark.pipeline import text as tx
+
+    d = t(spark, sf_dir, "documents")
+    col = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(col).alias("n_tokens"),
+        F.round(tx.stopword_ratio(col, "en"), 4).alias("stopword_en_ratio"),
+        tx.quality_score(col).alias("quality"),
+        tx.fingerprint(col).alias("fp"),
+    )
+
+
+@query("x08_language_id")  # heuristic argmax — rows-only check (non-SQL tie rules)
+def x08_language_id(spark, sf_dir):
+    """Language-ID heuristic: stopword hit-rate argmax (pipeline.text)."""
+    from otus_clickhouse_spark.pipeline import text as tx
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(tx.language_id(F.col("text")).alias("lang_guess"), "lang")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "x09_token_histogram",
+    oracle="""
+    SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> length(x) > 0)) AS INT) AS n_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def x09_token_histogram(spark, sf_dir):
+    """Token-count histogram over the corpus (pipeline.text.token_count)."""
+    from otus_clickhouse_spark.pipeline import text as tx
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(tx.token_count(F.col("text")).alias("n_tokens")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "x10_ngram_jaccard_block",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    meta AS (SELECT doc_id, lang, source FROM documents),
+    cand AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM meta a JOIN meta b ON a.lang = b.lang AND a.source = b.source
+                             AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.a, i.b, round(i.i / (na.n + nb.n - i.i), 4) AS jaccard
+    FROM inter i JOIN sizes na ON na.doc_id = i.a
+                 JOIN sizes nb ON nb.doc_id = i.b
+    WHERE round(i.i / (na.n + nb.n - i.i), 4) >= 0.5
+    """,
+)
+def x10_ngram_jaccard_block(spark, sf_dir):
+    """n-gram Jaccard near-dup with metadata blocking (lang+source):
+    candidate pairs come from an equi-join on the block key, then exact
+    shingle-Jaccard verification — no LSH, deterministic recall within
+    blocks."""
+    from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingles(d)
+    meta = d.select("doc_id", "lang", "source")
+    a = meta.select(F.col("doc_id").alias("a"), "lang", "source")
+    b = meta.select(F.col("doc_id").alias("b"), "lang", "source")
+    cand = a.join(b, ["lang", "source"]).where(F.col("a") < F.col("b")).select("a", "b")
+    return jaccard_verify(cand, sh, threshold=0.5)

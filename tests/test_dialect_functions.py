@@ -1,0 +1,72 @@
+"""ClickHouse dialect: SQL UDF registration + translator rewrites."""
+
+import pytest
+
+from otus_clickhouse_spark.functions.dialect import translate
+
+
+def test_final_rewrite():
+    assert "FROM t__final" in translate("SELECT * FROM t FINAL")
+
+
+def test_count_zero_args():
+    assert translate("SELECT count() FROM t") == "SELECT count(*) FROM t"
+
+
+def test_aggregate_aliases():
+    out = translate("SELECT uniq(a), argMax(b, c), groupArray(d) FROM t")
+    assert "approx_count_distinct(a)" in out
+    assert "max_by(b, c)" in out
+    assert "collect_list(d)" in out
+
+
+def test_multiif():
+    out = translate("SELECT multiIf(a > 1, 'x', b < 2, 'y', 'z') FROM t")
+    assert out == "SELECT (CASE WHEN a > 1 THEN 'x' WHEN b < 2 THEN 'y' ELSE 'z' END) FROM t"
+
+
+def test_if_combinators():
+    out = translate("SELECT sumIf(x, y > 0), countIf(y > 0) FROM t")
+    assert "sum(x) FILTER (WHERE y > 0)" in out
+    assert "count_if(y > 0)" in out
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("toYYYYMM(TIMESTAMP '2024-07-15 10:00:00')", 202407),
+        ("toYYYYMMDD(TIMESTAMP '2024-07-15 10:00:00')", 20240715),
+        ("intDiv(7, 2)", 3),
+        ("intDiv(-7, 2)", -4),
+        ("JSONExtractInt('{\"k\": 42}', 'k')", 42),
+        ("modulo(10, 3)", 1),
+        ("notEmpty('x')", True),
+        ("empty('')", True),
+        ("arrayStringConcat(array('a','b'), '-')", "a-b"),
+        ("arraySum(array(1.0D, 2.0D, 3.5D))", 6.5),
+        ("has(array('a','b'), 'b')", True),
+    ],
+)
+def test_clickhouse_sql_udfs(spark, expr, expected):
+    from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert got == expected
+
+
+def test_format_readable_size(spark):
+    from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    got = spark.sql("SELECT formatReadableSize(1536.0) AS v").collect()[0].v
+    assert got == "1.50 KiB"
+
+
+def test_engine_sql_runs_ch_dialect(engine):
+    # a realistic reference-dialect query end to end (hw02.md:91-105 shape)
+    df = engine.sql(
+        "SELECT l_returnflag, count(), uniqExact(l_orderkey) AS u "
+        "FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag"
+    )
+    assert df.count() > 0

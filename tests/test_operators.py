@@ -1,0 +1,85 @@
+"""Unit tests for the custom operators: ASOF/ANY/PASTE joins, WITH FILL."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.operators.asof import asof_join
+from otus_clickhouse_spark.operators.joins import any_join, paste_join
+from otus_clickhouse_spark.operators.with_fill import with_fill
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inner(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 100.0), ("A", ts("2024-01-01 10:05:00"), 101.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:02:00"), 5),   # matches 10:00 quote
+            ("A", ts("2024-01-01 10:05:00"), 7),   # exact match → 10:05
+            ("A", ts("2024-01-01 09:59:00"), 9),   # no quote before → dropped (inner)
+            ("B", ts("2024-01-01 10:02:00"), 1),   # no quotes for B → dropped
+        ],
+        "sym string, tts timestamp, qty int",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts").collect()
+    got = {(r.qty): r.r_px for r in out}
+    assert got == {5: 100.0, 7: 101.0}
+
+
+def test_asof_left_and_exclusive(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:05:00"), 101.0)], "sym string, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:05:00"), 7)], "sym string, tts timestamp, qty int"
+    )
+    left = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", how="left",
+                     allow_exact_matches=False).collect()
+    assert len(left) == 1 and left[0].r_px is None
+
+
+def test_asof_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:05:00"), 101.0)], "sym string, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 5)], "sym string, tts timestamp, qty int"
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+                    direction="forward").collect()
+    assert len(out) == 1 and out[0].r_px == 101.0
+
+
+def test_any_join_no_fanout(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, "a", 1), (1, "b", 2), (2, "c", 1)], "k int, v string, ver int")
+    out = any_join(left, right, ["k"], take_last_by="ver").orderBy("k").collect()
+    assert len(out) == 2  # no fan-out
+    assert out[0].v == "b"  # take_last_by=ver picks highest version
+
+
+def test_paste_join_zips_by_position(spark):
+    a = spark.createDataFrame([("x",), ("y",), ("z",)], "l string")
+    b = spark.createDataFrame([(1,), (2,), (3,)], "r int")
+    out = paste_join(a, b, ["l"], [F.col("r").desc()]).orderBy("l").collect()
+    assert [(r.l, r.r) for r in out] == [("x", 3), ("y", 2), ("z", 1)]
+
+
+def test_with_fill_numeric(spark):
+    df = spark.createDataFrame([(1, 10), (4, 40)], "k int, v int")
+    out = with_fill(df, "k", step=1, fill_values={"v": 0}).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, 10), (2, 0), (3, 0), (4, 40)]
+
+
+def test_with_fill_dates(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 4), 4)], "d date, n int"
+    )
+    out = with_fill(df, "d", step="1 day", fill_values={"n": 0}).orderBy("d").collect()
+    assert len(out) == 4 and out[1].n == 0

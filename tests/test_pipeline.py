@@ -1,0 +1,95 @@
+"""Pipeline operators: dedup, similarity, text, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup of 1
+        (4, "completely different content about spark sql engines here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    assert len(out) == 3  # 1&2 collapse
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[1] == 2
+
+
+def test_shingles_and_jaccard(docs):
+    sh = dedup.shingles(docs, n=3)
+    # doc 1 has 10 tokens → 8 distinct trigrams
+    assert sh.where(F.col("doc_id") == 1).count() == 8
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got  # exact dup always survives
+    j12 = [r.jaccard for r in pairs if (r.a, r.b) == (1, 2)][0]
+    assert j12 == 1.0
+
+
+def test_simhash_identical_docs_collide(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 2, [0.0, 1.0]), (3, [1.0, 1.0], 4, [1.0, 1.0])],
+        "a long, va array<double>, b long, vb array<double>",
+    )
+    rows = df.select(similarity.cosine(F.col("va"), F.col("vb")).alias("c")).collect()
+    assert abs(rows[0].c - 0.0) < 1e-12
+    assert abs(rows[1].c - 1.0) < 1e-12
+
+
+def test_brute_force_topk_self_is_nearest(spark, sf_dir):
+    from otus_clickhouse_spark.io import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb, q, k=3).orderBy("rnk").collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos - 1.0) < 1e-6
+
+
+def test_lsh_topk_contains_self(spark, sf_dir):
+    from otus_clickhouse_spark.io import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.lsh_topk(emb, q, k=3).orderBy("rnk").collect()
+    assert top and top[0].vec_id == 0
+
+
+def test_text_analyze(docs):
+    out = {r.doc_id: r for r in text.analyze(docs).collect()}
+    assert out[1].n_tokens == 10
+    assert out[1].fp == out[2].fp  # same normalized content → same fingerprint
+    assert out[1].lang_guess == "en"
+    assert 0.0 <= out[1].quality <= 1.0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 4 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    frames = multimodal.frame_sample_plan(media, every_ms=100)
+    vids = media.where(F.col("kind") == "video").count()
+    assert frames.count() >= vids  # at least one frame per video
+    assert frames.columns == ["media_id", "frame_ts_ms"]

@@ -119,9 +119,19 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.7,
+    persist_shingles: bool = True,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH → Jaccard verify."""
+    """Full near-dup pipeline: shingle → minhash → LSH → Jaccard verify.
+
+    The shingle relation feeds three consumers (signatures + both sides
+    of the verify join); without materialization Spark recomputes the
+    tokenize/explode/distinct subtree three times. We persist it —
+    at cluster scale this is the step you'd write to an intermediate
+    table anyway (it's the unit of incremental recompute for new docs).
+    """
     sh = shingles(df, text_col, id_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

@@ -924,12 +924,12 @@ def q45_numbers(spark, sf_dir):
 
 def all_queries() -> dict[str, Callable]:
     # import extension modules for their registration side effects
-    from otus_clickhouse_spark import queries_pipeline  # noqa: F401
+    from otus_clickhouse_spark import queries_extra, queries_pipeline  # noqa: F401
 
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from otus_clickhouse_spark import queries_pipeline  # noqa: F401
+    from otus_clickhouse_spark import queries_extra, queries_pipeline  # noqa: F401
 
     return dict(ORACLES)

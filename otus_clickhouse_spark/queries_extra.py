@@ -1,0 +1,270 @@
+"""Second coverage batch: quantiles, cube/grouping-sets, window frames,
+aligned array unnest, sessionization, regexp, set-membership, CTEs, IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.queries import query, t
+
+
+@query(
+    "q46_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS med,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q46_quantiles(spark, sf_dir):
+    """quantile/median (§2.8 parametric aggregates; lecture_06.md:57-59).
+
+    Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont); CH's sampling `quantile` maps to approx_percentile
+    for the at-scale variant."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@query(
+    "q47_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q47_cube(spark, sf_dir):
+    """CUBE — superset of the course's WITH ROLLUP (A11)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q48_moving_avg",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def q48_moving_avg(spark, sf_dir):
+    """W1 general frame: N-row moving average (lecture_11.md:420-433)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg"))
+    )
+
+
+@query(
+    "q49_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q49_first_last_value(spark, sf_dir):
+    """first_value/last_value over the whole partition (W4 shape)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(w).alias("last_event"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q50_array_zip_unnest",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
+    e AS (SELECT p_partkey,
+                 unnest(list_transform(generate_series(1, len(words)),
+                                       i -> {'pos': i, 'word': words[i]})) AS s
+          FROM w)
+    SELECT p_partkey, CAST(s.pos AS INT) - 1 AS pos, s.word AS word FROM e
+    """,
+)
+def q50_array_zip_unnest(spark, sf_dir):
+    """ARRAY JOIN aligned unnest (lecture_06.md:29-41) → posexplode."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "q51_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q51_sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap session counting — the batch analogue of
+    session_window (T6), a core training-pipeline transform."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q52_regexp_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+           count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q52_regexp_extract(spark, sf_dir):
+    """match/extractAll regex family (lecture_08.md:387, lecture_18.md:213)."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy(F.regexp_extract("p_brand", "#(\\d+)", 1).cast("int").alias("brand_num"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q53_set_membership",
+    oracle="""
+    SELECT count(*) AS n FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_suppkey IN (1, 2, 3, 4, 5)
+    """,
+)
+def q53_set_membership(spark, sf_dir):
+    """Set engine / IN set (U3; lecture_09.md:451-496): broadcast isin."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_returnflag").isin("A", "N") & F.col("l_suppkey").isin(1, 2, 3, 4, 5)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q54_cte",
+    oracle="""
+    WITH big AS (SELECT o_custkey, count(*) AS n FROM orders
+                 WHERE o_totalprice > 200000 GROUP BY o_custkey)
+    SELECT c.c_mktsegment, CAST(sum(big.n) AS BIGINT) AS big_orders
+    FROM big JOIN customer c ON c.c_custkey = big.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q54_cte(spark, sf_dir):
+    """CTE (D6; lecture_27.md:231-244) via spark.sql over registered frames."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH big AS (SELECT o_custkey, count(*) AS n FROM {o}
+                     WHERE o_totalprice > 200000 GROUP BY o_custkey)
+        SELECT c.c_mktsegment, CAST(sum(big.n) AS BIGINT) AS big_orders
+        FROM big JOIN {c} c ON c.c_custkey = big.o_custkey
+        GROUP BY c.c_mktsegment
+        """,
+        o=o,
+        c=c,
+    )
+
+
+@query(
+    "q55_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY ALL
+    """,
+)
+def q55_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (A10; hw11.md:45-54)."""
+    o = t(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "round(avg(o_totalprice), 4) AS avg_price FROM {o} GROUP BY ALL",
+        o=o,
+    )
+
+
+@query(
+    "x11_ivf_assign",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 4),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, cent.centroid_id,
+             round(list_cosine_similarity(e.v, cent.cv), 4) AS cos
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT centroid_id, count(*) AS n FROM assign GROUP BY centroid_id
+    """,
+)
+def x11_ivf_assign(spark, sf_dir):
+    """IVF building block: assign every vector to its nearest centroid
+    (broadcast centroids, map-side argmax — zero corpus shuffle). The
+    coarse-quantizer step of an IVF ANN index at 100 TB."""
+    from otus_clickhouse_spark.pipeline.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc"))).alias(
+            "centroid_id"
+        )
+    )
+    return assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,71 @@
+"""Plan hygiene: the physical plans must carry the scale properties we
+designed for (SURVEY.md §4). These assertions are the `.explain` review
+baked into CI: pushdown reaching parquet, dims broadcast, partial
+aggregation, whole-stage codegen.
+"""
+
+import pytest
+
+from otus_clickhouse_spark.queries import all_queries
+
+
+def plan_of(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    if execute:  # AQE finalizes subplans (and codegen spans) only at runtime
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet(spark, sf_dir):
+    """P3: WHERE reaches the scan (≈ PREWHERE / granule pruning)."""
+    plan = plan_of(spark, sf_dir, "q02_filtered_count")
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """Scan reads only needed columns (columnar property, lecture_02.md:119)."""
+    plan = plan_of(spark, sf_dir, "q02_filtered_count")
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_dims_broadcast_in_join(spark, sf_dir):
+    """J9: small sides broadcast — lineitem never reshuffles (q03)."""
+    plan = plan_of(spark, sf_dir, "q03_top_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    """A17: two-phase partial/final agg ≈ AggregatingTransform + Merge."""
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary", execute=True)
+    # codegen stages render as "*(n) HashAggregate…" in the final AQE plan
+    assert "*(1)" in plan or "*(2)" in plan or "WholeStageCodegen" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """O3: ORDER BY+LIMIT compiles to TakeOrderedAndProject (no full sort)."""
+    plan = plan_of(spark, sf_dir, "q25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q08_semi_join")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q09_anti_join")
+
+
+def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    """x04: query vectors broadcast; corpus is never shuffled for scoring."""
+    plan = plan_of(spark, sf_dir, "x04_embedding_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """ASOF join plan: exactly one exchange for the union+window (plus the
+    final agg's); no pandas, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q12_asof_join")
+    assert "Window" in plan
+    assert "Cartesian" not in plan and "PythonUDF" not in plan

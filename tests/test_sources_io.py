@@ -1,0 +1,52 @@
+"""Sources & write path: formats, brace globs, Engine.insert (EP3)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.sources.readers import _expand_braces, file_table
+
+
+def test_brace_expansion():
+    assert _expand_braces("s3a://b/part-{0..2}.csv") == "s3a://b/part-{0,1,2}.csv"
+    assert _expand_braces("x/{00..03}.parquet") == "x/{00,01,02,03}.parquet"
+    assert _expand_braces("plain.csv") == "plain.csv"
+
+
+def test_file_table_csv_roundtrip(spark, tmp_path):
+    """file(path, CSVWithNames) read/write (S5/S12; lecture_09.md:374-422)."""
+    p = str(tmp_path / "csv_out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df.write.option("header", "true").csv(p)
+    back = file_table(spark, p, "CSVWithNames")
+    assert back.count() == 2 and set(back.columns) == {"id", "v"}
+
+
+def test_file_table_jsoneachrow(spark, tmp_path):
+    """JSONEachRow format (S12; lecture_03.md:209-213)."""
+    p = str(tmp_path / "json_out")
+    spark.createDataFrame([(1, "x")], "id int, v string").write.json(p)
+    back = file_table(spark, p, "JSONEachRow")
+    assert back.count() == 1
+
+
+def test_engine_insert_sorted_partitioned(spark, tmp_path):
+    """EP3 insert path (lecture_04.md:9-52): sorted-within-partition,
+    PARTITION BY directory layout, appendable, readable back."""
+    from otus_clickhouse_spark.engine import Engine, TableDef
+
+    eng = Engine(spark)
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(3, 202401, "c"), (1, 202401, "a"), (2, 202402, "b")], "k int, ym int, v string"
+    )
+    df.write.partitionBy("ym").parquet(path)
+    td = TableDef(name="ins_t", path=path, order_by=("k",), partition_by=("ym",))
+    eng.register_table(td)
+    eng.insert("ins_t", spark.createDataFrame([(9, 202402, "z")], "k int, ym int, v string"))
+    assert eng.table("ins_t").count() == 4
+    # partition directories exist → partition pruning works on ym
+    assert os.path.isdir(os.path.join(path, "ym=202401"))
+    pruned = eng.table("ins_t").where(F.col("ym") == 202401)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ym=202401" in plan or "PartitionFilters" in plan

@@ -32,3 +32,20 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def rebalance(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy stages.
+
+    A small table arrives as one or two file splits, so an explode/
+    hash/vector stage downstream would run on one core. When the scan
+    has fewer partitions than ``defaultParallelism`` we repartition up
+    (by ``key_cols`` when the downstream op groups on them, else
+    round-robin). On a real cluster reading many files/row-groups the
+    scan already has enough splits and this is a no-op — it never adds
+    a shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

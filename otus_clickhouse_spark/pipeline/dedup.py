@@ -38,7 +38,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (id_col, shingle)."""
+    """Distinct word n-gram shingles per document (id_col, shingle).
+
+    Distinctness is per-document, so ``array_distinct`` before the
+    explode does it map-side — no shuffle at all (a post-explode
+    ``.distinct()`` would shuffle every shingle string).
+    """
+    from otus_clickhouse_spark.io import rebalance
+
     tokens = F.split(F.col(text_col), " ")
     # n-gram i..i+n-1 joined by space; transform is JVM-side
     grams = F.transform(
@@ -46,9 +53,9 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        rebalance(df, id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.length("shingle") > 0)
-        .distinct()
     )
 
 
@@ -93,12 +100,18 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (a, b, jaccard)."""
-    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
+    """Exact n-gram Jaccard on candidate pairs only (a, b, jaccard).
+
+    The intersection join shuffles a 64-bit shingle digest instead of
+    the shingle string — same counts (collision odds ~n²/2⁶⁴), a
+    fraction of the shuffle bytes.
+    """
+    shc = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+    sa = shc.select(F.col(id_col).alias("a"), F.col("__sh"))
+    sb = shc.select(F.col(id_col).alias("b"), F.col("__sh"))
     common = (
         pairs.join(sa, on="a")
-        .join(sb, on=["b", "shingle"])
+        .join(sb, on=["b", "__sh"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -145,7 +158,9 @@ def simhash(
     Token hash = first 8 hex chars of md5 → 32-bit int; simhash bit b is
     the sign of sum(±1) of token bit b. Pure SQL expressions throughout.
     """
-    tok = df.select(
+    from otus_clickhouse_spark.io import rebalance
+
+    tok = rebalance(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from otus_clickhouse_spark.io import rebalance
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -48,7 +50,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    c = rebalance(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
@@ -93,9 +97,11 @@ def lsh_topk(
     each query touches one partition (partition pruning on the equi-join
     key) instead of the full corpus.
     """
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    c = rebalance(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     ).withColumn("bucket", srp_bucket(F.col("__cv"), planes))
     q = queries.select(
         F.col(query_id_col),

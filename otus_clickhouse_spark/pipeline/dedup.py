@@ -150,6 +150,62 @@ def minhash_dedup_pairs(
     return jaccard_verify(cand, sh, id_col, threshold)
 
 
+def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """Group near-dup pairs into clusters: connected components by
+    min-label propagation. Returns (node, cluster_id) where cluster_id
+    is the smallest doc id in the component.
+
+    Each round is one shuffle (neighbor-min join + groupBy); rounds
+    needed = graph diameter. LSH dup components are near-cliques
+    (every member shares a band bucket), so diameter is tiny and this
+    converges in 2-3 rounds regardless of corpus size — the iterative
+    cost is O(edges) per round, all JVM-side. The final round's count
+    action doubles as the convergence check.
+    """
+    # pairs may be an expensive upstream pipeline (LSH); materialize once
+    # before symmetrizing, or both union branches recompute it.
+    pairs = pairs.persist()
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        # localCheckpoint truncates the per-round lineage so plan analysis
+        # stays O(1) across iterations (on a multi-node cluster with
+        # fault-tolerance requirements, use checkpoint() to durable storage).
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

@@ -1,0 +1,48 @@
+"""Dataset sampling / balancing for training-data pipelines.
+
+ClickHouse exposes ``SAMPLE 0.1`` / ``SAMPLE BY key`` (reference
+lectures/lecture_07.md:16, lecture_08.md:41-50); the training-pipeline
+generalization is *stratified* sampling: a per-stratum keep rate (e.g.
+down-sample over-represented languages). Sampling is deterministic —
+a hash of the row id, not ``rand()`` — so reruns, retries, and the
+DuckDB oracle all select the identical rows. Hash sampling is also the
+only kind that survives distributed retries: a task that recomputes a
+partition keeps the same rows.
+
+All expressions are JVM-side SQL (md5 → int bucket); no shuffle at all
+— sampling is a map-side filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str, buckets: int = 100) -> "F.Column":
+    """Deterministic, engine-portable bucket in [0, buckets): first 4
+    hex chars of md5 of the id string. (DuckDB computes the identical
+    value, so oracle comparisons line up row for row.)"""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def sample_fraction(df: DataFrame, fraction: float, id_col: str) -> DataFrame:
+    """SAMPLE 0.1 (lecture_08.md:41-50), deterministic-by-id."""
+    return df.where(hash_bucket(id_col) < int(round(fraction * 100)))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates: dict[str, float], id_col: str, default_rate: float = 1.0
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``rates[stratum]`` of
+    each stratum (default ``default_rate``). Map-side only — the rate
+    table is a literal CASE expression, never a join."""
+    pct = F.lit(int(round(default_rate * 100)))
+    expr = None
+    for value, rate in rates.items():
+        cond = F.col(strata_col) == value
+        branch = F.lit(int(round(rate * 100)))
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    pct_expr = expr.otherwise(pct) if expr is not None else pct
+    return df.where(hash_bucket(id_col) < pct_expr)

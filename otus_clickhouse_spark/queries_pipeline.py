@@ -47,10 +47,10 @@ def x01_dedup_exact(spark, sf_dir):
     )
 
 
-@query(
-    "x02_minhash_pairs",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
+# Full minhash-LSH candidate+verify chain ending in `pairs(a, b, jaccard)`
+# — shared by x02 (pairs) and x12 (clusters over pairs).
+_PAIRS_CTES = f"""
+    {_SHINGLE_CTE},
     sig AS (
       SELECT doc_id,
              {', '.join(f"min(md5('{s}' || shingle)) AS mh{i}" for i, s in enumerate(_SALTS))}
@@ -76,12 +76,19 @@ def x01_dedup_exact(spark, sf_dir):
                   JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
       GROUP BY c.a, c.b
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-    SELECT i.a, i.b, round(i.i / (na.n + nb.n - i.i), 4) AS jaccard
-    FROM inter i JOIN sizes na ON na.doc_id = i.a
-                 JOIN sizes nb ON nb.doc_id = i.b
-    WHERE round(i.i / (na.n + nb.n - i.i), 4) >= 0.7
-    """,
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b, round(i.i / (na.n + nb.n - i.i), 4) AS jaccard
+      FROM inter i JOIN sizes na ON na.doc_id = i.a
+                   JOIN sizes nb ON nb.doc_id = i.b
+      WHERE round(i.i / (na.n + nb.n - i.i), 4) >= 0.7
+    )
+"""
+
+
+@query(
+    "x02_minhash_pairs",
+    oracle=f"WITH {_PAIRS_CTES} SELECT a, b, jaccard FROM pairs",
 )
 def x02_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join
@@ -331,3 +338,64 @@ def x10_ngram_jaccard_block(spark, sf_dir):
     b = meta.select(F.col("doc_id").alias("b"), "lang", "source")
     cand = a.join(b, ["lang", "source"]).where(F.col("a") < F.col("b")).select("a", "b")
     return jaccard_verify(cand, sh, threshold=0.5)
+
+
+@query(
+    "x12_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def x12_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: connected components over the
+    minhash-LSH pair graph (min-label propagation; see
+    pipeline.dedup.dedup_clusters scale notes). The step after pair
+    generation in a real dedup pipeline — each cluster keeps one
+    representative. Oracle = recursive-CTE reachability in DuckDB."""
+    from otus_clickhouse_spark.pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.7)
+    comp = dedup_clusters(pairs)
+    return comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+@query(
+    "x13_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT * FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+            < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 ELSE 100 END
+    )
+    SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM s GROUP BY lang
+    """,
+)
+def x13_stratified_sample(spark, sf_dir):
+    """Stratified deterministic down-sampling (per-language keep rates)
+    — dataset balancing as a map-side filter, retry-safe because row
+    selection hashes the id rather than drawing rand()."""
+    from otus_clickhouse_spark.pipeline.sampling import stratified_sample
+
+    s = stratified_sample(
+        t(spark, sf_dir, "documents"), "lang", {"en": 0.3, "de": 0.6}, id_col="doc_id"
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

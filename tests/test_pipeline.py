@@ -93,3 +93,28 @@ def test_multimodal_frame_sampling(spark):
     vids = media.where(F.col("kind") == "video").count()
     assert frames.count() >= vids  # at least one frame per video
     assert frames.columns == ["media_id", "frame_ts_ms"]
+
+
+def test_dedup_clusters_chain_and_triangle(spark):
+    # 1-2-3 form a chain (diameter 2, needs >1 propagation round);
+    # 10-11 a pair; 20 isolated (absent from output).
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    out = {r.node: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline import sampling
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    s1 = sampling.stratified_sample(docs, "lang", {"en": 0.3}, id_col="doc_id")
+    s2 = sampling.stratified_sample(docs, "lang", {"en": 0.3}, id_col="doc_id")
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert ids1 == sorted(r.doc_id for r in s2.select("doc_id").collect())  # rerun-stable
+    n_en_all = docs.where(F.col("lang") == "en").count()
+    n_en_kept = s1.where(F.col("lang") == "en").count()
+    assert 0 < n_en_kept < n_en_all  # en stratum actually thinned
+    # non-listed strata keep default rate 1.0
+    other_all = docs.where(F.col("lang") != "en").count()
+    assert s1.where(F.col("lang") != "en").count() == other_all

@@ -56,6 +56,7 @@ class Engine:
         self.spark = spark
         self.tables: dict[str, TableDef] = {}
         self._dictionaries: dict[str, dict] = {}
+        self._query_log: list[tuple] = []
         from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
 
         register_clickhouse_functions(spark)
@@ -116,6 +117,21 @@ class Engine:
 
         return self.spark.sql(translate(text, self.tables), args=params or None)
 
+    def run(self, text: str, **params):
+        """Execute SQL eagerly, recording it in the query log
+        (≈ system.query_log, lectures/lecture_20.md:619-654): query
+        text, wall duration, result rows, exception type."""
+        import time
+
+        t0 = time.time()
+        try:
+            rows = self.sql(text, **params).collect()
+        except Exception as exc:  # logged like query_log's exception column
+            self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
+            raise
+        self._query_log.append((text, time.time() - t0, len(rows), ""))
+        return rows
+
     # ----------------------------------------------------------------- write
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
         """EP3 insert path: sorted/partitioned parquet write (lecture_04.md:9-52).
@@ -175,6 +191,14 @@ class Engine:
                             p = os.path.join(root, f)
                             rows.append((t.name, os.path.relpath(p, t.path), os.path.getsize(p), 1))
         return self.spark.createDataFrame(rows, "table string, name string, bytes_on_disk long, active int")
+
+    def system_query_log(self) -> DataFrame:
+        """≈ system.query_log (lecture_20.md:296-478): queries run via
+        :meth:`run`, with duration / result rows / exception."""
+        return self.spark.createDataFrame(
+            self._query_log or [("", 0.0, 0, "")],
+            "query string, duration_sec double, result_rows long, exception string",
+        )
 
     def system_settings(self) -> DataFrame:
         """≈ system.settings over spark.conf (lecture_12.md:62-212)."""

@@ -1,0 +1,115 @@
+"""Scale-path operators: skew salting, compaction, query log, stateful
+streaming. Correctness here; the scale rationale lives in each module's
+docstring."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.operators import skew
+from otus_clickhouse_spark.plans import compaction
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of fact rows share key 1
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dim = spark.createDataFrame([(1, "hot"), (950, "cold")], "k long, name string")
+    plain = fact.join(dim, on=["k"]).groupBy("k", "name").agg(F.sum("v").alias("s"))
+    salted = skew.salted_join(fact, dim, on=["k"], salt=8).groupBy("k", "name").agg(
+        F.sum("v").alias("s")
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    out = {r.k: r.name for r in skew.salted_join(fact, dim, on=["k"], salt=4, how="left").collect()}
+    assert out == {1: "a", 2: None}
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    plain = {
+        (r.g): (r.n, r.s, r.mx)
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.g): (r.n, r.s, r.mx)
+        for r in skew.salted_agg(
+            df, ["g"], {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # 16 tiny files
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(16).write.parquet(path)
+    before = compaction.plan_compaction(path, target_bytes=10 * 1024 * 1024)
+    assert before and before["n_files"] == 16 and before["n_target_files"] == 1
+    stats = compaction.compact_table(spark, path, order_by=("id",), target_bytes=10 * 1024 * 1024)
+    assert stats == before
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == 10_000
+    # idempotent: already compact → no-op
+    assert compaction.compact_table(spark, path, target_bytes=10 * 1024 * 1024) is None
+
+
+def test_query_log(engine):
+    engine.run("SELECT count(*) AS n FROM lineitem")
+    with pytest.raises(Exception):
+        engine.run("SELECT * FROM no_such_table_xyz")
+    log = engine.system_query_log().collect()
+    ok = [r for r in log if "lineitem" in r.query]
+    bad = [r for r in log if "no_such_table_xyz" in r.query]
+    assert ok and ok[0].result_rows == 1 and ok[0].duration_sec > 0
+    assert bad and bad[0].result_rows == -1 and bad[0].exception
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    from otus_clickhouse_spark.streaming.stateful import running_counts
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id long, value double"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src_dir)
+    q = (
+        running_counts(stream)
+        .writeStream.format("memory")
+        .queryName("rc_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r.key: (r.n_events, r.sum_value) for r in spark.sql("SELECT * FROM rc_out").collect()
+        }
+        assert out == {1: (2, 3.0), 2: (1, 5.0)}
+        # second micro-batch arrives → keyed state carries over
+        spark.createDataFrame([(1, 4.0)], "user_id long, value double").write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rc_out").collect()
+        latest = max((r for r in rows if r.key == 1), key=lambda r: r.n_events)
+        assert (latest.n_events, latest.sum_value) == (3, 7.0)
+    finally:
+        q.stop()

@@ -57,6 +57,9 @@ class Engine:
         self.tables: dict[str, TableDef] = {}
         self._dictionaries: dict[str, dict] = {}
         self._query_log: list[tuple] = []
+        from otus_clickhouse_spark.plans.projections import ProjectionRegistry
+
+        self.projections = ProjectionRegistry()
         from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
 
         register_clickhouse_functions(spark)
@@ -115,7 +118,28 @@ class Engine:
         """
         from otus_clickhouse_spark.functions.dialect import translate
 
+        served = self.projections.try_rewrite_sql(text)
+        if served is not None:
+            return served
         return self.spark.sql(translate(text, self.tables), args=params or None)
+
+    def add_projection(self, name: str, table: str, group_keys, aggs) -> None:
+        """ADD/MATERIALIZE PROJECTION (lecture_13.md:187-242): build the
+        pre-aggregate; matching Engine.sql aggregates are then silently
+        served from it (try_rewrite_sql)."""
+        from otus_clickhouse_spark.plans.projections import Projection
+
+        self.projections.add(
+            self.table(table),
+            Projection(name=name, table=table, group_keys=tuple(group_keys), aggs=dict(aggs)),
+        )
+
+    def explain(self, text: str, mode: str = "formatted") -> str:
+        """EXPLAIN [PLAN] (D7; lectures/lecture_21.md:399-452)."""
+        df = self.sql(text)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # same path .explain() prints
+            df._jdf.queryExecution(), mode
+        )
 
     def run(self, text: str, **params):
         """Execute SQL eagerly, recording it in the query log

@@ -14,6 +14,7 @@ is where our query functions are constructed; a full Catalyst injection
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -34,6 +35,7 @@ class Projection:
 class ProjectionRegistry:
     projections: dict[str, Projection] = field(default_factory=dict)
     use_projections: bool = True  # optimize_use_projections (lecture_13.md:243)
+    serve_hits: int = 0  # observability: how many queries were projection-served
 
     def add(self, base: DataFrame, proj: Projection) -> Projection:
         """MATERIALIZE PROJECTION: build + cache the pre-aggregate."""
@@ -74,3 +76,114 @@ class ProjectionRegistry:
                 re_aggs.append(getattr(F, merge_fn)(a).alias(a))
             return proj.df.groupBy(*group_keys).agg(*re_aggs)
         return None
+
+    # ------------------------------------------------- SQL auto-selection
+    _AGG_SQL = re.compile(
+        r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>[A-Za-z_][\w]*)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _AGG_ITEM = re.compile(
+        r"^(?P<fn>sum|count|min|max)\s*\(\s*(?P<col>\*|[\w]+)\s*\)\s+AS\s+(?P<alias>[\w]+)$",
+        re.IGNORECASE,
+    )
+
+    def try_rewrite_sql(self, sql: str):
+        """Silent projection selection for the SQL entry point
+        (lecture_13.md:243-314: the query keeps naming the base table;
+        the optimizer serves it from the pre-aggregate).
+
+        Handles the shape projections exist for: single-table
+        ``SELECT keys…, agg(col) AS a… FROM t [WHERE pred-on-keys]
+        GROUP BY keys…``. Anything else returns None and runs on the
+        base table unchanged (exactly CH's fallback behavior).
+        """
+        if not self.use_projections or not self.projections:
+            return None
+        m = self._AGG_SQL.match(sql)
+        if not m:
+            return None
+        table = m.group("table")
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        wanted: dict[str, tuple[str, str]] = {}
+        for item in _split_top_level(m.group("select")):
+            item = item.strip()
+            if item in keys:
+                continue
+            am = self._AGG_ITEM.match(item)
+            if not am:
+                return None
+            wanted[am.group("alias")] = (am.group("fn").lower(), am.group("col"))
+        where = m.group("where")
+        served = self._serve_with_cols(table, keys, wanted)
+        if served is None:
+            return None
+        if where:
+            # predicate may only reference projection group keys — else the
+            # pre-aggregate can't answer it (CH falls back the same way)
+            proj_keys = {k.lower() for p in self.projections.values() for k in p.group_keys}
+            sql_words = {"and", "or", "not", "in", "between", "like", "is", "null", "true", "false"}
+            idents = set(re.findall(r"[A-Za-z_][\w]*", re.sub(r"'[^']*'", "", where)))
+            if any(i.lower() not in proj_keys | sql_words for i in idents):
+                return None
+            served = served.where(where)
+        self.serve_hits += 1
+        return served
+
+    def _serve_with_cols(self, table: str, keys: list[str], wanted: dict[str, tuple[str, str]]):
+        """serve() variant that validates the agg source column too."""
+        for proj in self.projections.values():
+            if proj.table != table or not set(keys) <= set(proj.group_keys):
+                continue
+            renames = {}
+            ok = True
+            for alias, (fn, col) in wanted.items():
+                match = next(
+                    (
+                        pname
+                        for pname, (pfn, pcol) in proj.aggs.items()
+                        if pfn == fn and (pcol == col or (col == "*" and pcol == "*"))
+                    ),
+                    None,
+                )
+                if match is None:
+                    ok = False
+                    break
+                renames[alias] = match
+            if not ok:
+                continue
+            if set(keys) == set(proj.group_keys):
+                return proj.df.select(
+                    *keys, *[F.col(pname).alias(alias) for alias, pname in renames.items()]
+                )
+            merge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+            return proj.df.groupBy(*keys).agg(
+                *[
+                    getattr(F, merge[wanted[alias][0]])(pname).alias(alias)
+                    for alias, pname in renames.items()
+                ]
+            )
+        return None
+
+
+def _split_top_level(select_list: str) -> list[str]:
+    """Split a SELECT list on commas not inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _is_literal(tok: str) -> bool:
+    return tok.replace(".", "", 1).isdigit()

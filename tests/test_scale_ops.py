@@ -113,3 +113,34 @@ def test_stateful_running_counts(spark, tmp_path):
         assert (latest.n_events, latest.sum_value) == (3, 7.0)
     finally:
         q.stop()
+
+
+def test_projection_sql_autoselect(engine):
+    engine.add_projection(
+        "li_flag", "lineitem", ["l_returnflag", "l_linestatus"],
+        {"sq": ("sum", "l_quantity"), "n": ("count", "*")},
+    )
+    hits0 = engine.projections.serve_hits
+    sql = ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n "
+           "FROM lineitem GROUP BY l_returnflag")
+    served = {r.l_returnflag: (r.sum_qty, r.n) for r in engine.sql(sql).collect()}
+    assert engine.projections.serve_hits == hits0 + 1  # projection hit
+    # ground truth from the base table (projections disabled)
+    engine.projections.use_projections = False
+    base = {r.l_returnflag: (r.sum_qty, r.n) for r in engine.sql(sql).collect()}
+    engine.projections.use_projections = True
+    assert served == base
+    # WHERE on a projection key is also servable
+    f = engine.sql("SELECT l_returnflag, count(*) AS n FROM lineitem "
+                   "WHERE l_returnflag = 'R' GROUP BY l_returnflag").collect()
+    assert engine.projections.serve_hits == hits0 + 2
+    assert len(f) == 1 and f[0].n == base["R"][1]
+    # non-key WHERE falls back to the base table (no new hit)
+    engine.sql("SELECT l_returnflag, count(*) AS n FROM lineitem "
+               "WHERE l_quantity > 10 GROUP BY l_returnflag")
+    assert engine.projections.serve_hits == hits0 + 2
+
+
+def test_engine_explain(engine):
+    out = engine.explain("SELECT count(*) AS n FROM lineitem", mode="formatted")
+    assert "HashAggregate" in out and "Scan parquet" in out

@@ -94,6 +94,8 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("hostName", "", "STRING", "'localhost'"),
     # version() is a Spark builtin (returns the Spark version) — kept as-is.
     ("yesterday", "", "DATE", "date_sub(current_date(), 1)"),
+    ("today", "", "DATE", "current_date()"),
+    ("now64", "", "TIMESTAMP", "current_timestamp()"),
 ]
 
 # ClickHouse aggregate names that are direct aliases of Spark builtins —

@@ -99,6 +99,23 @@ def _rewrite_if_combinators(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+def _rewrite_splitByChar(text: str) -> str:
+    """Inline splitByChar(sep, s) → split(s, quoted-sep) textually.
+
+    The SQL-UDF form exists too, but Spark rejects SQL UDFs inside
+    Generate, so compositions like ``arrayJoin(splitByChar(...))``
+    need the inlined builtin.
+    """
+    while True:
+        m = re.search(r"\bsplitByChar\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        sep, s = args
+        repl = f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+        text = text[: m.start()] + repl + text[end:]
+
+
 def translate(text: str, tables: dict | None = None) -> str:
     """Translate ClickHouse-dialect SQL into Spark SQL."""
     tables = tables or {}
@@ -111,5 +128,6 @@ def translate(text: str, tables: dict | None = None) -> str:
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)
     text = _rewrite_multiif(text)
     text = _rewrite_if_combinators(text)
+    text = _rewrite_splitByChar(text)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)
     return text

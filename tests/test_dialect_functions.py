@@ -70,3 +70,16 @@ def test_engine_sql_runs_ch_dialect(engine):
         "FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag"
     )
     assert df.count() > 0
+
+
+def test_split_inside_explode(engine):
+    # SQL UDFs can't sit inside Generate; translator inlines splitByChar
+    rows = engine.sql(
+        "SELECT arrayJoin(splitByChar(' ', p_name)) AS tok FROM part LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and all(r.tok for r in rows)
+
+
+def test_today_now64(engine):
+    r = engine.sql("SELECT today() AS d, now64() AS t, yesterday() AS y").collect()[0]
+    assert r.d is not None and r.t is not None and (r.d - r.y).days == 1

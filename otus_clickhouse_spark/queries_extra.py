@@ -268,3 +268,45 @@ def x11_ivf_assign(spark, sf_dir):
         )
     )
     return assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q56_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q56_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — completes the A11 family (rollup q17, cube q47)."""
+    o = t(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM {o} "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        o=o,
+    )
+
+
+@query(
+    "q57_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_30d
+    FROM orders
+    """,
+)
+def q57_range_frame(spark, sf_dir):
+    """W1 RANGE frame: value-based window (orders within the trailing 30
+    days per customer) — rangeBetween on epoch seconds."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.count(F.lit(1)).over(w).cast("bigint").alias("orders_30d")
+    )

@@ -1,0 +1,127 @@
+"""Scale probe: do the engine's plans hold when data grows 10-100x?
+
+Generates synthetic tables far larger than the driver's sf0.1 bench set
+(default 20M fact rows ≈ 33x sf0.1 lineitem; 100k documents = 20x
+sf0.1) under .scratch/, runs representative operators at two sizes, and
+reports rows/s at each so sub-linear scaling (a plan that would fall
+over at 100 TB) is visible. Usage:
+
+    python tools/scale_probe.py [small_rows] [big_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def gen(spark, n_fact: int, n_docs: int, path: str):
+    from pyspark.sql import functions as F
+
+    fact = (
+        spark.range(n_fact)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 150_000).alias("custkey"),
+            (F.pmod(F.xxhash64("id"), 10000) / 100.0).alias("price"),
+            (F.pmod(F.xxhash64("id", "id"), 50) + 1).alias("qty"),
+            F.concat(F.lit("F"), (F.col("id") % 3).cast("string")).alias("flag"),
+            F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") % 2000).cast("int")).alias("d"),
+        )
+    )
+    fact.repartition(32).sortWithinPartitions("k").write.mode("overwrite").parquet(f"{path}/fact")
+    dim = spark.range(150_000).select(
+        F.col("id").alias("custkey"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias("segment"),
+    )
+    dim.write.mode("overwrite").parquet(f"{path}/dim")
+    words = "the quick brown fox jumps over lazy dog spark engine data scale pipeline token shard".split()
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    (F.pmod(F.xxhash64("id", F.lit(i)), 3 if i > 24 else len(words)) + 1).cast("int"),
+                )
+                for i in range(30)
+            ],
+        ).alias("text"),
+    )
+    docs.repartition(16).write.mode("overwrite").parquet(f"{path}/docs")
+
+
+def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.dedup import minhash_dedup_pairs
+
+    fact = spark.read.parquet(f"{path}/fact")
+    dim = spark.read.parquet(f"{path}/dim")
+    docs = spark.read.parquet(f"{path}/docs")
+    out = {}
+
+    def timed(name, fn, rows):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "rows_per_sec": int(rows / dt)}
+
+    timed("filtered_count", lambda: fact.where(F.col("flag") == "F1").agg(F.count(F.lit(1))).collect(), n_fact)
+    timed(
+        "groupby_agg",
+        lambda: fact.groupBy("flag").agg(F.sum("price"), F.avg("qty"), F.count(F.lit(1))).collect(),
+        n_fact,
+    )
+    timed(
+        "broadcast_join_agg",
+        lambda: fact.join(F.broadcast(dim), on="custkey")
+        .groupBy("segment")
+        .agg(F.sum("price"))
+        .collect(),
+        n_fact,
+    )
+    timed(
+        "window_topn",
+        lambda: fact.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "custkey"
+                ).orderBy(F.desc("price"))
+            ),
+        )
+        .where(F.col("rn") <= 2)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_fact,
+    )
+    timed("minhash_pairs", lambda: minhash_dedup_pairs(docs).count(), n_docs)
+    return out
+
+
+def main():
+    small_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    big_fact = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+    from otus_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    results = {}
+    for label, n_fact, n_docs in (("small", small_fact, 10_000), ("big", big_fact, 100_000)):
+        path = os.path.join(SCRATCH, label)
+        gen(spark, n_fact, n_docs, path)
+        results[label] = {"n_fact": n_fact, "n_docs": n_docs, **probe(spark, path, n_fact, n_docs)}
+    print(json.dumps(results, indent=2))
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,61 @@ def srp_bucket(vec: Column, planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means over embeddings.
+
+    Per iteration: broadcast the k centroids, map-side assign every
+    vector to its argmax-cosine centroid (zero corpus shuffle — the
+    same plan as :func:`x11`'s assignment), then one groupBy(k) to
+    average members element-wise. Shuffle volume per round is
+    O(partitions × k × dim) partial sums, independent of corpus size —
+    the plan a 100 TB IVF build needs. Deterministic init: the k
+    lowest-id vectors. Returns (centroid_id, centroid) with unit-less
+    mean vectors; converged assignment = ``lsh``-style bucket column
+    for writes.
+    """
+    base = rebalance(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ).persist()
+    # deterministic spread init: k vectors at evenly-spaced id ranks
+    # (lowest-k init can land every seed inside one cluster)
+    n = base.count()
+    stride = max(1, n // k)
+    w = Window.orderBy(id_col)
+    cent = (
+        base.withColumn("__rn", F.row_number().over(w) - 1)
+        .where((F.col("__rn") % stride == 0) & (F.col("__rn") < stride * k))
+        .select((F.col("__rn") / stride).cast("int").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("cos", cosine(F.col("v"), F.col("cv")))
+            .groupBy(id_col, "v")
+            .agg(F.max_by("centroid_id", F.struct("cos", (-F.col("centroid_id")).alias("t"))).alias("centroid_id"))
+        )
+        # element-wise mean via posexplode → (centroid, pos) partial sums
+        cent = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
+            )
+        ).localCheckpoint()
+    base.unpersist()
+    return cent.select("centroid_id", F.col("cv").alias("centroid"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -310,3 +310,44 @@ def q57_range_frame(spark, sf_dir):
     return t(spark, sf_dir, "orders").select(
         "o_orderkey", F.count(F.lit(1)).over(w).cast("bigint").alias("orders_30d")
     )
+
+
+@query(
+    "q58_topk_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_suppkey, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_suppkey, c,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_suppkey) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_suppkeys
+    FROM ranked WHERE rn <= 3 GROUP BY l_returnflag
+    """,
+)
+def q58_topk_heavy_hitters(spark, sf_dir):
+    """ClickHouse topK(3)(col) analogue: most frequent values per group
+    (exact — two-phase count + per-group top-n; CH's topK is
+    approximate Filtered Space-Saving, exact is a superset here)."""
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_suppkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("l_returnflag")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "l_suppkey"))),
+                lambda s: s["l_suppkey"],
+            ).alias("top_suppkeys")
+        )
+    )

@@ -399,3 +399,20 @@ def x13_stratified_sample(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+@query("x14_kmeans_ivf", oracle=None)
+def x14_kmeans_ivf(spark, sf_dir):
+    """IVF coarse-quantizer training: Lloyd's k-means over the embedding
+    corpus (broadcast centroids, map-side assign, O(k×dim) shuffle per
+    round — pipeline.similarity.kmeans_centroids). Iterative → rows-only
+    driver check (no single-statement SQL oracle)."""
+    from otus_clickhouse_spark.pipeline.similarity import kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, iters=3)
+    return cent.select(
+        "centroid_id",
+        F.size("centroid").alias("dim"),
+        F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
+    )

@@ -118,3 +118,17 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     # non-listed strata keep default rate 1.0
     other_all = docs.where(F.col("lang") != "en").count()
     assert s1.where(F.col("lang") != "en").count() == other_all
+
+
+def test_kmeans_centroids_separates_clusters(spark):
+    # two tight clusters around orthogonal axes
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = {r.centroid_id: r.centroid for r in
+            similarity.kmeans_centroids(emb, k=2, iters=3).collect()}
+    assert len(cent) == 2
+    # one centroid dominated by x-axis, the other by y-axis
+    axes = sorted((c[0] > c[1]) for c in cent.values())
+    assert axes == [False, True]

@@ -59,7 +59,7 @@ def main():
 
         run()  # warmup (JIT/codegen/file listing)
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)

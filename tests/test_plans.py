@@ -69,3 +69,19 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q12_asof_join")
     assert "Window" in plan
     assert "Cartesian" not in plan and "PythonUDF" not in plan
+
+
+def test_partition_directory_pruning(spark, tmp_path):
+    """S1: PARTITION BY dirs prune at plan time (≈ CH partition key index,
+    lecture_07.md:198-228)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "events_part")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("ym")
+    ).write.partitionBy("ym").parquet(path)
+    df = spark.read.parquet(path).where(F.col("ym") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ym" in plan
+    # only the matching directory's rows are read
+    assert df.count() == 250

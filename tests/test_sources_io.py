@@ -50,3 +50,13 @@ def test_engine_insert_sorted_partitioned(spark, tmp_path):
     pruned = eng.table("ins_t").where(F.col("ym") == 202401)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "ym=202401" in plan or "PartitionFilters" in plan
+
+
+def test_url_table_file_scheme(spark, tmp_path):
+    # S4 url(): file:// exercises the fetch→read path network-free
+    from otus_clickhouse_spark.sources.readers import url_table
+
+    p = tmp_path / "data.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = url_table(spark, f"file://{p}", "CSVWithNames")
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]

@@ -1,0 +1,64 @@
+"""AggregateFunction / -State / -Merge columns (SURVEY.md §7 hard part 1).
+
+ClickHouse persists partial-aggregate state in typed columns
+(``AggregateFunction(uniq, UInt64)``) written by ``uniqState`` and read
+back with ``uniqMerge``/``finalizeAggregation`` (reference
+lectures/lecture_04.md:113-120, lecture_07.md:495-546,
+lecture_13.md:57-94). The Spark-native equivalent for ``uniq`` is the
+DataSketches HLL surface: ``hll_sketch_agg`` produces a binary,
+mergeable sketch column; ``hll_union_agg`` + ``hll_sketch_estimate``
+merge and finalize. The sketch is exact at low per-group cardinality
+(sparse mode) and ~1.6% error beyond — the same contract as CH
+``uniq``.
+
+For the merge-idempotent aggregates (sum/count/min/max —
+``SimpleAggregateFunction``) no sketch is needed: the partial IS the
+state; re-aggregate with the matching merge function
+(sum→sum, count→sum, min→min, max→max), as
+:func:`otus_clickhouse_spark.operators.skew.salted_agg` and the
+Summing-engine view already do.
+
+This is what makes the MV → AggregatingMergeTree pattern work at
+100 TB: each inserted block appends O(groups) sketch rows, never
+rescanning history; reads merge states instead of raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def uniq_state(col: str | Column, lg_k: int = 12) -> Column:
+    """``uniqState(col)`` → binary HLL sketch (AggregateFunction value)."""
+    return F.hll_sketch_agg(col, F.lit(lg_k))
+
+
+def uniq_merge(state_col: str | Column) -> Column:
+    """``uniqMerge(state)`` → merged estimate across state rows."""
+    return F.hll_sketch_estimate(F.hll_union_agg(state_col))
+
+
+def finalize_uniq(state_col: str | Column) -> Column:
+    """``finalizeAggregation(state)`` for a single state value."""
+    return F.hll_sketch_estimate(state_col)
+
+
+def aggregating_target(
+    block: DataFrame, keys: list[str], uniq_cols: dict[str, str], lg_k: int = 12
+) -> DataFrame:
+    """Transform one inserted block into AggregatingMergeTree target rows:
+    one sketch per (keys, uniq column). Append-only; per-block semantics
+    (lecture_13.md:7-24 — no merge with existing target data)."""
+    return block.groupBy(*keys).agg(
+        *[uniq_state(src, lg_k).alias(out) for out, src in uniq_cols.items()]
+    )
+
+
+def read_aggregating_final(target: DataFrame, keys: list[str], state_cols: list[str]) -> DataFrame:
+    """``SELECT ... FROM agg_tbl FINAL``-equivalent read: merge all
+    persisted states per key (lecture_07.md:516-546)."""
+    return target.groupBy(*keys).agg(
+        *[uniq_merge(c).alias(c) for c in state_cols]
+    )

@@ -351,3 +351,28 @@ def q58_topk_heavy_hitters(spark, sf_dir):
             ).alias("top_suppkeys")
         )
     )
+
+
+@query(
+    "q59_uniq_state_merge",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q59_uniq_state_merge(spark, sf_dir):
+    """uniqState → persisted binary HLL column → uniqMerge on read
+    (AggregateFunction surface, operators.state; lecture_07.md:495-546).
+    The sketch is exact at this cardinality, so the estimate hash-matches
+    the exact-distinct oracle; at 100 TB the same plan holds with ~1.6%
+    error instead of a raw-event rescan."""
+    from otus_clickhouse_spark.operators.state import aggregating_target, uniq_merge
+
+    ev = t(spark, sf_dir, "events")
+    # simulate two insert blocks → two state rows per key, merged on read
+    b1 = aggregating_target(ev.where(F.col("event_id") % 2 == 0), ["event_type"], {"st": "user_id"})
+    b2 = aggregating_target(ev.where(F.col("event_id") % 2 == 1), ["event_type"], {"st": "user_id"})
+    target = b1.unionByName(b2)
+    return target.groupBy("event_type").agg(
+        uniq_merge("st").cast("bigint").alias("uniq_users")
+    )

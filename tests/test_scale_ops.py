@@ -144,3 +144,20 @@ def test_projection_sql_autoselect(engine):
 def test_engine_explain(engine):
     out = engine.explain("SELECT count(*) AS n FROM lineitem", mode="formatted")
     assert "HashAggregate" in out and "Scan parquet" in out
+
+
+def test_uniq_state_blocks_merge_exactly(spark):
+    from otus_clickhouse_spark.operators import state
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 97).alias("u")
+    )
+    # three insert blocks, appended as sketch rows (per-block semantics)
+    blocks = [df.where(F.col("id") % 3 == i) for i in range(3)]
+    target = blocks[0].transform(lambda b: state.aggregating_target(b, ["g"], {"st": "u"}))
+    for b in blocks[1:]:
+        target = target.unionByName(state.aggregating_target(b, ["g"], {"st": "u"}))
+    assert target.count() == 12  # 4 groups x 3 blocks of state rows
+    merged = {r.g: r.st for r in state.read_aggregating_final(target, ["g"], ["st"]).collect()}
+    exact = {r.g: r.u for r in df.groupBy("g").agg(F.count_distinct("u").alias("u")).collect()}
+    assert merged == exact

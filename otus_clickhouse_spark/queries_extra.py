@@ -376,3 +376,27 @@ def q59_uniq_state_merge(spark, sf_dir):
     return target.groupBy("event_type").agg(
         uniq_merge("st").cast("bigint").alias("uniq_users")
     )
+
+
+@query(
+    "q60_lightweight_delete",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE NOT (l_quantity < 5) GROUP BY l_returnflag
+    """,
+)
+def q60_lightweight_delete(spark, sf_dir):
+    """Lightweight DELETE (M2; lecture_16.md:176-202): _row_exists mask
+    written by the mutation, filtered at read — no part rewrite."""
+    from otus_clickhouse_spark.plans.mutations import lightweight_delete, read_with_mask
+
+    li = t(spark, sf_dir, "lineitem")
+    masked = lightweight_delete(li, F.col("l_quantity") < 5)
+    return (
+        read_with_mask(masked)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

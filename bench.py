@@ -56,6 +56,9 @@ def main():
 
         def run():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # pipelines persist() intermediates; drop them so repeated runs
+            # don't accumulate cached copies (memory pressure skews timings)
+            spark.catalog.clearCache()
 
         run()  # warmup (JIT/codegen/file listing)
         times = []

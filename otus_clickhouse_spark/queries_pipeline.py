@@ -416,3 +416,33 @@ def x14_kmeans_ivf(spark, sf_dir):
         F.size("centroid").alias("dim"),
         F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
     )
+
+
+@query(
+    "x15_token_search",
+    oracle="""
+    WITH post AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    hits AS (
+      SELECT doc_id FROM post WHERE tok IN ('merge', 'hash')
+      GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN hits USING (doc_id)
+    """,
+)
+def x15_token_search(spark, sf_dir):
+    """Full-text conjunction via the token inverted index
+    (plans.text_index ≈ tokenbf_v1 skip index, lecture_08.md:99-240):
+    posting-table lookup prunes the doc scan to matching ids."""
+    from otus_clickhouse_spark.plans.text_index import build_token_index, search_all_terms
+
+    d = t(spark, sf_dir, "documents")
+    idx = build_token_index(d)
+    return search_all_terms(d, idx, ["merge", "hash"]).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

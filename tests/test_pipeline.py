@@ -132,3 +132,17 @@ def test_kmeans_centroids_separates_clusters(spark):
     # one centroid dominated by x-axis, the other by y-axis
     axes = sorted((c[0] > c[1]) for c in cent.values())
     assert axes == [False, True]
+
+
+def test_token_index_search(spark):
+    from otus_clickhouse_spark.plans import text_index
+
+    d = spark.createDataFrame(
+        [(1, "Spark merges Parts"), (2, "merge and shuffle data"), (3, "shuffle only")],
+        "doc_id long, text string",
+    )
+    idx = text_index.build_token_index(d)
+    both = [r.doc_id for r in text_index.search_all_terms(d, idx, ["merge", "shuffle"]).collect()]
+    assert both == [2]
+    any_ = sorted(r.doc_id for r in text_index.search_any_term(d, idx, ["merge", "shuffle"]).collect())
+    assert any_ == [2, 3]  # doc 1 has "merges", not token "merge"

@@ -36,6 +36,7 @@ HEADLINE = [
     "x04_embedding_topk",
     "x05_embedding_lsh_topk",
     "x07_text_stats",
+    "x16_curation_pipeline",
 ]
 
 

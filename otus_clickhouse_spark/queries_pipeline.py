@@ -446,3 +446,56 @@ def x15_token_search(spark, sf_dir):
     return search_all_terms(d, idx, ["merge", "hash"]).select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+@query(
+    "x16_curation_pipeline",
+    oracle="""
+    WITH rep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (SELECT d.* FROM documents d JOIN rep USING (doc_id)),
+    feat AS (
+      SELECT *,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM kept
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS quality
+      FROM feat
+    ),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    sampled AS (
+      SELECT * FROM filtered
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+            < CASE lang WHEN 'en' THEN 50 ELSE 100 END
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def x16_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation in one declarative plan:
+    exact-dedup (keep lowest-id representative) → quality filter →
+    per-language stratified down-sample → corpus stats. Every stage is
+    JVM-side SQL; the only shuffles key on 16-byte digests and group
+    keys — the composition a 100 TB curation run executes."""
+    from otus_clickhouse_spark.pipeline.sampling import stratified_sample
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    rep = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = d.join(rep, on="doc_id", how="left_semi")
+    filtered = kept.where(quality_score(F.col("text")) >= 0.5)
+    sampled = stratified_sample(filtered, "lang", {"en": 0.5}, id_col="doc_id")
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

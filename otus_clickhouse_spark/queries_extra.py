@@ -400,3 +400,27 @@ def q60_lightweight_delete(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q61_uniq_array",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, list(DISTINCT o_orderpriority) AS prios
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(len(prios) AS INT) AS n_prios, count(*) AS n_customers
+    FROM g GROUP BY 1
+    """,
+)
+def q61_uniq_array(spark, sf_dir):
+    """uniqArray/groupUniqArray (A9; hw14.md:54-60): distinct elements
+    collected per group, then histogram of distinct-counts."""
+    g = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.array_distinct(F.collect_list("o_orderpriority")).alias("prios"))
+    )
+    return g.groupBy(F.size("prios").alias("n_prios")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -24,6 +24,10 @@ def _nanos_columns(path: str) -> list[str]:
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet with TIMESTAMP(NANOS) columns normalized to µs."""
+    # timestamp semantics (date_trunc/window/unix_timestamp) follow the
+    # session timezone; oracles + CH DateTime assume UTC — pin it so the
+    # engine behaves identically under any host/cluster default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos = _nanos_columns(path)
     if not nanos:
         return spark.read.parquet(path)

@@ -99,6 +99,39 @@ class Engine:
 
             final_view(frame, td).createOrReplaceTempView(f"{td.name}__final")
 
+    def create_table(self, ddl: str, path: str | None = None) -> TableDef:
+        """Run a ClickHouse CREATE TABLE statement as-is (D2; DDL shapes
+        per hw02.sql:1-22, lecture_07.md:34-40). The table starts empty;
+        ``insert`` writes sorted/partitioned parquet under ``path``
+        (default: spark-warehouse/<name>)."""
+        from otus_clickhouse_spark.functions.ddl import parse_create_table
+
+        td, schema = parse_create_table(ddl)
+        td.path = path or os.path.join("spark-warehouse", td.name)
+        self.tables[td.name] = td
+        empty = self.spark.createDataFrame([], schema)
+        self.register_table(td, df=empty)
+        return td
+
+    def execute(self, text: str, **params):
+        """Statement router (EP1 entry point): DDL → catalog ops,
+        everything else → :meth:`run` (logged SELECT)."""
+        s = text.strip().rstrip(";")
+        if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
+            return self.create_table(s)
+        dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)", s, re.IGNORECASE)
+        if dm:
+            return self.drop_table(dm.group(1))
+        im = re.match(r"^\s*INSERT\s+INTO\s+([\w]+)\s+(SELECT\b.*|VALUES\b.*)", s, re.IGNORECASE | re.DOTALL)
+        if im:
+            name, rest = im.group(1), im.group(2)
+            if rest.upper().startswith("SELECT"):
+                return self.insert(name, self.sql(rest, **params))
+            return self.insert(
+                name, self.spark.sql(f"SELECT * FROM {rest}").toDF(*self.table(name).columns)
+            )
+        return self.run(s, **params)
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

@@ -1,0 +1,179 @@
+"""ClickHouse DDL front-end: CREATE TABLE → TableDef + Spark schema.
+
+Parses the reference's table-definition dialect (SURVEY.md §1.2-1.4;
+DDL shapes at homeworks/scripts/hw02.sql:1-22, lectures/
+lecture_07.md:34-40) so a user can bring their CH ``CREATE TABLE``
+statements unchanged:
+
+    CREATE TABLE trips (
+        trip_id UInt32,
+        pickup_datetime DateTime,
+        fare_amount Float32,
+        payment_type Enum('CSH'=1, 'CRE'=2),
+        note Nullable(String)
+    ) ENGINE = MergeTree
+    PARTITION BY toYYYYMM(pickup_datetime)
+    ORDER BY (pickup_datetime, trip_id)
+
+Type mapping follows SURVEY.md §1.2 (UInt64 widens to Decimal(20,0) to
+hold the full unsigned range; LowCardinality/Enum are storage hints →
+string; columns are non-nullable unless ``Nullable(T)``, matching CH's
+default-non-null contract).
+"""
+
+from __future__ import annotations
+
+import re
+
+from otus_clickhouse_spark.engine import TableDef
+
+_SIMPLE_TYPES = {
+    "string": "string",
+    "uint8": "smallint",
+    "uint16": "int",
+    "uint32": "bigint",
+    "uint64": "decimal(20,0)",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "date": "date",
+    "date32": "date",
+    "datetime": "timestamp",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "uuid": "string",
+    "ipv4": "string",
+    "ipv6": "string",
+    "json": "string",
+}
+
+
+def ch_type_to_spark(t: str) -> tuple[str, bool]:
+    """CH type → (spark DDL type, nullable)."""
+    t = t.strip()
+    m = re.match(r"^Nullable\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner, _ = ch_type_to_spark(m.group(1))
+        return inner, True
+    m = re.match(r"^LowCardinality\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:  # dictionary encoding is a storage hint — parquet does it anyway
+        return ch_type_to_spark(m.group(1))
+    m = re.match(r"^FixedString\s*\(\s*\d+\s*\)$", t, re.IGNORECASE)
+    if m:
+        return "string", False
+    m = re.match(r"^Enum(?:8|16)?\s*\(", t, re.IGNORECASE)
+    if m:  # Enum('CSH'=1,...) → validated string (SURVEY §1.2)
+        return "string", False
+    m = re.match(r"^Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t, re.IGNORECASE)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})", False
+    m = re.match(r"^Decimal(32|64|128)\s*\(\s*(\d+)\s*\)$", t, re.IGNORECASE)
+    if m:
+        precision = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"decimal({precision},{m.group(2)})", False
+    m = re.match(r"^DateTime64\s*\(\s*\d+\s*(?:,.*)?\)$", t, re.IGNORECASE)
+    if m:
+        return "timestamp", False
+    m = re.match(r"^Array\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner, _ = ch_type_to_spark(m.group(1))
+        return f"array<{inner}>", False
+    m = re.match(r"^Map\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        k, v = _split_args(m.group(1))
+        return f"map<{ch_type_to_spark(k)[0]},{ch_type_to_spark(v)[0]}>", False
+    m = re.match(r"^Tuple\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = [ch_type_to_spark(a)[0] for a in _split_args(m.group(1), many=True)]
+        inner = ", ".join(f"_{i + 1}: {f}" for i, f in enumerate(fields))
+        return f"struct<{inner}>", False
+    key = t.lower()
+    if key in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[key], False
+    raise ValueError(f"unsupported ClickHouse type: {t!r}")
+
+
+def _split_args(s: str, many: bool = False) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts if many else (parts if len(parts) > 1 else [parts[0], ""])[:2]
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w]+\.)?(?P<name>[\w]+)\s*"
+    r"\((?P<cols>.*)\)\s*"
+    r"ENGINE\s*=\s*(?P<engine>[\w]+)\s*(?:\((?P<engine_args>[^)]*)\))?"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COL_EXTRAS_RE = re.compile(
+    r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\b.*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def parse_create_table(ddl: str) -> tuple[TableDef, str]:
+    """Parse CH CREATE TABLE → (TableDef, spark schema DDL string)."""
+    m = _CREATE_RE.match(ddl.strip().rstrip(";"))
+    if not m:
+        raise ValueError("not a CREATE TABLE statement")
+    cols = []
+    for item in _split_args(m.group("cols"), many=True):
+        item = item.strip()
+        if not item or re.match(r"^(INDEX|PROJECTION|CONSTRAINT|PRIMARY\s+KEY)\b", item, re.IGNORECASE):
+            continue  # secondary indexes/projections: D9/D10 handled elsewhere
+        item = _COL_EXTRAS_RE.sub("", item)
+        cm = re.match(r"^`?([\w]+)`?\s+(.+)$", item, re.DOTALL)
+        if not cm:
+            raise ValueError(f"cannot parse column: {item!r}")
+        name, ch_type = cm.group(1), cm.group(2).strip()
+        spark_type, nullable = ch_type_to_spark(ch_type)
+        cols.append(f"{name} {spark_type}{'' if nullable else ' NOT NULL'}")
+    rest = m.group("rest") or ""
+
+    def clause(kw: str) -> str | None:
+        cm = re.search(
+            rf"\b{kw}\s+(\([^)]*\)|[^\s]+(?:\([^)]*\))?)", rest, re.IGNORECASE
+        )
+        return cm.group(1).strip() if cm else None
+
+    def key_tuple(raw: str | None) -> tuple[str, ...]:
+        if not raw or raw.lower() == "tuple()":
+            return ()
+        if raw.startswith("(") and raw.endswith(")"):
+            return tuple(k for k in _split_args(raw[1:-1], many=True) if k)
+        return (raw,)  # single column or expression key (e.g. toYYYYMM(dt))
+
+    engine = m.group("engine")
+    eargs = [a.strip() for a in (m.group("engine_args") or "").split(",") if a.strip()]
+    td = TableDef(
+        name=m.group("name"),
+        engine=re.sub(r"^Replicated", "", engine),  # replication = storage layer
+        order_by=key_tuple(clause("ORDER\\s+BY")),
+        partition_by=key_tuple(clause("PARTITION\\s+BY")),
+    )
+    base = td.engine
+    if base == "ReplacingMergeTree" and eargs:
+        td.version = eargs[0]
+    elif base == "CollapsingMergeTree" and eargs:
+        td.sign = eargs[0]
+    elif base == "VersionedCollapsingMergeTree" and len(eargs) >= 2:
+        td.sign, td.version = eargs[0], eargs[1]
+    elif base == "SummingMergeTree" and eargs:
+        td.sum_columns = tuple(a.strip("()") for a in eargs)
+    tm = re.search(r"\bTTL\s+(.+?)(?=\bSETTINGS\b|$)", rest, re.IGNORECASE | re.DOTALL)
+    if tm:
+        td.ttl = tm.group(1).strip()
+    return td, ", ".join(cols)

@@ -1,0 +1,91 @@
+"""ClickHouse DDL front-end: reference CREATE TABLE statements run as-is."""
+
+import pytest
+
+from otus_clickhouse_spark.functions.ddl import ch_type_to_spark, parse_create_table
+
+
+@pytest.mark.parametrize(
+    "ch,spark,nullable",
+    [
+        ("String", "string", False),
+        ("FixedString(2)", "string", False),
+        ("UInt8", "smallint", False),
+        ("UInt32", "bigint", False),
+        ("UInt64", "decimal(20,0)", False),
+        ("Int64", "bigint", False),
+        ("Float32", "float", False),
+        ("Decimal(12,3)", "decimal(12,3)", False),
+        ("Decimal32(2)", "decimal(9,2)", False),
+        ("Enum('CSH'=1,'CRE'=2)", "string", False),
+        ("Date", "date", False),
+        ("DateTime", "timestamp", False),
+        ("DateTime64(3)", "timestamp", False),
+        ("Nullable(Float64)", "double", True),
+        ("LowCardinality(String)", "string", False),
+        ("Array(UInt32)", "array<bigint>", False),
+        ("Map(String, String)", "map<string,string>", False),
+        ("Tuple(String, UInt8)", "struct<_1: string, _2: smallint>", False),
+        ("UUID", "string", False),
+        ("Bool", "boolean", False),
+    ],
+)
+def test_type_mapping(ch, spark, nullable):
+    assert ch_type_to_spark(ch) == (spark, nullable)
+
+
+TRIPS_DDL = """
+CREATE TABLE trips_ddl (
+    trip_id UInt32,
+    pickup_datetime DateTime,
+    dropoff_datetime DateTime,
+    fare_amount Float32,
+    tip_amount Nullable(Float32),
+    payment_type Enum('CSH'=1, 'CRE'=2, 'NOC'=3),
+    pickup_ntaname LowCardinality(String) COMMENT 'zone',
+    meta Map(String, String)
+) ENGINE = MergeTree
+PARTITION BY toYYYYMM(pickup_datetime)
+ORDER BY (pickup_datetime, trip_id)
+"""
+
+
+def test_parse_trips_shape():
+    td, schema = parse_create_table(TRIPS_DDL)
+    assert td.name == "trips_ddl" and td.engine == "MergeTree"
+    assert td.order_by == ("pickup_datetime", "trip_id")
+    assert td.partition_by == ("toYYYYMM(pickup_datetime)",)
+    assert "tip_amount float" in schema and "NOT NULL" not in schema.split("tip_amount float")[1].split(",")[0]
+    assert "payment_type string NOT NULL" in schema
+
+
+def test_parse_engine_args_and_ttl():
+    td, _ = parse_create_table(
+        "CREATE TABLE v (id UInt64, ver UInt32, val String) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY id TTL created + INTERVAL 30 DAY"
+    )
+    assert td.engine == "ReplacingMergeTree" and td.version == "ver"
+    assert td.ttl == "created + INTERVAL 30 DAY"
+    td2, _ = parse_create_table(
+        "CREATE TABLE c (id UInt64, sign Int8) ENGINE = CollapsingMergeTree(sign) ORDER BY id"
+    )
+    assert td2.sign == "sign"
+    td3, _ = parse_create_table(
+        "CREATE TABLE r (id UInt64) ENGINE = ReplicatedMergeTree('/ch/t', '{replica}') ORDER BY id"
+    )
+    assert td3.engine == "MergeTree"  # replication = storage-layer no-op
+
+
+def test_engine_ddl_roundtrip(engine, tmp_path):
+    engine.execute(
+        "CREATE TABLE kv_ddl (k UInt32, ver UInt32, v String) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k",
+    )
+    # point the fresh table at a writable temp dir
+    engine.tables["kv_ddl"].path = str(tmp_path / "kv_ddl")
+    assert engine.table("kv_ddl").count() == 0
+    engine.execute("INSERT INTO kv_ddl VALUES (1, 1, 'a'), (1, 2, 'b'), (2, 1, 'c')")
+    rows = engine.run("SELECT k, v FROM kv_ddl FINAL ORDER BY k")
+    assert [(r.k, r.v) for r in rows] == [(1, "b"), (2, "c")]  # max-version wins
+    engine.execute("DROP TABLE kv_ddl")
+    assert "kv_ddl" not in engine.tables

@@ -1,0 +1,69 @@
+"""T1/T2 acceptance: the reference's Kafka sensor pipeline end to end
+(clusters/ch_and_kafka/db/init.sql:11-79 — raw JSON stream → MV parses
+JSONExtract fields + keeps stream metadata → landing table; cascaded MV
+re-shapes for the outbound topic). Kafka isn't in this container, so a
+file stream stands in for the topic; the transforms are identical to
+what `streaming.mv.kafka_source` feeds on a cluster."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_sensor_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "topic")
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "outbound")
+
+    # producer: two micro-batches of sensor JSON (init.sql's payload shape)
+    rows1 = [json.dumps({"sensor_id": i % 3, "temp": 20.0 + i, "ts": f"2024-01-01T00:00:{i:02d}"}) for i in range(6)]
+    spark.createDataFrame([(r,) for r in rows1], "value string").write.mode("append").text(src)
+
+    stream = spark.readStream.schema("value string").text(src)
+    # MV1: parse + virtual metadata (CH Kafka engine exposes _topic etc.)
+    parsed = stream.select(
+        F.get_json_object("value", "$.sensor_id").cast("int").alias("sensor_id"),
+        F.get_json_object("value", "$.temp").cast("double").alias("temp"),
+        F.to_timestamp(F.get_json_object("value", "$.ts")).alias("ts"),
+        F.lit("sensors").alias("_topic"),
+        F.col("value").alias("_raw"),
+    )
+    q1 = (
+        parsed.writeStream.format("parquet")
+        .option("path", land)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+
+    # MV2 (cascade): landing → outbound aggregate shape (init.sql's out topic)
+    landed = spark.readStream.schema(
+        "sensor_id int, temp double, ts timestamp, _topic string, _raw string"
+    ).parquet(land)
+    shaped = landed.select(
+        F.to_json(F.struct("sensor_id", "temp")).alias("value"), "sensor_id"
+    )
+    q2 = (
+        shaped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+
+    assert spark.read.parquet(land).count() == 6
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    sample = json.loads(got.where(F.col("sensor_id") == 1).first().value)
+    assert set(sample) == {"sensor_id", "temp"}
+
+    # second producer batch flows through both hops incrementally
+    rows2 = [json.dumps({"sensor_id": 9, "temp": 99.0, "ts": "2024-01-01T00:01:00"})]
+    spark.createDataFrame([(r,) for r in rows2], "value string").write.mode("append").text(src)
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    assert spark.read.parquet(out).where(F.col("sensor_id") == 9).count() == 1
+    q1.stop()
+    q2.stop()

@@ -195,14 +195,28 @@ class Engine:
 
         Sorting within partitions by the table's ORDER BY reproduces the
         MergeTree property that row-group min/max stats (≈ sparse PK
-        index) are selective for ORDER-BY-key predicates.
+        index) are selective for ORDER-BY-key predicates. Expression
+        partition keys (``PARTITION BY toYYYYMM(dt)``, SURVEY.md §7 hard
+        part 6) are materialized as generated ``_p_*`` columns at write
+        time, so directory layout — and therefore partition pruning —
+        matches the ClickHouse partition key exactly.
         """
+        from pyspark.sql import functions as F
+
         td = self.tables[name]
+        part_cols = []
+        for expr in td.partition_by:
+            if re.fullmatch(r"[A-Za-z_][\w]*", expr) and expr in df.columns:
+                part_cols.append(expr)
+            else:
+                gen = "_p_" + re.sub(r"[^\w]+", "_", expr).strip("_")
+                df = df.withColumn(gen, F.expr(expr))
+                part_cols.append(gen)
         if td.order_by:
-            df = df.sortWithinPartitions(*td.order_by)
+            df = df.sortWithinPartitions(*[k for k in td.order_by if k in df.columns])
         writer = df.write.mode(mode)
-        if td.partition_by:
-            writer = writer.partitionBy(*td.partition_by)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.parquet(td.path)
         self.register_table(td)  # refresh the view over the new file set
 

@@ -89,3 +89,28 @@ def test_engine_ddl_roundtrip(engine, tmp_path):
     assert [(r.k, r.v) for r in rows] == [(1, "b"), (2, "c")]  # max-version wins
     engine.execute("DROP TABLE kv_ddl")
     assert "kv_ddl" not in engine.tables
+
+
+def test_expression_partition_key_materialized(engine, tmp_path, spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    engine.execute(
+        "CREATE TABLE tr_part (trip_id UInt32, dt Date, fare Float64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(dt) ORDER BY (dt, trip_id)"
+    )
+    engine.tables["tr_part"].path = str(tmp_path / "tr_part")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-05", 10.0), (2, "2024-02-11", 20.0), (3, "2024-02-20", 30.0)],
+        "trip_id bigint, dt string, fare double",
+    ).select(F.col("trip_id"), F.col("dt").cast("date"), F.col("fare"))
+    engine.insert("tr_part", rows)
+    # directory layout mirrors the CH partition key
+    dirs = sorted(d for d in os.listdir(engine.tables["tr_part"].path) if d.startswith("_p_"))
+    assert dirs == ["_p_toYYYYMM_dt=202401", "_p_toYYYYMM_dt=202402"]
+    # and pruning applies: partition filter appears in the physical plan
+    df = engine.table("tr_part").where(F.col("_p_toYYYYMM_dt") == 202402)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and df.count() == 2
+    engine.execute("DROP TABLE tr_part")

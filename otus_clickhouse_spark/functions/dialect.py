@@ -24,6 +24,8 @@ from otus_clickhouse_spark.functions.clickhouse import AGGREGATE_ALIASES, SCALAR
 
 _FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FINAL\b", re.IGNORECASE)
 _COUNT0_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+# {id:UInt8} query parameters (lectures/lecture_03.md:303-307) → Spark :id
+_PARAM_RE = re.compile(r"\{\s*([A-Za-z_][\w]*)\s*:\s*[A-Za-z_][\w()]*\s*\}")
 
 _SIMPLE_ALIASES = {
     **{k: v for k, v in AGGREGATE_ALIASES.items() if not k.endswith("If")},
@@ -124,6 +126,7 @@ def translate(text: str, tables: dict | None = None) -> str:
         return f"FROM {m.group(1)}__final"
 
     text = _FINAL_RE.sub(final_sub, text)
+    text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)
     text = _rewrite_multiif(text)

@@ -80,6 +80,15 @@ def test_split_inside_explode(engine):
     assert len(rows) == 3 and all(r.tok for r in rows)
 
 
+def test_query_parameters(engine):
+    # {name:Type} parameters (lectures/lecture_03.md:303-307) → named args
+    assert translate("SELECT {id:UInt8} AS v") == "SELECT :id AS v"
+    rows = engine.sql(
+        "SELECT count() AS n FROM lineitem WHERE l_quantity < {q:UInt8}", q=5
+    ).collect()
+    assert rows[0].n > 0
+
+
 def test_today_now64(engine):
     r = engine.sql("SELECT today() AS d, now64() AS t, yesterday() AS y").collect()[0]
     assert r.d is not None and r.t is not None and (r.d - r.y).days == 1

@@ -108,6 +108,7 @@ class Engine:
 
         td, schema = parse_create_table(ddl)
         td.path = path or os.path.join("spark-warehouse", td.name)
+        td.settings["schema"] = schema  # declared column order/types for VALUES inserts
         self.tables[td.name] = td
         empty = self.spark.createDataFrame([], schema)
         self.register_table(td, df=empty)
@@ -127,10 +128,29 @@ class Engine:
             name, rest = im.group(1), im.group(2)
             if rest.upper().startswith("SELECT"):
                 return self.insert(name, self.sql(rest, **params))
-            return self.insert(
-                name, self.spark.sql(f"SELECT * FROM {rest}").toDF(*self.table(name).columns)
-            )
+            return self.insert(name, self._values_frame(name, rest))
+        from otus_clickhouse_spark.plans.statements import try_route
+
+        routed = try_route(self, s)
+        if routed is not None:
+            return routed
         return self.run(s, **params)
+
+    def _values_frame(self, name: str, values_clause: str) -> DataFrame:
+        """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED
+        column order and types. The live view's order can differ (a
+        partitioned parquet read appends partition columns last), so
+        positional rename must follow the DDL, not the view."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        vals = self.spark.sql(f"SELECT * FROM {values_clause}")
+        ddl = self.tables[name].settings.get("schema")
+        if not ddl:
+            return vals.toDF(*self.table(name).columns)
+        st = StructType.fromDDL(ddl)
+        vals = vals.toDF(*[f.name for f in st.fields])
+        return vals.select(*[F.col(f.name).cast(f.dataType) for f in st.fields])
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

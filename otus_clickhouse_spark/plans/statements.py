@@ -1,0 +1,268 @@
+"""Mutation / maintenance statement router (SURVEY.md §2.11-2.12).
+
+Extends ``Engine.execute`` beyond CREATE/DROP/INSERT with the
+statements the reference course actually issues against tables:
+
+- ``ALTER TABLE t UPDATE a = expr[, …] WHERE pred``  (homeworks/hw11.md:95-130)
+- ``ALTER TABLE t DELETE WHERE pred``                (lectures/lecture_16.md:176-194)
+- ``DELETE FROM t WHERE pred``  — lightweight, via the ``_row_exists``
+  mask (lectures/lecture_16.md:196-202)
+- ``ALTER TABLE t DROP PARTITION v``                 (lecture_16.md:114-152)
+- ``OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c,…]]`` (lecture_07.md:362-377)
+- ``TRUNCATE TABLE t``                               (lecture_18.md:228)
+- ``RENAME TABLE a TO b`` / ``EXCHANGE TABLES a AND b`` (lecture_12.md:239,
+  homeworks/hw09.md:178-179)
+- ``SHOW CREATE TABLE t``                            (lecture_16.md:330-334)
+
+ClickHouse mutations rewrite whole parts in place; the parquet-table
+analogue is read → transform → write-then-swap (same mechanism as
+:mod:`otus_clickhouse_spark.plans.compaction`), so concurrent readers
+of the old file listing are never half-served. Expression predicates
+pass through the dialect translator, so ClickHouse function names
+(``toYYYYMM(dt) = 202407`` …) work inside WHERE/assignments.
+
+At scale these are partition-scoped rewrites: a WHERE that only hits
+one partition directory still rereads just the table's parquet (Spark
+prunes the scan via pushdown) and rewrites the full table only when
+the mutation touches it; DROP PARTITION on a materialized partition
+key removes whole directories without reading data.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UPDATE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.*?)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DELETE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_LW_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+(.+)$", re.IGNORECASE
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
+    r"(?:\s+PARTITION\s+(\S+))?"
+    r"(\s+FINAL)?"
+    r"(?:\s+DEDUPLICATE(?:\s+BY\s+(.+))?)?\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*$", re.IGNORECASE)
+_RENAME_RE = re.compile(r"^\s*RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE)
+_EXCHANGE_RE = re.compile(
+    r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
+
+
+def _split_assignments(s: str) -> list[str]:
+    """Split ``a = f(x, y), b = z`` on top-level commas only."""
+    out, buf, depth = [], [], 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"":
+            j = i + 1
+            while j < len(s) and s[j] != c:
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        out.append("".join(buf).strip())
+    return out
+
+
+def _expr(engine, text: str):
+    """Column from a ClickHouse-dialect expression fragment."""
+    from otus_clickhouse_spark.functions.dialect import translate
+
+    return F.expr(translate(text, engine.tables))
+
+
+def _persist(engine, name: str, df: DataFrame) -> None:
+    """Write-then-swap the mutated content back under the table's path
+    (parquet-backed), or re-register the frame (view-backed)."""
+    td = engine.tables[name]
+    if td.path and os.path.exists(td.path):
+        tmp = f"{td.path.rstrip('/')}.__mut_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        part_cols = [c for c in df.columns if c.startswith("_p_")] or [
+            c for c in td.partition_by if c in df.columns
+        ]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        old = f"{td.path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+        shutil.move(td.path, old)
+        shutil.move(tmp, td.path)
+        shutil.rmtree(old)
+        engine.register_table(td)
+    else:
+        # view-backed: cut lineage so the new view doesn't reference itself
+        engine.register_table(td, df=df.localCheckpoint(eager=True))
+
+
+def _partition_column(td) -> str:
+    """The physical partition column for DROP PARTITION: either the raw
+    column or the materialized ``_p_*`` expression key (Engine.insert)."""
+    expr = td.partition_by[0]
+    if re.fullmatch(r"[A-Za-z_][\w]*", expr):
+        return expr
+    return "_p_" + re.sub(r"[^\w]+", "_", expr).strip("_")
+
+
+def try_route(engine, s: str):
+    """Handle ``s`` if it is a mutation/maintenance statement.
+
+    Returns ``None`` when the statement is not ours (caller falls back
+    to the SELECT path); otherwise returns the statement's result
+    (row list for SHOW, dict/None for maintenance ops).
+    """
+    m = _UPDATE_RE.match(s)
+    if m:
+        from otus_clickhouse_spark.plans.mutations import update
+
+        name, assigns, pred = m.groups()
+        assignments = {}
+        for a in _split_assignments(assigns):
+            col, expr = a.split("=", 1)
+            assignments[col.strip()] = _expr(engine, expr.strip())
+        _persist(engine, name, update(engine.table(name), _expr(engine, pred), assignments))
+        return {"mutated": name}
+
+    m = _ALTER_DELETE_RE.match(s)
+    if m:
+        from otus_clickhouse_spark.plans.mutations import delete
+
+        name, pred = m.groups()
+        _persist(engine, name, delete(engine.table(name), _expr(engine, pred)))
+        return {"mutated": name}
+
+    m = _LW_DELETE_RE.match(s)
+    if m:
+        from otus_clickhouse_spark.plans.mutations import lightweight_delete, read_with_mask
+
+        name, pred = m.groups()
+        masked = lightweight_delete(engine.table(name), _expr(engine, pred))
+        _persist(engine, name, masked)
+        # readers see the mask applied; raw rows stay on disk (lecture_16.md:196-202)
+        read_with_mask(engine.table(name)).createOrReplaceTempView(name)
+        return {"mutated": name}
+
+    m = _DROP_PART_RE.match(s)
+    if m:
+        from otus_clickhouse_spark.plans.mutations import drop_partition
+
+        name, value = m.group(1), m.group(2).strip().strip("'\"")
+        td = engine.tables[name]
+        pcol = _partition_column(td)
+        df = engine.table(name)
+        typed = F.lit(value).cast(df.schema[pcol].dataType)
+        _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
+        return {"dropped_partition": value}
+
+    m = _OPTIMIZE_RE.match(s)
+    if m:
+        name, _part, final, dedup_by = m.group(1), m.group(2), m.group(3), m.group(4)
+        td = engine.tables[name]
+        if "DEDUPLICATE" in s.upper():
+            cols = [c.strip() for c in dedup_by.split(",")] if dedup_by else None
+            df = engine.table(name)
+            df = df.dropDuplicates(cols) if cols else df.dropDuplicates()
+            _persist(engine, name, df)
+            return {"optimized": name, "deduplicate": True}
+        if final and td.engine in (
+            "ReplacingMergeTree",
+            "SummingMergeTree",
+            "CollapsingMergeTree",
+            "VersionedCollapsingMergeTree",
+            "AggregatingMergeTree",
+        ):
+            # materialize the collapse (merge-to-completion), like a
+            # forced final merge (lecture_07.md:362-377)
+            _persist(engine, name, engine.table(f"{name}__final"))
+            return {"optimized": name, "final": True}
+        from otus_clickhouse_spark.plans.compaction import compact_table
+
+        stats = None
+        if td.path and os.path.exists(td.path):
+            stats = compact_table(engine.spark, td.path, td.order_by, ())
+            engine.register_table(td)
+        return {"optimized": name, "compaction": stats}
+
+    m = _TRUNCATE_RE.match(s)
+    if m:
+        name = m.group(1)
+        td = engine.tables[name]
+        schema = engine.table(name).schema
+        if td.path and os.path.exists(td.path):
+            # an empty parquet write has no footer to re-read: drop the
+            # file set and re-register an empty frame instead
+            shutil.rmtree(td.path, ignore_errors=True)
+        engine.register_table(td, df=engine.spark.createDataFrame([], schema))
+        return {"truncated": name}
+
+    m = _RENAME_RE.match(s)
+    if m:
+        old, new = m.groups()
+        td = engine.tables.pop(old)
+        td.name = new
+        engine.table(old).createOrReplaceTempView(new)
+        engine.spark.catalog.dropTempView(old)
+        engine.tables[new] = td
+        return {"renamed": (old, new)}
+
+    m = _EXCHANGE_RE.match(s)
+    if m:
+        a, b = m.groups()
+        df_a, df_b = engine.table(a), engine.table(b)
+        td_a, td_b = engine.tables[a], engine.tables[b]
+        td_a.name, td_b.name = b, a
+        engine.tables[a], engine.tables[b] = td_b, td_a
+        df_a.createOrReplaceTempView(b)
+        df_b.createOrReplaceTempView(a)
+        return {"exchanged": (a, b)}
+
+    m = _SHOW_CREATE_RE.match(s)
+    if m:
+        return [show_create_table(engine, m.group(1))]
+
+    return None
+
+
+def show_create_table(engine, name: str) -> str:
+    """Reconstruct ClickHouse-style DDL from the registry + live schema."""
+    td = engine.tables[name]
+    cols = ",\n".join(
+        f"    {f.name} {f.dataType.simpleString()}" for f in engine.table(name).schema.fields
+    )
+    parts = [f"CREATE TABLE {name}\n(\n{cols}\n)\nENGINE = {td.engine}"]
+    if td.partition_by:
+        parts.append(f"PARTITION BY ({', '.join(td.partition_by)})")
+    if td.order_by:
+        parts.append(f"ORDER BY ({', '.join(td.order_by)})")
+    if td.ttl:
+        parts.append(f"TTL {td.ttl}")
+    return "\n".join(parts)

@@ -1,0 +1,109 @@
+"""Mutation / maintenance statements routed through Engine.execute.
+
+Reference statement shapes: ALTER UPDATE hw11.md:95-130, ALTER DELETE +
+lightweight DELETE lecture_16.md:176-202, DROP PARTITION
+lecture_16.md:114-152, OPTIMIZE FINAL/DEDUPLICATE lecture_07.md:362-377,
+TRUNCATE lecture_18.md:228, RENAME/EXCHANGE lecture_12.md:239.
+"""
+
+import pytest
+
+
+@pytest.fixture
+def sales(engine, tmp_path):
+    """A small writable ReplacingMergeTree-style table."""
+    name = "sales_stmt"
+    engine.execute(
+        f"CREATE TABLE {name} (id UInt32, month UInt32, amount Float64, v UInt32) "
+        "ENGINE = ReplacingMergeTree(v) PARTITION BY month ORDER BY id"
+    )
+    engine.tables[name].path = str(tmp_path / name)
+    engine.execute(
+        f"INSERT INTO {name} VALUES "
+        "(1, 202401, 10.0, 1), (1, 202401, 11.0, 2), "
+        "(2, 202402, 20.0, 1), (3, 202402, 30.0, 1)"
+    )
+    yield name
+    engine.execute(f"DROP TABLE {name}")
+
+
+def test_alter_update(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} UPDATE amount = amount * 2 WHERE id = 2")
+    rows = {r.id: r.amount for r in engine.table(sales).collect()}
+    assert rows[2] == 40.0 and rows[3] == 30.0
+
+
+def test_alter_delete(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} DELETE WHERE month = 202402")
+    assert engine.table(sales).count() == 2
+
+
+def test_lightweight_delete_masks_rows(engine, sales):
+    engine.execute(f"DELETE FROM {sales} WHERE id = 3")
+    # readers see the mask applied; the row is still on disk
+    assert engine.table(sales).count() == 3
+    raw = engine.spark.read.parquet(engine.tables[sales].path)
+    assert raw.count() == 4 and raw.filter("_row_exists = 0").count() == 1
+
+
+def test_drop_partition(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} DROP PARTITION 202401")
+    months = {r.month for r in engine.table(sales).collect()}
+    assert months == {202402}
+
+
+def test_optimize_final_materializes_collapse(engine, sales):
+    assert engine.table(sales).count() == 4
+    engine.execute(f"OPTIMIZE TABLE {sales} FINAL")
+    rows = {r.id: r.amount for r in engine.table(sales).collect()}
+    assert len(rows) == 3 and rows[1] == 11.0  # v=2 wins (lecture_07.md:551-678)
+
+
+def test_optimize_deduplicate(engine, sales):
+    engine.execute(
+        f"INSERT INTO {sales} VALUES (2, 202402, 20.0, 1)"
+    )  # exact duplicate row
+    engine.execute(f"OPTIMIZE TABLE {sales} DEDUPLICATE")
+    assert engine.table(sales).count() == 4
+
+
+def test_truncate(engine, sales):
+    engine.execute(f"TRUNCATE TABLE {sales}")
+    assert engine.table(sales).count() == 0
+
+
+def test_rename_and_exchange(engine, sales):
+    engine.execute(f"RENAME TABLE {sales} TO sales_renamed")
+    assert engine.table("sales_renamed").count() == 4
+    assert sales not in engine.tables and engine.tables["sales_renamed"].name == "sales_renamed"
+    # swap with a fresh table, then restore the fixture's name for teardown
+    engine.execute(
+        "CREATE TABLE sales_other (id UInt32, month UInt32, amount Float64, v UInt32) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    engine.execute("EXCHANGE TABLES sales_renamed AND sales_other")
+    assert engine.table("sales_other").count() == 4
+    assert engine.table("sales_renamed").count() == 0
+    engine.execute("DROP TABLE sales_other")
+    engine.execute(f"RENAME TABLE sales_renamed TO {sales}")
+
+
+def test_show_create_table(engine, sales):
+    [ddl] = engine.execute(f"SHOW CREATE TABLE {sales}")
+    assert f"CREATE TABLE {sales}" in ddl
+    assert "ENGINE = ReplacingMergeTree" in ddl and "ORDER BY (id)" in ddl
+
+
+def test_update_with_ch_function_in_predicate(engine, tmp_path):
+    engine.execute(
+        "CREATE TABLE ev_stmt (dt DateTime, v UInt32) ENGINE = MergeTree ORDER BY dt"
+    )
+    engine.tables["ev_stmt"].path = str(tmp_path / "ev_stmt")
+    engine.execute(
+        "INSERT INTO ev_stmt VALUES "
+        "('2024-07-01 00:00:00', 1), ('2024-08-01 00:00:00', 2)"
+    )
+    engine.execute("ALTER TABLE ev_stmt UPDATE v = 99 WHERE toYYYYMM(dt) = 202407")
+    got = {r.v for r in engine.table("ev_stmt").collect()}
+    assert got == {99, 2}
+    engine.execute("DROP TABLE ev_stmt")

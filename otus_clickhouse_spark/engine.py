@@ -56,6 +56,7 @@ class Engine:
         self.spark = spark
         self.tables: dict[str, TableDef] = {}
         self._dictionaries: dict[str, dict] = {}
+        self._mvs: dict[str, list] = {}  # source table → attached MVs
         self._query_log: list[tuple] = []
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
@@ -174,7 +175,8 @@ class Engine:
         served = self.projections.try_rewrite_sql(text)
         if served is not None:
             return served
-        return self.spark.sql(translate(text, self.tables), args=params or None)
+        dicts = {n: d.key for n, d in self._dictionaries.items()}
+        return self.spark.sql(translate(text, self.tables, dicts), args=params or None)
 
     def add_projection(self, name: str, table: str, group_keys, aggs) -> None:
         """ADD/MATERIALIZE PROJECTION (lecture_13.md:187-242): build the
@@ -224,6 +226,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         td = self.tables[name]
+        block = df  # the inserted block, pre-partition-columns, for MV triggers
         part_cols = []
         for expr in td.partition_by:
             if re.fullmatch(r"[A-Za-z_][\w]*", expr) and expr in df.columns:
@@ -239,6 +242,48 @@ class Engine:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(td.path)
         self.register_table(td)  # refresh the view over the new file set
+        # push the inserted block through attached MVs synchronously,
+        # like ClickHouse's PushingToViews (lecture_13.md:160-166);
+        # an MV inserting into its target re-triggers that table's MVs,
+        # which is exactly the cascade semantics (init.sql:46-79)
+        for mv in self._mvs.get(name, []):
+            mv.process_block(block)
+
+    # -------------------------------------------------------------------- MVs
+    def create_materialized_view(
+        self, name: str, target: str, select_sql: str, source: str, populate: bool = False
+    ):
+        """CREATE MATERIALIZED VIEW … TO target AS SELECT … FROM source
+        (lectures/lecture_09.md:668-744): an INSERT trigger — each block
+        inserted into ``source`` is transformed by the SELECT and
+        appended to ``target`` (per-block semantics, no merge with
+        existing target data). ``POPULATE`` backfills from the current
+        source contents (lecture_09.md:716-718)."""
+        import uuid as _uuid
+
+        from otus_clickhouse_spark.streaming.mv import MaterializedView
+
+        if target not in self.tables:
+            td = TableDef(name=target, path=os.path.join("spark-warehouse", target))
+            self.tables[target] = td
+
+        def transform(block: DataFrame) -> DataFrame:
+            view = f"__mv_block_{_uuid.uuid4().hex[:8]}"
+            block.createOrReplaceTempView(view)
+            try:
+                return self.sql(
+                    re.sub(rf"\bFROM\s+{source}\b", f"FROM {view}", select_sql, flags=re.IGNORECASE)
+                ).localCheckpoint(eager=True)
+            finally:
+                self.spark.catalog.dropTempView(view)
+
+        mv = MaterializedView(
+            name=name, transform=transform, sink=lambda out: self.insert(target, out)
+        )
+        self._mvs.setdefault(source, []).append(mv)
+        if populate:
+            self.insert(target, self.sql(select_sql).localCheckpoint(eager=True))
+        return mv
 
     # ----------------------------------------------------------- dictionaries
     def create_dictionary(self, name: str, df: DataFrame, key: str) -> None:

@@ -118,8 +118,41 @@ def _rewrite_splitByChar(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
-def translate(text: str, tables: dict | None = None) -> str:
-    """Translate ClickHouse-dialect SQL into Spark SQL."""
+def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:
+    """SQL-level dictGet family (lectures/lecture_11.md:20-40,305-345).
+
+    ``dictGet('d', 'attr', k)`` → a correlated scalar subquery over the
+    registered ``dict_d`` view. Catalyst rewrites the subquery into a
+    (broadcast-able) left outer join, so the lookup stays JVM-side —
+    same physical shape as :meth:`Dictionary.get`.
+    """
+    while True:
+        m = re.search(r"\bdict(Get|GetOrDefault|GetOrNull|Has)\s*\(", text)
+        if not m:
+            return text
+        kind = m.group(1)
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        dname = args[0].strip().strip("'\"")
+        key = dicts.get(dname)
+        if key is None:
+            raise KeyError(f"unknown dictionary: {dname}")
+        if kind == "Has":
+            repl = f"((SELECT count(*) FROM dict_{dname} WHERE {key} = ({args[1]})) > 0)"
+        else:
+            attr = args[1].strip().strip("'\"")
+            sub = f"(SELECT max({attr}) FROM dict_{dname} WHERE {key} = ({args[2]}))"
+            if kind == "GetOrDefault":
+                repl = f"coalesce({sub}, {args[3]})"
+            else:
+                repl = sub
+        text = text[: m.start()] + repl + text[end:]
+
+
+def translate(text: str, tables: dict | None = None, dicts: dict | None = None) -> str:
+    """Translate ClickHouse-dialect SQL into Spark SQL.
+
+    ``dicts`` maps dictionary name → key column for dictGet rewrites.
+    """
     tables = tables or {}
 
     def final_sub(m: re.Match) -> str:
@@ -132,5 +165,7 @@ def translate(text: str, tables: dict | None = None) -> str:
     text = _rewrite_multiif(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_splitByChar(text)
+    if dicts:
+        text = _rewrite_dictget(text, dicts)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)
     return text

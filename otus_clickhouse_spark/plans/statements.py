@@ -13,6 +13,10 @@ statements the reference course actually issues against tables:
 - ``RENAME TABLE a TO b`` / ``EXCHANGE TABLES a AND b`` (lecture_12.md:239,
   homeworks/hw09.md:178-179)
 - ``SHOW CREATE TABLE t``                            (lecture_16.md:330-334)
+- ``CREATE MATERIALIZED VIEW mv [TO tgt] [POPULATE] AS SELECT``
+  (lectures/lecture_09.md:668-744) — per-block INSERT trigger
+- ``CREATE DICTIONARY d (…) PRIMARY KEY k SOURCE(… TABLE 'src' …)``
+  (lectures/lecture_11.md:1-130) — broadcast lookup + SQL dictGet
 
 ClickHouse mutations rewrite whole parts in place; the parquet-table
 analogue is read → transform → write-then-swap (same mechanism as
@@ -64,6 +68,17 @@ _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(?:\s+TO\s+(\w+))?"
+    r"(.*?)(\bPOPULATE\b)?\s+AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_DICT_RE = re.compile(
+    r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
+    r"PRIMARY\s+KEY\s+(\w+).*?TABLE\s+'(\w+)'",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_assignments(s: str) -> list[str]:
@@ -248,6 +263,27 @@ def try_route(engine, s: str):
     m = _SHOW_CREATE_RE.match(s)
     if m:
         return [show_create_table(engine, m.group(1))]
+
+    m = _CREATE_MV_RE.match(s)
+    if m:
+        name, target, _mid, populate, select_sql = m.groups()
+        fm = re.search(r"\bFROM\s+(\w+)", select_sql, re.IGNORECASE)
+        if not fm:
+            raise ValueError("CREATE MATERIALIZED VIEW: no FROM table in SELECT")
+        return engine.create_materialized_view(
+            name,
+            target or name,  # no TO → the MV's own name is the landing table
+            select_sql,
+            source=fm.group(1),
+            populate=bool(populate),
+        )
+
+    m = _CREATE_DICT_RE.match(s)
+    if m:
+        name, cols_ddl, key, src = m.groups()
+        cols = [c.strip().split()[0] for c in _split_assignments(cols_ddl) if c.strip()]
+        engine.create_dictionary(name, engine.table(src).select(*cols), key)
+        return engine.dictionary(name)
 
     return None
 

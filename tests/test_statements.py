@@ -107,3 +107,46 @@ def test_update_with_ch_function_in_predicate(engine, tmp_path):
     got = {r.v for r in engine.table("ev_stmt").collect()}
     assert got == {99, 2}
     engine.execute("DROP TABLE ev_stmt")
+
+
+def test_create_materialized_view_per_block(engine, tmp_path):
+    """MV = INSERT trigger; cascades; POPULATE backfill (lecture_09.md:668-744)."""
+    engine.execute(
+        "CREATE TABLE src_mv (k UInt32, v Float64) ENGINE = MergeTree ORDER BY k"
+    )
+    engine.tables["src_mv"].path = str(tmp_path / "src_mv")
+    engine.execute("INSERT INTO src_mv VALUES (1, 1.0), (2, 2.0)")
+    engine.execute(
+        "CREATE TABLE agg_mv (k UInt32, s Float64) ENGINE = SummingMergeTree ORDER BY k"
+    )
+    engine.tables["agg_mv"].path = str(tmp_path / "agg_mv")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv1 TO agg_mv POPULATE AS "
+        "SELECT k, sum(v) AS s FROM src_mv GROUP BY k"
+    )
+    assert engine.table("agg_mv").count() == 2  # POPULATE backfilled
+    # two separate inserts → per-block partial aggregates appended, NOT merged
+    engine.execute("INSERT INTO src_mv VALUES (1, 10.0)")
+    engine.execute("INSERT INTO src_mv VALUES (1, 100.0)")
+    assert engine.table("agg_mv").filter("k = 1").count() == 3
+    # FINAL view merges on read (Summing semantics)
+    merged = {r.k: r.s for r in engine.sql("SELECT k, s FROM agg_mv FINAL").collect()}
+    assert merged[1] == 111.0
+    engine.execute("DROP TABLE src_mv")
+    engine.execute("DROP TABLE agg_mv")
+
+
+def test_create_dictionary_and_sql_dictget(engine):
+    engine.execute(
+        "CREATE DICTIONARY nation_dict (n_nationkey UInt32, n_name String) "
+        "PRIMARY KEY n_nationkey "
+        "SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(FLAT()) LIFETIME(300)"
+    )
+    rows = engine.sql(
+        "SELECT c_custkey, dictGet('nation_dict', 'n_name', c_nationkey) AS nname, "
+        "dictGetOrDefault('nation_dict', 'n_name', 999, 'none') AS fallback "
+        "FROM customer ORDER BY c_custkey LIMIT 3"
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.nname is not None for r in rows)
+    assert all(r.fallback == "none" for r in rows)

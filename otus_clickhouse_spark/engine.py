@@ -176,7 +176,30 @@ class Engine:
         if served is not None:
             return served
         dicts = {n: d.key for n, d in self._dictionaries.items()}
-        return self.spark.sql(translate(text, self.tables, dicts), args=params or None)
+        fill = _WITH_FILL_RE.search(text)
+        if fill:
+            text = text[: fill.start()] + f"ORDER BY {fill.group(1)}" + text[fill.end() :]
+        df = self.spark.sql(translate(text, self.tables, dicts), args=params or None)
+        if fill:
+            from otus_clickhouse_spark.operators.with_fill import with_fill
+
+            col, _asc, lo, hi, step = fill.groups()
+
+            def _val(tok):
+                if tok is None:
+                    return None
+                if tok.startswith("{"):  # {p:Type} param form
+                    tok = ":" + tok[1:].split(":")[0]
+                if tok.startswith(":"):
+                    return params[tok[1:]]
+                try:
+                    return int(tok)
+                except ValueError:
+                    return float(tok) if re.fullmatch(r"-?\d+\.\d*", tok) else tok.strip("'\"")
+
+            df = with_fill(df, col, step=_val(step), start=_val(lo), stop=_val(hi))
+            df = df.orderBy(F_desc(col) if (_asc or "").upper() == "DESC" else col)
+        return df
 
     def add_projection(self, name: str, table: str, group_keys, aggs) -> None:
         """ADD/MATERIALIZE PROJECTION (lecture_13.md:187-242): build the
@@ -343,3 +366,17 @@ class Engine:
 
 
 _FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FINAL\b", re.IGNORECASE)
+
+# ORDER BY t [ASC|DESC] WITH FILL [FROM x] [TO y] [STEP n]
+# (lectures/lecture_20.md:29-33; homeworks/hw14.md:35-70)
+_WITH_FILL_RE = re.compile(
+    r"ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+    re.IGNORECASE,
+)
+
+
+def F_desc(col: str):
+    from pyspark.sql import functions as F
+
+    return F.desc(col)

@@ -118,6 +118,109 @@ def _rewrite_splitByChar(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+def _rewrite_extractAll(text: str) -> str:
+    """Inline extractAll(s, pat) → regexp_extract_all(s, pat, 0) so it
+    can appear inside Generate (ARRAY JOIN / arrayJoin exprs), where
+    Spark rejects SQL UDF calls."""
+    while True:
+        m = re.search(r"\bextractAll\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        s, pat = args
+        text = text[: m.start()] + f"regexp_extract_all({s}, {pat}, 0)" + text[end:]
+
+
+_ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\b", re.IGNORECASE)
+_AJ_STOP_RE = re.compile(
+    r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|UNION|WINDOW|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, buf, depth, i = [], [], 0, 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"":
+            j = i + 1
+            while j < len(s) and s[j] != c:
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        out.append("".join(buf).strip())
+    return out
+
+
+def _rewrite_array_join(text: str) -> str:
+    """ARRAY JOIN clause (lectures/lecture_06.md:29-41) → LATERAL VIEW.
+
+    Single array: ``ARRAY JOIN e AS x`` → ``LATERAL VIEW explode(e) … AS x``.
+    Multiple arrays unnest ALIGNED (not cartesian): the first is
+    posexploded and the rest are indexed at the same position —
+    exactly the reference's built-row-wise semantics. ``LEFT ARRAY
+    JOIN`` keeps empty-array rows (explode_outer).
+    """
+    while True:
+        m = _ARRAY_JOIN_RE.search(text)
+        if not m:
+            return text
+        outer = "OUTER " if m.group(1) else ""
+        start = m.end()
+        i, depth, end = start, 0, len(text)
+        while i < len(text):
+            c = text[i]
+            if c in "'\"":
+                j = i + 1
+                while j < len(text) and text[j] != c:
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                if _AJ_STOP_RE.match(text, i):
+                    end = i
+                    break
+            i += 1
+        items = []
+        for item in _split_top_commas(text[start:end].strip()):
+            am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)$", item)
+            if am:
+                items.append((am.group(1).strip(), am.group(2)))
+            else:
+                if not re.fullmatch(r"[A-Za-z_][\w.]*", item):
+                    raise ValueError(f"ARRAY JOIN item needs AS alias: {item!r}")
+                items.append((item, item.split(".")[-1]))
+        if len(items) == 1:
+            expr, name = items[0]
+            repl = f" LATERAL VIEW {outer}explode({expr}) __aj0 AS {name} "
+        else:
+            e0, n0 = items[0]
+            parts = [f" LATERAL VIEW {outer}posexplode({e0}) __aj0 AS __ajpos, {n0}"]
+            for k, (e, n) in enumerate(items[1:], 1):
+                parts.append(f" LATERAL VIEW explode(array(({e})[__ajpos])) __aj{k} AS {n}")
+            repl = "".join(parts) + " "
+        text = text[: m.start()] + repl + text[end:]
+
+
 def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:
     """SQL-level dictGet family (lectures/lecture_11.md:20-40,305-345).
 
@@ -165,6 +268,8 @@ def translate(text: str, tables: dict | None = None, dicts: dict | None = None) 
     text = _rewrite_multiif(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_splitByChar(text)
+    text = _rewrite_extractAll(text)
+    text = _rewrite_array_join(text)
     if dicts:
         text = _rewrite_dictget(text, dicts)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)

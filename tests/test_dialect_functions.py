@@ -92,3 +92,50 @@ def test_query_parameters(engine):
 def test_today_now64(engine):
     r = engine.sql("SELECT today() AS d, now64() AS t, yesterday() AS y").collect()[0]
     assert r.d is not None and r.t is not None and (r.d - r.y).days == 1
+
+
+def test_array_join_clause_single(engine):
+    # lectures/lecture_06.md:29-41 shape
+    rows = engine.sql(
+        "SELECT size FROM (SELECT array('37','38','39') AS sizes) "
+        "ARRAY JOIN sizes AS size ORDER BY size"
+    ).collect()
+    assert [r.size for r in rows] == ["37", "38", "39"]
+
+
+def test_array_join_clause_aligned(engine):
+    # multiple arrays unnest row-wise ALIGNED, not cartesian
+    rows = engine.sql(
+        "SELECT size, cm FROM "
+        "(SELECT array('37','38') AS sizes, array('23','24') AS cms) "
+        "ARRAY JOIN sizes AS size, cms AS cm ORDER BY size"
+    ).collect()
+    assert [(r.size, r.cm) for r in rows] == [("37", "23"), ("38", "24")]
+
+
+def test_array_join_with_extractAll(engine):
+    # lecture_18.md:211-216 shape: ARRAY JOIN over a function result
+    rows = engine.sql(
+        "SELECT w FROM (SELECT 'a1 b2' AS s) ARRAY JOIN "
+        "extractAll(s, '[a-z][0-9]') AS w ORDER BY w"
+    ).collect()
+    assert [r.w for r in rows] == ["a1", "b2"]
+
+
+def test_order_by_with_fill(engine):
+    # lecture_20.md:29-33: densify sparse buckets
+    rows = engine.sql(
+        "SELECT t, n FROM (SELECT 1 AS t, 10 AS n UNION ALL SELECT 4, 40) AS s "
+        "ORDER BY t WITH FILL STEP 1"
+    ).collect()
+    assert [r.t for r in rows] == [1, 2, 3, 4]
+    assert [r.n for r in rows] == [10, None, None, 40]
+
+
+def test_order_by_with_fill_param_step(engine):
+    rows = engine.sql(
+        "SELECT t FROM (SELECT 2 AS t UNION ALL SELECT 6) AS s "
+        "ORDER BY t WITH FILL STEP {st:UInt32}",
+        st=2,
+    ).collect()
+    assert [r.t for r in rows] == [2, 4, 6]

@@ -424,3 +424,84 @@ def q61_uniq_array(spark, sf_dir):
     return g.groupBy(F.size("prios").alias("n_prios")).agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+def _mini_engine(spark, sf_dir, tables):
+    """Engine with only the named tables registered (cheap per-query)."""
+    import os
+
+    from otus_clickhouse_spark.engine import Engine, TableDef
+
+    eng = Engine(spark)
+    for name in tables:
+        eng.register_table(TableDef(name=name, path=os.path.join(sf_dir, f"{name}.parquet")))
+    return eng
+
+
+@query(
+    "q62_array_join_sql",
+    oracle="""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+    ) GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q62_array_join_sql(spark, sf_dir):
+    """ARRAY JOIN clause through the SQL dialect (§2.8;
+    lectures/lecture_06.md:29-41): translated to LATERAL VIEW explode,
+    so the unnest runs JVM-side inside whole-stage codegen."""
+    eng = _mini_engine(spark, sf_dir, ["part"])
+    return eng.sql(
+        "SELECT tok, count() AS n FROM "
+        "(SELECT splitByChar(' ', p_name) AS toks FROM part) "
+        "ARRAY JOIN toks AS tok "
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+    )
+
+
+@query(
+    "q63_dictget_sql",
+    oracle="""
+    SELECT n.n_name AS n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q63_dictget_sql(spark, sf_dir):
+    """dictGet in raw SQL (J13; lecture_11.md:20-40): the dialect
+    rewrites it to a correlated scalar subquery over the dict view,
+    which Catalyst plans as a broadcast left join — no per-row UDF."""
+    eng = _mini_engine(spark, sf_dir, ["customer", "nation"])
+    eng.create_dictionary(
+        "nations", eng.table("nation").select("n_nationkey", "n_name"), "n_nationkey"
+    )
+    return eng.sql(
+        "SELECT dictGet('nations', 'n_name', c_nationkey) AS n_name, "
+        "count() AS n_customers FROM customer GROUP BY n_name"
+    )
+
+
+@query(
+    "q64_with_fill_sql",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS INT) AS q, count(*) AS n
+      FROM lineitem WHERE CAST(l_quantity AS INT) IN (1, 2, 3, 7, 8)
+      GROUP BY 1
+    )
+    SELECT s.q AS q, g.n AS n
+    FROM (SELECT unnest(generate_series(1, 8)) AS q) s
+    LEFT JOIN g USING (q)
+    ORDER BY q
+    """,
+)
+def q64_with_fill_sql(spark, sf_dir):
+    """ORDER BY … WITH FILL through the SQL dialect (W5;
+    lecture_20.md:29-33): gaps 4-6 are densified by the broadcast
+    spine join, missing counts stay NULL like the reference."""
+    eng = _mini_engine(spark, sf_dir, ["lineitem"])
+    return eng.sql(
+        "SELECT CAST(l_quantity AS INT) AS q, count() AS n FROM lineitem "
+        "WHERE CAST(l_quantity AS INT) IN (1, 2, 3, 7, 8) "
+        "GROUP BY q ORDER BY q WITH FILL STEP 1"
+    )

@@ -119,6 +119,27 @@ class Engine:
         """Statement router (EP1 entry point): DDL → catalog ops,
         everything else → :meth:`run` (logged SELECT)."""
         s = text.strip().rstrip(";")
+        ctas = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"((?:(?!\bAS\s+SELECT\b).)*?)\s*AS\s+(SELECT\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ctas:
+            # CTAS (D2; homeworks/hw03.md:123-166 denormalization pattern):
+            # run the SELECT, persist as a sorted/partitioned parquet table
+            name, attrs, select_sql = ctas.groups()
+            em = re.search(r"ENGINE\s*=\s*(\w+)", attrs, re.IGNORECASE)
+            om = re.search(r"ORDER\s+BY\s+\(?([\w, ]+?)\)?\s*(?:PARTITION|SETTINGS|$)", attrs, re.IGNORECASE)
+            td = TableDef(
+                name=name,
+                path=os.path.join("spark-warehouse", name),
+                engine=em.group(1) if em else "MergeTree",
+                order_by=tuple(c.strip() for c in om.group(1).split(",")) if om else (),
+            )
+            self.tables[name] = td
+            self.insert(name, self.sql(select_sql, **params), mode="overwrite")
+            return td
         if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
             return self.create_table(s)
         dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)", s, re.IGNORECASE)

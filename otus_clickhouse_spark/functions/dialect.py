@@ -221,6 +221,37 @@ def _rewrite_array_join(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+_SAMPLE_RE = re.compile(r"(\bFROM\s+[A-Za-z_][\w.]*)\s+SAMPLE\s+(\d*\.?\d+)", re.IGNORECASE)
+_NUMBERS_RE = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+
+
+def _rewrite_sample(text: str) -> str:
+    """SAMPLE clause (lectures/lecture_07.md:16, lecture_08.md:41-50):
+    ``SAMPLE 0.1`` (fraction) / ``SAMPLE 10000`` (row budget) →
+    ``TABLESAMPLE (10.0 PERCENT)`` / ``TABLESAMPLE (10000 ROWS)``."""
+
+    def sub(m: re.Match) -> str:
+        num = m.group(2)
+        if "." in num or float(num) < 1:
+            return f"{m.group(1)} TABLESAMPLE ({float(num) * 100} PERCENT)"
+        return f"{m.group(1)} TABLESAMPLE ({num} ROWS)"
+
+    return _SAMPLE_RE.sub(sub, text)
+
+
+def _rewrite_numbers(text: str) -> str:
+    """numbers(N) / numbers(start, count) table function
+    (lectures/lecture_07.md:44-49, lecture_10.md:44-45) → range():
+    generated JVM-side, parallelized, no scan."""
+
+    def sub(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        rng = f"range({a}, {int(a) + int(b)})" if b else f"range({a})"
+        return f"(SELECT id AS number FROM {rng})"
+
+    return _NUMBERS_RE.sub(sub, text)
+
+
 def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:
     """SQL-level dictGet family (lectures/lecture_11.md:20-40,305-345).
 
@@ -270,6 +301,8 @@ def translate(text: str, tables: dict | None = None, dicts: dict | None = None) 
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_join(text)
+    text = _rewrite_sample(text)
+    text = _rewrite_numbers(text)
     if dicts:
         text = _rewrite_dictget(text, dicts)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)

@@ -139,3 +139,20 @@ def test_order_by_with_fill_param_step(engine):
         st=2,
     ).collect()
     assert [r.t for r in rows] == [2, 4, 6]
+
+
+def test_sample_clause(engine):
+    n = engine.sql("SELECT count() AS n FROM lineitem SAMPLE 0.5").collect()[0].n
+    total = engine.sql("SELECT count() AS n FROM lineitem").collect()[0].n
+    assert 0 < n < total
+    n_rows = engine.sql("SELECT count() AS n FROM lineitem SAMPLE 100").collect()[0].n
+    assert n_rows <= total
+
+
+def test_numbers_table_function(engine):
+    rows = engine.sql("SELECT number FROM numbers(5) ORDER BY number").collect()
+    assert [r.number for r in rows] == [0, 1, 2, 3, 4]
+    rows = engine.sql("SELECT number FROM numbers(3, 4) ORDER BY number").collect()
+    assert [r.number for r in rows] == [3, 4, 5, 6]
+    s = engine.sql("SELECT sum(number) AS s FROM numbers(1000001)").collect()[0].s
+    assert s == 500000500000

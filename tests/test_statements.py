@@ -150,3 +150,22 @@ def test_create_dictionary_and_sql_dictget(engine):
     assert len(rows) == 3
     assert all(r.nname is not None for r in rows)
     assert all(r.fallback == "none" for r in rows)
+
+
+def test_ctas(engine):
+    import shutil
+
+    engine.execute(
+        "CREATE TABLE big_orders ENGINE = MergeTree ORDER BY o_orderkey AS "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+    )
+    td = engine.tables["big_orders"]
+    assert td.engine == "MergeTree" and td.order_by == ("o_orderkey",)
+    got = engine.table("big_orders").count()
+    want = engine.sql(
+        "SELECT count() AS n FROM orders WHERE o_totalprice > 100000"
+    ).collect()[0].n
+    assert got == want and got > 0
+    path = td.path
+    engine.execute("DROP TABLE big_orders")
+    shutil.rmtree(path, ignore_errors=True)

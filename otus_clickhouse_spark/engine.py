@@ -57,6 +57,7 @@ class Engine:
         self.tables: dict[str, TableDef] = {}
         self._dictionaries: dict[str, dict] = {}
         self._mvs: dict[str, list] = {}  # source table → attached MVs
+        self._sql_macros: dict[str, tuple] = {}  # CREATE FUNCTION lambdas
         self._query_log: list[tuple] = []
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
@@ -200,7 +201,9 @@ class Engine:
         fill = _WITH_FILL_RE.search(text)
         if fill:
             text = text[: fill.start()] + f"ORDER BY {fill.group(1)}" + text[fill.end() :]
-        df = self.spark.sql(translate(text, self.tables, dicts), args=params or None)
+        df = self.spark.sql(
+            translate(text, self.tables, dicts, self._sql_macros), args=params or None
+        )
         if fill:
             from otus_clickhouse_spark.operators.with_fill import with_fill
 

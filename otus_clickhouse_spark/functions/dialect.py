@@ -282,12 +282,45 @@ def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
-def translate(text: str, tables: dict | None = None, dicts: dict | None = None) -> str:
+def _expand_macros(text: str, macros: dict[str, tuple[list[str], str]]) -> str:
+    """SQL lambda UDFs (F1; lectures/lecture_06.md:102-119,
+    homeworks/hw04.md:76-103): ``CREATE FUNCTION f AS (x, k) -> k*x``
+    registers a macro; calls are inlined textually, so the body stays a
+    plain Catalyst expression (codegen'd, pushdown-able) rather than a
+    black-box UDF. Nested/composed macro calls expand up to depth 8.
+    """
+    name_re = re.compile(
+        r"\b(" + "|".join(sorted(macros, key=len, reverse=True)) + r")\s*\("
+    )
+    for _ in range(8):
+        m = name_re.search(text)
+        if not m:
+            return text
+        params, body = macros[m.group(1)]
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        if len(args) != len(params):
+            raise ValueError(f"{m.group(1)} expects {len(params)} args, got {len(args)}")
+        out = body
+        for p, a in zip(params, args):
+            out = re.sub(rf"\b{re.escape(p)}\b", f"({a})", out)
+        text = text[: m.start()] + f"({out})" + text[end:]
+    return text
+
+
+def translate(
+    text: str,
+    tables: dict | None = None,
+    dicts: dict | None = None,
+    macros: dict | None = None,
+) -> str:
     """Translate ClickHouse-dialect SQL into Spark SQL.
 
-    ``dicts`` maps dictionary name → key column for dictGet rewrites.
+    ``dicts`` maps dictionary name → key column for dictGet rewrites;
+    ``macros`` maps SQL-lambda-UDF name → (params, body) for inlining.
     """
     tables = tables or {}
+    if macros:
+        text = _expand_macros(text, macros)
 
     def final_sub(m: re.Match) -> str:
         return f"FROM {m.group(1)}__final"

@@ -74,6 +74,20 @@ _CREATE_MV_RE = re.compile(
     r"(.*?)(\bPOPULATE\b)?\s+AS\s+(SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s*"
+    r"\(\s*([\w\s,]*)\)\s*->\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FN_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+_BACKUP_RE = re.compile(
+    r"^\s*BACKUP\s+TABLE\s+(\w+)\s+TO\s+Disk\s*\(\s*'(\w+)'\s*,\s*'([\w.\-]+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+FROM\s+Disk\s*\(\s*'(\w+)'\s*,\s*'([\w.\-]+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
 _CREATE_DICT_RE = re.compile(
     r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
     r"PRIMARY\s+KEY\s+(\w+).*?TABLE\s+'(\w+)'",
@@ -129,6 +143,17 @@ def _persist(engine, name: str, df: DataFrame) -> None:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
+        wrote_rows = any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(tmp) for f in fs
+        )
+        if not wrote_rows:
+            # mutation emptied the table: no parquet footer to re-read,
+            # so register an empty frame instead (cf. TRUNCATE)
+            schema = df.schema
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(td.path, ignore_errors=True)
+            engine.register_table(td, df=engine.spark.createDataFrame([], schema))
+            return
         old = f"{td.path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
         shutil.move(td.path, old)
         shutil.move(tmp, td.path)
@@ -278,6 +303,28 @@ def try_route(engine, s: str):
             populate=bool(populate),
         )
 
+    m = _CREATE_FN_RE.match(s)
+    if m:
+        # SQL lambda UDF (F1; hw04.md:76-103): stored as a macro and
+        # inlined by the dialect translator at query time
+        name, params_s, body = m.groups()
+        params = [p.strip() for p in params_s.split(",") if p.strip()]
+        engine._sql_macros[name] = (params, body.strip())
+        return {"created_function": name}
+
+    m = _DROP_FN_RE.match(s)
+    if m:
+        engine._sql_macros.pop(m.group(1), None)
+        return {"dropped_function": m.group(1)}
+
+    m = _BACKUP_RE.match(s)
+    if m:
+        return backup_table(engine, *m.groups())
+
+    m = _RESTORE_RE.match(s)
+    if m:
+        return restore_table(engine, *m.groups())
+
     m = _CREATE_DICT_RE.match(s)
     if m:
         name, cols_ddl, key, src = m.groups()
@@ -286,6 +333,78 @@ def try_route(engine, s: str):
         return engine.dictionary(name)
 
     return None
+
+
+def _backup_root(disk: str) -> str:
+    return os.path.join("spark-warehouse", "_disks", disk)
+
+
+def backup_table(engine, name: str, disk: str, label: str) -> dict:
+    """BACKUP TABLE … TO Disk('backups', 'label') (S17;
+    homeworks/hw13.md:40-159, lectures/lecture_19.md:131-159).
+
+    Snapshot = file copy of the table's parquet plus a metadata sidecar
+    (engine/order/partition), the Disk-analogue of CH's backup archive.
+    At scale this is an object-store prefix copy — no data plane
+    through the driver.
+    """
+    import json
+
+    td = engine.tables[name]
+    dest = os.path.join(_backup_root(disk), label)
+    if os.path.exists(dest):
+        raise FileExistsError(f"backup already exists: {dest}")  # CH errors too
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    if not (td.path and os.path.exists(td.path)):
+        raise FileNotFoundError(f"table {name} has no persisted data to back up")
+    if os.path.isfile(td.path):
+        os.makedirs(dest)
+        shutil.copy2(td.path, os.path.join(dest, "data.parquet"))
+        data_kind = "file"
+    else:
+        shutil.copytree(td.path, dest)
+        data_kind = "dir"
+    meta = {
+        "table": name,
+        "kind": data_kind,
+        "engine": td.engine,
+        "order_by": list(td.order_by),
+        "partition_by": list(td.partition_by),
+        "version": td.version,
+        "sign": td.sign,
+    }
+    with open(dest + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    return {"backed_up": name, "to": dest}
+
+
+def restore_table(engine, name: str, disk: str, label: str) -> dict:
+    """RESTORE TABLE … FROM Disk('backups', 'label') — the round-trip
+    check of hw13.md:43-159: recreate table metadata, copy data back,
+    re-register."""
+    import json
+
+    from otus_clickhouse_spark.engine import TableDef
+
+    src = os.path.join(_backup_root(disk), label)
+    with open(src + ".meta.json") as f:
+        meta = json.load(f)
+    td = engine.tables.get(name) or TableDef(name=name)
+    td.engine = meta["engine"]
+    td.order_by = tuple(meta["order_by"])
+    td.partition_by = tuple(meta["partition_by"])
+    td.version = meta["version"]
+    td.sign = meta["sign"]
+    td.path = td.path or os.path.join("spark-warehouse", name)
+    if os.path.exists(td.path):
+        shutil.rmtree(td.path) if os.path.isdir(td.path) else os.remove(td.path)
+    if meta["kind"] == "file":
+        shutil.copy2(os.path.join(src, "data.parquet"), td.path)
+    else:
+        shutil.copytree(src, td.path)
+    engine.tables[name] = td
+    engine.register_table(td)
+    return {"restored": name, "from": src}
 
 
 def show_create_table(engine, name: str) -> str:

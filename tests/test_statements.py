@@ -169,3 +169,39 @@ def test_ctas(engine):
     path = td.path
     engine.execute("DROP TABLE big_orders")
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_create_function_macro(engine):
+    # hw04.md:76-103: CREATE FUNCTION f AS (x, k, b) -> k*x + b
+    engine.execute("CREATE FUNCTION linear_eq AS (x, k, b) -> k*x + b")
+    rows = engine.sql("SELECT linear_eq(number, 2, 1) AS y FROM numbers(3) ORDER BY y").collect()
+    assert [r.y for r in rows] == [1, 3, 5]
+    # composition with other dialect features and strings
+    engine.execute("CREATE FUNCTION shout AS (s) -> upper(concat(s, '!'))")
+    got = engine.sql("SELECT shout('hi') AS v").collect()[0].v
+    assert got == "HI!"
+    engine.execute("DROP FUNCTION linear_eq")
+    engine.execute("DROP FUNCTION shout")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("SELECT linear_eq(1, 2, 3) AS y").collect()
+
+
+def test_backup_restore_roundtrip(engine, sales, tmp_path):
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+    before = sorted(
+        (r.id, r.month, float(r.amount), r.v) for r in engine.table(sales).collect()
+    )
+    engine.execute(f"BACKUP TABLE {sales} TO Disk('backups', 'b1')")
+    engine.execute(f"ALTER TABLE {sales} DELETE WHERE id >= 1")  # wreck it
+    assert engine.table(sales).count() == 0
+    engine.execute(f"RESTORE TABLE {sales} FROM Disk('backups', 'b1')")
+    after = sorted(
+        (r.id, r.month, float(r.amount), r.v) for r in engine.table(sales).collect()
+    )
+    assert after == before
+    assert engine.tables[sales].engine == "ReplacingMergeTree"
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)

@@ -55,6 +55,23 @@ _LW_DELETE_RE = re.compile(
 _DROP_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+(.+)$", re.IGNORECASE
 )
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+    r"([\w()',= ]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+AFTER\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_MODIFY_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()',= ]+)\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITION\s+(\S+))?"
@@ -222,6 +239,46 @@ def try_route(engine, s: str):
         typed = F.lit(value).cast(df.schema[pcol].dataType)
         _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
         return {"dropped_partition": value}
+
+    m = _ADD_COL_RE.match(s)
+    if m:
+        # ALTER ADD COLUMN [DEFAULT expr] [AFTER col] (D3; hw03.md:36-39,
+        # lecture_12.md:29-39: DEFAULT backfills existing rows on read)
+        from otus_clickhouse_spark.functions.ddl import ch_type_to_spark
+
+        name, col, ch_type, default, after = m.groups()
+        df = engine.table(name)
+        spark_type, _n = ch_type_to_spark(ch_type.strip())
+        value = _expr(engine, default).cast(spark_type) if default else F.lit(None).cast(spark_type)
+        df = df.withColumn(col, value)
+        if after:
+            order = [c for c in df.columns if c != col]
+            order.insert(order.index(after) + 1, col)
+            df = df.select(*order)
+        _persist(engine, name, df)
+        return {"added_column": col}
+
+    m = _DROP_COL_RE.match(s)
+    if m:
+        name, col = m.groups()
+        _persist(engine, name, engine.table(name).drop(col))
+        return {"dropped_column": col}
+
+    m = _MODIFY_COL_RE.match(s)
+    if m:
+        from otus_clickhouse_spark.functions.ddl import ch_type_to_spark
+
+        name, col, ch_type = m.groups()
+        spark_type, _n = ch_type_to_spark(ch_type.strip())
+        df = engine.table(name)
+        _persist(engine, name, df.withColumn(col, F.col(col).cast(spark_type)))
+        return {"modified_column": col}
+
+    m = _RENAME_COL_RE.match(s)
+    if m:
+        name, old, new = m.groups()
+        _persist(engine, name, engine.table(name).withColumnRenamed(old, new))
+        return {"renamed_column": (old, new)}
 
     m = _OPTIMIZE_RE.match(s)
     if m:

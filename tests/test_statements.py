@@ -205,3 +205,21 @@ def test_backup_restore_roundtrip(engine, sales, tmp_path):
     assert after == before
     assert engine.tables[sales].engine == "ReplacingMergeTree"
     _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+
+
+def test_alter_column_family(engine, sales):
+    # hw03.md:36-39 / lecture_12.md:27-42
+    engine.execute(
+        f"ALTER TABLE {sales} ADD COLUMN doubled Float64 DEFAULT amount * 2 AFTER amount"
+    )
+    cols = engine.table(sales).columns
+    assert cols.index("doubled") == cols.index("amount") + 1
+    rows = {r.id: r.doubled for r in engine.table(sales).collect()}
+    assert rows[2] == 40.0
+    engine.execute(f"ALTER TABLE {sales} MODIFY COLUMN doubled Int64")
+    assert dict(engine.table(sales).dtypes)["doubled"] == "bigint"
+    engine.execute(f"ALTER TABLE {sales} RENAME COLUMN doubled TO dbl")
+    assert "dbl" in engine.table(sales).columns
+    engine.execute(f"ALTER TABLE {sales} DROP COLUMN dbl")
+    assert "dbl" not in engine.table(sales).columns
+    assert engine.table(sales).count() == 4

@@ -85,10 +85,17 @@ class Engine:
         Also materializes the ``<name>__final`` view when the engine type
         has FINAL collapse semantics (lecture_07.md:465-481, 551-790).
         """
+        from pyspark.sql import functions as F
+
         from otus_clickhouse_spark.io import read_table
 
         self.tables[td.name] = td
         frame = df if df is not None else read_table(self.spark, td.path)
+        # ALIAS columns (lecture_12.md:27-28): virtual, recomputed per
+        # query — appended to the view, never stored
+        for col, expr in td.settings.get("aliases", {}).items():
+            if col not in frame.columns:
+                frame = frame.withColumn(col, F.expr(expr))
         frame.createOrReplaceTempView(td.name)
         if td.engine in (
             "ReplacingMergeTree",
@@ -146,12 +153,20 @@ class Engine:
         dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)", s, re.IGNORECASE)
         if dm:
             return self.drop_table(dm.group(1))
-        im = re.match(r"^\s*INSERT\s+INTO\s+([\w]+)\s+(SELECT\b.*|VALUES\b.*)", s, re.IGNORECASE | re.DOTALL)
+        im = re.match(
+            r"^\s*INSERT\s+INTO\s+([\w]+)\s*(?:\(([^)]*)\))?\s+(SELECT\b.*|VALUES\b.*)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
         if im:
-            name, rest = im.group(1), im.group(2)
+            name, collist, rest = im.group(1), im.group(2), im.group(3)
+            cols = [c.strip().strip("`") for c in collist.split(",")] if collist else None
             if rest.upper().startswith("SELECT"):
-                return self.insert(name, self.sql(rest, **params))
-            return self.insert(name, self._values_frame(name, rest))
+                sel = self.sql(rest, **params)
+                if cols:
+                    sel = sel.toDF(*cols)
+                return self.insert(name, sel)
+            return self.insert(name, self._values_frame(name, rest, cols))
         from otus_clickhouse_spark.plans.statements import try_route
 
         routed = try_route(self, s)
@@ -159,21 +174,45 @@ class Engine:
             return routed
         return self.run(s, **params)
 
-    def _values_frame(self, name: str, values_clause: str) -> DataFrame:
+    def _values_frame(self, name: str, values_clause: str, cols: list[str] | None = None) -> DataFrame:
         """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED
         column order and types. The live view's order can differ (a
         partitioned parquet read appends partition columns last), so
-        positional rename must follow the DDL, not the view."""
+        positional rename must follow the DDL, not the view.
+
+        With an explicit column list (``INSERT INTO t (a, b) VALUES``),
+        omitted columns are filled with their ``DEFAULT expr``
+        (lecture_12.md:29-39) or the CH type-zero default (0 / '' /
+        epoch — non-nullable columns have no NULL to fall back to).
+        MATERIALIZED columns are never writable; they are computed in
+        :meth:`insert`.
+        """
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
+        td = self.tables[name]
         vals = self.spark.sql(f"SELECT * FROM {values_clause}")
-        ddl = self.tables[name].settings.get("schema")
+        ddl = td.settings.get("schema")
         if not ddl:
-            return vals.toDF(*self.table(name).columns)
+            return vals.toDF(*(cols or self.table(name).columns))
         st = StructType.fromDDL(ddl)
-        vals = vals.toDF(*[f.name for f in st.fields])
-        return vals.select(*[F.col(f.name).cast(f.dataType) for f in st.fields])
+        mat = td.settings.get("materialized", {})
+        writable = [f for f in st.fields if f.name not in mat]
+        if cols is None:
+            cols = [f.name for f in writable]
+        vals = vals.toDF(*cols)
+        defaults = td.settings.get("defaults", {})
+        out = []
+        for f in writable:
+            if f.name in cols:
+                out.append(F.col(f.name).cast(f.dataType))
+            elif f.name in defaults:
+                out.append(F.expr(defaults[f.name]).cast(f.dataType).alias(f.name))
+            elif f.nullable:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                out.append(_zero_default(f.dataType).alias(f.name))
+        return vals.select(*out)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -273,6 +312,10 @@ class Engine:
         from pyspark.sql import functions as F
 
         td = self.tables[name]
+        # MATERIALIZED columns: always computed at insert, never writable
+        # (lecture_12.md:14-27) — overwrite/add regardless of the input
+        for col, expr in td.settings.get("materialized", {}).items():
+            df = df.withColumn(col, F.expr(expr))
         block = df  # the inserted block, pre-partition-columns, for MV triggers
         part_cols = []
         for expr in td.partition_by:
@@ -404,3 +447,22 @@ def F_desc(col: str):
     from pyspark.sql import functions as F
 
     return F.desc(col)
+
+
+def _zero_default(dtype):
+    """ClickHouse type-zero default for non-nullable columns with no
+    DEFAULT clause (0 / '' / epoch / false / empty container)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StringType):
+        return F.lit("")
+    if isinstance(dtype, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return F.lit("1970-01-01").cast(dtype)
+    if isinstance(dtype, T.ArrayType):
+        return F.array().cast(dtype)
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(F.array(), F.array()).cast(dtype)
+    return F.lit(0).cast(dtype)  # numeric family

@@ -122,23 +122,52 @@ _CREATE_RE = re.compile(
 _COL_EXTRAS_RE = re.compile(
     r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\b.*$", re.IGNORECASE | re.DOTALL
 )
+# DEFAULT/MATERIALIZED/ALIAS expr, up to the next column attribute
+# (lectures/lecture_12.md:14-47, lecture_07.md:20-21)
+_COL_ATTR_RE = re.compile(
+    r"\b(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)(?=\s+(?:CODEC|COMMENT|TTL)\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def parse_create_table(ddl: str) -> tuple[TableDef, str]:
-    """Parse CH CREATE TABLE → (TableDef, spark schema DDL string)."""
+    """Parse CH CREATE TABLE → (TableDef, spark schema DDL string).
+
+    Column attributes (lecture_12.md:14-47): ``DEFAULT expr`` fills the
+    column when an INSERT omits it; ``MATERIALIZED expr`` is always
+    computed at insert (not writable); ``ALIAS expr`` is virtual —
+    excluded from the stored schema and recomputed per query by the
+    engine's view registration. Captured into ``TableDef.settings``
+    under "defaults"/"materialized"/"aliases".
+    """
     m = _CREATE_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError("not a CREATE TABLE statement")
     cols = []
+    defaults: dict[str, str] = {}
+    materialized: dict[str, str] = {}
+    aliases: dict[str, str] = {}
     for item in _split_args(m.group("cols"), many=True):
         item = item.strip()
         if not item or re.match(r"^(INDEX|PROJECTION|CONSTRAINT|PRIMARY\s+KEY)\b", item, re.IGNORECASE):
             continue  # secondary indexes/projections: D9/D10 handled elsewhere
+        am = _COL_ATTR_RE.search(item)
         item = _COL_EXTRAS_RE.sub("", item)
+        if am and am.group(1).upper() == "ALIAS":
+            # ALIAS is virtual — not part of the stored schema; the
+            # type annotation is optional in CH (`c ALIAS expr`)
+            aliases[item.split()[0].strip("`")] = am.group(2).strip()
+            continue
         cm = re.match(r"^`?([\w]+)`?\s+(.+)$", item, re.DOTALL)
         if not cm:
             raise ValueError(f"cannot parse column: {item!r}")
         name, ch_type = cm.group(1), cm.group(2).strip()
+        if am:
+            kind, expr = am.group(1).upper(), am.group(2).strip()
+            if kind == "DEFAULT":
+                defaults[name] = expr
+            else:
+                materialized[name] = expr
         spark_type, nullable = ch_type_to_spark(ch_type)
         cols.append(f"{name} {spark_type}{'' if nullable else ' NOT NULL'}")
     rest = m.group("rest") or ""
@@ -176,4 +205,10 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     tm = re.search(r"\bTTL\s+(.+?)(?=\bSETTINGS\b|$)", rest, re.IGNORECASE | re.DOTALL)
     if tm:
         td.ttl = tm.group(1).strip()
+    if defaults:
+        td.settings["defaults"] = defaults
+    if materialized:
+        td.settings["materialized"] = materialized
+    if aliases:
+        td.settings["aliases"] = aliases
     return td, ", ".join(cols)

@@ -114,3 +114,46 @@ def test_expression_partition_key_materialized(engine, tmp_path, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and df.count() == 2
     engine.execute("DROP TABLE tr_part")
+
+
+def test_default_materialized_alias_columns(engine, tmp_path):
+    """lecture_12.md:14-47: DEFAULT fills omitted columns, MATERIALIZED
+    is always computed at insert, ALIAS is virtual (recomputed per query)."""
+    engine.execute(
+        "CREATE TABLE attrs_ddl ("
+        " id UInt32,"
+        " val Float64,"
+        " status String DEFAULT 'new',"
+        " val2 Float64 MATERIALIZED val * 2,"
+        " val3 ALIAS val + 1"
+        ") ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["attrs_ddl"].path = str(tmp_path / "attrs_ddl")
+    td = engine.tables["attrs_ddl"]
+    assert td.settings["defaults"] == {"status": "'new'"}
+    assert td.settings["materialized"] == {"val2": "val * 2"}
+    assert td.settings["aliases"] == {"val3": "val + 1"}
+    # column-list insert: status omitted → DEFAULT; val2 computed
+    engine.execute("INSERT INTO attrs_ddl (id, val) VALUES (1, 10.0)")
+    engine.execute("INSERT INTO attrs_ddl (id, val, status) VALUES (2, 20.0, 'old')")
+    rows = {r.id: r for r in engine.table("attrs_ddl").collect()}
+    assert rows[1].status == "new" and rows[2].status == "old"
+    assert rows[1].val2 == 20.0 and rows[2].val2 == 40.0
+    assert rows[1].val3 == 11.0  # ALIAS recomputed on read
+    # ALIAS column is not persisted
+    raw = engine.spark.read.parquet(engine.tables["attrs_ddl"].path)
+    assert "val3" not in raw.columns and "val2" in raw.columns
+    engine.execute("DROP TABLE attrs_ddl")
+
+
+def test_insert_column_list_zero_defaults(engine, tmp_path):
+    # non-nullable column with no DEFAULT → CH type-zero (0 / '')
+    engine.execute(
+        "CREATE TABLE zerod (a UInt32, b String, c Nullable(Float64)) "
+        "ENGINE = MergeTree ORDER BY a"
+    )
+    engine.tables["zerod"].path = str(tmp_path / "zerod")
+    engine.execute("INSERT INTO zerod (a) VALUES (7)")
+    r = engine.table("zerod").collect()[0]
+    assert r.a == 7 and r.b == "" and r.c is None
+    engine.execute("DROP TABLE zerod")

@@ -426,6 +426,41 @@ class Engine:
             "query string, duration_sec double, result_rows long, exception string",
         )
 
+    def system_columns(self) -> DataFrame:
+        """≈ system.columns (lecture_02.md:197-276): one row per column
+        of each registered table, with the attribute kind."""
+        rows = []
+        for t in self.tables.values():
+            defaults = t.settings.get("defaults", {})
+            mat = t.settings.get("materialized", {})
+            aliases = t.settings.get("aliases", {})
+            try:
+                fields = self.table(t.name).schema.fields
+            except Exception:
+                continue
+            for f in fields:
+                kind, expr = "", ""
+                if f.name in defaults:
+                    kind, expr = "DEFAULT", defaults[f.name]
+                elif f.name in mat:
+                    kind, expr = "MATERIALIZED", mat[f.name]
+                elif f.name in aliases:
+                    kind, expr = "ALIAS", aliases[f.name]
+                rows.append((t.name, f.name, f.dataType.simpleString(), kind, expr))
+        return self.spark.createDataFrame(
+            rows, "table string, name string, type string, default_kind string, default_expression string"
+        )
+
+    def system_functions(self) -> DataFrame:
+        """≈ system.functions (lecture_06.md:112-119): registered
+        ClickHouse-named SQL UDFs plus user lambdas, with origin."""
+        from otus_clickhouse_spark.functions.clickhouse import AGGREGATE_ALIASES, SCALAR_ALIASES
+
+        rows = [(n, "SQLUserDefined") for n in self._sql_macros]
+        rows += [(n, "System") for n in SCALAR_ALIASES]
+        rows += [(n, "System") for n in AGGREGATE_ALIASES]
+        return self.spark.createDataFrame(rows, "name string, origin string")
+
     def system_settings(self) -> DataFrame:
         """≈ system.settings over spark.conf (lecture_12.md:62-212)."""
         items = [(k, str(v)) for k, v in self.spark.sparkContext.getConf().getAll()]

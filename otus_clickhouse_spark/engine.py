@@ -236,6 +236,12 @@ class Engine:
         served = self.projections.try_rewrite_sql(text)
         if served is not None:
             return served
+        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
+            from otus_clickhouse_spark.operators.asof import rewrite_asof_sql
+
+            rewritten = rewrite_asof_sql(self, text)
+            if rewritten is not None:
+                text = rewritten
         dicts = {n: d.key for n, d in self._dictionaries.items()}
         fill = _WITH_FILL_RE.search(text)
         if fill:

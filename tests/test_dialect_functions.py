@@ -156,3 +156,35 @@ def test_numbers_table_function(engine):
     assert [r.number for r in rows] == [3, 4, 5, 6]
     s = engine.sql("SELECT sum(number) AS s FROM numbers(1000001)").collect()[0].s
     assert s == 500000500000
+
+
+def test_asof_join_sql(engine, spark):
+    # J7 SQL surface (lecture_10.md:14): trades matched to the latest
+    # quote at-or-before each trade
+    spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (2, 5, "t3")], "k int, ts int, trade string"
+    ).createOrReplaceTempView("trades_asof")
+    spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 9, 9.0)], "k int, ts int, px double"
+    ).createOrReplaceTempView("quotes_asof")
+    from otus_clickhouse_spark.engine import TableDef
+
+    engine.tables["trades_asof"] = TableDef(name="trades_asof")
+    engine.tables["quotes_asof"] = TableDef(name="quotes_asof")
+    rows = engine.sql(
+        "SELECT trade, quotes_asof.px AS px FROM trades_asof "
+        "ASOF JOIN quotes_asof "
+        "ON trades_asof.k = quotes_asof.k AND trades_asof.ts >= quotes_asof.ts "
+        "ORDER BY trade"
+    ).collect()
+    # t1: quote ts=10 (exact match allowed) → 1.0; t2: ts=20 → 2.0;
+    # t3: no quote at-or-before ts=5 → dropped (inner)
+    assert [(r.trade, r.px) for r in rows] == [("t1", 1.0), ("t2", 2.0)]
+    rows = engine.sql(
+        "SELECT trade, quotes_asof.px AS px FROM trades_asof "
+        "ASOF LEFT JOIN quotes_asof "
+        "ON trades_asof.k = quotes_asof.k AND trades_asof.ts >= quotes_asof.ts "
+        "ORDER BY trade"
+    ).collect()
+    assert len(rows) == 3 and rows[2].px is None
+    del engine.tables["trades_asof"], engine.tables["quotes_asof"]

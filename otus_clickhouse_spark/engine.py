@@ -167,6 +167,24 @@ class Engine:
                     sel = sel.toDF(*cols)
                 return self.insert(name, sel)
             return self.insert(name, self._values_frame(name, rest, cols))
+        xm = re.match(
+            r"^\s*EXPLAIN\s+(?:(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)\s+)?(SELECT\b.*|WITH\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if xm:
+            # EXPLAIN [mode] (D7; lectures/lecture_21.md:399-452): CH modes
+            # map onto Spark's explain flavors — AST/SYNTAX ≈ parsed/
+            # analyzed (extended), PLAN ≈ formatted, PIPELINE ≈ physical
+            # with codegen, ESTIMATE ≈ cost
+            mode = {
+                "AST": "extended",
+                "SYNTAX": "extended",
+                "PLAN": "formatted",
+                "PIPELINE": "codegen",
+                "ESTIMATE": "cost",
+            }.get((xm.group(1) or "PLAN").upper(), "formatted")
+            return [self.explain(xm.group(2), mode=mode)]
         from otus_clickhouse_spark.plans.statements import try_route
 
         routed = try_route(self, s)
@@ -242,6 +260,18 @@ class Engine:
             rewritten = rewrite_asof_sql(self, text)
             if rewritten is not None:
                 text = rewritten
+        pm = _PASTE_SQL_RE.search(text)
+        if pm:
+            # PASTE JOIN (J8; lecture_10.md:15): zip the two relations
+            # positionally and run the rest of the query over the view
+            from otus_clickhouse_spark.operators.joins import paste_zip
+
+            def rel(r: str) -> DataFrame:
+                return self.sql(r[1:-1]) if r.startswith("(") else self.table(r)
+
+            view = f"__paste_{abs(hash(pm.group(0))) % 10**8}"
+            paste_zip(rel(pm.group(1)), rel(pm.group(2))).createOrReplaceTempView(view)
+            text = text[: pm.start()] + f"FROM {view}" + text[pm.end() :]
         dicts = {n: d.key for n, d in self._dictionaries.items()}
         fill = _WITH_FILL_RE.search(text)
         if fill:
@@ -474,6 +504,11 @@ class Engine:
 
 
 _FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FINAL\b", re.IGNORECASE)
+
+_PASTE_REL = r"(\w+|\((?:[^()]|\([^()]*\))*\))"
+_PASTE_SQL_RE = re.compile(
+    rf"\bFROM\s+{_PASTE_REL}\s+PASTE\s+JOIN\s+{_PASTE_REL}", re.IGNORECASE | re.DOTALL
+)
 
 # ORDER BY t [ASC|DESC] WITH FILL [FROM x] [TO y] [STEP n]
 # (lectures/lecture_20.md:29-33; homeworks/hw14.md:35-70)

@@ -52,3 +52,20 @@ def paste_join(
     l = left.withColumn("__pos", F.row_number().over(lw))
     r = right.withColumn("__pos", F.row_number().over(rw))
     return l.join(r, on="__pos", how=how).drop("__pos")
+
+
+def paste_zip(left: DataFrame, right: DataFrame) -> DataFrame:
+    """PASTE JOIN of two RESULT SETS in their produced order (J8;
+    lectures/lecture_10.md:15).
+
+    ClickHouse zips the two results row-by-row as they stand. Order-by-
+    position is only well-defined over a single stream, so each side is
+    coalesced to one partition first — the same materialize-both-results
+    cost the reference pays. Use :func:`paste_join` with explicit order
+    columns for the scalable keyed variant.
+    """
+    def pos(df: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return df.coalesce(1).withColumn("__pos", F.row_number().over(w))
+
+    return pos(left).join(pos(right), on="__pos", how="inner").drop("__pos")

@@ -188,3 +188,20 @@ def test_asof_join_sql(engine, spark):
     ).collect()
     assert len(rows) == 3 and rows[2].px is None
     del engine.tables["trades_asof"], engine.tables["quotes_asof"]
+
+
+def test_paste_join_sql(engine):
+    # J8 (lecture_10.md:15): positional zip of two result sets
+    rows = engine.sql(
+        "SELECT number, n2 FROM "
+        "(SELECT number FROM numbers(3) ORDER BY number) PASTE JOIN "
+        "(SELECT number + 10 AS n2 FROM numbers(3) ORDER BY n2 DESC)"
+    ).collect()
+    assert sorted((r.number, r.n2) for r in rows) == [(0, 12), (1, 11), (2, 10)]
+
+
+def test_explain_statement(engine):
+    [plan] = engine.execute("EXPLAIN SELECT count() FROM lineitem WHERE l_quantity < 5")
+    assert "Physical Plan" in plan or "HashAggregate" in plan
+    [ast] = engine.execute("EXPLAIN AST SELECT 1 AS x")
+    assert "Parsed Logical Plan" in ast or "Project" in ast

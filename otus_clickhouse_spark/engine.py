@@ -232,6 +232,16 @@ class Engine:
                 out.append(_zero_default(f.dataType).alias(f.name))
         return vals.select(*out)
 
+    def execute_script(self, script: str, **params) -> list:
+        """Run a multi-statement SQL script (homeworks/scripts/hw02.sql
+        shape): statements split on top-level semicolons (quote- and
+        comment-aware), each routed through :meth:`execute`. Returns
+        the per-statement results."""
+        results = []
+        for stmt in _split_statements(script):
+            results.append(self.execute(stmt, **params))
+        return results
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
@@ -523,6 +533,42 @@ def F_desc(col: str):
     from pyspark.sql import functions as F
 
     return F.desc(col)
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on top-level semicolons, skipping semicolons
+    inside quotes and stripping ``--`` line comments."""
+    out, buf = [], []
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
+        if c in "'\"`":
+            j = i + 1
+            while j < n and script[j] != c:
+                j += 2 if script[j] == "\\" else 1
+            buf.append(script[i : j + 1])
+            i = j + 1
+            continue
+        if c == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == "/" and script[i : i + 2] == "/*":
+            j = script.find("*/", i)
+            i = n if j < 0 else j + 2
+            continue
+        if c == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _zero_default(dtype):

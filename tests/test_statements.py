@@ -223,3 +223,50 @@ def test_alter_column_family(engine, sales):
     engine.execute(f"ALTER TABLE {sales} DROP COLUMN dbl")
     assert "dbl" not in engine.table(sales).columns
     assert engine.table(sales).count() == 4
+
+
+def test_execute_script_end_to_end(engine, tmp_path):
+    """A reference-course-shaped SQL script (hw02.sql / hw05 / hw04
+    patterns) runs as-is: DDL w/ engine args + attributes, inserts,
+    function DDL, mutation, OPTIMIZE FINAL, query over FINAL."""
+    import shutil as _sh
+
+    _sh.rmtree("spark-warehouse/script_t", ignore_errors=True)
+    results = engine.execute_script(
+        """
+        -- trips-like table (hw02.sql:1-22 shape)
+        CREATE TABLE script_t (
+            id UInt32,
+            ts DateTime,
+            amount Float64,
+            ver UInt32,
+            tag String DEFAULT 'none'
+        ) ENGINE = ReplacingMergeTree(ver)
+        ORDER BY id;
+
+        CREATE FUNCTION with_vat AS (x) -> x * 1.2;
+
+        INSERT INTO script_t (id, ts, amount, ver) VALUES
+            (1, '2024-01-01 00:00:00', 100.0, 1),
+            (1, '2024-01-01 00:00:00', 110.0, 2),  -- newer version wins
+            (2, '2024-01-02 00:00:00', 50.0, 1);
+
+        ALTER TABLE script_t UPDATE amount = amount + 1 WHERE id = 2;
+
+        OPTIMIZE TABLE script_t FINAL;
+
+        SELECT id, with_vat(amount) AS gross, tag
+        FROM script_t ORDER BY id
+        """
+    )
+    import shutil as _shutil
+
+    rows = results[-1]
+    assert [(r.id, round(r.gross, 2), r.tag) for r in rows] == [
+        (1, 132.0, "none"),
+        (2, 61.2, "none"),
+    ]
+    path = engine.tables["script_t"].path
+    engine.execute("DROP FUNCTION with_vat")
+    engine.execute("DROP TABLE script_t")
+    _shutil.rmtree(path, ignore_errors=True)

@@ -58,6 +58,7 @@ class Engine:
         self._dictionaries: dict[str, dict] = {}
         self._mvs: dict[str, list] = {}  # source table → attached MVs
         self._sql_macros: dict[str, tuple] = {}  # CREATE FUNCTION lambdas
+        self.session_settings: dict[str, str] = {}  # SET name = value
         self._query_log: list[tuple] = []
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
@@ -508,8 +509,10 @@ class Engine:
         return self.spark.createDataFrame(rows, "name string, origin string")
 
     def system_settings(self) -> DataFrame:
-        """≈ system.settings over spark.conf (lecture_12.md:62-212)."""
+        """≈ system.settings: spark conf + session SET overrides
+        (lecture_12.md:62-212)."""
         items = [(k, str(v)) for k, v in self.spark.sparkContext.getConf().getAll()]
+        items += list(self.session_settings.items())
         return self.spark.createDataFrame(items, "name string, value string")
 
 

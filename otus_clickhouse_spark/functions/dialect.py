@@ -325,6 +325,17 @@ def translate(
     def final_sub(m: re.Match) -> str:
         return f"FROM {m.group(1)}__final"
 
+    # trailing clauses that only affect the CH client/session, not the
+    # result: SETTINGS k=v[, …] (lecture_10.md:181) and FORMAT <fmt>
+    # (lecture_03.md:209-213) — stripped; session settings are routed
+    # via Engine.execute("SET …")
+    text = re.sub(
+        r"\s+SETTINGS\s+\w+\s*=\s*[^,;]+(?:\s*,\s*\w+\s*=\s*[^,;]+)*\s*$",
+        "",
+        text,
+        flags=re.IGNORECASE,
+    )
+    text = re.sub(r"\s+FORMAT\s+\w+\s*$", "", text, flags=re.IGNORECASE)
     text = _FINAL_RE.sub(final_sub, text)
     text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)

@@ -190,6 +190,9 @@ def _partition_column(td) -> str:
     return "_p_" + re.sub(r"[^\w]+", "_", expr).strip("_")
 
 
+_SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
+
+
 def try_route(engine, s: str):
     """Handle ``s`` if it is a mutation/maintenance statement.
 
@@ -197,6 +200,18 @@ def try_route(engine, s: str):
     to the SELECT path); otherwise returns the statement's result
     (row list for SHOW, dict/None for maintenance ops).
     """
+    m = _SET_RE.match(s)
+    if m:
+        # SET name = value (lecture_12.md:62-212): session settings map
+        # ≈ system.settings; spark.* keys pass through to the session
+        # conf, CH-named keys are recorded (queryable, mostly advisory —
+        # Catalyst/AQE already does what most of them tune by hand)
+        key, val = m.group(1), m.group(2).strip().strip("'\"")
+        if key.startswith("spark."):
+            engine.spark.conf.set(key, val)
+        engine.session_settings[key] = val
+        return {"set": (key, val)}
+
     m = _UPDATE_RE.match(s)
     if m:
         from otus_clickhouse_spark.plans.mutations import update

@@ -205,3 +205,23 @@ def test_explain_statement(engine):
     assert "Physical Plan" in plan or "HashAggregate" in plan
     [ast] = engine.execute("EXPLAIN AST SELECT 1 AS x")
     assert "Parsed Logical Plan" in ast or "Project" in ast
+
+
+def test_settings_and_format_suffixes_stripped(engine):
+    # course queries append SETTINGS/FORMAT freely (lecture_10.md:181,
+    # lecture_03.md:209-213) — results are unaffected
+    n1 = engine.sql("SELECT count() AS n FROM lineitem").collect()[0].n
+    n2 = engine.sql(
+        "SELECT count() AS n FROM lineitem SETTINGS max_threads = 4, join_algorithm = 'hash'"
+    ).collect()[0].n
+    n3 = engine.sql("SELECT count() AS n FROM lineitem FORMAT Pretty").collect()[0].n
+    assert n1 == n2 == n3
+
+
+def test_set_statement(engine):
+    engine.execute("SET max_memory_usage = 10000000000")
+    vals = {
+        r.name: r.value
+        for r in engine.system_settings().where("name = 'max_memory_usage'").collect()
+    }
+    assert vals["max_memory_usage"] == "10000000000"

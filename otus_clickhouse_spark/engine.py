@@ -59,6 +59,8 @@ class Engine:
         self._mvs: dict[str, list] = {}  # source table → attached MVs
         self._sql_macros: dict[str, tuple] = {}  # CREATE FUNCTION lambdas
         self.session_settings: dict[str, str] = {}  # SET name = value
+        self._buffers: dict[str, object] = {}  # Buffer-engine tables
+        self._row_policies: dict[str, list[str]] = {}  # table → predicates
         self._query_log: list[tuple] = []
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
@@ -97,6 +99,11 @@ class Engine:
         for col, expr in td.settings.get("aliases", {}).items():
             if col not in frame.columns:
                 frame = frame.withColumn(col, F.expr(expr))
+        # row policies (lecture_18.md:561-609): mandatory prefilter on
+        # every read; permissive policies OR together like the reference
+        preds = self._row_policies.get(td.name)
+        if preds:
+            frame = frame.filter(" OR ".join(f"({p})" for p in preds))
         frame.createOrReplaceTempView(td.name)
         if td.engine in (
             "ReplacingMergeTree",
@@ -120,6 +127,19 @@ class Engine:
         td.path = path or os.path.join("spark-warehouse", td.name)
         td.settings["schema"] = schema  # declared column order/types for VALUES inserts
         self.tables[td.name] = td
+        if td.engine == "Buffer":
+            # Buffer(db, dest, layers, min/max time, min_rows, max_rows, …)
+            # — lecture_09.md:77-206; reads union the buffer with dest
+            from otus_clickhouse_spark.plans.buffer import BufferTable
+
+            args = td.settings.get("engine_args", [])
+            dest = (args[1] if len(args) > 1 else args[0]).strip("'\"")
+            max_rows = int(args[6]) if len(args) > 6 else 65536
+            buf = BufferTable(self, td.name, dest, max_rows=max_rows)
+            self._buffers[td.name] = buf
+            td.path = None  # nothing persisted under the buffer's own name
+            buf.read().createOrReplaceTempView(td.name)
+            return td
         empty = self.spark.createDataFrame([], schema)
         self.register_table(td, df=empty)
         return td
@@ -358,6 +378,11 @@ class Engine:
         """
         from pyspark.sql import functions as F
 
+        if name in self._buffers:
+            buf = self._buffers[name]
+            buf.insert(df)
+            buf.read().createOrReplaceTempView(name)  # read-through view
+            return
         td = self.tables[name]
         # MATERIALIZED columns: always computed at insert, never writable
         # (lecture_12.md:14-27) — overwrite/add regardless of the input

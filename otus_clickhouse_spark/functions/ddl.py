@@ -115,7 +115,7 @@ def _split_args(s: str, many: bool = False) -> list[str]:
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w]+\.)?(?P<name>[\w]+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"ENGINE\s*=\s*(?P<engine>[\w]+)\s*(?:\((?P<engine_args>[^)]*)\))?"
+    r"ENGINE\s*=\s*(?P<engine>[\w]+)\s*(?:\((?P<engine_args>(?:[^()]|\([^()]*\))*)\))?"
     r"(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -186,8 +186,10 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         return (raw,)  # single column or expression key (e.g. toYYYYMM(dt))
 
     engine = m.group("engine")
-    eargs = [a.strip() for a in (m.group("engine_args") or "").split(",") if a.strip()]
-    td = TableDef(
+    raw_args = m.group("engine_args") or ""
+    eargs = [a for a in _split_args(raw_args, many=True) if a] if raw_args.strip() else []
+    td = TableDef(  # engine args kept verbatim for Buffer/Kafka/Join engines
+
         name=m.group("name"),
         engine=re.sub(r"^Replicated", "", engine),  # replication = storage layer
         order_by=key_tuple(clause("ORDER\\s+BY")),
@@ -205,6 +207,8 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     tm = re.search(r"\bTTL\s+(.+?)(?=\bSETTINGS\b|$)", rest, re.IGNORECASE | re.DOTALL)
     if tm:
         td.ttl = tm.group(1).strip()
+    if eargs:
+        td.settings["engine_args"] = eargs
     if defaults:
         td.settings["defaults"] = defaults
     if materialized:

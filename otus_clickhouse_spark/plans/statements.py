@@ -191,6 +191,13 @@ def _partition_column(td) -> str:
 
 
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
+_ROW_POLICY_RE = re.compile(
+    r"^\s*CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)(?:\s+TO\s+.+)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_POLICY_RE = re.compile(
+    r"^\s*DROP\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s*$", re.IGNORECASE
+)
 
 
 def try_route(engine, s: str):
@@ -200,6 +207,21 @@ def try_route(engine, s: str):
     to the SELECT path); otherwise returns the statement's result
     (row list for SHOW, dict/None for maintenance ops).
     """
+    m = _ROW_POLICY_RE.match(s)
+    if m:
+        # row policy = mandatory read prefilter (P7/D11;
+        # lecture_18.md:561-609); the TO <role> part is recorded only
+        pname, tname, pred = m.group(1), m.group(2), m.group(3).strip()
+        engine._row_policies.setdefault(tname, []).append(pred)
+        engine.register_table(engine.tables[tname])
+        return {"row_policy": (pname, tname)}
+
+    m = _DROP_POLICY_RE.match(s)
+    if m:
+        engine._row_policies.pop(m.group(2), None)
+        engine.register_table(engine.tables[m.group(2)])
+        return {"dropped_row_policy": m.group(1)}
+
     m = _SET_RE.match(s)
     if m:
         # SET name = value (lecture_12.md:62-212): session settings map

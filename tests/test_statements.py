@@ -270,3 +270,45 @@ def test_execute_script_end_to_end(engine, tmp_path):
     engine.execute("DROP FUNCTION with_vat")
     engine.execute("DROP TABLE script_t")
     _shutil.rmtree(path, ignore_errors=True)
+
+
+def test_buffer_engine(engine, tmp_path):
+    """Buffer engine (lecture_09.md:77-206): reads see buffered+dest;
+    rows-threshold flush coalesces blocks into one dest append."""
+    engine.execute(
+        "CREATE TABLE buf_dest (k UInt32, v Float64) ENGINE = MergeTree ORDER BY k"
+    )
+    engine.tables["buf_dest"].path = str(tmp_path / "buf_dest")
+    engine.execute(
+        "CREATE TABLE buf_in (k UInt32, v Float64) "
+        "ENGINE = Buffer(currentDatabase(), buf_dest, 1, 10, 100, 1000, 4, 10000, 10000000)"
+    )
+    engine.execute("INSERT INTO buf_in VALUES (1, 1.0), (2, 2.0)")
+    # buffered, not yet flushed (max_rows=4 not crossed)
+    assert engine.table("buf_in").count() == 2
+    assert engine.table("buf_dest").count() == 0
+    engine.execute("INSERT INTO buf_in VALUES (3, 3.0), (4, 4.0)")
+    # threshold crossed → single coalesced append to dest
+    assert engine.table("buf_dest").count() == 4
+    assert engine.table("buf_in").count() == 4  # read-through still complete
+    import os
+
+    files = [
+        f for _r, _d, fs in os.walk(str(tmp_path / "buf_dest")) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 1
+    engine.execute("DROP TABLE buf_in")
+    engine.execute("DROP TABLE buf_dest")
+
+
+def test_row_policy(engine):
+    total = engine.table("nation").count()
+    engine.execute("CREATE ROW POLICY p1 ON nation USING n_regionkey = 0 TO ALL")
+    assert engine.table("nation").count() < total
+    assert engine.sql("SELECT count() AS n FROM nation").collect()[0].n < total
+    engine.execute("CREATE ROW POLICY p2 ON nation USING n_regionkey = 1")
+    two = engine.table("nation").count()  # permissive policies OR together
+    engine.execute("DROP ROW POLICY p1 ON nation")  # drops policies for table
+    assert engine.table("nation").count() == total
+    assert two > 0

@@ -400,6 +400,12 @@ class Engine:
         if td.order_by:
             df = df.sortWithinPartitions(*[k for k in td.order_by if k in df.columns])
         writer = df.write.mode(mode)
+        # parquet bloom filters on the sort key (≈ bloom_filter skipping
+        # index, D9/lecture_08.md:99-240): point lookups on ORDER BY
+        # columns skip row groups even when min/max ranges overlap
+        for k in td.order_by:
+            if k in df.columns:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{k}", "true")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(td.path)

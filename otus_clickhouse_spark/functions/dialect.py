@@ -307,6 +307,27 @@ def _expand_macros(text: str, macros: dict[str, tuple[list[str], str]]) -> str:
     return text
 
 
+def _rewrite_joinget(text: str, tables: dict) -> str:
+    """joinGet('join_tbl', 'attr', key) (J11; lectures/lecture_09.md:
+    236-283): point lookup into a Join-engine table. The table's join
+    key is its ORDER BY / engine key from the registry; the call
+    becomes a correlated scalar subquery → broadcast-able left join,
+    the same physical shape as the reference's in-RAM hash side."""
+    while True:
+        m = re.search(r"\bjoinGet\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        tname = args[0].strip().strip("'\"")
+        td = tables.get(tname)
+        if td is None or not td.order_by:
+            raise KeyError(f"joinGet: unknown or keyless table {tname!r}")
+        key = td.order_by[0]
+        attr = args[1].strip().strip("'\"")
+        repl = f"(SELECT max({attr}) FROM {tname} WHERE {key} = ({args[2]}))"
+        text = text[: m.start()] + repl + text[end:]
+
+
 def translate(
     text: str,
     tables: dict | None = None,
@@ -349,5 +370,6 @@ def translate(
     text = _rewrite_numbers(text)
     if dicts:
         text = _rewrite_dictget(text, dicts)
+    text = _rewrite_joinget(text, tables)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)
     return text

@@ -312,3 +312,18 @@ def test_row_policy(engine):
     engine.execute("DROP ROW POLICY p1 ON nation")  # drops policies for table
     assert engine.table("nation").count() == total
     assert two > 0
+
+
+def test_joinget_sql(engine, tmp_path):
+    # lecture_09.md:236-283: Join-engine table + joinGet point lookup
+    engine.execute(
+        "CREATE TABLE jtbl (k UInt32, label String) ENGINE = Join(ANY, LEFT, k) ORDER BY k"
+    )
+    engine.tables["jtbl"].path = str(tmp_path / "jtbl")
+    engine.execute("INSERT INTO jtbl VALUES (0, 'zero'), (1, 'one')")
+    rows = engine.sql(
+        "SELECT n_name, joinGet('jtbl', 'label', n_regionkey) AS lbl "
+        "FROM nation WHERE n_regionkey <= 1 ORDER BY n_name LIMIT 2"
+    ).collect()
+    assert all(r.lbl in ("zero", "one") for r in rows)
+    engine.execute("DROP TABLE jtbl")

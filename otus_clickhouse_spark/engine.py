@@ -140,6 +140,33 @@ class Engine:
             td.path = None  # nothing persisted under the buffer's own name
             buf.read().createOrReplaceTempView(td.name)
             return td
+        if td.engine == "Distributed":
+            # Distributed(cluster, db, local_table, [sharding_key]) —
+            # lectures/lecture_15.md:13-34. A DataFrame is already
+            # distributed, so reads proxy the local table directly
+            # (scatter-gather is Spark's task scheduling); the sharding
+            # key only shapes WRITES (insert repartitions by it, the
+            # Spark analogue of shard routing).
+            args = td.settings.get("engine_args", [])
+            local = args[2].strip("'\"") if len(args) > 2 else args[-1].strip("'\"")
+            td.settings["local_table"] = local
+            if len(args) > 3:
+                td.settings["sharding_key"] = args[3]
+            td.path = None
+            self.table(local).createOrReplaceTempView(td.name)
+            return td
+        if td.engine == "Merge":
+            # Merge(db, 'regex') — lectures/lecture_09.md:589-651:
+            # union of all registered tables matching the regex, with
+            # the `_table` virtual column
+            from otus_clickhouse_spark.sources.readers import merge_tables
+
+            args = td.settings.get("engine_args", [])
+            pattern = args[-1].strip("'\"")
+            td.path = None
+            candidates = [n for n in self.tables if n != td.name]
+            merge_tables(self.spark, pattern, candidates).createOrReplaceTempView(td.name)
+            return td
         empty = self.spark.createDataFrame([], schema)
         self.register_table(td, df=empty)
         return td
@@ -384,6 +411,24 @@ class Engine:
             buf.read().createOrReplaceTempView(name)  # read-through view
             return
         td = self.tables[name]
+        if td.engine == "Null":
+            # Null engine (lecture_13.md:376; hw15.md:9-53): data is
+            # discarded but attached MVs still fire — the standard
+            # transform-without-landing ingestion pattern
+            for mv in self._mvs.get(name, []):
+                mv.process_block(df)
+            return
+        if td.engine == "Distributed":
+            # write path: repartition by the sharding key (≈ shard
+            # routing, lecture_15.md:15-34) and land in the local table
+            key = td.settings.get("sharding_key")
+            if key:
+                df = df.repartition(F.expr(key))
+            self.insert(td.settings["local_table"], df, mode=mode)
+            self.table(td.settings["local_table"]).createOrReplaceTempView(name)
+            for mv in self._mvs.get(name, []):
+                mv.process_block(df)
+            return
         # MATERIALIZED columns: always computed at insert, never writable
         # (lecture_12.md:14-27) — overwrite/add regardless of the input
         for col, expr in td.settings.get("materialized", {}).items():

@@ -327,3 +327,56 @@ def test_joinget_sql(engine, tmp_path):
     ).collect()
     assert all(r.lbl in ("zero", "one") for r in rows)
     engine.execute("DROP TABLE jtbl")
+
+
+def test_null_engine_triggers_mvs(engine, tmp_path):
+    # hw15.md:9-53: Null-engine landing — rows discarded, MV fires
+    engine.execute("CREATE TABLE null_in (k UInt32, v Float64) ENGINE = Null")
+    engine.execute(
+        "CREATE TABLE null_out (k UInt32, v Float64) ENGINE = MergeTree ORDER BY k"
+    )
+    engine.tables["null_out"].path = str(tmp_path / "null_out")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW null_mv TO null_out AS "
+        "SELECT k, v FROM null_in WHERE v > 1"
+    )
+    engine.execute("INSERT INTO null_in VALUES (1, 0.5), (2, 2.5), (3, 3.5)")
+    assert engine.table("null_in").count() == 0  # discarded
+    assert engine.table("null_out").count() == 2  # MV fired on the block
+    engine.execute("DROP TABLE null_in")
+    engine.execute("DROP TABLE null_out")
+
+
+def test_distributed_engine(engine, tmp_path):
+    # lecture_15.md:13-34: Distributed proxy reads the local table;
+    # inserts route through it repartitioned by the sharding key
+    engine.execute(
+        "CREATE TABLE local_shard (k UInt32, v Float64) ENGINE = MergeTree ORDER BY k"
+    )
+    engine.tables["local_shard"].path = str(tmp_path / "local_shard")
+    engine.execute(
+        "CREATE TABLE dist_t (k UInt32, v Float64) "
+        "ENGINE = Distributed(main_cluster, currentDatabase(), local_shard, k)"
+    )
+    engine.execute("INSERT INTO dist_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    assert engine.table("local_shard").count() == 3
+    assert engine.table("dist_t").count() == 3  # proxy view sees local data
+    engine.execute("DROP TABLE dist_t")
+    engine.execute("DROP TABLE local_shard")
+
+
+def test_merge_engine_ddl(engine, tmp_path):
+    engine.execute("CREATE TABLE mlogs_a (x UInt32) ENGINE = Log")
+    engine.tables["mlogs_a"].path = str(tmp_path / "a")
+    engine.execute("INSERT INTO mlogs_a VALUES (1), (2)")
+    engine.execute("CREATE TABLE mlogs_b (x UInt32) ENGINE = Log")
+    engine.tables["mlogs_b"].path = str(tmp_path / "b")
+    engine.execute("INSERT INTO mlogs_b VALUES (3)")
+    engine.execute(
+        "CREATE TABLE mlogs_all (x UInt32) ENGINE = Merge(currentDatabase(), 'mlogs_[ab]')"
+    )
+    rows = engine.sql("SELECT x, _table FROM mlogs_all ORDER BY x").collect()
+    assert [r.x for r in rows] == [1, 2, 3]
+    assert {r._table for r in rows} == {"mlogs_a", "mlogs_b"}
+    for t in ("mlogs_all", "mlogs_a", "mlogs_b"):
+        engine.execute(f"DROP TABLE {t}")

@@ -60,6 +60,7 @@ class Engine:
         self._sql_macros: dict[str, tuple] = {}  # CREATE FUNCTION lambdas
         self.session_settings: dict[str, str] = {}  # SET name = value
         self._buffers: dict[str, object] = {}  # Buffer-engine tables
+        self._memory: dict[str, list] = {}  # Memory/Set-engine blocks
         self._row_policies: dict[str, list[str]] = {}  # table → predicates
         self._query_log: list[tuple] = []
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
@@ -154,6 +155,15 @@ class Engine:
                 td.settings["sharding_key"] = args[3]
             td.path = None
             self.table(local).createOrReplaceTempView(td.name)
+            return td
+        if td.engine == "Kafka":
+            # Kafka engine DDL (lecture_09.md:891-918; ch_and_kafka/db/
+            # init.sql:11-20): capture broker/topic settings; the
+            # stream materializes via attach_kafka_source → readStream
+            sm = re.findall(r"kafka_(\w+)\s*=\s*'([^']*)'", ddl)
+            td.settings.update({f"kafka_{k}": v for k, v in sm})
+            td.path = None
+            self.spark.createDataFrame([], schema).createOrReplaceTempView(td.name)
             return td
         if td.engine == "Merge":
             # Merge(db, 'regex') — lectures/lecture_09.md:589-651:
@@ -411,6 +421,21 @@ class Engine:
             buf.read().createOrReplaceTempView(name)  # read-through view
             return
         td = self.tables[name]
+        if td.engine in ("Memory", "Set"):
+            # Memory / Set engines (lecture_09.md:424-496): rows held
+            # in RAM — blocks accumulate driver-side, the view is the
+            # cached union; Set additionally feeds `IN <table>`
+            blocks = self._memory.setdefault(name, [])
+            blocks.append(df.localCheckpoint(eager=True))
+            from functools import reduce
+
+            union = reduce(DataFrame.unionByName, blocks)
+            if td.engine == "Set":
+                union = union.distinct()
+            union.cache().createOrReplaceTempView(name)
+            for mv in self._mvs.get(name, []):
+                mv.process_block(df)
+            return
         if td.engine == "Null":
             # Null engine (lecture_13.md:376; hw15.md:9-53): data is
             # discarded but attached MVs still fire — the standard

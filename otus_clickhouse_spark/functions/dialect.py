@@ -358,6 +358,18 @@ def translate(
     )
     text = re.sub(r"\s+FORMAT\s+\w+\s*$", "", text, flags=re.IGNORECASE)
     text = _FINAL_RE.sub(final_sub, text)
+    # GLOBAL IN/JOIN (lecture_15.md:194-214) is a distributed-execution
+    # hint — Spark's broadcast exchange does this automatically
+    text = re.sub(r"\bGLOBAL\s+(IN|JOIN)\b", r"\1", text, flags=re.IGNORECASE)
+    # `x IN set_table` (Set engine, lecture_09.md:451-496) → subquery IN
+    for tname, td in tables.items():
+        if getattr(td, "engine", "") == "Set":
+            text = re.sub(
+                rf"\bIN\s+{tname}\b",
+                f"IN (SELECT * FROM {tname})",
+                text,
+                flags=re.IGNORECASE,
+            )
     text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)

@@ -380,3 +380,40 @@ def test_merge_engine_ddl(engine, tmp_path):
     assert {r._table for r in rows} == {"mlogs_a", "mlogs_b"}
     for t in ("mlogs_all", "mlogs_a", "mlogs_b"):
         engine.execute(f"DROP TABLE {t}")
+
+
+def test_memory_and_set_engines(engine):
+    # lecture_09.md:424-496: Memory table accumulates in RAM; Set table
+    # feeds `IN set_table` membership
+    engine.execute("CREATE TABLE mem_t (x UInt32) ENGINE = Memory")
+    engine.execute("INSERT INTO mem_t VALUES (1), (2)")
+    engine.execute("INSERT INTO mem_t VALUES (3)")
+    assert engine.table("mem_t").count() == 3
+    engine.execute("CREATE TABLE keys_set (n_regionkey Int64) ENGINE = Set")
+    engine.execute("INSERT INTO keys_set VALUES (0), (1), (0)")
+    assert engine.table("keys_set").count() == 2  # Set dedups
+    n = engine.sql(
+        "SELECT count() AS n FROM nation WHERE n_regionkey IN keys_set"
+    ).collect()[0].n
+    want = engine.sql(
+        "SELECT count() AS n FROM nation WHERE n_regionkey IN (0, 1)"
+    ).collect()[0].n
+    assert n == want > 0
+    engine.execute("DROP TABLE mem_t")
+    engine.execute("DROP TABLE keys_set")
+
+
+def test_kafka_ddl_captures_settings(engine):
+    # ch_and_kafka/db/init.sql:11-20 shape — no broker in container, so
+    # assert the DDL parses and the stream settings land in the registry
+    engine.execute(
+        "CREATE TABLE sensor_queue (payload String) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'kafka:9092', "
+        "kafka_topic_list = 'sensors', kafka_group_name = 'ch', "
+        "kafka_format = 'JSONAsString'"
+    )
+    td = engine.tables["sensor_queue"]
+    assert td.settings["kafka_broker_list"] == "kafka:9092"
+    assert td.settings["kafka_topic_list"] == "sensors"
+    assert engine.table("sensor_queue").columns == ["payload"]
+    engine.execute("DROP TABLE sensor_queue")

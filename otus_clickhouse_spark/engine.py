@@ -328,6 +328,12 @@ class Engine:
             rewritten = rewrite_asof_sql(self, text)
             if rewritten is not None:
                 text = rewritten
+        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b", text, re.IGNORECASE):
+            from otus_clickhouse_spark.operators.joins import rewrite_any_join_sql
+
+            rewritten = rewrite_any_join_sql(self, text)
+            if rewritten is not None:
+                text = rewritten
         pm = _PASTE_SQL_RE.search(text)
         if pm:
             # PASTE JOIN (J8; lecture_10.md:15): zip the two relations

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
@@ -69,3 +71,39 @@ def paste_zip(left: DataFrame, right: DataFrame) -> DataFrame:
         return df.coalesce(1).withColumn("__pos", F.row_number().over(w))
 
     return pos(left).join(pos(right), on="__pos", how="inner").drop("__pos")
+
+
+_ANY_JOIN_SQL_RE = re.compile(
+    r"\bFROM\s+(\w+)\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+(\w+)\s+"
+    r"(?:USING\s*\(?([\w\s,]+?)\)?|ON\s+(.+?))"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS)\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_any_join_sql(engine, text: str) -> str | None:
+    """SQL-level ANY JOIN (J6; lectures/lecture_10.md:12-13,
+    homeworks/hw06.md:168-185): the right side is deduplicated to one
+    row per key before a normal join — no fan-out. Supports ``USING
+    (k, …)`` and same-named ``ON a.k = b.k`` conjunctions.
+    """
+    m = _ANY_JOIN_SQL_RE.search(text)
+    if not m:
+        return None
+    lname, how_kw, rname, using, on_clause = m.groups()
+    if using:
+        keys = [k.strip() for k in using.split(",") if k.strip()]
+    else:
+        keys = []
+        for clause in re.split(r"\bAND\b", on_clause, flags=re.IGNORECASE):
+            em = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", clause)
+            if not em or em.group(2) != em.group(4):
+                raise ValueError(f"unsupported ANY JOIN ON clause: {clause!r}")
+            keys.append(em.group(2))
+    how = "inner" if (how_kw or "").strip().upper() == "INNER" else "left"
+    joined = any_join(engine.table(lname), engine.table(rname), on=keys, how=how)
+    view = f"__anyjoin_{abs(hash((lname, rname, tuple(keys)))) % 10**8}"
+    joined.createOrReplaceTempView(view)
+    text = text[: m.start()] + f"FROM {view}" + text[m.end() :]
+    text = re.sub(rf"\b(?:{lname}|{rname})\.(\w+)", r"\1", text)
+    return text

@@ -72,6 +72,12 @@ _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_MODIFY_TTL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_APPLY_TTL_RE = re.compile(
+    r"^\s*SYSTEM\s+(?:START\s+TTL\s+MERGES|APPLY\s+TTL)\s+(\w+)\s*$", re.IGNORECASE
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITION\s+(\S+))?"
@@ -316,6 +322,33 @@ def try_route(engine, s: str):
         name, old, new = m.groups()
         _persist(engine, name, engine.table(name).withColumnRenamed(old, new))
         return {"renamed_column": (old, new)}
+
+    m = _MODIFY_TTL_RE.match(s)
+    if m:
+        # ALTER TABLE … MODIFY TTL expr (lecture_14.md:217-236); the
+        # retention job applies it via apply_ttl
+        name, ttl = m.groups()
+        engine.tables[name].ttl = ttl.strip()
+        return {"ttl": ttl.strip()}
+
+    m = _APPLY_TTL_RE.match(s)
+    if m:
+        # SYSTEM START TTL MERGES analogue: run the retention pass now
+        from otus_clickhouse_spark.plans.mutations import ttl_expire
+
+        name = m.group(1)
+        td = engine.tables[name]
+        if not td.ttl:
+            return {"ttl_applied": name, "dropped": 0}
+        # CH TTL is a timestamp expression (`dt + INTERVAL 1 MONTH`,
+        # lecture_14.md:223-229): a row expires once it passes now().
+        # A boolean expression is accepted as the predicate directly.
+        ttl = td.ttl
+        if not re.search(r"[<>=]", ttl):
+            ttl = f"({ttl}) < current_timestamp()"
+        before = engine.table(name).count()
+        _persist(engine, name, ttl_expire(engine.table(name), _expr(engine, ttl)))
+        return {"ttl_applied": name, "dropped": before - engine.table(name).count()}
 
     m = _OPTIMIZE_RE.match(s)
     if m:

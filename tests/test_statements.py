@@ -417,3 +417,36 @@ def test_kafka_ddl_captures_settings(engine):
     assert td.settings["kafka_topic_list"] == "sensors"
     assert engine.table("sensor_queue").columns == ["payload"]
     engine.execute("DROP TABLE sensor_queue")
+
+
+def test_any_join_sql(engine, spark):
+    # hw06.md:168-185: ANY JOIN takes one right row per key — no fan-out
+    from otus_clickhouse_spark.engine import TableDef
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, l string").createOrReplaceTempView("aj_l")
+    spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k int, r string"
+    ).createOrReplaceTempView("aj_r")
+    engine.tables["aj_l"] = TableDef(name="aj_l")
+    engine.tables["aj_r"] = TableDef(name="aj_r")
+    rows = engine.sql(
+        "SELECT k, l, r FROM aj_l ANY LEFT JOIN aj_r USING (k) ORDER BY k"
+    ).collect()
+    assert len(rows) == 2  # a plain join would fan k=1 out to 2 rows
+    assert rows[0].r in ("x", "y")
+    del engine.tables["aj_l"], engine.tables["aj_r"]
+
+
+def test_ttl_statement(engine, tmp_path):
+    engine.execute(
+        "CREATE TABLE ttl_t (dt DateTime, v UInt32) ENGINE = MergeTree ORDER BY dt"
+    )
+    engine.tables["ttl_t"].path = str(tmp_path / "ttl_t")
+    engine.execute(
+        "INSERT INTO ttl_t VALUES ('2000-01-01 00:00:00', 1), ('2999-01-01 00:00:00', 2)"
+    )
+    engine.execute("ALTER TABLE ttl_t MODIFY TTL dt + INTERVAL 1 MONTH")
+    res = engine.execute("SYSTEM APPLY TTL ttl_t")
+    assert res["dropped"] == 1  # the 2000 row expired, 2999 survives
+    assert [r.v for r in engine.table("ttl_t").collect()] == [2]
+    engine.execute("DROP TABLE ttl_t")

@@ -346,6 +346,26 @@ class Engine:
             view = f"__paste_{abs(hash(pm.group(0))) % 10**8}"
             paste_zip(rel(pm.group(1)), rel(pm.group(2))).createOrReplaceTempView(view)
             text = text[: pm.start()] + f"FROM {view}" + text[pm.end() :]
+        limit_by = None
+        lb = _LIMIT_BY_RE.search(text)
+        if lb and lb.group(2).strip():
+            # LIMIT n BY cols [LIMIT m] — per-group top-n (ClickHouse
+            # clause; same family as lecture_10's per-key dedup tricks).
+            # Planned as one window shuffle partitioned by the BY keys.
+            from otus_clickhouse_spark.functions.dialect import _split_top_commas
+
+            n_per = int(lb.group(1))
+            tail_limit = int(lb.group(3)) if lb.group(3) else None
+            by_items = [s.strip() for s in _split_top_commas(lb.group(2))]
+            om = None
+            for cand in _ORDER_ITEMS_RE.finditer(text):
+                if not text[cand.end() : lb.start()].strip():
+                    om = cand  # the ORDER BY directly before LIMIT n BY
+            order_items = (
+                [s.strip() for s in _split_top_commas(om.group(1))] if om else []
+            )
+            text = text[: om.start() if om else lb.start()]
+            limit_by = (n_per, by_items, order_items, tail_limit)
         dicts = {n: d.key for n, d in self._dictionaries.items()}
         fill = _WITH_FILL_RE.search(text)
         if fill:
@@ -372,6 +392,8 @@ class Engine:
 
             df = with_fill(df, col, step=_val(step), start=_val(lo), stop=_val(hi))
             df = df.orderBy(F_desc(col) if (_asc or "").upper() == "DESC" else col)
+        if limit_by:
+            df = _apply_limit_by(df, *limit_by)
         return df
 
     def add_projection(self, name: str, table: str, group_keys, aggs) -> None:
@@ -638,11 +660,53 @@ _WITH_FILL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# LIMIT n BY expr_list [LIMIT m] — ClickHouse per-group top-n clause
+_LIMIT_BY_RE = re.compile(
+    r"\bLIMIT\s+(\d+)\s+BY\s+(.*?)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_ITEMS_RE = re.compile(
+    r"\bORDER\s+BY\s+(.*?)(?=\s+LIMIT\s)", re.IGNORECASE | re.DOTALL
+)
+
 
 def F_desc(col: str):
     from pyspark.sql import functions as F
 
     return F.desc(col)
+
+
+def _order_expr(item: str):
+    """Parse one ORDER BY item ('expr [ASC|DESC] [NULLS FIRST|LAST]')."""
+    from pyspark.sql import functions as F
+
+    m = re.match(
+        r"(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+        item.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    c = F.expr(m.group(1))
+    return c.desc() if (m.group(2) or "").upper() == "DESC" else c.asc()
+
+
+def _apply_limit_by(
+    df: DataFrame, n_per: int, by_items: list[str], order_items: list[str], tail: int | None
+) -> DataFrame:
+    """LIMIT n BY: keep the first n rows per BY-key group, in the query's
+    ORDER BY order (arbitrary pick when unordered, as in ClickHouse)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [_order_expr(o) for o in order_items] or [F.lit(1).asc()]
+    w = Window.partitionBy(*[F.expr(b) for b in by_items]).orderBy(*order)
+    out = (
+        df.withColumn("__lb_rn", F.row_number().over(w))
+        .filter(F.col("__lb_rn") <= n_per)
+        .drop("__lb_rn")
+    )
+    if order_items:
+        out = out.orderBy(*[_order_expr(o) for o in order_items])
+    return out.limit(tail) if tail is not None else out
 
 
 def _split_statements(script: str) -> list[str]:

@@ -370,6 +370,16 @@ def translate(
                 text,
                 flags=re.IGNORECASE,
             )
+    # GROUP BY … WITH TOTALS → GROUPING SETS ((keys), ()): the totals
+    # row is surfaced as the NULL-keyed grouping-sets row (ClickHouse
+    # ships it out-of-band with default-valued keys; the grouping-sets
+    # row is the idiomatic in-band Spark representation, one agg pass)
+    text = re.sub(
+        r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b",
+        lambda m: f"GROUP BY GROUPING SETS (({m.group(1)}), ())",
+        text,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)

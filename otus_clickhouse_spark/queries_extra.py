@@ -505,3 +505,99 @@ def q64_with_fill_sql(spark, sf_dir):
         "WHERE CAST(l_quantity AS INT) IN (1, 2, 3, 7, 8) "
         "GROUP BY q ORDER BY q WITH FILL STEP 1"
     )
+
+
+@query(
+    "q65_graphite_rollup",
+    oracle="""
+    WITH cfg AS (
+      SELECT *,
+             CASE WHEN event_type LIKE 'click%' THEN 0
+                  WHEN event_type LIKE 'purchase%' OR event_type LIKE 'signup%' THEN 1
+                  ELSE 2 END AS pat,
+             CASE WHEN epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts) >= 1209600
+                  THEN 86400 ELSE 3600 END AS prec
+      FROM events
+    )
+    SELECT event_type AS path,
+           CAST(floor(epoch(ts) / prec) * prec AS BIGINT) AS time_s,
+           round(CASE WHEN pat = 0 THEN sum(value)
+                      WHEN pat = 1 THEN max(value)
+                      ELSE avg(value) END, 4) AS value
+    FROM cfg
+    GROUP BY event_type, pat, 2
+    """,
+)
+def q65_graphite_rollup(spark, sf_dir):
+    """GraphiteMergeTree rollup (§1.4; lectures/lecture_07.md:793-817):
+    age-based precision re-bucketing with per-pattern aggregation.
+    Rows older than 14 days (vs a fixed 'now') collapse to 1-day
+    buckets, recent rows to 1-hour; click* paths sum, purchase/signup
+    max, everything else avg. One combiner-friendly shuffle."""
+    from otus_clickhouse_spark.operators.graphite import (
+        GraphitePattern,
+        Retention,
+        graphite_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    patterns = [
+        GraphitePattern("^click", "sum", [Retention(0, 3600), Retention(1209600, 86400)]),
+        GraphitePattern("^(purchase|signup)", "max", [Retention(0, 3600), Retention(1209600, 86400)]),
+        GraphitePattern(None, "avg", [Retention(0, 3600), Retention(1209600, 86400)]),
+    ]
+    out = graphite_rollup(
+        ev,
+        patterns,
+        "2024-02-01 00:00:00",
+        path_col="event_type",
+        time_col="ts",
+        value_col="value",
+        ts_col=None,
+    )
+    return out.select(
+        F.col("event_type").alias("path"),
+        F.unix_timestamp("ts").cast("bigint").alias("time_s"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "q66_limit_by",
+    oracle="""
+    SELECT event_type, user_id, total FROM (
+      SELECT event_type, user_id, round(sum(value), 4) AS total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(sum(value), 4) DESC, user_id) rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rn <= 2
+    """,
+)
+def q66_limit_by(spark, sf_dir):
+    """LIMIT n BY cols (ClickHouse per-group top-n clause): routed in
+    Engine.sql to one window shuffle partitioned by the BY keys —
+    TakeOrdered-per-group, no global sort of the full aggregate."""
+    eng = _mini_engine(spark, sf_dir, ["events"])
+    return eng.sql(
+        "SELECT event_type, user_id, round(sum(value), 4) AS total "
+        "FROM events GROUP BY event_type, user_id "
+        "ORDER BY total DESC, user_id LIMIT 2 BY event_type"
+    )
+
+
+@query(
+    "q67_with_totals",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+)
+def q67_with_totals(spark, sf_dir):
+    """GROUP BY … WITH TOTALS (ClickHouse totals row): translated to
+    GROUPING SETS ((keys), ()) — one aggregation pass computes both
+    levels; the totals row is the NULL-keyed grouping-sets row."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    return eng.sql(
+        "SELECT o_orderstatus, count() AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY o_orderstatus WITH TOTALS"
+    )

@@ -225,3 +225,31 @@ def test_set_statement(engine):
         for r in engine.system_settings().where("name = 'max_memory_usage'").collect()
     }
     assert vals["max_memory_usage"] == "10000000000"
+
+
+def test_limit_by_clause(engine):
+    # LIMIT n BY cols: first n rows per BY group in ORDER BY order
+    rows = engine.sql(
+        "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY n DESC, l_linestatus LIMIT 1 BY l_returnflag"
+    ).collect()
+    flags = [r.l_returnflag for r in rows]
+    assert len(flags) == len(set(flags))  # exactly one row per flag
+    # tail LIMIT m applies after the per-group cut
+    rows2 = engine.sql(
+        "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY n DESC, l_linestatus LIMIT 1 BY l_returnflag LIMIT 2"
+    ).collect()
+    assert len(rows2) == 2
+
+
+def test_with_totals(engine):
+    rows = engine.sql(
+        "SELECT l_returnflag, count() AS n FROM lineitem "
+        "GROUP BY l_returnflag WITH TOTALS"
+    ).collect()
+    per = {r.l_returnflag: r.n for r in rows if r.l_returnflag is not None}
+    totals = [r.n for r in rows if r.l_returnflag is None]
+    assert len(totals) == 1 and totals[0] == sum(per.values())

@@ -83,3 +83,40 @@ def test_with_fill_dates(spark):
     )
     out = with_fill(df, "d", step="1 day", fill_values={"n": 0}).orderBy("d").collect()
     assert len(out) == 4 and out[1].n == 0
+
+
+def test_graphite_rollup(spark):
+    from otus_clickhouse_spark.operators.graphite import (
+        GraphitePattern,
+        Retention,
+        graphite_rollup,
+    )
+
+    rows = [
+        # old rows (age >= 100s vs now=1000): bucket to 60s precision
+        ("cpu.load", 100, 1.0),
+        ("cpu.load", 130, 3.0),
+        # recent row: 10s precision
+        ("cpu.load", 955, 5.0),
+        # default-pattern path, old: avg
+        ("mem.used", 110, 2.0),
+        ("mem.used", 130, 4.0),
+    ]
+    df = spark.createDataFrame(
+        [(p, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), v) for p, t, v in rows],
+        "path string, time timestamp, value double",
+    )
+    patterns = [
+        GraphitePattern("^cpu\\.", "sum", [Retention(0, 10), Retention(100, 60)]),
+        GraphitePattern(None, "avg", [Retention(0, 10), Retention(100, 60)]),
+    ]
+    now = dt.datetime.fromtimestamp(1000, dt.timezone.utc).replace(tzinfo=None)
+    out = graphite_rollup(df, patterns, now, ts_col=None)
+    got = {(r["path"], int(r["time"].timestamp()), r["value"]) for r in out.collect()}
+    assert got == {
+        ("cpu.load", 60, 1.0),
+        ("cpu.load", 120, 3.0),
+        ("cpu.load", 950, 5.0),
+        ("mem.used", 60, 2.0),
+        ("mem.used", 120, 4.0),
+    }

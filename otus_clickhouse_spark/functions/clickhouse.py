@@ -96,6 +96,97 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("yesterday", "", "DATE", "date_sub(current_date(), 1)"),
     ("today", "", "DATE", "current_date()"),
     ("now64", "", "TIMESTAMP", "current_timestamp()"),
+    # --- extended date/time parts (CH docs; same family as lecture_07/hw04)
+    ("toYear", "x TIMESTAMP", "INT", "year(x)"),
+    ("toMonth", "x TIMESTAMP", "INT", "month(x)"),
+    ("toQuarter", "x TIMESTAMP", "INT", "quarter(x)"),
+    ("toDayOfMonth", "x TIMESTAMP", "INT", "day(x)"),
+    # CH numbering: Monday=1 … Sunday=7
+    ("toDayOfWeek", "x TIMESTAMP", "INT",
+     "CASE WHEN dayofweek(x) = 1 THEN 7 ELSE dayofweek(x) - 1 END"),
+    ("toDayOfYear", "x TIMESTAMP", "INT", "dayofyear(x)"),
+    ("toMinute", "x TIMESTAMP", "INT", "minute(x)"),
+    ("toSecond", "x TIMESTAMP", "INT", "second(x)"),
+    ("toMonday", "x TIMESTAMP", "DATE", "CAST(date_trunc('WEEK', x) AS DATE)"),
+    ("toStartOfQuarter", "x TIMESTAMP", "DATE", "CAST(date_trunc('QUARTER', x) AS DATE)"),
+    ("toStartOfYear", "x TIMESTAMP", "DATE", "CAST(date_trunc('YEAR', x) AS DATE)"),
+    ("toUnixTimestamp", "x TIMESTAMP", "BIGINT", "unix_timestamp(x)"),
+    ("fromUnixTimestamp", "n BIGINT", "TIMESTAMP", "timestamp_seconds(n)"),
+    ("addSeconds", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_dt_interval(0, 0, 0, n)"),
+    ("addMinutes", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_dt_interval(0, 0, n, 0)"),
+    ("addHours", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_dt_interval(0, n, 0, 0)"),
+    ("addDays", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_dt_interval(n, 0, 0, 0)"),
+    ("addWeeks", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_dt_interval(n * 7, 0, 0, 0)"),
+    ("addMonths", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_ym_interval(0, n)"),
+    ("addYears", "x TIMESTAMP, n INT", "TIMESTAMP", "x + make_ym_interval(n, 0)"),
+    ("subtractSeconds", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_dt_interval(0, 0, 0, n)"),
+    ("subtractMinutes", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_dt_interval(0, 0, n, 0)"),
+    ("subtractHours", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_dt_interval(0, n, 0, 0)"),
+    ("subtractDays", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_dt_interval(n, 0, 0, 0)"),
+    ("subtractMonths", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_ym_interval(0, n)"),
+    ("subtractYears", "x TIMESTAMP, n INT", "TIMESTAMP", "x - make_ym_interval(n, 0)"),
+    # (dateDiff collides with the Spark builtin name `datediff`; handled
+    # as a structural rewrite in dialect._rewrite_datediff instead.)
+    # %-style format → Spark pattern (common subset), lecture-era MySQL style
+    ("formatDateTime", "x TIMESTAMP, fmt STRING", "STRING",
+     """date_format(x, replace(replace(replace(replace(replace(replace(replace(replace(
+        fmt, '%F', 'yyyy-MM-dd'), '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM'),
+        '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))"""),
+    # --- extended string
+    ("lengthUTF8", "s STRING", "INT", "char_length(s)"),
+    ("replaceAll", "s STRING, f STRING, t STRING", "STRING", "replace(s, f, t)"),
+    ("replaceRegexpAll", "s STRING, p STRING, r STRING", "STRING", "regexp_replace(s, p, r)"),
+    ("trimBoth", "s STRING", "STRING", "trim(s)"),
+    ("trimLeft", "s STRING", "STRING", "ltrim(s)"),
+    ("trimRight", "s STRING", "STRING", "rtrim(s)"),
+    ("base64Encode", "s STRING", "STRING", "base64(s)"),
+    ("base64Decode", "s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # --- hashes. NOTE: mapped to Spark's xxhash64 — same role (64-bit
+    # fast non-crypto hash for sharding/sampling/fingerprints), NOT the
+    # same bit-values as ClickHouse cityHash64/sipHash64.
+    ("cityHash64", "s STRING", "BIGINT", "xxhash64(s)"),
+    ("sipHash64", "s STRING", "BIGINT", "xxhash64(s)"),
+    ("farmFingerprint64", "s STRING", "BIGINT", "xxhash64(s)"),
+    ("halfMD5", "s STRING", "BIGINT", "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"),
+    ("SHA256", "s STRING", "STRING", "sha2(s, 256)"),
+    ("generateUUIDv4", "", "STRING", "uuid()"),
+    # --- URL functions
+    ("domain", "url STRING", "STRING", "parse_url(url, 'HOST')"),
+    ("protocol", "url STRING", "STRING", "parse_url(url, 'PROTOCOL')"),
+    ("path", "url STRING", "STRING", "parse_url(url, 'PATH')"),
+    ("queryString", "url STRING", "STRING", "parse_url(url, 'QUERY')"),
+    ("extractURLParameter", "url STRING, k STRING", "STRING", "parse_url(url, 'QUERY', k)"),
+    ("cutQueryString", "url STRING", "STRING",
+     "CASE WHEN instr(url, '?') > 0 THEN substring(url, 1, instr(url, '?') - 1) ELSE url END"),
+    # --- IPv4 (lecture_15.md:286 IPv4 type helpers)
+    ("IPv4NumToString", "n BIGINT", "STRING",
+     "concat(CAST(CAST(floor(n / 16777216) AS BIGINT) % 256 AS STRING), '.', "
+     "CAST(CAST(floor(n / 65536) AS BIGINT) % 256 AS STRING), '.', "
+     "CAST(CAST(floor(n / 256) AS BIGINT) % 256 AS STRING), '.', "
+     "CAST(n % 256 AS STRING))"),
+    ("IPv4StringToNum", "s STRING", "BIGINT",
+     "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 + "
+     "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT)"),
+    # --- extended math
+    ("exp2", "x DOUBLE", "DOUBLE", "power(2, x)"),
+    ("exp10", "x DOUBLE", "DOUBLE", "power(10, x)"),
+    ("intDivOrZero", "a BIGINT, b BIGINT", "BIGINT",
+     "CASE WHEN b = 0 THEN 0 ELSE CAST(a / b AS BIGINT) - CASE WHEN a % b != 0 AND (a < 0) != (b < 0) THEN 1 ELSE 0 END END"),
+    ("moduloOrZero", "a BIGINT, b BIGINT", "BIGINT", "CASE WHEN b = 0 THEN 0 ELSE a % b END"),
+    # (roundBankers → bround is a dialect alias: bround needs a foldable
+    # scale literal, which a UDF parameter is not)
+    # bar(x, min, max, width) — the text histogram from system dashboards
+    ("bar", "x DOUBLE, lo DOUBLE, hi DOUBLE, w INT", "STRING",
+     "repeat('█', greatest(0, CAST(round((x - lo) / (hi - lo) * w) AS INT)))"),
+    # --- extended array
+    ("arrayUniq", "arr ARRAY<STRING>", "INT", "size(array_distinct(arr))"),
+    ("indexOf", "arr ARRAY<STRING>, x STRING", "INT", "array_position(arr, x)"),
+    ("arrayPushBack", "arr ARRAY<STRING>, x STRING", "ARRAY<STRING>", "concat(arr, array(x))"),
+    ("arrayPopBack", "arr ARRAY<STRING>", "ARRAY<STRING>", "slice(arr, 1, size(arr) - 1)"),
+    ("arrayResize", "arr ARRAY<STRING>, n INT", "ARRAY<STRING>", "slice(arr, 1, n)"),
+    # position(haystack, needle) — CH arg order (reverse of Spark locate)
+    ("positionUTF8", "h STRING, n STRING", "INT", "locate(n, h)"),
+    ("toFixedString", "s STRING, n INT", "STRING", "rpad(s, n, chr(0))"),
 ]
 
 # ClickHouse aggregate names that are direct aliases of Spark builtins —
@@ -121,16 +212,44 @@ AGGREGATE_ALIASES = {
     "avgIf": "avg_if",
     "maxIf": "max_if",
     "minIf": "min_if",
+    # statistics family (CH camelCase → Spark snake_case, same semantics)
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "anyHeavy": "mode",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
 }
 
 # Scalar renames handled by the dialect translator (arg-compatible 1:1).
+# (arrayMap/arrayFilter/... lambda-first forms are swapped structurally
+# by dialect._rewrite_array_lambda, not listed here.)
 SCALAR_ALIASES = {
     "arrayJoin": "explode",  # lectures/lecture_06.md:15-28
-    "arrayMap": "transform",  # lecture_06.md:16 (lambda syntax differs; translator fixes arg order)
     "lcase": "lower",
     "ucase": "upper",
     "currentDatabase": "current_database",
     "rand": "rand",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "array_sort",
+    "arrayReverse": "reverse",
+    "arrayFlatten": "flatten",
+    "arrayConcat": "concat",
+    "arraySlice": "slice",
+    "arrayZip": "arrays_zip",
+    "arrayIntersect": "array_intersect",
+    "hasAny": "arrays_overlap",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "substringUTF8": "substring",
+    "concatWithSeparator": "concat_ws",
+    "toTypeName": "typeof",
+    "bitCount": "bit_count",
+    "roundBankers": "bround",
 }
 
 _registered_sessions: set[int] = set()

@@ -52,8 +52,10 @@ def _split_call_args(s: str, open_paren: int) -> tuple[list[str], int]:
             buf.append(s[i : j + 1])
             i = j + 1
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
+        elif c == "]":
+            depth -= 1
         elif c == ")":
             if depth == 0:
                 args.append("".join(buf).strip())
@@ -81,6 +83,18 @@ def _rewrite_multiif(text: str) -> str:
             f"WHEN {pairs[i]} THEN {pairs[i + 1]}" for i in range(0, len(pairs) - 1, 2)
         )
         text = text[: m.start()] + f"(CASE {whens} ELSE {default} END)" + text[end:]
+
+
+# -OrNull returns NULL on an empty set — Spark aggregates already do;
+# -Distinct aggregates distinct values (sumDistinct(x) → sum(DISTINCT x))
+_ORNULL_RE = re.compile(r"\b(sum|min|max|avg|any|count|median|quantile)OrNull\s*\(")
+_DISTINCT_COMB_RE = re.compile(r"\b(sum|avg|count)Distinct\s*\(")
+
+
+def _rewrite_null_distinct_combinators(text: str) -> str:
+    text = _ORNULL_RE.sub(lambda m: f"{m.group(1)}(", text)
+    text = _DISTINCT_COMB_RE.sub(lambda m: f"{m.group(1)}(DISTINCT ", text)
+    return text
 
 
 def _rewrite_if_combinators(text: str) -> str:
@@ -223,6 +237,180 @@ def _rewrite_array_join(text: str) -> str:
 
 _SAMPLE_RE = re.compile(r"(\bFROM\s+[A-Za-z_][\w.]*)\s+SAMPLE\s+(\d*\.?\d+)", re.IGNORECASE)
 _NUMBERS_RE = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+
+
+def _rewrite_array_literals(text: str) -> str:
+    """ClickHouse ``[1,2,3]`` array literals → ``array(1,2,3)``.
+
+    A ``[`` directly after an identifier, ``)`` or ``]`` is subscript
+    indexing (``arr[1]``) and is left alone; anywhere else it opens a
+    literal (lecture_06.md:19-41 uses ``['37','38']``).
+    """
+    out: list[str] = []
+    stack: list[bool] = []  # True = literal bracket we rewrote
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "[":
+            k = len(out) - 1
+            prev = ""
+            while k >= 0:
+                seg = out[k].rstrip()
+                if seg:
+                    prev = seg[-1]
+                    break
+                k -= 1
+            if prev.isalnum() or prev in "_)]":
+                stack.append(False)
+                out.append("[")
+            else:
+                stack.append(True)
+                out.append("array(")
+        elif c == "]":
+            out.append(")" if stack and stack.pop() else "]")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# ClickHouse higher-order array functions take the lambda FIRST
+# (arrayMap(x -> f(x), arr) — lecture_06.md:16, lecture_21.md:348);
+# Spark's take the array first. Swap + rename, handling 2-array zips.
+_ARRAY_LAMBDA_TARGETS = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+    "arrayCount": None,  # size(filter(arr, f))
+    "arrayFirst": None,  # element_at(filter(arr, f), 1)
+    "arraySum": None,  # arraySum(transform(arr, f)) — reuses the SQL UDF
+}
+_ARRAY_LAMBDA_RE = re.compile(
+    r"\b(" + "|".join(_ARRAY_LAMBDA_TARGETS) + r")\s*\("
+)
+
+
+def _rewrite_array_lambda(text: str) -> str:
+    out = []
+    pos = 0
+    while True:
+        m = _ARRAY_LAMBDA_RE.search(text, pos)
+        if not m:
+            out.append(text[pos:])
+            break
+        name = m.group(1)
+        args, end = _split_call_args(text, m.end() - 1)
+        # a top-level lambda starts with `x ->` or `(x, y) ->`
+        if not re.match(r"^\s*(\w+|\(\s*\w+(\s*,\s*\w+)*\s*\))\s*->", args[0]):
+            if name == "arraySum" and len(args) == 1:
+                # inline even the plain form: the call may sit inside an
+                # outer lambda where a SQL UDF cannot resolve the lambda var
+                inner = _rewrite_array_lambda(args[0])
+                out.append(
+                    text[pos : m.start()]
+                    + f"aggregate({inner}, CAST(0.0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+                )
+                pos = end
+                continue
+            # plain-array form (e.g. arrayFilter(arr)): leave for the UDF
+            out.append(text[pos : m.end()])
+            pos = m.end()
+            continue
+        lam = _rewrite_array_lambda(args[0])
+        arrs = [_rewrite_array_lambda(a) for a in args[1:]]
+        if name == "arrayMap" and len(arrs) == 2:
+            repl = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+        elif name == "arrayCount":
+            repl = f"size(filter({arrs[0]}, {lam}))"
+        elif name == "arrayFirst":
+            repl = f"element_at(filter({arrs[0]}, {lam}), 1)"
+        elif name == "arraySum":
+            # inlined (not the arraySum SQL UDF): UDF calls cannot
+            # reference enclosing lambda variables in Spark
+            repl = (
+                f"aggregate(transform({arrs[0]}, {lam}), CAST(0.0 AS DOUBLE), "
+                f"(__acc, __x) -> __acc + __x)"
+            )
+        else:
+            repl = f"{_ARRAY_LAMBDA_TARGETS[name]}({arrs[0]}, {lam})"
+        out.append(text[pos : m.start()] + repl)
+        pos = end
+    return "".join(out)
+
+
+# dateDiff('unit', a, b): counts crossed unit boundaries (CH semantics,
+# unlike Spark timestampdiff's full-elapsed-units). The unit is nearly
+# always a string literal, so we substitute the per-unit expression at
+# translate time. Name collides with Spark's builtin datediff (function
+# names are case-insensitive), hence a rewrite rather than a SQL UDF.
+_DATEDIFF_RE = re.compile(r"\bdateDiff\s*\(")
+_DATEDIFF_BODIES = {
+    "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
+    "minute": "CAST(floor(unix_timestamp({b})/60) - floor(unix_timestamp({a})/60) AS BIGINT)",
+    "hour": "CAST(floor(unix_timestamp({b})/3600) - floor(unix_timestamp({a})/3600) AS BIGINT)",
+    "day": "CAST(datediff({b}, {a}) AS BIGINT)",
+    "week": (
+        "CAST(floor(datediff({b}, DATE '1970-01-05')/7) - "
+        "floor(datediff({a}, DATE '1970-01-05')/7) AS BIGINT)"
+    ),
+    "month": "CAST((year({b}) - year({a})) * 12 + (month({b}) - month({a})) AS BIGINT)",
+    "quarter": "CAST((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})) AS BIGINT)",
+    "year": "CAST(year({b}) - year({a}) AS BIGINT)",
+}
+
+
+def _rewrite_datediff(text: str) -> str:
+    while True:
+        m = _DATEDIFF_RE.search(text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, m.end() - 1)
+        unit = args[0].strip().strip("'\"").lower()
+        body = _DATEDIFF_BODIES.get(unit)
+        if body is None or len(args) != 3:
+            # unknown unit / non-literal — fall back to Spark's datediff
+            repl = f"datediff({', '.join(args[1:])})"
+        else:
+            repl = body.format(a=args[1], b=args[2])
+        text = text[: m.start()] + repl + text[end:]
+
+
+# quantile[Exact](p)(x) / quantiles(p1, p2, …)(x) — the parametric
+# two-paren aggregate syntax (lecture_06.md:57-59)
+_QUANTILE_RE = re.compile(r"\b(quantilesExact|quantileExact|quantiles|quantile)\s*\(")
+
+
+def _rewrite_quantiles(text: str) -> str:
+    while True:
+        m = _QUANTILE_RE.search(text)
+        if not m:
+            return text
+        name = m.group(1)
+        ps, after_ps = _split_call_args(text, m.end() - 1)
+        rest = text[after_ps:].lstrip()
+        if not rest.startswith("("):
+            # single-paren form: quantile(x) = median-ish; dialect alias
+            # handles it elsewhere — skip past to avoid an infinite loop
+            text = (
+                text[: m.start()]
+                + ("percentile" if "Exact" in name else "percentile_approx")
+                + f"({ps[0]}, 0.5)"
+                + text[after_ps:]
+            )
+            continue
+        open2 = text.index("(", after_ps)
+        cols, end = _split_call_args(text, open2)
+        fn = "percentile" if "Exact" in name else "percentile_approx"
+        plist = ps[0] if len(ps) == 1 else f"array({', '.join(ps)})"
+        text = text[: m.start()] + f"{fn}({cols[0]}, {plist})" + text[end:]
 
 
 def _rewrite_sample(text: str) -> str:
@@ -384,9 +572,14 @@ def translate(
     text = _COUNT0_RE.sub("count(*)", text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)
     text = _rewrite_multiif(text)
+    text = _rewrite_null_distinct_combinators(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
+    text = _rewrite_array_literals(text)
+    text = _rewrite_array_lambda(text)
+    text = _rewrite_quantiles(text)
+    text = _rewrite_datediff(text)
     text = _rewrite_array_join(text)
     text = _rewrite_sample(text)
     text = _rewrite_numbers(text)

@@ -601,3 +601,31 @@ def q67_with_totals(spark, sf_dir):
         "SELECT o_orderstatus, count() AS n, round(sum(o_totalprice), 2) AS total "
         "FROM orders GROUP BY o_orderstatus WITH TOTALS"
     )
+
+
+@query(
+    "q68_scalar_functions",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price,
+           CAST(max(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00')) AS BIGINT) AS max_age_d
+    FROM orders
+    WHERE isodow(o_orderdate) <= 5
+    GROUP BY 1, 2
+    """,
+)
+def q68_scalar_functions(spark, sf_dir):
+    """Extended scalar-function surface in the CH dialect (§2.8):
+    toYear/toMonth/toDayOfWeek (ISO Monday=1) and boundary-crossing
+    dateDiff, all inlined by the translator into Catalyst expressions —
+    zero UDF overhead, full codegen."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    return eng.sql(
+        "SELECT toYear(o_orderdate) AS yr, toMonth(o_orderdate) AS mo, "
+        "count() AS n, round(avg(o_totalprice), 4) AS avg_price, "
+        "max(dateDiff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00')) AS max_age_d "
+        "FROM orders WHERE toDayOfWeek(o_orderdate) <= 5 "
+        "GROUP BY yr, mo"
+    )

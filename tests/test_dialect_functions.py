@@ -253,3 +253,77 @@ def test_with_totals(engine):
     per = {r.l_returnflag: r.n for r in rows if r.l_returnflag is not None}
     totals = [r.n for r in rows if r.l_returnflag is None]
     assert len(totals) == 1 and totals[0] == sum(per.values())
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("toYear(TIMESTAMP '2024-03-05 10:11:12')", 2024),
+        ("toDayOfWeek(TIMESTAMP '2024-01-01 00:00:00')", 1),  # Monday
+        ("toDayOfWeek(TIMESTAMP '2024-01-07 00:00:00')", 7),  # Sunday
+        ("toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00')", 60),
+        ("formatDateTime(TIMESTAMP '2024-03-05 01:02:03', '%Y-%m-%d %H:%M:%S')",
+         "2024-03-05 01:02:03"),
+        ("replaceAll('a-b-c', '-', '+')", "a+b+c"),
+        ("IPv4NumToString(3232235777)", "192.168.1.1"),
+        ("IPv4StringToNum('192.168.1.1')", 3232235777),
+        ("arrayUniq(array('a','b','a'))", 2),
+        ("indexOf(array(10,20,30), 20)", 2),
+        ("positionUTF8('hello', 'll')", 3),
+        ("extractURLParameter('http://x.com/p?a=1&b=2', 'b')", "2"),
+        ("domain('https://example.com/a?c=1')", "example.com"),
+        ("base64Decode(base64Encode('hi'))", "hi"),
+        ("exp2(10.0)", 1024.0),
+    ],
+)
+def test_extended_scalar_udfs(spark, expr, expected):
+    from otus_clickhouse_spark.functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    got = spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+    assert got == expected
+
+
+def test_datediff_boundary_semantics(engine):
+    # CH dateDiff counts crossed unit boundaries, not full elapsed units
+    r = engine.sql(
+        "SELECT dateDiff('day', TIMESTAMP '2024-01-01 23:00:00', "
+        "TIMESTAMP '2024-01-02 01:00:00') AS d, "
+        "dateDiff('month', TIMESTAMP '2024-01-31 00:00:00', "
+        "TIMESTAMP '2024-02-01 00:00:00') AS m, "
+        "dateDiff('week', TIMESTAMP '2024-01-07 00:00:00', "
+        "TIMESTAMP '2024-01-08 00:00:00') AS w"
+    ).collect()[0]
+    assert (r.d, r.m, r.w) == (1, 1, 1)
+
+
+def test_array_lambda_arg_order(engine):
+    # CH higher-order fns take the lambda first; Spark takes the array
+    r = engine.sql(
+        "SELECT arrayMap(x -> x * 2, [1,2,3]) AS m, "
+        "arrayFilter(x -> x > 1, [1,2,3]) AS f, "
+        "arrayCount(x -> x > 1, [1,2,3]) AS c, "
+        "arrayFirst(x -> x > 1, [1,2,3]) AS fst, "
+        "arraySum(x -> x * 2.0, [1,2,3]) AS s, "
+        "arrayMap((x, y) -> x + y, [1,2], [10,20]) AS z, "
+        "arrayMap(x -> arraySum(arrayMap(y -> y * 1.0, x)), [[1,2],[3]]) AS nested"
+    ).collect()[0]
+    assert r.m == [2, 4, 6] and r.f == [2, 3] and r.c == 2 and r.fst == 2
+    assert r.s == 12.0 and r.z == [11, 22] and r.nested == [3.0, 3.0]
+
+
+def test_parametric_quantiles(engine):
+    r = engine.sql(
+        "SELECT quantileExact(0.5)(l_quantity) AS med, "
+        "quantilesExact(0.25, 0.75)(l_quantity) AS qs FROM lineitem"
+    ).collect()[0]
+    assert r.med > 0 and len(r.qs) == 2 and r.qs[0] <= r.qs[1]
+
+
+def test_ornull_distinct_combinators(engine):
+    r = engine.sql(
+        "SELECT sumOrNull(l_quantity) AS s, maxOrNull(l_quantity) AS mx, "
+        "sumDistinct(l_linenumber) AS sd, countDistinct(l_returnflag) AS cd "
+        "FROM lineitem WHERE l_quantity < 0"
+    ).collect()[0]
+    assert r.s is None and r.mx is None and r.sd is None and r.cd == 0

@@ -85,3 +85,18 @@ def test_partition_directory_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(ym" in plan
     # only the matching directory's rows are read
     assert df.count() == 250
+
+
+def test_graphite_rollup_single_shuffle(spark, sf_dir):
+    """q65: the rollup is one combiner-friendly hash aggregation —
+    exactly one exchange, partial+final HashAggregate, no UDFs."""
+    plan = plan_of(spark, sf_dir, "q65_graphite_rollup")
+    assert plan.count("Exchange") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_limit_by_single_window_shuffle(spark, sf_dir):
+    """q66: LIMIT n BY plans as agg shuffle + one window partitioned on
+    the BY keys — no global sort before the per-group cut."""
+    plan = plan_of(spark, sf_dir, "q66_limit_by")
+    assert "Window" in plan and "PythonUDF" not in plan

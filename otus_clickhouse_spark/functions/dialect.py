@@ -437,7 +437,16 @@ def _rewrite_numbers(text: str) -> str:
         rng = f"range({a}, {int(a) + int(b)})" if b else f"range({a})"
         return f"(SELECT id AS number FROM {rng})"
 
-    return _NUMBERS_RE.sub(sub, text)
+    text = _NUMBERS_RE.sub(sub, text)
+    # system.numbers (unbounded generator; hw02.md:110 benchmarks
+    # `FROM system.numbers LIMIT … OFFSET …`) → a 2^40 range: lazily
+    # generated per-partition, so LIMIT stops generation early
+    return re.sub(
+        r"\bsystem\.numbers\b",
+        "(SELECT id AS number FROM range(0, 1099511627776))",
+        text,
+        flags=re.IGNORECASE,
+    )
 
 
 def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:

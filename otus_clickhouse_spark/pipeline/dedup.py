@@ -22,9 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Salts for the minhash "permutations": min(md5(salt || shingle)) over a
-# doc's shingle set is a valid minwise hash per salt.
-DEFAULT_SALTS = tuple(f"s{i}|" for i in range(8))
+# Minhash "permutations" are affine transforms of ONE md5 digest:
+# h = first 32 bits of md5(shingle); mh_i = min((A_i*h + B_i) mod P).
+# One hash per shingle instead of one per (shingle, permutation) — ~8×
+# less hashing on the hot path — and plain 64-bit arithmetic both Spark
+# and DuckDB evaluate identically (A_i*h < 2^62: no overflow either side).
+MINHASH_A = (1000000007, 1000000033, 1000000087, 1000000093,
+             1000000097, 1000000103, 1000000123, 1000000181)
+MINHASH_B = (12345, 67891, 23457, 78913, 34569, 89125, 45671, 91237)
+MINHASH_P = 4294967291  # largest 32-bit prime
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,12 +66,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", salts: tuple[str, ...] = DEFAULT_SALTS
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """Per-doc minhash signature: one min(md5(salt||shingle)) per salt."""
+    """Per-doc minhash signature: min of ``num_hashes`` affine
+    permutations of the shingle's 32-bit md5 prefix (single md5 per
+    shingle; the permutations are codegen'd integer arithmetic)."""
+    assert num_hashes <= len(MINHASH_A)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(s), F.col("shingle")))).alias(f"mh{i}")
-        for i, s in enumerate(salts)
+        F.min((h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

@@ -2,7 +2,8 @@
 
 These register into the same QUERIES/ORACLES maps as queries.py. All
 hashing is md5-based so the DuckDB oracle reproduces the exact pipeline
-(minhash = min over salted md5; simhash bits from md5 hex→int).
+(minhash = min over affine permutations of the shingle's 32-bit md5
+prefix — see pipeline.dedup.MINHASH_A; simhash bits from md5 hex→int).
 """
 
 from __future__ import annotations
@@ -11,7 +12,7 @@ from pyspark.sql import functions as F
 
 from otus_clickhouse_spark.queries import ORACLES, QUERIES, query, t
 
-_SALTS = [f"s{i}|" for i in range(8)]
+from otus_clickhouse_spark.pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
 # Shared oracle CTEs: word 3-gram shingles per doc (mirrors pipeline.dedup.shingles)
 _SHINGLE_CTE = """
@@ -51,10 +52,15 @@ def x01_dedup_exact(spark, sf_dir):
 # — shared by x02 (pairs) and x12 (clusters over pairs).
 _PAIRS_CTES = f"""
     {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
-             {', '.join(f"min(md5('{s}' || shingle)) AS mh{i}" for i, s in enumerate(_SALTS))}
-      FROM sh GROUP BY doc_id
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
     ),
     buckets AS (
       SELECT DISTINCT doc_id, band_key FROM (

@@ -327,3 +327,9 @@ def test_ornull_distinct_combinators(engine):
         "FROM lineitem WHERE l_quantity < 0"
     ).collect()[0]
     assert r.s is None and r.mx is None and r.sd is None and r.cd == 0
+
+
+def test_system_numbers(engine):
+    # hw02.md:110 benchmark shape: unbounded generator + LIMIT/OFFSET
+    rows = engine.sql("SELECT * FROM system.numbers LIMIT 3 OFFSET 5").collect()
+    assert [r.number for r in rows] == [5, 6, 7]

@@ -93,3 +93,78 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# --- PII redaction -----------------------------------------------------
+# Order matters: phone before generic number patterns would matter if we
+# had them; here the three classes are disjoint. All plain regexp_replace
+# chains — JVM-side, codegen'd, linear scan per doc.
+PII_PATTERNS = (
+    # email
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # US-ish phone: optional +1, separators -/./space, 10 digits
+    (r"(\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    # SSN-shaped
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # IPv4
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask email/phone/SSN/IP spans with typed placeholder tokens."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts + the redacted text (a pre-training scrub
+    pass: one narrow projection, no shuffle)."""
+    t = F.col(text_col)
+    cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for (pat, _), name in zip(PII_PATTERNS, ("email", "phone", "ssn", "ip"))
+    ]
+    return df.select(*df.columns, *cols, redact_pii(t).alias("redacted"))
+
+
+# --- sequence packing --------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Assign docs to training-context bins of ≤ ``max_tokens`` tokens.
+
+    Greedy packing is inherently sequential, so we shard deterministically
+    (md5 of the doc id — portable to the oracle) and pack by running
+    token count *within* each shard: bin = floor(start_offset /
+    max_tokens), where start_offset = cumsum - n_tok. One window shuffle
+    on the shard key; shards are hash-uniform, so no skew. A doc whose
+    tokens straddle a bin boundary stays in the bin it starts in, so a
+    bin holds < 2×max_tokens worst-case — the standard offset-bucket
+    approximation of greedy packing (exact greedy would serialize).
+    Docs longer than max_tokens are capped (truncation policy belongs to
+    the tokenizer stage).
+
+    Returns (id, n_tok, shard, bin_id) — the grouping key for a
+    downstream collect_list into packed examples.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.least(token_count(F.col(text_col)), F.lit(max_tokens))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(shards),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tok"), shard.alias("shard"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("bin_id", F.floor((F.col("cum") - F.col("n_tok")) / max_tokens))
+        .drop("cum")
+    )

@@ -505,3 +505,107 @@ def x16_curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@query(
+    "x17_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN concat(text, ' contact user', doc_id, '@example.com or +1 555-123-4567 ip 10.0.0.', doc_id % 255)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '(\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+             len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+             len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '(\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+      FROM seeded
+    )
+    SELECT CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_ssn) AS BIGINT) AS ssns,
+           CAST(sum(n_ip) AS BIGINT) AS ips,
+           count(*) FILTER (WHERE redacted LIKE '%<EMAIL>%') AS docs_with_email,
+           substr(md5(string_agg(redacted, '' ORDER BY doc_id)), 1, 16) AS corpus_digest
+    FROM red
+    """,
+)
+def x17_pii_redaction(spark, sf_dir):
+    """PII scrub pass (beyond-reference §7): typed placeholder masking of
+    email/phone/SSN/IP with per-class hit counts. Pure regexp_replace
+    chain — linear scan per doc, no shuffle until the final stats agg.
+    PII is seeded deterministically on every 3rd doc so the redaction
+    path is actually exercised (the synthetic corpus has none)."""
+    from otus_clickhouse_spark.pipeline.text import pii_stats
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or +1 555-123-4567 ip 10.0.0."),
+                (F.col("doc_id") % 255),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    s = pii_stats(d)
+    return s.agg(
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("n_ssn").cast("bigint").alias("ssns"),
+        F.sum("n_ip").cast("bigint").alias("ips"),
+        F.count_if(F.col("redacted").contains("<EMAIL>")).alias("docs_with_email"),
+        F.substring(
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list(F.struct("doc_id", "redacted")))["redacted"])),
+            1, 16,
+        ).alias("corpus_digest"),
+    )
+
+
+@query(
+    "x18_sequence_packing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             least(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)), 512) AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok, shard,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok) / 512) AS BIGINT) AS bin_id
+      FROM tok
+    )
+    SELECT CAST(count(DISTINCT (shard, bin_id)) AS BIGINT) AS n_bins,
+           CAST(max(bin_tok) AS BIGINT) AS max_bin_tokens,
+           round(avg(bin_tok), 2) AS avg_bin_tokens
+    FROM (SELECT shard, bin_id, sum(n_tok) AS bin_tok FROM packed GROUP BY 1, 2)
+    """,
+)
+def x18_sequence_packing(spark, sf_dir):
+    """Context-window sequence packing (beyond-reference §7): docs →
+    ≤512-token training bins via sharded offset-bucketing — one window
+    shuffle on a hash-uniform shard key, no sequential driver loop.
+    Reports bin count and fill stats."""
+    from otus_clickhouse_spark.pipeline.text import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    p = pack_sequences(d, max_tokens=512)
+    bins = p.groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("bin_tok"))
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("bin_tok").cast("bigint").alias("max_bin_tokens"),
+        F.round(F.avg("bin_tok"), 2).alias("avg_bin_tokens"),
+    )

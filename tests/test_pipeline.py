@@ -146,3 +146,36 @@ def test_token_index_search(spark):
     assert both == [2]
     any_ = sorted(r.doc_id for r in text_index.search_any_term(d, idx, ["merge", "shuffle"]).collect())
     assert any_ == [2, 3]  # doc 1 has "merges", not token "merge"
+
+
+def test_redact_pii(spark):
+    from otus_clickhouse_spark.pipeline.text import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe@corp.io or call (555) 123-4567"),
+            (2, "ssn 123-45-6789 from host 192.168.0.1"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    assert "<EMAIL>" in rows[1].redacted and "<PHONE>" in rows[1].redacted
+    assert "john.doe" not in rows[1].redacted
+    assert rows[2].n_ssn == 1 and rows[2].n_ip == 1
+    assert "<SSN>" in rows[2].redacted and "<IP>" in rows[2].redacted
+    assert rows[3].redacted == "clean text only"
+
+
+def test_pack_sequences(spark, sf_dir):
+    from otus_clickhouse_spark.pipeline.text import pack_sequences
+    from otus_clickhouse_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    p = pack_sequences(docs, max_tokens=128, shards=8)
+    assert p.count() == docs.count()  # every doc assigned exactly once
+    bins = p.groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("tok"))
+    # offset-bucket approximation: a bin never reaches 2x the target
+    assert bins.agg(F.max("tok")).collect()[0][0] < 2 * 128

@@ -75,6 +75,20 @@ _RENAME_COL_RE = re.compile(
 _MODIFY_TTL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# projections (D10; lectures/lecture_13.md:187-314, homeworks/hw08.md:38-49)
+_ADD_PROJ_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PROJECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"\(\s*SELECT\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MAT_PROJ_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+PROJECTION\s+(\w+)\s*$", re.IGNORECASE
+)
+_DROP_PROJ_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(?:DROP|CLEAR)\s+PROJECTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_PROJ_AGG_RE = re.compile(r"^(\w+)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
 _APPLY_TTL_RE = re.compile(
     r"^\s*SYSTEM\s+(?:START\s+TTL\s+MERGES|APPLY\s+TTL)\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -239,6 +253,51 @@ def try_route(engine, s: str):
             engine.spark.conf.set(key, val)
         engine.session_settings[key] = val
         return {"set": (key, val)}
+
+    m = _ADD_PROJ_RE.match(s)
+    if m:
+        # ALTER TABLE … ADD PROJECTION p (SELECT keys…, aggs… GROUP BY keys)
+        # → build + register the pre-aggregate; Engine.sql silently serves
+        # matching aggregations from it (lecture_13.md:243-314)
+        from otus_clickhouse_spark.functions.dialect import _split_top_commas
+
+        table, pname, select_list, group_by = m.groups()
+        keys = (
+            [k.strip() for k in _split_top_commas(group_by)]
+            if group_by
+            else []
+        )
+        aggs: dict[str, tuple[str, str]] = {}
+        for item in _split_top_commas(select_list):
+            item = item.strip()
+            am = _PROJ_AGG_RE.match(item)
+            if am:
+                fn, col, alias = am.group(1).lower(), am.group(2), am.group(3)
+                if fn == "count" and col == "*":
+                    col = "*"
+                aggs[alias or f"{fn}_{col.strip('*') or 'all'}"] = (fn, col)
+            elif item not in keys:
+                keys.append(item)
+        engine.add_projection(pname, table, keys, aggs)
+        return {"projection_added": pname}
+
+    m = _MAT_PROJ_RE.match(s)
+    if m:
+        # MATERIALIZE re-builds from the current base (our ADD already
+        # materialized; CH splits the two because old parts need rewriting)
+        table, pname = m.groups()
+        proj = engine.projections.projections.get(pname)
+        if proj is None:
+            raise ValueError(f"unknown projection {pname}")
+        engine.add_projection(pname, proj.table, list(proj.group_keys), dict(proj.aggs))
+        return {"projection_materialized": pname}
+
+    m = _DROP_PROJ_RE.match(s)
+    if m:
+        proj = engine.projections.projections.pop(m.group(2), None)
+        if proj is not None and proj.df is not None:
+            proj.df.unpersist()
+        return {"projection_dropped": m.group(2)}
 
     m = _UPDATE_RE.match(s)
     if m:

@@ -450,3 +450,30 @@ def test_ttl_statement(engine, tmp_path):
     assert res["dropped"] == 1  # the 2000 row expired, 2999 survives
     assert [r.v for r in engine.table("ttl_t").collect()] == [2]
     engine.execute("DROP TABLE ttl_t")
+
+
+def test_projection_ddl(spark, sf_dir):
+    from otus_clickhouse_spark.engine import Engine, TableDef
+    import os
+
+    eng = Engine(spark)
+    eng.register_table(TableDef(name="orders", path=os.path.join(sf_dir, "orders.parquet")))
+    eng.execute(
+        "ALTER TABLE orders ADD PROJECTION by_status "
+        "(SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total "
+        "GROUP BY o_orderstatus)"
+    )
+    assert "by_status" in eng.projections.projections
+    before = eng.projections.serve_hits
+    df = eng.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    got = {r.o_orderstatus: r.n for r in df.collect()}
+    direct = {
+        r.o_orderstatus: r.n
+        for r in eng.table("orders").groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == direct
+    assert eng.projections.serve_hits == before + 1  # served from the projection
+    eng.execute("ALTER TABLE orders MATERIALIZE PROJECTION by_status")
+    eng.execute("ALTER TABLE orders DROP PROJECTION by_status")
+    assert "by_status" not in eng.projections.projections

@@ -43,6 +43,10 @@ class TableDef:
     ttl: str | None = None  # boolean SQL expr; rows where it's true expire
     comment: str = ""
     settings: dict = field(default_factory=dict)
+    # data-skipping indexes (D9; lecture_08.md:99-240): name -> (expr, type).
+    # bloom-family types on plain columns map to parquet bloom filters at
+    # write time; minmax/set are subsumed by row-group min/max stats.
+    skip_indexes: dict = field(default_factory=dict)
 
 
 class Engine:
@@ -501,7 +505,13 @@ class Engine:
         # parquet bloom filters on the sort key (≈ bloom_filter skipping
         # index, D9/lecture_08.md:99-240): point lookups on ORDER BY
         # columns skip row groups even when min/max ranges overlap
-        for k in td.order_by:
+        bloom_cols = {k for k in td.order_by}
+        bloom_cols.update(
+            expr
+            for expr, itype in td.skip_indexes.values()
+            if itype.split("(")[0] in ("bloom_filter", "tokenbf_v1", "ngrambf_v1")
+        )
+        for k in bloom_cols:
             if k in df.columns:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{k}", "true")
         if part_cols:

@@ -89,6 +89,19 @@ _DROP_PROJ_RE = re.compile(
     re.IGNORECASE,
 )
 _PROJ_AGG_RE = re.compile(r"^(\w+)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+# data-skipping indexes (D9; lecture_08.md:99-240, homeworks/hw15.md)
+_ADD_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)\s+"
+    r"TYPE\s+(\w+(?:\([^)]*\))?)(?:\s+GRANULARITY\s+\d+)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(?:DROP|CLEAR)\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_MAT_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
+)
 _APPLY_TTL_RE = re.compile(
     r"^\s*SYSTEM\s+(?:START\s+TTL\s+MERGES|APPLY\s+TTL)\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -253,6 +266,61 @@ def try_route(engine, s: str):
             engine.spark.conf.set(key, val)
         engine.session_settings[key] = val
         return {"set": (key, val)}
+
+    m = _ADD_INDEX_RE.match(s)
+    if m:
+        # ADD INDEX name expr TYPE t [GRANULARITY g]: bloom-family types
+        # on plain columns become parquet bloom filters on future writes;
+        # minmax/set are already covered by row-group min/max stats
+        table, iname, expr, itype = m.groups()
+        engine.tables[table].skip_indexes[iname] = (expr.strip(), itype.strip())
+        return {"index_added": iname}
+
+    m = _MAT_INDEX_RE.match(s)
+    if m:
+        # MATERIALIZE INDEX: rewrite existing files so they carry the
+        # bloom filter too (CH rewrites old parts the same way). Write-
+        # then-swap like compaction — Spark cannot overwrite its input.
+        table, iname = m.groups()
+        td = engine.tables[table]
+        if iname not in td.skip_indexes:
+            raise ValueError(f"unknown index {iname}")
+        if td.path:
+            df = engine.table(table)
+            if td.order_by:
+                df = df.sortWithinPartitions(*[k for k in td.order_by if k in df.columns])
+            tmp = td.path.rstrip("/") + ".__idx_rewrite"
+            writer = df.write.mode("overwrite")
+            blooms = set(td.order_by) | {
+                expr
+                for expr, itype in td.skip_indexes.values()
+                if itype.split("(")[0] in ("bloom_filter", "tokenbf_v1", "ngrambf_v1")
+            }
+            for k in blooms:
+                if k in df.columns:
+                    writer = writer.option(f"parquet.bloom.filter.enabled#{k}", "true")
+            part_cols = []
+            for expr in td.partition_by:
+                if re.fullmatch(r"\w+", expr) and expr in df.columns:
+                    part_cols.append(expr)
+                else:
+                    gen = "_p_" + re.sub(r"[^\w]+", "_", expr).strip("_")
+                    if gen in df.columns:
+                        part_cols.append(gen)
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+            old = td.path.rstrip("/") + ".__idx_old"
+            shutil.move(td.path, old)
+            shutil.move(tmp, td.path)
+            shutil.rmtree(old)
+            engine.register_table(td)
+        return {"index_materialized": iname}
+
+    m = _DROP_INDEX_RE.match(s)
+    if m:
+        engine.tables[m.group(1)].skip_indexes.pop(m.group(2), None)
+        return {"index_dropped": m.group(2)}
 
     m = _ADD_PROJ_RE.match(s)
     if m:

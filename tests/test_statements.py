@@ -477,3 +477,18 @@ def test_projection_ddl(spark, sf_dir):
     eng.execute("ALTER TABLE orders MATERIALIZE PROJECTION by_status")
     eng.execute("ALTER TABLE orders DROP PROJECTION by_status")
     assert "by_status" not in eng.projections.projections
+
+
+def test_skip_index_ddl(engine, sales):
+    # ADD INDEX records the skipping index; bloom-family on a plain
+    # column flows into parquet write options on future inserts
+    engine.execute(f"ALTER TABLE {sales} ADD INDEX amt_idx amount TYPE bloom_filter GRANULARITY 4")
+    td = engine.tables[sales]
+    assert td.skip_indexes["amt_idx"] == ("amount", "bloom_filter")
+    before = engine.table(sales).orderBy("id", "v").collect()
+    # MATERIALIZE rewrites existing files (write-then-swap), data intact
+    engine.execute(f"ALTER TABLE {sales} MATERIALIZE INDEX amt_idx")
+    after = engine.table(sales).orderBy("id", "v").collect()
+    assert before == after
+    engine.execute(f"ALTER TABLE {sales} DROP INDEX amt_idx")
+    assert "amt_idx" not in td.skip_indexes

@@ -647,6 +647,17 @@ class Engine:
         rows += [(n, "System") for n in AGGREGATE_ALIASES]
         return self.spark.createDataFrame(rows, "name string, origin string")
 
+    def system_data_skipping_indices(self) -> DataFrame:
+        """system.data_skipping_indices (D8; lecture_08.md:225)."""
+        rows = [
+            (t, i, expr, itype)
+            for t, td in self.tables.items()
+            for i, (expr, itype) in td.skip_indexes.items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "table string, name string, expr string, type string"
+        )
+
     def system_settings(self) -> DataFrame:
         """≈ system.settings: spark conf + session SET overrides
         (lecture_12.md:62-212)."""

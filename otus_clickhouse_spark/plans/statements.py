@@ -124,6 +124,15 @@ _CREATE_MV_RE = re.compile(
     r"(.*?)(\bPOPULATE\b)?\s+AS\s+(SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# plain (non-materialized) view: recomputed per query, like CH's
+# CREATE VIEW (lecture_18.md:339, lecture_20.md:536-545 Prometheus views)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
 _CREATE_FN_RE = re.compile(
     r"^\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s*"
     r"\(\s*([\w\s,]*)\)\s*->\s*(.+)$",
@@ -556,6 +565,18 @@ def try_route(engine, s: str):
             source=fm.group(1),
             populate=bool(populate),
         )
+
+    m = _CREATE_VIEW_RE.match(s)
+    if m:
+        name, select_sql = m.groups()
+        name = name.split(".")[-1]  # db-qualified → flat temp-view namespace
+        engine.sql(select_sql).createOrReplaceTempView(name)
+        return {"created_view": name}
+
+    m = _DROP_VIEW_RE.match(s)
+    if m:
+        engine.spark.catalog.dropTempView(m.group(1).split(".")[-1])
+        return {"dropped_view": m.group(1)}
 
     m = _CREATE_FN_RE.match(s)
     if m:

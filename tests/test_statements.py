@@ -492,3 +492,23 @@ def test_skip_index_ddl(engine, sales):
     assert before == after
     engine.execute(f"ALTER TABLE {sales} DROP INDEX amt_idx")
     assert "amt_idx" not in td.skip_indexes
+
+
+def test_create_view(engine):
+    engine.execute(
+        "CREATE VIEW big_cust AS SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_acctbal > 5000"
+    )
+    n = engine.sql("SELECT count() AS n FROM big_cust").collect()[0].n
+    want = engine.sql(
+        "SELECT count() AS n FROM customer WHERE c_acctbal > 5000"
+    ).collect()[0].n
+    assert n == want and n > 0
+    engine.execute("DROP VIEW big_cust")
+
+
+def test_system_data_skipping_indices(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} ADD INDEX a_idx amount TYPE bloom_filter")
+    rows = engine.system_data_skipping_indices().collect()
+    assert any(r.table == sales and r.name == "a_idx" and r.type == "bloom_filter" for r in rows)
+    engine.execute(f"ALTER TABLE {sales} DROP INDEX a_idx")

@@ -105,6 +105,41 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         n_fact,
     )
     timed("minhash_pairs", lambda: minhash_dedup_pairs(docs).count(), n_docs)
+
+    from otus_clickhouse_spark.operators.graphite import (
+        GraphitePattern,
+        Retention,
+        graphite_rollup,
+    )
+    from otus_clickhouse_spark.pipeline.text import pack_sequences
+
+    patterns = [
+        GraphitePattern("^F1", "sum", [Retention(0, 3600), Retention(86400 * 365, 86400)]),
+        GraphitePattern(None, "avg", [Retention(0, 3600), Retention(86400 * 365, 86400)]),
+    ]
+    timed(
+        "graphite_rollup",
+        lambda: graphite_rollup(
+            fact.select(
+                F.col("flag").alias("path"),
+                F.col("d").cast("timestamp").alias("time"),
+                F.col("price").alias("value"),
+            ),
+            patterns,
+            "2001-01-01 00:00:00",
+            ts_col=None,
+        ).agg(F.count(F.lit(1))).collect(),
+        n_fact,
+    )
+    timed(
+        "sequence_packing",
+        lambda: pack_sequences(docs, max_tokens=128)
+        .groupBy("shard", "bin_id")
+        .agg(F.sum("n_tok"))
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_docs,
+    )
     return out
 
 

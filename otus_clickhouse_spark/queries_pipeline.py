@@ -275,9 +275,37 @@ def x07_text_stats(spark, sf_dir):
     )
 
 
-@query("x08_language_id")  # heuristic argmax — rows-only check (non-SQL tie rules)
+@query(
+    "x08_language_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is'], x))) * 1.0 / len(tk) AS s_en,
+        len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) * 1.0 / len(tk) AS s_de,
+        len(list_filter(tk, x -> list_contains(['el','la','los','de','es','y'], x))) * 1.0 / len(tk) AS s_es,
+        len(list_filter(tk, x -> list_contains(['le','la','les','et','est'], x))) * 1.0 / len(tk) AS s_fr
+      FROM toks
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             list_max([{'score': s_en, 'l': 'en'}, {'score': s_de, 'l': 'de'},
+                       {'score': s_es, 'l': 'es'}, {'score': s_fr, 'l': 'fr'}]) AS b
+      FROM sc
+    )
+    SELECT lang, CASE WHEN b.score > 0 THEN b.l ELSE 'unknown' END AS lang_guess,
+           count(*) AS n
+    FROM best GROUP BY 1, 2
+    """,
+)
 def x08_language_id(spark, sf_dir):
-    """Language-ID heuristic: stopword hit-rate argmax (pipeline.text)."""
+    """Language-ID heuristic: stopword hit-rate argmax (pipeline.text).
+    Tie rule = lexicographic max of (score, lang) — both engines compare
+    the struct identically, so the oracle reproduces it exactly."""
     from otus_clickhouse_spark.pipeline import text as tx
 
     d = t(spark, sf_dir, "documents")

@@ -383,6 +383,29 @@ def _rewrite_datediff(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+# toStartOfInterval(t, INTERVAL n UNIT) (lecture_20.md:29): INTERVAL
+# literals cannot pass through a SQL UDF, so the bucket arithmetic is
+# inlined at translate time (stays in whole-stage codegen)
+_TSI_RE = re.compile(r"\btoStartOfInterval\s*\(")
+_TSI_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _rewrite_tostartofinterval(text: str) -> str:
+    while True:
+        m = _TSI_RE.search(text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, m.end() - 1)
+        im = re.match(r"^\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", args[1], re.IGNORECASE)
+        if not im or im.group(2).lower() not in _TSI_UNIT_SECS:
+            raise ValueError(f"unsupported toStartOfInterval interval: {args[1]!r}")
+        secs = int(im.group(1)) * _TSI_UNIT_SECS[im.group(2).lower()]
+        repl = (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {secs}) AS BIGINT) * {secs})"
+        )
+        text = text[: m.start()] + repl + text[end:]
+
+
 # quantile[Exact](p)(x) / quantiles(p1, p2, …)(x) — the parametric
 # two-paren aggregate syntax (lecture_06.md:57-59)
 _QUANTILE_RE = re.compile(r"\b(quantilesExact|quantileExact|quantiles|quantile)\s*\(")
@@ -586,6 +609,7 @@ def translate(
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)
+    text = _rewrite_tostartofinterval(text)
     text = _rewrite_array_lambda(text)
     text = _rewrite_quantiles(text)
     text = _rewrite_datediff(text)

@@ -333,3 +333,18 @@ def test_system_numbers(engine):
     # hw02.md:110 benchmark shape: unbounded generator + LIMIT/OFFSET
     rows = engine.sql("SELECT * FROM system.numbers LIMIT 3 OFFSET 5").collect()
     assert [r.number for r in rows] == [5, 6, 7]
+
+
+def test_to_start_of_interval(engine):
+    # the exact lecture_20.md:29 shape: 60-second tumbling buckets
+    rows = engine.sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 60 SECOND) AS t, count() AS n "
+        "FROM events GROUP BY t ORDER BY t LIMIT 3"
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.t.second == 0 for r in rows)
+    rows2 = engine.sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 1 DAY) AS d, count() AS n "
+        "FROM events GROUP BY d"
+    ).collect()
+    assert all(r.d.hour == 0 and r.d.minute == 0 for r in rows2)

@@ -31,12 +31,15 @@ HEADLINE = [
     "q25_topk",
     "q31_in_subquery",
     "q40_replacing_final",
+    "q65_graphite_rollup",
     "x01_dedup_exact",
     "x02_minhash_pairs",
     "x04_embedding_topk",
     "x05_embedding_lsh_topk",
     "x07_text_stats",
     "x16_curation_pipeline",
+    "x17_pii_redaction",
+    "x18_sequence_packing",
 ]
 
 

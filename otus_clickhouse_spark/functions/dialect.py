@@ -259,14 +259,14 @@ def _rewrite_array_literals(text: str) -> str:
             i = j + 1
             continue
         if c == "[":
-            k = len(out) - 1
+            # subscript only when the bracket directly follows an
+            # identifier/)/] — `arr[1]`; a space/comma/paren/keyword
+            # boundary before `[` means a literal (`SELECT [1,2]`)
             prev = ""
-            while k >= 0:
-                seg = out[k].rstrip()
+            for seg in reversed(out):
                 if seg:
                     prev = seg[-1]
                     break
-                k -= 1
             if prev.isalnum() or prev in "_)]":
                 stack.append(False)
                 out.append("[")

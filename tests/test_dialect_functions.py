@@ -348,3 +348,64 @@ def test_to_start_of_interval(engine):
         "FROM events GROUP BY d"
     ).collect()
     assert all(r.d.hour == 0 and r.d.minute == 0 for r in rows2)
+
+
+def test_clause_combinations(engine, tmp_path):
+    # FINAL + LIMIT BY: engine-semantics collapse composes with per-group cut
+    engine.execute(
+        "CREATE TABLE ev_combo (user_id UInt64, event_type String, v UInt64) "
+        "ENGINE = ReplacingMergeTree(v) ORDER BY (user_id, event_type)"
+    )
+    engine.tables["ev_combo"].path = str(tmp_path / "ev_combo")
+    engine.execute(
+        "INSERT INTO ev_combo VALUES (1,'a',1),(1,'a',2),(2,'a',1),(3,'b',1),(4,'b',2)"
+    )
+    rows = engine.sql(
+        "SELECT user_id, event_type, v FROM ev_combo FINAL "
+        "ORDER BY v DESC, user_id LIMIT 1 BY event_type"
+    ).collect()
+    assert sorted((int(r.user_id), r.event_type, int(r.v)) for r in rows) == [
+        (1, "a", 2),
+        (4, "b", 2),
+    ]
+    # WITH TOTALS composes with HAVING; params compose with LIMIT BY
+    r2 = engine.sql(
+        "SELECT l_returnflag, count() AS n FROM lineitem "
+        "GROUP BY l_returnflag WITH TOTALS HAVING n > 0"
+    ).collect()
+    assert sum(1 for r in r2 if r.l_returnflag is None) == 1
+    r3 = engine.sql(
+        "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
+        "WHERE l_quantity < {q:UInt8} GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY n DESC LIMIT 1 BY l_returnflag",
+        q=10,
+    ).collect()
+    flags = [r.l_returnflag for r in r3]
+    assert len(flags) == len(set(flags)) > 0
+    engine.execute("DROP TABLE ev_combo")
+
+
+def test_array_literal_rewrite_properties():
+    from hypothesis import given, strategies as st
+    from otus_clickhouse_spark.functions.dialect import _rewrite_array_literals
+
+    # indexing stays indexing; literals become array(); balance preserved
+    assert _rewrite_array_literals("SELECT arr[1] FROM t") == "SELECT arr[1] FROM t"
+    assert _rewrite_array_literals("SELECT [1,2,3]") == "SELECT array(1,2,3)"
+    assert (
+        _rewrite_array_literals("SELECT [a[1], [2]]") == "SELECT array(a[1], array(2))"
+    )
+
+    atom = st.sampled_from(["1", "'x'", "col", "a[1]", "[1,2]", "f(x)", "[[0]]"])
+
+    @given(st.lists(atom, min_size=1, max_size=6))
+    def balanced(parts):
+        sql = "SELECT " + ", ".join(parts)
+        out = _rewrite_array_literals(sql)
+        assert out.count("(") == out.count(")")
+        # brackets that remain are exactly the subscript ones
+        assert out.count("[") == out.count("]")
+        # string literals never rewritten
+        assert _rewrite_array_literals("SELECT '[1,2]'") == "SELECT '[1,2]'"
+
+    balanced()

@@ -338,6 +338,16 @@ class Engine:
             rewritten = rewrite_any_join_sql(self, text)
             if rewritten is not None:
                 text = rewritten
+        mm = _MERGE_FN_RE.search(text)
+        if mm:
+            # merge([db,] 'regex') table function (S8; lecture_09.md:589-651)
+            # → union view of matching registered tables + `_table` column
+            from otus_clickhouse_spark.sources.readers import merge_tables
+
+            regex = mm.group(1)
+            view = "__merge_" + re.sub(r"[^\w]+", "_", regex).strip("_")
+            merge_tables(self.spark, regex).createOrReplaceTempView(view)
+            text = text[: mm.start()] + f"FROM {view}" + text[mm.end() :]
         pm = _PASTE_SQL_RE.search(text)
         if pm:
             # PASTE JOIN (J8; lecture_10.md:15): zip the two relations
@@ -678,6 +688,12 @@ _PASTE_SQL_RE = re.compile(
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+    re.IGNORECASE,
+)
+
+# merge([currentDatabase()|'db',] 'regex') table function (lecture_09.md:645)
+_MERGE_FN_RE = re.compile(
+    r"\bFROM\s+merge\s*\(\s*(?:(?:currentDatabase\(\)|'\w+')\s*,\s*)?'([^']+)'\s*\)",
     re.IGNORECASE,
 )
 

@@ -409,3 +409,18 @@ def test_array_literal_rewrite_properties():
         assert _rewrite_array_literals("SELECT '[1,2]'") == "SELECT '[1,2]'"
 
     balanced()
+
+
+def test_merge_table_function_sql(engine, spark):
+    # merge(currentDatabase(), 'regex') in raw SQL (S8; lecture_09.md:645)
+    o = engine.table("orders")
+    o.where("o_orderstatus = 'F'").createOrReplaceTempView("mrg_f")
+    o.where("o_orderstatus = 'O'").createOrReplaceTempView("mrg_o")
+    rows = engine.sql(
+        "SELECT _table, count() AS n FROM merge(currentDatabase(), 'mrg_[fo]') "
+        "GROUP BY _table ORDER BY _table"
+    ).collect()
+    assert [r._table for r in rows] == ["mrg_f", "mrg_o"]
+    assert all(r.n > 0 for r in rows)
+    spark.catalog.dropTempView("mrg_f")
+    spark.catalog.dropTempView("mrg_o")

@@ -338,6 +338,20 @@ class Engine:
             rewritten = rewrite_any_join_sql(self, text)
             if rewritten is not None:
                 text = rewritten
+        fm = _FILE_FN_RE.search(text)
+        if fm:
+            # file/s3/gcs/url/hdfs table functions in raw SQL (S2-S6;
+            # lecture_11.md:404-415, hw02.sql:43-46): resolve to a reader
+            # view. s3/gcs/hdfs are path-scheme concerns of the same reader.
+            from otus_clickhouse_spark.sources.readers import file_table, url_table
+
+            fn, path, fmt, structure = fm.groups()
+            reader = url_table if fn.lower() == "url" else file_table
+            view = "__tf_" + re.sub(r"[^\w]+", "_", path)[-48:].strip("_")
+            reader(
+                self.spark, path, fmt or "Parquet", structure
+            ).createOrReplaceTempView(view)
+            text = text[: fm.start()] + f"FROM {view}" + text[fm.end() :]
         mm = _MERGE_FN_RE.search(text)
         if mm:
             # merge([db,] 'regex') table function (S8; lecture_09.md:589-651)
@@ -688,6 +702,13 @@ _PASTE_SQL_RE = re.compile(
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+    re.IGNORECASE,
+)
+
+# file/s3/gcs/url/hdfs('path'[, 'format'[, 'structure']]) table functions
+_FILE_FN_RE = re.compile(
+    r"\bFROM\s+(file|s3|gcs|url|hdfs)\s*\(\s*'([^']+)'"
+    r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*'([^']+)')?\s*\)",
     re.IGNORECASE,
 )
 

@@ -424,3 +424,23 @@ def test_merge_table_function_sql(engine, spark):
     assert all(r.n > 0 for r in rows)
     spark.catalog.dropTempView("mrg_f")
     spark.catalog.dropTempView("mrg_o")
+
+
+def test_file_table_function_sql(engine, sf_dir, tmp_path):
+    # file('path', 'Format') in raw SQL (S5; lecture_11.md:404-410)
+    rows = engine.sql(
+        f"SELECT count() AS n FROM file('{sf_dir}/nation.parquet', 'Parquet')"
+    ).collect()
+    assert rows[0].n == 25
+    # CSV round trip with a format name from the CH map
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    rows2 = engine.sql(
+        f"SELECT count() AS n FROM file('{p}', 'CSVWithNames')"
+    ).collect()
+    assert rows2[0].n == 2
+    # url() via file:// scheme (S4; driver-side fetch, network-free)
+    rows3 = engine.sql(
+        f"SELECT count() AS n FROM url('file://{p}', 'CSVWithNames')"
+    ).collect()
+    assert rows3[0].n == 2

@@ -352,6 +352,22 @@ class Engine:
                 self.spark, path, fmt or "Parquet", structure
             ).createOrReplaceTempView(view)
             text = text[: fm.start()] + f"FROM {view}" + text[fm.end() :]
+        gm = _GENRAND_FN_RE.search(text)
+        if gm:
+            # generateRandom('structure'[, seed]) (S10; lecture_08.md:232):
+            # lazily-generated rows — the query's LIMIT stops generation
+            from otus_clickhouse_spark.sources.readers import generate_random
+
+            structure, seed = gm.group(1), gm.group(2)
+            view = "__genrand_" + re.sub(r"[^\w]+", "_", structure)[:40].strip("_")
+            generate_random(
+                self.spark, structure, 10_000_000, int(seed) if seed else None
+            ).createOrReplaceTempView(view)
+            text = text[: gm.start()] + f"FROM {view}" + text[gm.end() :]
+        # system.one: the 1-row dummy table behind `SELECT 1`
+        text = re.sub(
+            r"\bsystem\.one\b", "(SELECT 1 AS dummy)", text, flags=re.IGNORECASE
+        )
         mm = _MERGE_FN_RE.search(text)
         if mm:
             # merge([db,] 'regex') table function (S8; lecture_09.md:589-651)
@@ -710,6 +726,11 @@ _FILE_FN_RE = re.compile(
     r"\bFROM\s+(file|s3|gcs|url|hdfs)\s*\(\s*'([^']+)'"
     r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*'([^']+)')?\s*\)",
     re.IGNORECASE,
+)
+
+# generateRandom('a UInt64, …'[, seed]) table function (lecture_08.md:232)
+_GENRAND_FN_RE = re.compile(
+    r"\bFROM\s+generateRandom\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
 )
 
 # merge([currentDatabase()|'db',] 'regex') table function (lecture_09.md:645)

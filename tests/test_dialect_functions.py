@@ -444,3 +444,12 @@ def test_file_table_function_sql(engine, sf_dir, tmp_path):
         f"SELECT count() AS n FROM url('file://{p}', 'CSVWithNames')"
     ).collect()
     assert rows3[0].n == 2
+
+
+def test_generate_random_and_system_one(engine):
+    rows = engine.sql(
+        "SELECT count() AS n FROM (SELECT * FROM generateRandom('a UInt64, b Float64', 1) LIMIT 100)"
+    ).collect()
+    assert rows[0].n == 100
+    one = engine.sql("SELECT 41 + 1 AS v FROM system.one").collect()
+    assert len(one) == 1 and one[0].v == 42

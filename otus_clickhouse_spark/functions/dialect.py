@@ -566,6 +566,11 @@ def translate(
     def final_sub(m: re.Match) -> str:
         return f"FROM {m.group(1)}__final"
 
+    # client-side artifacts: `\G` vertical-format terminator
+    # (hw02.md:110-style probes) and trailing /* … */ block comments that
+    # would otherwise hide the FORMAT/SETTINGS suffixes from the strips
+    text = re.sub(r"\s*\\G\s*$", "", text)
+    text = re.sub(r"/\*([^*]|\*(?!/))*\*/\s*$", "", text).rstrip()
     # trailing clauses that only affect the CH client/session, not the
     # result: SETTINGS k=v[, …] (lecture_10.md:181) and FORMAT <fmt>
     # (lecture_03.md:209-213) — stripped; session settings are routed

@@ -453,3 +453,13 @@ def test_generate_random_and_system_one(engine):
     assert rows[0].n == 100
     one = engine.sql("SELECT 41 + 1 AS v FROM system.one").collect()
     assert len(one) == 1 and one[0].v == 42
+
+
+def test_client_suffixes_stripped(engine):
+    # \G terminator and trailing block comments are client-side artifacts
+    n1 = engine.sql("SELECT count() AS n FROM lineitem \\G").collect()[0].n
+    n2 = engine.sql(
+        "SELECT count() AS n FROM lineitem FORMAT Null /* captured trace */"
+    ).collect()[0].n
+    n3 = engine.sql("SELECT count() AS n FROM lineitem").collect()[0].n
+    assert n1 == n2 == n3

@@ -118,6 +118,9 @@ _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
+_SHOW_INDEXES_RE = re.compile(
+    r"^\s*SHOW\s+(?:INDEX(?:ES)?|KEYS)\s+(?:FROM|IN)\s+(\w+)\s*$", re.IGNORECASE
+)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
     r"(?:\s+TO\s+(\w+))?"
@@ -551,6 +554,15 @@ def try_route(engine, s: str):
     m = _SHOW_CREATE_RE.match(s)
     if m:
         return [show_create_table(engine, m.group(1))]
+
+    m = _SHOW_INDEXES_RE.match(s)
+    if m:
+        # SHOW INDEXES FROM t (D5; lecture_08.md:225): the table's ORDER BY
+        # (≈ sparse PK) plus registered skipping indexes
+        td = engine.tables[m.group(1)]
+        rows = [("PRIMARY", ",".join(td.order_by), "minmax(sorted parquet)")]
+        rows += [(n, expr, itype) for n, (expr, itype) in td.skip_indexes.items()]
+        return rows
 
     m = _CREATE_MV_RE.match(s)
     if m:

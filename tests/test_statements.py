@@ -512,3 +512,11 @@ def test_system_data_skipping_indices(engine, sales):
     rows = engine.system_data_skipping_indices().collect()
     assert any(r.table == sales and r.name == "a_idx" and r.type == "bloom_filter" for r in rows)
     engine.execute(f"ALTER TABLE {sales} DROP INDEX a_idx")
+
+
+def test_show_indexes(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} ADD INDEX am_ix amount TYPE bloom_filter")
+    rows = engine.execute(f"SHOW INDEXES FROM {sales}")
+    names = [r[0] for r in rows]
+    assert "PRIMARY" in names and "am_ix" in names
+    engine.execute(f"ALTER TABLE {sales} DROP INDEX am_ix")

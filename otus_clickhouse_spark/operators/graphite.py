@@ -69,6 +69,10 @@ def graphite_rollup(
             raise ValueError(f"unsupported rollup function {p.function!r}")
         if not p.retention:
             raise ValueError("each pattern needs at least one retention rule")
+    if not any(p.regexp is None for p in patterns):
+        # graphite_rollup configs always carry a <default> block; without
+        # one, unmatched paths would silently collapse into a NULL bucket
+        raise ValueError("patterns must include a catch-all (regexp=None) default")
 
     now_c = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
     age = F.unix_timestamp(now_c) - F.unix_timestamp(F.col(time_col))

@@ -34,7 +34,9 @@ _SIMPLE_ALIASES = {
 _ALIAS_RE = re.compile(
     r"\b(" + "|".join(sorted(_SIMPLE_ALIASES, key=len, reverse=True)) + r")\s*\("
 )
-_IF_COMBINATOR_RE = re.compile(r"\b(sum|count|avg|min|max|argMax|argMin|uniq)If\s*\(")
+_IF_COMBINATOR_RE = re.compile(
+    r"\b(sum|count|avg|min|max|argMax|argMin|uniq|anyLast|any|median)If\s*\("
+)
 
 
 def _split_call_args(s: str, open_paren: int) -> tuple[list[str], int]:
@@ -105,7 +107,13 @@ def _rewrite_if_combinators(text: str) -> str:
             return text
         base = m.group(1)
         args, end = _split_call_args(text, text.index("(", m.start()))
-        spark_agg = {"argMax": "max_by", "argMin": "min_by", "uniq": "approx_count_distinct"}.get(base, base)
+        spark_agg = {
+            "argMax": "max_by",
+            "argMin": "min_by",
+            "uniq": "approx_count_distinct",
+            "any": "first",
+            "anyLast": "last",
+        }.get(base, base)
         if base == "count" and len(args) == 1:
             repl = f"count_if({args[0]})"
         else:

@@ -463,3 +463,13 @@ def test_client_suffixes_stripped(engine):
     ).collect()[0].n
     n3 = engine.sql("SELECT count() AS n FROM lineitem").collect()[0].n
     assert n1 == n2 == n3
+
+
+def test_any_if_combinators(engine):
+    r = engine.sql(
+        "SELECT anyIf(l_linestatus, l_returnflag = 'R') AS a, "
+        "anyLastIf(l_linestatus, l_returnflag = 'R') AS b, "
+        "medianIf(l_quantity, l_returnflag = 'R') AS m "
+        "FROM lineitem"
+    ).collect()[0]
+    assert r.a is not None and r.b is not None and r.m > 0

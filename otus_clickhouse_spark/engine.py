@@ -368,6 +368,25 @@ class Engine:
         text = re.sub(
             r"\bsystem\.one\b", "(SELECT 1 AS dummy)", text, flags=re.IGNORECASE
         )
+        # system.* metadata tables in raw SQL (D8; lecture_16.md:60-98,
+        # lecture_20.md:296-478 monitoring queries): materialize the
+        # engine-maintained frame as a view at query time. Also unwraps
+        # remote()/cluster()/clusterAllReplicas(c, system.x) — on Spark
+        # the driver already sees global metadata, so the fan-out is a
+        # no-op (lecture_16.md:90-98).
+        text = re.sub(
+            r"\b(?:remote|cluster(?:AllReplicas)?)\s*\(\s*[^,()]+,\s*(system\.\w+)\s*\)",
+            r"\1",
+            text,
+            flags=re.IGNORECASE,
+        )
+        for sysname in set(re.findall(r"\bsystem\.(\w+)\b", text)):
+            method = getattr(self, f"system_{sysname}", None)
+            if method is None:
+                continue
+            view = f"__system_{sysname}"
+            method().createOrReplaceTempView(view)
+            text = re.sub(rf"\bsystem\.{sysname}\b", view, text)
         mm = _MERGE_FN_RE.search(text)
         if mm:
             # merge([db,] 'regex') table function (S8; lecture_09.md:589-651)

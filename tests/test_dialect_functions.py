@@ -473,3 +473,25 @@ def test_any_if_combinators(engine):
         "FROM lineitem"
     ).collect()[0]
     assert r.a is not None and r.b is not None and r.m > 0
+
+
+def test_system_tables_in_sql(engine):
+    # D8: monitoring-style queries hit system.* directly from SQL
+    rows = engine.sql(
+        "SELECT name FROM system.tables WHERE name = 'lineitem'"
+    ).collect()
+    assert [r.name for r in rows] == ["lineitem"]
+    n = engine.sql(
+        "SELECT count() AS n FROM system.columns WHERE table = 'lineitem'"
+    ).collect()[0].n
+    assert n > 10
+    # clusterAllReplicas fan-out unwraps (lecture_16.md:90-98)
+    rows2 = engine.sql(
+        "SELECT count() AS n FROM clusterAllReplicas('main', system.tables)"
+    ).collect()
+    assert rows2[0].n >= 1
+    # settings readable like lecture_08.md:273-377 probes
+    s = engine.sql(
+        "SELECT count() AS n FROM system.settings"
+    ).collect()[0].n
+    assert s > 0

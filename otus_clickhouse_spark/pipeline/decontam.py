@@ -1,0 +1,81 @@
+"""Benchmark decontamination: flag/remove training documents that share
+word n-grams with an evaluation set.
+
+Standard large-scale pre-training hygiene (the published recipe in GPT-3
+/ Llama data work): any training doc containing an n-gram that also
+appears in a benchmark/eval document is "contaminated" and must be
+dropped so downstream evals stay honest. This extends the repo's
+shingle machinery (pipeline.dedup.shingles — the same word-n-gram
+definition the MinHash path uses, so one tokenization convention serves
+both dedup and decontamination).
+
+Scale notes (100 TB):
+- The eval set is small by construction (benchmarks are KBs-MBs), so
+  its distinct n-gram set is broadcast — the corpus-side shingle stream
+  is filtered map-side by a BroadcastHashJoin(LeftSemi); the corpus
+  never shuffles its text.
+- The only shuffle is the final distinct over contaminated doc ids
+  (16-byte-ish keys, bounded by the hit count, not the corpus size).
+- Flagging (`contamination_flags`) joins those ids back broadcast-side
+  too when the hit set is small; Spark AQE picks that automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.pipeline.dedup import shingles
+
+
+def eval_ngrams(
+    eval_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams of the eval set — the (small) blocklist."""
+    return shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
+
+
+def contaminated_ids(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Ids of training docs sharing ≥1 n-gram with the eval set.
+
+    Plan: corpus shingles ⋉ broadcast(eval n-grams) → distinct ids.
+    The semi-join runs map-side over the scan; no corpus shuffle.
+    """
+    ev = eval_ngrams(eval_df, text_col, id_col, n)
+    tr = shingles(train_df, text_col, id_col, n)
+    return tr.join(F.broadcast(ev), "shingle", "left_semi").select(id_col).distinct()
+
+
+def contamination_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """train_df + boolean ``contaminated`` column (audit mode)."""
+    hits = contaminated_ids(train_df, eval_df, text_col, id_col, n).withColumn(
+        "contaminated", F.lit(True)
+    )
+    return train_df.join(hits, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """train_df minus contaminated docs (drop mode): left-anti join
+    against the contaminated-id set."""
+    hits = contaminated_ids(train_df, eval_df, text_col, id_col, n)
+    return train_df.join(hits, id_col, "left_anti")

@@ -32,6 +32,53 @@ def sample_fraction(df: DataFrame, fraction: float, id_col: str) -> DataFrame:
     return df.where(hash_bucket(id_col) < int(round(fraction * 100)))
 
 
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-stratum sampling rates that hit a target data mixture.
+
+    Training-data mixing: given per-stratum weights (token counts) and
+    a target share per stratum, the deterministic keep-rate is
+    ``rate_s = (target_s / natural_share_s) / max_over_strata(…)`` —
+    normalized so the binding stratum keeps 100% and every other
+    stratum is down-sampled to match the target proportions exactly.
+    ``targets=None`` means a balanced mix (equal share per stratum),
+    i.e. ``rate_s = min_stratum_weight / weight_s``. If ``targets`` is
+    given it must cover every stratum (shares needn't sum to 1 — only
+    ratios matter).
+
+    Output: (stratum, weight, natural_share, rate, expected_weight).
+    The rates feed ``stratified_sample`` for the actual row filter.
+
+    Scale: one partial-agg shuffle down to #strata rows; the window
+    over the aggregate runs on that tiny result, never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(weight_col).cast("double").alias("weight")
+    )
+    if targets is None:
+        target = F.lit(1.0)
+    else:
+        target = None
+        for value, share in targets.items():
+            branch = F.lit(float(share))
+            cond = F.col("stratum") == value
+            target = F.when(cond, branch) if target is None else target.when(cond, branch)
+    w_all = Window.partitionBy()
+    ratio = target / F.col("weight")
+    out = (
+        agg.withColumn("natural_share", F.round(F.col("weight") / F.sum("weight").over(w_all), 4))
+        .withColumn("rate", F.round(ratio / F.max(ratio).over(w_all), 4))
+        .withColumn("expected_weight", F.round(F.col("rate") * F.col("weight"), 2))
+    )
+    return out.select("stratum", "weight", "natural_share", "rate", "expected_weight")
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, rates: dict[str, float], id_col: str, default_rate: float = 1.0
 ) -> DataFrame:

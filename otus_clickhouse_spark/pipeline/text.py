@@ -95,6 +95,43 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- repetition filtering ----------------------------------------------
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics over word n-grams.
+
+    Per doc: ``n_grams`` total n-gram occurrences, ``n_distinct``
+    distinct n-grams, ``dup_frac`` = fraction of occurrences that are
+    repeats (1 - distinct/total), ``top_frac`` = fraction taken by the
+    single most frequent n-gram. High values mark boilerplate/spam docs
+    that repetition filters drop before training.
+
+    Plan shape: n-grams are built map-side with JVM higher-order
+    functions (same slice/array_join convention as
+    pipeline.dedup.shingles, minus the distinct), then ONE shuffle
+    keyed on (doc id, gram) for the counts and a partial-agg rollup to
+    per-doc stats. Gram strings shuffle once; doc bodies never do.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .where(F.length("gram") > 0)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 4).alias("dup_frac"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_frac"),
+    )
+
+
 # --- PII redaction -----------------------------------------------------
 # Order matters: phone before generic number patterns would matter if we
 # had them; here the three classes are disjoint. All plain regexp_replace

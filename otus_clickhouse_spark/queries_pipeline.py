@@ -368,6 +368,113 @@ def x10_ngram_jaccard_block(spark, sf_dir):
 
 
 @query(
+    "x19_decontamination",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0),
+    hit AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 11 <> 0 AND shingle IN (SELECT shingle FROM ev)
+    ),
+    tr AS (SELECT doc_id, lang FROM documents WHERE doc_id % 11 <> 0)
+    SELECT tr.lang, count(*) AS n_train,
+           count(hit.doc_id) AS n_contaminated,
+           count(*) - count(hit.doc_id) AS n_clean
+    FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+    GROUP BY tr.lang
+    """,
+)
+def x19_decontamination(spark, sf_dir):
+    """Benchmark decontamination (pipeline.decontam): training docs
+    sharing any word 3-gram with the eval split (doc_id % 11 here) are
+    flagged. Eval n-grams broadcast; the corpus-side semi-join is
+    map-side — the standard pre-training eval-hygiene pass."""
+    from otus_clickhouse_spark.pipeline.decontam import contamination_flags
+
+    d = t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 11 != 0)
+    ev = d.where(F.col("doc_id") % 11 == 0)
+    flags = contamination_flags(train, ev)
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count_if(F.col("contaminated")).alias("n_contaminated"),
+        F.count_if(~F.col("contaminated")).alias("n_clean"),
+    )
+
+
+@query(
+    "x20_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM tok
+    ),
+    pg AS (
+      SELECT doc_id, lang, gram, count(*) AS cnt
+      FROM g WHERE length(gram) > 0 GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             round(1.0 - count(*) * 1.0 / sum(cnt), 4) AS dup_frac,
+             round(max(cnt) * 1.0 / sum(cnt), 4) AS top_frac
+      FROM pg GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(dup_frac), 4) AS avg_dup_frac,
+           round(max(top_frac), 4) AS max_top_frac,
+           count(*) FILTER (WHERE top_frac >= 0.1) AS n_flagged
+    FROM per_doc GROUP BY lang
+    """,
+)
+def x20_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (pipeline.text.repetition_stats):
+    within-doc 2-gram duplicate fraction + most-frequent-gram fraction,
+    rolled up per language with a boilerplate flag count."""
+    from otus_clickhouse_spark.pipeline.text import repetition_stats
+
+    d = t(spark, sf_dir, "documents")
+    stats = repetition_stats(d, n=2)
+    joined = d.select("doc_id", "lang").join(stats, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+        F.round(F.max("top_frac"), 4).alias("max_top_frac"),
+        F.count_if(F.col("top_frac") >= 0.1).alias("n_flagged"),
+    )
+
+
+@query(
+    "x21_mixture_weights",
+    oracle="""
+    WITH agg AS (
+      SELECT lang AS stratum, CAST(sum(n_chars) AS DOUBLE) AS weight
+      FROM documents GROUP BY lang
+    )
+    SELECT stratum, weight,
+           round(weight / sum(weight) OVER (), 4) AS natural_share,
+           round((1.0 / weight) / max(1.0 / weight) OVER (), 4) AS rate,
+           round(round((1.0 / weight) / max(1.0 / weight) OVER (), 4) * weight, 2)
+             AS expected_weight
+    FROM agg
+    """,
+)
+def x21_mixture_weights(spark, sf_dir):
+    """Data-mixing weights (pipeline.sampling.mixture_weights): per-
+    language char-weighted keep rates for a balanced mixture — the
+    rate table a mixing stage feeds into stratified_sample. One
+    partial-agg shuffle to #strata rows; windows run on that tiny set."""
+    from otus_clickhouse_spark.pipeline.sampling import mixture_weights
+
+    d = t(spark, sf_dir, "documents")
+    return mixture_weights(d, "lang", "n_chars")
+
+
+@query(
     "x12_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},

@@ -179,3 +179,60 @@ def test_pack_sequences(spark, sf_dir):
     bins = p.groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("tok"))
     # offset-bucket approximation: a bin never reaches 2x the target
     assert bins.agg(F.max("tok")).collect()[0][0] < 2 * 128
+
+
+def test_decontamination_flags_and_drop(spark):
+    from otus_clickhouse_spark.pipeline import decontam
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 3-grams with eval
+            (2, "totally unrelated content about engines and planes"),
+            (3, "alpha beta gamma something else entirely"),  # shares one 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    flags = {r.doc_id: r.contaminated for r in decontam.contamination_flags(train, ev).collect()}
+    assert flags == {1: True, 2: False, 3: True}
+    clean = decontam.decontaminate(train, ev)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_repetition_stats(spark):
+    rep = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one 2-gram repeated 5x
+            (2, "every word here is totally unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(rep, n=2).collect()}
+    assert out[1].n_grams == 5 and out[1].n_distinct == 1
+    assert out[1].dup_frac == 0.8 and out[1].top_frac == 1.0
+    assert out[2].dup_frac == 0.0 and out[2].top_frac == 0.2
+
+
+def test_mixture_weights_balanced_and_targeted(spark):
+    from otus_clickhouse_spark.pipeline.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", 300), ("de", 100), ("fr", 100)], "lang string, n_tok long"
+    )
+    # balanced: smallest stratum keeps 100%, en downsampled to match
+    bal = {r.stratum: r for r in mixture_weights(df, "lang", "n_tok").collect()}
+    assert bal["de"].rate == 1.0 and bal["fr"].rate == 1.0
+    assert bal["en"].rate == pytest.approx(100 / 300, abs=1e-4)
+    assert bal["en"].expected_weight == pytest.approx(100.0, abs=0.1)
+    # targeted 2:1:1 mix == natural shares except en wants 2x de share
+    tgt = {
+        r.stratum: r
+        for r in mixture_weights(
+            df, "lang", "n_tok", targets={"en": 0.5, "de": 0.25, "fr": 0.25}
+        ).collect()
+    }
+    # en: target/weight = 0.5/300; de: 0.25/100 binds → rate_en = (0.5/300)/(0.25/100)
+    assert tgt["de"].rate == 1.0 and tgt["fr"].rate == 1.0
+    assert tgt["en"].rate == pytest.approx((0.5 / 300) / (0.25 / 100), abs=1e-4)

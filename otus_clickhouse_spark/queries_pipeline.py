@@ -218,16 +218,22 @@ def x05_embedding_lsh_topk(spark, sf_dir):
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
     """,
 )
 def x06_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label to bound the
-    quadratic step (pipeline.dedup.embedding_neardup_pairs)."""
+    quadratic step (pipeline.dedup.embedding_neardup_pairs).
+
+    Threshold 0.4: the synthetic embeddings are near-orthogonal random
+    vectors (max within-label cosine ≈ 0.47 at sf0.01), so a production
+    0.9 cutoff matches nothing — 0.4 keeps the verify stage non-trivial
+    at every test SF (5 pairs at sf0.01, 86 at sf0.1).
+    """
     from otus_clickhouse_spark.pipeline.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.9
+        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
     )
 
 

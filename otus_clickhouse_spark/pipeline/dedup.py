@@ -94,9 +94,13 @@ def lsh_candidate_pairs(
         F.md5(F.concat_ws("|", F.lit(b), *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)])).alias("band_key")
         for b in range(bands)
     ]
+    # No .distinct() on buckets: the band index is part of the hashed key,
+    # so one doc's `bands` keys are already distinct (barring md5 collisions)
+    # — a distinct here would shuffle all 4n rows for nothing. The pair-level
+    # distinct below still dedups docs that share multiple buckets.
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
-    ).distinct()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

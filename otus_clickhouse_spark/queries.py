@@ -278,7 +278,12 @@ def q12_asof_join(spark, sf_dir):
     joined = asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", how="inner"
     )
-    return joined.select("event_id", F.unix_micros(F.col("r_ts")).alias("click_us"))
+    # r_ts may read back as TIMESTAMP_NTZ from parquet; unix_micros needs LTZ.
+    # Session timezone is UTC, so the cast is a plain UTC reinterpretation,
+    # matching DuckDB's epoch_us over naive timestamps.
+    return joined.select(
+        "event_id", F.unix_micros(F.col("r_ts").cast("timestamp_ltz")).alias("click_us")
+    )
 
 
 @query(

@@ -227,6 +227,8 @@ class Engine:
                 sel = self.sql(rest, **params)
                 if cols:
                     sel = sel.toDF(*cols)
+                else:
+                    sel = self._align_positional(name, sel)
                 return self.insert(name, sel)
             return self.insert(name, self._values_frame(name, rest, cols))
         xm = re.match(
@@ -293,6 +295,26 @@ class Engine:
             else:
                 out.append(_zero_default(f.dataType).alias(f.name))
         return vals.select(*out)
+
+    def _align_positional(self, name: str, df: DataFrame) -> DataFrame:
+        """``INSERT INTO t SELECT …`` with no column list maps SELECT
+        expressions to table columns by POSITION, like ClickHouse
+        (lecture_07.md:516-524 inserts unaliased ``…State`` expressions
+        into typed state columns). Rename + cast to the declared
+        writable schema when arities match; otherwise pass through."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        td = self.tables.get(name)
+        ddl = td.settings.get("schema") if td else None
+        if not ddl:
+            return df
+        mat = td.settings.get("materialized", {})
+        writable = [f for f in StructType.fromDDL(ddl).fields if f.name not in mat]
+        if len(df.columns) != len(writable):
+            return df
+        df = df.toDF(*[f.name for f in writable])
+        return df.select(*[F.col(f.name).cast(f.dataType) for f in writable])
 
     def execute_script(self, script: str, **params) -> list:
         """Run a multi-statement SQL script (homeworks/scripts/hw02.sql

@@ -90,6 +90,21 @@ def ch_type_to_spark(t: str) -> tuple[str, bool]:
         fields = [ch_type_to_spark(a)[0] for a in _split_args(m.group(1), many=True)]
         inner = ", ".join(f"_{i + 1}: {f}" for i, f in enumerate(fields))
         return f"struct<{inner}>", False
+    m = _AGG_STATE_RE.match(t)
+    if m:
+        parts = _split_args(m.group(2), many=True)
+        fn = re.sub(r"If$", "", parts[0].strip())
+        if not m.group(1):  # full AggregateFunction: typed state encoding
+            if fn == "uniq":
+                return "binary", False
+            if fn == "avg":
+                return "struct<sum: double, count: bigint>", False
+            if fn == "groupArray":
+                inner, _ = ch_type_to_spark(parts[1])
+                return f"array<{inner}>", False
+        if fn == "count" or len(parts) < 2 or not parts[1]:
+            return "bigint", False
+        return ch_type_to_spark(parts[1])
     key = t.lower()
     if key in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[key], False
@@ -110,6 +125,25 @@ def _split_args(s: str, many: bool = False) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts if many else (parts if len(parts) > 1 else [parts[0], ""])[:2]
+
+
+# AggregateFunction(fn, T…) / SimpleAggregateFunction(fn, T) columns
+# (lectures/lecture_04.md:113-120, lecture_07.md:495-546). State
+# encodings per SURVEY.md §7 hard part 1:
+#   uniq       → binary (DataSketches HLL sketch; hll_sketch_agg)
+#   avg        → struct<sum: double, count: bigint>
+#   groupArray → array<T>
+#   sum/min/max/any/count/… (and every Simple…) → underlying T: for
+#     merge-idempotent functions the partial IS the state.
+_AGG_STATE_RE = re.compile(
+    r"^(Simple)?AggregateFunction\s*\((.*)\)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def agg_state_function(t: str) -> str | None:
+    """Function name declared in an AggregateFunction column type."""
+    m = _AGG_STATE_RE.match(t.strip())
+    return _split_args(m.group(2), many=True)[0].strip() if m else None
 
 
 _CREATE_RE = re.compile(
@@ -147,6 +181,7 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     defaults: dict[str, str] = {}
     materialized: dict[str, str] = {}
     aliases: dict[str, str] = {}
+    agg_functions: dict[str, str] = {}
     for item in _split_args(m.group("cols"), many=True):
         item = item.strip()
         if not item or re.match(r"^(INDEX|PROJECTION|CONSTRAINT|PRIMARY\s+KEY)\b", item, re.IGNORECASE):
@@ -168,6 +203,9 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
                 defaults[name] = expr
             else:
                 materialized[name] = expr
+        fn = agg_state_function(ch_type)
+        if fn:
+            agg_functions[name] = fn
         spark_type, nullable = ch_type_to_spark(ch_type)
         cols.append(f"{name} {spark_type}{'' if nullable else ' NOT NULL'}")
     rest = m.group("rest") or ""
@@ -215,4 +253,6 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         td.settings["materialized"] = materialized
     if aliases:
         td.settings["aliases"] = aliases
+    if agg_functions:
+        td.settings["agg_functions"] = agg_functions
     return td, ", ".join(cols)

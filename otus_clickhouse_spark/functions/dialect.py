@@ -87,6 +87,91 @@ def _rewrite_multiif(text: str) -> str:
         text = text[: m.start()] + f"(CASE {whens} ELSE {default} END)" + text[end:]
 
 
+# -State / -Merge combinators + finalizeAggregation (A7; lectures/
+# lecture_04.md:113-120, lecture_07.md:495-546, lecture_13.md:57-94):
+# partial-aggregate state persisted as data. State encodings match the
+# DDL layer (functions/ddl.py AggregateFunction mapping):
+#   uniq       → DataSketches HLL binary (hll_sketch_agg / hll_union_agg)
+#   avg        → struct<sum: double, count: bigint>
+#   groupArray → array<T> (merge = flatten)
+#   sum/min/max/any/anyLast/count → the partial value itself
+#     (merge-idempotent — SimpleAggregateFunction semantics)
+# ``…IfState(x…, cond)`` builds the state under FILTER; ``…IfMerge``
+# equals ``…Merge`` (the filter was applied when the state was built).
+_STATE_COMB_RE = re.compile(
+    r"\b(anyLast|any|uniq|sum|min|max|count|avg|groupArray)(If)?(State|Merge)\s*\("
+)
+_STATE_SIMPLE = {"sum": "sum", "min": "min", "max": "max", "any": "first", "anyLast": "last"}
+
+
+def _rewrite_state_combinators(text: str) -> str:
+    while True:
+        m = _STATE_COMB_RE.search(text)
+        if not m:
+            return text
+        base, is_if, kind = m.group(1), bool(m.group(2)), m.group(3)
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        if kind == "State":
+            cond = args[-1] if is_if else None
+            vals = args[:-1] if is_if else args
+            filt = f" FILTER (WHERE {cond})" if cond else ""
+            if base == "uniq":
+                repl = f"hll_sketch_agg({vals[0]}){filt}"
+            elif base == "avg":
+                repl = (
+                    f"named_struct('sum', sum(CAST({vals[0]} AS DOUBLE)){filt}, "
+                    f"'count', count({vals[0]}){filt})"
+                )
+            elif base == "groupArray":
+                repl = f"collect_list({vals[0]}){filt}"
+            elif base == "count":
+                repl = f"count({vals[0] if vals and vals[0] else '*'}){filt}"
+            else:
+                repl = f"{_STATE_SIMPLE[base]}({vals[0]}){filt}"
+        else:  # Merge: one state column argument
+            s = args[0]
+            if base == "uniq":
+                repl = f"hll_sketch_estimate(hll_union_agg({s}))"
+            elif base == "avg":
+                repl = f"(sum(({s}).sum) / sum(({s}).count))"
+            elif base == "groupArray":
+                repl = f"flatten(collect_list({s}))"
+            elif base == "count":
+                repl = f"sum({s})"
+            else:
+                repl = f"{_STATE_SIMPLE[base]}({s})"
+        text = text[: m.start()] + repl + text[end:]
+
+
+def _rewrite_finalize_aggregation(text: str, agg_funcs: dict[str, str]) -> str:
+    """``finalizeAggregation(state)`` (lecture_07.md:516-546): show one
+    state value's current result without merging across rows.
+
+    Dispatch is type-directed, like ClickHouse: ``agg_funcs`` maps state
+    column name → declared AggregateFunction name (from the table
+    registry's DDL metadata). Inline ``…State(…)`` calls dispatch on
+    their own name. Unknown columns fall back to identity — correct for
+    every merge-idempotent state (sum/min/max/any/count), which is the
+    shape undeclared ad-hoc states take here.
+    """
+    while True:
+        m = re.search(r"\bfinalizeAggregation\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        arg = args[0].strip()
+        im = re.match(r"^(anyLast|any|uniq|sum|min|max|count|avg|groupArray)(?:If)?State\s*\(", arg)
+        fn = im.group(1) if im else agg_funcs.get(arg.split(".")[-1].strip("`"), "")
+        fn = re.sub(r"If$", "", fn)
+        if fn == "uniq":
+            repl = f"hll_sketch_estimate({arg})"
+        elif fn == "avg":
+            repl = f"(({arg}).sum / ({arg}).count)"
+        else:
+            repl = f"({arg})"
+        text = text[: m.start()] + repl + text[end:]
+
+
 # -OrNull returns NULL on an empty set — Spark aggregates already do;
 # -Distinct aggregates distinct values (sumDistinct(x) → sum(DISTINCT x))
 _ORNULL_RE = re.compile(r"\b(sum|min|max|avg|any|count|median|quantile)OrNull\s*\(")
@@ -615,6 +700,11 @@ def translate(
     )
     text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)
+    agg_funcs: dict[str, str] = {}
+    for td in tables.values():
+        agg_funcs.update(getattr(td, "settings", {}).get("agg_functions", {}))
+    text = _rewrite_finalize_aggregation(text, agg_funcs)
+    text = _rewrite_state_combinators(text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)
     text = _rewrite_multiif(text)
     text = _rewrite_null_distinct_combinators(text)

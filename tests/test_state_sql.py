@@ -1,0 +1,125 @@
+"""-State / -Merge combinators + finalizeAggregation in raw SQL (A7).
+
+End-to-end replica of the reference's AggregatingMergeTree walkthrough
+(lectures/lecture_07.md:495-546): typed AggregateFunction columns are
+written by ``…State`` INSERT SELECTs and read back with ``…Merge`` /
+``finalizeAggregation``; state encodings are the DDL layer's (HLL
+binary for uniq, sum/count struct for avg, the partial value for
+merge-idempotent functions). Also the lecture_13.md:57-94 MV → states
+pattern at the SQL level.
+"""
+
+import pytest
+
+from otus_clickhouse_spark.functions.ddl import ch_type_to_spark, parse_create_table
+from otus_clickhouse_spark.functions.dialect import translate
+
+
+def test_aggregate_function_types_parse():
+    td, schema = parse_create_table(
+        "CREATE TABLE aggr (id UInt8, "
+        "val_uniq AggregateFunction(uniq, UInt64), "
+        "val_max AggregateFunction(maxIf, String, UInt8), "
+        "val_avg AggregateFunction(avg, UInt64), "
+        "val_arr AggregateFunction(groupArray, String), "
+        "val_sum SimpleAggregateFunction(sum, Float64)) "
+        "ENGINE = AggregatingMergeTree ORDER BY id"
+    )
+    assert "val_uniq binary" in schema
+    assert "val_avg struct<sum: double, count: bigint>" in schema
+    assert "val_max string" in schema
+    assert "val_arr array<string>" in schema
+    assert "val_sum double" in schema
+    assert td.settings["agg_functions"] == {
+        "val_uniq": "uniq",
+        "val_max": "maxIf",
+        "val_avg": "avg",
+        "val_arr": "groupArray",
+        "val_sum": "sum",
+    }
+    assert ch_type_to_spark("AggregateFunction(count)") == ("bigint", False)
+
+
+def test_state_merge_translation_shapes():
+    out = translate("select k, sumState(v), countState(), anyLastState(v) from t group by k")
+    assert "sum(v)" in out and "count(*)" in out and "last(v)" in out
+    out = translate("select sumMerge(s), countMerge(c), groupArrayMerge(g) from t")
+    assert "sum(s)" in out and "sum(c)" in out and "flatten(collect_list(g))" in out
+    # inline finalize dispatches on the state constructor's own name
+    out = translate("select finalizeAggregation(uniqState(v)) from t")
+    assert out == "select hll_sketch_estimate(hll_sketch_agg(v)) from t"
+
+
+@pytest.fixture
+def aggr_tbl(engine, tmp_path):
+    """lecture_07.md:505-524 DDL + two insert blocks."""
+    engine.execute(
+        "CREATE TABLE aggr_tbl (id UInt8, "
+        "val_uniq AggregateFunction(uniq, UInt64), "
+        "val_max AggregateFunction(maxIf, String, UInt8), "
+        "val_avg AggregateFunction(avg, UInt64)) "
+        "ENGINE = AggregatingMergeTree ORDER BY id"
+    )
+    engine.tables["aggr_tbl"].path = str(tmp_path / "aggr_tbl")
+    ins = (
+        "INSERT INTO aggr_tbl SELECT 1, uniqState(toUInt64(number)), "
+        "maxIfState(toString(number), number % 2 = 0), avgState(toUInt64(number)) "
+        "FROM numbers({a}, {n}) GROUP BY 1"
+    )
+    engine.execute(ins.format(a=0, n=10))  # numbers 0..9
+    engine.execute(ins.format(a=5, n=10))  # numbers 5..14 (overlap 5..9)
+    yield "aggr_tbl"
+    engine.execute("DROP TABLE aggr_tbl")
+
+
+def test_state_insert_merge_roundtrip(engine, aggr_tbl):
+    # two state rows persisted, one per insert block
+    assert engine.table(aggr_tbl).count() == 2
+    row = engine.sql(
+        "SELECT id, uniqMerge(val_uniq) AS u, avgMerge(val_avg) AS a, "
+        "maxIfMerge(val_max) AS m FROM aggr_tbl GROUP BY id"
+    ).collect()[0]
+    # distinct over 0..14 = 15 (HLL sparse mode is exact here);
+    # avg merges sums/counts: (45 + 95) / 20 = 7.0
+    # maxIf over even-number strings: max('0','2',…,'14') = '8'
+    assert row.u == 15
+    assert row.a == 7.0
+    assert row.m == "8"
+
+
+def test_finalize_aggregation_per_row(engine, aggr_tbl):
+    # finalizeAggregation shows each part's own state (lecture_07.md:546)
+    rows = engine.sql(
+        "SELECT finalizeAggregation(val_uniq) AS u, "
+        "finalizeAggregation(val_avg) AS a, "
+        "finalizeAggregation(val_max) AS m FROM aggr_tbl ORDER BY a"
+    ).collect()
+    assert [r.u for r in rows] == [10, 10]
+    assert [r.a for r in rows] == [4.5, 9.5]
+    assert [r.m for r in rows] == ["8", "8"]  # max even-string in 0..9 / 5..14
+
+
+def test_mv_with_uniq_state_sql(engine, tmp_path):
+    """lecture_13.md:57-94: MV writes uniqState blocks to an
+    AggregatingMergeTree target; reads uniqMerge per key."""
+    engine.execute("CREATE TABLE t1 (a String, b UInt32) ENGINE = MergeTree ORDER BY a")
+    engine.tables["t1"].path = str(tmp_path / "t1")
+    engine.execute(
+        "CREATE TABLE t2 (a String, b AggregateFunction(uniq, UInt32)) "
+        "ENGINE = AggregatingMergeTree ORDER BY a"
+    )
+    engine.tables["t2"].path = str(tmp_path / "t2")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW t1_to_t2 TO t2 AS "
+        "SELECT a, uniqState(b) AS b FROM t1 GROUP BY a"
+    )
+    engine.execute("INSERT INTO t1 VALUES ('x', 1), ('x', 2), ('y', 1)")
+    engine.execute("INSERT INTO t1 VALUES ('x', 2), ('x', 3)")
+    assert engine.table("t2").count() == 3  # per-block states, not merged
+    merged = {
+        r.a: r.u
+        for r in engine.sql("SELECT a, uniqMerge(b) AS u FROM t2 GROUP BY a").collect()
+    }
+    assert merged == {"x": 3, "y": 1}
+    engine.execute("DROP TABLE t1")
+    engine.execute("DROP TABLE t2")

@@ -629,3 +629,32 @@ def q68_scalar_functions(spark, sf_dir):
         "FROM orders WHERE toDayOfWeek(o_orderdate) <= 5 "
         "GROUP BY yr, mo"
     )
+
+
+@query(
+    "q69_state_merge_sql",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+           round(avg(value), 2) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q69_state_merge_sql(spark, sf_dir):
+    """-State/-Merge combinators in raw SQL (A7; lecture_07.md:495-546,
+    lecture_13.md:57-94): two per-block partial-state subqueries (the
+    AggregatingMergeTree insert pattern) merged on read. uniqState →
+    DataSketches HLL binary (exact at this cardinality, mergeable at
+    any scale); avgState → sum/count struct, so the merged average is
+    exact regardless of block split. All JVM-side, no UDFs."""
+    eng = _mini_engine(spark, sf_dir, ["events"])
+    block = (
+        "SELECT event_type, uniqState(user_id) AS u, avgState(value) AS a "
+        "FROM events WHERE event_id % 2 = {r} GROUP BY event_type"
+    )
+    return eng.sql(
+        "SELECT event_type, CAST(uniqMerge(u) AS BIGINT) AS uniq_users, "
+        "round(avgMerge(a), 2) AS avg_value "
+        f"FROM ({block.format(r=0)} UNION ALL {block.format(r=1)}) "
+        "GROUP BY event_type"
+    )

@@ -1,0 +1,143 @@
+"""ClickHouse output-FORMAT rendering (S12; lectures/lecture_03.md:196-213).
+
+The reference client prints result sets in named formats (``FORMAT
+Pretty``, ``… CSVWithNames``, ``… JSONEachRow``, ``\\G`` vertical);
+this module reproduces the wire-visible ones for the CLI
+(:mod:`otus_clickhouse_spark.__main__`). Rendering is a driver-side
+concern over an already-collected (small) result — result-set
+computation stays distributed; a huge export goes through
+``Engine.insert`` / ``df.write`` instead (S18).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+from decimal import Decimal
+
+OUTPUT_FORMATS = (
+    "Pretty",
+    "PrettyCompact",
+    "Vertical",
+    "CSV",
+    "CSVWithNames",
+    "TSV",
+    "TabSeparated",
+    "TSVWithNames",
+    "TabSeparatedWithNames",
+    "JSONEachRow",
+    "Values",
+    "Null",
+)
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_cell(k)}:{_cell(x)}" for k, x in v.items()) + "}"
+    return str(v)
+
+
+def _json_cell(v):
+    if isinstance(v, (datetime, date, Decimal)):
+        return _cell(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_cell(x) for k, x in v.items()}
+    return v
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+
+
+def render(columns: list[str], rows: list, fmt: str = "PrettyCompact") -> str:
+    """Render collected rows (list of tuples/Rows) in a CH output format."""
+    data = [tuple(r) for r in rows]
+    if fmt == "Null":
+        return ""
+    if fmt in ("Pretty", "PrettyCompact"):
+        return _pretty(columns, data)
+    if fmt == "Vertical":
+        return _vertical(columns, data)
+    if fmt == "JSONEachRow":
+        return "\n".join(
+            json.dumps(
+                {c: _json_cell(v) for c, v in zip(columns, r)}, ensure_ascii=False
+            )
+            for r in data
+        )
+    if fmt == "Values":
+        return ", ".join(
+            "(" + ",".join(_sql_literal(v) for v in r) + ")" for r in data
+        )
+    sep = "\t" if fmt.startswith(("TSV", "TabSeparated")) else ","
+    with_names = fmt.endswith("WithNames")
+    out = [sep.join(columns)] if with_names else []
+    quote = sep == ","
+    for r in data:
+        out.append(sep.join(_csv_cell(v, quote) for v in r))
+    return "\n".join(out)
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if _is_num(v):
+        return _cell(v)
+    return "'" + _cell(v).replace("'", "\\'") + "'"
+
+
+def _csv_cell(v, quote: bool) -> str:
+    s = "" if v is None else _cell(v)
+    if quote and any(c in s for c in ',"\n'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _pretty(columns: list[str], data: list[tuple]) -> str:
+    """CH Pretty box table: ``┌─col─┬─…`` header, numbers right-aligned."""
+    cells = [[_cell(v) for v in r] for r in data]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(columns)
+    ]
+    numeric = [
+        all(_is_num(r[i]) or r[i] is None for r in data) if data else False
+        for i in range(len(columns))
+    ]
+    head = "┌" + "┬".join("─" + (c + "─").ljust(w + 1, "─") for c, w in zip(columns, widths)) + "┐"
+    lines = [head]
+    for row in cells:
+        body = "│".join(
+            " " + (s.rjust(w) if numeric[i] else s.ljust(w)) + " "
+            for i, (s, w) in enumerate(zip(row, widths))
+        )
+        lines.append("│" + body + "│")
+    lines.append("└" + "┴".join("─" * (w + 2) for w in widths) + "┘")
+    return "\n".join(lines)
+
+
+def _vertical(columns: list[str], data: list[tuple]) -> str:
+    """``\\G`` / FORMAT Vertical: one ``col: value`` line per column."""
+    w = max((len(c) for c in columns), default=0)
+    blocks = []
+    for i, row in enumerate(data, 1):
+        lines = [f"Row {i}:", "─" * 6]
+        lines += [f"{c.ljust(w)}: {_cell(v)}" for c, v in zip(columns, row)]
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)

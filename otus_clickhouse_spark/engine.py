@@ -67,6 +67,7 @@ class Engine:
         self._memory: dict[str, list] = {}  # Memory/Set-engine blocks
         self._row_policies: dict[str, list[str]] = {}  # table → predicates
         self._query_log: list[tuple] = []
+        self._processes: dict[str, tuple[str, float]] = {}
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -502,17 +503,38 @@ class Engine:
     def run(self, text: str, **params):
         """Execute SQL eagerly, recording it in the query log
         (≈ system.query_log, lectures/lecture_20.md:619-654): query
-        text, wall duration, result rows, exception type."""
-        import time
+        text, wall duration, result rows, exception type.
 
+        Each run gets a query_id and executes under a Spark job group
+        named by it, so ``system.processes`` can list it and
+        ``KILL QUERY WHERE query_id = '…'`` can cancel its jobs from
+        another thread (M7; lecture_16.md:328-336)."""
+        import time
+        import uuid
+
+        qid = uuid.uuid4().hex[:16]
         t0 = time.time()
+        self._processes[qid] = (text, t0)
+        sc = self.spark.sparkContext
+        sc.setJobGroup(qid, text[:200], interruptOnCancel=True)
         try:
             rows = self.sql(text, **params).collect()
         except Exception as exc:  # logged like query_log's exception column
             self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
             raise
+        finally:
+            self._processes.pop(qid, None)
+            sc.setJobGroup(None, None)
         self._query_log.append((text, time.time() - t0, len(rows), ""))
         return rows
+
+    def kill_query(self, query_id: str) -> bool:
+        """``KILL QUERY WHERE query_id = '…'`` (M7; lecture_16.md:
+        328-336): cancel the job group of a query running in another
+        thread. Returns whether the id was live."""
+        live = query_id in self._processes
+        self.spark.sparkContext.cancelJobGroup(query_id)
+        return live
 
     # ----------------------------------------------------------------- write
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
@@ -738,6 +760,17 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "table string, name string, expr string, type string"
         )
+
+    def system_processes(self) -> DataFrame:
+        """≈ system.processes (lecture_16.md:328-336): queries currently
+        inside :meth:`run`, with their cancellable query_id."""
+        import time
+
+        now = time.time()
+        rows = [(qid, text, round(now - t0, 3)) for qid, (text, t0) in self._processes.items()]
+        return self.spark.createDataFrame(
+            rows or [("", "", 0.0)], "query_id string, query string, elapsed double"
+        ).where("query_id != ''")
 
     def system_settings(self) -> DataFrame:
         """≈ system.settings: spark conf + session SET overrides

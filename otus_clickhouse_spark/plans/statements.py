@@ -236,6 +236,9 @@ def _partition_column(td) -> str:
 
 
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
+_KILL_RE = re.compile(
+    r"^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'\s*$", re.IGNORECASE
+)
 _ROW_POLICY_RE = re.compile(
     r"^\s*CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)(?:\s+TO\s+.+)?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -266,6 +269,12 @@ def try_route(engine, s: str):
         engine._row_policies.pop(m.group(2), None)
         engine.register_table(engine.tables[m.group(2)])
         return {"dropped_row_policy": m.group(1)}
+
+    m = _KILL_RE.match(s)
+    if m:
+        # KILL QUERY (M7; lecture_16.md:328-336): cancel the query's
+        # Spark job group — takes effect from any thread
+        return {"killed": engine.kill_query(m.group(1))}
 
     m = _SET_RE.match(s)
     if m:

@@ -123,3 +123,38 @@ def test_mv_with_uniq_state_sql(engine, tmp_path):
     assert merged == {"x": 3, "y": 1}
     engine.execute("DROP TABLE t1")
     engine.execute("DROP TABLE t2")
+
+
+def test_kill_query_and_system_processes(engine):
+    """KILL QUERY + system.processes (M7/D8; lecture_16.md:328-336):
+    a long query's job group is cancellable from another thread."""
+    import threading
+    import time
+
+    errors: list = []
+
+    def slow():
+        try:
+            # ~minutes of work if not killed (big codegen'd aggregation;
+            # modulo keeps the sum far below long overflow under ANSI)
+            engine.run("SELECT sum(number % 997) FROM numbers(50000000000)")
+        except Exception as exc:  # noqa: BLE001 — cancellation lands here
+            errors.append(type(exc).__name__)
+
+    th = threading.Thread(target=slow)
+    th.start()
+    qid = None
+    for _ in range(100):  # wait until it shows in system.processes
+        procs = engine.system_processes().collect()
+        if procs:
+            qid = procs[0].query_id
+            break
+        time.sleep(0.1)
+    assert qid, "query never appeared in system.processes"
+    t0 = time.time()
+    res = engine.execute(f"KILL QUERY WHERE query_id = '{qid}'")
+    th.join(timeout=60)
+    assert not th.is_alive() and time.time() - t0 < 60
+    assert res == {"killed": True}
+    assert errors, "cancelled query should raise in its thread"
+    assert not engine.system_processes().collect()

@@ -105,6 +105,41 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         n_fact,
     )
     timed("minhash_pairs", lambda: minhash_dedup_pairs(docs).count(), n_docs)
+    timed(
+        "in_subquery_semi",
+        lambda: fact.join(
+            dim.where(F.col("segment") == "seg1").select("custkey"), on="custkey", how="left_semi"
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_fact,
+    )
+    # AggregatingMergeTree read path: per-(flag, day) HLL states merged
+    # to per-flag uniques — state rows, not raw rows, cross the shuffle
+    timed(
+        "uniq_state_merge",
+        lambda: fact.groupBy("flag", "d")
+        .agg(F.hll_sketch_agg("custkey").alias("st"))
+        .groupBy("flag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("st")))
+        .collect(),
+        n_fact,
+    )
+
+    from otus_clickhouse_spark.operators.asof import asof_join
+
+    trades = fact.select("k", "custkey", F.col("d").cast("timestamp").alias("ts"), "price")
+    quotes = fact.where(F.col("k") % 4 == 0).select(
+        "custkey", F.timestamp_add("HOUR", F.lit(-1), F.col("d").cast("timestamp")).alias("ts"),
+        F.col("qty").alias("ref"),
+    )
+    timed(
+        "asof_join",
+        lambda: asof_join(trades, quotes, on=["custkey"], left_ts="ts", right_ts="ts")
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_fact,
+    )
 
     from otus_clickhouse_spark.operators.graphite import (
         GraphitePattern,

@@ -462,7 +462,17 @@ class Engine:
         if fill:
             from otus_clickhouse_spark.operators.with_fill import with_fill
 
-            col, _asc, lo, hi, step = fill.groups()
+            col, _asc, lo, hi, step, interp_raw = fill.groups()
+            interp = None
+            if interp_raw is not None:
+                from otus_clickhouse_spark.functions.dialect import _split_top_commas
+
+                # INTERPOLATE (c [AS expr], …): no AS = carry previous value
+                interp = {}
+                for item in _split_top_commas(interp_raw):
+                    am = re.match(r"(?is)^\s*(\w+)(?:\s+AS\s+(.+))?$", item.strip())
+                    if am:
+                        interp[am.group(1)] = am.group(2).strip() if am.group(2) else None
 
             def _val(tok):
                 if tok is None:
@@ -476,7 +486,9 @@ class Engine:
                 except ValueError:
                     return float(tok) if re.fullmatch(r"-?\d+\.\d*", tok) else tok.strip("'\"")
 
-            df = with_fill(df, col, step=_val(step), start=_val(lo), stop=_val(hi))
+            df = with_fill(
+                df, col, step=_val(step), start=_val(lo), stop=_val(hi), interpolate=interp
+            )
             df = df.orderBy(F_desc(col) if (_asc or "").upper() == "DESC" else col)
         if limit_by:
             df = _apply_limit_by(df, *limit_by)
@@ -791,7 +803,8 @@ _PASTE_SQL_RE = re.compile(
 # (lectures/lecture_20.md:29-33; homeworks/hw14.md:35-70)
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?"
+    r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?",
     re.IGNORECASE,
 )
 

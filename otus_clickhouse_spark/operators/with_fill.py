@@ -14,6 +14,8 @@ stage over the aggregated (already small) side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +27,7 @@ def with_fill(
     start=None,
     stop=None,
     fill_values: dict | None = None,
+    interpolate: dict | None = None,
 ) -> DataFrame:
     """Densify ``fill_col`` from start..stop by step; missing rows get
     ``fill_values`` (default: nulls → caller coalesces).
@@ -32,6 +35,15 @@ def with_fill(
     ``step`` may be an int (numeric columns) or a string interval like
     ``'1 day'`` (date/timestamp columns). start/stop default to the
     min/max present in the data (ClickHouse WITH FILL default bounds).
+
+    ``interpolate`` maps column → rule, reproducing ClickHouse's
+    ``INTERPOLATE (col [AS expr])``: ``None`` carries the previous
+    row's value forward; ``"col + k"`` / ``"col - k"`` applies the
+    linear expression iteratively from the last real value (the only
+    expr shapes the reference's surface uses; anything else raises).
+    The interpolation windows are unpartitioned — WITH FILL output is
+    a final ordered result set (post-aggregation, one row per bucket),
+    exactly the size regime CH materializes on the initiator.
     """
     dtype = dict(df.dtypes)[fill_col]
     bounds = df.agg(
@@ -46,9 +58,36 @@ def with_fill(
     spine = bounds.select(
         F.explode(F.sequence(lo.cast(dtype), hi.cast(dtype), step_expr)).alias(fill_col)
     )
-    out = spine.join(F.broadcast(df) if _is_small(df) else df, on=fill_col, how="left")
+    if stop is not None:
+        # ClickHouse WITH FILL TO bound is EXCLUSIVE; default (data max)
+        # stays inclusive
+        spine = spine.where(F.col(fill_col) < F.lit(stop).cast(dtype))
+    data = df.withColumn("__orig", F.lit(1)) if interpolate else df
+    out = spine.join(F.broadcast(data) if _is_small(df) else data, on=fill_col, how="left")
     for c, v in (fill_values or {}).items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    if interpolate:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(fill_col).rowsBetween(Window.unboundedPreceding, 0)
+        carried = {c: F.last(c, ignorenulls=True).over(w) for c in interpolate}
+        # rows since the last real row: position inside the filled gap
+        grp = F.sum(F.coalesce(F.col("__orig"), F.lit(0))).over(w)
+        off = F.row_number().over(Window.partitionBy(grp).orderBy(fill_col)) - 1
+        for c, rule in interpolate.items():
+            if rule is None:  # INTERPOLATE (c): repeat previous value
+                out = out.withColumn(c, F.coalesce(F.col(c), carried[c]))
+                continue
+            m = re.fullmatch(rf"\s*{re.escape(c)}\s*([+-])\s*(\d+(?:\.\d+)?)\s*", rule)
+            if not m:
+                raise ValueError(f"unsupported INTERPOLATE expr: {rule!r}")
+            delta = float(m.group(2)) * (1 if m.group(1) == "+" else -1)
+            if delta == int(delta):
+                delta = int(delta)
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), carried[c] + F.lit(delta) * off)
+            )
+        out = out.drop("__orig")
     return out
 
 

@@ -120,3 +120,21 @@ def test_graphite_rollup(spark):
         ("mem.used", 60, 2.0),
         ("mem.used", 120, 4.0),
     }
+
+
+def test_with_fill_interpolate(engine):
+    """WITH FILL … INTERPOLATE (lecture_20.md WITH FILL surface +
+    ClickHouse INTERPOLATE): carry-forward and linear progression."""
+    rows = engine.sql(
+        "SELECT n, v, lvl FROM (VALUES (1, 10.0, 100), (4, 40.0, 400), (6, 60.0, 600)) "
+        "AS t(n, v, lvl) "
+        "ORDER BY n WITH FILL FROM 1 TO 7 INTERPOLATE (v, lvl AS lvl + 10)"
+    ).collect()
+    got = {r.n: (r.v, r.lvl) for r in rows}
+    assert got[1] == (10.0, 100)
+    assert got[2] == (10.0, 110)  # v carried, lvl = prev + 10 per filled row
+    assert got[3] == (10.0, 120)
+    assert got[4] == (40.0, 400)
+    assert got[5] == (40.0, 410)
+    assert got[6] == (60.0, 600)
+    assert 7 not in got  # CH WITH FILL TO bound is exclusive

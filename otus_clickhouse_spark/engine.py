@@ -288,7 +288,7 @@ class Engine:
         out = []
         for f in writable:
             if f.name in cols:
-                out.append(F.col(f.name).cast(f.dataType))
+                out.append(_enum_norm(td, f.name, F.col(f.name).cast(f.dataType)))
             elif f.name in defaults:
                 out.append(F.expr(defaults[f.name]).cast(f.dataType).alias(f.name))
             elif f.nullable:
@@ -315,7 +315,9 @@ class Engine:
         if len(df.columns) != len(writable):
             return df
         df = df.toDF(*[f.name for f in writable])
-        return df.select(*[F.col(f.name).cast(f.dataType) for f in writable])
+        return df.select(
+            *[_enum_norm(td, f.name, F.col(f.name).cast(f.dataType)) for f in writable]
+        )
 
     def execute_script(self, script: str, **params) -> list:
         """Run a multi-statement SQL script (homeworks/scripts/hw02.sql
@@ -909,6 +911,21 @@ def _split_statements(script: str) -> list[str]:
     if tail:
         out.append(tail)
     return out
+
+
+def _enum_norm(td, fname: str, col):
+    """Enum columns accept the name OR the numeric code on insert (CH
+    behavior; hw02.sql:17 + hw02.md:91-105): codes are normalized to
+    the stored name string via a literal map (codegen'd, no UDF)."""
+    mapping = td.settings.get("enums", {}).get(fname)
+    if not mapping:
+        return col.alias(fname)
+    from pyspark.sql import functions as F
+
+    m = F.create_map(
+        *[F.lit(x) for name, code in mapping.items() for x in (str(code), name)]
+    )
+    return F.coalesce(m[col], col).alias(fname)
 
 
 def _zero_default(dtype):

@@ -146,6 +146,30 @@ def agg_state_function(t: str) -> str | None:
     return _split_args(m.group(2), many=True)[0].strip() if m else None
 
 
+# Enum('CSH' = 1, …) / Enum8/Enum16, with or without explicit codes
+# (SURVEY §1.2; homeworks/scripts/hw02.sql:17). Stored as the NAME
+# string; the code mapping is kept so numeric comparisons
+# (`payment_type = 1`, hw02.md:91-105) and numeric inserts still work.
+_ENUM_RE = re.compile(r"^Enum(?:8|16)?\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+
+
+def enum_mapping(t: str) -> dict[str, int] | None:
+    """name → code mapping for an Enum column type, else None."""
+    m = _ENUM_RE.match(t.strip())
+    if not m:
+        m2 = re.match(
+            r"^(?:Nullable|LowCardinality)\s*\((.*)\)$", t.strip(), re.IGNORECASE | re.DOTALL
+        )
+        return enum_mapping(m2.group(1)) if m2 else None
+    out: dict[str, int] = {}
+    for i, item in enumerate(_split_args(m.group(1), many=True), 1):
+        em = re.match(r"^\s*'([^']*)'\s*(?:=\s*(-?\d+)\s*)?$", item)
+        if not em:
+            raise ValueError(f"cannot parse enum member: {item!r}")
+        out[em.group(1)] = int(em.group(2)) if em.group(2) else i
+    return out
+
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w]+\.)?(?P<name>[\w]+)\s*"
     r"\((?P<cols>.*)\)\s*"
@@ -182,6 +206,7 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     materialized: dict[str, str] = {}
     aliases: dict[str, str] = {}
     agg_functions: dict[str, str] = {}
+    enums: dict[str, dict[str, int]] = {}
     for item in _split_args(m.group("cols"), many=True):
         item = item.strip()
         if not item or re.match(r"^(INDEX|PROJECTION|CONSTRAINT|PRIMARY\s+KEY)\b", item, re.IGNORECASE):
@@ -206,6 +231,9 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         fn = agg_state_function(ch_type)
         if fn:
             agg_functions[name] = fn
+        em = enum_mapping(ch_type)
+        if em:
+            enums[name] = em
         spark_type, nullable = ch_type_to_spark(ch_type)
         cols.append(f"{name} {spark_type}{'' if nullable else ' NOT NULL'}")
     rest = m.group("rest") or ""
@@ -230,7 +258,9 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
 
         name=m.group("name"),
         engine=re.sub(r"^Replicated", "", engine),  # replication = storage layer
-        order_by=key_tuple(clause("ORDER\\s+BY")),
+        # PRIMARY KEY without ORDER BY (hw02.sql:22) defines the sort key
+        # (in CH the PK defaults to the sort key and vice versa)
+        order_by=key_tuple(clause("ORDER\\s+BY") or clause("PRIMARY\\s+KEY")),
         partition_by=key_tuple(clause("PARTITION\\s+BY")),
     )
     base = td.engine
@@ -255,4 +285,6 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         td.settings["aliases"] = aliases
     if agg_functions:
         td.settings["agg_functions"] = agg_functions
+    if enums:
+        td.settings["enums"] = enums
     return td, ", ".join(cols)

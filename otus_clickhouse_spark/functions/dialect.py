@@ -679,6 +679,31 @@ def translate(
     # GLOBAL IN/JOIN (lecture_15.md:194-214) is a distributed-execution
     # hint — Spark's broadcast exchange does this automatically
     text = re.sub(r"\bGLOBAL\s+(IN|JOIN)\b", r"\1", text, flags=re.IGNORECASE)
+    # Enum columns are stored as NAME strings; ClickHouse compares enums
+    # by numeric code too (`payment_type = 1`, hw02.md:91-105) — rewrite
+    # code literals to the declared name (= / != / <> / IN lists)
+    for td in tables.values():
+        for col, mapping in getattr(td, "settings", {}).get("enums", {}).items():
+            code2name = {v: k for k, v in mapping.items()}
+
+            def eq_sub(m, c2n=code2name):
+                name = c2n.get(int(m.group(2)))
+                return f"{m.group(1)}'{name}'" if name is not None else m.group(0)
+
+            def in_sub(m, c2n=code2name):
+                vals = ", ".join(
+                    f"'{c2n[int(x)]}'" if int(x) in c2n else x
+                    for x in (s.strip() for s in m.group(2).split(","))
+                )
+                return m.group(1) + vals + m.group(3)
+
+            text = re.sub(rf"(\b{col}\s*(?:=|!=|<>)\s*)(\d+)\b", eq_sub, text)
+            text = re.sub(
+                rf"(\b{col}\s+(?:NOT\s+)?IN\s*\()([\d\s,]+)(\))",
+                in_sub,
+                text,
+                flags=re.IGNORECASE,
+            )
     # `x IN set_table` (Set engine, lecture_09.md:451-496) → subquery IN
     for tname, td in tables.items():
         if getattr(td, "engine", "") == "Set":

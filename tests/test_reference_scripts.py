@@ -1,0 +1,68 @@
+"""Course-script end-to-end: homeworks/scripts/hw02.sql runs verbatim.
+
+The reference's hw02 creates the NYC-taxi ``trips`` table (Enum payment
+type, PRIMARY KEY sort key, Nullable/LowCardinality columns) and its
+golden query is a filtered count with a NUMERIC enum comparison
+(``payment_type = 1`` → 1850287, homeworks/hw02.md:91-105). The s3()
+source isn't reachable in this container, so the INSERT pulls from a
+local generated frame instead — everything else (DDL text, query text)
+is the reference's own SQL.
+"""
+
+import os
+import re
+
+import pytest
+
+REFERENCE = "/root/reference/homeworks/scripts/hw02.sql"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE), reason="reference not present")
+def test_hw02_script_ddl_and_enum_golden(engine, tmp_path):
+    script = open(REFERENCE).read()
+    stmts = [s.strip() for s in script.split(";") if s.strip()]
+    # 1. the DDL statements run verbatim
+    engine.execute(stmts[0])  # DROP TABLE IF EXISTS trips
+    engine.execute(stmts[1])  # CREATE TABLE trips … ENGINE = MergeTree PRIMARY KEY …
+    td = engine.tables["trips"]
+    engine.tables["trips"].path = str(tmp_path / "trips")
+    assert td.order_by == ("pickup_datetime", "dropoff_datetime")  # PRIMARY KEY fallback
+    assert td.settings["enums"]["payment_type"] == {
+        "CSH": 1, "CRE": 2, "NOC": 3, "DIS": 4, "UNK": 5,
+    }
+    # 2. the INSERT's SELECT column list is the reference's; only the
+    #    s3() source is swapped for a local generator (no network)
+    insert_sql = stmts[2]
+    m = re.match(r"(?s)^(INSERT INTO trips\s+SELECT.*?)FROM s3\(", insert_sql)
+    assert m, "unexpected hw02 INSERT shape"
+    engine.sql(
+        "SELECT id AS trip_id, "
+        "timestamp_seconds(1435708800 + id * 60) AS pickup_datetime, "
+        "timestamp_seconds(1435708800 + id * 60 + 600) AS dropoff_datetime, "
+        "CAST(NULL AS DOUBLE) AS pickup_longitude, CAST(NULL AS DOUBLE) AS pickup_latitude, "
+        "CAST(NULL AS DOUBLE) AS dropoff_longitude, CAST(NULL AS DOUBLE) AS dropoff_latitude, "
+        "CAST(id % 4 + 1 AS INT) AS passenger_count, "
+        "CAST(id % 100 / 10.0 AS FLOAT) AS trip_distance, "
+        "CAST(5 + id % 40 AS FLOAT) AS fare_amount, CAST(0.5 AS FLOAT) AS extra, "
+        "CAST(id % 5 AS FLOAT) AS tip_amount, CAST(0 AS FLOAT) AS tolls_amount, "
+        "CAST(6 + id % 45 AS FLOAT) AS total_amount, "
+        "CAST(id % 5 + 1 AS INT) AS payment_type, "
+        "concat('nta', id % 7) AS pickup_ntaname, concat('nta', id % 9) AS dropoff_ntaname "
+        "FROM range(10000)"
+    ).createOrReplaceTempView("__hw02_src")
+    engine.execute(m.group(1) + "FROM __hw02_src")
+    # numeric code 1..5 normalized to names on insert
+    stored = {r.payment_type for r in engine.table("trips").select("payment_type").distinct().collect()}
+    assert stored == {"CSH", "CRE", "NOC", "DIS", "UNK"}
+    # 3. the hw02.md golden queries, verbatim shapes
+    n = engine.sql("select count() AS n from trips where payment_type = 1").collect()[0].n
+    assert n == 2000  # ids ≡ 0 (mod 5) → 'CSH'
+    n2 = engine.sql(
+        "select count() AS n from trips where payment_type in (1, 2)"
+    ).collect()[0].n
+    assert n2 == 4000
+    # string-side comparisons still work
+    assert engine.sql(
+        "select count() AS n from trips where payment_type = 'CSH'"
+    ).collect()[0].n == 2000
+    engine.execute("DROP TABLE trips")

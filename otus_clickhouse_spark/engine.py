@@ -68,6 +68,7 @@ class Engine:
         self._row_policies: dict[str, list[str]] = {}  # table → predicates
         self._query_log: list[tuple] = []
         self._processes: dict[str, tuple[str, float]] = {}
+        self._events: dict[str, int] = {}  # cumulative counters (system.events)
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -531,9 +532,12 @@ class Engine:
         self._processes[qid] = (text, t0)
         sc = self.spark.sparkContext
         sc.setJobGroup(qid, text[:200], interruptOnCancel=True)
+        self._bump("Query")
+        self._bump("SelectQuery")
         try:
             rows = self.sql(text, **params).collect()
         except Exception as exc:  # logged like query_log's exception column
+            self._bump("FailedSelectQuery")
             self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
             raise
         finally:
@@ -541,6 +545,9 @@ class Engine:
             sc.setJobGroup(None, None)
         self._query_log.append((text, time.time() - t0, len(rows), ""))
         return rows
+
+    def _bump(self, event: str, n: int = 1) -> None:
+        self._events[event] = self._events.get(event, 0) + n
 
     def kill_query(self, query_id: str) -> bool:
         """``KILL QUERY WHERE query_id = '…'`` (M7; lecture_16.md:
@@ -564,6 +571,7 @@ class Engine:
         """
         from pyspark.sql import functions as F
 
+        self._bump("InsertQuery")
         if name in self._buffers:
             buf = self._buffers[name]
             buf.insert(df)
@@ -774,6 +782,26 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "table string, name string, expr string, type string"
         )
+
+    def system_events(self) -> DataFrame:
+        """≈ system.events (lecture_20.md:296-478 monitoring): cumulative
+        engine counters (Query/SelectQuery/InsertQuery/FailedSelectQuery)."""
+        rows = sorted(self._events.items())
+        return self.spark.createDataFrame(
+            rows or [("", 0)], "event string, value long"
+        ).where("event != ''")
+
+    def system_metrics(self) -> DataFrame:
+        """≈ system.metrics: current gauges (running queries, registered
+        tables/dictionaries) — the Prometheus-exporter surface the course
+        scrapes (lecture_20.md:497-529)."""
+        rows = [
+            ("Query", len(self._processes)),
+            ("TablesRegistered", len(self.tables)),
+            ("DictionariesRegistered", len(self._dictionaries)),
+            ("MaterializedViews", sum(len(v) for v in self._mvs.values())),
+        ]
+        return self.spark.createDataFrame(rows, "metric string, value long")
 
     def system_processes(self) -> DataFrame:
         """≈ system.processes (lecture_16.md:328-336): queries currently

@@ -239,6 +239,10 @@ _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
 _KILL_RE = re.compile(
     r"^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'\s*$", re.IGNORECASE
 )
+_MODIFY_ORDER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+ORDER\s+BY\s+\(?([\w, ]+?)\)?\s*$",
+    re.IGNORECASE,
+)
 _ROW_POLICY_RE = re.compile(
     r"^\s*CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)(?:\s+TO\s+.+)?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -269,6 +273,15 @@ def try_route(engine, s: str):
         engine._row_policies.pop(m.group(2), None)
         engine.register_table(engine.tables[m.group(2)])
         return {"dropped_row_policy": m.group(1)}
+
+    m = _MODIFY_ORDER_RE.match(s)
+    if m:
+        # MODIFY ORDER BY (D3; lecture_08.md:124-125): changes the sort
+        # key for FUTURE part writes, like CH (existing parts keep their
+        # order until OPTIMIZE/compaction rewrites them)
+        td = engine.tables[m.group(1)]
+        td.order_by = tuple(c.strip() for c in m.group(2).split(","))
+        return {"order_by": td.order_by}
 
     m = _KILL_RE.match(s)
     if m:

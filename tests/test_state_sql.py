@@ -158,3 +158,13 @@ def test_kill_query_and_system_processes(engine):
     assert res == {"killed": True}
     assert errors, "cancelled query should raise in its thread"
     assert not engine.system_processes().collect()
+
+
+def test_system_events_and_metrics(engine):
+    """system.events / system.metrics (D8; the course's monitoring
+    surface, lecture_20.md:296-529), queryable from raw SQL."""
+    engine.run("SELECT 1 AS x")
+    ev = {r.event: r.value for r in engine.sql("SELECT * FROM system.events").collect()}
+    assert ev.get("SelectQuery", 0) >= 1 and ev.get("Query", 0) >= ev["SelectQuery"]
+    mt = {r.metric: r.value for r in engine.sql("SELECT * FROM system.metrics").collect()}
+    assert mt["TablesRegistered"] >= 1 and mt["Query"] == 0

@@ -520,3 +520,9 @@ def test_show_indexes(engine, sales):
     names = [r[0] for r in rows]
     assert "PRIMARY" in names and "am_ix" in names
     engine.execute(f"ALTER TABLE {sales} DROP INDEX am_ix")
+
+
+def test_modify_order_by(engine, sales):
+    res = engine.execute(f"ALTER TABLE {sales} MODIFY ORDER BY (month, id)")
+    assert res == {"order_by": ("month", "id")}
+    assert engine.tables[sales].order_by == ("month", "id")

@@ -69,6 +69,7 @@ class Engine:
         self._query_log: list[tuple] = []
         self._processes: dict[str, tuple[str, float]] = {}
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
+        self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -697,10 +698,15 @@ class Engine:
     def dictionary(self, name: str):
         return self._dictionaries[name]
 
-    def reload_dictionary(self, name: str, df: DataFrame) -> None:
-        """SYSTEM RELOAD DICTIONARY (lecture_04.md:85)."""
+    def reload_dictionary(self, name: str, df: DataFrame | None = None) -> bool:
+        """SYSTEM RELOAD DICTIONARY (lecture_04.md:85): re-read the
+        source (recorded at CREATE DICTIONARY) and swap the broadcast."""
         d = self._dictionaries[name]
+        if df is None:
+            src = self._dict_sources.get(name)
+            df = self.table(src[0]).select(*src[1]) if src else d.df
         self.create_dictionary(name, df, d.key)
+        return True
 
     # ----------------------------------------------------------- system views
     def system_tables(self) -> DataFrame:

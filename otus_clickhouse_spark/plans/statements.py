@@ -55,6 +55,28 @@ _LW_DELETE_RE = re.compile(
 _DROP_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+(.+)$", re.IGNORECASE
 )
+_DETACH_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DETACH\s+PARTITION\s+(.+)$", re.IGNORECASE
+)
+_ATTACH_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ATTACH\s+PARTITION\s+(.+)$", re.IGNORECASE
+)
+_REPLACE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPLACE\s+PARTITION\s+(.+?)\s+FROM\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# advisory SYSTEM commands (D12; lecture_02.md:62-66, lecture_07.md:18-26):
+# merges/moves are background jobs the engine does not run continuously,
+# so STOP/START are recorded no-ops; FLUSH LOGS / DROP SCHEMA CACHE /
+# RELOAD CONFIG have no deferred state here
+_SYSTEM_NOOP_RE = re.compile(
+    r"^\s*SYSTEM\s+((?:STOP|START)\s+(?:MERGES|TTL\s+MERGES|MOVES|FETCHES|REPLICATION\s+QUEUES)"
+    r"|FLUSH\s+LOGS|DROP\s+SCHEMA\s+CACHE|RELOAD\s+CONFIG)(?:\s+\w+)?\s*$",
+    re.IGNORECASE,
+)
+_RELOAD_DICT_RE = re.compile(
+    r"^\s*SYSTEM\s+RELOAD\s+DICTIONAR(?:Y\s+(?:\w+\.)?(\w+)|IES)\s*$", re.IGNORECASE
+)
 _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
     r"([\w()',= ]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+AFTER\s+(\w+))?\s*$",
@@ -233,6 +255,13 @@ def _partition_column(td) -> str:
     if re.fullmatch(r"[A-Za-z_][\w]*", expr):
         return expr
     return "_p_" + re.sub(r"[^\w]+", "_", expr).strip("_")
+
+
+def _detached_path(td, value) -> str:
+    """Detached-partition store: ``<table_path>__detached/<value>``
+    (≈ the detached/ directory of a MergeTree part, lecture_16.md:131)."""
+    safe = re.sub(r"[^\w.-]+", "_", str(value))
+    return os.path.join(f"{td.path.rstrip('/')}__detached", safe)
 
 
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
@@ -444,6 +473,61 @@ def try_route(engine, s: str):
         _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
         return {"dropped_partition": value}
 
+    m = _DETACH_PART_RE.match(s)
+    if m:
+        # DETACH PARTITION (M3; lecture_16.md:114-152): move the
+        # partition's rows to a detached store; readers stop seeing them
+        name, value = m.group(1), m.group(2).strip().strip("'\"")
+        td = engine.tables[name]
+        pcol = _partition_column(td)
+        df = engine.table(name)
+        typed = F.lit(value).cast(df.schema[pcol].dataType)
+        det = _detached_path(td, value)
+        df.filter(F.col(pcol).eqNullSafe(typed)).write.mode("overwrite").parquet(det)
+        _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
+        return {"detached_partition": value}
+
+    m = _ATTACH_PART_RE.match(s)
+    if m:
+        # ATTACH PARTITION: append the detached rows back, drop the store
+        name, value = m.group(1), m.group(2).strip().strip("'\"")
+        td = engine.tables[name]
+        det = _detached_path(td, value)
+        if not os.path.exists(det):
+            raise FileNotFoundError(f"no detached partition {value!r} for {name}")
+        block = engine.spark.read.parquet(det).localCheckpoint(eager=True)
+        drop = [c for c in block.columns if c.startswith("_p_")]
+        engine.insert(name, block.drop(*drop) if drop else block)
+        shutil.rmtree(det, ignore_errors=True)
+        return {"attached_partition": value}
+
+    m = _REPLACE_PART_RE.match(s)
+    if m:
+        # REPLACE PARTITION … FROM other (M4; lecture_16.md:211-327):
+        # swap the partition's content for the source table's copy
+        name, value, src = m.group(1), m.group(2).strip().strip("'\""), m.group(3)
+        td = engine.tables[name]
+        pcol = _partition_column(td)
+        df = engine.table(name)
+        typed = F.lit(value).cast(df.schema[pcol].dataType)
+        incoming = engine.table(src)
+        inc_pcol = _partition_column(engine.tables[src]) if engine.tables[src].partition_by else pcol
+        incoming = incoming.filter(F.col(inc_pcol).eqNullSafe(typed)).select(*df.columns)
+        _persist(
+            engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)).unionByName(incoming)
+        )
+        return {"replaced_partition": value}
+
+    m = _SYSTEM_NOOP_RE.match(s)
+    if m:
+        return {"system": re.sub(r"\s+", " ", m.group(1).upper()), "noop": True}
+
+    m = _RELOAD_DICT_RE.match(s)
+    if m:
+        names = [m.group(1)] if m.group(1) else list(engine._dictionaries)
+        reloaded = [n for n in names if engine.reload_dictionary(n)]
+        return {"reloaded": reloaded}
+
     m = _ADD_COL_RE.match(s)
     if m:
         # ALTER ADD COLUMN [DEFAULT expr] [AFTER col] (D3; hw03.md:36-39,
@@ -639,6 +723,7 @@ def try_route(engine, s: str):
         name, cols_ddl, key, src = m.groups()
         cols = [c.strip().split()[0] for c in _split_assignments(cols_ddl) if c.strip()]
         engine.create_dictionary(name, engine.table(src).select(*cols), key)
+        engine._dict_sources[name] = (src, cols)  # for SYSTEM RELOAD DICTIONARY
         return engine.dictionary(name)
 
     return None

@@ -526,3 +526,41 @@ def test_modify_order_by(engine, sales):
     res = engine.execute(f"ALTER TABLE {sales} MODIFY ORDER BY (month, id)")
     assert res == {"order_by": ("month", "id")}
     assert engine.tables[sales].order_by == ("month", "id")
+
+
+def test_detach_attach_partition(engine, sales):
+    assert engine.table(sales).count() == 4
+    engine.execute(f"ALTER TABLE {sales} DETACH PARTITION 202401")
+    assert {r.month for r in engine.table(sales).collect()} == {202402}
+    engine.execute(f"ALTER TABLE {sales} ATTACH PARTITION 202401")
+    assert engine.table(sales).count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        engine.execute(f"ALTER TABLE {sales} ATTACH PARTITION 209901")
+
+
+def test_replace_partition_from_table(engine, sales, tmp_path):
+    engine.execute(
+        "CREATE TABLE sales_new (id UInt32, month UInt32, amount Float64, v UInt32) "
+        "ENGINE = MergeTree PARTITION BY month ORDER BY id"
+    )
+    engine.tables["sales_new"].path = str(tmp_path / "sales_new")
+    engine.execute("INSERT INTO sales_new VALUES (9, 202402, 99.0, 1)")
+    engine.execute(f"ALTER TABLE {sales} REPLACE PARTITION 202402 FROM sales_new")
+    rows = {r.id: r.amount for r in engine.table(sales).filter("month = 202402").collect()}
+    assert rows == {9: 99.0}
+    assert engine.table(sales).filter("month = 202401").count() == 2  # untouched
+    engine.execute("DROP TABLE sales_new")
+
+
+def test_system_noops_and_reload_dictionary(engine):
+    assert engine.execute("SYSTEM STOP MERGES")["noop"]
+    assert engine.execute("SYSTEM FLUSH LOGS")["noop"]
+    engine.execute(
+        "CREATE DICTIONARY reload_d (n_nationkey UInt32, n_name String) "
+        "PRIMARY KEY n_nationkey "
+        "SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(FLAT()) LIFETIME(300)"
+    )
+    assert engine.execute("SYSTEM RELOAD DICTIONARY reload_d") == {"reloaded": ["reload_d"]}
+    assert "reload_d" in engine.execute("SYSTEM RELOAD DICTIONARIES")["reloaded"]

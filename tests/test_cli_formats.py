@@ -55,3 +55,35 @@ def test_run_statement_select_and_ddl(engine):
     out = run_statement(engine, "SELECT sum(k) AS s FROM cli_t FORMAT JSONEachRow")
     assert '{"s": 3}' in out
     run_statement(engine, "DROP TABLE cli_t")
+
+
+def test_executable_udf(spark):
+    """F2 executable UDF (lecture_06.md:88-100): rows stream to an
+    external script over TSV stdin/stdout, chunked per Arrow batch."""
+    from otus_clickhouse_spark.functions.executable import executable_udf
+
+    df = spark.range(10).selectExpr("id", "concat('u', id) AS name")
+    out = executable_udf(
+        df,
+        ["python3", "-c",
+         "import sys\nfor l in sys.stdin:\n i=l.split('\\t')[0]\n print(int(i)*2)"],
+        "doubled INT",
+        in_cols=["id"],
+    )
+    rows = {r.id: r.doubled for r in out.collect()}
+    assert rows == {i: i * 2 for i in range(10)}
+
+
+def test_executable_dictionary_source(spark, engine):
+    """F3 executable dictionary source (lecture_17.md:22-54): command
+    output becomes the broadcast dictionary."""
+    from otus_clickhouse_spark.functions.executable import executable_dictionary_source
+
+    src = executable_dictionary_source(
+        spark,
+        ["python3", "-c", "print('1\\talpha'); print('2\\tbeta')"],
+        "k INT, v STRING",
+    )
+    engine.create_dictionary("exec_dict", src, "k")
+    got = engine.sql("SELECT dictGet('exec_dict', 'v', 2) AS v").collect()[0].v
+    assert got == "beta"

@@ -144,13 +144,20 @@ def test_kill_query_and_system_processes(engine):
     th = threading.Thread(target=slow)
     th.start()
     qid = None
-    for _ in range(100):  # wait until it shows in system.processes
-        procs = engine.system_processes().collect()
-        if procs:
-            qid = procs[0].query_id
+    for _ in range(300):  # wait for registration (driver-side — polling
+        # via system_processes() would need a task slot, and the slow
+        # query's tasks occupy all of local[4]'s)
+        if engine._processes:
+            qid = next(iter(engine._processes))
             break
         time.sleep(0.1)
-    assert qid, "query never appeared in system.processes"
+    assert qid, "query never appeared in the process registry"
+    tracker = engine.spark.sparkContext.statusTracker()
+    for _ in range(300):  # cancelJobGroup is a no-op until a job is live
+        if tracker.getJobIdsForGroup(qid):
+            break
+        time.sleep(0.1)
+    assert tracker.getJobIdsForGroup(qid), "query never started a Spark job"
     t0 = time.time()
     res = engine.execute(f"KILL QUERY WHERE query_id = '{qid}'")
     th.join(timeout=60)

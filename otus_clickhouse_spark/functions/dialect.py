@@ -116,7 +116,7 @@ def _rewrite_state_combinators(text: str) -> str:
             vals = args[:-1] if is_if else args
             filt = f" FILTER (WHERE {cond})" if cond else ""
             if base == "uniq":
-                repl = f"hll_sketch_agg({vals[0]}){filt}"
+                repl = f"hll_sketch_agg({vals[0]}, 14){filt}"  # lg_k=14: exact into the thousands
             elif base == "avg":
                 repl = (
                     f"named_struct('sum', sum(CAST({vals[0]} AS DOUBLE)){filt}, "

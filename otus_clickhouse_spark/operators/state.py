@@ -8,8 +8,9 @@ lecture_13.md:57-94). The Spark-native equivalent for ``uniq`` is the
 DataSketches HLL surface: ``hll_sketch_agg`` produces a binary,
 mergeable sketch column; ``hll_union_agg`` + ``hll_sketch_estimate``
 merge and finalize. The sketch is exact at low per-group cardinality
-(sparse mode) and ~1.6% error beyond — the same contract as CH
-``uniq``.
+(sparse mode, which at the lg_k=14 default holds through a few
+thousand distincts per group) and ~1% error beyond — the same
+contract as CH ``uniq``.
 
 For the merge-idempotent aggregates (sum/count/min/max —
 ``SimpleAggregateFunction``) no sketch is needed: the partial IS the
@@ -30,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
-def uniq_state(col: str | Column, lg_k: int = 12) -> Column:
+def uniq_state(col: str | Column, lg_k: int = 14) -> Column:
     """``uniqState(col)`` → binary HLL sketch (AggregateFunction value)."""
     return F.hll_sketch_agg(col, F.lit(lg_k))
 
@@ -46,7 +47,7 @@ def finalize_uniq(state_col: str | Column) -> Column:
 
 
 def aggregating_target(
-    block: DataFrame, keys: list[str], uniq_cols: dict[str, str], lg_k: int = 12
+    block: DataFrame, keys: list[str], uniq_cols: dict[str, str], lg_k: int = 14
 ) -> DataFrame:
     """Transform one inserted block into AggregatingMergeTree target rows:
     one sketch per (keys, uniq column). Append-only; per-block semantics

@@ -60,3 +60,21 @@ def test_url_table_file_scheme(spark, tmp_path):
     p.write_text("a,b\n1,x\n2,y\n")
     df = url_table(spark, f"file://{p}", "CSVWithNames")
     assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_jdbc_roundtrip_via_derby(spark, tmp_path):
+    """S7/S15/S16 JDBC read path (hw19.md:44-118): write/read an external
+    RDBMS table through Spark JDBC, using the bundled Derby as the
+    stand-in server (same code path as PostgreSQL, different URL)."""
+    from otus_clickhouse_spark.sources.readers import remote_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    src = spark.range(20).selectExpr("id", "concat('n', id) AS name")
+    src.write.format("jdbc").option("url", url).option("dbtable", "ext_tbl").option(
+        "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+    ).option("createTableColumnTypes", "name VARCHAR(64)").mode("overwrite").save()
+    back = remote_jdbc(
+        spark, url, "ext_tbl", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    assert back.count() == 20
+    assert back.where("name = 'n7'").collect()[0].id == 7

@@ -47,7 +47,7 @@ def test_state_merge_translation_shapes():
     assert "sum(s)" in out and "sum(c)" in out and "flatten(collect_list(g))" in out
     # inline finalize dispatches on the state constructor's own name
     out = translate("select finalizeAggregation(uniqState(v)) from t")
-    assert out == "select hll_sketch_estimate(hll_sketch_agg(v)) from t"
+    assert out == "select hll_sketch_estimate(hll_sketch_agg(v, 14)) from t"
 
 
 @pytest.fixture

@@ -61,6 +61,9 @@ _DETACH_PART_RE = re.compile(
 _ATTACH_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ATTACH\s+PARTITION\s+(.+)$", re.IGNORECASE
 )
+_FREEZE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FREEZE(?:\s+PARTITION\s+(.+))?\s*$", re.IGNORECASE
+)
 _REPLACE_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REPLACE\s+PARTITION\s+(.+?)\s+FROM\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -517,6 +520,25 @@ def try_route(engine, s: str):
             engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)).unionByName(incoming)
         )
         return {"replaced_partition": value}
+
+    m = _FREEZE_RE.match(s)
+    if m:
+        # FREEZE (M5; lecture_16.md:154-160): snapshot the table's files
+        # into a shadow directory (CH uses hardlinks; parquet files are
+        # immutable here, so a copy preserves the same point-in-time view)
+        name, value = m.group(1), m.group(2)
+        td = engine.tables[name]
+        snap = os.path.join("spark-warehouse", "_shadow", f"{name}_{uuid.uuid4().hex[:8]}")
+        if value is not None:
+            pcol = _partition_column(td)
+            v = value.strip().strip("'\"")
+            df = engine.table(name)
+            df.filter(
+                F.col(pcol).eqNullSafe(F.lit(v).cast(df.schema[pcol].dataType))
+            ).write.parquet(snap)
+        else:
+            shutil.copytree(td.path, snap)
+        return {"frozen": snap}
 
     m = _SYSTEM_NOOP_RE.match(s)
     if m:

@@ -564,3 +564,15 @@ def test_system_noops_and_reload_dictionary(engine):
     )
     assert engine.execute("SYSTEM RELOAD DICTIONARY reload_d") == {"reloaded": ["reload_d"]}
     assert "reload_d" in engine.execute("SYSTEM RELOAD DICTIONARIES")["reloaded"]
+
+
+def test_freeze_snapshot(engine, sales):
+    res = engine.execute(f"ALTER TABLE {sales} FREEZE")
+    snap = res["frozen"]
+    assert engine.spark.read.parquet(snap).count() == 4
+    # snapshot is point-in-time: later mutations don't touch it
+    engine.execute(f"ALTER TABLE {sales} DELETE WHERE id = 1")
+    assert engine.spark.read.parquet(snap).count() == 4
+    import shutil as _shutil
+
+    _shutil.rmtree(snap, ignore_errors=True)

@@ -70,6 +70,7 @@ class Engine:
         self._processes: dict[str, tuple[str, float]] = {}
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
+        self._rbac_log: list[str] = []  # recorded GRANT/CREATE USER/… (D11)
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -808,6 +809,15 @@ class Engine:
             ("MaterializedViews", sum(len(v) for v in self._mvs.values())),
         ]
         return self.spark.createDataFrame(rows, "metric string, value long")
+
+    def system_grants(self) -> DataFrame:
+        """≈ system.grants (lecture_18.md:134-216): recorded RBAC
+        statements (enforcement is the deployment's ACL layer; row
+        policies — the query-side piece — are enforced, see P7)."""
+        rows = [(s,) for s in self._rbac_log]
+        return self.spark.createDataFrame(rows or [("",)], "statement string").where(
+            "statement != ''"
+        )
 
     def system_processes(self) -> DataFrame:
         """≈ system.processes (lecture_16.md:328-336): queries currently

@@ -576,3 +576,15 @@ def test_freeze_snapshot(engine, sales):
     import shutil as _shutil
 
     _shutil.rmtree(snap, ignore_errors=True)
+
+
+def test_rbac_recorded_and_qualified_names(engine, sales):
+    res = engine.execute("GRANT SELECT, SHOW ON db1.* TO reader_role")
+    assert res["recorded"]
+    engine.execute("CREATE USER analyst IDENTIFIED WITH no_password")
+    grants = [r.statement for r in engine.sql("SELECT * FROM system.grants").collect()]
+    assert any("GRANT SELECT" in g for g in grants)
+    assert any("CREATE USER analyst" in g for g in grants)
+    # db-qualified table names resolve to the flat catalog (like USE db)
+    engine.execute(f"ALTER TABLE somedb.{sales} UPDATE amount = 0 WHERE id = 3")
+    assert engine.table(sales).filter("id = 3").collect()[0].amount == 0.0

@@ -91,17 +91,22 @@ def rewrite_any_join_sql(engine, text: str) -> str | None:
     if not m:
         return None
     lname, how_kw, rname, using, on_clause = m.groups()
+    right = engine.table(rname)
     if using:
         keys = [k.strip() for k in using.split(",") if k.strip()]
     else:
         keys = []
         for clause in re.split(r"\bAND\b", on_clause, flags=re.IGNORECASE):
             em = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", clause)
-            if not em or em.group(2) != em.group(4):
+            if not em:
                 raise ValueError(f"unsupported ANY JOIN ON clause: {clause!r}")
-            keys.append(em.group(2))
+            t1, c1, t2, c2 = em.groups()
+            lcol, rcol = (c1, c2) if t1 == lname else (c2, c1)
+            if rcol != lcol:  # differently-named equi-keys: align to left
+                right = right.withColumnRenamed(rcol, lcol)
+            keys.append(lcol)
     how = "inner" if (how_kw or "").strip().upper() == "INNER" else "left"
-    joined = any_join(engine.table(lname), engine.table(rname), on=keys, how=how)
+    joined = any_join(engine.table(lname), right, on=keys, how=how)
     view = f"__anyjoin_{abs(hash((lname, rname, tuple(keys)))) % 10**8}"
     joined.createOrReplaceTempView(view)
     text = text[: m.start()] + f"FROM {view}" + text[m.end() :]

@@ -658,3 +658,103 @@ def q69_state_merge_sql(spark, sf_dir):
         f"FROM ({block.format(r=0)} UNION ALL {block.format(r=1)}) "
         "GROUP BY event_type"
     )
+
+
+@query(
+    "q70_any_join_sql",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name AS c_name
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def q70_any_join_sql(spark, sf_dir):
+    """ANY LEFT JOIN in raw SQL (J6; lecture_10.md:12-13): the dialect
+    dedups the right side per key before joining, so there is no
+    fan-out. customer is already key-unique, which keeps the oracle
+    deterministic while exercising the routing + dedup plan."""
+    eng = _mini_engine(spark, sf_dir, ["orders", "customer"])
+    return eng.sql(
+        "SELECT o_orderkey, c_name FROM orders "
+        "ANY LEFT JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "WHERE o_totalprice > 300000"
+    )
+
+
+@query(
+    "q71_paste_join_sql",
+    oracle="""
+    SELECT a.number, b.dbl FROM
+      (SELECT range AS number FROM range(8)) a POSITIONAL JOIN
+      (SELECT (7 - range) * 2 AS dbl FROM range(8)) b
+    """,
+)
+def q71_paste_join_sql(spark, sf_dir):
+    """PASTE JOIN in raw SQL (J8; lecture_10.md:15) — positional zip of
+    two ordered result sets (DuckDB's POSITIONAL JOIN is the oracle)."""
+    eng = _mini_engine(spark, sf_dir, [])
+    return eng.sql(
+        "SELECT number, dbl FROM "
+        "(SELECT number FROM numbers(8) ORDER BY number) PASTE JOIN "
+        "(SELECT number * 2 AS dbl FROM numbers(8) ORDER BY dbl DESC)"
+    )
+
+
+@query(
+    "q72_fill_interpolate_sql",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS INT) AS q, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE CAST(l_quantity AS INT) IN (1, 2, 3, 7)
+      GROUP BY 1
+    )
+    SELECT s.q AS q,
+           coalesce(g.n, last_value(g.n IGNORE NULLS) OVER
+             (ORDER BY s.q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS n
+    FROM (SELECT unnest(generate_series(1, 7)) AS q) s
+    LEFT JOIN g USING (q)
+    ORDER BY q
+    """,
+)
+def q72_fill_interpolate_sql(spark, sf_dir):
+    """WITH FILL … INTERPOLATE in raw SQL (W5 + ClickHouse INTERPOLATE):
+    gap rows carry the previous bucket's count forward."""
+    eng = _mini_engine(spark, sf_dir, ["lineitem"])
+    return eng.sql(
+        "SELECT toInt32(l_quantity) AS q, count() AS n FROM lineitem "
+        "WHERE toInt32(l_quantity) IN (1, 2, 3, 7) "
+        "GROUP BY q ORDER BY q WITH FILL FROM 1 TO 8 INTERPOLATE (n)"
+    )
+
+
+@query(
+    "q73_asof_sql",
+    oracle="""
+    SELECT p.event_id, epoch_us(c.ts) AS click_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q73_asof_sql(spark, sf_dir):
+    """ASOF JOIN in raw SQL (J7; lecture_10.md:14), checked against
+    DuckDB's native ASOF JOIN. The dialect lowers it to the union+window
+    single-shuffle plan of operators/asof.py."""
+    from otus_clickhouse_spark.engine import TableDef
+
+    eng = _mini_engine(spark, sf_dir, ["events"])
+    ev = eng.table("events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("purchases_sql")
+    ev.where(F.col("event_type") == "click").select("user_id", "ts").createOrReplaceTempView(
+        "clicks_sql"
+    )
+    eng.tables["purchases_sql"] = TableDef(name="purchases_sql")
+    eng.tables["clicks_sql"] = TableDef(name="clicks_sql")
+    return eng.sql(
+        "SELECT event_id, unix_micros(CAST(clicks_sql.ts AS TIMESTAMP_LTZ)) AS click_us "
+        "FROM purchases_sql ASOF JOIN clicks_sql "
+        "ON purchases_sql.user_id = clicks_sql.user_id "
+        "AND purchases_sql.ts >= clicks_sql.ts"
+    )

@@ -214,6 +214,25 @@ class Engine:
             self.tables[name] = td
             self.insert(name, self.sql(select_sql, **params), mode="overwrite")
             return td
+        copym = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(\w+)\s+AS\s+"
+            r"(?:\w+\.)?(\w+)\s*(?:ENGINE\s*=.*)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if copym and copym.group(2).upper() != "SELECT":
+            # CREATE TABLE a AS b (schema copy, D2; lecture_16.md:230):
+            # clone the source's TableDef/engine metadata, start empty
+            import copy as _copy
+
+            name, src = copym.groups()
+            td = _copy.deepcopy(self.tables[src])
+            td.name = name
+            td.path = os.path.join("spark-warehouse", name)
+            # register the empty view directly: a partitioned write of
+            # zero rows leaves no parquet footer to re-read
+            self.register_table(td, df=self.table(src).limit(0).localCheckpoint(eager=True))
+            return td
         if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
             return self.create_table(s)
         dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)", s, re.IGNORECASE)

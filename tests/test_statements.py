@@ -588,3 +588,17 @@ def test_rbac_recorded_and_qualified_names(engine, sales):
     # db-qualified table names resolve to the flat catalog (like USE db)
     engine.execute(f"ALTER TABLE somedb.{sales} UPDATE amount = 0 WHERE id = 3")
     assert engine.table(sales).filter("id = 3").collect()[0].amount == 0.0
+
+
+def test_create_table_as_schema_copy(engine, sales):
+    """CREATE TABLE a AS b (D2; lecture_16.md:230): clone schema + engine
+    metadata, start empty — the REPLACE PARTITION staging pattern."""
+    engine.execute(f"CREATE TABLE sales_copy AS {sales}")
+    td = engine.tables["sales_copy"]
+    assert td.engine == engine.tables[sales].engine
+    assert td.order_by == engine.tables[sales].order_by
+    assert engine.table("sales_copy").count() == 0
+    assert engine.table("sales_copy").columns == engine.table(sales).columns
+    engine.execute("INSERT INTO sales_copy VALUES (7, 202403, 70.0, 1)")
+    assert engine.table("sales_copy").count() == 1
+    engine.execute("DROP TABLE sales_copy")

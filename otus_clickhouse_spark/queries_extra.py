@@ -758,3 +758,32 @@ def q73_asof_sql(spark, sf_dir):
         "ON purchases_sql.user_id = clicks_sql.user_id "
         "AND purchases_sql.ts >= clicks_sql.ts"
     )
+
+
+@query(
+    "q74_projection_autoselect",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q74_projection_autoselect(spark, sf_dir):
+    """Projection auto-selection (D10; lecture_13.md:243-314): the query
+    names the base table but is silently served from the pre-aggregated
+    projection — the oracle aggregates the raw table, so a hash match
+    proves the rewrite is answer-preserving. At scale this is the
+    reads-10-rows-instead-of-10B path (hw08.md:206-233)."""
+    eng = _mini_engine(spark, sf_dir, ["lineitem"])
+    eng.add_projection(
+        "li_proj", "lineitem", ["l_returnflag", "l_linestatus"],
+        {"sq": ("sum", "l_quantity"), "n": ("count", "*")},
+    )
+    out = eng.sql(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    assert eng.projections.serve_hits >= 1, "projection was not selected"
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n"
+    )

@@ -68,6 +68,11 @@ _REPLACE_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:\w+\.)?(\w+)\s+REPLACE\s+PARTITION\s+(.+?)\s+FROM\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_MOVE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:\w+\.)?(\w+)\s+MOVE\s+PARTITION\s+(.+?)\s+TO\s+TABLE\s+"
+    r"(?:\w+\.)?(\w+)\s*$",
+    re.IGNORECASE,
+)
 # advisory SYSTEM commands (D12; lecture_02.md:62-66, lecture_07.md:18-26):
 # merges/moves are background jobs the engine does not run continuously,
 # so STOP/START are recorded no-ops; FLUSH LOGS / DROP SCHEMA CACHE /
@@ -531,6 +536,21 @@ def try_route(engine, s: str):
             engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)).unionByName(incoming)
         )
         return {"replaced_partition": value}
+
+    m = _MOVE_PART_RE.match(s)
+    if m:
+        # MOVE PARTITION TO TABLE (M4; lecture_16.md:145): append the
+        # partition's rows to the destination, remove them from the source
+        name, value, dst = m.group(1), m.group(2).strip().strip("'\""), m.group(3)
+        td = engine.tables[name]
+        pcol = _partition_column(td)
+        df = engine.table(name)
+        typed = F.lit(value).cast(df.schema[pcol].dataType)
+        moving = df.filter(F.col(pcol).eqNullSafe(typed)).localCheckpoint(eager=True)
+        dst_cols = engine.table(dst).columns
+        engine.insert(dst, moving.select(*[c for c in dst_cols if c in moving.columns]))
+        _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
+        return {"moved_partition": value, "to": dst}
 
     m = _FREEZE_RE.match(s)
     if m:

@@ -602,3 +602,12 @@ def test_create_table_as_schema_copy(engine, sales):
     engine.execute("INSERT INTO sales_copy VALUES (7, 202403, 70.0, 1)")
     assert engine.table("sales_copy").count() == 1
     engine.execute("DROP TABLE sales_copy")
+
+
+def test_move_partition_to_table(engine, sales, tmp_path):
+    engine.execute(f"CREATE TABLE sales_arch AS {sales}")
+    engine.tables["sales_arch"].path = str(tmp_path / "sales_arch")
+    engine.execute(f"ALTER TABLE {sales} MOVE PARTITION 202401 TO TABLE sales_arch")
+    assert {r.month for r in engine.table(sales).collect()} == {202402}
+    assert engine.table("sales_arch").count() == 2
+    engine.execute("DROP TABLE sales_arch")

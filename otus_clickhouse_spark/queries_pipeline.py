@@ -743,3 +743,50 @@ def x18_sequence_packing(spark, sf_dir):
         F.max("bin_tok").cast("bigint").alias("max_bin_tokens"),
         F.round(F.avg("bin_tok"), 2).alias("avg_bin_tokens"),
     )
+
+
+@query(
+    "x22_streaming_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def x22_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation (T4/T5;
+    lecture_20.md:29-33 time bucketing as a STREAM): the events table
+    is replayed through readStream → watermark → 1-hour window agg →
+    memory sink (Trigger.AvailableNow), and the emitted windows
+    hash-match the batch SQL oracle — the bronze→silver MV pattern of
+    clusters/ch_and_kafka with provable batch/stream parity."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from otus_clickhouse_spark.streaming.mv import tumbling_window_agg
+
+    stage = tempfile.mkdtemp(prefix="x22_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-00000.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", "1 hour",
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    sink = f"x22_windows_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.select(F.col("w.start").alias("w_start"), "n", "total")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -236,3 +236,33 @@ def test_mixture_weights_balanced_and_targeted(spark):
     # en: target/weight = 0.5/300; de: 0.25/100 binds → rate_en = (0.5/300)/(0.25/100)
     assert tgt["de"].rate == 1.0 and tgt["fr"].rate == 1.0
     assert tgt["en"].rate == pytest.approx((0.5 / 300) / (0.25 / 100), abs=1e-4)
+
+
+def test_multimodal_real_decode(spark):
+    """Uncompressed media decode is REAL (pure numpy): PPM pixel stats
+    and WAV duration/RMS come from the actual bytes."""
+    import math
+
+    media = multimodal.synthetic_real_media(spark, n=8)
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    # even ids: PPM — feature = [w, h, mean_lum, std_lum]
+    img = feats[0]
+    assert img.feature[0] == 8.0 and img.feature[1] == 6.0
+    assert 0.0 < img.feature[2] < 255.0
+    # id=2: 10x7 gradient — width/height decoded from the header
+    assert feats[2].feature[:2] == [10.0, 7.0]
+    # odd ids: WAV — feature = [duration_ms, rms, zcr, peak]
+    wav = feats[1]
+    dur_ms, rms, zcr, peak = wav.feature
+    assert abs(dur_ms - 300.0) < 1.0  # 2400 samples @ 8 kHz
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01  # sine at amp 0.5
+    assert 0.0 < zcr < 1.0 and 0.49 < peak <= 0.51
+
+
+def test_decode_rejects_malformed():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal._decode_ppm(b"P6\ngarbage")
+    with _pytest.raises(NotImplementedError):
+        multimodal._decode_bytes("image", None)

@@ -225,10 +225,13 @@ class Engine:
             # clone the source's TableDef/engine metadata, start empty
             import copy as _copy
 
+            import shutil as _shutil
+
             name, src = copym.groups()
             td = _copy.deepcopy(self.tables[src])
             td.name = name
             td.path = os.path.join("spark-warehouse", name)
+            _shutil.rmtree(td.path, ignore_errors=True)  # fresh table: no stale parts
             # register the empty view directly: a partitioned write of
             # zero rows leaves no parquet footer to re-read
             self.register_table(td, df=self.table(src).limit(0).localCheckpoint(eager=True))

@@ -41,19 +41,16 @@ def pop_format(stmt: str) -> tuple[str, str | None]:
     return stmt, None
 
 
-def run_statement(engine, text: str, default_format: str = "PrettyCompact") -> str:
-    """Execute one statement, return its rendered output (may be '')."""
+def execute_render(engine, text: str, default_format: str = "PrettyCompact") -> str:
+    """Execute one statement, return the rendered result body only
+    (shared by the CLI and the HTTP interface)."""
     stmt, fmt = pop_format(text)
     if not stmt:
         return ""
     fmt = fmt or default_format
-    t0 = time.time()
     if _QUERYISH_RE.match(stmt):
         df = engine.sql(stmt)
-        rows = df.collect()
-        body = render(df.columns, rows, fmt)
-        tail = f"\n{len(rows)} rows in set. Elapsed: {time.time() - t0:.3f} sec."
-        return (body + tail) if body else tail.strip()
+        return render(df.columns, df.collect(), fmt)
     res = engine.execute(stmt)
     if hasattr(res, "columns") and hasattr(res, "collect"):  # DataFrame
         return render(res.columns, res.collect(), fmt)
@@ -62,6 +59,21 @@ def run_statement(engine, text: str, default_format: str = "PrettyCompact") -> s
     if isinstance(res, str):
         return res
     return "Ok."
+
+
+def run_statement(engine, text: str, default_format: str = "PrettyCompact") -> str:
+    """CLI wrapper: rendered output + a clickhouse-client timing tail."""
+    stmt, fmt = pop_format(text)
+    if not stmt:
+        return ""
+    t0 = time.time()
+    if _QUERYISH_RE.match(stmt):
+        df = engine.sql(stmt)
+        rows = df.collect()
+        body = render(df.columns, rows, fmt or default_format)
+        tail = f"\n{len(rows)} rows in set. Elapsed: {time.time() - t0:.3f} sec."
+        return (body + tail) if body else tail.strip()
+    return execute_render(engine, text, default_format)
 
 
 def make_engine(data_dir: str | None):

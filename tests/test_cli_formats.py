@@ -87,3 +87,31 @@ def test_executable_dictionary_source(spark, engine):
     engine.create_dictionary("exec_dict", src, "k")
     got = engine.sql("SELECT dictGet('exec_dict', 'v', 2) AS v").collect()[0].v
     assert got == "beta"
+
+
+def test_http_interface(engine):
+    """EP2 HTTP interface (lecture_03.md:265-307): curl-style GET/POST
+    with ?query=, /ping, FORMAT negotiation, error surface."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from otus_clickhouse_spark.http_server import serve
+
+    server = serve(engine, port=0)  # ephemeral port
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        assert urllib.request.urlopen(f"{base}/ping").read() == b"Ok.\n"
+        q = urllib.parse.quote("SELECT number FROM numbers(3) ORDER BY number")
+        assert urllib.request.urlopen(f"{base}/?query={q}").read() == b"0\n1\n2\n"
+        # FORMAT in the query wins; POST body carries the statement
+        body = "SELECT 1 AS one, 'x' AS s FORMAT JSONEachRow".encode()
+        out = urllib.request.urlopen(urllib.request.Request(f"{base}/", data=body)).read()
+        assert out == b'{"one": 1, "s": "x"}\n'
+        try:
+            urllib.request.urlopen(f"{base}/?query=SELECT+bad+syntax+FROM")
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500 and e.headers["X-Exception"]
+    finally:
+        server.shutdown()

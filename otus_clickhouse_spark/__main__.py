@@ -50,6 +50,8 @@ def execute_render(engine, text: str, default_format: str = "PrettyCompact") -> 
     fmt = fmt or default_format
     if _QUERYISH_RE.match(stmt):
         df = engine.sql(stmt)
+        engine._bump("Query")
+        engine._bump("SelectQuery")
         return render(df.columns, df.collect(), fmt)
     res = engine.execute(stmt)
     if hasattr(res, "columns") and hasattr(res, "collect"):  # DataFrame
@@ -69,6 +71,8 @@ def run_statement(engine, text: str, default_format: str = "PrettyCompact") -> s
     t0 = time.time()
     if _QUERYISH_RE.match(stmt):
         df = engine.sql(stmt)
+        engine._bump("Query")
+        engine._bump("SelectQuery")
         rows = df.collect()
         body = render(df.columns, rows, fmt or default_format)
         tail = f"\n{len(rows)} rows in set. Elapsed: {time.time() - t0:.3f} sec."
@@ -126,9 +130,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory of *.parquet files to register as tables")
     ap.add_argument("--format", default="PrettyCompact", dest="fmt",
                     help="default output FORMAT (Pretty, CSVWithNames, JSONEachRow, …)")
+    ap.add_argument("--server", action="store_true",
+                    help="serve the ClickHouse HTTP interface instead of a REPL")
+    ap.add_argument("--port", type=int, default=8123, help="HTTP port for --server")
     args = ap.parse_args(argv)
 
     engine = make_engine(args.data_dir)
+
+    if args.server:
+        from otus_clickhouse_spark.http_server import serve
+
+        server = serve(engine, host="0.0.0.0", port=args.port)
+        print(f"HTTP interface on :{server.server_address[1]} — "
+              f"curl 'http://localhost:{server.server_address[1]}/?query=SELECT+1'")
+        try:
+            threading_event = __import__("threading").Event()
+            threading_event.wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
 
     def run_all(text: str) -> None:
         for stmt in _split_statements(text):

@@ -49,6 +49,19 @@ def make_handler(engine):
             if url.path in ("/ping", "/replicas_status"):
                 self._send(200, "Ok.")
                 return
+            if url.path == "/metrics":
+                # Prometheus text format from system.metrics/events —
+                # the exporter surface the course scrapes
+                # (lecture_20.md:497-529)
+                lines = [
+                    f"otus_metric_{r.metric} {r.value}"
+                    for r in engine.system_metrics().collect()
+                ] + [
+                    f"otus_event_{r.event}_total {r.value}"
+                    for r in engine.system_events().collect()
+                ]
+                self._send(200, "\n".join(lines))
+                return
             qs = parse_qs(url.query)
             self._run(
                 qs.get("query", [""])[0],

@@ -113,5 +113,8 @@ def test_http_interface(engine):
             raise AssertionError("expected HTTP 500")
         except urllib.error.HTTPError as e:
             assert e.code == 500 and e.headers["X-Exception"]
+        metrics = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "otus_metric_TablesRegistered" in metrics
+        assert "otus_event_SelectQuery_total" in metrics
     finally:
         server.shutdown()

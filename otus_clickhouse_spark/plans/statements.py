@@ -159,6 +159,9 @@ _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(?:\w+\.)?(\w+)\s*$", re.IGNORECASE)
+_SHOW_MISC_RE = re.compile(
+    r"^\s*SHOW\s+(PROCESSLIST|DICTIONARIES|CLUSTERS|USERS|GRANTS)\s*$", re.IGNORECASE
+)
 _SHOW_INDEXES_RE = re.compile(
     r"^\s*SHOW\s+(?:INDEX(?:ES)?|KEYS)\s+(?:FROM|IN)\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -714,6 +717,27 @@ def try_route(engine, s: str):
         df_a.createOrReplaceTempView(b)
         df_b.createOrReplaceTempView(a)
         return {"exchanged": (a, b)}
+
+    m = _SHOW_MISC_RE.match(s)
+    if m:
+        # D5 SHOW family (lecture_16.md:330-334, hw19.md:88-118):
+        # PROCESSLIST/DICTIONARIES/CLUSTERS/USERS/GRANTS over the
+        # engine's registries (Spark handles SHOW TABLES/DATABASES itself)
+        kind = m.group(1).upper()
+        if kind == "PROCESSLIST":
+            return engine.system_processes().collect()
+        if kind == "DICTIONARIES":
+            return sorted(engine._dictionaries)
+        if kind == "CLUSTERS":
+            return [engine.spark.sparkContext.master]
+        if kind == "GRANTS":
+            return list(engine._rbac_log)
+        users = [
+            rm.group(1)
+            for stmt in engine._rbac_log
+            if (rm := re.match(r"CREATE\s+USER\s+(\w+)", stmt, re.IGNORECASE))
+        ]
+        return users
 
     m = _SHOW_CREATE_RE.match(s)
     if m:

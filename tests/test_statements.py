@@ -611,3 +611,12 @@ def test_move_partition_to_table(engine, sales, tmp_path):
     assert {r.month for r in engine.table(sales).collect()} == {202402}
     assert engine.table("sales_arch").count() == 2
     engine.execute("DROP TABLE sales_arch")
+
+
+def test_show_family(engine):
+    engine.execute("CREATE USER show_user IDENTIFIED WITH no_password")
+    assert "show_user" in engine.execute("SHOW USERS")
+    assert engine.execute("SHOW PROCESSLIST") == []
+    assert isinstance(engine.execute("SHOW DICTIONARIES"), list)
+    assert engine.execute("SHOW CLUSTERS")[0].startswith("local")
+    assert any("show_user" in g for g in engine.execute("SHOW GRANTS"))

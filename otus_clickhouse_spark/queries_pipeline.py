@@ -790,3 +790,40 @@ def x22_streaming_tumbling(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@query(
+    "x23_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    lab AS (SELECT doc_id, source FROM documents)
+    SELECT least(la.source, lb.source) AS source_a,
+           greatest(la.source, lb.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN lab la ON la.doc_id = p.a
+    JOIN lab lb ON lb.doc_id = p.b
+    GROUP BY 1, 2
+    """,
+)
+def x23_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source near-duplicate matrix (beyond-reference §7): which
+    source pairs share near-dup documents — the signal that drives
+    source weighting and leakage audits in a training-data pipeline.
+    The pair list is the minhash-LSH chain (x02); only the tiny (a, b)
+    pair set joins the source labels, so the extra cost over x02 is two
+    broadcast-scale joins + one aggregation."""
+    from otus_clickhouse_spark.pipeline.dedup import minhash_dedup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d)
+    lab = d.select("doc_id", "source")
+    out = (
+        pairs.join(lab.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), on="a")
+        .join(lab.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), on="b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"), F.greatest("sa", "sb").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return out

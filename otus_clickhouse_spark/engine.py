@@ -71,6 +71,7 @@ class Engine:
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
         self._rbac_log: list[str] = []  # recorded GRANT/CREATE USER/… (D11)
+        self._mutations_log: list[tuple] = []  # (statement, ts, status) — system.mutations
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -831,6 +832,16 @@ class Engine:
             ("MaterializedViews", sum(len(v) for v in self._mvs.values())),
         ]
         return self.spark.createDataFrame(rows, "metric string, value long")
+
+    def system_mutations(self) -> DataFrame:
+        """≈ system.mutations (lecture_16.md:60-98): mutations routed
+        through Engine.execute, with completion time. Our mutations are
+        synchronous write-then-swap, so ``is_done`` is always 1 — unlike
+        CH's async part rewrites (a difference, documented)."""
+        rows = [(s, float(ts), 1) for s, ts, _st in self._mutations_log]
+        return self.spark.createDataFrame(
+            rows or [("", 0.0, 0)], "command string, finished_at double, is_done int"
+        ).where("command != ''")
 
     def system_grants(self) -> DataFrame:
         """≈ system.grants (lecture_18.md:134-216): recorded RBAC

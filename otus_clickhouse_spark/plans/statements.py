@@ -303,7 +303,26 @@ _DROP_POLICY_RE = re.compile(
 )
 
 
+_MUTATION_SHAPE_RE = re.compile(
+    r"^\s*(ALTER\s+TABLE\s+\S+\s+(UPDATE|DELETE|DROP\s+PARTITION|DETACH|ATTACH"
+    r"|REPLACE\s+PARTITION|MOVE\s+PARTITION|MODIFY\s+TTL)"
+    r"|DELETE\s+FROM|OPTIMIZE\s+TABLE|TRUNCATE)\b",
+    re.IGNORECASE,
+)
+
+
 def try_route(engine, s: str):
+    """Route ``s``; successful mutations are recorded for
+    ``system.mutations`` (D8; lecture_16.md:60-98)."""
+    out = _try_route_inner(engine, s)
+    if out is not None and _MUTATION_SHAPE_RE.match(s):
+        import time as _time
+
+        engine._mutations_log.append((s, _time.time(), "done"))
+    return out
+
+
+def _try_route_inner(engine, s: str):
     """Handle ``s`` if it is a mutation/maintenance statement.
 
     Returns ``None`` when the statement is not ours (caller falls back

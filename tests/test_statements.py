@@ -620,3 +620,12 @@ def test_show_family(engine):
     assert isinstance(engine.execute("SHOW DICTIONARIES"), list)
     assert engine.execute("SHOW CLUSTERS")[0].startswith("local")
     assert any("show_user" in g for g in engine.execute("SHOW GRANTS"))
+
+
+def test_system_mutations_log(engine, sales):
+    engine.execute(f"ALTER TABLE {sales} UPDATE amount = amount + 1 WHERE id = 1")
+    engine.execute(f"ALTER TABLE {sales} DELETE WHERE id = 2")
+    muts = [r.command for r in engine.sql("SELECT * FROM system.mutations").collect()]
+    assert any("UPDATE amount" in m for m in muts)
+    assert any("DELETE WHERE id = 2" in m for m in muts)
+    assert all(r.is_done == 1 for r in engine.system_mutations().collect())

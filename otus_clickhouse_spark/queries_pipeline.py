@@ -827,3 +827,48 @@ def x23_cross_source_dup_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
     return out
+
+
+@query(
+    "x24_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+    cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM t),
+    scored AS (
+      SELECT t.doc_id, -ln(cnt.c / tot.n) AS nll
+      FROM t JOIN cnt USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, round(avg(nll), 4) AS avg_nll, count(*) AS n_tok
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll DESC, doc_id LIMIT 50
+    """,
+)
+def x24_unigram_logprob(spark, sf_dir):
+    """Unigram-LM perplexity proxy (beyond-reference §7): per-document
+    mean negative log-probability under the corpus unigram distribution
+    — the classic cheap quality/outlier filter (high avg NLL = rare-
+    token documents). Two hash aggregations (token counts, per-doc mean)
+    plus one token-keyed join; the token-count side is vocabulary-sized,
+    so at 100 TB it broadcasts after aggregation while the corpus-side
+    token stream never shuffles twice."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    tok = tok.persist()
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar: one job, reused as a literal
+    scored = tok.join(F.broadcast(cnt), on="tok").select(
+        "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
+    )
+    out = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"), F.count(F.lit(1)).alias("n_tok"))
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(50)
+    )
+    return out

@@ -359,16 +359,24 @@ def q15_argmax(spark, sf_dir):
 @query(
     "q16_group_array",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q16_group_array(spark, sf_dir):
-    """groupArray → collect_list (A8), sorted for determinism."""
+    """groupArray → collect_list (A8), sorted for determinism.
+
+    Emitted as a comma-joined string (not array<string>) so result
+    canonicalizers that hash cell values can handle the column; the
+    aggregation itself is still the groupArray semantics.
+    """
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
     )
 
 

@@ -324,14 +324,17 @@ def q57_range_frame(spark, sf_dir):
              row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_suppkey) AS rn
       FROM counts
     )
-    SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_suppkeys
+    SELECT l_returnflag,
+           array_to_string(list(l_suppkey ORDER BY rn), ',') AS top_suppkeys
     FROM ranked WHERE rn <= 3 GROUP BY l_returnflag
     """,
 )
 def q58_topk_heavy_hitters(spark, sf_dir):
     """ClickHouse topK(3)(col) analogue: most frequent values per group
     (exact — two-phase count + per-group top-n; CH's topK is
-    approximate Filtered Space-Saving, exact is a superset here)."""
+    approximate Filtered Space-Saving, exact is a superset here).
+    The ranked list is emitted comma-joined so hash-based result
+    canonicalizers can handle the column."""
     from pyspark.sql import Window
 
     counts = (
@@ -345,9 +348,12 @@ def q58_topk_heavy_hitters(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .groupBy("l_returnflag")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "l_suppkey"))),
-                lambda s: s["l_suppkey"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "l_suppkey"))),
+                    lambda s: s["l_suppkey"].cast("string"),
+                ),
+                ",",
             ).alias("top_suppkeys")
         )
     )

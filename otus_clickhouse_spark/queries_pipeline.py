@@ -669,7 +669,7 @@ def x16_curation_pipeline(spark, sf_dir):
            CAST(sum(n_ssn) AS BIGINT) AS ssns,
            CAST(sum(n_ip) AS BIGINT) AS ips,
            count(*) FILTER (WHERE redacted LIKE '%<EMAIL>%') AS docs_with_email,
-           substr(md5(string_agg(redacted, '' ORDER BY doc_id)), 1, 16) AS corpus_digest
+           bit_xor(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', redacted)), 1, 15)) AS BIGINT)) AS corpus_digest
     FROM red
     """,
 )
@@ -701,9 +701,17 @@ def x17_pii_redaction(spark, sf_dir):
         F.sum("n_ssn").cast("bigint").alias("ssns"),
         F.sum("n_ip").cast("bigint").alias("ips"),
         F.count_if(F.col("redacted").contains("<EMAIL>")).alias("docs_with_email"),
-        F.substring(
-            F.md5(F.concat_ws("", F.array_sort(F.collect_list(F.struct("doc_id", "redacted")))["redacted"])),
-            1, 16,
+        # Order-insensitive corpus digest: XOR of per-row md5 prefixes
+        # (15 hex digits = 60 bits, sign-safe in int64). Constant state per
+        # partition — scales where a collect_list of the corpus would not.
+        F.bit_xor(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "redacted")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint")
         ).alias("corpus_digest"),
     )
 

@@ -88,6 +88,8 @@ def kmeans_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_cos: int | None = None,
+    round_mean: int | None = None,
 ) -> DataFrame:
     """Train the IVF coarse quantizer: Lloyd's k-means over embeddings.
 
@@ -100,6 +102,12 @@ def kmeans_centroids(
     lowest-id vectors. Returns (centroid_id, centroid) with unit-less
     mean vectors; converged assignment = ``lsh``-style bucket column
     for writes.
+
+    ``round_cos``/``round_mean`` quantize the assignment score and the
+    recomputed centroid components each round. With both set, the
+    trajectory is bit-reproducible across engines and summation orders
+    (ties broken by lowest centroid_id), which is what lets an external
+    SQL oracle replay the training loop exactly.
     """
     base = rebalance(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -115,17 +123,23 @@ def kmeans_centroids(
         .select((F.col("__rn") / stride).cast("int").alias("centroid_id"), F.col("v").alias("cv"))
     )
     for _ in range(iters):
+        score = cosine(F.col("v"), F.col("cv"))
+        if round_cos is not None:
+            score = F.round(score, round_cos)
         assigned = (
             base.crossJoin(F.broadcast(cent))
-            .withColumn("cos", cosine(F.col("v"), F.col("cv")))
+            .withColumn("cos", score)
             .groupBy(id_col, "v")
             .agg(F.max_by("centroid_id", F.struct("cos", (-F.col("centroid_id")).alias("t"))).alias("centroid_id"))
         )
+        mean = F.avg("x")
+        if round_mean is not None:
+            mean = F.round(mean, round_mean)
         # element-wise mean via posexplode → (centroid, pos) partial sums
         cent = (
             assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean.alias("m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(

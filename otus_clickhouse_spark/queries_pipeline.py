@@ -541,16 +541,72 @@ def x13_stratified_sample(spark, sf_dir):
     )
 
 
-@query("x14_kmeans_ivf", oracle=None)
+def _kmeans_unrolled_oracle(k: int, iters: int, round_cos: int, round_mean: int) -> str:
+    """Replay quantized Lloyd's k-means as a single DuckDB statement.
+
+    The engine quantizes the assignment cosine (round_cos) and the
+    recomputed centroid components (round_mean) every round, so the
+    training trajectory is exactly reproducible from SQL: each
+    iteration is one assign CTE (argmax rounded cosine, ties to lowest
+    centroid_id) and one recompute CTE (position-wise rounded mean).
+    """
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base
+    ),
+    params AS (SELECT greatest(1, count(*) // {k}) AS stride FROM base),
+    cent0 AS (
+      SELECT CAST(rn // stride AS INT) AS centroid_id, v AS cv
+      FROM ranked, params WHERE rn % stride = 0 AND rn < stride * {k}
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    assign{i} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM base b CROSS JOIN cent{i} c) WHERE rn = 1
+    ),
+    cent{i + 1} AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS cv
+      FROM (
+        SELECT centroid_id, pos, round(avg(x), {round_mean}) AS m
+        FROM (SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+              FROM assign{i})
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT centroid_id, CAST(len(cv) AS INT) AS dim,
+           round(list_dot_product(cv, cv), 4) AS sq_norm
+    FROM cent{iters}
+    """
+    )
+    return "".join(parts)
+
+
+@query("x14_kmeans_ivf", oracle=_kmeans_unrolled_oracle(k=4, iters=3, round_cos=4, round_mean=6))
 def x14_kmeans_ivf(spark, sf_dir):
     """IVF coarse-quantizer training: Lloyd's k-means over the embedding
     corpus (broadcast centroids, map-side assign, O(k×dim) shuffle per
-    round — pipeline.similarity.kmeans_centroids). Iterative → rows-only
-    driver check (no single-statement SQL oracle)."""
+    round — pipeline.similarity.kmeans_centroids). Quantized scores and
+    means (round_cos/round_mean) make the trajectory engine-independent,
+    so the full training loop value-matches an unrolled SQL oracle."""
     from otus_clickhouse_spark.pipeline.similarity import kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb, k=4, iters=3)
+    cent = kmeans_centroids(emb, k=4, iters=3, round_cos=4, round_mean=6)
     return cent.select(
         "centroid_id",
         F.size("centroid").alias("dim"),

@@ -72,6 +72,10 @@ class Engine:
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
         self._rbac_log: list[str] = []  # recorded GRANT/CREATE USER/… (D11)
         self._mutations_log: list[tuple] = []  # (statement, ts, status) — system.mutations
+        # cluster topologies (lecture_15.md:40-67 <remote_servers>): name →
+        # shard count. On Spark the "cluster" is the executor pool, so a
+        # topology only shapes Distributed-table routing/virtual columns.
+        self._clusters: dict[str, int] = {"default": 1}
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -134,6 +138,12 @@ class Engine:
         from otus_clickhouse_spark.functions.ddl import parse_create_table
 
         td, schema = parse_create_table(ddl)
+        if td.name in self.tables:
+            # CH semantics: plain CREATE on an existing name errors;
+            # IF NOT EXISTS is a no-op preserving the current data
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", ddl, re.IGNORECASE):
+                return self.tables[td.name]
+            raise ValueError(f"table {td.name} already exists (use IF NOT EXISTS)")
         td.path = path or os.path.join("spark-warehouse", td.name)
         td.settings["schema"] = schema  # declared column order/types for VALUES inserts
         self.tables[td.name] = td
@@ -151,20 +161,7 @@ class Engine:
             buf.read().createOrReplaceTempView(td.name)
             return td
         if td.engine == "Distributed":
-            # Distributed(cluster, db, local_table, [sharding_key]) —
-            # lectures/lecture_15.md:13-34. A DataFrame is already
-            # distributed, so reads proxy the local table directly
-            # (scatter-gather is Spark's task scheduling); the sharding
-            # key only shapes WRITES (insert repartitions by it, the
-            # Spark analogue of shard routing).
-            args = td.settings.get("engine_args", [])
-            local = args[2].strip("'\"") if len(args) > 2 else args[-1].strip("'\"")
-            td.settings["local_table"] = local
-            if len(args) > 3:
-                td.settings["sharding_key"] = args[3]
-            td.path = None
-            self.table(local).createOrReplaceTempView(td.name)
-            return td
+            return self._register_distributed(td)
         if td.engine == "Kafka":
             # Kafka engine DDL (lecture_09.md:891-918; ch_and_kafka/db/
             # init.sql:11-20): capture broker/topic settings; the
@@ -190,10 +187,71 @@ class Engine:
         self.register_table(td, df=empty)
         return td
 
+    def define_cluster(self, name: str, shards: int = 1) -> None:
+        """Declare a cluster topology (lecture_15.md:40-67): the Spark
+        analogue of a ``<remote_servers>`` section. ``shards`` drives
+        Distributed-table ``_shard_num`` assignment and write routing."""
+        self._clusters[name] = int(shards)
+
+    def _register_distributed(self, td: TableDef) -> TableDef:
+        """ENGINE = Distributed(cluster, db, local_table[, sharding_key])
+        — lectures/lecture_15.md:13-34, homeworks/hw10.md:41-89.
+
+        A DataFrame is already distributed, so reads proxy the local
+        table directly (scatter-gather is Spark's task scheduling). The
+        topology surfaces as the ``_shard_num`` virtual column — CH
+        assigns shard = key mod shard-count (lecture_15.md:30) — and the
+        sharding key shapes WRITES: insert repartitions by it into one
+        partition group per shard, the Spark analogue of shard routing.
+        """
+        from pyspark.sql import functions as F
+
+        args = [a.strip("'\"") for a in td.settings.get("engine_args", [])]
+        if len(args) < 3:
+            raise ValueError("Distributed(cluster, database, table[, sharding_key])")
+        cluster, _db, local = args[0], args[1], args[2]
+        td.settings["cluster"] = cluster
+        td.settings["local_table"] = local
+        if len(args) > 3:
+            td.settings["sharding_key"] = args[3]
+        n = self._clusters.setdefault(cluster, 1)
+        td.settings["n_shards"] = n
+        td.path = None
+        self.tables[td.name] = td
+        frame = self.table(local)
+        key = td.settings.get("sharding_key")
+        if key and n > 1:
+            shard = (F.pmod(F.expr(key).cast("bigint"), F.lit(n)) + 1).cast("int")
+        else:
+            shard = F.lit(1).cast("int")
+        frame.withColumn("_shard_num", shard).createOrReplaceTempView(td.name)
+        return td
+
+    def system_clusters(self) -> DataFrame:
+        """≈ system.clusters (lecture_15.md:74-83; hw10.md:14-24): one
+        row per (cluster, shard) of every declared topology."""
+        rows = [
+            (name, s, 1, "localhost", 9000)
+            for name, shards in sorted(self._clusters.items())
+            for s in range(1, shards + 1)
+        ]
+        return self.spark.createDataFrame(
+            rows, "cluster string, shard_num int, replica_num int, host_name string, port int"
+        )
+
+    _ON_CLUSTER_RE = re.compile(r"\s+ON\s+CLUSTER\s+'?(\w+)'?", re.IGNORECASE)
+
     def execute(self, text: str, **params):
         """Statement router (EP1 entry point): DDL → catalog ops,
         everything else → :meth:`run` (logged SELECT)."""
         s = text.strip().rstrip(";")
+        # ON CLUSTER <name> (lecture_15.md:84-99): every node of the Spark
+        # "cluster" is the same session, so the clause reduces to declaring
+        # the topology (if new) and running the statement once.
+        ocm = self._ON_CLUSTER_RE.search(s)
+        if ocm and re.match(r"^\s*(CREATE|DROP|ALTER|RENAME|TRUNCATE|EXCHANGE)\b", s, re.IGNORECASE):
+            self._clusters.setdefault(ocm.group(1), 1)
+            s = self._ON_CLUSTER_RE.sub("", s)
         ctas = re.match(
             r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"((?:(?!\bAS\s+SELECT\b).)*?)\s*AS\s+(SELECT\b.*)$",
@@ -216,19 +274,37 @@ class Engine:
             self.insert(name, self.sql(select_sql, **params), mode="overwrite")
             return td
         copym = re.match(
-            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(\w+)\s+AS\s+"
-            r"(?:\w+\.)?(\w+)\s*(?:ENGINE\s*=.*)?$",
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:\w+\.)?(?P<name>\w+)\s+AS\s+"
+            r"(?:\w+\.)?(?P<src>\w+)\s*(?:ENGINE\s*=\s*(?P<eng>\w+)\s*(?:\((?P<eargs>[^)]*)\))?.*)?$",
             s,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
-        if copym and copym.group(2).upper() != "SELECT":
+        if copym and copym.group("src").upper() != "SELECT":
+            name, src = copym.group("name"), copym.group("src")
+            if name in self.tables:
+                # name collision: CH errors; IF NOT EXISTS keeps the
+                # existing table (and its data) untouched
+                if copym.group("ine"):
+                    return self.tables[name]
+                raise ValueError(f"table {name} already exists (use IF NOT EXISTS)")
+            eng = (copym.group("eng") or "").strip()
+            if eng.lower() == "distributed":
+                # CREATE TABLE d AS local ENGINE = Distributed(…) — the
+                # hw10.md:41-45 idiom: column config from the local table,
+                # storage proxied through the topology
+                from otus_clickhouse_spark.functions.ddl import _split_args
+
+                td = TableDef(name=name, engine="Distributed")
+                td.settings["engine_args"] = [
+                    a for a in _split_args(copym.group("eargs") or "", many=True) if a
+                ]
+                return self._register_distributed(td)
             # CREATE TABLE a AS b (schema copy, D2; lecture_16.md:230):
             # clone the source's TableDef/engine metadata, start empty
             import copy as _copy
 
             import shutil as _shutil
 
-            name, src = copym.groups()
             td = _copy.deepcopy(self.tables[src])
             td.name = name
             td.path = os.path.join("spark-warehouse", name)
@@ -626,13 +702,18 @@ class Engine:
                 mv.process_block(df)
             return
         if td.engine == "Distributed":
-            # write path: repartition by the sharding key (≈ shard
-            # routing, lecture_15.md:15-34) and land in the local table
+            # write path (lecture_15.md:15-34): shard = key mod shard
+            # count; repartition into one partition group per shard —
+            # the Spark analogue of routing inserts to shard replicas —
+            # then land in the local table
             key = td.settings.get("sharding_key")
-            if key:
+            n = td.settings.get("n_shards", 1)
+            if key and n > 1:
+                df = df.repartition(n, F.pmod(F.expr(key).cast("bigint"), F.lit(n)))
+            elif key:
                 df = df.repartition(F.expr(key))
             self.insert(td.settings["local_table"], df, mode=mode)
-            self.table(td.settings["local_table"]).createOrReplaceTempView(name)
+            self._register_distributed(td)  # refresh proxy view + _shard_num
             for mv in self._mvs.get(name, []):
                 mv.process_block(df)
             return

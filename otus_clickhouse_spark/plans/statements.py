@@ -748,7 +748,8 @@ def _try_route_inner(engine, s: str):
         if kind == "DICTIONARIES":
             return sorted(engine._dictionaries)
         if kind == "CLUSTERS":
-            return [engine.spark.sparkContext.master]
+            # declared topologies (lecture_15.md:74-83; hw10.md:14-24)
+            return sorted(engine._clusters)
         if kind == "GRANTS":
             return list(engine._rbac_log)
         users = [

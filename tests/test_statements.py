@@ -365,6 +365,79 @@ def test_distributed_engine(engine, tmp_path):
     engine.execute("DROP TABLE local_shard")
 
 
+def test_distributed_hw10_sharding(engine, tmp_path):
+    """hw10.md:28-89 end-to-end: ON CLUSTER DDL, `AS local ENGINE =
+    Distributed` form, 1000-row insert through the proxy, and the
+    4×250 per-shard distribution golden (hw10.md:74-89)."""
+    engine.define_cluster("cluster_4sh1rep", shards=4)
+    engine.execute(
+        """
+        create table sales_local on cluster cluster_4sh1rep
+        (
+            id         UInt32,
+            product_id UInt32,
+            quantity   UInt32,
+            price      Float32,
+            sale_date  DateTime
+        )
+        engine=MergeTree
+        order by id
+        """
+    )
+    engine.tables["sales_local"].path = str(tmp_path / "sales_local")
+    engine.execute(
+        "create table sales_d as sales_local "
+        "engine = Distributed(cluster_4sh1rep, default, sales_local, id)"
+    )
+    assert engine.tables["sales_d"].engine == "Distributed"
+    assert engine.tables["sales_d"].settings["n_shards"] == 4
+    engine.execute(
+        "insert into sales_d select number as id, 1 as product_id, 2 as quantity, "
+        "toFloat32(9.99) as price, toDateTime('2024-01-01 00:00:00') as sale_date "
+        "from numbers(1, 1000)"
+    )
+    assert engine.sql("select count(*) as c from sales_d").collect()[0].c == 1000
+    assert engine.sql("select count(*) as c from sales_local").collect()[0].c == 1000
+    # hw10.md:74-89 golden: 4 shards × 250 rows each
+    dist = {
+        r.shard_num: r.cnt
+        for r in engine.sql(
+            "select _shard_num as shard_num, count(id) as cnt from sales_d group by _shard_num"
+        ).collect()
+    }
+    assert dist == {1: 250, 2: 250, 3: 250, 4: 250}
+    # topology surfaces in SHOW CLUSTERS (hw10.md:14-24) and system.clusters
+    assert "cluster_4sh1rep" in engine.execute("show clusters")
+    sysrows = engine.sql(
+        "select shard_num from system.clusters where cluster = 'cluster_4sh1rep'"
+    ).collect()
+    assert sorted(r.shard_num for r in sysrows) == [1, 2, 3, 4]
+    engine.execute("DROP TABLE sales_d")
+    engine.execute("DROP TABLE sales_local")
+
+
+def test_create_table_collision_guard(engine, tmp_path):
+    """ADVICE: CREATE TABLE on an existing name must not wipe data —
+    CH errors; IF NOT EXISTS is a keep-existing no-op."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE guard_src (x UInt32) ENGINE = Log")
+    engine.tables["guard_src"].path = str(tmp_path / "guard_src")
+    engine.execute("INSERT INTO guard_src VALUES (7)")
+    engine.execute("CREATE TABLE guard_copy AS guard_src")
+    engine.execute("INSERT INTO guard_copy VALUES (1), (2)")
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.execute("CREATE TABLE guard_copy AS guard_src")
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.execute("CREATE TABLE guard_copy (x UInt32) ENGINE = Log")
+    # IF NOT EXISTS: no-op, data intact on both forms
+    engine.execute("CREATE TABLE IF NOT EXISTS guard_copy AS guard_src")
+    engine.execute("CREATE TABLE IF NOT EXISTS guard_copy (x UInt32) ENGINE = Log")
+    assert engine.table("guard_copy").count() == 2
+    engine.execute("DROP TABLE guard_copy")
+    engine.execute("DROP TABLE guard_src")
+
+
 def test_merge_engine_ddl(engine, tmp_path):
     engine.execute("CREATE TABLE mlogs_a (x UInt32) ENGINE = Log")
     engine.tables["mlogs_a"].path = str(tmp_path / "a")
@@ -618,7 +691,7 @@ def test_show_family(engine):
     assert "show_user" in engine.execute("SHOW USERS")
     assert engine.execute("SHOW PROCESSLIST") == []
     assert isinstance(engine.execute("SHOW DICTIONARIES"), list)
-    assert engine.execute("SHOW CLUSTERS")[0].startswith("local")
+    assert "default" in engine.execute("SHOW CLUSTERS")
     assert any("show_user" in g for g in engine.execute("SHOW GRANTS"))
 
 

@@ -63,7 +63,9 @@ def with_fill(
         # stays inclusive
         spine = spine.where(F.col(fill_col) < F.lit(stop).cast(dtype))
     data = df.withColumn("__orig", F.lit(1)) if interpolate else df
-    out = spine.join(F.broadcast(data) if _is_small(df) else data, on=fill_col, how="left")
+    out = spine.join(
+        F.broadcast(data) if _broadcast_data_side(df) else data, on=fill_col, how="left"
+    )
     for c, v in (fill_values or {}).items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     if interpolate:
@@ -91,6 +93,33 @@ def with_fill(
     return out
 
 
-def _is_small(df: DataFrame) -> bool:
-    # data side of WITH FILL is post-aggregation output: broadcast it.
-    return True
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    m = re.fullmatch(r"\s*(-?\d+)\s*([bkmgt]?)b?\s*", str(v).lower())
+    if not m:
+        return -1
+    return int(m.group(1)) * _UNITS.get(m.group(2) or "b", 1)
+
+
+def _broadcast_data_side(df: DataFrame) -> bool:
+    """Should the data side of the spine join be broadcast?
+
+    WITH FILL's normal regime is a post-aggregation result set (one row
+    per bucket — CH materializes it on the initiator), which is always
+    broadcast-safe: detected as an Aggregate in the optimized plan.
+    For raw, un-aggregated inputs fall back to Catalyst's size estimate
+    against the session broadcast threshold, so applying WITH FILL to a
+    100 TB scan degrades to a shuffle join instead of an executor OOM.
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if "Aggregate" in plan.toString():
+            return True
+        thr = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        return 0 < int(str(plan.stats().sizeInBytes())) <= thr
+    except Exception:
+        return False

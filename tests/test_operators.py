@@ -85,6 +85,34 @@ def test_with_fill_dates(spark):
     assert len(out) == 4 and out[1].n == 0
 
 
+def test_with_fill_broadcast_guard(spark, sf_dir):
+    """The spine join broadcasts post-aggregation data (normal WITH FILL
+    regime) but must NOT broadcast a large raw table — a 100 TB scan on
+    the data side would OOM the executors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+
+    li = read_table(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        raw = with_fill(li.select(F.col("l_linenumber").alias("k"), "l_quantity"), "k", step=1)
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in raw_plan, "raw table must not broadcast"
+        agg = with_fill(
+            li.groupBy(F.col("l_linenumber").alias("k")).agg(F.sum("l_quantity").alias("q")),
+            "k",
+            step=1,
+        )
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in agg_plan, "aggregated data side should broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_graphite_rollup(spark):
     from otus_clickhouse_spark.operators.graphite import (
         GraphitePattern,

@@ -49,15 +49,23 @@ def execute_render(engine, text: str, default_format: str = "PrettyCompact") -> 
         return ""
     fmt = fmt or default_format
     if _QUERYISH_RE.match(stmt):
-        df = engine.sql(stmt)
-        engine._bump("Query")
-        engine._bump("SelectQuery")
-        return render(df.columns, df.collect(), fmt)
+        # run_query (not raw sql): the query gets a query_id, shows in
+        # system.processes/query_log, and KILL QUERY can cancel it
+        cols, rows = engine.run_query(stmt)
+        return render(cols, rows, fmt)
     res = engine.execute(stmt)
     if hasattr(res, "columns") and hasattr(res, "collect"):  # DataFrame
         return render(res.columns, res.collect(), fmt)
     if isinstance(res, list) and res and hasattr(res[0], "__fields__"):
         return render(list(res[0].__fields__), res, fmt)
+    if isinstance(res, list):
+        # SHOW CREATE TABLE / SHOW DICTIONARIES / CLUSTERS / USERS /
+        # GRANTS / EXPLAIN return plain strings; SHOW INDEXES tuples —
+        # render one element per line like clickhouse-client
+        if all(isinstance(x, str) for x in res):
+            return "\n".join(res)
+        if all(isinstance(x, tuple) for x in res):
+            return "\n".join("\t".join(str(v) for v in x) for x in res)
     if isinstance(res, str):
         return res
     return "Ok."
@@ -70,11 +78,8 @@ def run_statement(engine, text: str, default_format: str = "PrettyCompact") -> s
         return ""
     t0 = time.time()
     if _QUERYISH_RE.match(stmt):
-        df = engine.sql(stmt)
-        engine._bump("Query")
-        engine._bump("SelectQuery")
-        rows = df.collect()
-        body = render(df.columns, rows, fmt or default_format)
+        cols, rows = engine.run_query(stmt)
+        body = render(cols, rows, fmt or default_format)
         tail = f"\n{len(rows)} rows in set. Elapsed: {time.time() - t0:.3f} sec."
         return (body + tail) if body else tail.strip()
     return execute_render(engine, text, default_format)
@@ -132,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="default output FORMAT (Pretty, CSVWithNames, JSONEachRow, …)")
     ap.add_argument("--server", action="store_true",
                     help="serve the ClickHouse HTTP interface instead of a REPL")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address for --server (default localhost-only, "
+                         "like ClickHouse's listen_host; the interface is "
+                         "unauthenticated — expose deliberately)")
     ap.add_argument("--port", type=int, default=8123, help="HTTP port for --server")
     args = ap.parse_args(argv)
 
@@ -140,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.server:
         from otus_clickhouse_spark.http_server import serve
 
-        server = serve(engine, host="0.0.0.0", port=args.port)
+        server = serve(engine, host=args.host, port=args.port)
         print(f"HTTP interface on :{server.server_address[1]} — "
               f"curl 'http://localhost:{server.server_address[1]}/?query=SELECT+1'")
         try:

@@ -616,15 +616,18 @@ class Engine:
             df._jdf.queryExecution(), mode
         )
 
-    def run(self, text: str, **params):
-        """Execute SQL eagerly, recording it in the query log
-        (≈ system.query_log, lectures/lecture_20.md:619-654): query
-        text, wall duration, result rows, exception type.
+    def run_query(self, text: str, **params) -> tuple[list[str], list]:
+        """Execute SQL eagerly with full bookkeeping; returns
+        ``(columns, rows)`` — the shape interface renderers need.
 
-        Each run gets a query_id and executes under a Spark job group
-        named by it, so ``system.processes`` can list it and
-        ``KILL QUERY WHERE query_id = '…'`` can cancel its jobs from
-        another thread (M7; lecture_16.md:328-336)."""
+        Records the query in the query log (≈ system.query_log,
+        lectures/lecture_20.md:619-654): query text, wall duration,
+        result rows, exception type. Each run gets a query_id and
+        executes under a Spark job group named by it, so
+        ``system.processes`` can list it and ``KILL QUERY WHERE
+        query_id = '…'`` can cancel its jobs from another thread (M7;
+        lecture_16.md:328-336). The CLI and HTTP interfaces route
+        through here so their queries are listed and killable too."""
         import time
         import uuid
 
@@ -636,7 +639,8 @@ class Engine:
         self._bump("Query")
         self._bump("SelectQuery")
         try:
-            rows = self.sql(text, **params).collect()
+            df = self.sql(text, **params)
+            rows = df.collect()
         except Exception as exc:  # logged like query_log's exception column
             self._bump("FailedSelectQuery")
             self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
@@ -645,7 +649,11 @@ class Engine:
             self._processes.pop(qid, None)
             sc.setJobGroup(None, None)
         self._query_log.append((text, time.time() - t0, len(rows), ""))
-        return rows
+        return df.columns, rows
+
+    def run(self, text: str, **params):
+        """:meth:`run_query` returning just the rows (Python-API path)."""
+        return self.run_query(text, **params)[1]
 
     def _bump(self, event: str, n: int = 1) -> None:
         self._events[event] = self._events.get(event, 0) + n

@@ -681,10 +681,21 @@ def translate(
     text = re.sub(r"\bGLOBAL\s+(IN|JOIN)\b", r"\1", text, flags=re.IGNORECASE)
     # Enum columns are stored as NAME strings; ClickHouse compares enums
     # by numeric code too (`payment_type = 1`, hw02.md:91-105) — rewrite
-    # code literals to the declared name (= / != / <> / IN lists)
-    for td in tables.values():
+    # code literals to the declared name (= / != / <> / IN lists). Range
+    # comparisons (`payment_type > 2`) and ORDER BY compare by CODE in
+    # CH, so those substitute a name→code CASE lookup for the column.
+    # Scoped per table: a same-named non-enum column in a query that
+    # never references the enum's table is left alone.
+    for tname, td in tables.items():
+        if not re.search(rf"\b{tname}\b", text):
+            continue
         for col, mapping in getattr(td, "settings", {}).get("enums", {}).items():
             code2name = {v: k for k, v in mapping.items()}
+            code_case = (
+                f"CASE {col} "
+                + " ".join(f"WHEN '{n}' THEN {c}" for n, c in mapping.items())
+                + " END"
+            )
 
             def eq_sub(m, c2n=code2name):
                 name = c2n.get(int(m.group(2)))
@@ -703,6 +714,24 @@ def translate(
                 in_sub,
                 text,
                 flags=re.IGNORECASE,
+            )
+            # range predicate against a code literal → compare codes
+            text = re.sub(
+                rf"\b{col}\s*(<=|>=|<|>)\s*(\d+)\b",
+                lambda m, ce=code_case: f"({ce}) {m.group(1)} {m.group(2)}",
+                text,
+            )
+            # ORDER BY enum_col [ASC|DESC] → order by numeric code
+            def order_sub(m, c=col, ce=code_case):
+                clause = re.sub(rf"\b{c}\b(?!\s*')", f"({ce})", m.group(2))
+                return m.group(1) + clause
+
+            text = re.sub(
+                rf"(\bORDER\s+BY\s+)((?:(?!\b(?:LIMIT|OFFSET|SETTINGS|FORMAT)\b).)*\b{col}\b"
+                rf"(?:(?!\b(?:LIMIT|OFFSET|SETTINGS|FORMAT)\b).)*?)(?=\s+\b(?:LIMIT|OFFSET|SETTINGS|FORMAT)\b|$)",
+                order_sub,
+                text,
+                flags=re.IGNORECASE | re.DOTALL,
             )
     # `x IN set_table` (Set engine, lecture_09.md:451-496) → subquery IN
     for tname, td in tables.items():

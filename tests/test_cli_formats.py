@@ -57,6 +57,32 @@ def test_run_statement_select_and_ddl(engine):
     run_statement(engine, "DROP TABLE cli_t")
 
 
+def test_render_list_outputs(engine):
+    """ADVICE: SHOW CREATE TABLE / SHOW CLUSTERS / EXPLAIN return
+    list-of-strings from the router; the CLI must print them, not
+    'Ok.'. SHOW INDEXES returns tuples — tab-joined lines."""
+    run_statement(engine, "CREATE TABLE cli_show_t (k UInt32, v String) ENGINE = MergeTree ORDER BY k")
+    try:
+        out = run_statement(engine, "SHOW CREATE TABLE cli_show_t")
+        assert "CREATE TABLE cli_show_t" in out and "MergeTree" in out
+        assert "default" in run_statement(engine, "SHOW CLUSTERS")
+        out = run_statement(engine, "EXPLAIN SELECT k FROM cli_show_t")
+        assert out.strip() and out != "Ok."
+        out = run_statement(engine, "SHOW INDEXES FROM cli_show_t")
+        assert "PRIMARY" in out and "\t" in out
+    finally:
+        run_statement(engine, "DROP TABLE cli_show_t")
+
+
+def test_cli_queries_hit_query_log(engine):
+    """ADVICE: CLI/HTTP SELECTs route through run_query — they get a
+    query_id, appear in system.query_log, and are killable."""
+    before = len(engine._query_log)
+    run_statement(engine, "SELECT 42 AS answer FORMAT TSV")
+    assert len(engine._query_log) == before + 1
+    assert "42" in engine._query_log[-1][0]
+
+
 def test_executable_udf(spark):
     """F2 executable UDF (lecture_06.md:88-100): rows stream to an
     external script over TSV stdin/stdout, chunked per Arrow batch."""

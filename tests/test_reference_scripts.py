@@ -65,4 +65,22 @@ def test_hw02_script_ddl_and_enum_golden(engine, tmp_path):
     assert engine.sql(
         "select count() AS n from trips where payment_type = 'CSH'"
     ).collect()[0].n == 2000
+    # range predicates compare CODES like CH (payment_type > 3 → DIS, UNK)
+    assert engine.sql(
+        "select count() AS n from trips where payment_type > 3"
+    ).collect()[0].n == 4000
+    # ORDER BY compares codes, not name strings (alphabetical would put
+    # CRE before CSH)
+    order = [
+        r.payment_type
+        for r in engine.sql(
+            "select payment_type from trips group by payment_type order by payment_type"
+        ).collect()
+    ]
+    assert order == ["CSH", "CRE", "NOC", "DIS", "UNK"]
+    # scoped rewrite: a same-named column in a query that never touches
+    # the enum's table keeps its numeric comparison
+    assert engine.sql(
+        "select count(*) AS n from (select 1 as payment_type) where payment_type = 1"
+    ).collect()[0].n == 1
     engine.execute("DROP TABLE trips")

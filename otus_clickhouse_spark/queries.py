@@ -139,6 +139,41 @@ def q03_top_orders(spark, sf_dir):
 
 
 @query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join (U2/J4).
+
+    Catalyst plans the EXISTS as a semi-join with the date-filtered
+    orders side small; the lineitem probe is pruned to the join key +
+    filter column, so the shuffle ships 2 columns, not the table.
+    (Synthetic lineitem has no commit/receipt dates — the 'late line
+    items' predicate maps to returned items, same plan shape.)"""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
     "q05_segment_revenue",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total

@@ -112,15 +112,19 @@ def kmeans_centroids(
     base = rebalance(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     ).persist()
-    # deterministic spread init: k vectors at evenly-spaced id ranks
-    # (lowest-k init can land every seed inside one cluster)
-    n = base.count()
-    stride = max(1, n // k)
-    w = Window.orderBy(id_col)
-    cent = (
-        base.withColumn("__rn", F.row_number().over(w) - 1)
-        .where((F.col("__rn") % stride == 0) & (F.col("__rn") < stride * k))
-        .select((F.col("__rn") / stride).cast("int").alias("centroid_id"), F.col("v").alias("cv"))
+    # deterministic spread init: the k lowest md5(id) ranks — a
+    # hash-uniform pseudo-random sample. Planned as TakeOrderedAndProject
+    # (per-partition top-k, tiny merge on the driver), unlike a
+    # row_number window which would sort the whole corpus in one task.
+    seeds = (
+        base.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    cent = corpus.sparkSession.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(sorted(seeds, key=lambda r: r["__h"]))],
+        "centroid_id int, cv array<double>",
     )
     for _ in range(iters):
         score = cosine(F.col("v"), F.col("cv"))

@@ -555,13 +555,9 @@ def _kmeans_unrolled_oracle(k: int, iters: int, round_cos: int, round_mean: int)
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    ranked AS (
-      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base
-    ),
-    params AS (SELECT greatest(1, count(*) // {k}) AS stride FROM base),
     cent0 AS (
-      SELECT CAST(rn // stride AS INT) AS centroid_id, v AS cv
-      FROM ranked, params WHERE rn % stride = 0 AND rn < stride * {k}
+      SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS centroid_id, v AS cv
+      FROM (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM base ORDER BY h LIMIT {k})
     )"""
     ]
     for i in range(iters):

@@ -76,6 +76,9 @@ class Engine:
         # shard count. On Spark the "cluster" is the executor pool, so a
         # topology only shapes Distributed-table routing/virtual columns.
         self._clusters: dict[str, int] = {"default": 1}
+        # named collections (D14; hw19.md:37-48): name → {key: value},
+        # consumed by external table functions/engines
+        self._named_collections: dict[str, dict] = {}
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -162,6 +165,23 @@ class Engine:
             return td
         if td.engine == "Distributed":
             return self._register_distributed(td)
+        if td.engine in ("PostgreSQL", "MySQL", "JDBC"):
+            # external-DB engines (S15/S16; hw19.md:63-81): the table is a
+            # live JDBC proxy — no local storage, reads hit the server
+            from otus_clickhouse_spark.sources.readers import (
+                external_table,
+                resolve_external_conf,
+            )
+
+            conf = resolve_external_conf(
+                td.engine.lower(),
+                td.settings.get("engine_args", []),
+                self._named_collections,
+            )
+            td.settings["external_conf"] = conf
+            td.path = None
+            external_table(self.spark, conf).createOrReplaceTempView(td.name)
+            return td
         if td.engine == "Kafka":
             # Kafka engine DDL (lecture_09.md:891-918; ch_and_kafka/db/
             # init.sql:11-20): capture broker/topic settings; the
@@ -226,6 +246,15 @@ class Engine:
             shard = F.lit(1).cast("int")
         frame.withColumn("_shard_num", shard).createOrReplaceTempView(td.name)
         return td
+
+    def system_named_collections(self) -> DataFrame:
+        """≈ system.named_collections (D14): names + keys, secrets masked
+        like the reference's SHOW NAMED COLLECTIONS SECRETS gating."""
+        rows = [
+            (name, ", ".join(f"{k} = {'[HIDDEN]' if 'pass' in k else v}" for k, v in kv.items()))
+            for name, kv in sorted(self._named_collections.items())
+        ]
+        return self.spark.createDataFrame(rows, "name string, collection string")
 
     def system_clusters(self) -> DataFrame:
         """≈ system.clusters (lecture_15.md:74-83; hw10.md:14-24): one
@@ -479,6 +508,24 @@ class Engine:
                 self.spark, path, fmt or "Parquet", structure
             ).createOrReplaceTempView(view)
             text = text[: fm.start()] + f"FROM {view}" + text[fm.end() :]
+        jm = _EXT_FN_RE.search(text)
+        if jm:
+            # postgresql()/mysql()/jdbc() table functions in raw SQL
+            # (S15/S16; hw19.md:44-48), positional or named-collection
+            # (D14) form → JDBC reader view
+            from otus_clickhouse_spark.functions.ddl import _split_args
+            from otus_clickhouse_spark.sources.readers import (
+                external_table,
+                resolve_external_conf,
+            )
+
+            kind, rawargs = jm.group(1).lower(), jm.group(2)
+            conf = resolve_external_conf(
+                kind, _split_args(rawargs, many=True), self._named_collections
+            )
+            view = "__ext_" + re.sub(r"[^\w]+", "_", conf.get("table", "t"))[-40:].strip("_")
+            external_table(self.spark, conf).createOrReplaceTempView(view)
+            text = text[: jm.start()] + f"FROM {view}" + text[jm.end() :]
         gm = _GENRAND_FN_RE.search(text)
         if gm:
             # generateRandom('structure'[, seed]) (S10; lecture_08.md:232):
@@ -981,6 +1028,12 @@ _FILE_FN_RE = re.compile(
     r"\bFROM\s+(file|s3|gcs|url|hdfs)\s*\(\s*'([^']+)'"
     r"(?:\s*,\s*'([^']+)')?(?:\s*,\s*'([^']+)')?\s*\)",
     re.IGNORECASE,
+)
+
+# postgresql/mysql/jdbc(conn-or-collection, …) table functions
+# (S15/S16 hw19.md:44-48; named-collection form D14 hw19.md:37-48)
+_EXT_FN_RE = re.compile(
+    r"\bFROM\s+(postgresql|mysql|jdbc)\s*\(([^()]*)\)", re.IGNORECASE
 )
 
 # generateRandom('a UInt64, …'[, seed]) table function (lecture_08.md:232)

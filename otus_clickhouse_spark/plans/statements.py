@@ -162,6 +162,18 @@ _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(?:\w+\.)?(\w+)\s*$",
 _SHOW_MISC_RE = re.compile(
     r"^\s*SHOW\s+(PROCESSLIST|DICTIONARIES|CLUSTERS|USERS|GRANTS)\s*$", re.IGNORECASE
 )
+# named collections (D14; hw19.md:37-48, lecture_18.md:294-334 grants)
+_CREATE_NC_RE = re.compile(
+    r"^\s*CREATE\s+NAMED\s+COLLECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_NC_RE = re.compile(
+    r"^\s*DROP\s+NAMED\s+COLLECTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_NC_RE = re.compile(r"^\s*SHOW\s+NAMED\s+COLLECTIONS\s*$", re.IGNORECASE)
+_ALTER_NC_RE = re.compile(
+    r"^\s*ALTER\s+NAMED\s+COLLECTION\s+(\w+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _SHOW_INDEXES_RE = re.compile(
     r"^\s*SHOW\s+(?:INDEX(?:ES)?|KEYS)\s+(?:FROM|IN)\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -309,6 +321,27 @@ _MUTATION_SHAPE_RE = re.compile(
     r"|DELETE\s+FROM|OPTIMIZE\s+TABLE|TRUNCATE)\b",
     re.IGNORECASE,
 )
+
+
+def _split_nc_items(body: str) -> list[str]:
+    """Split ``k = v, k2 = v2`` on commas outside quotes."""
+    out, buf, q = [], [], None
+    for c in body:
+        if q:
+            buf.append(c)
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+            buf.append(c)
+        elif c == ",":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return out
 
 
 def try_route(engine, s: str):
@@ -736,6 +769,38 @@ def _try_route_inner(engine, s: str):
         df_a.createOrReplaceTempView(b)
         df_b.createOrReplaceTempView(a)
         return {"exchanged": (a, b)}
+
+    m = _CREATE_NC_RE.match(s)
+    if m:
+        # CREATE NAMED COLLECTION mypg AS host = 'postgres', port = 5432, …
+        # (D14; hw19.md:37-43): parsed into a plain key→value dict that
+        # external table functions/engines resolve by name
+        name, body = m.groups()
+        kv = {
+            km.group(1).lower(): km.group(2).strip().strip("'\"")
+            for item in _split_nc_items(body)
+            if (km := re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", item, re.DOTALL))
+        }
+        engine._named_collections[name] = kv
+        return {"created_named_collection": name}
+
+    m = _ALTER_NC_RE.match(s)
+    if m:
+        name, body = m.groups()
+        coll = engine._named_collections[name]
+        for item in _split_nc_items(body):
+            km = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", item, re.DOTALL)
+            if km:
+                coll[km.group(1).lower()] = km.group(2).strip().strip("'\"")
+        return {"altered_named_collection": name}
+
+    m = _DROP_NC_RE.match(s)
+    if m:
+        engine._named_collections.pop(m.group(1), None)
+        return {"dropped_named_collection": m.group(1)}
+
+    if _SHOW_NC_RE.match(s):
+        return sorted(engine._named_collections)
 
     m = _SHOW_MISC_RE.match(s)
     if m:

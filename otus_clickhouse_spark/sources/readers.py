@@ -136,6 +136,65 @@ def remote_jdbc(
     )
 
 
+def resolve_external_conf(
+    kind: str, args: list[str], collections: dict[str, dict] | None = None
+) -> dict:
+    """Resolve postgresql()/mysql()/jdbc() arguments to a JDBC conf.
+
+    Two call shapes, both from the reference (hw19.md:44-48):
+    positional — ``postgresql('host:port', 'db', 'table', 'user',
+    'pass'[, 'schema'])`` — and named-collection — ``postgresql(mypg,
+    table='tickets', schema='book')``, where the bare first identifier
+    names a ``CREATE NAMED COLLECTION`` entry whose keys the remaining
+    ``k = v`` pairs override. Returns
+    ``{url, table, user, password, [driver], …}``.
+    """
+    conf: dict = {}
+    pos: list[str] = []
+    for raw in args:
+        raw = raw.strip()
+        if not raw:
+            continue
+        kv = re.match(r"^(\w+)\s*=\s*(.*)$", raw, re.DOTALL)
+        if kv:
+            conf[kv.group(1).lower()] = kv.group(2).strip().strip("'\"")
+        elif not pos and not conf and re.fullmatch(r"\w+", raw) and raw in (collections or {}):
+            conf.update((collections or {})[raw])
+        else:
+            pos.append(raw.strip("'\""))
+    names = (
+        ["url", "table", "user", "password"]
+        if kind == "jdbc"
+        else ["host", "database", "table", "user", "password", "schema"]
+    )
+    for name, val in zip(names, pos):
+        conf.setdefault(name, val)
+    if "url" not in conf:
+        scheme = {"postgresql": "postgresql", "mysql": "mysql"}.get(kind, kind)
+        host = conf.get("host", conf.get("host:port", "localhost"))
+        if "port" in conf and ":" not in host:
+            host = f"{host}:{conf['port']}"
+        conf["url"] = f"jdbc:{scheme}://{host}/{conf.get('database', '')}"
+    if conf.get("schema"):
+        conf["table"] = f"{conf['schema']}.{conf['table']}"
+    return conf
+
+
+def external_table(spark: SparkSession, conf: dict) -> DataFrame:
+    """Load the table described by :func:`resolve_external_conf`."""
+    opts = {}
+    if conf.get("driver"):
+        opts["driver"] = conf["driver"]
+    return remote_jdbc(
+        spark,
+        conf["url"],
+        conf["table"],
+        user=conf.get("user", ""),
+        password=conf.get("password", ""),
+        **opts,
+    )
+
+
 def _expand_braces(path: str) -> str:
     """CH `{0..2}` numeric brace ranges → Spark glob `{0,1,2}`."""
     m = re.search(r"\{(\d+)\.\.(\d+)\}", path)

@@ -62,6 +62,50 @@ def test_url_table_file_scheme(spark, tmp_path):
     assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
 
 
+def test_named_collection_jdbc_sql(engine, spark, tmp_path):
+    """D14 named collections (hw19.md:37-48) + S15/S16 SQL surface: the
+    jdbc()/postgresql() table functions and external-DB engines resolve
+    a CREATE NAMED COLLECTION by name. Derby stands in for the server
+    (same JDBC code path, different URL)."""
+    url = f"jdbc:derby:{tmp_path}/ncdb;create=true"
+    spark.range(12).selectExpr("id", "concat('v', id) AS val").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "nc_tbl").option(
+        "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+    ).option("createTableColumnTypes", "val VARCHAR(32)").mode("overwrite").save()
+
+    engine.execute(
+        f"CREATE NAMED COLLECTION myderby AS url = '{url}', "
+        "driver = 'org.apache.derby.jdbc.EmbeddedDriver', password = 'sekret'"
+    )
+    # named-collection call with per-call override (hw19.md:48 shape)
+    n = engine.sql("SELECT count(*) AS n FROM jdbc(myderby, table = 'nc_tbl')").collect()[0].n
+    assert n == 12
+    # positional call (hw19.md:46 shape, url form)
+    n2 = engine.sql(
+        f"SELECT count(*) AS n FROM jdbc('{url}', 'nc_tbl', "
+        "driver = 'org.apache.derby.jdbc.EmbeddedDriver')"
+    ).collect()[0].n
+    assert n2 == 12
+    # ENGINE = JDBC DDL proxy (S16; hw19.md:63-81 engine form)
+    engine.execute(
+        "CREATE TABLE nc_proxy (id UInt64, val String) "
+        "ENGINE = JDBC(myderby, table = 'nc_tbl')"
+    )
+    assert engine.sql("SELECT max(id) AS m FROM nc_proxy").collect()[0].m == 11
+    # catalog surfaces: SHOW + system view with masked secrets
+    assert "myderby" in engine.execute("SHOW NAMED COLLECTIONS")
+    row = engine.sql(
+        "SELECT collection FROM system.named_collections WHERE name = 'myderby'"
+    ).collect()[0]
+    assert "[HIDDEN]" in row.collection and "sekret" not in row.collection
+    engine.execute("ALTER NAMED COLLECTION myderby SET password = 'sekret2'")
+    assert engine._named_collections["myderby"]["password"] == "sekret2"
+    engine.execute("DROP TABLE nc_proxy")
+    engine.execute("DROP NAMED COLLECTION myderby")
+    assert "myderby" not in engine.execute("SHOW NAMED COLLECTIONS")
+
+
 def test_jdbc_roundtrip_via_derby(spark, tmp_path):
     """S7/S15/S16 JDBC read path (hw19.md:44-118): write/read an external
     RDBMS table through Spark JDBC, using the bundled Derby as the

@@ -67,3 +67,58 @@ def test_sensor_pipeline_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out).where(F.col("sensor_id") == 9).count() == 1
     q1.stop()
     q2.stop()
+
+
+import os
+
+import pytest
+
+KAFKA = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+
+
+@pytest.mark.skipif(not KAFKA, reason="set SPARK_GRAFT_KAFKA_BROKERS to run against a real broker")
+def test_sensor_pipeline_real_kafka(spark, tmp_path):
+    """T1/T2 acceptance against a REAL broker (init.sql:11-79): seed the
+    in-topic, consume via streaming.mv.kafka_source (virtual _topic/
+    _partition/_offset/_timestamp columns like the CH Kafka engine),
+    parse through the MV cascade, and produce to the out-topic via
+    kafka_sink. Requires spark-sql-kafka on the classpath; gated behind
+    SPARK_GRAFT_KAFKA_BROKERS because this container has no broker."""
+    import json
+    import uuid
+
+    from otus_clickhouse_spark.streaming.mv import kafka_sink, kafka_source
+
+    topic_in = f"sensor_data_{uuid.uuid4().hex[:8]}"
+    topic_out = f"sensor_data_from_ch_{uuid.uuid4().hex[:8]}"
+
+    rows = [
+        json.dumps({"sensor_id": i % 3, "temperature": 20.0 + i, "humidity": 40.0, "timestamp": i})
+        for i in range(6)
+    ]
+    spark.createDataFrame([(r,) for r in rows], "value string").write.format("kafka").option(
+        "kafka.bootstrap.servers", KAFKA
+    ).option("topic", topic_in).save()
+
+    stream = kafka_source(spark, KAFKA, topic_in)
+    assert {"_topic", "_partition", "_offset", "_timestamp"} <= set(stream.columns)
+    parsed = stream.select(
+        F.get_json_object("value", "$.sensor_id").cast("int").alias("sensor_id"),
+        F.get_json_object("value", "$.temperature").cast("double").alias("temperature"),
+        F.get_json_object("value", "$.humidity").cast("double").alias("humidity"),
+        F.get_json_object("value", "$.timestamp").cast("bigint").alias("timestamp"),
+    )
+    q = kafka_sink(parsed, KAFKA, topic_out, str(tmp_path / "ck_out"))
+    q.processAllAvailable()
+    q.stop()
+
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", KAFKA)
+        .option("subscribe", topic_out)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    vals = [json.loads(r.value.decode()) for r in back.select("value").collect()]
+    assert len(vals) == 6
+    assert {v["sensor_id"] for v in vals} == {0, 1, 2}

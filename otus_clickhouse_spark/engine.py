@@ -79,6 +79,16 @@ class Engine:
         # named collections (D14; hw19.md:37-48): name → {key: value},
         # consumed by external table functions/engines
         self._named_collections: dict[str, dict] = {}
+        # RBAC entities (D11; lecture_18.md:5-216): structured mirrors of
+        # _rbac_log, enforced at the query/insert boundary. The session
+        # user is "default" (full access) until set_user() switches it.
+        self._users: set[str] = {"default"}
+        self._roles: set[str] = set()
+        # grants: (privilege, db, table, grantee) with '*' wildcards
+        self._grants: list[tuple[str, str, str, str]] = []
+        self._role_grants: dict[str, set[str]] = {}  # user → granted roles
+        self._active_roles: dict[str, set[str]] = {}  # user → SET ROLE'd
+        self.current_user = "default"
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -206,6 +216,66 @@ class Engine:
         empty = self.spark.createDataFrame([], schema)
         self.register_table(td, df=empty)
         return td
+
+    # ------------------------------------------------------------------ RBAC
+    def set_user(self, name: str) -> None:
+        """Switch the session user (≈ connecting as that user;
+        lecture_18.md:20-26). Unknown users are rejected like a failed
+        authentication."""
+        if name != "default" and name not in self._users:
+            raise PermissionError(f"unknown user {name}")
+        self.current_user = name
+
+    def _granted(self, user: str, priv: str, table: str) -> bool:
+        """Direct grants + grants of the user's ACTIVE roles (a granted
+        role confers nothing until SET ROLE — lecture_18.md:170)."""
+        grantees = {user} | self._active_roles.get(user, set())
+        for p, _db, tbl, grantee in self._grants:
+            if grantee not in grantees:
+                continue
+            if p not in (priv, "ALL"):
+                continue
+            if tbl in ("*", table):
+                return True
+        return False
+
+    def check_access(self, priv: str, tables: list[str]) -> None:
+        """Raise unless the session user holds ``priv`` on every table.
+
+        ``default`` bypasses (the reference's bootstrap superuser);
+        system views and engine-internal names are exempt like CH's
+        implicit system-table access for introspection."""
+        user = self.current_user
+        if user == "default":
+            return
+        for t in tables:
+            if t.startswith("__") or t.startswith("system"):
+                continue
+            if not self._granted(user, priv.upper(), t):
+                raise PermissionError(
+                    f"ACCESS_DENIED: user {user} lacks {priv.upper()} on {t}"
+                )
+
+    def _referenced_tables(self, text: str) -> list[str]:
+        names = re.findall(r"\b(?:FROM|JOIN)\s+`?(\w+)`?", text, re.IGNORECASE)
+        return [n for n in set(names) if n in self.tables]
+
+    def system_users(self) -> DataFrame:
+        """≈ system.users (lecture_18.md:56): RBAC-created users."""
+        return self.spark.createDataFrame(
+            [(u, "local_directory") for u in sorted(self._users)], "name string, storage string"
+        )
+
+    def system_role_grants(self) -> DataFrame:
+        """≈ system.role_grants (lecture_18.md:195)."""
+        rows = [
+            (u, r, r in self._active_roles.get(u, set()))
+            for u, roles in sorted(self._role_grants.items())
+            for r in sorted(roles)
+        ]
+        return self.spark.createDataFrame(
+            rows, "user_name string, granted_role_name string, active boolean"
+        )
 
     def define_cluster(self, name: str, shards: int = 1) -> None:
         """Declare a cluster topology (lecture_15.md:40-67): the Spark
@@ -678,6 +748,7 @@ class Engine:
         import time
         import uuid
 
+        self.check_access("SELECT", self._referenced_tables(text))
         qid = uuid.uuid4().hex[:16]
         t0 = time.time()
         self._processes[qid] = (text, t0)
@@ -728,6 +799,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         self._bump("InsertQuery")
+        self.check_access("INSERT", [name])
         if name in self._buffers:
             buf = self._buffers[name]
             buf.insert(df)

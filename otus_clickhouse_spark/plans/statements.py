@@ -323,6 +323,89 @@ _MUTATION_SHAPE_RE = re.compile(
 )
 
 
+def _apply_rbac(engine, s: str) -> None:
+    """Parse one RBAC statement into the enforcement registries
+    (GRANT syntax per lecture_18.md:204; role activation per :170)."""
+    um = re.match(r"^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if um:
+        engine._users.add(um.group(1))
+        return
+    um = re.match(r"^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if um:
+        engine._users.discard(um.group(1))
+        return
+    rm = re.match(r"^\s*CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if rm:
+        engine._roles.add(rm.group(1))
+        return
+    rm = re.match(r"^\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if rm:
+        engine._roles.discard(rm.group(1))
+        return
+    # GRANT priv[, …] ON [db.]obj TO grantee[, …]
+    gm = re.match(
+        r"^\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:(\w+|\*)\.)?(\w+|\*)\s+TO\s+([\w,\s]+?)"
+        r"(?:\s+WITH\s+.*)?$",
+        s,
+        re.IGNORECASE,
+    )
+    if gm:
+        privs = [p.strip().upper() for p in gm.group(1).split(",")]
+        db = gm.group(2) or "*"
+        tbl = gm.group(3)
+        for grantee in (g.strip() for g in gm.group(4).split(",")):
+            for p in privs:
+                engine._grants.append((p, db, tbl, grantee))
+        return
+    # GRANT role[, …] TO user[, …] (no ON clause)
+    gm = re.match(r"^\s*GRANT\s+([\w,\s]+?)\s+TO\s+([\w,\s]+?)\s*$", s, re.IGNORECASE)
+    if gm:
+        roles = [r.strip() for r in gm.group(1).split(",")]
+        for user in (u.strip() for u in gm.group(2).split(",")):
+            engine._role_grants.setdefault(user, set()).update(
+                r for r in roles if r in engine._roles
+            )
+        return
+    # REVOKE priv ON obj FROM grantee
+    vm = re.match(
+        r"^\s*REVOKE\s+([\w,\s]+?)\s+ON\s+(?:(\w+|\*)\.)?(\w+|\*)\s+FROM\s+([\w,\s]+?)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if vm:
+        privs = {p.strip().upper() for p in vm.group(1).split(",")}
+        tbl = vm.group(3)
+        victims = {g.strip() for g in vm.group(4).split(",")}
+        engine._grants = [
+            g
+            for g in engine._grants
+            if not (g[0] in privs and g[2] == tbl and g[3] in victims)
+        ]
+        return
+    # REVOKE role FROM user
+    vm = re.match(r"^\s*REVOKE\s+([\w,\s]+?)\s+FROM\s+([\w,\s]+?)\s*$", s, re.IGNORECASE)
+    if vm:
+        roles = {r.strip() for r in vm.group(1).split(",")}
+        for user in (u.strip() for u in vm.group(2).split(",")):
+            engine._role_grants.get(user, set()).difference_update(roles)
+            engine._active_roles.get(user, set()).difference_update(roles)
+        return
+    # SET ROLE name|DEFAULT|NONE — activates roles for the SESSION user
+    sm = re.match(r"^\s*SET\s+(?:DEFAULT\s+)?ROLE\s+(\w+)\s*$", s, re.IGNORECASE)
+    if sm:
+        user = engine.current_user
+        which = sm.group(1)
+        granted = engine._role_grants.get(user, set())
+        if which.upper() == "NONE":
+            engine._active_roles[user] = set()
+        elif which.upper() == "DEFAULT":
+            engine._active_roles[user] = set(granted)
+        elif which in granted:
+            engine._active_roles.setdefault(user, set()).add(which)
+        else:
+            raise PermissionError(f"role {which} not granted to {user}")
+
+
 def _split_nc_items(body: str) -> list[str]:
     """Split ``k = v, k2 = v2`` on commas outside quotes."""
     out, buf, q = [], [], None
@@ -632,7 +715,11 @@ def _try_route_inner(engine, s: str):
 
     m = _RBAC_RE.match(s)
     if m:
+        # recorded for system.grants AND parsed into the enforced
+        # registries (D11; lecture_18.md:26,170,204): users/roles,
+        # privilege grants with objects, role grants, SET ROLE activation
         engine._rbac_log.append(s)
+        _apply_rbac(engine, s)
         return {"rbac": re.sub(r"\s+", " ", m.group(1).upper()), "recorded": True}
 
     m = _RELOAD_DICT_RE.match(s)

@@ -416,6 +416,54 @@ def test_distributed_hw10_sharding(engine, tmp_path):
     engine.execute("DROP TABLE sales_local")
 
 
+def test_rbac_enforcement(engine, tmp_path):
+    """D11 (lecture_18.md:26,170,204,428-431): grants are ENFORCED at
+    the query/insert boundary — role privileges apply only after SET
+    ROLE; REVOKE takes them back; the default user bypasses."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE rbac_t (x UInt32) ENGINE = Log")
+    engine.tables["rbac_t"].path = str(tmp_path / "rbac_t")
+    engine.execute("INSERT INTO rbac_t VALUES (1), (2)")
+    engine.execute("CREATE USER anon IDENTIFIED WITH no_password")
+    engine.execute("CREATE ROLE reader")
+    engine.execute("GRANT SELECT ON rbac_t TO reader")
+    engine.execute("GRANT reader TO anon")
+    try:
+        engine.set_user("anon")
+        # granted role is inert until SET ROLE (lecture_18.md:170)
+        with _pytest.raises(PermissionError, match="ACCESS_DENIED"):
+            engine.run("SELECT count(*) AS n FROM rbac_t")
+        engine.execute("SET ROLE reader")
+        assert engine.run("SELECT count(*) AS n FROM rbac_t")[0].n == 2
+        # SELECT ≠ INSERT
+        with _pytest.raises(PermissionError, match="ACCESS_DENIED"):
+            engine.execute("INSERT INTO rbac_t VALUES (3)")
+        engine.set_user("default")
+        engine.execute("GRANT INSERT ON rbac_t TO anon")  # direct grant
+        engine.set_user("anon")
+        engine.execute("INSERT INTO rbac_t VALUES (3)")
+        assert engine.run("SELECT count(*) AS n FROM rbac_t")[0].n == 3
+        # revoke the role's SELECT → denied again
+        engine.set_user("default")
+        engine.execute("REVOKE SELECT ON rbac_t FROM reader")
+        engine.set_user("anon")
+        with _pytest.raises(PermissionError, match="ACCESS_DENIED"):
+            engine.run("SELECT count(*) AS n FROM rbac_t")
+        # system.role_grants reflects the grant + activation
+        engine.set_user("default")
+        rg = engine.sql(
+            "SELECT granted_role_name, active FROM system.role_grants WHERE user_name = 'anon'"
+        ).collect()
+        assert [(r.granted_role_name, r.active) for r in rg] == [("reader", True)]
+        assert "anon" in [r.name for r in engine.sql("SELECT name FROM system.users").collect()]
+    finally:
+        engine.current_user = "default"
+        engine.execute("DROP TABLE rbac_t")
+        engine.execute("DROP USER anon")
+        engine.execute("DROP ROLE reader")
+
+
 def test_create_table_collision_guard(engine, tmp_path):
     """ADVICE: CREATE TABLE on an existing name must not wipe data —
     CH errors; IF NOT EXISTS is a keep-existing no-op."""

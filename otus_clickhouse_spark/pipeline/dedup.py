@@ -66,17 +66,24 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, with_size: bool = False
 ) -> DataFrame:
     """Per-doc minhash signature: min of ``num_hashes`` affine
     permutations of the shingle's 32-bit md5 prefix (single md5 per
-    shingle; the permutations are codegen'd integer arithmetic)."""
+    shingle; the permutations are codegen'd integer arithmetic).
+
+    ``with_size`` additionally emits the per-doc distinct-shingle count
+    as ``n_sh`` in the SAME aggregation — the Jaccard verify needs those
+    set sizes, and computing them here saves a second full pass +
+    shuffle over the shingle relation."""
     assert num_hashes <= len(MINHASH_A)
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     aggs = [
         F.min((h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -112,13 +119,19 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (a, b, jaccard).
 
     The intersection join shuffles a 64-bit shingle digest instead of
     the shingle string — same counts (collision odds ~n²/2⁶⁴), a
-    fraction of the shuffle bytes.
+    fraction of the shuffle bytes. Pass ``sizes`` (``id_col, n_sh``) if
+    the per-doc set sizes were already computed upstream (e.g. in the
+    signature aggregation) to avoid re-scanning the shingle relation.
     """
     shc = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
     sa = shc.select(F.col(id_col).alias("a"), F.col("__sh"))
@@ -129,7 +142,8 @@ def jaccard_verify(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
         common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), on="a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), on="b")
@@ -159,9 +173,11 @@ def minhash_dedup_pairs(
     sh = shingles(df, text_col, id_col, n)
     if persist_shingles:
         sh = sh.persist()
-    sig = minhash_signatures(sh, id_col)
+    sig = minhash_signatures(sh, id_col, with_size=True).persist()
     cand = lsh_candidate_pairs(sig, id_col)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(
+        cand, sh, id_col, threshold, sizes=sig.select(id_col, "n_sh")
+    )
 
 
 def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25) -> DataFrame:

@@ -713,7 +713,37 @@ class Engine:
             df = df.orderBy(F_desc(col) if (_asc or "").upper() == "DESC" else col)
         if limit_by:
             df = _apply_limit_by(df, *limit_by)
+        if self.session_settings.get("join_use_nulls") == "0" and re.search(
+            r"\b(LEFT|RIGHT|FULL)\s+(OUTER\s+)?JOIN\b", text, re.IGNORECASE
+        ):
+            df = self._fill_join_defaults(df, text)
         return df
+
+    def _fill_join_defaults(self, df: DataFrame, text: str) -> DataFrame:
+        """J16 ``join_use_nulls = 0`` (lecture_10.md settings surface):
+        ClickHouse's default fills non-matched outer-join rows with TYPE
+        DEFAULTS (0 / '' / epoch) instead of NULLs — in CH a NULL can
+        only appear there for Nullable columns. Mirror that contract:
+        fill defaults for output columns that some referenced table
+        declares NOT NULL (Nullable columns keep their NULLs). The
+        engine's baseline is the SQL-standard ``join_use_nulls = 1``;
+        this path activates on the explicit SET."""
+        non_nullable: set[str] = set()
+        for tname in self._referenced_tables(text):
+            schema = self.tables[tname].settings.get("schema", "")
+            for coldef in schema.split(","):
+                if "NOT NULL" in coldef.upper():
+                    non_nullable.add(coldef.strip().split()[0])
+        fills: dict = {}
+        for f in df.schema.fields:
+            if f.name not in non_nullable:
+                continue
+            t = f.dataType.simpleString()
+            if t in ("string",):
+                fills[f.name] = ""
+            elif t.startswith(("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")):
+                fills[f.name] = 0
+        return df.na.fill(fills) if fills else df
 
     def add_projection(self, name: str, table: str, group_keys, aggs) -> None:
         """ADD/MATERIALIZE PROJECTION (lecture_13.md:187-242): build the

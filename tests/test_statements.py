@@ -416,6 +416,30 @@ def test_distributed_hw10_sharding(engine, tmp_path):
     engine.execute("DROP TABLE sales_local")
 
 
+def test_join_use_nulls_setting(engine, tmp_path):
+    """J16 (lecture_10.md settings): with SET join_use_nulls = 0 (the CH
+    default contract) non-matched outer-join rows carry type defaults
+    for NOT-NULL columns; the engine's baseline (=1) keeps SQL NULLs."""
+    engine.execute("CREATE TABLE jun_a (k UInt32, name String) ENGINE = Log")
+    engine.tables["jun_a"].path = str(tmp_path / "jun_a")
+    engine.execute("CREATE TABLE jun_b (k UInt32, score UInt32) ENGINE = Log")
+    engine.tables["jun_b"].path = str(tmp_path / "jun_b")
+    engine.execute("INSERT INTO jun_a VALUES (1, 'x'), (2, 'y')")
+    engine.execute("INSERT INTO jun_b VALUES (1, 10)")
+    q = "SELECT a.k AS k, b.score AS score FROM jun_a a LEFT JOIN jun_b b ON a.k = b.k"
+    # baseline: SQL-standard NULL for the non-matched row
+    rows = {r.k: r.score for r in engine.sql(q).collect()}
+    assert rows == {1: 10, 2: None}
+    engine.execute("SET join_use_nulls = 0")
+    try:
+        rows = {r.k: r.score for r in engine.sql(q).collect()}
+        assert rows == {1: 10, 2: 0}  # UInt32 default fills the miss
+    finally:
+        engine.session_settings.pop("join_use_nulls", None)
+        engine.execute("DROP TABLE jun_a")
+        engine.execute("DROP TABLE jun_b")
+
+
 def test_rbac_enforcement(engine, tmp_path):
     """D11 (lecture_18.md:26,170,204,428-431): grants are ENFORCED at
     the query/insert boundary — role privileges apply only after SET

@@ -252,3 +252,59 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         quality.alias("quality"),
         fingerprint(F.col(text_col)).alias("fp"),
     )
+
+
+def vocab_build(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Frequency-ranked vocabulary table (token, vocab_id, freq, coverage).
+
+    The tokenizer pass over training data: two-phase token count, then
+    rank + cumulative corpus-coverage share. The ranking window runs
+    over the VOCABULARY (post-aggregation, bounded by distinct tokens),
+    never the corpus token stream, so the unpartitioned window is safe
+    at any corpus size; ties break lexicographically for determinism.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = cnt.agg(F.sum("freq")).collect()[0][0] or 1
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        cnt.withColumn("vocab_id", F.row_number().over(w) - 1)
+        .withColumn(
+            "coverage",
+            F.round(F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.lit(float(total)), 6),
+        )
+        .where(F.col("vocab_id") < top_n)
+        .select("vocab_id", "token", "freq", "coverage")
+    )
+
+
+def shingle_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    shingles that appear in NO other document (doc_id, n_shingles,
+    novel_share). The complement of near-duplication — the dedup-
+    adjacent score pipelines threshold on before spending minhash work.
+
+    One gram-keyed aggregation over xxhash64 digests (8-byte shuffle
+    keys, bodies never move) + one digest-keyed join back; both shuffle
+    keys are hash-uniform, so there is no skew at any scale.
+    """
+    from otus_clickhouse_spark.pipeline.dedup import shingles
+
+    sh = shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("g")
+    ).persist()
+    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg((F.col("df") == 1).cast("double")), 4).alias("novel_share"),
+        )
+    )

@@ -932,3 +932,54 @@ def x24_unigram_logprob(spark, sf_dir):
         .limit(50)
     )
     return out
+
+
+@query(
+    "x25_vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    tot AS (SELECT sum(freq) AS n FROM cnt),
+    ranked AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS INT) AS vocab_id,
+             round(sum(freq) OVER (ORDER BY freq DESC, token ROWS UNBOUNDED PRECEDING)
+                   / (SELECT n FROM tot), 6) AS coverage
+      FROM cnt
+    )
+    SELECT vocab_id, token, freq, coverage FROM ranked WHERE vocab_id < 1000
+    """,
+)
+def x25_vocab_build(spark, sf_dir):
+    """Tokenizer-training vocabulary pass (beyond-reference §7): top-N
+    tokens by corpus frequency with rank ids and cumulative coverage
+    share — pipeline.text.vocab_build. The ranking window runs over the
+    aggregated vocabulary, not the corpus token stream."""
+    from otus_clickhouse_spark.pipeline.text import vocab_build
+
+    return vocab_build(t(spark, sf_dir, "documents"), top_n=1000)
+
+
+@query(
+    "x26_shingle_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, count(*) AS n_shingles,
+           round(avg(CASE WHEN f.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novel_share
+    FROM sh JOIN freq f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def x26_shingle_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty share (beyond-reference §7): the
+    fraction of a doc's distinct shingles appearing in no other doc —
+    pipeline.text.shingle_novelty. Shuffles 8-byte shingle digests
+    only; the cheap dedup-adjacent score thresholded before minhash."""
+    from otus_clickhouse_spark.pipeline.text import shingle_novelty
+
+    return shingle_novelty(t(spark, sf_dir, "documents"))

@@ -40,6 +40,13 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("parseDateTimeBestEffort", "x STRING", "TIMESTAMP", "CAST(x AS TIMESTAMP)"),
     ("parseDateTimeBestEffortOrZero", "x STRING", "TIMESTAMP",
      "coalesce(try_cast(x AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"),
+    # US variants (hw07.md usage): prefer MM/DD/YYYY before ISO
+    ("parseDateTimeBestEffortUS", "x STRING", "TIMESTAMP",
+     "coalesce(try_to_timestamp(x, 'M/d/yyyy H:m:s'), try_to_timestamp(x, 'M/d/yyyy'), "
+     "try_cast(x AS TIMESTAMP))"),
+    ("parseDateTimeBestEffortUSOrZero", "x STRING", "TIMESTAMP",
+     "coalesce(try_to_timestamp(x, 'M/d/yyyy H:m:s'), try_to_timestamp(x, 'M/d/yyyy'), "
+     "try_cast(x AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"),
     # --- type conversion (lecture_07.md:519-522, homeworks/hw07.md:62-64)
     ("toString", "x STRING", "STRING", "x"),
     ("toUInt64", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),

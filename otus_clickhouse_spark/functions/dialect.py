@@ -490,6 +490,12 @@ def _rewrite_tostartofinterval(text: str) -> str:
             return text
         args, end = _split_call_args(text, m.end() - 1)
         im = re.match(r"^\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", args[1], re.IGNORECASE)
+        if not im:  # toIntervalDay(1)-style constructor form (hw14.md)
+            im = re.match(r"^\s*toInterval(\w+?)s?\s*\(\s*(\d+)\s*\)\s*$", args[1], re.IGNORECASE)
+            if im:
+                im = re.match(
+                    r"(\d+) (\w+)", f"{im.group(2)} {im.group(1)}"
+                )  # normalize to (n, unit)
         if not im or im.group(2).lower() not in _TSI_UNIT_SECS:
             raise ValueError(f"unsupported toStartOfInterval interval: {args[1]!r}")
         secs = int(im.group(1)) * _TSI_UNIT_SECS[im.group(2).lower()]
@@ -497,6 +503,27 @@ def _rewrite_tostartofinterval(text: str) -> str:
             f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {secs}) AS BIGINT) * {secs})"
         )
         text = text[: m.start()] + repl + text[end:]
+
+
+# toStartOfWeek(d[, mode]) — CH's mode defaults to 0; the SQL UDF is
+# binary, so the unary call gets the default appended at translate time
+_TSW_RE = re.compile(r"\btoStartOfWeek\s*\(")
+
+
+def _rewrite_tostartofweek(text: str) -> str:
+    out = []
+    pos = 0
+    while True:
+        m = _TSW_RE.search(text, pos)
+        if not m:
+            out.append(text[pos:])
+            return "".join(out)
+        args, end = _split_call_args(text, m.end() - 1)
+        if len(args) == 1:
+            out.append(text[pos : m.start()] + f"toStartOfWeek({args[0]}, 0)")
+        else:
+            out.append(text[pos:end])
+        pos = end
 
 
 # quantile[Exact](p)(x) / quantiles(p1, p2, …)(x) — the parametric
@@ -767,6 +794,7 @@ def translate(
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)
     text = _rewrite_tostartofinterval(text)
+    text = _rewrite_tostartofweek(text)
     text = _rewrite_array_lambda(text)
     text = _rewrite_quantiles(text)
     text = _rewrite_datediff(text)

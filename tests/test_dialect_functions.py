@@ -348,6 +348,26 @@ def test_to_start_of_interval(engine):
         "FROM events GROUP BY d"
     ).collect()
     assert all(r.d.hour == 0 and r.d.minute == 0 for r in rows2)
+    # toIntervalDay(1) constructor form (hw14.md usage)
+    rows3 = engine.sql(
+        "SELECT toStartOfInterval(ts, toIntervalDay(1)) AS d, count() AS n "
+        "FROM events GROUP BY d"
+    ).collect()
+    assert {r.d for r in rows3} == {r.d for r in rows2}
+
+
+def test_date_fn_variants(engine):
+    import datetime as dt
+
+    r = engine.sql(
+        "SELECT toStartOfWeek(toDate('2024-03-07')) AS w1, "
+        "toStartOfWeek(toDate('2024-03-07'), 1) AS w2, "
+        "parseDateTimeBestEffortUS('3/5/2024 10:00:00') AS us, "
+        "parseDateTimeBestEffortUSOrZero('bogus') AS z"
+    ).collect()[0]
+    assert r.w1 == r.w2 == dt.date(2024, 3, 4)
+    assert r.us == dt.datetime(2024, 3, 5, 10, 0)
+    assert r.z == dt.datetime(1970, 1, 1)
 
 
 def test_clause_combinations(engine, tmp_path):

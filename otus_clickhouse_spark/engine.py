@@ -631,6 +631,22 @@ class Engine:
             view = f"__system_{sysname}"
             method().createOrReplaceTempView(view)
             text = re.sub(rf"\bsystem\.{sysname}\b", view, text)
+        # COLUMNS('regex') dynamic projection (P1; lecture_02.md course
+        # usage `select columns('key') from system.tables`): expand to the
+        # FROM relation's matching column names at translate time
+        while True:
+            colm = re.search(r"\bCOLUMNS\s*\(\s*'([^']+)'\s*\)", text, re.IGNORECASE)
+            if not colm:
+                break
+            fmm = re.search(r"\bFROM\s+`?(\w+)`?", text, re.IGNORECASE)
+            if not fmm:
+                raise ValueError("COLUMNS('re') needs a resolvable FROM table")
+            cols = self.spark.table(fmm.group(1)).columns
+            pat = re.compile(colm.group(1))
+            matched = [c for c in cols if pat.search(c)]
+            if not matched:
+                raise ValueError(f"COLUMNS({colm.group(1)!r}) matches no columns")
+            text = text[: colm.start()] + ", ".join(matched) + text[colm.end() :]
         mm = _MERGE_FN_RE.search(text)
         if mm:
             # merge([db,] 'regex') table function (S8; lecture_09.md:589-651)
@@ -972,13 +988,32 @@ class Engine:
 
     # ----------------------------------------------------------- system views
     def system_tables(self) -> DataFrame:
-        """≈ system.tables (lectures/lecture_02.md:197-276)."""
+        """≈ system.tables (lectures/lecture_02.md:197-276). Column names
+        follow CH (sorting_key/partition_key/uuid/data_paths/
+        metadata_path) so lecture queries — including COLUMNS('key')
+        projections — run verbatim."""
+        import hashlib
+
         rows = [
-            (t.name, t.engine, t.path or "", ",".join(t.order_by), ",".join(t.partition_by), t.comment)
+            (
+                "default",
+                t.name,
+                hashlib.md5(t.name.encode()).hexdigest(),
+                t.engine,
+                t.path or "",
+                os.path.join("spark-warehouse", f"{t.name}.def"),
+                ",".join(t.order_by),
+                ",".join(t.order_by),
+                ",".join(t.partition_by),
+                t.comment,
+            )
             for t in self.tables.values()
         ]
         return self.spark.createDataFrame(
-            rows, "name string, engine string, path string, order_by string, partition_by string, comment string"
+            rows,
+            "database string, name string, uuid string, engine string, data_paths string, "
+            "metadata_path string, primary_key string, sorting_key string, "
+            "partition_key string, comment string",
         )
 
     def system_parts(self) -> DataFrame:
@@ -988,14 +1023,25 @@ class Engine:
             if not t.path or not os.path.exists(t.path):
                 continue
             if os.path.isfile(t.path):
-                rows.append((t.name, os.path.basename(t.path), os.path.getsize(t.path), 1))
+                rows.append(
+                    (t.name, os.path.basename(t.path), "all", "all", "default",
+                     t.path, os.path.getsize(t.path), 1)
+                )
             else:
                 for root, _dirs, files in os.walk(t.path):
                     for f in files:
                         if f.endswith(".parquet"):
                             p = os.path.join(root, f)
-                            rows.append((t.name, os.path.relpath(p, t.path), os.path.getsize(p), 1))
-        return self.spark.createDataFrame(rows, "table string, name string, bytes_on_disk long, active int")
+                            rel = os.path.relpath(p, t.path)
+                            part = os.path.dirname(rel) or "all"
+                            rows.append(
+                                (t.name, rel, part, part, "default", p, os.path.getsize(p), 1)
+                            )
+        return self.spark.createDataFrame(
+            rows,
+            "table string, name string, partition string, partition_id string, "
+            "disk_name string, path string, bytes_on_disk long, active int",
+        )
 
     def system_query_log(self) -> DataFrame:
         """≈ system.query_log (lecture_20.md:296-478): queries run via
@@ -1035,10 +1081,13 @@ class Engine:
         ClickHouse-named SQL UDFs plus user lambdas, with origin."""
         from otus_clickhouse_spark.functions.clickhouse import AGGREGATE_ALIASES, SCALAR_ALIASES
 
-        rows = [(n, "SQLUserDefined") for n in self._sql_macros]
-        rows += [(n, "System") for n in SCALAR_ALIASES]
-        rows += [(n, "System") for n in AGGREGATE_ALIASES]
-        return self.spark.createDataFrame(rows, "name string, origin string")
+        rows = [
+            (n, "SQLUserDefined", f"CREATE FUNCTION {n} AS ({', '.join(ps)}) -> {body}")
+            for n, (ps, body) in self._sql_macros.items()
+        ]
+        rows += [(n, "System", "") for n in SCALAR_ALIASES]
+        rows += [(n, "System", "") for n in AGGREGATE_ALIASES]
+        return self.spark.createDataFrame(rows, "name string, origin string, create_query string")
 
     def system_data_skipping_indices(self) -> DataFrame:
         """system.data_skipping_indices (D8; lecture_08.md:225)."""
@@ -1076,9 +1125,19 @@ class Engine:
         through Engine.execute, with completion time. Our mutations are
         synchronous write-then-swap, so ``is_done`` is always 1 — unlike
         CH's async part rewrites (a difference, documented)."""
-        rows = [(s, float(ts), 1) for s, ts, _st in self._mutations_log]
+        rows = [
+            (
+                s,
+                (tm.group(1) if (tm := re.search(r"\bTABLE\s+(\w+)", s, re.IGNORECASE)) else ""),
+                f"mutation_{i}.txt",
+                float(ts),
+                1,
+            )
+            for i, (s, ts, _st) in enumerate(self._mutations_log)
+        ]
         return self.spark.createDataFrame(
-            rows or [("", 0.0, 0)], "command string, finished_at double, is_done int"
+            rows or [("", "", "", 0.0, 0)],
+            "command string, table string, mutation_id string, finished_at double, is_done int",
         ).where("command != ''")
 
     def system_grants(self) -> DataFrame:

@@ -84,3 +84,26 @@ def test_hw02_script_ddl_and_enum_golden(engine, tmp_path):
         "select count(*) AS n from (select 1 as payment_type) where payment_type = 1"
     ).collect()[0].n == 1
     engine.execute("DROP TABLE trips")
+
+
+def test_lecture_system_queries_verbatim(engine):
+    """System-catalog query shapes lifted verbatim from the lectures
+    (lecture_02.md:197-276 tables/parts introspection, lecture_06.md:
+    112-119 functions, lecture_16.md:60-98 mutations) run unchanged."""
+    shapes = [
+        "SELECT DISTINCT partition_id FROM system.parts",
+        "SELECT name, disk_name, path FROM system.parts",
+        "SELECT name, uuid, engine, metadata_path FROM system.tables",
+        "select data_paths, metadata_path from system.tables",
+        "select name, engine from system.tables",
+        "SELECT name, create_query FROM system.functions",
+        "select command, table, is_done from system.mutations",
+        "select columns('key') from system.tables",
+        "select name, value from system.settings",
+        "SELECT name FROM system.users",
+    ]
+    for q in shapes:
+        engine.sql(q).collect()  # must parse + run; content covered elsewhere
+    # COLUMNS('key') expands to the *_key columns like CH
+    cols = engine.sql("select columns('key') from system.tables limit 1").columns
+    assert set(cols) == {"primary_key", "sorting_key", "partition_key"}

@@ -194,6 +194,8 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # position(haystack, needle) — CH arg order (reverse of Spark locate)
     ("positionUTF8", "h STRING, n STRING", "INT", "locate(n, h)"),
     ("toFixedString", "s STRING, n INT", "STRING", "rpad(s, n, chr(0))"),
+    ("countSubstrings", "h STRING, n STRING", "INT",
+     "CASE WHEN length(n) = 0 THEN 0 ELSE CAST((length(h) - length(replace(h, n, ''))) / length(n) AS INT) END"),
 ]
 
 # ClickHouse aggregate names that are direct aliases of Spark builtins —

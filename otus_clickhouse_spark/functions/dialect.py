@@ -385,7 +385,25 @@ _ARRAY_LAMBDA_TARGETS = {
     "arrayCount": None,  # size(filter(arr, f))
     "arrayFirst": None,  # element_at(filter(arr, f), 1)
     "arraySum": None,  # arraySum(transform(arr, f)) — reuses the SQL UDF
+    "arraySort": None,  # key-lambda form → comparator array_sort
+    "arrayReverseSort": None,
 }
+
+
+def _sort_comparator(lam: str, reverse: bool) -> str:
+    """CH arraySort(x -> key, arr) → Spark array_sort comparator: the
+    single-param key lambda becomes a two-param CASE comparison."""
+    lm = re.match(r"^\s*(\w+)\s*->\s*(.+)$", lam, re.DOTALL)
+    if not lm:
+        raise ValueError(f"unsupported arraySort lambda: {lam!r}")
+    p, body = lm.group(1), lm.group(2).strip()
+    kl = re.sub(rf"\b{p}\b", "__l", body)
+    kr = re.sub(rf"\b{p}\b", "__r", body)
+    lt, gt = ("1", "-1") if reverse else ("-1", "1")
+    return (
+        f"(__l, __r) -> CASE WHEN ({kl}) < ({kr}) THEN {lt} "
+        f"WHEN ({kl}) > ({kr}) THEN {gt} ELSE 0 END"
+    )
 _ARRAY_LAMBDA_RE = re.compile(
     r"\b(" + "|".join(_ARRAY_LAMBDA_TARGETS) + r")\s*\("
 )
@@ -432,6 +450,8 @@ def _rewrite_array_lambda(text: str) -> str:
                 f"aggregate(transform({arrs[0]}, {lam}), CAST(0.0 AS DOUBLE), "
                 f"(__acc, __x) -> __acc + __x)"
             )
+        elif name in ("arraySort", "arrayReverseSort"):
+            repl = f"array_sort({arrs[0]}, {_sort_comparator(lam, name == 'arrayReverseSort')})"
         else:
             repl = f"{_ARRAY_LAMBDA_TARGETS[name]}({arrs[0]}, {lam})"
         out.append(text[pos : m.start()] + repl)
@@ -503,6 +523,22 @@ def _rewrite_tostartofinterval(text: str) -> str:
             f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {secs}) AS BIGINT) * {secs})"
         )
         text = text[: m.start()] + repl + text[end:]
+
+
+# tupleElement(t, n) / tupleElement(t, 'name') — positional tuples in
+# Spark are structs with col1..colN fields; named access is dot access
+_TUPLE_EL_RE = re.compile(r"\btupleElement\s*\(")
+
+
+def _rewrite_tuple_element(text: str) -> str:
+    while True:
+        m = _TUPLE_EL_RE.search(text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, m.end() - 1)
+        idx = args[1].strip()
+        field = f"col{idx}" if idx.isdigit() else idx.strip("'\"")
+        text = text[: m.start()] + f"({args[0]}).{field}" + text[end:]
 
 
 # toStartOfWeek(d[, mode]) — CH's mode defaults to 0; the SQL UDF is
@@ -795,6 +831,7 @@ def translate(
     text = _rewrite_array_literals(text)
     text = _rewrite_tostartofinterval(text)
     text = _rewrite_tostartofweek(text)
+    text = _rewrite_tuple_element(text)
     text = _rewrite_array_lambda(text)
     text = _rewrite_quantiles(text)
     text = _rewrite_datediff(text)

@@ -515,3 +515,17 @@ def test_system_tables_in_sql(engine):
         "SELECT count() AS n FROM system.settings"
     ).collect()[0].n
     assert s > 0
+
+
+def test_array_sort_lambda_and_tuple_element(engine):
+    r = engine.sql(
+        "SELECT arraySort(x -> -x, [1,3,2]) AS s, "
+        "arrayReverseSort(x -> x, [1,3,2]) AS rs, "
+        "arraySort([3,1,2]) AS plain, "
+        "countSubstrings('aXaXa', 'X') AS cs, "
+        "tupleElement((1, 'a'), 2) AS t2, "
+        "tupleElement(named_struct('k', 7), 'k') AS tk"
+    ).collect()[0]
+    assert list(r.s) == [3, 2, 1] and list(r.rs) == [3, 2, 1]
+    assert list(r.plain) == [1, 2, 3]
+    assert r.cs == 2 and r.t2 == "a" and r.tk == 7

@@ -89,6 +89,11 @@ class Engine:
         self._role_grants: dict[str, set[str]] = {}  # user → granted roles
         self._active_roles: dict[str, set[str]] = {}  # user → SET ROLE'd
         self.current_user = "default"
+        # quotas (lecture_18.md:498-533): name → {interval_s, max:{counter:n}, to:set}
+        self._quotas: dict[str, dict] = {}
+        self._quota_usage: dict[str, list] = {}  # user → [(ts, kind)]
+        # settings profiles (lecture_18.md:459-465): name → ({k:v}, to:set)
+        self._profiles: dict[str, dict] = {}
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
 
         self.projections = ProjectionRegistry()
@@ -221,10 +226,70 @@ class Engine:
     def set_user(self, name: str) -> None:
         """Switch the session user (≈ connecting as that user;
         lecture_18.md:20-26). Unknown users are rejected like a failed
-        authentication."""
+        authentication. Settings profiles assigned to the user (or their
+        granted roles) apply on switch — CH applies them at login."""
         if name != "default" and name not in self._users:
             raise PermissionError(f"unknown user {name}")
         self.current_user = name
+        grantees = {name} | self._role_grants.get(name, set())
+        for prof in self._profiles.values():
+            if grantees & prof["to"]:
+                self.session_settings.update(prof["settings"])
+
+    def _check_quota(self, kind: str) -> None:
+        """Sliding-window quota counters (lecture_18.md:498-533): each
+        run/error event is stamped per user; an applicable quota whose
+        window count reaches its MAX raises QUOTA_EXCEEDED."""
+        import time as _time
+
+        user = self.current_user
+        if user == "default":
+            return
+        grantees = {user} | self._role_grants.get(user, set())
+        now = _time.time()
+        usage = self._quota_usage.setdefault(user, [])
+        for q in self._quotas.values():
+            if not (grantees & q["to"]):
+                continue
+            limit = q["max"].get(kind)
+            if limit is None:
+                continue
+            window = [t for t, k in usage if k == kind and now - t < q["interval_s"]]
+            if len(window) >= limit:
+                raise PermissionError(
+                    f"QUOTA_EXCEEDED: {kind} limit {limit} per {q['interval_s']}s for {user}"
+                )
+        usage.append((now, kind))
+        if len(usage) > 10000:  # bound the in-memory trail
+            del usage[: len(usage) - 10000]
+
+    def system_quotas(self) -> DataFrame:
+        """≈ system.quotas (lecture_18.md:538)."""
+        rows = [
+            (name, q["interval_s"], ",".join(sorted(q["to"])))
+            for name, q in sorted(self._quotas.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "quota_name string, duration bigint, apply_to string"
+        )
+
+    def system_quota_limits(self) -> DataFrame:
+        """≈ system.quota_limits (lecture_18.md:506-533)."""
+        rows = [
+            (
+                name,
+                q["interval_s"],
+                q["max"].get("queries"),
+                q["max"].get("errors"),
+                q["max"].get("result_rows"),
+            )
+            for name, q in sorted(self._quotas.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "quota_name string, duration bigint, max_queries bigint, "
+            "max_errors bigint, max_result_rows bigint",
+        )
 
     def _granted(self, user: str, priv: str, table: str) -> bool:
         """Direct grants + grants of the user's ACTIVE roles (a granted
@@ -795,6 +860,7 @@ class Engine:
         import uuid
 
         self.check_access("SELECT", self._referenced_tables(text))
+        self._check_quota("queries")
         qid = uuid.uuid4().hex[:16]
         t0 = time.time()
         self._processes[qid] = (text, t0)
@@ -807,6 +873,7 @@ class Engine:
             rows = df.collect()
         except Exception as exc:  # logged like query_log's exception column
             self._bump("FailedSelectQuery")
+            self._quota_usage.setdefault(self.current_user, []).append((time.time(), "errors"))
             self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
             raise
         finally:

@@ -323,9 +323,60 @@ _MUTATION_SHAPE_RE = re.compile(
 )
 
 
+_QUOTA_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
 def _apply_rbac(engine, s: str) -> None:
     """Parse one RBAC statement into the enforcement registries
-    (GRANT syntax per lecture_18.md:204; role activation per :170)."""
+    (GRANT syntax per lecture_18.md:204; role activation per :170;
+    quota/profile shapes per :459-533)."""
+    qm = re.match(
+        r"^\s*CREATE\s+QUOTA\s+(?:IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?(\w+)"
+        r"(?:\s+KEYED\s+BY\s+[\w,\s]+?)?"
+        r"\s+FOR\s+(?:RANDOMIZED\s+)?INTERVAL\s+(\d+)\s+(\w+?)s?\s+"
+        r"MAX\s+(.+?)\s+TO\s+([\w,\s]+?)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if qm:
+        name, n, unit, maxes, to = qm.groups()
+        limits = {
+            lm.group(1).lower(): int(lm.group(2))
+            for item in maxes.split(",")
+            if (lm := re.match(r"^\s*(\w+)\s*=\s*(\d+)\s*$", item))
+        }
+        engine._quotas[name] = {
+            "interval_s": int(n) * _QUOTA_UNITS.get(unit.lower(), 1),
+            "max": limits,
+            "to": {g.strip() for g in to.split(",")},
+        }
+        return
+    dm = re.match(r"^\s*DROP\s+QUOTA\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if dm:
+        engine._quotas.pop(dm.group(1), None)
+        return
+    pm = re.match(
+        r"^\s*CREATE\s+SETTINGS\s+PROFILE\s+(?:IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?(\w+)"
+        r"\s+SETTINGS\s+(.+?)(?:\s+TO\s+([\w,\s]+?))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if pm:
+        name, body, to = pm.groups()
+        settings = {
+            sm.group(1): sm.group(2).strip().strip("'\"")
+            for item in body.split(",")
+            if (sm := re.match(r"^\s*(\w+)\s*=?\s*(\S+)\s*$", item))
+        }
+        engine._profiles[name] = {
+            "settings": settings,
+            "to": {g.strip() for g in (to or "").split(",") if g.strip()},
+        }
+        return
+    dm = re.match(r"^\s*DROP\s+SETTINGS\s+PROFILE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if dm:
+        engine._profiles.pop(dm.group(1), None)
+        return
     um = re.match(r"^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
     if um:
         engine._users.add(um.group(1))

@@ -416,6 +416,48 @@ def test_distributed_hw10_sharding(engine, tmp_path):
     engine.execute("DROP TABLE sales_local")
 
 
+def test_quota_and_profile_enforcement(engine, tmp_path):
+    """D11 quotas (lecture_18.md:498-533) and settings profiles
+    (:459-465): MAX queries enforced in a sliding window; profiles
+    apply to the session on set_user."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE quota_t (x UInt32) ENGINE = Log")
+    engine.tables["quota_t"].path = str(tmp_path / "quota_t")
+    engine.execute("INSERT INTO quota_t VALUES (1)")
+    engine.execute("CREATE USER metered IDENTIFIED WITH no_password")
+    engine.execute("GRANT SELECT ON quota_t TO metered")
+    engine.execute("CREATE QUOTA q_small FOR INTERVAL 1 hour MAX queries = 2 TO metered")
+    engine.execute(
+        "CREATE SETTINGS PROFILE p_ro SETTINGS max_threads = 4 TO metered"
+    )
+    try:
+        engine.set_user("metered")
+        assert engine.session_settings.get("max_threads") == "4"  # profile applied
+        engine.run("SELECT count(*) AS n FROM quota_t")
+        engine.run("SELECT count(*) AS n FROM quota_t")
+        with _pytest.raises(PermissionError, match="QUOTA_EXCEEDED"):
+            engine.run("SELECT count(*) AS n FROM quota_t")
+        engine.set_user("default")
+        # catalog surfaces
+        q = engine.sql(
+            "SELECT duration, apply_to FROM system.quotas WHERE quota_name = 'q_small'"
+        ).collect()[0]
+        assert q.duration == 3600 and "metered" in q.apply_to
+        lim = engine.sql(
+            "SELECT max_queries FROM system.quota_limits WHERE quota_name = 'q_small'"
+        ).collect()[0]
+        assert lim.max_queries == 2
+    finally:
+        engine.current_user = "default"
+        engine.session_settings.pop("max_threads", None)
+        engine._quota_usage.clear()
+        engine.execute("DROP QUOTA q_small")
+        engine.execute("DROP SETTINGS PROFILE p_ro")
+        engine.execute("DROP USER metered")
+        engine.execute("DROP TABLE quota_t")
+
+
 def test_join_use_nulls_setting(engine, tmp_path):
     """J16 (lecture_10.md settings): with SET join_use_nulls = 0 (the CH
     default contract) non-matched outer-join rows carry type defaults

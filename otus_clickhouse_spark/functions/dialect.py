@@ -592,6 +592,69 @@ def _rewrite_quantiles(text: str) -> str:
         text = text[: m.start()] + f"{fn}({cols[0]}, {plist})" + text[end:]
 
 
+# windowFunnel(W)(ts, c1…) / sequenceMatch('pat')(ts, c1…) /
+# retention(c1…) / topK(k)(x) — the behavioral parametric-aggregate
+# family (same two-paren syntax class as quantiles; semantics per the
+# public ClickHouse docs; implementations shared with
+# operators/behavioral.py).
+_BEHAVIORAL_RE = re.compile(r"\b(windowFunnel|sequenceMatch|retention|topK)\s*\(")
+
+
+def _topk_expr(x: str, k: int) -> str:
+    """topK(k)(x) as one aggregate expression: run-length the sorted
+    collected values into a count map, order by (count desc, value
+    asc), slice k. Values are coerced to STRING (the map needs one
+    concrete key type). Dialect convenience — the scalable rows-out
+    form is operators.behavioral.top_k (two-level exact agg)."""
+    return (
+        "transform(slice(array_sort(transform(map_entries("
+        f"aggregate(array_sort(collect_list(CAST({x} AS STRING))), "
+        "cast(map() as map<string,bigint>), "
+        "(m, v) -> map_concat(map_filter(m, (k, c) -> NOT (k <=> v)), "
+        "map(v, coalesce(element_at(m, v), CAST(0 AS BIGINT)) + 1)))), "
+        f"e -> struct(-e.value AS neg, e.key AS val))), 1, {k}), s -> s.val)"
+    )
+
+
+def _rewrite_behavioral(text: str) -> str:
+    from otus_clickhouse_spark.operators.behavioral import window_funnel_expr
+
+    pos = 0
+    while True:
+        m = _BEHAVIORAL_RE.search(text, pos)
+        if not m:
+            return text
+        name = m.group(1)
+        args1, after1 = _split_call_args(text, m.end() - 1)
+        if name == "retention":
+            r1 = f"max(IF(({args1[0]}), 1, 0))"
+            parts = [r1] + [
+                f"least({r1}, max(IF(({c}), 1, 0)))" for c in args1[1:]
+            ]
+            text = text[: m.start()] + f"array({', '.join(parts)})" + text[after1:]
+            continue
+        rest = text[after1:]
+        stripped = len(rest) - len(rest.lstrip())
+        if not rest.lstrip().startswith("("):
+            pos = after1  # not the two-paren form; leave as-is
+            continue
+        open2 = after1 + stripped
+        args2, end = _split_call_args(text, open2)
+        if name == "windowFunnel":
+            expr = window_funnel_expr(args2[0], args2[1:], float(args1[0]))
+        elif name == "sequenceMatch":
+            order = [int(i) for i in re.findall(r"\(\?(\d+)\)", args1[0])]
+            conds = [args2[i] for i in order]  # args2[0] is the ts column
+            expr = (
+                "CAST(("
+                + window_funnel_expr(args2[0], conds, None)
+                + f") = {len(conds)} AS INT)"
+            )
+        else:  # topK
+            expr = _topk_expr(args2[0], int(args1[0]))
+        text = text[: m.start()] + expr + text[end:]
+
+
 def _rewrite_sample(text: str) -> str:
     """SAMPLE clause (lectures/lecture_07.md:16, lecture_08.md:41-50):
     ``SAMPLE 0.1`` (fraction) / ``SAMPLE 10000`` (row budget) →
@@ -834,6 +897,7 @@ def translate(
     text = _rewrite_tuple_element(text)
     text = _rewrite_array_lambda(text)
     text = _rewrite_quantiles(text)
+    text = _rewrite_behavioral(text)
     text = _rewrite_datediff(text)
     text = _rewrite_array_join(text)
     text = _rewrite_sample(text)

@@ -972,12 +972,20 @@ def q45_numbers(spark, sf_dir):
 
 def all_queries() -> dict[str, Callable]:
     # import extension modules for their registration side effects
-    from otus_clickhouse_spark import queries_extra, queries_pipeline  # noqa: F401
+    from otus_clickhouse_spark import (  # noqa: F401
+        queries_behavioral,
+        queries_extra,
+        queries_pipeline,
+    )
 
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from otus_clickhouse_spark import queries_extra, queries_pipeline  # noqa: F401
+    from otus_clickhouse_spark import (  # noqa: F401
+        queries_behavioral,
+        queries_extra,
+        queries_pipeline,
+    )
 
     return dict(ORACLES)

@@ -1,0 +1,265 @@
+"""Behavioral-analytics queries: ClickHouse's parametric-aggregate
+family (windowFunnel / sequenceMatch / retention / topK / sumMap /
+entropy / deltaSum / simpleLinearRegression) over the events table.
+
+The two-paren parametric syntax is introduced by the course at
+lectures/lecture_06.md:57-59 (A13); the individual function semantics
+follow the public ClickHouse documentation. Implementations live in
+operators/behavioral.py — compositions of built-in Spark operators,
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.operators.behavioral import (
+    delta_sum,
+    entropy,
+    retention,
+    sequence_match,
+    sum_map,
+    top_k,
+    window_funnel,
+)
+from otus_clickhouse_spark.queries import query, t
+
+_FUNNEL_CONDS = [
+    "event_type = 'view'",
+    "event_type = 'click'",
+    "event_type = 'purchase'",
+]
+
+
+@query(
+    "q75_window_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    ),
+    l3 AS (
+      SELECT DISTINCT e1.user_id
+      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e3.event_type = 'purchase'
+        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+    ),
+    lv AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                  ELSE 0 END AS level
+      FROM u
+    )
+    SELECT level, count(*) AS n_users FROM lv GROUP BY level
+    """,
+)
+def q75_window_funnel(spark, sf_dir):
+    """windowFunnel(3600)(ts, view, click, purchase): funnel-level
+    distribution. Spark side is the exact greedy chain machine (one
+    shuffle on user_id); the oracle is the equivalent exists-chain
+    formulation, which the greedy max-start state provably matches."""
+    lvl = window_funnel(
+        t(spark, sf_dir, "events"), "user_id", "ts", _FUNNEL_CONDS, 3600
+    )
+    return lvl.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q76_retention",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS m1,
+             max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS m2,
+             max(CASE WHEN event_type = 'error' AND value > 250 THEN 1 ELSE 0 END) AS m3
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(m1) AS BIGINT) AS r1,
+           CAST(sum(least(m1, m2)) AS BIGINT) AS r2,
+           CAST(sum(least(m1, m3)) AS BIGINT) AS r3
+    FROM per_user
+    """,
+)
+def q76_retention(spark, sf_dir):
+    """retention(signup, big purchase, big error): cohort counts.
+    r1 = users who signed up; r_i = those who also did step i."""
+    r = retention(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        [
+            "event_type = 'signup'",
+            "event_type = 'purchase' AND value > 150",
+            "event_type = 'error' AND value > 250",
+        ],
+    )
+    return r.agg(
+        F.sum("r1").alias("r1"), F.sum("r2").alias("r2"), F.sum("r3").alias("r3")
+    )
+
+
+@query(
+    "q77_sequence_match",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT e1.user_id
+      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
+      WHERE e1.event_type = 'signup' AND e2.event_type = 'view'
+        AND e3.event_type = 'purchase' AND e3.value > 300
+        AND e1.ts < e2.ts AND e2.ts < e3.ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_users
+    FROM m
+    """,
+)
+def q77_sequence_match(spark, sf_dir):
+    """sequenceMatch('(?1).*(?2).*(?3)')(ts, signup, view, big purchase):
+    how many users ever did the ordered sequence."""
+    m = sequence_match(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        [
+            "event_type = 'signup'",
+            "event_type = 'view'",
+            "event_type = 'purchase' AND value > 300",
+        ],
+    )
+    return m.agg(
+        F.sum(F.col("matched").cast("bigint")).alias("n_matched"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@query(
+    "q78_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 5 AS bucket, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT bucket, event_type, cnt,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY cnt DESC, event_type ASC) AS rnk
+      FROM counts
+    )
+    SELECT bucket, event_type, cnt, rnk FROM ranked WHERE rnk <= 2
+    """,
+)
+def q78_topk(spark, sf_dir):
+    """topK(2)(event_type) per user bucket — exact two-level agg with
+    deterministic count-desc/value-asc tie-break."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 5
+    )
+    return top_k(ev, "event_type", 2, group_cols=["bucket"])
+
+
+@query(
+    "q79_sum_map",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id % 4 AS bucket, event_type, sum(value) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           string_agg(event_type, ',' ORDER BY event_type) AS map_keys,
+           string_agg(CAST(CAST(round(s, 2) AS DECIMAL(18,2)) AS VARCHAR), ',' ORDER BY event_type) AS map_vals
+    FROM per_key GROUP BY bucket
+    """,
+)
+def q79_sum_map(spark, sf_dir):
+    """sumMap(event_type -> value) per user bucket; arrays emitted as
+    joined strings so the driver's canonicalizer can hash them."""
+    ev = t(spark, sf_dir, "events").withColumn("bucket", F.col("user_id") % 4)
+    sm = sum_map(ev, ["bucket"], "event_type", "value")
+    return sm.select(
+        "bucket",
+        F.array_join(F.col("keys"), ",").alias("map_keys"),
+        F.array_join(
+            F.expr("transform(vals, v -> CAST(CAST(round(v, 2) AS DECIMAL(18,2)) AS STRING))"), ","
+        ).alias("map_vals"),
+    )
+
+
+@query(
+    "q80_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 4 AS bucket, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+    FROM counts GROUP BY bucket
+    """,
+)
+def q80_entropy(spark, sf_dir):
+    """entropy(event_type) per user bucket (Shannon, log2)."""
+    ev = t(spark, sf_dir, "events").withColumn("bucket", F.col("user_id") % 4)
+    e = entropy(ev, "event_type", ["bucket"])
+    return e.select("bucket", F.round("entropy", 4).alias("entropy"))
+
+
+@query(
+    "q81_linreg",
+    oracle="""
+    WITH e AS (
+      SELECT value,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0 AS x
+      FROM events
+    )
+    SELECT round(regr_slope(value, x), 4) AS slope,
+           round(regr_intercept(value, x), 4) AS intercept,
+           round(corr(value, x), 4) AS r
+    FROM e
+    """,
+)
+def q81_linreg(spark, sf_dir):
+    """simpleLinearRegression(x, y) + corr — Spark's regr_* builtins
+    (value over hours since 2024-01-01; the small-magnitude x keeps
+    the rounded fp comparison stable)."""
+    origin = "unix_micros(TIMESTAMP '2024-01-01 00:00:00')"
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x",
+        F.expr(f"(unix_micros(CAST(ts AS TIMESTAMP)) - {origin}) / 3600000000.0"),
+    )
+    return ev.agg(
+        F.round(F.regr_slope(F.col("value"), F.col("x")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), F.col("x")), 4).alias("intercept"),
+        F.round(F.corr(F.col("value"), F.col("x")), 4).alias("r"),
+    )
+
+
+@query(
+    "q82_delta_sum",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN prev IS NOT NULL AND value > prev
+                      THEN value - prev ELSE 0 END) AS ds
+      FROM d GROUP BY user_id
+    )
+    SELECT round(sum(ds), 2) AS total_delta, count(*) AS n_users FROM per_user
+    """,
+)
+def q82_delta_sum(spark, sf_dir):
+    """deltaSum(value) in ts order per user (sum of positive
+    increments), rolled up to one global row."""
+    ds = delta_sum(t(spark, sf_dir, "events"), "user_id", "ts", "value")
+    return ds.agg(
+        F.round(F.sum("delta_sum"), 2).alias("total_delta"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -1,0 +1,194 @@
+"""Behavioral-analytics aggregates (operators/behavioral.py):
+windowFunnel / sequenceMatch / retention / topK / sumMap / entropy /
+deltaSum — hand-computed golden cases + the SQL dialect forms.
+
+Parametric-aggregate syntax class: lectures/lecture_06.md:57-59 (A13).
+"""
+
+import math
+
+import pytest
+
+from otus_clickhouse_spark.operators.behavioral import (
+    delta_sum,
+    entropy,
+    retention,
+    sequence_match,
+    sum_map,
+    top_k,
+    window_funnel,
+)
+
+
+def _events(spark, rows):
+    """rows: (user, ts_second_offset, etype)"""
+    return spark.createDataFrame(
+        rows, "user_id int, s int, event_type string"
+    ).selectExpr(
+        "user_id",
+        "timestampadd(SECOND, s, TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        "event_type",
+    )
+
+
+CONDS = ["event_type = 'A'", "event_type = 'B'", "event_type = 'C'"]
+
+
+def _levels(df):
+    return {r["user_id"]: r["level"] for r in df.collect()}
+
+
+def test_window_funnel_basic(spark):
+    ev = _events(
+        spark,
+        [
+            # u1: full in-order chain, 30s apart → level 3
+            (1, 0, "A"), (1, 30, "B"), (1, 60, "C"),
+            # u2: B before A, no B after A → level 1
+            (2, 0, "B"), (2, 30, "A"), (2, 60, "C"),
+            # u3: only C → level 0
+            (3, 0, "C"),
+        ],
+    )
+    lv = _levels(window_funnel(ev, "user_id", "ts", CONDS, 3600))
+    assert lv == {1: 3, 2: 1, 3: 0}
+
+
+def test_window_funnel_window_cutoff(spark):
+    # A at t=0, B at t=50: chain start is A(0); C at t=120 exceeds a
+    # 100-second window from the chain start → level 2. A second A at
+    # t=40 restarts a later chain: A(40), B(50), C(120) is within 100s
+    # → level 3. The greedy max-start state must find the later chain.
+    ev = _events(spark, [(1, 0, "A"), (1, 50, "B"), (1, 120, "C")])
+    assert _levels(window_funnel(ev, "user_id", "ts", CONDS, 100)) == {1: 2}
+
+    ev2 = _events(
+        spark, [(2, 0, "A"), (2, 40, "A"), (2, 50, "B"), (2, 120, "C")]
+    )
+    assert _levels(window_funnel(ev2, "user_id", "ts", CONDS, 100)) == {2: 3}
+
+
+def test_window_funnel_single_event_cannot_double_advance(spark):
+    # One event matching both cond1 and cond2 must not produce level 2
+    # by itself (all levels update from the pre-event state).
+    ev = _events(spark, [(1, 0, "A")])
+    both = ["event_type = 'A'", "event_type = 'A'"]
+    assert _levels(window_funnel(ev, "user_id", "ts", both, 3600)) == {1: 1}
+    # …but a second A event does complete the 2-level chain
+    ev2 = _events(spark, [(2, 0, "A"), (2, 10, "A")])
+    assert _levels(window_funnel(ev2, "user_id", "ts", both, 3600)) == {2: 2}
+
+
+def test_sequence_match(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, "A"), (1, 5000, "B"), (1, 10000, "C"),  # far apart, still matches
+            (2, 0, "C"), (2, 30, "B"), (2, 60, "A"),       # reversed → no
+        ],
+    )
+    got = {r["user_id"]: r["matched"] for r in
+           sequence_match(ev, "user_id", "ts", CONDS).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_retention(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, "A"), (1, 10, "B"), (1, 20, "C"),  # 1,1,1
+            (2, 0, "B"), (2, 10, "C"),                # 0,0,0 (no A → all gated off)
+            (3, 0, "A"), (3, 10, "C"),                # 1,0,1
+        ],
+    )
+    got = {r["user_id"]: (r["r1"], r["r2"], r["r3"]) for r in
+           retention(ev, "user_id", CONDS).collect()}
+    assert got == {1: (1, 1, 1), 2: (0, 0, 0), 3: (1, 0, 1)}
+
+
+def test_top_k_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("x",)] * 3 + [("b",)] * 2 + [("a",)] * 2 + [("z",)],
+        "v string",
+    )
+    rows = [(r["v"], r["cnt"], r["rnk"]) for r in top_k(df, "v", 3).collect()]
+    assert rows == [("x", 3, 1), ("a", 2, 2), ("b", 2, 3)]
+
+
+def test_sum_map(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (1, "a", 3.0), (2, "c", 5.0)],
+        "g int, k string, v double",
+    )
+    got = {r["g"]: (r["keys"], r["vals"]) for r in
+           sum_map(df, ["g"], "k", "v").collect()}
+    assert got == {1: (["a", "b"], [4.0, 2.0]), 2: (["c"], [5.0])}
+
+
+def test_entropy(spark):
+    # 2 of 'a', 2 of 'b' → exactly 1 bit; 4 of 'a' → 0 bits
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "a")],
+        "g int, v string",
+    )
+    got = {r["g"]: r["entropy"] for r in entropy(df, "v", ["g"]).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+
+
+def test_delta_sum(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, 13.0), (1, 2, 11.0), (1, 3, 14.0)],
+        "g int, ts int, v double",
+    )
+    # increments: +3, (down), +3 → 6
+    got = {r["g"]: r["delta_sum"] for r in delta_sum(df, "g", "ts", "v").collect()}
+    assert got[1] == pytest.approx(6.0)
+
+
+# ------------------------------------------------------------------ SQL forms
+def test_window_funnel_sql(engine, spark):
+    ev = _events(
+        spark,
+        [(1, 0, "A"), (1, 30, "B"), (1, 60, "C"), (2, 0, "B"), (2, 30, "A")],
+    )
+    ev.createOrReplaceTempView("funnel_ev")
+    out = engine.sql(
+        "SELECT user_id, windowFunnel(3600)(ts, event_type = 'A', "
+        "event_type = 'B', event_type = 'C') AS lvl "
+        "FROM funnel_ev GROUP BY user_id"
+    )
+    assert {r["user_id"]: r["lvl"] for r in out.collect()} == {1: 3, 2: 1}
+
+
+def test_sequence_match_sql(engine, spark):
+    ev = _events(spark, [(1, 0, "A"), (1, 900, "C"), (2, 0, "C"), (2, 30, "A")])
+    ev.createOrReplaceTempView("seq_ev")
+    out = engine.sql(
+        "SELECT user_id, sequenceMatch('(?1).*(?2)')(ts, "
+        "event_type = 'A', event_type = 'C') AS m "
+        "FROM seq_ev GROUP BY user_id"
+    )
+    assert {r["user_id"]: r["m"] for r in out.collect()} == {1: 1, 2: 0}
+
+
+def test_retention_sql(engine, spark):
+    ev = _events(spark, [(1, 0, "A"), (1, 10, "C"), (2, 0, "C")])
+    ev.createOrReplaceTempView("ret_ev")
+    out = engine.sql(
+        "SELECT user_id, retention(event_type = 'A', event_type = 'B', "
+        "event_type = 'C') AS r FROM ret_ev GROUP BY user_id"
+    )
+    assert {r["user_id"]: list(r["r"]) for r in out.collect()} == {
+        1: [1, 0, 1],
+        2: [0, 0, 0],
+    }
+
+
+def test_topk_sql(engine, spark):
+    df = spark.createDataFrame(
+        [("x",)] * 3 + [("b",)] * 2 + [("a",)] * 2 + [("z",)], "v string"
+    )
+    df.createOrReplaceTempView("topk_t")
+    out = engine.sql("SELECT topK(3)(v) AS top FROM topk_t")
+    assert list(out.collect()[0]["top"]) == ["x", "a", "b"]

@@ -308,3 +308,44 @@ def shingle_novelty(
             F.round(F.avg((F.col("df") == 1).cast("double")), 4).alias("novel_share"),
         )
     )
+
+
+# --- document chunking -------------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training-data pipeline.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    the final partial window is kept (standard sliding-window
+    chunking). Entirely map-side: one sequence()+explode per doc, no
+    shuffle, so it composes with any downstream repartition for free.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_fp) where chunk_fp is
+    the md5 of the space-joined chunk text (portable to the oracle;
+    downstream embedding/packing stages key on it).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+    )
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return staged.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )

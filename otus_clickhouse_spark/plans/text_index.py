@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,66 @@ def search_any_term(
     terms_l = [t.lower() for t in terms]
     hits = index.where(F.col("token").isin(terms_l)).select(id_col).distinct()
     return docs.join(hits, on=id_col, how="left_semi")
+
+
+def build_tf_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lowercase: bool = True
+) -> DataFrame:
+    """Term-frequency posting table ``(token, doc_id, tf)`` — the
+    ranked-retrieval sibling of :func:`build_token_index`. One explode
+    + one (token, doc) aggregation with map-side partial counts."""
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.split(src, r"[^\w]+")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    tf_index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over the tf posting table: top-k docs for
+    a bag of query terms, ``(doc_id, score, rnk)``.
+
+    Scale shape: the posting filter reduces the index to the query
+    terms' rows before anything wide happens; document length and the
+    corpus stats (N, avgdl) come from one per-doc aggregation whose
+    N/avgdl reduction is a broadcast scalar; the final top-k is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    heaps, no global sort). Deterministic tie-break on doc id.
+    """
+    terms_l = sorted({t.lower() for t in terms})
+    dl = tf_index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    post = tf_index.where(F.col("token").isin(terms_l))
+    df_t = post.groupBy("token").agg(F.count_distinct(id_col).alias("df"))
+    scored = (
+        post.join(F.broadcast(df_t), on="token")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 4).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

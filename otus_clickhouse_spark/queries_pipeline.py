@@ -983,3 +983,79 @@ def x26_shingle_novelty(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.text import shingle_novelty
 
     return shingle_novelty(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x27_bm25_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\w]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE length(token) > 0 GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT * FROM tf WHERE token IN ('join', 'merge', 'spark')),
+    dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id,
+             round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS score
+      FROM post p JOIN dft d USING (token) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def x27_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval over the tf posting table
+    (plans.text_index.build_tf_index + bm25_topk): top-10 docs for a
+    3-term query. The posting filter happens before anything wide;
+    top-k is TakeOrderedAndProject, not a global sort."""
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+
+    idx = build_tf_index(t(spark, sf_dir, "documents"))
+    return bm25_topk(idx, ["join", "merge", "spark"], k=10)
+
+
+@query(
+    "x28_chunking",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS n_chunks
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks, n
+      FROM st
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' '))
+             AS chunk_fp
+    FROM ch
+    """,
+)
+def x28_chunking(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, stride 48) —
+    pipeline.text.chunk_documents; map-side only, no shuffle."""
+    from otus_clickhouse_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"), 64, 48)

@@ -266,3 +266,48 @@ def test_decode_rejects_malformed():
         multimodal._decode_ppm(b"P6\ngarbage")
     with _pytest.raises(NotImplementedError):
         multimodal._decode_bytes("image", None)
+
+
+def test_bm25_topk_ranking(spark):
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),      # heavy on 'spark'
+            (2, "spark join"),                   # one of each
+            (3, "filter scan merge"),            # only distractors
+            (4, "spark spark join join spark spark spark spark"),  # long doc
+        ],
+        "doc_id int, text string",
+    )
+    idx = build_tf_index(docs)
+    rows = bm25_topk(idx, ["spark", "join"], k=3).collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3]
+    ranked = [r["doc_id"] for r in rows]
+    assert 3 not in ranked            # doc without any query term never ranks
+    assert len(ranked) == 3
+    # every score positive, descending
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_chunk_documents_boundaries(spark):
+    from otus_clickhouse_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks → 1 chunk
+            (2, " ".join(f"t{i}" for i in range(64))),   # exactly 64 → 1 chunk
+            (3, " ".join(f"t{i}" for i in range(65))),   # 65 → 2 chunks
+            (4, " ".join(f"t{i}" for i in range(160))),  # 160 → 1+ceil(96/48)=3
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, 64, 48)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert per_doc == {1: 1, 2: 1, 3: 2, 4: 3}
+    sizes = {(r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"] for r in out.collect()}
+    assert sizes[(3, 0)] == 64 and sizes[(3, 1)] == 17   # overlap keeps tail
+    assert sizes[(4, 2)] == 64                            # 160-96=64 exactly

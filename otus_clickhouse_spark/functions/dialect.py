@@ -564,7 +564,10 @@ def _rewrite_tostartofweek(text: str) -> str:
 
 # quantile[Exact](p)(x) / quantiles(p1, p2, …)(x) — the parametric
 # two-paren aggregate syntax (lecture_06.md:57-59)
-_QUANTILE_RE = re.compile(r"\b(quantilesExact|quantileExact|quantiles|quantile)\s*\(")
+_QUANTILE_RE = re.compile(
+    r"\b(quantilesExact|quantileExact(?:Low|High)?|quantiles"
+    r"|quantileTDigest|quantileBFloat16|quantileTiming|quantile)\s*\("
+)
 
 
 def _rewrite_quantiles(text: str) -> str:
@@ -592,32 +595,83 @@ def _rewrite_quantiles(text: str) -> str:
         text = text[: m.start()] + f"{fn}({cols[0]}, {plist})" + text[end:]
 
 
+# -Array aggregate combinators (public CH surface, same combinator
+# class as -If/-State): aggXArray(arr) applies agg over all array
+# elements across rows. Rewritten to element-level formulas so the
+# aggregation stays a plain map-side-combinable Spark agg.
+_ARRAY_COMB_RE = re.compile(r"\b(sum|min|max|avg|count)Array\s*\(")
+
+
+def _rewrite_array_combinators(text: str) -> str:
+    while True:
+        m = _ARRAY_COMB_RE.search(text)
+        if not m:
+            return text
+        fn = m.group(1)
+        args, end = _split_call_args(text, m.end() - 1)
+        a = args[0]
+        elem_sum = f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        if fn == "sum":
+            expr = f"sum({elem_sum})"
+        elif fn == "min":
+            expr = f"min(array_min({a}))"
+        elif fn == "max":
+            expr = f"max(array_max({a}))"
+        elif fn == "avg":
+            expr = f"(sum({elem_sum}) / sum(size({a})))"
+        else:  # count
+            expr = f"sum(size({a}))"
+        text = text[: m.start()] + expr + text[end:]
+
+
 # windowFunnel(W)(ts, c1…) / sequenceMatch('pat')(ts, c1…) /
 # retention(c1…) / topK(k)(x) — the behavioral parametric-aggregate
 # family (same two-paren syntax class as quantiles; semantics per the
 # public ClickHouse docs; implementations shared with
 # operators/behavioral.py).
-_BEHAVIORAL_RE = re.compile(r"\b(windowFunnel|sequenceMatch|retention|topK)\s*\(")
+_BEHAVIORAL_RE = re.compile(
+    r"\b(windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount"
+    r"|retention|topKWeighted|topK|uniqUpTo)\s*\("
+)
 
 
-def _topk_expr(x: str, k: int) -> str:
-    """topK(k)(x) as one aggregate expression: run-length the sorted
-    collected values into a count map, order by (count desc, value
-    asc), slice k. Values are coerced to STRING (the map needs one
-    concrete key type). Dialect convenience — the scalable rows-out
-    form is operators.behavioral.top_k (two-level exact agg)."""
+def _topk_expr(x: str, k: int, weight: str | None = None) -> str:
+    """topK(k)(x) / topKWeighted(k)(x, w) as one aggregate expression:
+    fold the collected values into a value→count(or Σweight) map, order
+    by (count desc, value asc), slice k. Values are coerced to STRING
+    (the map needs one concrete key type). Dialect convenience — the
+    scalable rows-out form is operators.behavioral.top_k (two-level
+    exact agg)."""
+    if weight is None:
+        collected = f"array_sort(collect_list(CAST({x} AS STRING)))"
+        key, inc = "v", "CAST(1 AS BIGINT)"
+    else:
+        collected = (
+            f"array_sort(collect_list(struct(CAST({x} AS STRING) AS k, "
+            f"CAST({weight} AS BIGINT) AS w)))"
+        )
+        key, inc = "v.k", "v.w"
     return (
         "transform(slice(array_sort(transform(map_entries("
-        f"aggregate(array_sort(collect_list(CAST({x} AS STRING))), "
+        f"aggregate({collected}, "
         "cast(map() as map<string,bigint>), "
-        "(m, v) -> map_concat(map_filter(m, (k, c) -> NOT (k <=> v)), "
-        "map(v, coalesce(element_at(m, v), CAST(0 AS BIGINT)) + 1)))), "
+        f"(m, v) -> map_concat(map_filter(m, (k, c) -> NOT (k <=> {key})), "
+        f"map({key}, coalesce(element_at(m, {key}), CAST(0 AS BIGINT)) + {inc})))), "
         f"e -> struct(-e.value AS neg, e.key AS val))), 1, {k}), s -> s.val)"
     )
 
 
+def _seq_pattern(pattern_literal: str, args2: list[str]) -> tuple[str, list[str]]:
+    """('(?1).*(?2)', [ts, c1, c2, …]) → (ts, conds in pattern order)."""
+    order = [int(i) for i in re.findall(r"\(\?(\d+)\)", pattern_literal)]
+    return args2[0], [args2[i] for i in order]
+
+
 def _rewrite_behavioral(text: str) -> str:
-    from otus_clickhouse_spark.operators.behavioral import window_funnel_expr
+    from otus_clickhouse_spark.operators.behavioral import (
+        sequence_count_expr,
+        window_funnel_expr,
+    )
 
     pos = 0
     while True:
@@ -642,14 +696,21 @@ def _rewrite_behavioral(text: str) -> str:
         args2, end = _split_call_args(text, open2)
         if name == "windowFunnel":
             expr = window_funnel_expr(args2[0], args2[1:], float(args1[0]))
-        elif name == "sequenceMatch":
-            order = [int(i) for i in re.findall(r"\(\?(\d+)\)", args1[0])]
-            conds = [args2[i] for i in order]  # args2[0] is the ts column
+        elif name in ("sequenceMatch", "sequenceMatchEvents"):
+            ts, conds = _seq_pattern(args1[0], args2)
             expr = (
                 "CAST(("
-                + window_funnel_expr(args2[0], conds, None)
+                + window_funnel_expr(ts, conds, None)
                 + f") = {len(conds)} AS INT)"
             )
+        elif name == "sequenceCount":
+            ts, conds = _seq_pattern(args1[0], args2)
+            expr = sequence_count_expr(ts, conds, None)
+        elif name == "uniqUpTo":
+            # exact when ≤ N, else N+1 (the CH contract)
+            expr = f"least(count(DISTINCT {args2[0]}), {int(args1[0]) + 1})"
+        elif name == "topKWeighted":
+            expr = _topk_expr(args2[0], int(args1[0]), weight=args2[1])
         else:  # topK
             expr = _topk_expr(args2[0], int(args1[0]))
         text = text[: m.start()] + expr + text[end:]
@@ -898,6 +959,7 @@ def translate(
     text = _rewrite_array_lambda(text)
     text = _rewrite_quantiles(text)
     text = _rewrite_behavioral(text)
+    text = _rewrite_array_combinators(text)
     text = _rewrite_datediff(text)
     text = _rewrite_array_join(text)
     text = _rewrite_sample(text)

@@ -30,11 +30,14 @@ __all__ = [
     "window_funnel_expr",
     "window_funnel",
     "sequence_match",
+    "sequence_count_expr",
+    "sequence_count",
     "retention",
     "top_k",
     "sum_map",
     "entropy",
     "delta_sum",
+    "histogram",
 ]
 
 
@@ -222,3 +225,100 @@ def delta_sum(
         F.col(value_col) - F.col("__prev"),
     ).otherwise(F.lit(0.0))
     return d.groupBy(part_col).agg(F.sum(inc).alias(out_col))
+
+
+def sequence_count_expr(
+    ts_sql: str, conds_sql: list[str], window_seconds: float | None = None
+) -> str:
+    """SQL aggregate expression for ClickHouse ``sequenceCount``: the
+    number of NON-OVERLAPPING left-to-right matches of the ordered
+    condition chain. Same greedy chain machine as
+    :func:`window_funnel_expr` plus a counter — when the chain
+    completes, the counter increments and the state resets (greedy
+    left-most matching maximizes the non-overlap count)."""
+    k = len(conds_sql)
+    if k < 1:
+        raise ValueError("sequenceCount needs at least one condition")
+    mask = " + ".join(f"IF(({c}), {1 << i}, 0)" for i, c in enumerate(conds_sql))
+    if window_seconds is None:
+        wcond = "TRUE"
+    else:
+        wcond = f"e.ts - acc.st[i - 1] <= {int(window_seconds * 1_000_000)}"
+    # the post-event chain state (written twice below: no let-bindings
+    # in Spark SQL lambdas; codegen CSE collapses the duplicates)
+    new_st = f"""transform(acc.st, (s, i) -> CASE
+          WHEN i = 0 THEN
+            IF((e.mask & 1) <> 0, greatest(coalesce(s, e.ts), e.ts), s)
+          WHEN (e.mask & shiftleft(1, i)) <> 0
+               AND acc.st[i - 1] IS NOT NULL AND ({wcond})
+            THEN greatest(coalesce(s, acc.st[i - 1]), acc.st[i - 1])
+          ELSE s END)"""
+    return f"""
+    aggregate(
+      array_sort(collect_list(named_struct(
+        'ts', unix_micros(CAST({ts_sql} AS TIMESTAMP)), 'mask', CAST({mask} AS INT)))),
+      named_struct('st', array_repeat(CAST(NULL AS BIGINT), {k}),
+                   'c', CAST(0 AS BIGINT)),
+      (acc, e) -> named_struct(
+        'st', CASE WHEN ({new_st})[{k - 1}] IS NOT NULL
+                   THEN array_repeat(CAST(NULL AS BIGINT), {k})
+                   ELSE ({new_st}) END,
+        'c', acc.c + IF(({new_st})[{k - 1}] IS NOT NULL, CAST(1 AS BIGINT),
+                        CAST(0 AS BIGINT))),
+      acc -> acc.c
+    )"""
+
+
+def sequence_count(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds_sql: list[str],
+    window_seconds: float | None = None,
+    count_col: str = "n_matches",
+) -> DataFrame:
+    """Per-user non-overlapping ordered-sequence match count."""
+    expr = sequence_count_expr(ts_col, conds_sql, window_seconds)
+    return df.groupBy(user_col).agg(F.expr(expr).alias(count_col))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram: ``(…group, bin, lo, hi, height)``.
+
+    ClickHouse's ``histogram(n)(x)`` builds *adaptive* bins from a
+    streaming sample (bin edges are non-deterministic across runs);
+    this deterministic equi-width variant keeps the same role with
+    reproducible output. Two passes over the (group, value) pairs:
+    one min/max agg, one bucketed count — both map-side combinable.
+    """
+    group_cols = group_cols or []
+    rng = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    joined = df.join(F.broadcast(rng), on=group_cols) if group_cols else df.crossJoin(
+        F.broadcast(rng)
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.col("__lo")) / width).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        joined.withColumn("bin", bin_)
+        .groupBy(*group_cols, "bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("height"))
+        .select(
+            *group_cols,
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round(F.col("__lo") + F.col("bin") * width, 4).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * width, 4).alias("hi"),
+            F.col("height"),
+        )
+    )

@@ -263,3 +263,81 @@ def q82_delta_sum(spark, sf_dir):
         F.round(F.sum("delta_sum"), 2).alias("total_delta"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@query(
+    "q83_sequence_count",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    scan AS (
+      SELECT user_id, 0 AS rn, false AS seen_a, 0 AS m
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.event_type = 'purchase' AND s.seen_a THEN false
+                  WHEN e.event_type = 'signup' THEN true
+                  ELSE s.seen_a END,
+             s.m + CASE WHEN e.event_type = 'purchase' AND s.seen_a
+                        THEN 1 ELSE 0 END
+      FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ),
+    final AS (
+      SELECT user_id, max_by(m, rn) AS n_matches FROM scan GROUP BY user_id
+    )
+    SELECT CAST(sum(n_matches) AS BIGINT) AS total_matches,
+           CAST(count(*) FILTER (n_matches > 0) AS BIGINT) AS users_matched
+    FROM final
+    """,
+)
+def q83_sequence_count(spark, sf_dir):
+    """sequenceCount('(?1).*(?2)')(ts, signup, purchase): non-overlapping
+    signup→purchase chains per user (search resumes after each match —
+    the ClickHouse scan semantics), rolled up. The oracle replays the
+    same left-to-right scan as a recursive CTE."""
+    from otus_clickhouse_spark.operators.behavioral import sequence_count
+
+    sc = sequence_count(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        ["event_type = 'signup'", "event_type = 'purchase'"],
+    )
+    return sc.agg(
+        F.sum("n_matches").alias("total_matches"),
+        F.sum((F.col("n_matches") > 0).cast("bigint")).alias("users_matched"),
+    )
+
+
+@query(
+    "q84_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             least(greatest(CAST(floor((e.value - r.lo) / ((r.hi - r.lo) / 8))
+                                 AS INT), 0), 7) AS bin,
+             r.lo, r.hi
+      FROM events e JOIN rng r USING (event_type)
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           round(lo + bin * (hi - lo) / 8, 4) AS lo,
+           round(lo + (bin + 1) * (hi - lo) / 8, 4) AS hi,
+           count(*) AS height
+    FROM binned GROUP BY event_type, bin, lo, hi
+    """,
+)
+def q84_histogram(spark, sf_dir):
+    """histogram(8)(value) per event type — deterministic equi-width
+    variant of ClickHouse's adaptive histogram (operators.behavioral)."""
+    from otus_clickhouse_spark.operators.behavioral import histogram
+
+    return histogram(
+        t(spark, sf_dir, "events"), "value", 8, group_cols=["event_type"]
+    )

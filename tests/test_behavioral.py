@@ -192,3 +192,81 @@ def test_topk_sql(engine, spark):
     df.createOrReplaceTempView("topk_t")
     out = engine.sql("SELECT topK(3)(v) AS top FROM topk_t")
     assert list(out.collect()[0]["top"]) == ["x", "a", "b"]
+
+
+def test_sequence_count(spark):
+    # A B A B A → two non-overlapping (A,B) matches; trailing A unused
+    ev = _events(
+        spark,
+        [(1, 0, "A"), (1, 10, "B"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+         (2, 0, "B"), (2, 10, "A")],  # B before A → zero matches
+    )
+    from otus_clickhouse_spark.operators.behavioral import sequence_count
+
+    got = {r["user_id"]: r["n_matches"] for r in
+           sequence_count(ev, "user_id", "ts",
+                          ["event_type = 'A'", "event_type = 'B'"]).collect()}
+    assert got == {1: 2, 2: 0}
+
+
+def test_sequence_count_sql(engine, spark):
+    ev = _events(spark, [(1, 0, "A"), (1, 10, "B"), (1, 20, "A"), (1, 30, "B")])
+    ev.createOrReplaceTempView("seqc_ev")
+    out = engine.sql(
+        "SELECT user_id, sequenceCount('(?1).*(?2)')(ts, event_type = 'A', "
+        "event_type = 'B') AS n FROM seqc_ev GROUP BY user_id"
+    )
+    assert out.collect()[0]["n"] == 2
+
+
+def test_histogram(spark):
+    from otus_clickhouse_spark.operators.behavioral import histogram
+
+    df = spark.createDataFrame([(float(x),) for x in range(100)], "v double")
+    h = {r["bin"]: (r["lo"], r["hi"], r["height"]) for r in
+         histogram(df, "v", 4).collect()}
+    assert len(h) == 4
+    assert h[0] == (0.0, 24.75, 25)
+    assert h[3][2] == 25          # max value lands in the last bin
+    assert sum(v[2] for v in h.values()) == 100
+
+
+def test_uniq_up_to_sql(engine, spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(50)], "v int")
+    df.createOrReplaceTempView("uut_t")
+    assert engine.sql("SELECT uniqUpTo(10)(v) AS u FROM uut_t").collect()[0]["u"] == 7
+    assert engine.sql("SELECT uniqUpTo(3)(v) AS u FROM uut_t").collect()[0]["u"] == 4
+
+
+def test_topk_weighted_sql(engine, spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 10), ("c", 3)], "v string, w int"
+    )
+    df.createOrReplaceTempView("tkw_t")
+    out = engine.sql("SELECT topKWeighted(2)(v, w) AS top FROM tkw_t")
+    assert list(out.collect()[0]["top"]) == ["b", "c"]
+
+
+def test_array_combinators_sql(engine, spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0]), (2, [10.0])], "g int, a array<double>"
+    )
+    df.createOrReplaceTempView("arrc_t")
+    out = engine.sql(
+        "SELECT g, sumArray(a) AS s, avgArray(a) AS m, minArray(a) AS lo, "
+        "maxArray(a) AS hi, countArray(a) AS n FROM arrc_t GROUP BY g ORDER BY g"
+    ).collect()
+    assert (out[0]["s"], out[0]["m"], out[0]["lo"], out[0]["hi"], out[0]["n"]) == \
+        (6.0, 2.0, 1.0, 3.0, 3)
+    assert (out[1]["s"], out[1]["n"]) == (10.0, 1)
+
+
+def test_quantile_variant_names_sql(engine, spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    df.createOrReplaceTempView("qv_t")
+    out = engine.sql(
+        "SELECT quantileTDigest(0.5)(v) AS a, quantileExactLow(0.5)(v) AS b "
+        "FROM qv_t"
+    ).collect()[0]
+    assert 49.0 <= out["a"] <= 51.0
+    assert 50.0 <= out["b"] <= 51.0

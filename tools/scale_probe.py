@@ -175,6 +175,39 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         .collect(),
         n_docs,
     )
+
+    from otus_clickhouse_spark.operators.behavioral import window_funnel
+
+    # funnel over 150k users × n_fact events — the per-user event
+    # arrays are what must stay bounded, not the total volume
+    timed(
+        "window_funnel",
+        lambda: window_funnel(
+            fact.select("custkey", F.col("d").cast("timestamp").alias("ts"), "flag"),
+            "custkey",
+            "ts",
+            ["flag = 'F0'", "flag = 'F1'", "flag = 'F2'"],
+            86400 * 3650,
+        )
+        .groupBy("level")
+        .count()
+        .collect(),
+        n_fact,
+    )
+
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+    from otus_clickhouse_spark.pipeline.text import chunk_documents
+
+    timed(
+        "bm25_topk",
+        lambda: bm25_topk(build_tf_index(docs), ["spark", "engine", "data"], 10).collect(),
+        n_docs,
+    )
+    timed(
+        "chunking",
+        lambda: chunk_documents(docs, 16, 12).agg(F.count(F.lit(1))).collect(),
+        n_docs,
+    )
     return out
 
 

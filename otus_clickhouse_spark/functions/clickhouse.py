@@ -196,6 +196,71 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("toFixedString", "s STRING, n INT", "STRING", "rpad(s, n, chr(0))"),
     ("countSubstrings", "h STRING, n STRING", "INT",
      "CASE WHEN length(n) = 0 THEN 0 ELSE CAST((length(h) - length(replace(h, n, ''))) / length(n) AS INT) END"),
+    # --- long-tail scalar surface (public CH function reference) ---
+    ("formatReadableQuantity", "x DOUBLE", "STRING",
+     """CASE
+          WHEN abs(x) >= 1e12 THEN concat(format_number(x / 1e12, 2), ' trillion')
+          WHEN abs(x) >= 1e9 THEN concat(format_number(x / 1e9, 2), ' billion')
+          WHEN abs(x) >= 1e6 THEN concat(format_number(x / 1e6, 2), ' million')
+          WHEN abs(x) >= 1e3 THEN concat(format_number(x / 1e3, 2), ' thousand')
+          ELSE format_number(x, 2)
+        END"""),
+    ("formatReadableTimeDelta", "s BIGINT", "STRING",
+     """concat_ws(', ',
+          IF(s >= 86400, concat(CAST(s DIV 86400 AS STRING), ' days'), NULL),
+          IF(s % 86400 >= 3600, concat(CAST((s % 86400) DIV 3600 AS STRING), ' hours'), NULL),
+          IF(s % 3600 >= 60, concat(CAST((s % 3600) DIV 60 AS STRING), ' minutes'), NULL),
+          IF(s % 60 > 0 OR s = 0, concat(CAST(s % 60 AS STRING), ' seconds'), NULL))"""),
+    ("bitTest", "x BIGINT, i INT", "TINYINT", "CAST((x >> i) & 1 AS TINYINT)"),
+    ("bitShiftLeft", "x BIGINT, i INT", "BIGINT", "x << i"),
+    ("bitShiftRight", "x BIGINT, i INT", "BIGINT", "x >> i"),
+    ("bitAnd", "a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    ("bitOr", "a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    ("bitXor", "a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    ("bitNot", "a BIGINT", "BIGINT", "~a"),
+    # haversine great-circle distance in meters (CH geo family)
+    ("greatCircleDistance",
+     "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
+     """2 * 6372797.560856 * asin(sqrt(
+          power(sin(radians(lat2 - lat1) / 2), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) *
+          power(sin(radians(lon2 - lon1) / 2), 2)))"""),
+    ("toLastDayOfMonth", "x TIMESTAMP", "DATE", "last_day(x)"),
+    ("timeSlot", "x TIMESTAMP", "TIMESTAMP",
+     "timestamp_seconds(CAST(floor(unix_timestamp(x) / 1800) AS BIGINT) * 1800)"),
+    ("dateName", "part STRING, x TIMESTAMP", "STRING",
+     """CASE lower(part)
+          WHEN 'year' THEN CAST(year(x) AS STRING)
+          WHEN 'quarter' THEN CAST(quarter(x) AS STRING)
+          WHEN 'month' THEN date_format(x, 'MMMM')
+          WHEN 'week' THEN CAST(weekofyear(x) AS STRING)
+          WHEN 'dayofyear' THEN CAST(dayofyear(x) AS STRING)
+          WHEN 'day' THEN CAST(day(x) AS STRING)
+          WHEN 'weekday' THEN date_format(x, 'EEEE')
+          WHEN 'hour' THEN CAST(hour(x) AS STRING)
+          WHEN 'minute' THEN CAST(minute(x) AS STRING)
+          WHEN 'second' THEN CAST(second(x) AS STRING)
+        END"""),
+    ("toISOWeek", "x TIMESTAMP", "INT", "weekofyear(x)"),
+    ("multiSearchAny", "h STRING, needles ARRAY<STRING>", "TINYINT",
+     "CAST(exists(needles, n -> instr(h, n) > 0) AS TINYINT)"),
+    ("multiSearchAllPositions", "h STRING, needles ARRAY<STRING>", "ARRAY<INT>",
+     "transform(needles, n -> instr(h, n))"),
+    ("isFinite", "x DOUBLE", "BOOLEAN", "NOT (isnan(x) OR x = double('inf') OR x = double('-inf'))"),
+    ("isInfinite", "x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
+    # isNaN / MD5 / SHA1 / hex / repeat / left / right / sign / pi / e
+    # resolve to the case-insensitive Spark builtins — no registration
+    ("intExp2", "x INT", "BIGINT", "CAST(1 AS BIGINT) << x"),
+    ("intExp10", "x INT", "BIGINT", "CAST(power(10, x) AS BIGINT)"),
+    ("arrayCumSum", "arr ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+     """slice(aggregate(arr, array(CAST(0.0 AS DOUBLE)),
+        (acc, x) -> concat(acc, array(element_at(acc, -1) + x))), 2, size(arr))"""),
+    ("arrayDifference", "arr ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+     "transform(arr, (x, i) -> IF(i = 0, CAST(0.0 AS DOUBLE), x - arr[i - 1]))"),
+    ("arrayCompact", "arr ARRAY<STRING>", "ARRAY<STRING>",
+     "filter(arr, (x, i) -> i = 0 OR NOT (x <=> arr[i - 1]))"),
+    ("arrayReduceSum", "arr ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
 ]
 
 # ClickHouse aggregate names that are direct aliases of Spark builtins —
@@ -259,6 +324,11 @@ SCALAR_ALIASES = {
     "toTypeName": "typeof",
     "bitCount": "bit_count",
     "roundBankers": "bround",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "tuple": "struct",
 }
 
 _registered_sessions: set[int] = set()

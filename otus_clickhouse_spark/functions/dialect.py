@@ -602,7 +602,38 @@ def _rewrite_quantiles(text: str) -> str:
 _ARRAY_COMB_RE = re.compile(r"\b(sum|min|max|avg|count)Array\s*\(")
 
 
+# arrayReduce('agg', arr): apply a named aggregate over one array's
+# elements (lecture_06 parametric-family sibling; public CH surface)
+_ARRAY_REDUCE_FNS = {
+    "sum": lambda a: f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
+    "min": lambda a: f"array_min({a})",
+    "max": lambda a: f"array_max({a})",
+    "avg": lambda a: (
+        f"(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size({a}))"
+    ),
+    "count": lambda a: f"size({a})",
+    "uniq": lambda a: f"size(array_distinct({a}))",
+    "uniqexact": lambda a: f"size(array_distinct({a}))",
+    "any": lambda a: f"element_at({a}, 1)",
+    "anylast": lambda a: f"element_at({a}, -1)",
+}
+
+
+def _rewrite_array_reduce(text: str) -> str:
+    while True:
+        m = re.search(r"\barrayReduce\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, m.end() - 1)
+        fn = args[0].strip("'\"").lower()
+        builder = _ARRAY_REDUCE_FNS.get(fn)
+        if builder is None:
+            raise ValueError(f"arrayReduce: unsupported aggregate {args[0]}")
+        text = text[: m.start()] + builder(args[1]) + text[end:]
+
+
 def _rewrite_array_combinators(text: str) -> str:
+    text = _rewrite_array_reduce(text)
     while True:
         m = _ARRAY_COMB_RE.search(text)
         if not m:

@@ -529,3 +529,49 @@ def test_array_sort_lambda_and_tuple_element(engine):
     assert list(r.s) == [3, 2, 1] and list(r.rs) == [3, 2, 1]
     assert list(r.plain) == [1, 2, 3]
     assert r.cs == 2 and r.t2 == "a" and r.tk == 7
+
+
+def test_long_tail_scalar_functions(engine):
+    row = engine.sql(
+        "SELECT formatReadableQuantity(1234567.0) AS q, "
+        "formatReadableTimeDelta(93784) AS td, "
+        "bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, "
+        "bitShiftLeft(1, 10) AS shl, bitAnd(12, 10) AS ba, "
+        "round(greatCircleDistance(37.6173, 55.7558, 30.3141, 59.9386) / 1000, 0) AS km, "
+        "toLastDayOfMonth(TIMESTAMP '2024-02-10 00:00:00') AS ld, "
+        "dateName('weekday', TIMESTAMP '2024-01-01 00:00:00') AS wd, "
+        "multiSearchAny('hello world', ['x', 'wor']) AS ms, "
+        "isFinite(1.0) AS fin, isNaN(double('nan')) AS nan_, "
+        "MD5('abc') AS h, "
+        "arrayCumSum(CAST(array(1, 2, 3) AS ARRAY<DOUBLE>)) AS cs, "
+        "arrayDifference(CAST(array(1, 4, 9) AS ARRAY<DOUBLE>)) AS ad, "
+        "arrayCompact(['a', 'a', 'b', 'a']) AS ac, "
+        "startsWith('spark', 'sp') AS sw, "
+        "timeSlot(TIMESTAMP '2024-01-01 10:47:00') AS slt"
+    ).collect()[0]
+    assert row["q"] == "1.23 million"
+    assert row["td"] == "1 days, 2 hours, 3 minutes, 4 seconds"
+    assert (row["b0"], row["b1"]) == (1, 0)
+    assert row["shl"] == 1024 and row["ba"] == 8
+    # Moscow → St. Petersburg ≈ 634 km
+    assert 600 <= row["km"] <= 670
+    assert str(row["ld"]) == "2024-02-29"
+    assert row["wd"] == "Monday"
+    assert row["ms"] == 1
+    assert row["fin"] and row["nan_"]
+    assert row["h"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert row["cs"] == [1.0, 3.0, 6.0]
+    assert row["ad"] == [0.0, 3.0, 5.0]
+    assert row["ac"] == ["a", "b", "a"]
+    assert row["sw"] is True
+    assert str(row["slt"]) == "2024-01-01 10:30:00"
+
+
+def test_array_reduce_sql(engine):
+    row = engine.sql(
+        "SELECT arrayReduce('sum', CAST(array(1, 2, 3) AS ARRAY<DOUBLE>)) AS s, "
+        "arrayReduce('max', array(3, 1, 2)) AS mx, "
+        "arrayReduce('uniq', array('a', 'b', 'a')) AS u, "
+        "arrayReduce('avg', CAST(array(2, 4) AS ARRAY<DOUBLE>)) AS a"
+    ).collect()[0]
+    assert (row["s"], row["mx"], row["u"], row["a"]) == (6.0, 3, 2, 3.0)

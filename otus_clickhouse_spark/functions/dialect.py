@@ -726,6 +726,14 @@ def _rewrite_behavioral(text: str) -> str:
         open2 = after1 + stripped
         args2, end = _split_call_args(text, open2)
         if name == "windowFunnel":
+            if len(args1) > 1:
+                # 'strict_order'/'strict_dedup'/'strict_increase' change
+                # which chains count; silently ignoring them would return
+                # wrong numbers, so refuse loudly.
+                raise ValueError(
+                    f"windowFunnel mode {args1[1]} not supported "
+                    "(default mode only)"
+                )
             expr = window_funnel_expr(args2[0], args2[1:], float(args1[0]))
         elif name in ("sequenceMatch", "sequenceMatchEvents"):
             ts, conds = _seq_pattern(args1[0], args2)

@@ -191,3 +191,77 @@ def lsh_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos", "rnk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    round_cos: int | None = None,
+) -> DataFrame:
+    """IVF search: top-k nearest corpus vectors per query, scanning only
+    the ``nprobe`` most promising inverted lists — the query-side
+    counterpart of :func:`kmeans_centroids` (train) and the x11
+    assignment (build).
+
+    Scale shape: centroids and queries are broadcast (both tiny); the
+    corpus is assigned map-side with zero shuffle (same plan as the
+    build step — at scale the assignment is precomputed and the table
+    is partitioned by ``centroid_id``, making the probe join a
+    partition-pruned scan of nprobe/k of the data). Candidates then
+    rank per query in one window over the probed subset. Deterministic
+    ties: lowest centroid_id for probes, lowest vec_id for results.
+    """
+    from pyspark.sql import Window
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = centroids.select("centroid_id", F.col("centroid").alias("cv"))
+    qs = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("__qv")
+    )
+
+    def scored(col_a, col_b):
+        s = cosine(col_a, col_b)
+        return F.round(s, round_cos) if round_cos is not None else s
+
+    # corpus → inverted list (map-side: broadcast centroids)
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__cos", scored(F.col("v"), F.col("cv")))
+        .groupBy(id_col, "v")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct("__cos", (-F.col("centroid_id")).alias("t")),
+            ).alias("centroid_id")
+        )
+    )
+    # per-query probe set: nprobe best centroids (tiny × tiny)
+    wq = Window.partitionBy(q_id_col).orderBy(
+        F.desc("__pcos"), F.asc("centroid_id")
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("__pcos", scored(F.col("__qv"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(q_id_col, "centroid_id", "__qv")
+    )
+    # scan only the probed lists, rank per query
+    cand = assigned.join(F.broadcast(probe), on="centroid_id").withColumn(
+        "score", scored(F.col("__qv"), F.col("v"))
+    )
+    wr = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "score", "rnk")
+    )

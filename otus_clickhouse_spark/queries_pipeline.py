@@ -1059,3 +1059,69 @@ def x28_chunking(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.text import chunk_documents
 
     return chunk_documents(t(spark, sf_dir, "documents"), 64, 48)
+
+
+def _ivf_search_oracle(
+    k: int, iters: int, round_cos: int, round_mean: int, nq: int, topk: int, nprobe: int
+) -> str:
+    """x14's unrolled-training oracle + probe/search CTEs: assign the
+    corpus to the final centroids, probe nprobe lists per query, rank
+    candidates. Quantized cosines make the whole path replayable."""
+    train = _kmeans_unrolled_oracle(k, iters, round_cos, round_mean)
+    body = train[: train.rindex("SELECT centroid_id")]
+    return (
+        body
+        + f""",
+    qs AS (SELECT vec_id AS q_id, v AS __qv FROM base WHERE vec_id < {nq}),
+    probe AS (
+      SELECT q_id, centroid_id, __qv FROM (
+        SELECT q.q_id, c.centroid_id, q.__qv,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.__qv, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM qs q CROSS JOIN cent{iters} c) WHERE rn <= {nprobe}
+    ),
+    assignf AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM base b CROSS JOIN cent{iters} c) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_cosine_similarity(p.__qv, a.v), {round_cos}) AS score
+      FROM probe p JOIN assignf a USING (centroid_id)
+    )
+    SELECT q_id, vec_id, score, rnk FROM (
+      SELECT q_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+      FROM cand) WHERE rnk <= {topk}
+    """
+    )
+
+
+@query(
+    "x29_ivf_search",
+    oracle=_ivf_search_oracle(
+        k=4, iters=3, round_cos=4, round_mean=6, nq=3, topk=3, nprobe=2
+    ),
+)
+def x29_ivf_search(spark, sf_dir):
+    """IVF ANN search end to end: train the coarse quantizer (x14's
+    quantized Lloyd's), then pipeline.similarity.ivf_topk — probe the
+    2 best inverted lists per query and rank only those candidates.
+    The corpus never shuffles; at scale the assignment is a
+    partition-pruned read of nprobe/k of the data."""
+    from otus_clickhouse_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, iters=3, round_cos=4, round_mean=6)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, cent, queries, k=3, nprobe=2, round_cos=4)

@@ -270,3 +270,14 @@ def test_quantile_variant_names_sql(engine, spark):
     ).collect()[0]
     assert 49.0 <= out["a"] <= 51.0
     assert 50.0 <= out["b"] <= 51.0
+
+
+def test_window_funnel_mode_rejected(engine, spark):
+    ev = _events(spark, [(1, 0, "A")])
+    ev.createOrReplaceTempView("mode_ev")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="not supported"):
+        engine.sql(
+            "SELECT windowFunnel(3600, 'strict_order')(ts, event_type = 'A') "
+            "FROM mode_ev GROUP BY user_id"
+        )

@@ -311,3 +311,31 @@ def test_chunk_documents_boundaries(spark):
     sizes = {(r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"] for r in out.collect()}
     assert sizes[(3, 0)] == 64 and sizes[(3, 1)] == 17   # overlap keeps tail
     assert sizes[(4, 2)] == 64                            # 160-96=64 exactly
+
+
+def test_ivf_topk_probes_right_lists(spark):
+    from otus_clickhouse_spark.pipeline.similarity import ivf_topk
+
+    # two well-separated clusters on the axes; centroids at the axes
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.0]),
+            (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.0, 0.8]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, centroid array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "q_id int, qv array<double>"
+    )
+    # nprobe=1 → only the x-axis list is scanned: results ⊆ {0,1,2}
+    got = ivf_topk(corpus, cent, queries, k=3, nprobe=1).collect()
+    assert {r["vec_id"] for r in got} == {0, 1, 2}
+    assert [r["rnk"] for r in sorted(got, key=lambda r: r["rnk"])] == [1, 2, 3]
+    # the best match is the vector most aligned with the query
+    assert sorted(got, key=lambda r: r["rnk"])[0]["vec_id"] == 0
+    # nprobe=2 → both lists: the y-cluster can now appear at lower ranks
+    got2 = ivf_topk(corpus, cent, queries, k=6, nprobe=2).collect()
+    assert {r["vec_id"] for r in got2} == {0, 1, 2, 3, 4, 5}

@@ -281,3 +281,38 @@ def test_window_funnel_mode_rejected(engine, spark):
             "SELECT windowFunnel(3600, 'strict_order')(ts, event_type = 'A') "
             "FROM mode_ev GROUP BY user_id"
         )
+
+
+def test_window_funnel_randomized_vs_bruteforce(spark):
+    """200 random event streams, one Spark job, each compared against an
+    exhaustive exists-chain search (the definitional semantics)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    TYPES = ["A", "B", "C", "D"]
+    WINDOW = 50
+    cases = {}
+    rows = []
+    for case in range(200):
+        n = rng.randint(0, 8)
+        ts = rng.sample(range(200), n)  # unique per case
+        evs = sorted((t_, rng.choice(TYPES)) for t_ in ts)
+        cases[case] = evs
+        rows += [(case, t_, e) for t_, e in evs]
+
+    def brute(evs):
+        best = 0
+        conds = ["A", "B", "C"]
+        for L in (1, 2, 3):
+            for combo in itertools.combinations(evs, L):
+                if all(c[1] == conds[j] for j, c in enumerate(combo)) and \
+                   combo[-1][0] - combo[0][0] <= WINDOW:
+                    best = max(best, L)
+        return best
+
+    df = _events(spark, rows)
+    got = _levels(window_funnel(df, "user_id", "ts", CONDS, WINDOW))
+    for case, evs in cases.items():
+        expected = brute(evs)
+        assert got.get(case, 0) == expected, (case, evs, got.get(case), expected)

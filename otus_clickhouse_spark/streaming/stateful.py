@@ -84,3 +84,68 @@ def session_totals(stream: DataFrame, key_col: str = "user_id", value_col: str =
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _funnel_update_factory(n_conds: int, window_us: int | None):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        # state: chain-start micros per level, -1 = not reached (the
+        # same greedy max-start machine as operators.behavioral —
+        # incremental because the fold is left-to-right over time)
+        st = list(state.get) if state.exists else [-1] * n_conds
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts_us")
+            for ts, mask in zip(pdf["__ts_us"], pdf["__mask"]):
+                prev = list(st)
+                for i in range(n_conds):
+                    if not (mask >> i) & 1:
+                        continue
+                    if i == 0:
+                        st[0] = max(st[0], int(ts))
+                    elif prev[i - 1] >= 0 and (
+                        window_us is None or ts - prev[i - 1] <= window_us
+                    ):
+                        st[i] = max(st[i], prev[i - 1])
+        state.update(tuple(st))
+        level = 0
+        for i in range(n_conds):
+            if st[i] >= 0:
+                level = i + 1
+        yield pd.DataFrame({"key": [key[0]], "level": [level]})
+
+    return update
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    conds_sql: list[str],
+    window_seconds: float | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming windowFunnel: per-user funnel level maintained across
+    micro-batches (T6-family custom stateful operator — the streaming
+    counterpart of operators.behavioral.window_funnel).
+
+    The condition mask is evaluated JVM-side before the stateful stage,
+    so the Python hop carries only (key, ts, mask). State is O(levels)
+    per user in the state store; each batch folds its events in time
+    order, so levels are exact for per-key in-order delivery (late
+    cross-batch events are the same limitation every stateful stream
+    has without event-time retraction). Output mode: update.
+    """
+    mask = " + ".join(f"IF(({c}), {1 << i}, 0)" for i, c in enumerate(conds_sql))
+    src = stream.selectExpr(
+        f"{key_col} AS key",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS __ts_us",
+        f"CAST({mask} AS INT) AS __mask",
+    )
+    window_us = None if window_seconds is None else int(window_seconds * 1_000_000)
+    return src.groupBy("key").applyInPandasWithState(
+        _funnel_update_factory(len(conds_sql), window_us),
+        outputStructType="key long, level int",
+        stateStructType=", ".join(f"s{i} long" for i in range(len(conds_sql))),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -161,3 +161,37 @@ def test_uniq_state_blocks_merge_exactly(spark):
     merged = {r.g: r.st for r in state.read_aggregating_final(target, ["g"], ["st"]).collect()}
     exact = {r.g: r.u for r in df.groupBy("g").agg(F.count_distinct("u").alias("u")).collect()}
     assert merged == exact
+
+
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    from otus_clickhouse_spark.streaming.stateful import streaming_funnel
+
+    src_dir = str(tmp_path / "fsrc")
+    ckpt = str(tmp_path / "fckpt")
+    conds = ["etype = 'A'", "etype = 'B'", "etype = 'C'"]
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "A"), (1, "2024-01-01 00:00:30", "B"),
+         (2, "2024-01-01 00:00:00", "C")],
+        "user_id long, ts_s string, etype string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "etype").write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp, etype string").parquet(src_dir)
+    q = (
+        streaming_funnel(stream, conds, 3600)
+        .writeStream.format("memory").queryName("fun_out")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        lv = {r.key: r.level for r in spark.sql("SELECT * FROM fun_out").collect()}
+        assert lv == {1: 2, 2: 0}
+        # the C event arrives in a later micro-batch → chain completes
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:01:00", "C")], "user_id long, ts_s string, etype string"
+        ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "etype").write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+        rows = [r for r in spark.sql("SELECT * FROM fun_out").collect() if r.key == 1]
+        assert max(r.level for r in rows) == 3
+    finally:
+        q.stop()

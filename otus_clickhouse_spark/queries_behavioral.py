@@ -341,3 +341,58 @@ def q84_histogram(spark, sf_dir):
     return histogram(
         t(spark, sf_dir, "events"), "value", 8, group_cols=["event_type"]
     )
+
+
+@query(
+    "q85_funnel_sql",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    ),
+    l3 AS (
+      SELECT DISTINCT e1.user_id
+      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e3.event_type = 'purchase'
+        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+    ),
+    lv AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                  ELSE 0 END AS level
+      FROM u
+    )
+    SELECT level, count(*) AS n_users FROM lv GROUP BY level
+    """,
+)
+def q85_funnel_sql(spark, sf_dir):
+    """The q75 funnel through the RAW SQL dialect route: the two-paren
+    windowFunnel syntax is rewritten by the dialect into the same
+    aggregate() chain machine, so this locks the SQL surface itself
+    under the driver gate (pytest covers it; this makes it a green
+    CORRECTNESS row too)."""
+    eng = _mini_engine_events(spark, sf_dir)
+    return eng.sql(
+        "SELECT level, count(*) AS n_users FROM ("
+        "  SELECT user_id, windowFunnel(3600)(ts, event_type = 'view', "
+        "         event_type = 'click', event_type = 'purchase') AS level "
+        "  FROM events GROUP BY user_id) GROUP BY level"
+    )
+
+
+def _mini_engine_events(spark, sf_dir):
+    import os
+
+    from otus_clickhouse_spark.engine import Engine, TableDef
+
+    eng = Engine(spark)
+    eng.register_table(
+        TableDef(name="events", path=os.path.join(sf_dir, "events.parquet"))
+    )
+    return eng

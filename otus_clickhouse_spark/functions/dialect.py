@@ -662,8 +662,19 @@ def _rewrite_array_combinators(text: str) -> str:
 # operators/behavioral.py).
 _BEHAVIORAL_RE = re.compile(
     r"\b(windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount"
-    r"|retention|topKWeighted|topK|uniqUpTo)\s*\("
+    r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy)\s*\("
 )
+
+
+def _count_map_expr(collected: str, key: str, inc: str, val_type: str = "bigint") -> str:
+    """Fold a collected array into a value→sum map (run-length when the
+    array is sorted). Shared by topK/topKWeighted/sumMap/entropy."""
+    zero = f"CAST(0 AS {val_type.upper()})"
+    return (
+        f"aggregate({collected}, cast(map() as map<string,{val_type}>), "
+        f"(m, v) -> map_concat(map_filter(m, (k, c) -> NOT (k <=> {key})), "
+        f"map({key}, coalesce(element_at(m, {key}), {zero}) + {inc})))"
+    )
 
 
 def _topk_expr(x: str, k: int, weight: str | None = None) -> str:
@@ -682,12 +693,9 @@ def _topk_expr(x: str, k: int, weight: str | None = None) -> str:
             f"CAST({weight} AS BIGINT) AS w)))"
         )
         key, inc = "v.k", "v.w"
+    mexpr = _count_map_expr(collected, key, inc)
     return (
-        "transform(slice(array_sort(transform(map_entries("
-        f"aggregate({collected}, "
-        "cast(map() as map<string,bigint>), "
-        f"(m, v) -> map_concat(map_filter(m, (k, c) -> NOT (k <=> {key})), "
-        f"map({key}, coalesce(element_at(m, {key}), CAST(0 AS BIGINT)) + {inc})))), "
+        f"transform(slice(array_sort(transform(map_entries({mexpr}), "
         f"e -> struct(-e.value AS neg, e.key AS val))), 1, {k}), s -> s.val)"
     )
 
@@ -711,6 +719,34 @@ def _rewrite_behavioral(text: str) -> str:
             return text
         name = m.group(1)
         args1, after1 = _split_call_args(text, m.end() - 1)
+        if name == "sumMap":
+            # sumMap(k, v) → struct of key-sorted parallel arrays
+            mexpr = _count_map_expr(
+                f"collect_list(struct(CAST({args1[0]} AS STRING) AS k, "
+                f"CAST({args1[1]} AS DOUBLE) AS w))",
+                "v.k",
+                "v.w",
+                "double",
+            )
+            entries = f"array_sort(map_entries({mexpr}))"
+            expr = (
+                f"named_struct('keys', transform({entries}, e -> e.key), "
+                f"'values', transform({entries}, e -> e.value))"
+            )
+            text = text[: m.start()] + expr + text[after1:]
+            continue
+        if name == "entropy":
+            x = args1[0]
+            mexpr = _count_map_expr(
+                f"array_sort(collect_list(CAST({x} AS STRING)))", "v", "CAST(1 AS BIGINT)"
+            )
+            expr = (
+                f"(log2(count({x})) - aggregate(map_values({mexpr}), "
+                "CAST(0.0 AS DOUBLE), (acc, c) -> acc + c * log2(c)) "
+                f"/ count({x}))"
+            )
+            text = text[: m.start()] + expr + text[after1:]
+            continue
         if name == "retention":
             r1 = f"max(IF(({args1[0]}), 1, 0))"
             parts = [r1] + [

@@ -317,8 +317,11 @@ def histogram(
         .select(
             *group_cols,
             F.col("bin").cast("bigint").alias("bin"),
-            F.round(F.col("__lo") + F.col("bin") * width, 4).alias("lo"),
-            F.round(F.col("__lo") + (F.col("bin") + 1) * width, 4).alias("hi"),
+            # raw doubles, not round(x, 4): the bounds are derived by
+            # exact IEEE arithmetic that any engine reproduces, while
+            # ROUND implementations disagree on .5-boundary doubles
+            (F.col("__lo") + F.col("bin") * width).alias("lo"),
+            (F.col("__lo") + (F.col("bin") + 1) * width).alias("hi"),
             F.col("height"),
         )
     )

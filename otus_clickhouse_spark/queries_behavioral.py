@@ -327,8 +327,8 @@ def q83_sequence_count(spark, sf_dir):
       FROM events e JOIN rng r USING (event_type)
     )
     SELECT event_type, CAST(bin AS BIGINT) AS bin,
-           round(lo + bin * (hi - lo) / 8, 4) AS lo,
-           round(lo + (bin + 1) * (hi - lo) / 8, 4) AS hi,
+           lo + bin * (hi - lo) / 8 AS lo,
+           lo + (bin + 1) * (hi - lo) / 8 AS hi,
            count(*) AS height
     FROM binned GROUP BY event_type, bin, lo, hi
     """,

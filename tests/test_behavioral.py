@@ -316,3 +316,20 @@ def test_window_funnel_randomized_vs_bruteforce(spark):
     for case, evs in cases.items():
         expected = brute(evs)
         assert got.get(case, 0) == expected, (case, evs, got.get(case), expected)
+
+
+def test_sum_map_sql(engine, spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (1, "b", 2.0), (1, "a", 3.0)], "g int, k string, v double"
+    )
+    df.createOrReplaceTempView("smap_t")
+    row = engine.sql("SELECT g, sumMap(k, v) AS m FROM smap_t GROUP BY g").collect()[0]
+    assert list(row["m"]["keys"]) == ["a", "b"]
+    assert list(row["m"]["values"]) == [4.5, 2.0]
+
+
+def test_entropy_sql(engine, spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], "v string")
+    df.createOrReplaceTempView("ent_t")
+    row = engine.sql("SELECT entropy(v) AS e FROM ent_t").collect()[0]
+    assert row["e"] == pytest.approx(1.0)

@@ -100,3 +100,30 @@ def test_limit_by_single_window_shuffle(spark, sf_dir):
     the BY keys — no global sort before the per-group cut."""
     plan = plan_of(spark, sf_dir, "q66_limit_by")
     assert "Window" in plan and "PythonUDF" not in plan
+
+
+def test_window_funnel_single_shuffle_no_python(spark, sf_dir):
+    """The funnel chain machine is one user-keyed exchange and stays
+    entirely JVM-side (aggregate() HOF, not a UDF)."""
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.operators.behavioral import window_funnel
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    wf = window_funnel(
+        ev, "user_id", "ts", ["event_type='view'", "event_type='click'"], 3600
+    )
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_top_k_partial_aggregation(spark, sf_dir):
+    """top_k pre-aggregates (group, value) with a map-side partial pass
+    so the shuffle carries distinct values, not events."""
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.operators.behavioral import top_k
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    plan = top_k(ev, "event_type", 3)._jdf.queryExecution().executedPlan().toString()
+    assert sum(1 for l in plan.splitlines() if "HashAggregate" in l) == 2

@@ -662,7 +662,7 @@ def _rewrite_array_combinators(text: str) -> str:
 # operators/behavioral.py).
 _BEHAVIORAL_RE = re.compile(
     r"\b(windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount"
-    r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy)\s*\("
+    r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy|avgWeighted)\s*\("
 )
 
 
@@ -719,6 +719,11 @@ def _rewrite_behavioral(text: str) -> str:
             return text
         name = m.group(1)
         args1, after1 = _split_call_args(text, m.end() - 1)
+        if name == "avgWeighted":
+            x, w = args1[0], args1[1]
+            expr = f"(sum(({x}) * ({w})) / sum({w}))"
+            text = text[: m.start()] + expr + text[after1:]
+            continue
         if name == "sumMap":
             # sumMap(k, v) → struct of key-sorted parallel arrays
             mexpr = _count_map_expr(

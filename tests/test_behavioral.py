@@ -333,3 +333,10 @@ def test_entropy_sql(engine, spark):
     df.createOrReplaceTempView("ent_t")
     row = engine.sql("SELECT entropy(v) AS e FROM ent_t").collect()[0]
     assert row["e"] == pytest.approx(1.0)
+
+
+def test_avg_weighted_sql(engine, spark):
+    df = spark.createDataFrame([(10.0, 1.0), (20.0, 3.0)], "x double, w double")
+    df.createOrReplaceTempView("aw_t")
+    row = engine.sql("SELECT avgWeighted(x, w) AS a FROM aw_t").collect()[0]
+    assert row["a"] == pytest.approx(17.5)

@@ -396,3 +396,62 @@ def _mini_engine_events(spark, sf_dir):
         TableDef(name="events", path=os.path.join(sf_dir, "events.parquet"))
     )
     return eng
+
+
+@query(
+    "q86_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    ),
+    l3 AS (
+      SELECT DISTINCT e1.user_id
+      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e3.event_type = 'purchase'
+        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+    ),
+    reach AS (
+      SELECT 1 AS step, (SELECT count(*) FROM l1) AS reached,
+             (SELECT count(*) FROM u) AS prev
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM l2), (SELECT count(*) FROM l1)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM l3), (SELECT count(*) FROM l2)
+    )
+    SELECT step, CAST(reached AS BIGINT) AS reached,
+           round(reached / prev, 4) AS conversion
+    FROM reach
+    """,
+)
+def q86_funnel_conversion(spark, sf_dir):
+    """Funnel conversion report: users reaching each step and the
+    step-over-step conversion rate — the composite a product-analytics
+    user derives from windowFunnel. One funnel pass + a 3-row window."""
+    from pyspark.sql import Window
+
+    lvl = window_funnel(
+        t(spark, sf_dir, "events"), "user_id", "ts", _FUNNEL_CONDS, 3600
+    )
+    total = lvl.count()
+    steps = spark.range(1, len(_FUNNEL_CONDS) + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    reach = (
+        steps.join(lvl, F.col("level") >= F.col("step"), "left")
+        .groupBy("step")
+        .agg(F.count("user_id").alias("reached"))
+    )
+    w = Window.orderBy("step")
+    return (
+        reach.withColumn("prev", F.lag("reached", 1, total).over(w))
+        .select(
+            "step",
+            "reached",
+            F.round(F.col("reached") / F.col("prev"), 4).alias("conversion"),
+        )
+    )

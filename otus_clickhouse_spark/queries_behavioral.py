@@ -436,8 +436,8 @@ def q86_funnel_conversion(spark, sf_dir):
 
     lvl = window_funnel(
         t(spark, sf_dir, "events"), "user_id", "ts", _FUNNEL_CONDS, 3600
-    )
-    total = lvl.count()
+    ).persist()
+    total = lvl.count()  # also materializes lvl for the reach join
     steps = spark.range(1, len(_FUNNEL_CONDS) + 1).select(
         F.col("id").cast("int").alias("step")
     )

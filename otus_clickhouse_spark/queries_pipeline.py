@@ -1125,3 +1125,89 @@ def x29_ivf_search(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return ivf_topk(emb, cent, queries, k=3, nprobe=2, round_cos=4)
+
+
+@query(
+    "x30_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             round((least(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> length(x) > 0)) / 64.0, 1.0)
+                    + CASE WHEN length(text) / greatest(len(list_filter(
+                            regexp_split_to_array(text, '\\s+'),
+                            x -> length(x) > 0)), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(length(text), 1)) / 3.0, 4) AS quality
+      FROM documents
+    ),
+    reps AS (
+      SELECT doc_id FROM (
+        SELECT c.node AS doc_id, c.cluster_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.node ASC) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.node) WHERE rn = 1
+    ),
+    survivors AS (
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM comp)
+      UNION ALL
+      SELECT doc_id FROM reps
+    )
+    SELECT (SELECT count(*) FROM survivors) AS n_survivors,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM survivors) AS id_sum,
+           (SELECT count(DISTINCT cluster_id) FROM comp) AS n_clusters,
+           (SELECT count(*) FROM comp) AS n_clustered
+    """,
+)
+def x30_cluster_keep_best(spark, sf_dir):
+    """Cluster-level near-dup curation: minhash-LSH pairs → connected
+    components → keep the highest-quality doc per cluster (ties to the
+    lowest id), untouched docs survive as-is. The canonical-selection
+    step a production dedup applies after pair generation — shuffles
+    carry (node, cluster_id, quality), never text."""
+    from pyspark.sql import Window
+
+    from otus_clickhouse_spark.pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    comp = dedup_clusters(pairs).persist()
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    clustered = comp.join(q, comp.node == q.doc_id).select(
+        "cluster_id", "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    reps = (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    untouched = docs.join(
+        comp, docs.doc_id == comp.node, "left_anti"
+    ).select("doc_id")
+    survivors = untouched.unionAll(reps)
+    surv = survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    cstats = comp.agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_clustered"),
+    )
+    return surv.crossJoin(cstats)

@@ -340,3 +340,35 @@ def test_avg_weighted_sql(engine, spark):
     df.createOrReplaceTempView("aw_t")
     row = engine.sql("SELECT avgWeighted(x, w) AS a FROM aw_t").collect()[0]
     assert row["a"] == pytest.approx(17.5)
+
+
+def test_sequence_count_randomized_vs_scan(spark):
+    """150 random streams vs a direct Python left-to-right scan with
+    restart-after-match (the ClickHouse sequenceCount semantics)."""
+    import random
+
+    rng = random.Random(99)
+    from otus_clickhouse_spark.operators.behavioral import sequence_count
+
+    cases, rows = {}, []
+    for case in range(150):
+        n = rng.randint(0, 10)
+        ts = rng.sample(range(300), n)
+        evs = sorted((t_, rng.choice("ABC")) for t_ in ts)
+        cases[case] = evs
+        rows += [(case, t_, e) for t_, e in evs]
+
+    def scan(evs):
+        m, level = 0, 0
+        for _, e in evs:
+            if e == "AB"[level]:
+                level += 1
+                if level == 2:
+                    m, level = m + 1, 0
+        return m
+
+    got = {r["user_id"]: r["n_matches"] for r in
+           sequence_count(_events(spark, rows), "user_id", "ts",
+                          ["event_type = 'A'", "event_type = 'B'"]).collect()}
+    for case, evs in cases.items():
+        assert got.get(case, 0) == scan(evs), (case, evs)

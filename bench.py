@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query: 1 warmup + median of 3 timed runs, executed via the noop
+Each query: 1 warmup + median of 5 timed runs, executed via the noop
 sink (full pipeline runs, no driver collect cost). Mirrors the
 clickhouse-benchmark repeated-query method (homeworks/hw02.md:108-152).
 """

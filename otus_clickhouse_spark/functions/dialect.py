@@ -796,6 +796,95 @@ def _rewrite_behavioral(text: str) -> str:
         text = text[: m.start()] + expr + text[end:]
 
 
+# identifier[expr] subscripts: ClickHouse indexes arrays 1-based and
+# maps by key — exactly Spark's element_at; Spark's native [] is
+# 0-based for arrays, so passing subscripts through silently shifts
+# every array index by one. MUST run before any rewrite that injects
+# Spark-native lambda bodies (which use 0-based st[i-1] internally).
+def _match_bracket(text: str, open_idx: int) -> int:
+    """Index of the ] matching text[open_idx] == '[' (quote-aware)."""
+    depth, i = 0, open_idx
+    while i < len(text):
+        c = text[i]
+        if c in "'\"":
+            nxt = text.find(c, i + 1)
+            i = nxt if nxt != -1 else len(text) - 1
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth == 0 and c == "]":
+                return i
+        i += 1
+    return -1
+
+
+def _subscript_base_start(text: str, bracket_idx: int) -> int:
+    """Start of the expression a subscript applies to: an identifier
+    chain (``arr``, ``t.col``) or a call (``splitByChar(…)``), walked
+    backwards from the ``[``. Returns -1 if the bracket is a literal."""
+    j = bracket_idx - 1
+    if j < 0:
+        return -1
+    if text[j] == ")":
+        depth = 0
+        while j >= 0:
+            c = text[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return -1
+        j -= 1
+    elif not (text[j].isalnum() or text[j] in "_."):
+        return -1
+    while j >= 0 and (text[j].isalnum() or text[j] in "_."):
+        j -= 1
+    return j + 1
+
+
+def _rewrite_subscripts(text: str) -> str:
+    pos = 0
+    while True:
+        # quote-aware scan for the next subscript bracket (a '[' inside
+        # a string literal is regex/char-class content, not a subscript)
+        idx = -1
+        i = pos
+        while i < len(text):
+            c = text[i]
+            if c in "'\"":
+                nxt = text.find(c, i + 1)
+                i = (nxt if nxt != -1 else len(text) - 1) + 1
+                continue
+            if c == "[":
+                idx = i
+                break
+            i += 1
+        if idx == -1:
+            return text
+        start = _subscript_base_start(text, idx)
+        if start == -1 or start == idx:
+            pos = idx + 1  # array literal or stray bracket — leave alone
+            continue
+        base = text[start:idx]
+        if not re.match(r"[A-Za-z_]", base):
+            pos = idx + 1
+            continue
+        expr, j = base, idx
+        while j < len(text) and text[j] == "[":
+            end = _match_bracket(text, j)
+            if end == -1:
+                return text  # unbalanced; leave untouched
+            expr = f"element_at({expr}, {text[j + 1 : end]})"
+            j = end + 1
+        text = text[:start] + expr + text[j:]
+        pos = start + len(expr)
+
+
 def _rewrite_sample(text: str) -> str:
     """SAMPLE clause (lectures/lecture_07.md:16, lecture_08.md:41-50):
     ``SAMPLE 0.1`` (fraction) / ``SAMPLE 10000`` (row budget) →
@@ -1033,6 +1122,7 @@ def translate(
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)
+    text = _rewrite_subscripts(text)
     text = _rewrite_tostartofinterval(text)
     text = _rewrite_tostartofweek(text)
     text = _rewrite_tuple_element(text)

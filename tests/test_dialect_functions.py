@@ -575,3 +575,28 @@ def test_array_reduce_sql(engine):
         "arrayReduce('avg', CAST(array(2, 4) AS ARRAY<DOUBLE>)) AS a"
     ).collect()[0]
     assert (row["s"], row["mx"], row["u"], row["a"]) == (6.0, 3, 2, 3.0)
+
+
+def test_subscripts_are_one_based(engine, spark):
+    # ClickHouse arr[1] = FIRST element; arr[-1] = last; maps by key
+    df = spark.createDataFrame([(["x", "y", "z"],)], "arr array<string>")
+    df.createOrReplaceTempView("sub_t")
+    row = engine.sql(
+        "SELECT arr[1] AS first, arr[-1] AS last, "
+        "splitByChar(',', 'a,b,c')[2] AS second FROM sub_t"
+    ).collect()[0]
+    assert (row["first"], row["last"], row["second"]) == ("x", "z", "b")
+
+
+def test_chained_subscripts(engine, spark):
+    df = spark.createDataFrame([([["a", "b"], ["c"]],)], "m array<array<string>>")
+    df.createOrReplaceTempView("sub2_t")
+    assert engine.sql("SELECT m[1][2] AS v FROM sub2_t").collect()[0]["v"] == "b"
+
+
+def test_subscripts_leave_string_literals_alone(engine, spark):
+    row = engine.sql(
+        "SELECT extractAll('a1b22c', '[0-9]+') AS xs, match('q7', 'q[0-9]') AS m"
+    ).collect()[0]
+    assert list(row["xs"]) == ["1", "22"]
+    assert row["m"] is True

@@ -327,6 +327,7 @@ SCALAR_ALIASES = {
     "startsWith": "startswith",
     "endsWith": "endswith",
     "arrayMin": "array_min",
+    "arrayElement": "element_at",
     "arrayMax": "array_max",
     "tuple": "struct",
 }

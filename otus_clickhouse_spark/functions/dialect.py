@@ -796,6 +796,27 @@ def _rewrite_behavioral(text: str) -> str:
         text = text[: m.start()] + expr + text[end:]
 
 
+# position(haystack, needle[, start]) — ClickHouse puts the haystack
+# FIRST; Spark's builtin position(substr, str) puts the needle first,
+# so passing through silently searches the wrong way around.
+def _rewrite_position(text: str) -> str:
+    pos = 0
+    while True:
+        m = re.search(r"\b(position|positionCaseInsensitive)\s*\(", text[pos:])
+        if not m:
+            return text
+        at = pos + m.start()
+        args, end = _split_call_args(text, pos + m.end() - 1)
+        if len(args) < 2:  # SQL-standard position(x IN y) — leave alone
+            pos = at + len(m.group(0))
+            continue
+        h, n = args[0], args[1]
+        if m.group(1).endswith("CaseInsensitive"):
+            h, n = f"lower({h})", f"lower({n})"
+        start = f", {args[2]}" if len(args) > 2 else ""
+        text = text[:at] + f"locate({n}, {h}{start})" + text[end:]
+
+
 # identifier[expr] subscripts: ClickHouse indexes arrays 1-based and
 # maps by key — exactly Spark's element_at; Spark's native [] is
 # 0-based for arrays, so passing subscripts through silently shifts
@@ -1123,6 +1144,7 @@ def translate(
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)
     text = _rewrite_subscripts(text)
+    text = _rewrite_position(text)
     text = _rewrite_tostartofinterval(text)
     text = _rewrite_tostartofweek(text)
     text = _rewrite_tuple_element(text)

@@ -600,3 +600,13 @@ def test_subscripts_leave_string_literals_alone(engine, spark):
     ).collect()[0]
     assert list(row["xs"]) == ["1", "22"]
     assert row["m"] is True
+
+
+def test_position_haystack_first(engine):
+    row = engine.sql(
+        "SELECT position('hello world', 'world') AS p, "
+        "position('hello', 'zz') AS missing, "
+        "positionCaseInsensitive('Hello', 'hel') AS ci, "
+        "arrayElement(['a', 'b'], 2) AS el"
+    ).collect()[0]
+    assert (row["p"], row["missing"], row["ci"], row["el"]) == (7, 0, 1, "b")

@@ -796,6 +796,74 @@ def _rewrite_behavioral(text: str) -> str:
         text = text[: m.start()] + expr + text[end:]
 
 
+# ClickHouse sorts NULL (and NaN) as the LARGEST values — last under
+# ASC, first under DESC; Spark treats NULL as smallest (first/last).
+# Append the explicit NULLS direction to every ORDER BY item that
+# doesn't already state one.
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ORDER_TERM_RE = re.compile(
+    r"\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT|WINDOW|ROWS|RANGE)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_order_by_nulls(text: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _ORDER_BY_RE.search(text, pos)
+        if not m:
+            out.append(text[pos:])
+            return "".join(out)
+        if text[:m.start()].count("'") % 2 == 1:
+            # inside a string literal (e.g. query_log LIKE patterns)
+            out.append(text[pos : m.end()])
+            pos = m.end()
+            continue
+        # find the end of the ORDER BY item list: a top-level terminator
+        # keyword, an unbalanced ')', or end of text
+        i, depth, end = m.end(), 0, len(text)
+        while i < len(text):
+            c = text[i]
+            if c in "'\"":
+                nxt = text.find(c, i + 1)
+                i = (nxt if nxt != -1 else len(text) - 1) + 1
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and c.isalpha():
+                t = _ORDER_TERM_RE.match(text, i)
+                if t:
+                    end = i
+                    break
+                while i < len(text) and (text[i].isalnum() or text[i] == "_"):
+                    i += 1
+                continue
+            i += 1
+        else:
+            end = len(text)
+        items = _split_top_commas(text[m.end() : end])
+        fixed = []
+        for it in items:
+            s = it.strip()
+            if not s or re.search(r"\bNULLS\b", s, re.IGNORECASE):
+                fixed.append(f" {s}")
+            elif re.search(r"\bDESC\b\s*$", s, re.IGNORECASE):
+                fixed.append(f" {s} NULLS FIRST")
+            else:
+                fixed.append(f" {s} NULLS LAST")
+        out.append(text[pos : m.end()])
+        out.append(",".join(fixed))
+        if end < len(text) and not text[end].isspace() and text[end] not in ")]":
+            out.append(" ")
+        pos = end
+    # unreachable
+
+
 # position(haystack, needle[, start]) — ClickHouse puts the haystack
 # FIRST; Spark's builtin position(substr, str) puts the needle first,
 # so passing through silently searches the wrong way around.
@@ -1159,5 +1227,6 @@ def translate(
     if dicts:
         text = _rewrite_dictget(text, dicts)
     text = _rewrite_joinget(text, tables)
+    text = _rewrite_order_by_nulls(text)
     text = _ALIAS_RE.sub(lambda m: _SIMPLE_ALIASES[m.group(1)] + "(", text)
     return text

@@ -610,3 +610,24 @@ def test_position_haystack_first(engine):
         "arrayElement(['a', 'b'], 2) AS el"
     ).collect()[0]
     assert (row["p"], row["missing"], row["ci"], row["el"]) == (7, 0, 1, "b")
+
+
+def test_order_by_nulls_ch_semantics(engine, spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id int, v double"
+    )
+    df.createOrReplaceTempView("nul_t")
+    asc = [r["id"] for r in engine.sql("SELECT id FROM nul_t ORDER BY v").collect()]
+    assert asc == [3, 1, 2]          # NULL last under ASC (CH semantics)
+    desc = [r["id"] for r in
+            engine.sql("SELECT id FROM nul_t ORDER BY v DESC").collect()]
+    assert desc == [2, 1, 3]         # NULL first under DESC
+    # explicit NULLS wins; window ORDER BY + frame unaffected
+    ex = [r["id"] for r in
+          engine.sql("SELECT id FROM nul_t ORDER BY v ASC NULLS FIRST").collect()]
+    assert ex == [2, 3, 1]
+    w = engine.sql(
+        "SELECT id, sum(v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS rs FROM nul_t ORDER BY id LIMIT 2"
+    ).collect()
+    assert len(w) == 2

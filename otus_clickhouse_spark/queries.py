@@ -976,6 +976,7 @@ def all_queries() -> dict[str, Callable]:
         queries_behavioral,
         queries_extra,
         queries_pipeline,
+        queries_tpch,
     )
 
     return dict(QUERIES)
@@ -986,6 +987,7 @@ def all_oracles() -> dict[str, str]:
         queries_behavioral,
         queries_extra,
         queries_pipeline,
+        queries_tpch,
     )
 
     return dict(ORACLES)

@@ -297,3 +297,57 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Exact substring dedup: documents sharing any ``window``-token
+    contiguous span (the distributed analogue of suffix-array ExactSubstr
+    dedup, Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better").
+
+    Plan: stride-1 token windows per doc (map-side sequence+transform —
+    no shuffle until windows are hashed), md5 each window, dedupe
+    per-doc with array_distinct before the explode, drop singleton
+    fingerprints with a pre-aggregation, then pair up bucket-locally.
+    The shuffle ships (16-byte fingerprint, id) pairs only — never the
+    window text. ``max_bucket`` caps the bucket-local quadratic step:
+    a boilerplate window shared by millions of docs (the classic skew
+    case) is dropped rather than exploded; at 100 TB that cap is the
+    difference between a bounded job and a quadratic one.
+
+    Returns distinct (a, b, n_shared) pairs with a < b and the count of
+    shared window fingerprints.
+    """
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size(F.col("__toks")) >= window)
+    wfps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__toks")) - window),
+            lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i + 1, window), " ")),
+        )
+    )
+    w = staged.select(F.col(id_col), F.explode(wfps).alias("win_fp"))
+    shared_fps = (
+        w.groupBy("win_fp")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where((F.col("deg") > 1) & (F.col("deg") <= max_bucket))
+        .select("win_fp")
+    )
+    sh = w.join(shared_fps, "win_fp")
+    a = sh.select(F.col(id_col).alias("a"), "win_fp")
+    b = sh.select(F.col(id_col).alias("b"), "win_fp")
+    return (
+        a.join(b, "win_fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -265,3 +265,63 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select(q_id_col, id_col, "score", "rnk")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int = 4,
+    round_mean: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding corpus, then inside each cluster remove every
+    vector that has a higher-similarity-than-``threshold`` neighbour
+    with a smaller id (keep-lowest-id, chain-free — removal of x never
+    depends on whether its witness was itself removed).
+
+    Scale shape: clustering is :func:`kmeans_centroids` (broadcast
+    centroids, O(k×dim) shuffle per round); the final assignment is one
+    map-side argmax over broadcast centroids; the pairwise step is
+    cluster-blocked — one shuffle on the cluster id, local quadratic
+    bounded by cluster size (at 100 TB: raise k so clusters stay
+    partition-sized; the cost model is identical to IVF bucketing).
+
+    Returns (vec_id, cluster_id, removed) for every corpus vector.
+    """
+    cent = kmeans_centroids(
+        corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        round_cos=round_cos, round_mean=round_mean,
+    ).select("centroid_id", F.col("centroid").alias("cv"))
+    base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("cv")), round_cos))
+        .groupBy(id_col, "v")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct("cos", (-F.col("centroid_id")).alias("t"))
+            ).alias("cluster_id")
+        )
+    )
+    a = assigned.select(F.col(id_col).alias("__wit"), F.col("v").alias("va"), "cluster_id")
+    b = assigned.select(F.col(id_col).alias("__cand"), F.col("v").alias("vb"), "cluster_id")
+    removed = (
+        a.join(b, "cluster_id")
+        .where(F.col("__wit") < F.col("__cand"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), round_cos) >= threshold)
+        .select(F.col("__cand").alias(id_col))
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("removed"), F.lit(False)).alias("removed"),
+        )
+    )

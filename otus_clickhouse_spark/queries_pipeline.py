@@ -1211,3 +1211,109 @@ def x30_cluster_keep_best(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clustered"),
     )
     return surv.crossJoin(cstats)
+
+
+@query(
+    "x31_substring_dups",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, unnest(generate_series(0, len(toks) - 32)) AS i, toks
+      FROM tk WHERE len(toks) >= 32
+    ),
+    wf AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i + 1 : i + 32], ' ')) AS win_fp
+      FROM w0
+    ),
+    shared AS (
+      SELECT win_fp FROM wf GROUP BY win_fp
+      HAVING count(*) > 1 AND count(*) <= 1024
+    ),
+    sh AS (SELECT wf.doc_id, wf.win_fp FROM wf JOIN shared USING (win_fp))
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.win_fp = b.win_fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def x31_substring_dups(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, distributed):
+    doc pairs sharing any 32-token contiguous span —
+    pipeline.dedup.substring_dup_pairs. Stride-1 windows are generated
+    map-side and hashed; only 16-byte fingerprints shuffle; singleton
+    fingerprints are dropped before the bucket-local pair join."""
+    from otus_clickhouse_spark.pipeline.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(t(spark, sf_dir, "documents"), window=32)
+
+
+def _semdedup_oracle(k: int, iters: int, round_cos: int, round_mean: int, threshold: float) -> str:
+    """x14's unrolled k-means + final assignment + cluster-blocked
+    pairwise removal (keep-lowest-id), replayed entirely in DuckDB.
+
+    The corpus is seeded with scaled copies (×0.5 — exact in both float
+    and double, cosine exactly 1.0) of every 25th vector so the removal
+    path is exercised: the synthetic embeddings have no natural near-dups
+    (max pairwise cosine ≈ 0.51)."""
+    train = _kmeans_unrolled_oracle(k, iters, round_cos, round_mean)
+    body = train[: train.rindex("SELECT centroid_id")]
+    body = body.replace(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+      FROM embeddings WHERE vec_id % 25 = 0""",
+    )
+    return (
+        body
+        + f""",
+    assignf AS (
+      SELECT vec_id, v, centroid_id AS cluster_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM base b CROSS JOIN cent{iters} c) WHERE rn = 1
+    ),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM assignf a JOIN assignf b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), {round_cos}) >= {threshold}
+    )
+    SELECT cluster_id, count(*) AS n_vecs,
+           count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM removed)) AS n_removed
+    FROM assignf GROUP BY cluster_id
+    """
+    )
+
+
+@query("x32_semantic_dedup", oracle=_semdedup_oracle(4, 3, 4, 6, 0.92))
+def x32_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then remove within-cluster vectors with a ≥0.92-cosine
+    smaller-id neighbour — pipeline.similarity.semantic_dedup. The
+    quantized trajectory (round_cos/round_mean) makes training +
+    assignment + removal fully replayable in SQL; reported per cluster.
+    Semantic dups are seeded (scaled copies of every 25th vector —
+    cosine-identical, scale-exact ×0.5) since the synthetic corpus has
+    no natural near-dups (max pairwise cosine ≈ 0.51)."""
+    from otus_clickhouse_spark.pipeline.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+    )
+    flags = semantic_dedup(emb.unionByName(copies), k=4, iters=3, threshold=0.92)
+    return flags.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_if(F.col("removed")).alias("n_removed"),
+    )

@@ -93,3 +93,70 @@ def stratified_sample(
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     pct_expr = expr.otherwise(pct) if expr is not None else pct
     return df.where(hash_bucket(id_col) < pct_expr)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: "F.Column",
+    buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smooth: float = 1.0,
+) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Tokens hash into ``buckets`` bins; the target distribution comes
+    from the rows matching ``target_filter``, the raw distribution from
+    the whole corpus, both add-``smooth`` smoothed. A document's log
+    importance weight is the sum over its tokens of
+    ``ln(p_target(bucket) / p_raw(bucket))`` — high-weight documents
+    "look like" the target domain and are what importance resampling
+    keeps.
+
+    Scale shape: one token-explode pass feeds ONE groupBy down to
+    ``buckets`` rows carrying both raw and target counts (count_if on
+    the flag — no second corpus pass); the bucket→log-ratio table is
+    broadcast back onto the token stream, and the per-doc sum is the
+    only corpus-sized shuffle (keyed by doc id). Buckets and hash are
+    md5-based and engine-portable, so a SQL oracle replays the weights
+    exactly.
+
+    Returns (id, n_toks, logw) for every document with ≥1 token.
+    """
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    tok = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint") % buckets,
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col("__is_target")).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    s, b = F.lit(float(smooth)), F.lit(float(buckets))
+    ratios = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tgt_cnt") + s) / (F.col("tgt_total") + s * b))
+                - F.log((F.col("raw_cnt") + s) / (F.col("raw_total") + s * b))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("log_ratio"), 4).alias("logw"),
+        )
+    )

@@ -1317,3 +1317,52 @@ def x32_semantic_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         F.count_if(F.col("removed")).alias("n_removed"),
     )
+
+
+@query(
+    "x33_dsir_importance",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 512 AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS tk
+        FROM documents)
+    ),
+    counts AS (
+      SELECT bucket, count(*) AS raw_cnt,
+             count(*) FILTER (WHERE is_target) AS tgt_cnt
+      FROM tok GROUP BY bucket
+    ),
+    totals AS (SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM counts),
+    ratios AS (
+      SELECT bucket,
+             ln((tgt_cnt + 1.0) / (tgt_total + 512.0))
+           - ln((raw_cnt + 1.0) / (raw_total + 512.0)) AS log_ratio
+      FROM counts CROSS JOIN totals
+    ),
+    w AS (
+      SELECT t.doc_id, count(*) AS n_toks, round(sum(r.log_ratio), 4) AS logw
+      FROM tok t JOIN ratios r USING (bucket)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_toks, logw FROM w
+    ORDER BY logw DESC, doc_id LIMIT 100
+    """,
+)
+def x33_dsir_importance(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    target/raw likelihood-ratio weights, target domain = lang='en' —
+    pipeline.sampling.dsir_weights. Top-100 documents by log weight
+    (the resampling keep-set). One explode pass, one 512-row bucket
+    agg, broadcast ratio join; per-doc sum is the only wide shuffle."""
+    from otus_clickhouse_spark.pipeline.sampling import dsir_weights
+
+    w = dsir_weights(
+        t(spark, sf_dir, "documents"),
+        target_filter=F.col("lang") == "en",
+        buckets=512,
+    )
+    return w.orderBy(F.col("logw").desc(), "doc_id").limit(100)

@@ -339,3 +339,71 @@ def test_ivf_topk_probes_right_lists(spark):
     # nprobe=2 → both lists: the y-cluster can now appear at lower ranks
     got2 = ivf_topk(corpus, cent, queries, k=6, nprobe=2).collect()
     assert {r["vec_id"] for r in got2} == {0, 1, 2, 3, 4, 5}
+
+
+def test_substring_dup_pairs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6-token shared span
+    rows = [
+        (1, "intro one " + shared + " tail one"),
+        (2, "different opening words " + shared + " other ending"),
+        (3, "totally unrelated text with no common span at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.n_shared for r in
+             dedup.substring_dup_pairs(df, window=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_substring_dup_pairs_bucket_cap(spark):
+    # a window shared by 3 docs is dropped when max_bucket=2 (skew guard)
+    boiler = "one two three four five six"
+    rows = [(i, f"doc {i} prefix " + boiler) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.substring_dup_pairs(df, window=6, max_bucket=2).count() == 0
+    assert dedup.substring_dup_pairs(df, window=6).count() == 3  # all pairs
+
+
+def test_semantic_dedup_flags_copies(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),   # near-dup of 1 (cos ≈ 0.995)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.98, 0.2]),   # near-dup of 3 (cos ≈ 0.98)
+        (5, [0.0, 0.0, 1.0]),    # no neighbour above threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=2: with k=3 each member of the dup pair seeds its own cluster
+    # and the pair is never compared (clusters must be coarser than the
+    # dup radius — same k-vs-corpus-size tradeoff as real SemDeDup)
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert len(out) == 5
+    # keep-lowest-id: the larger id of each dup pair is removed
+    assert not out[1].removed and out[2].removed
+    assert not out[3].removed and out[4].removed
+    assert not out[5].removed
+    # dup pairs must share a cluster
+    assert out[1].cluster_id == out[2].cluster_id
+    assert out[3].cluster_id == out[4].cluster_id
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from otus_clickhouse_spark.pipeline.sampling import dsir_weights
+
+    rows = (
+        # target domain: english-ish
+        [(i, "the quick brown fox jumps over the lazy dog", "en") for i in range(6)]
+        # off-domain
+        + [(10 + i, "der schnelle braune fuchs springt faul hund", "de") for i in range(6)]
+        # unlabeled doc that looks like the target → should score high
+        + [(99, "the quick brown fox jumps again", "xx")]
+        # unlabeled doc that looks off-domain → should score low
+        + [(98, "der schnelle braune fuchs springt", "xx")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r.doc_id: r.logw for r in
+         dsir_weights(df, F.col("lang") == "en", buckets=64).collect()}
+    assert len(w) == 14
+    assert w[99] > w[98]  # target-like doc outranks off-domain doc
+    assert w[0] > 0 > w[10]  # in-target positive, off-target negative

@@ -33,6 +33,8 @@ HEADLINE = [
     "q40_replacing_final",
     "q65_graphite_rollup",
     "q75_window_funnel",
+    "h09_product_profit",
+    "h21_waiting_suppliers",
     "x01_dedup_exact",
     "x02_minhash_pairs",
     "x04_embedding_topk",

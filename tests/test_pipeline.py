@@ -407,3 +407,84 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert len(w) == 14
     assert w[99] > w[98]  # target-like doc outranks off-domain doc
     assert w[0] > 0 > w[10]  # in-target positive, off-target negative
+
+
+def test_substring_dups_randomized_vs_bruteforce(spark):
+    """60 random docs over a tiny vocabulary (forced collisions), one
+    Spark job, compared against a direct Python window-set reference."""
+    import hashlib
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    vocab = ["aa", "bb", "cc", "dd"]
+    W = 4
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(60)
+    ]
+
+    def win_set(text):
+        toks = text.split()
+        return {
+            hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+            for i in range(len(toks) - W + 1)
+        }
+
+    sets = {i: win_set(tx) for i, tx in docs}
+    expected = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        shared = len(sa & sb)
+        if shared:
+            expected[(a, b)] = shared
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): r.n_shared
+           for r in dedup.substring_dup_pairs(df, window=W, max_bucket=10_000).collect()}
+    assert got == expected
+
+
+def test_dsir_weights_randomized_vs_numpy(spark):
+    """Random corpus; dsir_weights must equal a direct recomputation of
+    the smoothed log-likelihood-ratio from raw python counts."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))), i % 4 == 0)
+        for i in range(80)
+    ]
+    B, S = 64, 1.0
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    raw, tgt = Counter(), Counter()
+    for _, tx, is_t in docs:
+        for tok in tx.split():
+            b = bucket(tok)
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    raw_total, tgt_total = sum(raw.values()), sum(tgt.values())
+
+    def logw(text):
+        return sum(
+            math.log((tgt[bucket(tok)] + S) / (tgt_total + S * B))
+            - math.log((raw[bucket(tok)] + S) / (raw_total + S * B))
+            for tok in text.split()
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, is_target boolean")
+    from otus_clickhouse_spark.pipeline.sampling import dsir_weights
+
+    got = {r.doc_id: r for r in
+           dsir_weights(df, F.col("is_target"), buckets=B).collect()}
+    assert len(got) == 80
+    for i, tx, _ in docs:
+        assert got[i].n_toks == len(tx.split())
+        assert abs(got[i].logw - logw(tx)) < 1e-3  # engine rounds to 4

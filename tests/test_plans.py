@@ -127,3 +127,27 @@ def test_top_k_partial_aggregation(spark, sf_dir):
     ev = read_table(spark, f"{sf_dir}/events.parquet")
     plan = top_k(ev, "event_type", 3)._jdf.queryExecution().executedPlan().toString()
     assert sum(1 for l in plan.splitlines() if "HashAggregate" in l) == 2
+
+
+def test_tpch_h05_all_dims_broadcast(spark, sf_dir):
+    """h05's 5-join tree: every dimension side broadcasts — the lineitem
+    fact streams through without a single sort-merge shuffle."""
+    plan = plan_of(spark, sf_dir, "h05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_h03_filters_push_to_scans(spark, sf_dir):
+    """h03: the segment / both date cutoffs reach their parquet scans."""
+    plan = plan_of(spark, sf_dir, "h03_shipping_priority")
+    assert "EqualTo(c_mktsegment,AUTOMOBILE)" in plan
+    assert "GreaterThan(l_shipdate," in plan
+    assert "LessThan(o_orderdate," in plan
+
+
+def test_tpch_h21_no_python_and_partial_agg(spark, sf_dir):
+    """h21 (max-ship waiting suppliers): stays JVM-side with two-phase
+    aggregation for the per-order max/count."""
+    plan = plan_of(spark, sf_dir, "h21_waiting_suppliers")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

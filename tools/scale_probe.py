@@ -208,6 +208,35 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: chunk_documents(docs, 16, 12).agg(F.count(F.lit(1))).collect(),
         n_docs,
     )
+
+    from otus_clickhouse_spark.pipeline.dedup import substring_dup_pairs
+    from otus_clickhouse_spark.pipeline.sampling import dsir_weights
+
+    timed(
+        "substring_dedup",
+        lambda: substring_dup_pairs(docs, window=16).count(),
+        n_docs,
+    )
+    timed(
+        "dsir_weights",
+        lambda: dsir_weights(docs, F.col("doc_id") % 3 == 0)
+        .agg(F.count(F.lit(1)), F.sum("logw"))
+        .collect(),
+        n_docs,
+    )
+    # derived-dimension join (TPC-H h09/h02 shape): per-key aggregate of
+    # the fact joined back onto the fact — the one non-broadcast join in
+    # the TPC-H suite; both sides hash-partition on the same key
+    timed(
+        "derived_ps_join",
+        lambda: fact.join(
+            fact.groupBy("custkey").agg(F.min("price").alias("mc")), "custkey"
+        )
+        .where(F.col("price") == F.col("mc"))
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_fact,
+    )
     return out
 
 

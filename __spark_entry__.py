@@ -6,8 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual registry lives in ``otus_clickhouse_spark/queries.py`` (core
-relational surface, SURVEY.md §2) and ``queries_pipeline.py``
-(training-data pipeline extensions, SURVEY.md §7 Phase 7).
+relational surface, SURVEY.md §2) plus the extension modules it pulls
+in: ``queries_extra.py``, ``queries_behavioral.py``,
+``queries_pipeline.py`` (training-data pipeline, SURVEY.md §7 Phase 7),
+and ``queries_tpch.py`` (TPC-H-adapted h01–h22). 141 queries, every
+one oracle-paired.
 """
 
 from __future__ import annotations

@@ -122,3 +122,101 @@ def test_sensor_pipeline_real_kafka(spark, tmp_path):
     vals = [json.loads(r.value.decode()) for r in back.select("value").collect()]
     assert len(vals) == 6
     assert {v["sensor_id"] for v in vals} == {0, 1, 2}
+
+
+def test_streaming_neardup_ingestion(spark, tmp_path):
+    """Incoming docs are flagged against a static corpus at arrival time:
+    map-side LSH signature (no shuffle on the stream), stream-static
+    bucket join, exact-Jaccard verify per micro-batch."""
+    from otus_clickhouse_spark.streaming.ingest import (
+        attach_neardup_verify,
+        band_keys_expr,
+        corpus_bucket_table,
+        streaming_neardup_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different reference content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # map-side signature is identical to the batch LSH path
+    bk = corpus.select(F.explode(band_keys_expr()).alias("k")).count()
+    assert bk == 8  # 2 docs x 4 bands
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "flags")
+    incoming = [
+        (100, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+        (101, "the quick brown fox jumps over the lazy cat today"),   # near dup of 1
+        (102, "unrelated brand new text with nothing shared at all"),
+    ]
+    spark.createDataFrame(incoming, "doc_id long, text string").write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    # stateless candidate layer: append-mode stream-static join
+    buckets = corpus_bucket_table(corpus).persist()
+    cand_q = (
+        streaming_neardup_candidates(stream, buckets)
+        .writeStream.format("memory").queryName("nd_cand")
+        .outputMode("append").start()
+    )
+    cand_q.processAllAvailable()
+    cand_q.stop()
+    cand = spark.sql("SELECT DISTINCT doc_id, corpus_id FROM nd_cand").collect()
+    cand_pairs = {(r.doc_id, r.corpus_id) for r in cand}
+    assert (100, 1) in cand_pairs
+    assert not any(d == 102 for d, _ in cand_pairs)
+
+    # verified layer: foreachBatch exact Jaccard to a parquet landing
+    q = attach_neardup_verify(
+        stream, corpus, out, str(tmp_path / "ck_nd"), threshold=0.5
+    )
+    q.processAllAvailable()
+    q.stop()
+    flagged = {(r.a, r.b): r.jaccard for r in spark.read.parquet(out).collect()}
+    assert flagged[(100, 1)] == 1.0          # exact dup verified at 1.0
+    assert (101, 1) in flagged               # near dup above threshold
+    assert not any(a == 102 for a, _ in flagged)
+
+    # second micro-batch: stream keeps flagging without restart
+    spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    q2 = attach_neardup_verify(
+        stream, corpus, out, str(tmp_path / "ck_nd"), threshold=0.5
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    flagged2 = {(r.a, r.b) for r in spark.read.parquet(out).collect()}
+    assert (200, 1) in flagged2
+
+
+def test_band_keys_expr_matches_batch_lsh_path(spark):
+    """The stream's map-side signature must be bit-identical to the
+    batch shingles→minhash_signatures→band path, or stream flags would
+    diverge from batch dedup results."""
+    from otus_clickhouse_spark.pipeline.dedup import shingles, minhash_signatures
+    from otus_clickhouse_spark.streaming.ingest import band_keys_expr
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (7, "completely different reference content about spark engines")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(shingles(docs), with_size=False)
+    batch_keys = {}
+    for r in sig.collect():
+        mh = [r[f"mh{i}"] for i in range(8)]
+        import hashlib
+        batch_keys[r.doc_id] = [
+            hashlib.md5(f"{b}|{mh[b*2]}|{mh[b*2+1]}".encode()).hexdigest() for b in range(4)
+        ]
+    expr_keys = {r.doc_id: r.keys for r in
+                 docs.select("doc_id", band_keys_expr().alias("keys")).collect()}
+    assert expr_keys == batch_keys

@@ -200,3 +200,97 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def _dhash_ppm(data: bytes, size: int = 8) -> int:
+    """REAL perceptual difference-hash of a P6 PPM (pure numpy): block-
+    mean the luminance to a (size × size+1) grid, compare horizontal
+    neighbours, pack the size² bits into an int (row-major, MSB first).
+    Near-identical images differ in few bits (Hamming distance)."""
+    import numpy as np
+
+    parts = data.split(b"\n", 3)
+    if len(parts) < 4 or parts[0] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h = (int(v) for v in parts[1].split())
+    pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
+    rows = np.linspace(0, h, size + 1, dtype=int)
+    cols = np.linspace(0, w, size + 2, dtype=int)
+    grid = np.empty((size, size + 1))
+    for r in range(size):
+        for c in range(size + 1):
+            cell = lum[rows[r]:max(rows[r + 1], rows[r] + 1),
+                       cols[c]:max(cols[c + 1], cols[c] + 1)]
+            grid[r, c] = cell.mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into signed int64 (bit 63 may be set)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable image — mapInPandas, Arrow-
+    batched, partition-local; non-PPM payloads are skipped (compressed
+    codecs would flow through the same path once a decoder is present)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind == "image" and data is not None and bytes(data[:2]) == b"P6":
+                    ids.append(mid)
+                    hashes.append(_dhash_ppm(bytes(data)))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hashes, dtype="int64")})
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def media_neardup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash Hamming distance.
+
+    Scale shape: the 64-bit phash is split into ``max_hamming`` 16-bit
+    bands — by pigeonhole, any pair within the Hamming budget agrees on
+    at least one band when ``max_hamming < bands`` + 1, so the pair
+    search is an equi-join on (band_idx, band_value) buckets, never an
+    all-pairs scan. The exact Hamming check (bit_count of xor — JVM,
+    codegen'd) runs on bucket-local candidates only. Only the Python
+    decode touches bytes; everything after the 8-byte hash is JVM-side.
+    """
+    n_bands = 4
+    ph = perceptual_hashes(media)
+    banded = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "phash", "band.band_idx", "band.band_val")
+    a = banded.select(
+        F.col("media_id").alias("a"), F.col("phash").alias("pa"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("media_id").alias("b"), F.col("phash").alias("pb"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

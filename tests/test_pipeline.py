@@ -488,3 +488,37 @@ def test_dsir_weights_randomized_vs_numpy(spark):
     for i, tx, _ in docs:
         assert got[i].n_toks == len(tx.split())
         assert abs(got[i].logw - logw(tx)) < 1e-3  # engine rounds to 4
+
+
+def test_perceptual_hash_media_neardup(spark):
+    """dHash flags a pixel-perturbed image copy, not unrelated images;
+    pairing is banded (pigeonhole), exact Hamming JVM-side."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, media_neardup_pairs, perceptual_hashes,
+    )
+
+    def noisy_ppm(w, h, seed):
+        # textured payload: make_ppm's monotone gradient saturates a
+        # difference hash (every left<right comparison true), so use a
+        # seeded random texture like real photos
+        pix = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+    base = noisy_ppm(16, 12, seed=1)
+    # perturb one pixel byte slightly — perceptually the same image
+    near = bytearray(base)
+    near[-1] = (near[-1] + 3) % 256
+    rows = [
+        (1, "image", "image/x-portable-pixmap", 16, 12, None, base),
+        (2, "image", "image/x-portable-pixmap", 16, 12, None, bytes(near)),
+        (3, "image", "image/x-portable-pixmap", 16, 12, None, noisy_ppm(16, 12, seed=99)),
+        (4, "audio", "audio/wav", None, None, 100, b"RIFFxxxxWAVE"),  # skipped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r.media_id: r.phash for r in perceptual_hashes(media).collect()}
+    assert set(hashes) == {1, 2, 3}  # audio row skipped
+    pairs = {(r.a, r.b): r.hamming for r in media_neardup_pairs(media, max_hamming=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs

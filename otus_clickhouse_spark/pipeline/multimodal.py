@@ -294,3 +294,65 @@ def media_neardup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def _audio_fingerprint(data: bytes, bands: int = 16) -> int:
+    """REAL audio fingerprint of a PCM16 WAV (numpy FFT): split the
+    magnitude spectrum into ``bands`` log-spaced bands, emit one bit per
+    adjacent-band energy comparison packed with a coarse duration bucket
+    — same-content audio collides, different tones/content do not."""
+    import numpy as np
+
+    feats = _decode_wav(data)  # validates container; [dur_ms, rms, zcr, peak]
+    import struct
+
+    rate = struct.unpack("<I", data[24:28])[0]
+    pos, samples = 12, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=sz // 2, offset=pos + 8)
+            break
+        pos += 8 + sz
+    x = samples.astype(np.float64) / 32768.0
+    spec = np.abs(np.fft.rfft(x))
+    edges = np.unique(np.geomspace(1, len(spec) - 1, bands + 1).astype(int))
+    energy = np.array([spec[a:b].sum() for a, b in zip(edges[:-1], edges[1:])])
+    bits = energy[1:] > energy[:-1]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    dur_bucket = int(feats[0] // 250)  # 250 ms granularity
+    out = (out << 8) | (dur_bucket & 0xFF)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, afp) for every decodable WAV — mapInPandas, Arrow-
+    batched, partition-local (mirror of :func:`perceptual_hashes`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind == "audio" and data is not None and bytes(data[:4]) == b"RIFF":
+                    ids.append(mid)
+                    fps.append(_audio_fingerprint(bytes(data)))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "afp": pd.Series(fps, dtype="int64")})
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, "media_id long, afp long"
+    )
+
+
+def audio_dup_groups(media: DataFrame) -> DataFrame:
+    """Exact-fingerprint audio dup groups: groupBy the 8-byte fingerprint
+    (spectral-shape bits + duration bucket) — the audio analogue of
+    exact_dedup, one tiny-key shuffle."""
+    return (
+        audio_fingerprints(media)
+        .groupBy("afp")
+        .agg(F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )

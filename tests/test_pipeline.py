@@ -522,3 +522,30 @@ def test_perceptual_hash_media_neardup(spark):
     pairs = {(r.a, r.b): r.hamming for r in media_neardup_pairs(media, max_hamming=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_dup_groups(spark):
+    """Identical tones collide on the spectral fingerprint; different
+    frequencies and durations do not."""
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, audio_dup_groups, audio_fingerprints, make_wav,
+    )
+
+    tone_a = make_wav(n_samples=4000, freq=440.0)
+    tone_a2 = make_wav(n_samples=4000, freq=440.0)   # exact same content
+    tone_b = make_wav(n_samples=4000, freq=1330.0)   # different pitch
+    tone_c = make_wav(n_samples=12000, freq=440.0)   # same pitch, longer
+    rows = [
+        (1, "audio", "audio/wav", None, None, 500, tone_a),
+        (2, "audio", "audio/wav", None, None, 500, tone_a2),
+        (3, "audio", "audio/wav", None, None, 500, tone_b),
+        (4, "audio", "audio/wav", None, None, 1500, tone_c),
+        (5, "image", "image/x-portable-pixmap", 4, 4, None, b"P6\n4 4\n255\n" + bytes(48)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r.media_id: r.afp for r in audio_fingerprints(media).collect()}
+    assert set(fps) == {1, 2, 3, 4}  # image row skipped
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3] and fps[1] != fps[4]
+    groups = audio_dup_groups(media).collect()
+    assert len(groups) == 1 and groups[0].keep_id == 1 and groups[0].n_dups == 2

@@ -356,3 +356,36 @@ def audio_dup_groups(media: DataFrame) -> DataFrame:
         .agg(F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .where(F.col("n_dups") > 1)
     )
+
+
+def make_textured_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """A real P6 PPM with seeded random texture (PCG64 is platform- and
+    version-stable, so payloads are deterministic). Gradient images
+    (make_ppm) saturate a difference hash; textured ones behave like
+    real photos."""
+    import numpy as np
+
+    pix = np.random.default_rng(seed).integers(0, 256, (height, width, 3), dtype=np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + pix.tobytes()
+
+
+def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFrame:
+    """Deterministic media table seeded with known duplicates: every odd
+    image is a one-byte-perturbed copy of the previous even image
+    (near-dup under dHash); the first two audio rows are the same tone
+    (exact fingerprint dup). Drives the media-dedup registry query."""
+    rows = []
+    for i in range(n_images):
+        if i % 2 == 0:
+            data = make_textured_ppm(24, 18, seed=i)
+        else:
+            prev = bytearray(make_textured_ppm(24, 18, seed=i - 1))
+            prev[-1] = (prev[-1] + 3) % 256
+            data = bytes(prev)
+        rows.append((i, "image", "image/x-portable-pixmap", 24, 18, None, data))
+    for j in range(n_audio):
+        freq = 440.0 if j < 2 else 440.0 + 97.0 * j
+        rows.append(
+            (100 + j, "audio", "audio/wav", None, None, 500, make_wav(n_samples=4000, freq=freq))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

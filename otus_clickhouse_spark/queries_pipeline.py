@@ -1366,3 +1366,34 @@ def x33_dsir_importance(spark, sf_dir):
         buckets=512,
     )
     return w.orderBy(F.col("logw").desc(), "doc_id").limit(100)
+
+
+@query("x34_media_dedup")  # rows-only: the Arrow decode boundary is not SQL-expressible
+def x34_media_dedup(spark, sf_dir):
+    """Multimodal dedup end to end under the driver harness: perceptual
+    dHash near-dup pairs over REAL-decoded textured PPM images +
+    exact spectral-fingerprint audio dup groups over REAL-decoded WAVs
+    (pipeline.multimodal). The ONLY registry query with a Python stage —
+    the designed Arrow-batched decode boundary (mapInPandas); every
+    post-decode step (banding, Hamming, grouping) is JVM-side. Media is
+    generated deterministically in-query (the testdata has no media
+    table); no DuckDB oracle because decode isn't SQL-expressible —
+    rows-only check by design."""
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        audio_dup_groups,
+        demo_media_with_dups,
+        media_neardup_pairs,
+    )
+
+    media = demo_media_with_dups(spark).persist()
+    img_pairs = media_neardup_pairs(media, max_hamming=4).agg(
+        F.count(F.lit(1)).alias("n_image_neardup_pairs")
+    )
+    audio = audio_dup_groups(media).agg(
+        F.count(F.lit(1)).alias("n_audio_dup_groups"),
+        F.coalesce(F.sum("n_dups"), F.lit(0)).cast("bigint").alias("n_audio_dups"),
+    )
+    counts = media.groupBy().pivot("kind", ["image", "audio"]).count().select(
+        F.col("image").alias("n_images"), F.col("audio").alias("n_audio")
+    )
+    return counts.crossJoin(img_pairs).crossJoin(audio)

@@ -18,6 +18,13 @@ PYTHON_EVAL_MARKS = (
     "MapInPandas",
 )
 
+# The ONE designed Python boundary: multimodal byte decode is Arrow-
+# batched mapInPandas by construction (numpy codec work cannot be a SQL
+# expression). Everything downstream of the decode in that query —
+# banding, Hamming, grouping — must still be JVM-side, which the
+# per-mark allowlist enforces.
+PYTHON_ALLOWED = {"x34_media_dedup": {"MapInPandas"}}
+
 
 def test_all_queries_plan_jvm_side(spark, sf_dir):
     from otus_clickhouse_spark.queries import all_queries
@@ -27,6 +34,7 @@ def test_all_queries_plan_jvm_side(spark, sf_dir):
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         marks = [m for m in PYTHON_EVAL_MARKS if m in plan]
+        marks = [m for m in marks if m not in PYTHON_ALLOWED.get(name, set())]
         if marks:
             offenders[name] = marks
     assert not offenders, f"queries fell back to Python eval: {offenders}"

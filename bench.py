@@ -88,6 +88,9 @@ def main():
     scale = scale_probe(spark)
     if scale:
         out["scale"] = scale
+    join = scale_join_probe(spark)
+    if join:
+        out["scale_join"] = join
     print(json.dumps(out))
 
 
@@ -138,6 +141,50 @@ def scale_probe(spark) -> dict | None:
         "sec": round(sec, 4),
         "rows_per_sec": int(n / sec),
         "baseline_rows_per_sec": 72_200_000,  # BASELINE.md:13
+    }
+
+
+def scale_join_probe(spark) -> dict | None:
+    """Fact⋈dim join throughput at the 20M-row size, against the
+    reference's published hash-join envelope (2B ⋈ 2M Log-engine LEFT
+    JOIN at 14.9M rows/s — BASELINE.md:15, lecture_10.md:50-90). The
+    fact side streams against a 2M-row dim; AQE picks broadcast vs
+    shuffle exactly as it would per-stage on a cluster. Reuses the
+    cached scale parquet. SPARK_GRAFT_SCALE_ROWS=0 skips."""
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 20_000_000))
+    if n <= 0:
+        return None
+    path = os.path.join(REPO, ".scratch", f"bench_scale_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS_GEN")):
+        return None  # scale_probe generates; keep this probe dependent on it
+    dim_n = 2_000_000
+    fact = spark.read.parquet(path).select(
+        (F.col("k") % dim_n).alias("custkey"), "price"
+    )
+    dim = spark.range(dim_n).select(
+        F.col("id").alias("custkey"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias("segment"),
+    )
+
+    def run():
+        fact.join(dim, "custkey").groupBy("segment").agg(F.sum("price")).collect()
+
+    run()  # warmup
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    return {
+        "probe": "fact_dim_join_agg",
+        "rows": n,
+        "dim_rows": dim_n,
+        "sec": round(sec, 4),
+        "rows_per_sec": int(n / sec),
+        "baseline_rows_per_sec": 14_900_000,  # BASELINE.md:15 hash join
     }
 
 

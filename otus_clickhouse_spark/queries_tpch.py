@@ -44,12 +44,29 @@ _PS_SQL = """
 """
 
 
-def _partsupp(spark, sf_dir):
+def _partsupp(spark, sf_dir, part_keys=None, supp_keys=None):
     """Derived partsupp (see module docstring). One shuffle on the
-    (partkey, suppkey) pair key; ~|distinct pairs| rows out."""
+    (partkey, suppkey) pair key; ~|distinct pairs| rows out.
+
+    ``part_keys``/``supp_keys`` (1-column DataFrames) pre-restrict the
+    build by semi-join BEFORE the pair aggregation — membership in the
+    grouping key is row-wise, so filtering on it commutes with the agg
+    and the surviving rows' supplycost/availqty are bit-identical to
+    the unrestricted build. This is predicate pushdown through the
+    derived aggregate: for a selective part filter (h02/h09/h20) it
+    shrinks the pair shuffle ~10×, usually making the join back to
+    the fact broadcast-able."""
+    li = t(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys.toDF("__pk")), li.l_partkey == F.col("__pk"), "left_semi"
+        )
+    if supp_keys is not None:
+        li = li.join(
+            F.broadcast(supp_keys.toDF("__sk")), li.l_suppkey == F.col("__sk"), "left_semi"
+        )
     return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy(
+        li.groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
         )
@@ -127,11 +144,11 @@ def h02_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2: min-cost supplier per part in a region (correlated min
     subquery → groupBy + equi-join back). supplier/nation/region are
     broadcast; the only shuffle is the partsupp build + per-part min."""
-    ps = _partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    p = t(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     eu = (
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -435,8 +452,8 @@ def h09_product_profit(spark, sf_dir):
     part-name family. The derived partsupp joins back to lineitem on the
     composite (partkey, suppkey) key — at scale this is the one
     co-partitioned wide join; everything else broadcasts."""
-    ps = _partsupp(spark, sf_dir)
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
@@ -524,9 +541,10 @@ def h11_important_stock(spark, sf_dir):
     """TPC-H Q11: parts holding an outsized share of one nation's stock
     value. The scalar threshold is a 1-row aggregate broadcast-joined
     onto the per-part sums — no driver-side collect."""
-    ps = _partsupp(spark, sf_dir)
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    nat5_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi").select("s_suppkey")
+    ps = _partsupp(spark, sf_dir, supp_keys=nat5_supp)
     nat = (
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -689,12 +707,12 @@ def h16_parts_supplier_counts(spark, sf_dir):
     """TPC-H Q16: supplier counts per (brand,type,size), excluding one
     brand/type and 'complaint' suppliers (negative acctbal stands in for
     the comment scan). NOT IN → broadcast anti-join."""
-    ps = _partsupp(spark, sf_dir)
     p = t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
+    ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     bad_supp = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         ps.join(F.broadcast(bad_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
@@ -832,9 +850,9 @@ def h20_promotion_candidates(spark, sf_dir):
     """TPC-H Q20: suppliers holding excess stock of a part family. The
     nested correlated subquery becomes: window-qty agg on the composite
     key → join to partsupp → semi-join into supplier."""
-    ps = _partsupp(spark, sf_dir)
     li = t(spark, sf_dir, "lineitem")
     small = t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+    ps = _partsupp(spark, sf_dir, part_keys=small)
     wq = (
         li.where((F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01")))
         .groupBy("l_partkey", "l_suppkey")

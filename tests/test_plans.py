@@ -151,3 +151,14 @@ def test_tpch_h21_no_python_and_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "h21_waiting_suppliers")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_h09_partsupp_pushdown_all_broadcast(spark, sf_dir):
+    """h09: the part filter is pushed into the derived-partsupp build
+    (LeftSemi on the part keys), shrinking it enough that every join in
+    the 6-join profit plan is a broadcast hash join — the lineitem fact
+    never shuffles."""
+    plan = plan_of(spark, sf_dir, "h09_product_profit")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "LeftSemi" in plan  # the pushed-down part-key restriction
+    assert plan.count("BroadcastHashJoin") >= 5

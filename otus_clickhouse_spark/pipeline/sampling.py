@@ -160,3 +160,108 @@ def dsir_weights(
             F.round(F.sum("log_ratio"), 4).alias("logw"),
         )
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that never separates near-duplicates.
+
+    Hash-splitting by document id leaks: two near-dup docs can land in
+    train and test, inflating eval. The fix is to split by the
+    near-dup CLUSTER representative (``clusters`` = dedup_clusters
+    output (node, cluster_id)); singleton docs fall back to their own
+    id. Same md5 bucket arithmetic as :func:`hash_bucket`, so the
+    assignment is deterministic, retry-safe, and oracle-replayable.
+
+    Scale: one broadcast-or-shuffle left join against the cluster map
+    (pairs-graph-sized, ≪ corpus), then a map-side bucket expression.
+    Returns (id, split) for every input row.
+    """
+    cl = clusters.select(
+        F.col(node_col).alias("__node"), F.col(cluster_col).alias("__cl")
+    )
+    key = F.coalesce(F.col("__cl"), F.col(id_col)).cast("string")
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint") % 100
+    return (
+        df.join(cl, df[id_col] == F.col("__node"), "left")
+        .select(
+            F.col(id_col),
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Exact greedy best-quality-first selection under a token budget —
+    WITHOUT a global sort of the corpus.
+
+    Semantics: order docs by (quality desc, id asc) and keep the prefix
+    whose cumulative token count stays ≤ ``budget`` (the classic
+    curation step "take the best N tokens").
+
+    Two-phase exact algorithm: (1) histogram quality into ``buckets``
+    bins and cumulative-sum token counts over the ≤``buckets``-row
+    histogram (tiny window); every bin whose cumulative total fits is
+    taken whole — no ordering needed inside them. (2) only the single
+    threshold bin is sorted (by quality desc, id) to fill the remaining
+    budget. Equivalent to the global-sort greedy because the cumulative
+    sum is monotone: once the running total crosses the budget no later
+    (lower-quality) doc can re-enter. The corpus-wide work is two
+    map-side passes + one bin-keyed shuffle; the only sort touches one
+    bin (~corpus/buckets rows).
+
+    Returns the selected rows of ``df`` (original columns).
+    """
+    from pyspark.sql import Window
+
+    qb = F.floor(F.col(quality_col) * buckets).alias("__qb")
+    hist = df.select(qb, F.col(tokens_col)).groupBy("__qb").agg(
+        F.sum(tokens_col).alias("__btok")
+    )
+    w = Window.orderBy(F.col("__qb").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("__cum", F.sum("__btok").over(w))
+    # highest bin that no longer fits entirely = the threshold bin
+    thr = (
+        hist.where(F.col("__cum") > budget)
+        .orderBy(F.col("__qb").desc())
+        .limit(1)
+        .select(
+            F.col("__qb").alias("__t"),
+            (F.lit(budget) - (F.col("__cum") - F.col("__btok"))).alias("__remaining"),
+        )
+        # re-aggregate to exactly one row: when every bin fits, the
+        # filter above is empty and a raw cross join would erase the
+        # corpus — the null-valued row instead selects everything
+        .agg(F.max("__t").alias("__t"), F.max("__remaining").alias("__remaining"))
+    )
+    staged = df.withColumn("__qb", F.floor(F.col(quality_col) * buckets)).join(
+        F.broadcast(thr)
+    )
+    full = staged.where(F.col("__t").isNull() | (F.col("__qb") > F.col("__t")))
+    wt = Window.orderBy(F.col(quality_col).desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    partial = (
+        staged.where(F.col("__qb") == F.col("__t"))
+        .withColumn("__cumt", F.sum(tokens_col).over(wt))
+        .where(F.col("__cumt") <= F.col("__remaining"))
+        .drop("__cumt")
+    )
+    return full.unionByName(partial).drop("__qb", "__t", "__remaining")

@@ -1397,3 +1397,110 @@ def x34_media_dedup(spark, sf_dir):
         F.col("image").alias("n_images"), F.col("audio").alias("n_audio")
     )
     return counts.crossJoin(img_pairs).crossJoin(audio)
+
+
+@query(
+    "x35_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(CAST(doc_id IN (SELECT node FROM comp) AS INT)) AS BIGINT) AS n_clustered
+    FROM assigned GROUP BY split
+    """,
+)
+def x35_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split: hash-assign by near-dup
+    CLUSTER representative (pipeline.sampling.leakage_free_split over
+    dedup_clusters), so no near-duplicate pair ever spans train and
+    eval. Oracle replays components recursively + the same md5 bucket
+    arithmetic. The no-cluster-spans-splits invariant is asserted in
+    tests/test_pipeline.py."""
+    from otus_clickhouse_spark.pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+    from otus_clickhouse_spark.pipeline.sampling import leakage_free_split
+
+    docs = t(spark, sf_dir, "documents")
+    comp = dedup_clusters(minhash_dedup_pairs(docs, threshold=0.7)).persist()
+    split = leakage_free_split(docs, comp)
+    clustered = comp.select(F.col("node").alias("doc_id")).distinct().withColumn(
+        "is_cl", F.lit(1)
+    )
+    return (
+        split.join(clustered, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_cl"), F.lit(0))).cast("bigint").alias("n_clustered"),
+        )
+    )
+
+
+@query(
+    "x36_budget_select",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN n_chars / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(n_chars, 1)) / 3.0, 4) AS quality
+      FROM base
+    ),
+    g AS (
+      SELECT doc_id, quality, n_tok,
+             sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM feat
+    )
+    SELECT count(*) AS n_selected,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_selected,
+           round(min(quality), 4) AS min_quality
+    FROM g WHERE cum <= 15000
+    """,
+)
+def x36_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: keep the best-quality prefix whose
+    cumulative token count fits 15k tokens —
+    pipeline.sampling.budget_select, the exact two-phase algorithm
+    (bin histogram + threshold-bin-only sort, no global corpus sort).
+    The oracle is the naive global-sort greedy; the two-phase result
+    must match it row for row."""
+    from otus_clickhouse_spark.pipeline.sampling import budget_select
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    sel = budget_select(docs, "quality", "n_tok", budget=15000)
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").cast("bigint").alias("tokens_selected"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+    )

@@ -549,3 +549,53 @@ def test_audio_fingerprint_dup_groups(spark):
     assert fps[1] != fps[3] and fps[1] != fps[4]
     groups = audio_dup_groups(media).collect()
     assert len(groups) == 1 and groups[0].keep_id == 1 and groups[0].n_dups == 2
+
+
+def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
+    """No near-dup cluster may span two splits — the whole point."""
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.sampling import leakage_free_split
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7)
+    comp = dedup.dedup_clusters(pairs).persist()
+    split = leakage_free_split(docs, comp)
+    spans = (
+        split.join(comp, split.doc_id == comp.node)
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # all three splits materialize and cover the corpus exactly once
+    sizes = {r.split: r.n for r in
+             split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == docs.count()
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_budget_select_equals_global_greedy(spark):
+    """Two-phase threshold selection must equal the naive global-sort
+    greedy for arbitrary budgets, including all-fits and zero-fits."""
+    import random
+
+    from otus_clickhouse_spark.pipeline.sampling import budget_select
+
+    rng = random.Random(99)
+    rows = [(i, round(rng.random(), 4), rng.randint(5, 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tok long")
+
+    def greedy(budget):
+        tot, out = 0, set()
+        for i, q, tk in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if tot + tk > budget:
+                break
+            tot += tk
+            out.add(i)
+        return out
+
+    for budget in (0, 137, 2000, 10**9):
+        got = {r.doc_id for r in budget_select(df, "quality", "n_tok", budget).collect()}
+        assert got == greedy(budget), f"budget={budget}"

@@ -349,3 +349,61 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document (the CCNet
+    / Wenzek et al. 2020 perplexity-filter shape, with the in-corpus
+    bigram model standing in for the external KenLM):
+
+        p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N
+
+    Returns (id, n_bigrams, avg_nll) — mean negative log-probability
+    over the document's adjacent token pairs; docs with <2 tokens drop.
+
+    Scale shape: bigram pairs are generated map-side (transform over a
+    sequence — multiplicity preserved, LM counts need it); the two
+    count tables are vocabulary- and bigram-vocabulary-sized hash
+    aggregations that broadcast back onto the pair stream; the only
+    corpus-wide shuffle is the per-doc mean."""
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__toks")).where(F.size(F.col("__toks")) >= 2)
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("__toks")) - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("__toks"), i + 1).alias("w1"),
+                    F.element_at(F.col("__toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2").persist()
+    uni = df.select(F.explode(toks).alias("w"))
+    cnt1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = uni.count()
+    cnt2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (
+        F.lit(lam) * (F.col("c2") / F.col("c1"))
+        + F.lit(1.0 - lam) * (F.col("cw2") / F.lit(float(n_total)))
+    )
+    scored = (
+        pairs.join(F.broadcast(cnt2), ["w1", "w2"])
+        .join(F.broadcast(cnt1), pairs.w1 == cnt1.w, "inner")
+        .drop("w")
+        .join(
+            F.broadcast(cnt1.select(F.col("w").alias("__w2"), F.col("c1").alias("cw2"))),
+            pairs.w2 == F.col("__w2"),
+        )
+        .select(id_col, (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )

@@ -1504,3 +1504,83 @@ def x36_budget_select(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("tokens_selected"),
         F.round(F.min("quality"), 4).alias("min_quality"),
     )
+
+
+@query(
+    "x37_perplexity_buckets",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM tk WHERE len(toks) >= 2)
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    cnt1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM uni),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    scored AS (
+      SELECT bi.doc_id,
+             -ln(0.7 * (c2.c2 / a.c1) + 0.3 * (b.c1 / tot.n)) AS nll
+      FROM bi
+      JOIN cnt2 c2 USING (w1, w2)
+      JOIN cnt1 a ON a.w = bi.w1
+      JOIN cnt1 b ON b.w = bi.w2
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
+      FROM scored GROUP BY doc_id
+    ),
+    thr AS (
+      SELECT quantile_cont(avg_nll, 0.33) AS t33,
+             quantile_cont(avg_nll, 0.67) AS t67
+      FROM per_doc
+    )
+    SELECT CASE WHEN avg_nll <= t33 THEN 'head'
+                WHEN avg_nll <= t67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(avg_nll), 4) AS mean_nll,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM per_doc CROSS JOIN thr
+    GROUP BY 1
+    """,
+)
+def x37_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document under an interpolated in-corpus bigram LM
+    (pipeline.text.bigram_nll), then split the corpus into head/middle/
+    tail buckets at the 33rd/67th NLL percentiles — the standard
+    quality-tiering step before mixture weighting. Thresholds are a
+    1-row aggregate broadcast back; identical interpolation on both
+    engines makes the bucket boundaries bit-stable."""
+    from otus_clickhouse_spark.pipeline.text import bigram_nll
+
+    per_doc = bigram_nll(t(spark, sf_dir, "documents")).persist()
+    thr = per_doc.agg(
+        F.expr("percentile(avg_nll, 0.33)").alias("t33"),
+        F.expr("percentile(avg_nll, 0.67)").alias("t67"),
+    )
+    return (
+        per_doc.join(F.broadcast(thr))
+        .select(
+            F.when(F.col("avg_nll") <= F.col("t33"), "head")
+            .when(F.col("avg_nll") <= F.col("t67"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "avg_nll",
+            "n_bigrams",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        )
+    )

@@ -599,3 +599,21 @@ def test_budget_select_equals_global_greedy(spark):
     for budget in (0, 137, 2000, 10**9):
         got = {r.doc_id for r in budget_select(df, "quality", "n_tok", budget).collect()}
         assert got == greedy(budget), f"budget={budget}"
+
+
+def test_bigram_nll_scores_common_sequences_lower(spark):
+    from otus_clickhouse_spark.pipeline.text import bigram_nll
+
+    rows = (
+        [(i, "the cat sat on the mat") for i in range(5)]  # dominant pattern
+        + [(10, "the cat sat on the mat")]  # same → low NLL
+        # rare continuations of the COMMON word "the" → high conditional
+        # NLL (a rare word alone is perfectly self-predictive in an
+        # in-corpus LM, so it would NOT score high — the signal is an
+        # unusual successor to a frequent predecessor)
+        + [(11, "the zebra the quantum the flux")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_nll(df).collect()}
+    assert out[10].n_bigrams == 5
+    assert out[10].avg_nll < out[11].avg_nll

@@ -407,3 +407,38 @@ def bigram_nll(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for web-corpus dedup: lowercase scheme+host,
+    drop the scheme, a leading ``www.``, every query-string/fragment,
+    and any trailing slash. Pure regexp chain (codegen'd, no UDF) —
+    the same string on both engines, so URL-keyed dedup is
+    oracle-replayable.
+
+        https://WWW.Example.com/Path/?utm=x#f  →  example.com/Path
+    """
+    u = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")   # scheme
+    u = F.regexp_replace(u, r"[?#].*$", "")                          # query/fragment
+    # lowercase ONLY the host part (path stays case-sensitive)
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(u, r"^[^/]*(.*)$", 1), r"/+$", "")
+    return F.concat(host, path)
+
+
+def url_dedup_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-canonical-URL dup groups: (canon_url, keep_id, n_dups, domain).
+    One groupBy on the canonical string — at 100 TB, hash the canon URL
+    first (xxhash64) so the shuffle key is 8 bytes, exactly like
+    exact_dedup's digest; the string form here keeps the oracle
+    comparable."""
+    canon = canonical_url(F.col(url_col)).alias("canon_url")
+    return (
+        df.select(F.col(id_col), canon)
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .withColumn("domain", F.regexp_extract("canon_url", r"^([^/]*)", 1))
+    )

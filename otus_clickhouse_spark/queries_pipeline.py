@@ -1584,3 +1584,69 @@ def x37_perplexity_buckets(spark, sf_dir):
             F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+@query(
+    "x38_url_dedup",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END,
+                    source, '.example.com/Docs/', CAST(doc_id % 40 AS VARCHAR),
+                    CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=x&id=', CAST(doc_id AS VARCHAR)) ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               regexp_replace(lower(regexp_extract(u, '^([^/]*)', 1)), '^www\.', ''),
+               regexp_replace(regexp_extract(u, '^[^/]*(.*)$', 1), '/+$', '')
+             ) AS canon_url
+      FROM (SELECT doc_id,
+                   regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                                  '[?#].*$', '') AS u
+            FROM seeded)
+    ),
+    groups AS (
+      SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+             regexp_extract(canon_url, '^([^/]*)', 1) AS domain
+      FROM canon GROUP BY canon_url
+    )
+    SELECT domain, count(*) AS n_urls,
+           CAST(sum(n_dups) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_dups > 1 THEN n_dups - 1 ELSE 0 END) AS BIGINT) AS n_removable
+    FROM groups GROUP BY domain
+    """,
+)
+def x38_url_dedup(spark, sf_dir):
+    """Web-corpus URL dedup (beyond-reference §7): canonicalize seeded
+    URLs (scheme/www/query/fragment/trailing-slash variants of the same
+    page collapse — pipeline.text.canonical_url, pure regexp chain) and
+    count removable duplicates per domain. URLs are seeded
+    deterministically since the synthetic corpus has no URL column;
+    the variants exercise every normalization rule."""
+    from otus_clickhouse_spark.pipeline.text import url_dedup_stats
+
+    seeded = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, "https://WWW.").otherwise("http://"),
+            F.col("source"),
+            F.lit(".example.com/Docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("?utm_source=x&id="), F.col("doc_id").cast("string")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        ).alias("url"),
+    )
+    groups = url_dedup_stats(seeded)
+    return groups.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("n_dups").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_dups") > 1, F.col("n_dups") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

@@ -617,3 +617,22 @@ def test_bigram_nll_scores_common_sequences_lower(spark):
     out = {r.doc_id: r for r in bigram_nll(df).collect()}
     assert out[10].n_bigrams == 5
     assert out[10].avg_nll < out[11].avg_nll
+
+
+def test_canonical_url_rules(spark):
+    from otus_clickhouse_spark.pipeline.text import canonical_url
+
+    cases = [
+        ("https://WWW.Example.com/Path/?utm=x#frag", "example.com/Path"),
+        ("http://example.com/Path", "example.com/Path"),
+        ("example.com/Path/", "example.com/Path"),        # no scheme
+        ("https://sub.Example.COM/A/B?q=1", "sub.example.com/A/B"),
+        ("https://example.com/", "example.com"),
+        ("https://example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # the six inputs collapse to three canonical URLs
+    # (Path-page ×3, sub-host page, bare-host ×2)
+    assert len(set(got)) == 3

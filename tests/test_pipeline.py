@@ -636,3 +636,41 @@ def test_canonical_url_rules(spark):
     # the six inputs collapse to three canonical URLs
     # (Path-page ×3, sub-host page, bare-host ×2)
     assert len(set(got)) == 3
+
+
+def test_png_real_decode_roundtrip(spark):
+    """PNG decode is REAL (stdlib zlib + numpy filter reconstruction):
+    every filter type round-trips to identical pixel statistics, and a
+    PNG re-encoding of the same texture perceptually matches its PPM."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        _decode_png, _dhash_png, _dhash_ppm, make_png,
+    )
+
+    # identical texture through all five filter encodings → same stats
+    feats = [_decode_png(make_png(20, 14, seed=7, filter_type=f)) for f in range(5)]
+    assert all(f == feats[0] for f in feats[1:])
+    w, h, mean_lum, std_lum = feats[0]
+    assert (w, h) == (20.0, 14.0) and 0 < mean_lum < 255 and std_lum > 0
+
+    # cross-format perceptual parity: same pixels as PPM → same dHash
+    pix = np.random.default_rng(7).integers(0, 256, (14, 20, 3), dtype=np.uint8)
+    ppm = f"P6\n20 14\n255\n".encode() + pix.tobytes()
+    assert _dhash_png(make_png(20, 14, seed=7)) == _dhash_ppm(ppm)
+
+
+def test_png_flows_through_extract_and_phash(spark):
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_png, perceptual_hashes,
+    )
+
+    rows = [
+        (1, "image", "image/png", 16, 12, None, make_png(16, 12, seed=3, filter_type=4)),
+        (2, "image", "image/png", 16, 12, None, make_png(16, 12, seed=3, filter_type=1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats[1] == feats[2]  # same texture, different filters
+    hashes = {r.media_id: r.phash for r in perceptual_hashes(media).collect()}
+    assert hashes[1] == hashes[2]

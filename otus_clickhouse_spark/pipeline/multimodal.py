@@ -2,13 +2,15 @@
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 mapInPandas signatures) is real and tested. Decode is REAL for
-PPM (P6) images, PCM16 WAV audio (numpy alone), and 8-bit PNG —
-``_decode_png`` parses chunks, inflates with the stdlib ``zlib``, and
-reconstructs all five row filters (None/Sub/Up/Average/Paeth) in
-numpy; no external media library anywhere. Only the entropy-coded
-codecs remain STUBBED (JPEG/MP3/MP4 need PIL/torchaudio/ffmpeg on a
-real cluster; those payloads get a deterministic byte-stat feature so
-the pipeline shape is still exercised end-to-end).
+PPM (P6) images, PCM16 WAV audio (numpy alone), 8-bit PNG
+(``_decode_png``: chunk parse, stdlib-``zlib`` inflate, numpy
+reconstruction of all five row filters), and baseline JPEG
+(:mod:`otus_clickhouse_spark.pipeline.jpeg`: pure-numpy Huffman
+entropy decode + dequant + IDCT, 4:4:4, validated by an encode/decode
+round trip) — no external media library anywhere. Only the
+audio/video codecs remain STUBBED (MP3/MP4 need torchaudio/ffmpeg on
+a real cluster; those payloads get a deterministic byte-stat feature
+so the pipeline shape is still exercised end-to-end).
 
 Scale design: media bytes ride in the same rows as metadata so a single
 scan serves both; feature extraction is ``mapInPandas`` (Arrow-batched,
@@ -134,10 +136,11 @@ def _decode_wav(data: bytes) -> list[float]:
 
 
 def _decode_bytes(kind: str, data: bytes) -> list[float]:
-    """Dispatch on the container's magic bytes: uncompressed formats are
-    decoded for real; compressed codecs fall back to a deterministic
-    byte-stat feature (the documented stub — swap in PIL/torchaudio/
-    ffmpeg on a cluster that has them)."""
+    """Dispatch on the container's magic bytes: PPM/WAV/PNG/baseline-JPEG
+    decode for real (numpy + stdlib only); remaining codecs (MP3/MP4,
+    progressive JPEG) fall back to a deterministic byte-stat feature
+    (the documented stub — swap in torchaudio/ffmpeg on a cluster that
+    has them)."""
     if data is None:
         raise NotImplementedError("media decode requires image/audio libs not in this container")
     if data[:2] == b"P6":
@@ -146,6 +149,11 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
         return _decode_wav(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)  # REAL: stdlib zlib + numpy filters
+    if data[:2] == b"\xFF\xD8":
+        try:
+            return _decode_jpeg_feature(data)  # REAL: pure-numpy baseline JFIF
+        except ValueError:
+            pass  # progressive/subsampled variants → byte-stat fallback below
     # compressed codec stub: 4-dim byte-stat stand-in for an embedding
     n = len(data)
     s = sum(data[:64])
@@ -260,6 +268,9 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     ids.append(mid)
                     hashes.append(_dhash_png(b))
+                elif b[:2] == b"\xFF\xD8":
+                    ids.append(mid)
+                    hashes.append(_dhash_jpeg(b))
             yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
                                 "phash": pd.Series(hashes, dtype="int64")})
 
@@ -571,4 +582,24 @@ def _dhash_png(data: bytes, size: int = 8) -> int:
         lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
     else:
         lum = pix[..., 0].astype("float64")
+    return _dhash_from_lum(lum, size)
+
+
+def _decode_jpeg_feature(data: bytes) -> list[float]:
+    """REAL baseline-JPEG decode (pipeline.jpeg, pure numpy) → the
+    shared [width, height, mean_lum, std_lum] image feature."""
+    from otus_clickhouse_spark.pipeline.jpeg import decode_jpeg
+
+    pix = decode_jpeg(data)
+    h, w = pix.shape[:2]
+    lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
+    return [float(w), float(h), float(lum.mean()), float(lum.std())]
+
+
+def _dhash_jpeg(data: bytes, size: int = 8) -> int:
+    """Perceptual difference-hash of a baseline JPEG (REAL decode)."""
+    from otus_clickhouse_spark.pipeline.jpeg import decode_jpeg
+
+    pix = decode_jpeg(data)
+    lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
     return _dhash_from_lum(lum, size)

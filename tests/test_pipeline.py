@@ -674,3 +674,59 @@ def test_png_flows_through_extract_and_phash(spark):
     assert feats[1] == feats[2]  # same texture, different filters
     hashes = {r.media_id: r.phash for r in perceptual_hashes(media).collect()}
     assert hashes[1] == hashes[2]
+
+
+def test_jpeg_real_codec_roundtrip(spark):
+    """Baseline JPEG encode→decode in pure numpy: the round trip must
+    preserve the image within JPEG quantization error (PSNR > 30 dB)
+    and flag restart on unsupported (progressive) streams."""
+    import numpy as np
+    import pytest as _pytest
+
+    from otus_clickhouse_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    pix = np.stack([
+        (xx * 255 // (w - 1)).astype(np.uint8),
+        (yy * 255 // (h - 1)).astype(np.uint8),
+        ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8),
+    ], axis=-1)
+    data = encode_jpeg(pix)
+    assert data[:2] == b"\xFF\xD8" and data[-2:] == b"\xFF\xD9"
+    out = decode_jpeg(data)
+    assert out.shape == (h, w, 3)
+    mse = float(np.mean((out.astype(np.float64) - pix.astype(np.float64)) ** 2))
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 30.0
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xFF\xD8\xFF\xC2\x00\x04\x00\x00")  # progressive SOF2
+
+
+def test_jpeg_flows_through_extract_and_phash(spark):
+    """JPEG payloads decode inside the Arrow worker and perceptually
+    match the lossless PPM of the same pixels (small Hamming distance —
+    quantization noise must not flip many dHash bits)."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.jpeg import encode_jpeg
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, _dhash_ppm, extract_features, perceptual_hashes,
+    )
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    pix = np.stack([
+        (xx * 255 // (w - 1)).astype(np.uint8),
+        (yy * 255 // (h - 1)).astype(np.uint8),
+        (np.random.default_rng(5).integers(0, 64, (h, w)) + 96).astype(np.uint8),
+    ], axis=-1)
+    jpg = encode_jpeg(pix)
+    rows = [(1, "image", "image/jpeg", w, h, None, jpg)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert feats[0].feature[0] == float(w) and feats[0].feature[1] == float(h)
+    ph = perceptual_hashes(media).collect()[0].phash
+    ppm = f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+    ham = bin((ph ^ _dhash_ppm(ppm)) & (2**64 - 1)).count("1")
+    assert ham <= 6

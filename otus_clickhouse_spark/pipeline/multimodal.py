@@ -400,8 +400,14 @@ def make_textured_ppm(width: int, height: int, seed: int = 0) -> bytes:
 def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFrame:
     """Deterministic media table seeded with known duplicates: every odd
     image is a one-byte-perturbed copy of the previous even image
-    (near-dup under dHash); the first two audio rows are the same tone
-    (exact fingerprint dup). Drives the media-dedup registry query."""
+    (near-dup under dHash); one JPEG pair (same texture, one pixel
+    nudged, re-encoded — exercises the real baseline-JPEG decode under
+    the harness); the first two audio rows are the same tone (exact
+    fingerprint dup). Drives the media-dedup registry query."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.jpeg import encode_jpeg
+
     rows = []
     for i in range(n_images):
         if i % 2 == 0:
@@ -411,6 +417,11 @@ def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFram
             prev[-1] = (prev[-1] + 3) % 256
             data = bytes(prev)
         rows.append((i, "image", "image/x-portable-pixmap", 24, 18, None, data))
+    pix = np.random.default_rng(77).integers(0, 256, (18, 24, 3), dtype=np.uint8)
+    rows.append((50, "image", "image/jpeg", 24, 18, None, encode_jpeg(pix)))
+    pix2 = pix.copy()
+    pix2[0, 0, 2] = (int(pix2[0, 0, 2]) + 3) % 256
+    rows.append((51, "image", "image/jpeg", 24, 18, None, encode_jpeg(pix2)))
     for j in range(n_audio):
         freq = 440.0 if j < 2 else 440.0 + 97.0 * j
         rows.append(

@@ -1,8 +1,8 @@
 """Baseline JPEG codec in pure numpy (no PIL/libjpeg anywhere).
 
 Implements the subset of ISO/IEC 10918-1 (baseline sequential DCT,
-8-bit, 4:4:4 sampling, standard Annex-K quantization and Huffman
-tables) needed to decode — and, for tests, encode — real JFIF images
+8-bit, sampling factors up to 2 — 4:4:4 / 4:2:0 / 4:2:2, standard
+Annex-K quantization and Huffman tables) needed to decode — and, for tests, encode — real JFIF images
 inside the multimodal pipeline's Arrow decode workers. Everything here
 derives from the public JPEG specification.
 
@@ -195,68 +195,105 @@ def _magnitude(v):
 
 
 # ------------------------------------------------------------------ encode
-def encode_jpeg(pix: "np.ndarray") -> bytes:
-    """Baseline JFIF encode of an (h, w, 3) uint8 RGB array — 4:4:4,
-    Annex-K tables. Pure numpy; exists to give the decoder a real
-    round-trip test partner."""
+def _encode_block(bw, block, qt, dc_codes, ac_codes, pred):
+    """DCT → quantize → entropy-code one 8×8 block; returns new DC pred."""
+    import numpy as np
+
+    coef = _dct2(block)
+    qf = coef.flatten()[ZIGZAG] / qt[ZIGZAG].astype(np.float64).reshape(-1)
+    zz = np.round(qf).astype(np.int32)
+    diff = int(zz[0]) - pred
+    size, code = _magnitude(diff) if diff else (0, 0)
+    hc, hl = dc_codes[size]
+    bw.write(hc, hl)
+    if size:
+        bw.write(code, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]
+            bw.write(hc, hl)
+            run -= 16
+        size, code = _magnitude(v)
+        hc, hl = ac_codes[(run << 4) | size]
+        bw.write(hc, hl)
+        bw.write(code, size)
+        run = 0
+    if run:
+        hc, hl = ac_codes[0x00]  # EOB
+        bw.write(hc, hl)
+    return int(zz[0])
+
+
+def _pad_block(plane, ys, xs):
+    """8×8 block at (ys, xs), edge-replicated past the plane border."""
+    import numpy as np
+
+    h, w = plane.shape
+    block = np.zeros((8, 8))
+    yh, xw = max(0, min(8, h - ys)), max(0, min(8, w - xs))
+    block[:yh, :xw] = plane[ys:ys + yh, xs:xs + xw]
+    if 0 < yh < 8:
+        block[yh:, :] = block[yh - 1, :]
+    if 0 < xw < 8:
+        block[:, xw:] = block[:, xw - 1:xw]
+    return block
+
+
+def encode_jpeg(pix: "np.ndarray", subsample: bool = False) -> bytes:
+    """Baseline JFIF encode of an (h, w, 3) uint8 RGB array with the
+    Annex-K tables — 4:4:4 by default, 4:2:0 with ``subsample=True``
+    (2×2 luma blocks per MCU, chroma averaged 2×2). Pure numpy; exists
+    to give the decoder a real round-trip test partner."""
     h, w, _ = pix.shape
     r, g, b = (pix[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsample:
+        # pad to even dims, then 2×2 block means
+        he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        def half(p):
+            q = np.empty((he, we))
+            q[:h, :w] = p
+            if he > h:
+                q[h:, :w] = p[h - 1, :]
+            if we > w:
+                q[:h, w:] = p[:, w - 1:w]
+            if he > h and we > w:
+                q[h:, w:] = p[h - 1, w - 1]
+            return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
+        cb, cr = half(cb), half(cr)
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
     planes = [y, cb, cr]
     qts = [QT_LUM, QT_CHR, QT_CHR]
-    dc_specs = [HT_DC_LUM, HT_DC_CHR, HT_DC_CHR]
-    ac_specs = [HT_AC_LUM, HT_AC_CHR, HT_AC_CHR]
-    dc_codes = [_build_huffman(*s) for s in dc_specs]
-    ac_codes = [_build_huffman(*s) for s in ac_specs]
+    dc_codes = [_build_huffman(*s) for s in (HT_DC_LUM, HT_DC_CHR, HT_DC_CHR)]
+    ac_codes = [_build_huffman(*s) for s in (HT_AC_LUM, HT_AC_CHR, HT_AC_CHR)]
 
+    hmax = max(sx for sx, _ in samp)
+    vmax = max(sy for _, sy in samp)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     bw = _BitWriter()
     pred = [0, 0, 0]
-    mcu_h, mcu_w = (h + 7) // 8, (w + 7) // 8
-    for by in range(mcu_h):
-        for bx in range(mcu_w):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for c in range(3):
-                plane = planes[c]
-                block = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                yh, xw = min(8, h - ys), min(8, w - xs)
-                block[:yh, :xw] = plane[ys:ys + yh, xs:xs + xw]
-                if yh < 8:
-                    block[yh:, :] = block[yh - 1, :]
-                if xw < 8:
-                    block[:, xw:] = block[:, xw - 1:xw]
-                coef = _dct2(block) * 8 / 8  # orthonormal matches spec scaling*? see note
-                # spec DCT scale: orthonormal _dct2 already matches the
-                # standard 8x8 DCT-II up to the same factor the IDCT
-                # inverts, so quantization operates consistently.
-                qf = coef.flatten()[ZIGZAG] / qts[c][ZIGZAG].astype(np.float64).reshape(-1)
-                zz = np.round(qf).astype(np.int32)
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                size, code = _magnitude(diff) if diff else (0, 0)
-                hc, hl = dc_codes[c][size]
-                bw.write(hc, hl)
-                if size:
-                    bw.write(code, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_codes[c][0xF0]
-                        bw.write(hc, hl)
-                        run -= 16
-                    size, code = _magnitude(v)
-                    hc, hl = ac_codes[c][(run << 4) | size]
-                    bw.write(hc, hl)
-                    bw.write(code, size)
-                    run = 0
-                if run:
-                    hc, hl = ac_codes[c][0x00]  # EOB
-                    bw.write(hc, hl)
+                sx, sy = samp[c]
+                for v in range(sy):
+                    for u in range(sx):
+                        ys = (my * sy + v) * 8
+                        xs = (mx * sx + u) * 8
+                        block = _pad_block(planes[c], ys, xs)
+                        pred[c] = _encode_block(
+                            bw, block, qts[c], dc_codes[c], ac_codes[c], pred[c]
+                        )
     bw.flush()
 
     out = bytearray(b"\xFF\xD8")  # SOI
@@ -265,8 +302,8 @@ def encode_jpeg(pix: "np.ndarray") -> bytes:
     for tid, qt in ((0, QT_LUM), (1, QT_CHR)):
         seg(b"\xFF\xDB", bytes([tid]) + bytes(int(qt[z]) for z in ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # 4:4:4
+    for cid, (sx, sy), tq in ((1, samp[0], 0), (2, samp[1], 1), (3, samp[2], 1)):
+        sof += bytes([cid, (sx << 4) | sy, tq])
     seg(b"\xFF\xC0", sof)
     for tc_th, (bits, vals) in ((0x00, HT_DC_LUM), (0x01, HT_DC_CHR),
                                 (0x10, HT_AC_LUM), (0x11, HT_AC_CHR)):
@@ -281,13 +318,14 @@ def encode_jpeg(pix: "np.ndarray") -> bytes:
 # ------------------------------------------------------------------ decode
 def decode_jpeg(data: bytes) -> "np.ndarray":
     """Baseline JFIF decode to an (h, w, 3) uint8 RGB array. Supports
-    8-bit baseline sequential, 4:4:4 or single-component, tables as
-    carried in the stream (not only Annex K). Raises ValueError on
-    progressive/subsampled streams."""
+    8-bit baseline sequential with sampling factors up to 2 (4:4:4,
+    4:2:0, 4:2:2 in either orientation) or single-component, with the
+    tables carried in the stream (not only Annex K). Raises ValueError
+    on progressive streams."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    qtabs: dict[int, np.ndarray] = {}
+    qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[int, dict] = {}
     comps = []
     h = w = None
@@ -316,9 +354,10 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
             b = 6
             for _ in range(nc):
                 cid, hv, tq = body[b], body[b + 1], body[b + 2]
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                sx, sy = hv >> 4, hv & 0xF
+                if sx > 2 or sy > 2 or sx < 1 or sy < 1:
+                    raise ValueError("sampling factors above 2 unsupported")
+                comps.append({"id": cid, "tq": tq, "sx": sx, "sy": sy})
                 b += 3
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential JPEG supported")
@@ -348,45 +387,61 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     if h is None or scan_data is None:
         raise ValueError("JPEG missing SOF0/SOS")
 
+    hmax = max(c["sx"] for c in comps)
+    vmax = max(c["sy"] for c in comps)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     br = _BitReader(scan_data)
     nc = len(comps)
-    planes = [np.zeros(((h + 7) // 8 * 8, (w + 7) // 8 * 8)) for _ in range(nc)]
+    planes = [
+        np.zeros((mcus_y * c["sy"] * 8, mcus_x * c["sx"] * 8)) for c in comps
+    ]
     pred = [0] * nc
     by_id = {c["id"]: i for i, c in enumerate(comps)}
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for sc in scan_comps:
                 ci = by_id[sc["id"]]
+                comp = comps[ci]
                 dc_tab = htabs[0x00 | sc["dc"]]
                 ac_tab = htabs[0x10 | sc["ac"]]
-                zz = np.zeros(64, dtype=np.int32)
-                size = br.read_symbol(dc_tab)
-                diff = _extend(br.read(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 0xF
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = np.zeros(64)
-                coef[ZIGZAG] = zz * qtabs[comps[ci]["tq"]][ZIGZAG]
-                block = _idct2(coef.reshape(8, 8))
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                for v in range(comp["sy"]):
+                    for u in range(comp["sx"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = br.read_symbol(dc_tab)
+                        diff = _extend(br.read(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz * qtabs[comp["tq"]][ZIGZAG]
+                        block = _idct2(coef.reshape(8, 8))
+                        ys = (my * comp["sy"] + v) * 8
+                        xs = (mx * comp["sx"] + u) * 8
+                        planes[ci][ys:ys + 8, xs:xs + 8] = block
+    # upsample each component to full resolution, crop
+    full = []
+    for i, c in enumerate(comps):
+        p = np.repeat(np.repeat(planes[i], vmax // c["sy"], axis=0),
+                      hmax // c["sx"], axis=1)
+        full.append(p[:h, :w])
     if nc == 1:
-        gray = np.clip(planes[0] + 128.0, 0, 255).astype(np.uint8)
+        gray = np.clip(full[0] + 128.0, 0, 255).astype(np.uint8)
         return np.stack([gray] * 3, axis=-1)
-    y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+    y, cb, cr = full[0] + 128.0, full[1], full[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

@@ -692,13 +692,19 @@ def test_jpeg_real_codec_roundtrip(spark):
         (yy * 255 // (h - 1)).astype(np.uint8),
         ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8),
     ], axis=-1)
+    def psnr_of(data):
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        mse = float(np.mean((out.astype(np.float64) - pix.astype(np.float64)) ** 2))
+        return 10 * np.log10(255**2 / mse)
+
     data = encode_jpeg(pix)
     assert data[:2] == b"\xFF\xD8" and data[-2:] == b"\xFF\xD9"
-    out = decode_jpeg(data)
-    assert out.shape == (h, w, 3)
-    mse = float(np.mean((out.astype(np.float64) - pix.astype(np.float64)) ** 2))
-    psnr = 10 * np.log10(255**2 / mse)
-    assert psnr > 30.0
+    assert psnr_of(data) > 30.0
+    # 4:2:0 chroma subsampling (the common real-world layout): same
+    # decoder handles the 2x2-luma MCU interleave; chroma halving costs
+    # a few dB on a synthetic gradient
+    assert psnr_of(encode_jpeg(pix, subsample=True)) > 28.0
     with _pytest.raises(ValueError):
         decode_jpeg(b"\xFF\xD8\xFF\xC2\x00\x04\x00\x00")  # progressive SOF2
 

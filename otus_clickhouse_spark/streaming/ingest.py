@@ -128,6 +128,12 @@ def attach_neardup_verify(
     — output rows are (a=incoming id, b=corpus id, jaccard ≥ threshold).
     The corpus shingle relation and bucket table are computed once and
     persisted across batches.
+
+    Exactly-once sink: foreachBatch is at-least-once (a batch replays
+    after a failure), so the write is made idempotent by partitioning
+    the landing on the epoch id with DYNAMIC partition overwrite — a
+    replayed epoch replaces its own partition instead of appending a
+    duplicate copy.
     """
     corpus_sh = shingles(corpus, text_col, id_col, n=n).persist()
     corpus_sizes = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).persist()
@@ -148,7 +154,13 @@ def attach_neardup_verify(
         sh = batch_sh.unionByName(corpus_sh)
         sizes = batch_sizes.unionByName(corpus_sizes)
         out = jaccard_verify(cand, sh, id_col=id_col, threshold=threshold, sizes=sizes)
-        out.write.mode("append").parquet(path)
+        (
+            out.withColumn("_epoch", F.lit(int(_epoch)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -122,3 +122,24 @@ def test_jdbc_roundtrip_via_derby(spark, tmp_path):
     )
     assert back.count() == 20
     assert back.where("name = 'n7'").collect()[0].id == 7
+
+
+def test_file_table_reads_gzip_transparently(spark, tmp_path):
+    """ClickHouse file() auto-detects compression from the extension
+    (file('x.csv.gz', CSV)); Spark's Hadoop codecs give the same
+    behavior for .gz — pin it so the surface stays covered."""
+    import gzip
+
+    from otus_clickhouse_spark.sources.readers import file_table
+
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    rows = sorted(map(tuple, file_table(spark, str(p), "CSVWithNames").collect()))
+    assert rows == [(1, "x"), (2, "y")]
+
+    j = tmp_path / "rows.jsonl.gz"
+    with gzip.open(j, "wt") as f:
+        f.write('{"k": 1}\n{"k": 2}\n')
+    got = sorted(r.k for r in file_table(spark, str(j), "JSONEachRow").collect())
+    assert got == [1, 2]

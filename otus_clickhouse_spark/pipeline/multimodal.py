@@ -7,10 +7,11 @@ PPM (P6) images, PCM16 WAV audio (numpy alone), 8-bit PNG
 reconstruction of all five row filters), and baseline JPEG
 (:mod:`otus_clickhouse_spark.pipeline.jpeg`: pure-numpy Huffman
 entropy decode + dequant + IDCT, 4:4:4, validated by an encode/decode
-round trip) — no external media library anywhere. Only the
-audio/video codecs remain STUBBED (MP3/MP4 need torchaudio/ffmpeg on
-a real cluster; those payloads get a deterministic byte-stat feature
-so the pipeline shape is still exercised end-to-end).
+round trip), and GIF (``_decode_gif``: pure-python LZW) — no external
+media library anywhere. Only the audio/video codecs remain STUBBED
+(MP3/MP4 need torchaudio/ffmpeg on a real cluster; those payloads get
+a deterministic byte-stat feature so the pipeline shape is still
+exercised end-to-end).
 
 Scale design: media bytes ride in the same rows as metadata so a single
 scan serves both; feature extraction is ``mapInPandas`` (Arrow-batched,
@@ -153,7 +154,12 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
         try:
             return _decode_jpeg_feature(data)  # REAL: pure-numpy baseline JFIF
         except ValueError:
-            pass  # progressive/subsampled variants → byte-stat fallback below
+            pass  # progressive variants → byte-stat fallback below
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(data)  # REAL: pure-python LZW
+        except ValueError:
+            pass  # interlaced → byte-stat fallback below
     # compressed codec stub: 4-dim byte-stat stand-in for an embedding
     n = len(data)
     s = sum(data[:64])
@@ -614,3 +620,140 @@ def _dhash_jpeg(data: bytes, size: int = 8) -> int:
     pix = decode_jpeg(data)
     lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
     return _dhash_from_lum(lum, size)
+
+
+def _decode_gif(data: bytes) -> list[float]:
+    """REAL GIF decode (pure python LZW + numpy): first frame of an
+    87a/89a stream with a global color table → the shared
+    [width, height, mean_lum, std_lum] feature. Interlaced frames are
+    rejected (ValueError) and fall through to the byte-stat stub."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w_screen = int.from_bytes(data[6:8], "little")
+    h_screen = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        w = int.from_bytes(data[pos + 5:pos + 7], "little")
+        h = int.from_bytes(data[pos + 7:pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        # --- LZW decode (LSB-first bit packing) ---
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dict_init = [(i,) for i in range(clear)] + [None, None]
+        table = list(dict_init)
+        out: list[int] = []
+        acc = nbits = 0
+        prev = None
+        for byte in stream:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = list(dict_init)
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    acc = nbits = 0
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table) and table[code] is not None:
+                    entry = table[code]
+                    table.append(table[prev] + (entry[0],))
+                else:  # KwKwK case
+                    entry = table[prev] + (table[prev][0],)
+                    table.append(entry)
+                out.extend(entry)
+                prev = code
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        if palette is None:
+            raise ValueError("GIF without color table")
+        idx = np.array(out[: w * h], dtype=np.int32).reshape(h, w)
+        pix = palette[idx]
+        lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
+        return [float(w), float(h), float(lum.mean()), float(lum.std())]
+    raise ValueError("GIF contains no image block")
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """A real GIF89a (grayscale 256-entry palette, seeded texture). The
+    LZW stream uses the all-literals-with-periodic-CLEAR encoding — a
+    valid stream any decoder accepts, without implementing compression."""
+    import numpy as np
+
+    idx = np.random.default_rng(seed).integers(0, 256, (height, width), dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])  # grayscale palette
+    out += b"\x2C" + b"\x00\x00\x00\x00"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little") + b"\x00"
+    min_code = 8
+    clear, end = 256, 257
+    out += bytes([min_code])
+    # pack 9-bit codes LSB-first: CLEAR, ≤200 literals, repeat, END
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for i, px in enumerate(idx.flatten()):
+        if i and i % 200 == 0:
+            put(clear)
+        put(int(px))
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -736,3 +736,28 @@ def test_jpeg_flows_through_extract_and_phash(spark):
     ppm = f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
     ham = bin((ph ^ _dhash_ppm(ppm)) & (2**64 - 1)).count("1")
     assert ham <= 6
+
+
+def test_gif_real_decode(spark):
+    """GIF LZW decode is REAL and exact: the grayscale-palette test GIF
+    decodes to bit-identical luminance statistics, and GIF payloads flow
+    through the Arrow feature extractor."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, _decode_gif, extract_features, make_gif,
+    )
+
+    data = make_gif(20, 14, seed=5)
+    w, h, mean, std = _decode_gif(data)
+    idx = np.random.default_rng(5).integers(0, 256, (14, 20), dtype=np.uint8)
+    lum = idx.astype(np.float64)  # grayscale palette → lum == index
+    assert (w, h) == (20.0, 14.0)
+    assert abs(mean - lum.mean()) < 1e-6 and abs(std - lum.std()) < 1e-6
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/gif", 20, 14, None, data)], MEDIA_SCHEMA
+    )
+    feat = extract_features(media).collect()[0].feature
+    assert feat[0] == 20.0 and feat[1] == 14.0
+    assert abs(feat[2] - lum.mean()) < 1e-3

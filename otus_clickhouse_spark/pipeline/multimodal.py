@@ -7,10 +7,13 @@ PPM (P6) images, PCM16 WAV audio (numpy alone), 8-bit PNG
 reconstruction of all five row filters), and baseline JPEG
 (:mod:`otus_clickhouse_spark.pipeline.jpeg`: pure-numpy Huffman
 entropy decode + dequant + IDCT, 4:4:4, validated by an encode/decode
-round trip), and GIF (``_decode_gif``: pure-python LZW) — no external
-media library anywhere. Only the audio/video codecs remain STUBBED
-(MP3/MP4 need torchaudio/ffmpeg on a real cluster; those payloads get
-a deterministic byte-stat feature so the pipeline shape is still
+round trip), GIF (``_decode_gif``: pure-python LZW), and the MP4
+container (``probe_mp4``: real ISO-BMFF box walking for duration and
+track layout — the ffprobe-metadata role; the codec payload stays
+opaque) — no external media library anywhere. Only the audio/video
+CODEC work itself remains STUBBED (MP3 / MP4-payload decode need
+torchaudio/ffmpeg on a real cluster; those payloads get a
+deterministic byte-stat feature so the pipeline shape is still
 exercised end-to-end).
 
 Scale design: media bytes ride in the same rows as metadata so a single
@@ -160,6 +163,19 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
             return _decode_gif(data)  # REAL: pure-python LZW
         except ValueError:
             pass  # interlaced → byte-stat fallback below
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        try:
+            # REAL container probe (no codec): duration/track layout
+            info = probe_mp4(data)
+            kinds = info["track_kinds"]
+            return [
+                float(info["duration_ms"]),
+                float(info["n_tracks"]),
+                float(kinds.count("video")),
+                float(kinds.count("audio")),
+            ]
+        except ValueError:
+            pass
     # compressed codec stub: 4-dim byte-stat stand-in for an embedding
     n = len(data)
     s = sum(data[:64])
@@ -757,3 +773,86 @@ def make_gif(width: int, height: int, seed: int = 0) -> bytes:
         out += bytes([len(chunk)]) + bytes(chunk)
     out += b"\x00\x3B"
     return bytes(out)
+
+
+def probe_mp4(data: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container probe (pure python box parsing —
+    the ffprobe-metadata role): walks the box tree to mvhd (movie
+    duration/timescale) and per-track tkhd/hdlr. No codec work — the
+    mdat payload stays opaque — but duration and track layout are what
+    the frame-sampling planner needs, and they come from the real
+    container structure, not the metadata column.
+
+    Returns {duration_ms, n_tracks, track_kinds}."""
+    import struct
+
+    def walk(buf, start, end, depth=0):
+        boxes = []
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack(">I", buf[pos:pos + 4])[0]
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box")
+            boxes.append((btype, pos + hdr, pos + size))
+            pos += size
+        return boxes
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 file")
+    top = walk(data, 0, len(data))
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    duration_ms = None
+    track_kinds = []
+    for btype, s, e in walk(data, *moov):
+        if btype == b"mvhd":
+            ver = data[s]
+            if ver == 1:
+                timescale = int.from_bytes(data[s + 20:s + 24], "big")
+                duration = int.from_bytes(data[s + 24:s + 32], "big")
+            else:
+                timescale = int.from_bytes(data[s + 12:s + 16], "big")
+                duration = int.from_bytes(data[s + 16:s + 20], "big")
+            duration_ms = int(duration * 1000 / max(timescale, 1))
+        elif btype == b"trak":
+            kind = "unknown"
+            for bt2, s2, e2 in walk(data, s, e):
+                if bt2 == b"mdia":
+                    for bt3, s3, e3 in walk(data, s2, e2):
+                        if bt3 == b"hdlr":
+                            handler = data[s3 + 8:s3 + 12]
+                            kind = {b"vide": "video", b"soun": "audio"}.get(handler, "other")
+            track_kinds.append(kind)
+    if duration_ms is None:
+        raise ValueError("MP4 missing mvhd")
+    return {"duration_ms": duration_ms, "n_tracks": len(track_kinds),
+            "track_kinds": track_kinds}
+
+
+def make_mp4(duration_ms: int = 2000, tracks: tuple = ("video", "audio")) -> bytes:
+    """A minimal structurally-valid MP4: ftyp + moov{mvhd, trak{mdia{
+    hdlr}}…} + empty mdat. Enough container for :func:`probe_mp4` to
+    exercise real box walking (the codec payload is empty by design)."""
+    import struct
+
+    def box(btype, payload=b""):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    timescale = 1000
+    mvhd = bytes(12) + struct.pack(">II", timescale, duration_ms) + bytes(80)
+    traks = b""
+    for kind in tracks:
+        handler = {"video": b"vide", "audio": b"soun"}.get(kind, b"meta")
+        hdlr = bytes(8) + handler + bytes(12)
+        mdia = box(b"mdia", box(b"hdlr", hdlr))
+        traks += box(b"trak", mdia)
+    moov = box(b"moov", box(b"mvhd", mvhd) + traks)
+    return box(b"ftyp", b"isom\x00\x00\x00\x01isom") + moov + box(b"mdat")

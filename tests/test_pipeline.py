@@ -761,3 +761,23 @@ def test_gif_real_decode(spark):
     feat = extract_features(media).collect()[0].feature
     assert feat[0] == 20.0 and feat[1] == 14.0
     assert abs(feat[2] - lum.mean()) < 1e-3
+
+
+def test_mp4_container_probe(spark):
+    """MP4 metadata comes from REAL box walking (ftyp/moov/mvhd/trak/
+    hdlr), not from the metadata columns; the frame-sample planner can
+    therefore be driven by payload truth."""
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_mp4, probe_mp4,
+    )
+
+    d = make_mp4(3500, ("video", "audio"))
+    info = probe_mp4(d)
+    assert info == {"duration_ms": 3500, "n_tracks": 2,
+                    "track_kinds": ["video", "audio"]}
+
+    media = spark.createDataFrame(
+        [(1, "video", "video/mp4", None, None, 3500, d)], MEDIA_SCHEMA
+    )
+    feat = extract_features(media).collect()[0].feature
+    assert feat == [3500.0, 2.0, 1.0, 1.0]  # dur, tracks, video, audio

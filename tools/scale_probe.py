@@ -237,6 +237,27 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         .collect(),
         n_fact,
     )
+
+    # the one designed Python boundary: Arrow-batched media decode.
+    # Real PPM decodes across all partitions — the number to watch is
+    # docs/s staying linear as the media table grows (partition-local,
+    # no shuffle, so it must).
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_textured_ppm,
+    )
+
+    n_media = max(n_docs // 10, 1000)
+    payload = [make_textured_ppm(32, 24, seed=s) for s in range(16)]
+    media = spark.createDataFrame(
+        [(i, "image", "image/x-portable-pixmap", 32, 24, None, payload[i % 16])
+         for i in range(n_media)],
+        MEDIA_SCHEMA,
+    ).repartition(32)
+    timed(
+        "media_decode",
+        lambda: extract_features(media).agg(F.count(F.lit(1))).collect(),
+        n_media,
+    )
     return out
 
 

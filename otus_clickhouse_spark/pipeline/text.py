@@ -442,3 +442,82 @@ def url_dedup_stats(
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .withColumn("domain", F.regexp_extract("canon_url", r"^([^/]*)", 1))
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merge rules over the corpus (Sennrich et
+    al. 2016): repeatedly count adjacent symbol pairs (weighted by word
+    frequency) and merge the most frequent one. Returns one row per
+    merge: (rank, left, right, pair_count), ties broken (count desc,
+    left, right) so the trajectory is deterministic and SQL-replayable.
+
+    Scale shape: the corpus is reduced ONCE to the word-frequency table
+    (vocabulary-sized — this is why BPE training scales: 100 TB of text
+    is a few million word types); every merge round then runs on that
+    small relation — pair explode + one aggregation — with the winning
+    pair broadcast back for the literal-replace merge application.
+    localCheckpoint per round keeps the plan from growing with the
+    merge count, exactly like the k-means training loop.
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word", "cnt", F.concat_ws(" ", F.split(F.col("word"), "")).alias("sym")
+        )
+        .localCheckpoint()
+    )
+    cur = words
+    out = None
+    for r in range(n_merges):
+        syms = F.split(F.col("sym"), " ")
+        pairs = (
+            cur.where(F.size(syms) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("l"),
+                            F.element_at(syms, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(r).alias("rank"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        out = top if out is None else out.unionByName(top)
+        merge = top.select(F.col("left").alias("__l"), F.col("right").alias("__r"))
+        cur = (
+            cur.crossJoin(F.broadcast(merge))
+            .select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("sym"),
+                    F.concat_ws(" ", "__l", "__r"),
+                    F.concat("__l", "__r"),
+                ).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    return out

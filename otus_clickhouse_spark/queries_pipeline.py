@@ -1650,3 +1650,58 @@ def x38_url_dedup(spark, sf_dir):
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE-training replay: K rounds of pair-count → argmax →
+    literal replace, identical tie-break (count desc, left, right)."""
+    parts = [
+        r"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt,
+             array_to_string(regexp_split_to_array(word, ''), ' ') AS sym
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      GROUP BY word
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r2, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, string_split(sym, ' ') AS syms,
+                   unnest(generate_series(1, len(string_split(sym, ' ')) - 1)) AS i
+            FROM w{r} WHERE len(string_split(sym, ' ')) >= 2)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT {r} AS rank, l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
+    w{r + 1} AS (
+      SELECT word, cnt,
+             replace(sym, (SELECT l || ' ' || r2 FROM b{r}),
+                          (SELECT l || r2 FROM b{r})) AS sym
+      FROM w{r}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT rank, l AS left, r2 AS right, c AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@query("x39_bpe_training", oracle=_bpe_oracle(6))
+def x39_bpe_training(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016) on Spark:
+    pipeline.text.bpe_merges — the corpus reduces once to the
+    vocabulary-sized word-frequency table, then each merge round is a
+    pair explode + aggregation on that small relation with the winner
+    broadcast back. The full 6-merge trajectory value-matches an
+    unrolled SQL replay (deterministic tie-break)."""
+    from otus_clickhouse_spark.pipeline.text import bpe_merges
+
+    return bpe_merges(t(spark, sf_dir, "documents"), n_merges=6)

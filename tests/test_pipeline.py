@@ -781,3 +781,18 @@ def test_mp4_container_probe(spark):
     )
     feat = extract_features(media).collect()[0].feature
     assert feat == [3500.0, 2.0, 1.0, 1.0]  # dur, tracks, video, audio
+
+
+def test_bpe_merges_learns_frequent_pairs(spark):
+    from otus_clickhouse_spark.pipeline.text import bpe_merges
+
+    # 'ab' appears in every word of a skewed corpus → first merge = (a, b)
+    rows = [(i, "abba abab cabab dab") for i in range(3)] + [(10, "zzzz xyxy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_merges(df, n_merges=3).orderBy("rank").collect()
+    assert len(merges) == 3
+    assert (merges[0].left, merges[0].right) == ("a", "b")
+    assert merges[0].pair_count >= merges[1].pair_count  # greedy order
+    # merged symbol participates in later rounds: some later merge uses "ab"
+    later = {(m.left, m.right) for m in merges[1:]}
+    assert any("ab" in l or "ab" in r for l, r in later)

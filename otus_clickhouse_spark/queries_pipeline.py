@@ -1705,3 +1705,75 @@ def x39_bpe_training(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.text import bpe_merges
 
     return bpe_merges(t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """Training replay (b0..b{K-1}) + sequential application of the
+    learned merges to the document word stream + fertility stats."""
+    train = _bpe_oracle(n_merges)
+    body = train[: train.index("SELECT rank, l AS left")]
+    parts = [
+        body.rstrip().rstrip(",") + ",",
+        r"""
+    d0 AS (
+      SELECT word, array_to_string(regexp_split_to_array(word, ''), ' ') AS sym
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+    )""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    d{r + 1} AS (
+      SELECT word,
+             replace(sym, (SELECT l || ' ' || r2 FROM b{r}),
+                          (SELECT l || r2 FROM b{r})) AS sym
+      FROM d{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT count(*) AS n_words,
+           CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_subwords,
+           round(avg(len(string_split(sym, ' '))), 4) AS fertility
+    FROM d{n_merges}
+    """
+    )
+    return "".join(parts)
+
+
+@query("x40_bpe_segmentation", oracle=_bpe_apply_oracle(6))
+def x40_bpe_segmentation(spark, sf_dir):
+    """Apply the learned BPE merges to the corpus word stream and report
+    tokenizer fertility (subwords per word) — the train→apply loop of a
+    tokenizer pipeline, fully on Spark. Merges apply in rank order via
+    broadcast literal replaces; fertility is the metric teams use to
+    compare tokenizers before committing to one."""
+    from otus_clickhouse_spark.pipeline.text import bpe_merges, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=6)
+    cur = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .select("word", F.concat_ws(" ", F.split(F.col("word"), "")).alias("sym"))
+    )
+    for r in range(6):
+        m = merges.where(F.col("rank") == r).select(
+            F.col("left").alias("__l"), F.col("right").alias("__r")
+        )
+        cur = cur.crossJoin(F.broadcast(m)).select(
+            "word",
+            F.replace(
+                F.col("sym"), F.concat_ws(" ", "__l", "__r"), F.concat("__l", "__r")
+            ).alias("sym"),
+        )
+    n_sub = F.size(F.split(F.col("sym"), " "))
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_sub).cast("bigint").alias("n_subwords"),
+        F.round(F.avg(n_sub), 4).alias("fertility"),
+    )

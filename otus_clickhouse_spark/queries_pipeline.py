@@ -1777,3 +1777,72 @@ def x40_bpe_segmentation(spark, sf_dir):
         F.sum(n_sub).cast("bigint").alias("n_subwords"),
         F.round(F.avg(n_sub), 4).alias("fertility"),
     )
+
+
+@query(
+    "x41_ann_recall_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+    gold AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id) AS rnk
+        FROM e CROSS JOIN q) WHERE rnk <= 10
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id) AS rnk
+        FROM e JOIN q USING (bucket)) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT g.query_id, count(a.vec_id) AS n_hit
+      FROM gold g LEFT JOIN approx a
+        ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+      GROUP BY g.query_id
+    )
+    SELECT count(*) AS n_queries,
+           round(avg(n_hit / 10.0), 4) AS avg_recall,
+           round(min(n_hit / 10.0), 4) AS min_recall
+    FROM hits
+    """.replace(
+        "{BUCKET}",
+        " + ".join(f"(CASE WHEN v[{b + 1}] >= 0 THEN {2**b} ELSE 0 END)" for b in range(8)),
+    ),
+)
+def x41_ann_recall_eval(spark, sf_dir):
+    """ANN index-quality evaluation: recall@10 of the sign-projection
+    LSH index against the exact brute-force gold set for 10 queries —
+    the standard accept/reject metric before deploying an approximate
+    index. Both rankings are JVM-side; the comparison is a key-join on
+    (query, neighbour) pairs, so evaluating recall over millions of
+    queries at 100 TB is just another hash join."""
+    from otus_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gold = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = lsh_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        gold.join(
+            approx,
+            (gold.query_id == approx.query_id) & (gold.vec_id == approx.a_vec),
+            "left",
+        )
+        .groupBy(gold.query_id)
+        .agg(F.count("a_vec").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall"),
+        F.round(F.min(F.col("n_hit") / 10.0), 4).alias("min_recall"),
+    )

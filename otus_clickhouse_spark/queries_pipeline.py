@@ -1850,3 +1850,80 @@ def x41_ann_recall_eval(spark, sf_dir):
         F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall"),
         F.round(F.min(F.col("n_hit") / 10.0), 4).alias("min_recall"),
     )
+
+
+@query(
+    "x42_ann_recall_multiprobe",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+    q AS (
+      SELECT query_id, qv, CAST(probe AS INT) AS bucket FROM (
+        SELECT query_id, qv,
+               unnest([bucket, {PROBES}]) AS probe
+        FROM q0)
+    ),
+    gold AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q0.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q0.query_id
+                 ORDER BY round(list_cosine_similarity(q0.qv, e.v), 4) DESC, e.vec_id) AS rnk
+        FROM e CROSS JOIN q0) WHERE rnk <= 10
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id) AS rnk
+        FROM e JOIN q USING (bucket)) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT g.query_id, count(a.vec_id) AS n_hit
+      FROM gold g LEFT JOIN approx a
+        ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+      GROUP BY g.query_id
+    )
+    SELECT count(*) AS n_queries,
+           round(avg(n_hit / 10.0), 4) AS avg_recall,
+           round(min(n_hit / 10.0), 4) AS min_recall
+    FROM hits
+    """.replace(
+        "{BUCKET}",
+        " + ".join(f"(CASE WHEN v[{b + 1}] >= 0 THEN {2**b} ELSE 0 END)" for b in range(8)),
+    ).replace(
+        "{PROBES}",
+        ", ".join(f"xor(bucket, {1 << b})" for b in range(8)),
+    ),
+)
+def x42_ann_recall_multiprobe(spark, sf_dir):
+    """Multi-probe LSH recall@10 (Lv et al. 2007): probing the 8
+    Hamming-1 neighbour buckets alongside the query's own lifts recall
+    well above x41's single-bucket 0.12 at 9/256 of the corpus scanned
+    — the standard recall/cost dial, with the corpus side untouched
+    (only the broadcast query side expands)."""
+    from otus_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gold = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = lsh_topk(emb, queries, k=10, multiprobe=8).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        gold.join(
+            approx,
+            (gold.query_id == approx.query_id) & (gold.vec_id == approx.a_vec),
+            "left",
+        )
+        .groupBy(gold.query_id)
+        .agg(F.count("a_vec").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall"),
+        F.round(F.min(F.col("n_hit") / 10.0), 4).alias("min_recall"),
+    )

@@ -796,3 +796,16 @@ def test_bpe_merges_learns_frequent_pairs(spark):
     # merged symbol participates in later rounds: some later merge uses "ab"
     later = {(m.left, m.right) for m in merges[1:]}
     assert any("ab" in l or "ab" in r for l, r in later)
+
+
+def test_lsh_multiprobe_expands_candidates(spark, sf_dir):
+    """Multi-probe probes Hamming-1 buckets: its result set contains the
+    single-bucket results and reaches at least as many candidates."""
+    from otus_clickhouse_spark.io import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    single = {r.vec_id for r in similarity.lsh_topk(emb, q, k=50).collect()}
+    multi = {r.vec_id for r in similarity.lsh_topk(emb, q, k=50, multiprobe=8).collect()}
+    assert single <= multi or len(multi) == 50  # superset unless k-truncated
+    assert len(multi) >= len(single)

@@ -42,6 +42,7 @@ _SIMPLE_TYPES = {
     "date": "date",
     "date32": "date",
     "datetime": "timestamp",
+    "datetime64": "timestamp",
     "bool": "boolean",
     "boolean": "boolean",
     "uuid": "string",
@@ -54,6 +55,15 @@ _SIMPLE_TYPES = {
 def ch_type_to_spark(t: str) -> tuple[str, bool]:
     """CH type → (spark DDL type, nullable)."""
     t = t.strip()
+    # trailing NULL / NOT NULL modifiers (hw-style `DateTime64 NOT NULL`)
+    m = re.match(r"^(.*?)\s+NOT\s+NULL$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner, _ = ch_type_to_spark(m.group(1))
+        return inner, False
+    m = re.match(r"^(.*?)\s+NULL$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner, _ = ch_type_to_spark(m.group(1))
+        return inner, True
     m = re.match(r"^Nullable\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
     if m:
         inner, _ = ch_type_to_spark(m.group(1))
@@ -113,7 +123,17 @@ def ch_type_to_spark(t: str) -> tuple[str, bool]:
 
 def _split_args(s: str, many: bool = False) -> list[str]:
     parts, depth, cur = [], 0, []
+    in_str = None  # quote char when inside a string literal
     for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+            continue
         if ch in "(<":
             depth += 1
         elif ch in ")>":
@@ -173,7 +193,7 @@ def enum_mapping(t: str) -> dict[str, int] | None:
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w]+\.)?(?P<name>[\w]+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"ENGINE\s*=\s*(?P<engine>[\w]+)\s*(?:\((?P<engine_args>(?:[^()]|\([^()]*\))*)\))?"
+    r"ENGINE\s*=?\s*(?P<engine>[\w]+)\s*(?:\((?P<engine_args>(?:[^()]|\([^()]*\))*)\))?"
     r"(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -188,6 +208,28 @@ _COL_ATTR_RE = re.compile(
 )
 
 
+def strip_line_comments(sql: str) -> str:
+    """Remove `--` line comments outside string literals (hw DDL carries
+    inline column comments that would otherwise corrupt type parsing)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n and sql[j] != c:
+                j += 2 if sql[j] == "\\" else 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     """Parse CH CREATE TABLE → (TableDef, spark schema DDL string).
 
@@ -198,6 +240,7 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     engine's view registration. Captured into ``TableDef.settings``
     under "defaults"/"materialized"/"aliases".
     """
+    ddl = strip_line_comments(ddl)
     m = _CREATE_RE.match(ddl.strip().rstrip(";"))
     if not m:
         raise ValueError("not a CREATE TABLE statement")
@@ -218,10 +261,14 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
             # type annotation is optional in CH (`c ALIAS expr`)
             aliases[item.split()[0].strip("`")] = am.group(2).strip()
             continue
-        cm = re.match(r"^`?([\w]+)`?\s+(.+)$", item, re.DOTALL)
+        cm = re.match(r"^`([^`]+)`\s+(.+)$", item, re.DOTALL) or re.match(
+            r"^([\w]+)\s+(.+)$", item, re.DOTALL
+        )
         if not cm:
             raise ValueError(f"cannot parse column: {item!r}")
         name, ch_type = cm.group(1), cm.group(2).strip()
+        if not re.match(r"^[\w]+$", name):
+            name = f"`{name}`"  # spaced identifiers stay backtick-quoted
         if am:
             kind, expr = am.group(1).upper(), am.group(2).strip()
             if kind == "DEFAULT":

@@ -38,12 +38,19 @@ class ProjectionRegistry:
     serve_hits: int = 0  # observability: how many queries were projection-served
 
     def add(self, base: DataFrame, proj: Projection) -> Projection:
-        """MATERIALIZE PROJECTION: build + cache the pre-aggregate."""
+        """MATERIALIZE PROJECTION: build + cache the pre-aggregate.
+
+        ``uniq`` stores a mergeable HLL sketch (the AggregatingMergeTree
+        pattern, hw15's ``userUniq`` projection): re-aggregation to a
+        coarser grouping unions sketches, and serving finalizes with the
+        estimate — never a raw re-count."""
         aggs = []
         for out, (fn, col) in proj.aggs.items():
             src = F.col(col) if col != "*" else F.lit(1)
             if fn == "count":
                 aggs.append(F.count(src).alias(out))
+            elif fn == "uniq":
+                aggs.append(F.hll_sketch_agg(src).alias(out))
             else:
                 aggs.append(getattr(F, fn)(src).alias(out))
         proj.df = base.groupBy(*proj.group_keys).agg(*aggs).cache()
@@ -68,12 +75,20 @@ class ProjectionRegistry:
             if not all(a in proj.aggs and proj.aggs[a][0] == fn for a, (fn, _c) in wanted.items()):
                 continue
             if set(group_keys) == set(proj.group_keys):
-                return proj.df.select(*group_keys, *wanted.keys())
-            # coarser grouping: re-aggregate the projection (sum/min/max/count are mergeable)
+                cols = [
+                    F.hll_sketch_estimate(a).alias(a) if fn == "uniq" else F.col(a)
+                    for a, (fn, _c) in wanted.items()
+                ]
+                return proj.df.select(*group_keys, *cols)
+            # coarser grouping: re-aggregate the projection
+            # (sum/min/max/count merge directly; uniq unions HLL sketches)
             re_aggs = []
             for a, (fn, _c) in wanted.items():
-                merge_fn = "sum" if fn in ("sum", "count") else fn
-                re_aggs.append(getattr(F, merge_fn)(a).alias(a))
+                if fn == "uniq":
+                    re_aggs.append(F.hll_sketch_estimate(F.hll_union_agg(a)).alias(a))
+                else:
+                    merge_fn = "sum" if fn in ("sum", "count") else fn
+                    re_aggs.append(getattr(F, merge_fn)(a).alias(a))
             return proj.df.groupBy(*group_keys).agg(*re_aggs)
         return None
 

@@ -109,6 +109,12 @@ _MODIFY_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:\w+\.)?(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()',= ]+)\s*$",
     re.IGNORECASE,
 )
+# MODIFY COLUMN c DEFAULT expr — attribute-only change, no retype
+# (lecture_12-style `alter table t modify column d default today() - 20`)
+_MODIFY_COL_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:\w+\.)?(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+DEFAULT\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:\w+\.)?(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -208,7 +214,7 @@ _RESTORE_RE = re.compile(
 )
 _CREATE_DICT_RE = re.compile(
     r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
-    r"PRIMARY\s+KEY\s+(\w+).*?TABLE\s+'(\w+)'",
+    r"PRIMARY\s+KEY\s+(\w+).*?TABLE\s+'?(\w+)'?",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -478,9 +484,32 @@ def _split_nc_items(body: str) -> list[str]:
     return out
 
 
+# multi-action ALTER: `ALTER TABLE t ADD COLUMN x, MODIFY ORDER BY (…)`
+# (lecture_13-style) splits into sequential single-action statements.
+# Only commas followed by an action keyword split — UPDATE/PROJECTION
+# bodies keep their internal commas.
+_MULTI_ALTER_RE = re.compile(
+    r"^\s*(ALTER\s+TABLE\s+(?:\w+\.)?\w+)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_ACTION_SPLIT_RE = re.compile(
+    r",\s*(?=(?:ADD|DROP|MODIFY|RENAME|CLEAR|MATERIALIZE|COMMENT|FREEZE|RESET)\b)",
+    re.IGNORECASE,
+)
+
+
 def try_route(engine, s: str):
     """Route ``s``; successful mutations are recorded for
     ``system.mutations`` (D8; lecture_16.md:60-98)."""
+    mm = _MULTI_ALTER_RE.match(s)
+    if mm:
+        actions = _ALTER_ACTION_SPLIT_RE.split(mm.group(2))
+        if len(actions) > 1:
+            out = None
+            for act in actions:
+                out = try_route(engine, f"{mm.group(1)} {act.strip()}")
+                if out is None:
+                    raise ValueError(f"unsupported ALTER action: {act.strip()[:60]!r}")
+            return out
     out = _try_route_inner(engine, s)
     if out is not None and _MUTATION_SHAPE_RE.match(s):
         import time as _time
@@ -802,6 +831,14 @@ def _try_route_inner(engine, s: str):
         name, col = m.groups()
         _persist(engine, name, engine.table(name).drop(col))
         return {"dropped_column": col}
+
+    m = _MODIFY_COL_DEFAULT_RE.match(s)
+    if m:
+        name, col, expr = m.groups()
+        if name not in engine.tables:
+            raise ValueError(f"unknown table {name!r}")
+        engine.tables[name].settings.setdefault("defaults", {})[col] = expr.strip()
+        return {"modified_default": col}
 
     m = _MODIFY_COL_RE.match(s)
     if m:

@@ -140,3 +140,58 @@ def test_every_reference_select_translates():
                 continue  # catalog miss: correct behavior for unregistered objects
             hard_failures.append((fn, str(exc)[:120], s[:80]))
     assert not hard_failures, hard_failures
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference"), reason="reference not present")
+def test_every_reference_ddl_executes(spark):
+    """DDL robustness sweep: every CREATE/ALTER/DROP/TRUNCATE/OPTIMIZE
+    block in the course materials runs through Engine.execute. Accepted
+    failure classes, each of which matches ClickHouse's own behavior:
+    catalog misses (tables created outside the harvested blocks),
+    duplicate CREATEs without IF NOT EXISTS, and the docs' own
+    bracketed syntax templates (`[db.]name … <COLUMN LIST>`), which are
+    not SQL."""
+    from otus_clickhouse_spark.engine import Engine
+
+    eng = Engine(spark)
+    blocks = []
+    for root, _, files in os.walk("/root/reference"):
+        for fn in files:
+            if not fn.endswith(".md"):
+                continue
+            text = open(os.path.join(root, fn), encoding="utf-8", errors="ignore").read()
+            for m in re.finditer(r"```(?:sql)?\n(.*?)```", text, re.DOTALL):
+                for stmt in m.group(1).split(";"):
+                    s = stmt.strip()
+                    if (
+                        re.match(
+                            r"(?i)^(CREATE\s+TABLE|CREATE\s+MATERIALIZED|CREATE\s+DICTIONARY"
+                            r"|CREATE\s+VIEW|ALTER\s+TABLE|DROP\s+TABLE|TRUNCATE|OPTIMIZE)\b",
+                            s,
+                        )
+                        and len(s) > 20
+                        and "{" not in s.split("\n")[0]
+                        and "[db.]" not in s
+                        and "<COLUMN" not in s
+                    ):
+                        blocks.append((fn, s))
+    assert len(blocks) >= 90
+    hard = []
+    ok = 0
+    for fn, s in blocks:
+        try:
+            eng.execute(s)
+            ok += 1
+        except Exception as exc:  # noqa: BLE001 — classifying failure modes
+            msg = str(exc)
+            if (
+                "TABLE_OR_VIEW_NOT_FOUND" in msg
+                or "unknown table" in msg.lower()
+                or "unknown projection" in msg.lower()  # ADD ran in another block
+                or "already exists" in msg
+                or re.fullmatch(r"'\w+'", msg.strip())  # KeyError on missing table
+            ):
+                continue
+            hard.append((fn, msg[:120], s[:80].replace("\n", " ")))
+    assert ok >= 85, f"only {ok} DDL blocks executed"
+    assert not hard, hard

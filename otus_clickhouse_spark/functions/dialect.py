@@ -503,6 +503,44 @@ _TSI_RE = re.compile(r"\btoStartOfInterval\s*\(")
 _TSI_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
 
 
+def _rewrite_dynamic_interval(text: str) -> str:
+    """CH's dynamic interval arithmetic — ``x + INTERVAL (expr) DAYS``
+    (hw08.md:34) — becomes interval-scalar multiplication, which Spark
+    evaluates natively: ``x + (INTERVAL 1 DAY * (expr))``. Literal
+    ``INTERVAL n UNIT`` forms pass through untouched."""
+    pat = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        start = m.end() - 1  # at '('
+        depth, j = 0, start
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        um = re.match(
+            r"\s*(second|minute|hour|day|week|month|year)s?\b",
+            text[j + 1 :],
+            re.IGNORECASE,
+        )
+        if j >= len(text) or not um:
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        expr = text[start + 1 : j]
+        out.append(text[i : m.start()])
+        out.append(f"(INTERVAL 1 {um.group(1).upper()} * ({expr}))")
+        i = j + 1 + um.end()
+    return "".join(out)
+
+
 def _rewrite_tostartofinterval(text: str) -> str:
     while True:
         m = _TSI_RE.search(text)
@@ -1214,6 +1252,10 @@ def translate(
     text = _rewrite_subscripts(text)
     text = _rewrite_position(text)
     text = _rewrite_tostartofinterval(text)
+    text = _rewrite_dynamic_interval(text)
+    # CH tolerates a trailing comma at the end of the select list
+    # (lecture_07.md:43-45 inserts carry one); Spark does not
+    text = re.sub(r",\s*(FROM\b)", r" \1", text, flags=re.IGNORECASE)
     text = _rewrite_tostartofweek(text)
     text = _rewrite_tuple_element(text)
     text = _rewrite_array_lambda(text)

@@ -195,3 +195,45 @@ def test_every_reference_ddl_executes(spark):
             hard.append((fn, msg[:120], s[:80].replace("\n", " ")))
     assert ok >= 85, f"only {ok} DDL blocks executed"
     assert not hard, hard
+
+
+def test_hw08_sales_insert_verbatim(engine):
+    """hw08.md:28-35 runs as written: CH dynamic interval arithmetic
+    (`+ interval (floor(id/100)) days`) and select-list alias reuse
+    (`floor(id/100)` referencing the `id` alias)."""
+    engine.execute("DROP TABLE IF EXISTS sales_hw08")
+    engine.execute(
+        "create table sales_hw08 (id UInt32, product_id UInt32, quantity UInt32,"
+        " price Float32, sale_date Date) engine = MergeTree order by id"
+    )
+    engine.execute(
+        """insert into sales_hw08
+        select
+            number as id
+            , floor(randUniform(1, 11)) as product_id
+            , floor(randUniform(1, 5)) as quantity
+            , round(randUniform(5.5, 10), 2) as price
+            , toDate('2024-01-01') + interval (floor(id/100)) days as sale_date
+        from numbers(1, 1000)"""
+    )
+    rows = engine.sql(
+        "select count() as c, min(sale_date) as lo, max(sale_date) as hi from sales_hw08"
+    ).collect()[0]
+    assert rows.c == 1000
+    assert str(rows.lo) == "2024-01-01" and str(rows.hi) == "2024-01-11"
+    engine.execute("DROP TABLE IF EXISTS sales_hw08")
+
+
+def test_lecture07_trailing_comma_insert_verbatim(engine):
+    """lecture_07.md:43-45 runs as written: ENGINE without '=', and a
+    trailing comma at the end of the select list."""
+    engine.execute("DROP TABLE IF EXISTS otus_tbl_t")
+    engine.execute(
+        "CREATE TABLE otus_tbl_t ( id UInt64, name String ) ENGINE MergeTree() ORDER BY id"
+    )
+    engine.execute(
+        "INSERT INTO otus_tbl_t(id, name)\n"
+        "select number * number, 'data ' || toString(number),\nFROM numbers(10)"
+    )
+    assert engine.sql("select count() as c from otus_tbl_t").collect()[0].c == 10
+    engine.execute("DROP TABLE IF EXISTS otus_tbl_t")

@@ -1,0 +1,222 @@
+"""Classifier-style curation operators: Naive Bayes text scoring and
+embedding kNN label propagation.
+
+Real curation pipelines (DCLM, Dolma, fastText-quality filtering) put a
+cheap linear classifier between heuristics and the expensive model
+pass. Multinomial Naive Bayes is the aggregation-shaped member of that
+family: training is two groupBys over (class, token) counts, the model
+is a small dense (vocab × classes) table that broadcasts, and scoring
+is one explode + broadcast join + per-doc sum — no UDFs, no shuffle of
+document bodies, and every step is expressible in portable SQL so the
+DuckDB oracle can replay it bit-for-bit.
+
+Scale notes (100 TB regime):
+- The model table is |vocab| × |classes| rows of ~24 bytes. With a
+  ``max_vocab`` cap (document-frequency top-N, the standard trick) it
+  stays broadcastable no matter the corpus size.
+- Training shuffles (class, token) partial counts — two-phase
+  HashAggregate, so shuffle volume tracks distinct tokens, not corpus
+  tokens.
+- Scoring is map-side after the broadcast: the only shuffle is the
+  per-(doc, class) partial-sum aggregate keyed by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from otus_clickhouse_spark.pipeline.similarity import cosine
+from otus_clickhouse_spark.io import rebalance
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str, label_col: str | None) -> DataFrame:
+    cols = [F.col(id_col)] + ([F.col(label_col)] if label_col else [])
+    return (
+        df.select(*cols, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.length("token") > 0)
+    )
+
+
+def naive_bayes_train(
+    train: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    max_vocab: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB with add-one smoothing.
+
+    Returns ``(model, priors)``:
+      model  = (token, label, logp) — dense over vocab × classes so
+               scoring needs no per-class OOV fallback logic;
+      priors = (label, logprior).
+
+    ``max_vocab`` keeps only the top-N tokens by document frequency
+    (ties broken lexically) — the knob that bounds the broadcast at
+    corpus scale.
+    """
+    toks = _tokens(train, text_col, id_col, label_col)
+
+    vocab = toks.select("token").distinct()
+    if max_vocab is not None:
+        df_counts = toks.select("token", id_col).distinct().groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+        vocab = (
+            df_counts.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= max_vocab)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(vocab), "token")
+
+    # class-conditional token counts and totals
+    cnt = toks.groupBy(label_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+
+    # dense vocab × classes grid (smoothed zero counts included)
+    grid = vocab.crossJoin(F.broadcast(tot.select(label_col, "tot"))).join(
+        cnt, ["token", label_col], "left"
+    )
+    model = grid.crossJoin(F.broadcast(v_size)).select(
+        "token",
+        label_col,
+        F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))).alias(
+            "logp"
+        ),
+    )
+
+    docs = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = train.agg(F.count(F.lit(1)).alias("n"))
+    priors = docs.crossJoin(F.broadcast(n_total)).select(
+        label_col, F.log(F.col("n_docs") / F.col("n")).alias("logprior")
+    )
+    return model, priors
+
+
+def naive_bayes_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    round_score: int = 4,
+) -> DataFrame:
+    """Score documents against a trained model → (id, predicted, score).
+
+    OOV tokens (absent from the training vocab) are ignored — the
+    standard multinomial NB convention, and the one that keeps scoring
+    an inner equi-join. The score is rounded before the argmax so an
+    external SQL oracle summing in a different order lands on the same
+    prediction (ties broken by label ascending).
+    """
+    toks = _tokens(docs, text_col, id_col, None)
+    scored = (
+        toks.join(F.broadcast(model), "token")
+        .groupBy(id_col, label_col)
+        .agg(F.sum("logp").alias("ll"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(F.col("ll") + F.col("logprior"), round_score).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col(label_col).asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, F.col(label_col).alias("predicted"), "score")
+    )
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Predict each query vector's label by majority vote of its k
+    nearest labeled neighbours (cosine).
+
+    Plan: broadcast the query set over the labeled corpus (corpus never
+    shuffles for scoring), per-query window top-k, then a tiny
+    (query, label) count argmax. Votes tie-break toward the nearer
+    neighbour set implicitly via top-k membership, then label ascending.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    c = rebalance(
+        labeled.select(
+            F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    neighbours = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    votes = neighbours.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vw = Window.partitionBy(query_id_col).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(vw))
+        .where(F.col("__r") == 1)
+        .select(query_id_col, F.col(label_col).alias("predicted"), "votes")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Mine hard negatives: for each query, the k most cosine-similar
+    corpus vectors with a DIFFERENT label — the pairs contrastive
+    embedding training wants. Same broadcast-query / corpus-stationary
+    plan as brute-force top-k; the label inequality is a map-side
+    filter before the window."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_label_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = rebalance(
+        corpus.select(
+            F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, "neg_id", "neg_label", "cos", "rnk")
+    )

@@ -1927,3 +1927,149 @@ def x42_ann_recall_multiprobe(spark, sf_dir):
         F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall"),
         F.round(F.min(F.col("n_hit") / 10.0), 4).alias("min_recall"),
     )
+
+
+@query(
+    "x43_nb_classifier",
+    oracle="""
+    WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 != 0),
+    te AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    trtok AS (
+      SELECT doc_id, source, tok FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM tr)
+      WHERE length(tok) > 0),
+    vocab AS (SELECT DISTINCT tok FROM trtok),
+    cnt AS (SELECT source, tok, count(*) AS cnt FROM trtok GROUP BY source, tok),
+    tot AS (SELECT source, sum(cnt) AS tot FROM cnt GROUP BY source),
+    vs AS (SELECT count(*) AS v FROM vocab),
+    model AS (
+      SELECT vocab.tok, tot.source,
+             ln((coalesce(cnt.cnt, 0) + 1.0) / (tot.tot + vs.v)) AS logp
+      FROM vocab CROSS JOIN tot CROSS JOIN vs
+      LEFT JOIN cnt ON cnt.tok = vocab.tok AND cnt.source = tot.source),
+    priors AS (
+      SELECT source, ln(count(*) * 1.0 / (SELECT count(*) FROM tr)) AS logprior
+      FROM tr GROUP BY source),
+    tetok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)
+      WHERE length(tok) > 0),
+    ll AS (
+      SELECT t.doc_id, m.source, sum(m.logp) AS ll
+      FROM tetok t JOIN model m ON m.tok = t.tok
+      GROUP BY t.doc_id, m.source),
+    scored AS (
+      SELECT ll.doc_id, ll.source, round(ll.ll + p.logprior, 4) AS score
+      FROM ll JOIN priors p ON p.source = ll.source),
+    pred AS (
+      SELECT doc_id, source AS predicted FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS r
+        FROM scored) WHERE r = 1)
+    SELECT te.source AS actual, pred.predicted, CAST(count(*) AS BIGINT) AS n
+    FROM te JOIN pred USING (doc_id)
+    GROUP BY te.source, pred.predicted
+    """,
+)
+def x43_nb_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier (pipeline.classify) —
+    the cheap linear-filter stage of a DCLM/fastText-style curation
+    pipeline, expressed as pure aggregations. Train on doc_id%5!=0,
+    score the held-out 20%, return the confusion matrix. The model is
+    a broadcastable (vocab x classes) log-prob table; scoring is one
+    explode + broadcast join + per-doc sum — zero UDFs."""
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    model, priors = naive_bayes_train(train, label_col="source")
+    pred = naive_bayes_predict(test, model, priors, label_col="source")
+    return (
+        test.select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "x44_knn_label_propagation",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    lab AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+    q AS (SELECT vec_id AS query_id, label AS actual, v AS qv
+          FROM e WHERE vec_id % 10 = 0 AND vec_id < 100),
+    scored AS (
+      SELECT q.query_id, lab.vec_id, lab.label,
+             round(list_cosine_similarity(q.qv, lab.v), 4) AS cos
+      FROM lab CROSS JOIN q),
+    nn AS (SELECT query_id, label FROM (
+      SELECT query_id, vec_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= 5),
+    votes AS (SELECT query_id, label, count(*) AS votes FROM nn GROUP BY query_id, label),
+    pred AS (SELECT query_id, label AS predicted, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+      FROM votes) WHERE r = 1)
+    SELECT p.query_id, p.predicted, CAST(p.votes AS BIGINT) AS votes,
+           q.actual, CAST(p.predicted = q.actual AS INT) AS correct
+    FROM pred p JOIN q USING (query_id)
+    """,
+)
+def x44_knn_label_propagation(spark, sf_dir):
+    """kNN label propagation over embeddings (pipeline.classify):
+    every 10th vector is treated as unlabeled and gets the majority
+    label of its 5 nearest labeled neighbours by cosine. Corpus stays
+    stationary (broadcast-query scoring); only (query, label) vote
+    pairs shuffle."""
+    from otus_clickhouse_spark.pipeline.classify import knn_classify
+
+    emb = t(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual"), "embedding"
+    )
+    pred = knn_classify(labeled, queries.select("query_id", "embedding"), k=5)
+    return pred.join(queries.select("query_id", "actual"), "query_id").select(
+        "query_id",
+        "predicted",
+        "votes",
+        "actual",
+        (F.col("predicted") == F.col("actual")).cast("int").alias("correct"),
+    )
+
+
+@query(
+    "x45_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+      FROM e CROSS JOIN q WHERE e.label != q.qlabel)
+    SELECT query_id, neg_id, neg_label, cos, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neg_id) AS BIGINT) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+def x45_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training
+    (pipeline.classify.hard_negatives): per query, the 5 most
+    cosine-similar vectors with a DIFFERENT label. Same
+    broadcast-query / corpus-stationary plan as brute-force ANN; the
+    label-inequality is a map-side filter before the per-query
+    window."""
+    from otus_clickhouse_spark.pipeline.classify import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"), "embedding"
+    )
+    return hard_negatives(emb, queries, k=5)

@@ -809,3 +809,76 @@ def test_lsh_multiprobe_expands_candidates(spark, sf_dir):
     multi = {r.vec_id for r in similarity.lsh_topk(emb, q, k=50, multiprobe=8).collect()}
     assert single <= multi or len(multi) == 50  # superset unless k-truncated
     assert len(multi) >= len(single)
+
+
+def test_naive_bayes_separates_obvious_classes(spark):
+    """NB trained on two clearly separated vocabularies must classify
+    held-out docs from each vocabulary correctly, and the max_vocab cap
+    must bound the model's token set."""
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, "spam buy cheap pills now buy", "spam"))
+        rows.append((i * 2 + 1, "meeting agenda quarterly report notes", "ham"))
+    train = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    test = spark.createDataFrame(
+        [(100, "buy pills cheap", "spam"), (101, "quarterly meeting notes", "ham")],
+        "doc_id long, text string, label string",
+    )
+    model, priors = naive_bayes_train(train)
+    pred = {
+        r["doc_id"]: r["predicted"]
+        for r in naive_bayes_predict(test, model, priors).collect()
+    }
+    assert pred == {100: "spam", 101: "ham"}
+
+    capped, _ = naive_bayes_train(train, max_vocab=3)
+    assert capped.select("token").distinct().count() == 3
+
+
+def test_knn_classify_majority_vote(spark):
+    """3 near neighbours of label 1 vs 2 of label 0 -> predict 1; vote
+    ties break toward the smaller label."""
+    from otus_clickhouse_spark.pipeline.classify import knn_classify
+
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.99, 0.1], 1),
+            (3, [0.98, 0.2], 1),
+            (4, [0.97, 0.3], 0),
+            (5, [0.96, 0.4], 0),
+            (6, [-1.0, 0.0], 0),  # far away, outside k=5? no: k=5 includes it
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.05])], "query_id long, embedding array<double>"
+    )
+    out = knn_classify(labeled, queries, k=5).collect()
+    assert len(out) == 1 and out[0]["predicted"] == 1 and out[0]["votes"] == 3
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from otus_clickhouse_spark.pipeline.classify import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.9, 0.1], 7),   # same label as query: excluded
+            (3, [0.8, 0.2], 8),
+            (4, [0.7, 0.3], 9),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0])], "query_id long, query_label int, embedding array<double>"
+    )
+    rows = hard_negatives(corpus, queries, k=5).collect()
+    assert {r["neg_id"] for r in rows} == {3, 4}
+    assert all(r["neg_label"] != 7 for r in rows)
+    assert rows[0]["neg_id"] == 3  # nearest different-label vector ranks first

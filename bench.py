@@ -95,11 +95,11 @@ def main():
 
 
 def scale_probe(spark) -> dict | None:
-    """Amortized-throughput probe at SCALE.md's 20M-row size.
+    """Amortized-throughput probe at SCALE.md's 100M-row size.
 
     The sub-second headline numbers above are Spark-job-overhead
     dominated at sf0.1 (~600k rows); this entry shows the same scan
-    plan at 20M rows, where throughput is comparable against the
+    plan at 100M rows, where throughput is comparable against the
     reference's published 72M rows/s filtered count (BASELINE.md:13,
     homeworks/hw02.md:91-105). Generated data is cached under
     .scratch/ so per-round bench runs pay generation once.
@@ -107,7 +107,7 @@ def scale_probe(spark) -> dict | None:
     """
     from pyspark.sql import functions as F
 
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 20_000_000))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000))
     if n <= 0:
         return None
     path = os.path.join(REPO, ".scratch", f"bench_scale_{n}")
@@ -145,7 +145,7 @@ def scale_probe(spark) -> dict | None:
 
 
 def scale_join_probe(spark) -> dict | None:
-    """Fact⋈dim join throughput at the 20M-row size, against the
+    """Fact⋈dim join throughput at the 100M-row size, against the
     reference's published hash-join envelope (2B ⋈ 2M Log-engine LEFT
     JOIN at 14.9M rows/s — BASELINE.md:15, lecture_10.md:50-90). The
     fact side streams against a 2M-row dim; AQE picks broadcast vs
@@ -153,7 +153,7 @@ def scale_join_probe(spark) -> dict | None:
     cached scale parquet. SPARK_GRAFT_SCALE_ROWS=0 skips."""
     from pyspark.sql import functions as F
 
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 20_000_000))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000))
     if n <= 0:
         return None
     path = os.path.join(REPO, ".scratch", f"bench_scale_{n}")

@@ -238,6 +238,27 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         n_fact,
     )
 
+    # classifier-stage curation: NB train (two (class,token) groupBys)
+    # + broadcast-model scoring. Shuffle volume tracks distinct tokens
+    # and (doc, class) partials, not corpus tokens — docs/s must rise
+    # with size as job overhead amortizes.
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    labeled_docs = docs.withColumn("label", (F.col("doc_id") % 4).cast("string"))
+
+    def nb_run():
+        model, priors = naive_bayes_train(
+            labeled_docs.where(F.col("doc_id") % 5 != 0), max_vocab=4096
+        )
+        naive_bayes_predict(
+            labeled_docs.where(F.col("doc_id") % 5 == 0), model, priors
+        ).groupBy("predicted").count().collect()
+
+    timed("nb_classifier", nb_run, n_docs)
+
     # the one designed Python boundary: Arrow-batched media decode.
     # Real PPM decodes across all partitions — the number to watch is
     # docs/s staying linear as the media table grows (partition-local,
@@ -273,7 +294,10 @@ def main():
         gen(spark, n_fact, n_docs, path)
         results[label] = {"n_fact": n_fact, "n_docs": n_docs, **probe(spark, path, n_fact, n_docs)}
     print(json.dumps(results, indent=2))
-    shutil.rmtree(SCRATCH, ignore_errors=True)
+    # clean up only this tool's own datasets — .scratch is shared with
+    # bench.py, whose cached 20M-row table must survive between rounds
+    for label in ("small", "big"):
+        shutil.rmtree(os.path.join(SCRATCH, label), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -521,3 +521,58 @@ def bpe_merges(
             .localCheckpoint()
         )
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+    max_docs: int = 3,
+) -> DataFrame:
+    """RefinedWeb/Dolma-style line-level boilerplate dedup.
+
+    Splits each document into lines on ``sep``, counts how many
+    DISTINCT documents each line occurs in, and drops lines present in
+    ``max_docs`` or more (nav bars, cookie banners, license headers —
+    corpus-frequent lines carry no training signal). Returns one row
+    per surviving document: kept/removed counts and the md5 of the
+    cleaned text reassembled in original line order.
+
+    Scale: the only corpus-wide shuffle is keyed by the line string for
+    the frequency count (two-phase agg → distinct lines, not total
+    lines), plus the frequency join back. Per-doc reassembly is a
+    keyed collect bounded by document length — never a global collect.
+    At 100 TB the frequency table is the dedup-digest relation; hot
+    boilerplate lines are exactly the keys AQE skew-split handles.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    ).where(F.length("line") > 0)
+    freq = lines.groupBy("line").agg(F.count_distinct(id_col).alias("ndocs"))
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept = lines.join(freq, "line").where(F.col("ndocs") < max_docs)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("pl"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            F.md5(
+                F.array_join(F.transform(F.col("pl"), lambda s: s["line"]), sep)
+            ).alias("cleaned_md5"),
+        )
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+        "cleaned_md5",
+    )

@@ -2073,3 +2073,46 @@ def x45_hard_negatives(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"), "embedding"
     )
     return hard_negatives(emb, queries, k=5)
+
+
+@query(
+    "x46_line_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    l0 AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ') AS line
+      FROM w, unnest(generate_series(1, CAST(ceil(len(toks)/6.0) AS INT))) AS t(i)
+      WHERE length(array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) > 0),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM l0 GROUP BY line),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM l0 GROUP BY doc_id),
+    kept AS (SELECT l0.* FROM l0 JOIN freq USING (line) WHERE freq.ndocs < 3),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id)
+    SELECT r.doc_id, t.n_lines, r.n_kept, t.n_lines - r.n_kept AS n_removed,
+           r.cleaned_md5
+    FROM rebuilt r JOIN totals t USING (doc_id)
+    """,
+)
+def x46_line_dedup(spark, sf_dir):
+    """Line-level boilerplate dedup (pipeline.text.line_dedup,
+    RefinedWeb/Dolma recipe): drop lines occurring in >= 3 distinct
+    documents, reassemble survivors in order. The word-soup test corpus
+    has no newlines, so the query first regroups each doc into 6-token
+    lines (deterministic in both engines), then runs the real operator
+    end to end. The corpus-wide shuffle is the distinct-line frequency
+    table; reassembly is a keyed (per-doc) collect bounded by document
+    length."""
+    from otus_clickhouse_spark.pipeline.text import line_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+    )
+    lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(lined, sep="\n")

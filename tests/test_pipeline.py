@@ -882,3 +882,25 @@ def test_hard_negatives_excludes_same_label(spark):
     assert {r["neg_id"] for r in rows} == {3, 4}
     assert all(r["neg_label"] != 7 for r in rows)
     assert rows[0]["neg_id"] == 3  # nearest different-label vector ranks first
+
+
+def test_line_dedup_removes_corpus_frequent_lines(spark):
+    """A cookie-banner line shared by 3 docs is dropped; unique lines
+    survive and the cleaned text reassembles in original order."""
+    from otus_clickhouse_spark.pipeline.text import line_dedup
+    import hashlib
+
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner}\nalpha one\nbeta two"),
+        (2, f"{banner}\ngamma three"),
+        (3, f"delta four\n{banner}"),
+        (4, "epsilon five\nzeta six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, sep="\n").collect()}
+    assert out[1]["n_removed"] == 1 and out[1]["n_kept"] == 2
+    assert out[3]["n_removed"] == 1
+    assert out[4]["n_removed"] == 0
+    expect = hashlib.md5("alpha one\nbeta two".encode()).hexdigest()
+    assert out[1]["cleaned_md5"] == expect

@@ -2116,3 +2116,152 @@ def x46_line_dedup(spark, sf_dir):
     )
     lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
     return line_dedup(lined, sep="\n")
+
+
+@query(
+    "x47_curation_funnel",
+    oracle=r"""
+    WITH rep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    dedup AS (SELECT d.* FROM documents d JOIN rep USING (doc_id)),
+    feat AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM dedup
+    ),
+    scored0 AS (
+      SELECT doc_id, source, text,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS quality
+      FROM feat
+    ),
+    qual AS (SELECT * FROM scored0 WHERE quality >= 0.5),
+    tr AS (SELECT * FROM qual WHERE doc_id % 5 != 0),
+    trtok AS (
+      SELECT doc_id, source, tok FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM tr)
+      WHERE length(tok) > 0),
+    vocab AS (SELECT DISTINCT tok FROM trtok),
+    cnt AS (SELECT source, tok, count(*) AS cnt FROM trtok GROUP BY source, tok),
+    tot AS (SELECT source, sum(cnt) AS tot FROM cnt GROUP BY source),
+    vs AS (SELECT count(*) AS v FROM vocab),
+    model AS (
+      SELECT vocab.tok, tot.source,
+             ln((coalesce(cnt.cnt, 0) + 1.0) / (tot.tot + vs.v)) AS logp
+      FROM vocab CROSS JOIN tot CROSS JOIN vs
+      LEFT JOIN cnt ON cnt.tok = vocab.tok AND cnt.source = tot.source),
+    priors AS (
+      SELECT source, ln(count(*) * 1.0 / (SELECT count(*) FROM tr)) AS logprior
+      FROM tr GROUP BY source),
+    tetok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual)
+      WHERE length(tok) > 0),
+    ll AS (
+      SELECT t.doc_id, m.source, sum(m.logp) AS ll
+      FROM tetok t JOIN model m ON m.tok = t.tok
+      GROUP BY t.doc_id, m.source),
+    nbscore AS (
+      SELECT ll.doc_id, ll.source, round(ll.ll + p.logprior, 4) AS score
+      FROM ll JOIN priors p ON p.source = ll.source),
+    pred AS (
+      SELECT doc_id, source AS predicted FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS r
+        FROM nbscore) WHERE r = 1),
+    agree AS (
+      SELECT q.* FROM qual q JOIN pred USING (doc_id)
+      WHERE pred.predicted = q.source),
+    sel AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM agree) WHERE cum <= 5000),
+    s0 AS (SELECT source, count(*) AS n_in FROM documents GROUP BY source),
+    s1 AS (SELECT source, count(*) AS n_dedup FROM dedup GROUP BY source),
+    s2 AS (SELECT source, count(*) AS n_quality FROM qual GROUP BY source),
+    s3 AS (SELECT source, count(*) AS n_agree FROM agree GROUP BY source),
+    s4 AS (SELECT source, count(*) AS n_selected, sum(n_tok) AS tok_selected
+           FROM sel GROUP BY source)
+    SELECT s0.source,
+           CAST(s0.n_in AS BIGINT) AS n_in,
+           CAST(coalesce(s1.n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(s2.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(s3.n_agree, 0) AS BIGINT) AS n_agree,
+           CAST(coalesce(s4.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(s4.tok_selected, 0) AS BIGINT) AS tok_selected
+    FROM s0
+    LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+    LEFT JOIN s3 USING (source) LEFT JOIN s4 USING (source)
+    """,
+)
+def x47_curation_funnel(spark, sf_dir):
+    """The full curation funnel in one declarative plan: exact dedup →
+    quality filter → Naive-Bayes classifier gate (keep docs whose
+    predicted source agrees with the recorded one — the
+    model-in-the-loop filtering step of DCLM-style pipelines) →
+    per-source token-budget selection. Returns per-source counts at
+    every stage. Shuffles key on digests, (class, token) counts, and
+    per-source windows — never document bodies beyond the first scan."""
+    from pyspark.sql import Window
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    rep = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dedup = docs.join(rep, "doc_id", "left_semi")
+    staged = dedup.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    qual = staged.where(F.col("quality") >= 0.5).persist()
+    train = qual.where(F.col("doc_id") % 5 != 0)
+    model, priors = naive_bayes_train(train, label_col="source")
+    pred = naive_bayes_predict(qual, model, priors, label_col="source")
+    agree = qual.join(pred, "doc_id").where(F.col("predicted") == F.col("source"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = agree.withColumn("cum", F.sum("n_tok").over(w)).where(F.col("cum") <= 5000)
+
+    def per_source(df, name, extra=None):
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(name)]
+        if extra is not None:
+            aggs.append(extra)
+        return df.groupBy("source").agg(*aggs)
+
+    out = (
+        per_source(docs, "n_in")
+        .join(per_source(dedup, "n_dedup"), "source", "left")
+        .join(per_source(qual, "n_quality"), "source", "left")
+        .join(per_source(agree, "n_agree"), "source", "left")
+        .join(
+            per_source(sel, "n_selected", F.sum("n_tok").cast("bigint").alias("tok_selected")),
+            "source",
+            "left",
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        "source",
+        "n_in",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
+        ],
+    )

@@ -293,6 +293,10 @@ AGGREGATE_ALIASES = {
     "varSamp": "var_samp",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
+    # CH skewPop = population skewness = Spark's skewness
+    # (kurtPop differs by the +3 excess offset — structural rewrite in
+    # dialect._rewrite_kurtpop, not a name alias)
+    "skewPop": "skewness",
     "anyHeavy": "mode",
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",

@@ -208,6 +208,21 @@ def _rewrite_if_combinators(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+def _rewrite_kurtpop(text: str) -> str:
+    """kurtPop(x) → (kurtosis(x) + 3.0).
+
+    ClickHouse kurtPop returns raw kurtosis m4/m2² (3 for a normal
+    distribution); Spark's kurtosis is the EXCESS population kurtosis
+    (0 for normal), so the offset must be structural, not an alias.
+    """
+    while True:
+        m = re.search(r"\bkurtPop\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        text = text[: m.start()] + f"(kurtosis({', '.join(args)}) + 3.0)" + text[end:]
+
+
 def _rewrite_splitByChar(text: str) -> str:
     """Inline splitByChar(sep, s) → split(s, quoted-sep) textually.
 
@@ -1246,6 +1261,7 @@ def translate(
     text = _rewrite_multiif(text)
     text = _rewrite_null_distinct_combinators(text)
     text = _rewrite_if_combinators(text)
+    text = _rewrite_kurtpop(text)
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)

@@ -220,3 +220,39 @@ def hard_negatives(
         .where(F.col("rnk") <= k)
         .select(query_id_col, "neg_id", "neg_label", "cos", "rnk")
     )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed bag-of-words embeddings (the hashing trick,
+    Weinberger et al. 2009): bucket = md5-prefix(token) mod dims,
+    component = token count in that bucket, then L2-normalize.
+
+    Turns raw text into a fixed-width ``array<double>`` column with ONE
+    explode + ONE groupBy(doc) of ``dims`` conditional counts — fully
+    codegen'd, no vocabulary state at all, so it needs no training pass
+    and no broadcast. The output feeds every embedding operator in
+    ``pipeline.similarity`` (ANN, SemDeDup, kNN) directly — the bridge
+    from a text corpus to the vector pipeline at any scale.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.length("token") > 0)
+    bucket = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % dims
+    counts = toks.select(id_col, bucket.alias("b")).groupBy(id_col).agg(
+        F.array(
+            *[
+                F.count_if(F.col("b") == i).cast("double")
+                for i in range(dims)
+            ]
+        ).alias("raw")
+    )
+    nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    return counts.select(
+        id_col,
+        F.transform("raw", lambda x: x / nrm).alias("embedding"),
+    )

@@ -793,3 +793,44 @@ def q74_projection_autoselect(spark, sf_dir):
     return out.select(
         "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n"
     )
+
+
+@query(
+    "q87_stat_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             avg(l_quantity) AS m1, avg(l_quantity*l_quantity) AS m2,
+             avg(l_quantity*l_quantity*l_quantity) AS m3,
+             avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4,
+             corr(l_quantity, l_extendedprice) AS c,
+             covar_pop(l_quantity, l_extendedprice) AS cv
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round(c, 6) AS corr_qp,
+           round(cv, 2) AS covar_qp,
+           round((m3 - 3*m1*m2 + 2*m1*m1*m1)
+                 / pow(m2 - m1*m1, 1.5), 6) AS skew_q,
+           round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+                 / pow(m2 - m1*m1, 2), 6) AS kurt_q
+    FROM m
+    """,
+)
+def q87_stat_moments(spark, sf_dir):
+    """Statistical-moments aggregate family through the ClickHouse SQL
+    front end: corr / covarPop (name aliases), skewPop (alias to
+    Spark's population skewness) and kurtPop (structural rewrite —
+    CH returns raw m4/m2², Spark returns excess, so the dialect emits
+    kurtosis(x)+3). Oracle recomputes skew/kurt from raw moments so
+    both engines' one-pass implementations are checked against closed
+    form. All two-phase HashAggregate, one shuffle of per-group
+    moment partials."""
+    eng = _mini_engine(spark, sf_dir, ["lineitem"])
+    return eng.sql(
+        "SELECT l_returnflag, "
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+        "round(covarPop(l_quantity, l_extendedprice), 2) AS covar_qp, "
+        "round(skewPop(l_quantity), 6) AS skew_q, "
+        "round(kurtPop(l_quantity), 6) AS kurt_q "
+        "FROM lineitem GROUP BY l_returnflag"
+    )

@@ -2265,3 +2265,56 @@ def x47_curation_funnel(spark, sf_dir):
             for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
         ],
     )
+
+
+_HASHEMB_CASES = ", ".join(
+    f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS DOUBLE)" for i in range(16)
+)
+
+
+@query(
+    "x48_hashed_embeddings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0),
+    bk AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS b
+      FROM tok),
+    v AS (SELECT doc_id, [{_HASHEMB_CASES}] AS raw FROM bk GROUP BY doc_id),
+    n AS (SELECT doc_id, raw,
+                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+          FROM v),
+    e AS (SELECT doc_id,
+                 list_transform(raw, x -> x / nrm) AS emb,
+                 len(list_filter(raw, x -> x > 0)) AS nnz
+          FROM n),
+    q AS (SELECT emb AS qv FROM e WHERE doc_id = 0)
+    SELECT e.doc_id, CAST(e.nnz AS BIGINT) AS nnz,
+           round(list_cosine_similarity(e.emb, q.qv), 4) AS cos_ref
+    FROM e CROSS JOIN q WHERE e.doc_id < 50
+    """,
+)
+def x48_hashed_embeddings(spark, sf_dir):
+    """Feature-hashed bag-of-words embeddings (hashing trick —
+    pipeline.classify.hashed_embeddings): text → fixed-width normalized
+    vector with one explode + one groupBy of 16 conditional counts, no
+    vocabulary state. Validated by cosine against a reference doc's
+    vector — the text→embedding bridge that feeds the ANN / SemDeDup /
+    kNN operators without an external model."""
+    from otus_clickhouse_spark.pipeline.classify import hashed_embeddings
+    from otus_clickhouse_spark.pipeline.similarity import cosine
+
+    emb = hashed_embeddings(t(spark, sf_dir, "documents"), dims=16)
+    ref = emb.where(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(ref))
+        .where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("nnz"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_ref"),
+        )
+    )

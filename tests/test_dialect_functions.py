@@ -631,3 +631,14 @@ def test_order_by_nulls_ch_semantics(engine, spark):
         "AND CURRENT ROW) AS rs FROM nul_t ORDER BY id LIMIT 2"
     ).collect()
     assert len(w) == 2
+
+
+def test_stat_moment_rewrites():
+    """skewPop is a plain alias; kurtPop needs the +3 structural offset
+    (CH raw kurtosis vs Spark excess kurtosis)."""
+    from otus_clickhouse_spark.functions.dialect import translate
+
+    out = translate("SELECT skewPop(v), kurtPop(v + 1) FROM t GROUP BY k")
+    assert "skewness(v)" in out
+    assert "(kurtosis(v + 1) + 3.0)" in out
+    assert "kurtPop" not in out and "skewPop" not in out

@@ -45,6 +45,8 @@ HEADLINE = [
     "x18_sequence_packing",
     "x27_bm25_topk",
     "x28_chunking",
+    "x43_nb_classifier",
+    "x47_curation_funnel",
 ]
 
 

@@ -904,3 +904,15 @@ def test_line_dedup_removes_corpus_frequent_lines(spark):
     assert out[4]["n_removed"] == 0
     expect = hashlib.md5("alpha one\nbeta two".encode()).hexdigest()
     assert out[1]["cleaned_md5"] == expect
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    """Every stage of the x47 funnel can only shrink the per-source doc
+    set, and selected tokens respect the 5k per-source budget."""
+    from otus_clickhouse_spark.queries_pipeline import x47_curation_funnel
+
+    rows = x47_curation_funnel(spark, sf_dir).collect()
+    assert rows, "funnel produced no sources"
+    for r in rows:
+        assert r["n_in"] >= r["n_dedup"] >= r["n_quality"] >= r["n_agree"] >= r["n_selected"]
+        assert r["tok_selected"] <= 5000

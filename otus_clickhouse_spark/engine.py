@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,7 +163,15 @@ class Engine:
             if re.search(r"\bIF\s+NOT\s+EXISTS\b", ddl, re.IGNORECASE):
                 return self.tables[td.name]
             raise ValueError(f"table {td.name} already exists (use IF NOT EXISTS)")
-        td.path = path or os.path.join("spark-warehouse", td.name)
+        if path is None:
+            # engine-managed location: CREATE means an EMPTY table, so any
+            # directory left by a previous engine instance is orphaned
+            # residue, never live data (a live registration errors above)
+            td.path = os.path.join("spark-warehouse", td.name)
+            if os.path.isdir(td.path):
+                shutil.rmtree(td.path, ignore_errors=True)
+        else:
+            td.path = path
         td.settings["schema"] = schema  # declared column order/types for VALUES inserts
         self.tables[td.name] = td
         if td.engine == "Buffer":
@@ -599,8 +608,20 @@ class Engine:
         return self.spark.table(name)
 
     def drop_table(self, name: str) -> None:
+        """DROP TABLE: deregister AND delete managed data (ClickHouse
+        drops the table's parts). Only warehouse-managed directories are
+        removed — paths registered over external parquet (register_table
+        on user data) are never touched, matching DROP on a table whose
+        storage the server doesn't own."""
         self.spark.catalog.dropTempView(name)
-        self.tables.pop(name, None)
+        td = self.tables.pop(name, None)
+        # an unregistered name may still have an orphaned managed dir
+        # from an earlier engine over the same warehouse
+        path = td.path if (td is not None and td.path) else os.path.join("spark-warehouse", name)
+        warehouse = os.path.abspath("spark-warehouse")
+        p = os.path.abspath(path)
+        if p.startswith(warehouse + os.sep) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------- SQL
     def sql(self, text: str, **params) -> DataFrame:

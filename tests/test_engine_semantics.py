@@ -79,3 +79,21 @@ def test_final_via_engine_sql(spark, tmp_path):
     rows = eng.sql("SELECT payload FROM repl_t FINAL").collect()
     assert [r.payload for r in rows] == ["new"]
     assert eng.sql("SELECT count() AS n FROM repl_t").collect()[0].n == 2
+
+
+def test_drop_then_recreate_starts_empty(spark, tmp_path):
+    """DROP TABLE removes managed data (CH drops the parts), so a fresh
+    CREATE of the same name — even from a NEW engine instance over the
+    same warehouse — starts empty instead of resurrecting stale files."""
+    from otus_clickhouse_spark.engine import Engine
+
+    for expected_run in range(2):  # second engine = simulated restart
+        eng = Engine(spark)
+        eng.execute("DROP TABLE IF EXISTS t_drop_recreate")
+        eng.execute(
+            "CREATE TABLE t_drop_recreate (id UInt64) ENGINE MergeTree() ORDER BY id"
+        )
+        eng.execute("INSERT INTO t_drop_recreate select number FROM numbers(7)")
+        n = eng.sql("select count() as c from t_drop_recreate").collect()[0].c
+        assert n == 7, f"run {expected_run}: stale rows resurrected ({n})"
+    eng.execute("DROP TABLE IF EXISTS t_drop_recreate")

@@ -259,6 +259,30 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
 
     timed("nb_classifier", nb_run, n_docs)
 
+    # line-level boilerplate dedup: corpus shuffle = distinct-line
+    # frequency table; reassembly is a per-doc keyed collect
+    from otus_clickhouse_spark.pipeline.text import line_dedup
+
+    timed(
+        "line_dedup",
+        lambda: line_dedup(docs, sep=" ", max_docs=max(n_docs // 2, 2))
+        .agg(F.count(F.lit(1)), F.sum("n_removed"))
+        .collect(),
+        n_docs,
+    )
+
+    # feature-hashed embeddings: one explode + one groupBy of 16
+    # conditional counts — vocabulary-free text→vector bridge
+    from otus_clickhouse_spark.pipeline.classify import hashed_embeddings
+
+    timed(
+        "hashed_embeddings",
+        lambda: hashed_embeddings(docs, dims=16)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_docs,
+    )
+
     # the one designed Python boundary: Arrow-batched media decode.
     # Real PPM decodes across all partitions — the number to watch is
     # docs/s staying linear as the media table grows (partition-local,

@@ -265,3 +265,37 @@ def budget_select(
         .drop("__cumt")
     )
     return full.unionByName(partial).drop("__qb", "__t", "__remaining")
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str | None = None,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture sampling probabilities (the
+    multilingual/multi-domain recipe from T5/mT5 and PaLM):
+    ``p_s ∝ (share_s)^alpha`` with ``alpha < 1`` flattening the natural
+    distribution toward uniform — low-resource strata are up-weighted,
+    head strata down-weighted, without ever zeroing anything.
+
+    ``weight_col=None`` weights by row count; otherwise by the column's
+    sum (token counts). Output per stratum: (stratum, weight,
+    natural_share, p) with p summing to 1.
+
+    Scale: one partial-agg shuffle to #strata rows; the normalizations
+    are windows over that tiny aggregate, never over the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    agg = df.groupBy(strata_col).agg(w.cast("double").alias("weight"))
+    tot = Window.partitionBy()
+    share = F.col("weight") / F.sum("weight").over(tot)
+    powed = F.pow(share, F.lit(alpha))
+    return (
+        agg.withColumn("natural_share", share)
+        .withColumn("__p0", powed)
+        .withColumn("p", F.col("__p0") / F.sum("__p0").over(tot))
+        .select(strata_col, "weight", "natural_share", "p")
+    )

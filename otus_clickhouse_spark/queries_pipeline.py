@@ -2318,3 +2318,39 @@ def x48_hashed_embeddings(spark, sf_dir):
             F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_ref"),
         )
     )
+
+
+@query(
+    "x49_temperature_mixture",
+    oracle="""
+    WITH agg AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS weight
+      FROM documents GROUP BY source),
+    t AS (SELECT sum(weight) AS tot FROM agg),
+    s AS (SELECT source, weight, weight / t.tot AS natural_share,
+                 pow(weight / t.tot, 0.3) AS p0
+          FROM agg CROSS JOIN t),
+    n AS (SELECT sum(p0) AS ptot FROM s)
+    SELECT source, round(weight, 2) AS weight,
+           round(natural_share, 6) AS natural_share,
+           round(p0 / n.ptot, 6) AS p
+    FROM s CROSS JOIN n
+    """,
+)
+def x49_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (T5/mT5, PaLM recipe —
+    pipeline.sampling.temperature_weights): per-source sampling
+    probability ∝ natural_share^0.3, flattening the domain distribution
+    toward uniform. One partial-agg shuffle to #sources rows; the
+    normalizing windows run on that tiny aggregate."""
+    from otus_clickhouse_spark.pipeline.sampling import temperature_weights
+
+    tw = temperature_weights(
+        t(spark, sf_dir, "documents"), "source", weight_col="n_chars", alpha=0.3
+    )
+    return tw.select(
+        "source",
+        F.round("weight", 2).alias("weight"),
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("p", 6).alias("p"),
+    )

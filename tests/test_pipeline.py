@@ -916,3 +916,19 @@ def test_curation_funnel_is_monotone(spark, sf_dir):
     for r in rows:
         assert r["n_in"] >= r["n_dedup"] >= r["n_quality"] >= r["n_agree"] >= r["n_selected"]
         assert r["tok_selected"] <= 5000
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """alpha<1 up-weights the tail: the small stratum's p must exceed
+    its natural share, the big one's must shrink; alpha=1 is identity."""
+    from otus_clickhouse_spark.pipeline.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("big",)] * 90 + [("small",)] * 10, "src string"
+    )
+    out = {r["src"]: r for r in temperature_weights(df, "src", alpha=0.3).collect()}
+    assert abs(out["big"]["natural_share"] - 0.9) < 1e-9
+    assert out["small"]["p"] > 0.1 and out["big"]["p"] < 0.9
+    assert abs(out["big"]["p"] + out["small"]["p"] - 1.0) < 1e-9
+    ident = {r["src"]: r for r in temperature_weights(df, "src", alpha=1.0).collect()}
+    assert abs(ident["big"]["p"] - 0.9) < 1e-9

@@ -834,3 +834,47 @@ def q87_stat_moments(spark, sf_dir):
         "round(kurtPop(l_quantity), 6) AS kurt_q "
         "FROM lineitem GROUP BY l_returnflag"
     )
+
+
+@query(
+    "q88_window_suite",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(ntile(4) OVER win AS BIGINT) AS tile,
+             percent_rank() OVER win AS pr,
+             cume_dist() OVER win AS cd,
+             first_value(l_orderkey) OVER win AS fv
+      FROM lineitem
+      WINDOW win AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+    SELECT flag, tile, count(*) AS n,
+           round(min(pr), 6) AS min_pr, round(max(pr), 6) AS max_pr,
+           round(max(cd), 6) AS max_cd,
+           CAST(min(fv) AS BIGINT) AS first_key
+    FROM w GROUP BY flag, tile
+    """,
+)
+def q88_window_suite(spark, sf_dir):
+    """Ranking-window breadth through the SQL front end (W-family):
+    ntile quartiles, percent_rank, cume_dist, first_value over a
+    totally-ordered partition (tie-broken to determinism), aggregated
+    to per-(flag, tile) stats. One shuffle on the partition key; the
+    ranking functions are single-pass within each sorted partition."""
+    eng = _mini_engine(spark, sf_dir, ["lineitem"])
+    return eng.sql(
+        "WITH w AS ("
+        " SELECT l_returnflag AS flag,"
+        "        CAST(ntile(4) OVER win AS BIGINT) AS tile,"
+        "        percent_rank() OVER win AS pr,"
+        "        cume_dist() OVER win AS cd,"
+        "        first_value(l_orderkey) OVER win AS fv"
+        " FROM lineitem"
+        " WINDOW win AS (PARTITION BY l_returnflag"
+        "                ORDER BY l_extendedprice, l_orderkey, l_linenumber))"
+        " SELECT flag, tile, count(*) AS n,"
+        "        round(min(pr), 6) AS min_pr, round(max(pr), 6) AS max_pr,"
+        "        round(max(cd), 6) AS max_cd,"
+        "        CAST(min(fv) AS BIGINT) AS first_key"
+        " FROM w GROUP BY flag, tile"
+    )

@@ -2354,3 +2354,81 @@ def x49_temperature_mixture(spark, sf_dir):
         F.round("natural_share", 6).alias("natural_share"),
         F.round("p", 6).alias("p"),
     )
+
+
+@query(
+    "x50_passage_retrieval",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> length(x) > 0) AS toks
+      FROM documents),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS n_chunks
+      FROM tk),
+    ch AS (
+      SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks, n
+      FROM st),
+    pas AS (
+      SELECT doc_id, chunk_id, doc_id * 1000 + chunk_id AS pid,
+             array_to_string(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ')
+               AS ptext
+      FROM ch),
+    tok AS (SELECT pid, unnest(regexp_split_to_array(lower(ptext), '[^\w]+')) AS token
+            FROM pas),
+    tf AS (SELECT pid, token, count(*) AS tf FROM tok
+           WHERE length(token) > 0 GROUP BY 1, 2),
+    dl AS (SELECT pid, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT * FROM tf WHERE token IN ('join', 'merge', 'spark')),
+    dft AS (SELECT token, count(DISTINCT pid) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT p.pid,
+             round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS score
+      FROM post p JOIN dft d USING (token) JOIN dl l USING (pid)
+      CROSS JOIN stats s
+      GROUP BY p.pid)
+    SELECT CAST(pid // 1000 AS BIGINT) AS doc_id,
+           CAST(pid % 1000 AS BIGINT) AS chunk_id,
+           score,
+           CAST(row_number() OVER (ORDER BY score DESC, pid) AS BIGINT) AS rnk
+    FROM scored ORDER BY score DESC, pid LIMIT 5
+    """,
+)
+def x50_passage_retrieval(spark, sf_dir):
+    """RAG-prep passage retrieval end to end: sliding-window chunking
+    (64-token windows, stride 48 — same geometry as x28) → per-passage
+    tf posting index → BM25 top-5 PASSAGES for the query. The passage
+    relation is map-side (explode of window ids, no shuffle); the index
+    build is one (token, passage) aggregation; the posting filter
+    prunes to the query terms before anything wide; top-k is
+    TakeOrderedAndProject. This is the retrieval-granularity variant of
+    x27 — what a retrieval-augmented data pipeline actually serves."""
+    from otus_clickhouse_spark.pipeline.text import tokens
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+
+    docs = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(64)) / F.lit(48)).cast("int")
+    )
+    staged = docs.select(
+        "doc_id", tk.alias("__tks"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    passages = staged.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
+        F.array_join(F.slice("__tks", F.col("chunk_id") * 48 + 1, 64), " ").alias("text"),
+    )
+    idx = build_tf_index(passages, id_col="pid")
+    res = bm25_topk(idx, ["join", "merge", "spark"], k=5, id_col="pid")
+    return res.select(
+        F.floor(F.col("pid") / 1000).cast("bigint").alias("doc_id"),
+        F.pmod(F.col("pid"), F.lit(1000)).cast("bigint").alias("chunk_id"),
+        "score",
+        "rnk",
+    )

@@ -1954,9 +1954,10 @@ def x42_ann_recall_multiprobe(spark, sf_dir):
       SELECT doc_id, tok FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)
       WHERE length(tok) > 0),
+    tetf AS (SELECT doc_id, tok, count(*) AS tf FROM tetok GROUP BY doc_id, tok),
     ll AS (
-      SELECT t.doc_id, m.source, sum(m.logp) AS ll
-      FROM tetok t JOIN model m ON m.tok = t.tok
+      SELECT t.doc_id, m.source, sum(t.tf * m.logp) AS ll
+      FROM tetf t JOIN model m ON m.tok = t.tok
       GROUP BY t.doc_id, m.source),
     scored AS (
       SELECT ll.doc_id, ll.source, round(ll.ll + p.logprior, 4) AS score
@@ -2163,9 +2164,10 @@ def x46_line_dedup(spark, sf_dir):
       SELECT doc_id, tok FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual)
       WHERE length(tok) > 0),
+    tetf AS (SELECT doc_id, tok, count(*) AS tf FROM tetok GROUP BY doc_id, tok),
     ll AS (
-      SELECT t.doc_id, m.source, sum(m.logp) AS ll
-      FROM tetok t JOIN model m ON m.tok = t.tok
+      SELECT t.doc_id, m.source, sum(t.tf * m.logp) AS ll
+      FROM tetf t JOIN model m ON m.tok = t.tok
       GROUP BY t.doc_id, m.source),
     nbscore AS (
       SELECT ll.doc_id, ll.source, round(ll.ll + p.logprior, 4) AS score

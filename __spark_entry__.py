@@ -9,7 +9,7 @@ The actual registry lives in ``otus_clickhouse_spark/queries.py`` (core
 relational surface, SURVEY.md §2) plus the extension modules it pulls
 in: ``queries_extra.py``, ``queries_behavioral.py``,
 ``queries_pipeline.py`` (training-data pipeline, SURVEY.md §7 Phase 7),
-and ``queries_tpch.py`` (TPC-H-adapted h01–h22). 160 queries; all
+and ``queries_tpch.py`` (TPC-H-adapted h01–h22). 161 queries; all
 oracle-paired except x34 (media decode — rows-only by design).
 """
 

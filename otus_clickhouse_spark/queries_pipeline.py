@@ -2434,3 +2434,69 @@ def x50_passage_retrieval(spark, sf_dir):
         "score",
         "rnk",
     )
+
+
+@query(
+    "x51_corpus_health",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang, text, n_chars,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, n_chars, CAST(len(toks) AS BIGINT) AS n_tok,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN n_chars / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(n_chars, 1)) / 3.0, 4) AS quality,
+             md5(text) AS digest
+      FROM base),
+    core AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+             round(1.0 - count(DISTINCT digest) * 1.0 / count(*), 4) AS dup_rate,
+             round(avg(quality), 4) AS avg_quality,
+             round(quantile_cont(n_chars, 0.5), 2) AS med_chars,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM q),
+    lc AS (SELECT lang, count(*) AS c FROM q GROUP BY lang),
+    lt AS (SELECT sum(c) AS tot FROM lc),
+    ent AS (
+      SELECT round(-sum((c / lt.tot) * log2(c / lt.tot)), 4) AS lang_entropy
+      FROM lc CROSS JOIN lt)
+    SELECT core.*, ent.lang_entropy FROM core CROSS JOIN ent
+    """,
+)
+def x51_corpus_health(spark, sf_dir):
+    """Corpus-health snapshot — the monitoring row a curation pipeline
+    emits before/after every stage: doc counts, exact-dup rate, mean
+    quality, median length, total tokens, language-distribution
+    entropy. Two tiny aggregations (global + per-lang) over one scan;
+    the digests are the only wide shuffle."""
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    core = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("digest").cast("bigint").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("digest") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("med_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = lc.agg(F.sum("c").alias("tot"))
+    ent = (
+        lc.crossJoin(F.broadcast(lt))
+        .agg(F.round(-F.sum((F.col("c") / F.col("tot")) * F.log2(F.col("c") / F.col("tot"))), 4).alias("lang_entropy"))
+    )
+    return core.crossJoin(ent)

@@ -63,10 +63,13 @@ def naive_bayes_train(
         df_counts = toks.select("token", id_col).distinct().groupBy("token").agg(
             F.count(F.lit(1)).alias("df")
         )
-        w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+        # orderBy+limit compiles to TakeOrderedAndProject — each partition
+        # keeps its local top-N, then one merge of N-row heaps. Never a
+        # single-task global sort over the whole vocabulary (which an
+        # unpartitioned Window.orderBy row_number would be at 100 TB).
         vocab = (
-            df_counts.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= max_vocab)
+            df_counts.orderBy(F.col("df").desc(), F.col("token").asc())
+            .limit(max_vocab)
             .select("token")
         )
         toks = toks.join(F.broadcast(vocab), "token")

@@ -351,6 +351,51 @@ def chunk_documents(
     )
 
 
+def chunk_passages(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking that MATERIALIZES the passage text under
+    a collision-free packed passage id (the retrieval-granularity
+    sibling of ``chunk_documents``, which only fingerprints).
+
+    pid packs (doc_id, chunk_id) as ``doc_id << 20 | chunk_id`` —
+    2^20 = 1,048,576 chunks per document (≈ 50M tokens at stride 48,
+    three orders of magnitude past book length) before the guard
+    trips, vs. the naive ``doc_id * 1000`` packing that silently
+    collided pids for any document past ~48k tokens. Exact int64 bit
+    arithmetic on both engines (the DuckDB replay is
+    ``doc_id * 1048576 + chunk_id`` / ``pid // 1048576`` /
+    ``pid % 1048576``), so no double-precision drift at large ids.
+    Entirely map-side: one sequence()+explode per doc, no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+    )
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    # assert_true is codegen'd and free in the happy path; it turns a
+    # silent pid collision into a loud failure if a doc ever exceeds
+    # the packing width.
+    guarded = F.when(
+        F.col("chunk_id") < F.lit(1 << 20), F.col("chunk_id")
+    ).otherwise(F.raise_error(F.lit("chunk_passages: >2^20 chunks in one document")))
+    return staged.select(
+        (F.shiftleft(F.col(id_col), 20) + guarded).alias("pid"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens), " "
+        ).alias(text_col),
+    )
+
+
 def bigram_nll(
     df: DataFrame,
     text_col: str = "text",
@@ -444,6 +489,27 @@ def url_dedup_stats(
     )
 
 
+def bpe_apply_merge(sym_col, l_col, r_col):
+    """Apply one BPE merge rule (l, r) to a space-joined symbol string,
+    boundary-aware (Sennrich et al. 2016 semantics).
+
+    A naive ``replace(sym, 'l r', 'lr')`` also fires across symbol
+    boundaries once earlier merges produce multi-char symbols: rule
+    (l, r) on "t al r" would glue the *pair (al, r)* into "t alr".
+    Encoding every symbol with its OWN surrounding space — double the
+    separators, pad the ends — makes the pattern ``' l  r '`` match
+    exactly whole-symbol occurrences, and left-to-right non-overlapping
+    replacement reproduces BPE's greedy scan ("a b a b" + (a,b) →
+    "ab ab"). Decode collapses the doubled separators back. Pure string
+    expressions → whole-stage codegen, and the identical one-liner
+    replays in the DuckDB oracle (no regex, so no lookbehind-support
+    divergence between engines)."""
+    enc = F.concat(F.lit(" "), F.replace(sym_col, F.lit(" "), F.lit("  ")), F.lit(" "))
+    pat = F.concat(F.lit(" "), l_col, F.lit("  "), r_col, F.lit(" "))
+    rep = F.concat(F.lit(" "), l_col, r_col, F.lit(" "))
+    return F.trim(F.replace(F.replace(enc, pat, rep), F.lit("  "), F.lit(" ")))
+
+
 def bpe_merges(
     df: DataFrame,
     n_merges: int = 6,
@@ -459,7 +525,8 @@ def bpe_merges(
     (vocabulary-sized — this is why BPE training scales: 100 TB of text
     is a few million word types); every merge round then runs on that
     small relation — pair explode + one aggregation — with the winning
-    pair broadcast back for the literal-replace merge application.
+    pair broadcast back for the boundary-aware merge application
+    (``bpe_apply_merge``).
     localCheckpoint per round keeps the plan from growing with the
     merge count, exactly like the k-means training loop.
     """
@@ -512,11 +579,7 @@ def bpe_merges(
             .select(
                 "word",
                 "cnt",
-                F.replace(
-                    F.col("sym"),
-                    F.concat_ws(" ", "__l", "__r"),
-                    F.concat("__l", "__r"),
-                ).alias("sym"),
+                bpe_apply_merge(F.col("sym"), F.col("__l"), F.col("__r")).alias("sym"),
             )
             .localCheckpoint()
         )

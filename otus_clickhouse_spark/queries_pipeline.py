@@ -1654,7 +1654,9 @@ def x38_url_dedup(spark, sf_dir):
 
 def _bpe_oracle(n_merges: int) -> str:
     """Unrolled BPE-training replay: K rounds of pair-count → argmax →
-    literal replace, identical tie-break (count desc, left, right)."""
+    boundary-aware replace (same double-space sentinel encoding as
+    pipeline.text.bpe_apply_merge), identical tie-break (count desc,
+    left, right)."""
     parts = [
         r"""
     WITH w0 AS (
@@ -1681,8 +1683,10 @@ def _bpe_oracle(n_merges: int) -> str:
     b{r} AS (SELECT {r} AS rank, l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
     w{r + 1} AS (
       SELECT word, cnt,
-             replace(sym, (SELECT l || ' ' || r2 FROM b{r}),
-                          (SELECT l || r2 FROM b{r})) AS sym
+             trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                                  (SELECT ' ' || l || '  ' || r2 || ' ' FROM b{r}),
+                                  (SELECT ' ' || l || r2 || ' ' FROM b{r})),
+                          '  ', ' ')) AS sym
       FROM w{r}
     )"""
         )
@@ -1729,8 +1733,10 @@ def _bpe_apply_oracle(n_merges: int) -> str:
             f""",
     d{r + 1} AS (
       SELECT word,
-             replace(sym, (SELECT l || ' ' || r2 FROM b{r}),
-                          (SELECT l || r2 FROM b{r})) AS sym
+             trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                                  (SELECT ' ' || l || '  ' || r2 || ' ' FROM b{r}),
+                                  (SELECT ' ' || l || r2 || ' ' FROM b{r})),
+                          '  ', ' ')) AS sym
       FROM d{r}
     )"""
         )
@@ -1752,7 +1758,7 @@ def x40_bpe_segmentation(spark, sf_dir):
     tokenizer pipeline, fully on Spark. Merges apply in rank order via
     broadcast literal replaces; fertility is the metric teams use to
     compare tokenizers before committing to one."""
-    from otus_clickhouse_spark.pipeline.text import bpe_merges, tokens
+    from otus_clickhouse_spark.pipeline.text import bpe_apply_merge, bpe_merges, tokens
 
     docs = t(spark, sf_dir, "documents")
     merges = bpe_merges(docs, n_merges=6)
@@ -1767,9 +1773,7 @@ def x40_bpe_segmentation(spark, sf_dir):
         )
         cur = cur.crossJoin(F.broadcast(m)).select(
             "word",
-            F.replace(
-                F.col("sym"), F.concat_ws(" ", "__l", "__r"), F.concat("__l", "__r")
-            ).alias("sym"),
+            bpe_apply_merge(F.col("sym"), F.col("__l"), F.col("__r")).alias("sym"),
         )
     n_sub = F.size(F.split(F.col("sym"), " "))
     return cur.agg(
@@ -2374,7 +2378,7 @@ def x49_temperature_mixture(spark, sf_dir):
       SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks, n
       FROM st),
     pas AS (
-      SELECT doc_id, chunk_id, doc_id * 1000 + chunk_id AS pid,
+      SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
              array_to_string(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ')
                AS ptext
       FROM ch),
@@ -2394,8 +2398,8 @@ def x49_temperature_mixture(spark, sf_dir):
       FROM post p JOIN dft d USING (token) JOIN dl l USING (pid)
       CROSS JOIN stats s
       GROUP BY p.pid)
-    SELECT CAST(pid // 1000 AS BIGINT) AS doc_id,
-           CAST(pid % 1000 AS BIGINT) AS chunk_id,
+    SELECT CAST(pid // 1048576 AS BIGINT) AS doc_id,
+           CAST(pid % 1048576 AS BIGINT) AS chunk_id,
            score,
            CAST(row_number() OVER (ORDER BY score DESC, pid) AS BIGINT) AS rnk
     FROM scored ORDER BY score DESC, pid LIMIT 5
@@ -2409,28 +2413,19 @@ def x50_passage_retrieval(spark, sf_dir):
     build is one (token, passage) aggregation; the posting filter
     prunes to the query terms before anything wide; top-k is
     TakeOrderedAndProject. This is the retrieval-granularity variant of
-    x27 — what a retrieval-augmented data pipeline actually serves."""
-    from otus_clickhouse_spark.pipeline.text import tokens
+    x27 — what a retrieval-augmented data pipeline actually serves.
+    Passage ids pack (doc_id, chunk_id) as doc_id<<20 | chunk_id
+    (pipeline.text.chunk_passages) — collision-free past 50M-token
+    documents, exact int64 decode on both engines."""
+    from otus_clickhouse_spark.pipeline.text import chunk_passages
     from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
 
-    docs = t(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    n = F.size(tk)
-    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
-        F.lit(1) + F.ceil((n - F.lit(64)) / F.lit(48)).cast("int")
-    )
-    staged = docs.select(
-        "doc_id", tk.alias("__tks"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
-    )
-    passages = staged.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
-        F.array_join(F.slice("__tks", F.col("chunk_id") * 48 + 1, 64), " ").alias("text"),
-    )
+    passages = chunk_passages(t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
     idx = build_tf_index(passages, id_col="pid")
     res = bm25_topk(idx, ["join", "merge", "spark"], k=5, id_col="pid")
     return res.select(
-        F.floor(F.col("pid") / 1000).cast("bigint").alias("doc_id"),
-        F.pmod(F.col("pid"), F.lit(1000)).cast("bigint").alias("chunk_id"),
+        F.shiftright(F.col("pid"), 20).cast("bigint").alias("doc_id"),
+        F.col("pid").bitwiseAND(F.lit((1 << 20) - 1)).cast("bigint").alias("chunk_id"),
         "score",
         "rnk",
     )

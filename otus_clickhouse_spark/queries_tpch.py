@@ -20,13 +20,21 @@ Adaptations to the synthetic schema (TESTDATA.md):
 - customer has no phone: Q22's country code becomes
   ``c_custkey % 7``.
 
-Scale notes (100 TB): every dimension side (region/nation/supplier/
-part/customer at TPC-H's fixed ratios) is explicitly broadcast so the
-fact table never re-shuffles for a dim join; the only wide shuffles
-are the final group-bys on low-cardinality keys and the derived
-partsupp build (one shuffle of (partkey, suppkey) pairs, reused via
-a shared helper). Scalar subqueries are computed as 1-row aggregates
-and broadcast-cross-joined — never collected to the driver.
+Scale notes (100 TB): explicit ``F.broadcast`` hints are reserved for
+relations whose size is INDEPENDENT of scale factor — nation (25
+rows), region (5 rows), and 1-row scalar aggregates. Everything that
+grows with SF (orders, customer, supplier, part, and any key list or
+aggregate derived from them) carries NO hint: at sf0.1 AQE's runtime
+size check still broadcasts them for free, and at the 100 TB target
+the same plan degrades gracefully to a shuffle join instead of
+blowing Spark's 8 GB broadcast-relation cap. (A forced hint would
+*disable* that size check — see tests/test_plans.py
+``test_tpch_no_forced_broadcast_of_scale_tables``.) The only
+unavoidable wide shuffles are the final group-bys on low-cardinality
+keys and the derived partsupp build (one shuffle of (partkey,
+suppkey) pairs, reused via a shared helper). Scalar subqueries are
+computed as 1-row aggregates and broadcast-cross-joined — never
+collected to the driver.
 """
 
 from __future__ import annotations
@@ -59,11 +67,11 @@ def _partsupp(spark, sf_dir, part_keys=None, supp_keys=None):
     li = t(spark, sf_dir, "lineitem")
     if part_keys is not None:
         li = li.join(
-            F.broadcast(part_keys.toDF("__pk")), li.l_partkey == F.col("__pk"), "left_semi"
+            part_keys.toDF("__pk"), li.l_partkey == F.col("__pk"), "left_semi"
         )
     if supp_keys is not None:
         li = li.join(
-            F.broadcast(supp_keys.toDF("__sk")), li.l_suppkey == F.col("__sk"), "left_semi"
+            supp_keys.toDF("__sk"), li.l_suppkey == F.col("__sk"), "left_semi"
         )
     return (
         li.groupBy(
@@ -142,15 +150,16 @@ def h01_pricing_summary_full(spark, sf_dir):
 )
 def h02_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2: min-cost supplier per part in a region (correlated min
-    subquery → groupBy + equi-join back). supplier/nation/region are
-    broadcast; the only shuffle is the partsupp build + per-part min."""
+    subquery → groupBy + equi-join back). nation/region are broadcast
+    by hint, supplier/part by AQE when they fit; the only mandatory
+    shuffle is the partsupp build + per-part min."""
     p = t(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
@@ -159,7 +168,7 @@ def h02_min_cost_supplier(spark, sf_dir):
     return (
         eu.join(mc, ["ps_partkey"])
         .where(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
@@ -194,14 +203,15 @@ def h02_min_cost_supplier(spark, sf_dir):
     """,
 )
 def h03_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 in full (both date cutoffs + priority column). Dims
-    filtered before the broadcast, lineitem never re-shuffles."""
+    """TPC-H Q3 in full (both date cutoffs + priority column). orders/
+    customer are filtered before the join and left unhinted — AQE
+    broadcasts them while they fit, shuffles past the cap."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
     o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < _ts("1997-03-15"))
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1997-03-15"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -261,8 +271,8 @@ def h04_late_order_priority(spark, sf_dir):
 )
 def h05_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5: revenue where customer and supplier share a nation in a
-    region. 5 joins, all dim sides broadcast — the fact table streams
-    through one codegen stage, then one 5-row group-by."""
+    region. 5 joins; nation/region broadcast by hint, the SF-growing
+    sides by AQE when small enough, then one 5-row group-by."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
@@ -272,10 +282,10 @@ def h05_local_supplier_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -331,8 +341,9 @@ def h06_forecast_revenue(spark, sf_dir):
 )
 def h07_volume_shipping(spark, sf_dir):
     """TPC-H Q7: bilateral trade volume by year. The nation pair
-    disjunction is applied after broadcast dim joins (Catalyst pushes
-    each half to its side where possible)."""
+    disjunction is applied after the dim joins (Catalyst pushes each
+    half to its side where possible); only the two 25-row nation
+    scans are hint-broadcast."""
     s = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
@@ -346,9 +357,9 @@ def h07_volume_shipping(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -389,8 +400,9 @@ def h07_volume_shipping(spark, sf_dir):
     """,
 )
 def h08_market_share(spark, sf_dir):
-    """TPC-H Q8: national market share inside a region. 7 joins, every
-    dim broadcast; conditional-sum ratio per year."""
+    """TPC-H Q8: national market share inside a region. 7 joins —
+    nation/region hinted, the rest AQE-sized; conditional-sum ratio
+    per year."""
     p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
@@ -407,10 +419,10 @@ def h08_market_share(spark, sf_dir):
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -451,7 +463,8 @@ def h09_product_profit(spark, sf_dir):
     """TPC-H Q9: profit = revenue − supplycost·qty by nation/year for a
     part-name family. The derived partsupp joins back to lineitem on the
     composite (partkey, suppkey) key — at scale this is the one
-    co-partitioned wide join; everything else broadcasts."""
+    co-partitioned wide join; the filtered part/supplier/orders sides
+    are AQE-sized (broadcast at small SF, shuffle at 100 TB)."""
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     li = t(spark, sf_dir, "lineitem")
@@ -462,13 +475,13 @@ def h09_product_profit(spark, sf_dir):
         "l_quantity"
     )
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
     )
     return (
@@ -505,8 +518,8 @@ def h10_returned_items(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(
             "c_custkey",
@@ -546,7 +559,7 @@ def h11_important_stock(spark, sf_dir):
     nat5_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi").select("s_suppkey")
     ps = _partsupp(spark, sf_dir, supp_keys=nat5_supp)
     nat = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"))
     )
@@ -582,7 +595,7 @@ def h12_late_shipment_modes(spark, sf_dir):
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60).cast("timestamp"))
         .groupBy("l_returnflag")
         .agg(
@@ -633,14 +646,15 @@ def h13_customer_distribution(spark, sf_dir):
     """,
 )
 def h14_promo_effect(spark, sf_dir):
-    """TPC-H Q14: promo revenue share in one month. part broadcasts."""
+    """TPC-H Q14: promo revenue share in one month. part joins
+    unhinted (AQE broadcasts while it fits)."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01"))
     )
     p = t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -684,7 +698,7 @@ def h15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -706,7 +720,8 @@ def h15_top_supplier(spark, sf_dir):
 def h16_parts_supplier_counts(spark, sf_dir):
     """TPC-H Q16: supplier counts per (brand,type,size), excluding one
     brand/type and 'complaint' suppliers (negative acctbal stands in for
-    the comment scan). NOT IN → broadcast anti-join."""
+    the comment scan). NOT IN → anti-join (AQE broadcasts the small
+    supplier key list at any SF where it fits)."""
     p = t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -715,8 +730,8 @@ def h16_parts_supplier_counts(spark, sf_dir):
     ps = _partsupp(spark, sf_dir, part_keys=p.select("p_partkey"))
     bad_supp = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(bad_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad_supp, ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -744,8 +759,8 @@ def h17_small_quantity_revenue(spark, sf_dir):
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -777,9 +792,9 @@ def h18_large_volume_customers(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(big.select("l_orderkey")), ["l_orderkey"], "left_semi")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(big.select("l_orderkey"), ["l_orderkey"], "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -817,7 +832,7 @@ def h19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -859,7 +874,7 @@ def h20_promotion_candidates(spark, sf_dir):
         .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
     )
     qualifying = (
-        ps.join(F.broadcast(small), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        ps.join(small, ps.ps_partkey == F.col("p_partkey"), "left_semi")
         .join(wq, (ps.ps_partkey == wq.l_partkey) & (ps.ps_suppkey == wq.l_suppkey))
         .where(F.col("ps_availqty") > F.col("half_qty"))
         .select("ps_suppkey")
@@ -869,7 +884,7 @@ def h20_promotion_candidates(spark, sf_dir):
     n = t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(qualifying), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(qualifying, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
         .select("s_name", "n_name")
     )
 
@@ -916,8 +931,8 @@ def h21_waiting_suppliers(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     return (
         lw.where((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
-        .join(F.broadcast(o), lw.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), lw.l_suppkey == s.s_suppkey)
+        .join(o, lw.l_orderkey == o.o_orderkey, "left_semi")
+        .join(s, lw.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -798,6 +798,79 @@ def test_bpe_merges_learns_frequent_pairs(spark):
     assert any("ab" in l or "ab" in r for l, r in later)
 
 
+def test_chunk_passages_no_pid_collision_past_1000_chunks(spark):
+    """Regression for the doc_id*1000 packing: a book-length document
+    (>48k tokens → >1000 chunks) must keep every passage id distinct
+    and decodable, including against the NEXT doc_id's passages."""
+    from otus_clickhouse_spark.pipeline.text import chunk_passages
+
+    long_text = " ".join(f"w{i % 97}" for i in range(51_000))  # 1063 chunks
+    df = spark.createDataFrame(
+        [(7, long_text), (8, "short doc here")], "doc_id long, text string"
+    )
+    pas = chunk_passages(df, chunk_tokens=64, stride=48)
+    stats = pas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pid").alias("n_distinct"),
+        F.sum((F.shiftright("pid", 20) == 7).cast("int")).alias("n_doc7"),
+        F.max(F.col("pid").bitwiseAND(F.lit((1 << 20) - 1))).alias("max_chunk"),
+    ).collect()[0]
+    assert stats.n == stats.n_distinct  # zero collisions
+    assert stats.n_doc7 == 1 + -(-(51_000 - 64) // 48)  # ceil → 1063
+    assert stats.max_chunk > 1000  # the old packing's collision zone
+    assert stats.n == stats.n_doc7 + 1
+
+
+def test_bpe_merge_application_is_boundary_aware(spark):
+    """Regression for the cross-boundary merge bug: rule (l, r) must not
+    fire on '…al r…' (gluing the pair (al, r)) after an earlier merge
+    produced the multi-char symbol 'al'. Also checks the greedy
+    left-to-right scan on overlapping occurrences."""
+    from otus_clickhouse_spark.pipeline.text import bpe_apply_merge
+
+    cases = spark.createDataFrame(
+        [
+            ("t al r", "l", "r", "t al r"),  # whole-symbol only: unchanged
+            ("t a l r", "l", "r", "t a lr"),  # genuine pair merges
+            ("a b a b", "a", "b", "ab ab"),  # greedy non-overlapping scan
+            ("al al x", "al", "al", "alal x"),  # multi-char symbols merge too
+            ("lr", "l", "r", "lr"),  # single symbol untouched
+        ],
+        "sym string, l string, r string, expected string",
+    )
+    got = cases.select(
+        "expected", bpe_apply_merge(F.col("sym"), F.col("l"), F.col("r")).alias("out")
+    ).collect()
+    for row in got:
+        assert row.out == row.expected
+
+
+def test_bpe_trajectory_matches_hand_computed_sennrich(spark):
+    """End-to-end trajectory on a corpus crafted so the buggy
+    cross-boundary replace diverges: after merge (a,l), the word 'alr'
+    (segmented 'a lr' by the earlier (l,r) merge) must KEEP its (a, lr)
+    pair — the old code glued it to one symbol and lost rank-3."""
+    from otus_clickhouse_spark.pipeline.text import bpe_merges
+
+    text = " ".join(["lrlr"] * 4 + ["alr"] * 3 + ["al"] * 5)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = [
+        (m.rank, m.left, m.right, m.pair_count)
+        for m in bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    # Hand-computed Sennrich trajectory:
+    #   r0: (l,r)=2*4+3=11  beats (a,l)=3+5=8
+    #   r1: (a,l)=5 ('al' only — 'alr' is now 'a lr', NOT 'a l r')
+    #   r2: (lr,lr)=4 from 'lr lr'
+    #   r3: (a,lr)=3 from 'a lr' — lost entirely under the buggy replace
+    assert merges == [
+        (0, "l", "r", 11),
+        (1, "a", "l", 5),
+        (2, "lr", "lr", 4),
+        (3, "a", "lr", 3),
+    ]
+
+
 def test_lsh_multiprobe_expands_candidates(spark, sf_dir):
     """Multi-probe probes Hamming-1 buckets: its result set contains the
     single-bucket results and reaches at least as many candidates."""

@@ -130,8 +130,11 @@ def test_top_k_partial_aggregation(spark, sf_dir):
 
 
 def test_tpch_h05_all_dims_broadcast(spark, sf_dir):
-    """h05's 5-join tree: every dimension side broadcasts — the lineitem
-    fact streams through without a single sort-merge shuffle."""
+    """h05's 5-join tree: at this SF every join side is small enough
+    that the size-based planner broadcasts it WITHOUT any forced hint
+    (only nation/region are hinted) — the lineitem fact streams through
+    without a single sort-merge shuffle. At 100 TB the same plan
+    degrades to shuffle joins instead of breaking the broadcast cap."""
     plan = plan_of(spark, sf_dir, "h05_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
@@ -162,3 +165,68 @@ def test_tpch_h09_partsupp_pushdown_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "LeftSemi" in plan  # the pushed-down part-key restriction
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+# --- forced-broadcast audit -------------------------------------------
+# Scale-growing relations (orders ≈ lineitem/4, customer, supplier, part,
+# and anything derived from lineitem) must NEVER carry an explicit
+# broadcast hint: the hint disables AQE's runtime size check, so a plan
+# that works at sf0.1 hard-fails at 100 TB when the side outgrows the
+# 8 GB broadcast-relation cap. Hints are allowed only on (a) subtrees
+# whose base relations are all fixed-size (nation: 25 rows, region: 5),
+# or (b) 1-row global aggregates (scalar subqueries).
+
+_SCALE_TABLE_MARKERS = ("o_orderkey", "c_custkey", "l_orderkey", "p_partkey", "s_suppkey")
+
+
+def _indent_of(line: str) -> int:
+    stripped = line.lstrip(" :+-")
+    return len(line) - len(stripped)
+
+
+def _hint_subtrees(analyzed: str):
+    """Yield the subtree text under each ResolvedHint in a logical-plan
+    tree string (children are the following lines with deeper indent)."""
+    lines = analyzed.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        depth = _indent_of(line)
+        subtree = []
+        for child in lines[i + 1:]:
+            if child.strip() and _indent_of(child) <= depth:
+                break
+            subtree.append(child)
+        yield "\n".join(subtree)
+
+
+def _scans_scale_table(subtree: str) -> bool:
+    relation_lines = [l for l in subtree.splitlines() if "Relation" in l]
+    return any(m in l for l in relation_lines for m in _SCALE_TABLE_MARKERS)
+
+
+def _is_global_aggregate_root(subtree: str) -> bool:
+    """True if the hint's direct child is an ungrouped (1-row) Aggregate:
+    grouped aggregates print `Aggregate [keys], [exprs]`, global ones
+    `Aggregate [exprs]` — a single bracket group."""
+    import re
+
+    first = next((l for l in subtree.splitlines() if l.strip()), "")
+    node = first.lstrip(" :+-")
+    return bool(re.match(r"Aggregate \[[^\[\]]*\]$", node))
+
+
+def test_tpch_no_forced_broadcast_of_scale_tables(spark, sf_dir):
+    """Every explicit broadcast hint across the whole h-suite sits on a
+    fixed-size relation (nation/region) or a 1-row scalar aggregate —
+    never on orders/customer/supplier/part/lineitem-derived key lists."""
+    names = [n for n in all_queries() if n.startswith("h")]
+    assert len(names) == 22
+    offending = []
+    for name in names:
+        df = all_queries()[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for subtree in _hint_subtrees(analyzed):
+            if _scans_scale_table(subtree) and not _is_global_aggregate_root(subtree):
+                offending.append(name)
+    assert offending == [], f"scale-growing broadcast hints in: {sorted(set(offending))}"

@@ -55,6 +55,13 @@ class Engine:
 
     >>> eng = Engine(spark, data_dir="/root/testdata/sf0.001")
     >>> eng.sql("SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'")
+
+    Hard assumption: ONE live Engine per warehouse directory (like one
+    clickhouse-server per data dir). create_table/drop_table reclaim
+    managed directories under ``spark-warehouse/``, so a second Engine
+    instance over the same SparkSession + warehouse can delete data the
+    first instance still serves — the "live registration errors above"
+    guard in create_table is per-instance only.
     """
 
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
@@ -614,6 +621,10 @@ class Engine:
         on user data) are never touched, matching DROP on a table whose
         storage the server doesn't own."""
         self.spark.catalog.dropTempView(name)
+        # the engine-semantics companion view (registered by register_table
+        # for Replacing/Summing/Collapsing engines) must not outlive the
+        # base table — it points at the deleted files
+        self.spark.catalog.dropTempView(f"{name}__final")
         td = self.tables.pop(name, None)
         # an unregistered name may still have an orphaned managed dir
         # from an earlier engine over the same warehouse

@@ -166,14 +166,16 @@ def minhash_dedup_pairs(
 
     The shingle relation feeds three consumers (signatures + both sides
     of the verify join); without materialization Spark recomputes the
-    tokenize/explode/distinct subtree three times. We persist it —
-    at cluster scale this is the step you'd write to an intermediate
-    table anyway (it's the unit of incremental recompute for new docs).
+    tokenize/explode/distinct subtree three times. We localCheckpoint it
+    (materialized once, blocks freed on GC — persist() entries outlive
+    the returned plan and leak across a long harness run) — at cluster
+    scale this is the step you'd write to an intermediate table anyway
+    (it's the unit of incremental recompute for new docs).
     """
     sh = shingles(df, text_col, id_col, n)
     if persist_shingles:
-        sh = sh.persist()
-    sig = minhash_signatures(sh, id_col, with_size=True).persist()
+        sh = sh.localCheckpoint()
+    sig = minhash_signatures(sh, id_col, with_size=True).localCheckpoint()
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(
         cand, sh, id_col, threshold, sizes=sig.select(id_col, "n_sh")

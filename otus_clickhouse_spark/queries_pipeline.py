@@ -919,7 +919,9 @@ def x24_unigram_logprob(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    tok = tok.persist()
+    # localCheckpoint, not persist: reused by three consumers below, and
+    # the blocks free on GC instead of leaking for the harness lifetime
+    tok = tok.localCheckpoint()
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = tok.count()  # scalar: one job, reused as a literal
     scored = tok.join(F.broadcast(cnt), on="tok").select(
@@ -1185,7 +1187,7 @@ def x30_cluster_keep_best(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, threshold=0.7)
-    comp = dedup_clusters(pairs).persist()
+    comp = dedup_clusters(pairs).localCheckpoint()
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
     clustered = comp.join(q, comp.node == q.doc_id).select(
         "cluster_id", "doc_id", "quality"
@@ -1385,7 +1387,7 @@ def x34_media_dedup(spark, sf_dir):
         media_neardup_pairs,
     )
 
-    media = demo_media_with_dups(spark).persist()
+    media = demo_media_with_dups(spark).localCheckpoint()
     img_pairs = media_neardup_pairs(media, max_hamming=4).agg(
         F.count(F.lit(1)).alias("n_image_neardup_pairs")
     )
@@ -1437,7 +1439,7 @@ def x35_leakage_free_split(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.sampling import leakage_free_split
 
     docs = t(spark, sf_dir, "documents")
-    comp = dedup_clusters(minhash_dedup_pairs(docs, threshold=0.7)).persist()
+    comp = dedup_clusters(minhash_dedup_pairs(docs, threshold=0.7)).localCheckpoint()
     split = leakage_free_split(docs, comp)
     clustered = comp.select(F.col("node").alias("doc_id")).distinct().withColumn(
         "is_cl", F.lit(1)
@@ -1562,7 +1564,7 @@ def x37_perplexity_buckets(spark, sf_dir):
     engines makes the bucket boundaries bit-stable."""
     from otus_clickhouse_spark.pipeline.text import bigram_nll
 
-    per_doc = bigram_nll(t(spark, sf_dir, "documents")).persist()
+    per_doc = bigram_nll(t(spark, sf_dir, "documents")).localCheckpoint()
     thr = per_doc.agg(
         F.expr("percentile(avg_nll, 0.33)").alias("t33"),
         F.expr("percentile(avg_nll, 0.67)").alias("t67"),
@@ -2233,11 +2235,23 @@ def x47_curation_funnel(spark, sf_dir):
         quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text")).cast("bigint").alias("n_tok"),
     )
-    qual = staged.where(F.col("quality") >= 0.5).persist()
+    # localCheckpoint (not persist): materialized once, reused by the
+    # train/score/stage-count fan-out, and the blocks are released by
+    # the ContextCleaner when the DataFrame goes out of scope — persist()
+    # would leak cached blocks for the rest of a 161-query harness run
+    # (CacheManager entries are only freed by explicit unpersist, which
+    # a lazily-returned plan has no good place to call).
+    qual = staged.where(F.col("quality") >= 0.5).localCheckpoint()
     train = qual.where(F.col("doc_id") % 5 != 0)
     model, priors = naive_bayes_train(train, label_col="source")
     pred = naive_bayes_predict(qual, model, priors, label_col="source")
-    agree = qual.join(pred, "doc_id").where(F.col("predicted") == F.col("source"))
+    # agree feeds BOTH the n_agree stage count and the selection window —
+    # checkpointing it avoids recomputing the NB scoring join twice.
+    agree = (
+        qual.join(pred, "doc_id")
+        .where(F.col("predicted") == F.col("source"))
+        .localCheckpoint()
+    )
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("quality").desc(), F.col("doc_id"))

@@ -319,7 +319,8 @@ def main():
         results[label] = {"n_fact": n_fact, "n_docs": n_docs, **probe(spark, path, n_fact, n_docs)}
     print(json.dumps(results, indent=2))
     # clean up only this tool's own datasets — .scratch is shared with
-    # bench.py, whose cached 20M-row table must survive between rounds
+    # bench.py, whose cached scale table (100M rows by default;
+    # SPARK_GRAFT_SCALE_ROWS overrides) must survive between rounds
     for label in ("small", "big"):
         shutil.rmtree(os.path.join(SCRATCH, label), ignore_errors=True)
 

@@ -66,14 +66,17 @@ def brute_force_topk(
     )
 
 
-def srp_bucket(vec: Column, planes: int = 8) -> Column:
-    """Sign-random-projection bucket id from the first ``planes`` dims.
+def srp_bucket(vec: Column, planes: int = 8, offset: int = 0) -> Column:
+    """Sign-random-projection bucket id from ``planes`` dims starting at
+    ``offset`` (0-based).
 
     Deterministic stand-in for random hyperplanes: bit b = sign of
-    element b. Portable to the SQL oracle (element access + CASE).
+    element offset+b. Portable to the SQL oracle (element access +
+    CASE). Distinct offsets give the independent hash tables of
+    OR-construction LSH (each table looks at a disjoint dim slice).
     """
     bits = [
-        F.when(F.element_at(vec, b + 1) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        F.when(F.element_at(vec, offset + b + 1) >= 0, F.lit(2**b)).otherwise(F.lit(0))
         for b in range(planes)
     ]
     out = bits[0]
@@ -164,6 +167,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     multiprobe: int = 0,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
 
@@ -175,33 +179,66 @@ def lsh_topk(
     distance 1 from the query's bucket (single sign-bit flips — the
     standard multi-probe LSH recall fix, Lv et al. 2007). The corpus
     never re-shuffles: only the tiny broadcast query side is expanded
-    ``m+1``×, and each corpus vector lives in exactly one bucket so no
-    dedup is needed."""
+    ``m+1``×.
+
+    ``tables=L`` is OR-construction LSH: L independent hash tables,
+    table t hashing the disjoint dim slice ``[t*planes, (t+1)*planes)``;
+    a corpus vector is a candidate if it collides with the query in ANY
+    table. This is the recall dial that multiprobe alone cannot reach —
+    probe depth explores one table's Hamming ball, extra tables give
+    independent chances to catch a neighbour whose signs differ in the
+    first slice. Candidates are deduped on the (query, vector) pair
+    before the exact cosine re-rank, so results stay identical to
+    brute force restricted to the candidate union. The corpus side is
+    exploded L× map-side (no shuffle — the join stays broadcast-hash);
+    the pair dedup shuffles candidate PAIRS only, never the corpus."""
     c = rebalance(
         corpus.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
-    ).withColumn("bucket", srp_bucket(F.col("__cv"), planes))
+    )
+    tbl_buckets = lambda col: F.array(  # noqa: E731
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(col, planes, offset=t * planes).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+    c = c.select(id_col, "__cv", F.explode(tbl_buckets(F.col("__cv"))).alias("__tb"))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("bucket", srp_bucket(F.col("__qv"), planes))
+    ).select(
+        query_id_col, "__qv", F.explode(tbl_buckets(F.col("__qv"))).alias("__tb")
+    )
     if multiprobe:
         probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)],
+            F.col("__tb.b"),
+            *[F.col("__tb.b").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)],
         )
         q = q.select(
-            query_id_col, "__qv", F.explode(probes).alias("__probe")
+            query_id_col,
+            "__qv",
+            F.col("__tb.t").alias("__t"),
+            F.explode(probes).alias("__b"),
         ).select(
-            query_id_col, "__qv", F.col("__probe").cast("int").alias("bucket")
+            query_id_col,
+            "__qv",
+            F.struct(
+                F.col("__t").alias("t"), F.col("__b").cast("int").alias("b")
+            ).alias("__tb"),
         )
-    scored = c.join(F.broadcast(q), on="bucket").select(
+    scored = c.join(F.broadcast(q), on="__tb").select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
     )
+    if tables > 1:
+        # same pair can collide in several tables — exact re-rank needs it once
+        scored = scored.groupBy(query_id_col, id_col).agg(F.first("cos").alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -1830,8 +1830,8 @@ def x41_ann_recall_eval(spark, sf_dir):
     queries at 100 TB is just another hash join. On the synthetic
     corpus this measures ~0.12 — the eval correctly flags that 8
     planes over 500 vectors (≈2 per bucket) is far too aggressive,
-    which is precisely the decision this metric exists to drive
-    (fewer planes or multi-probe would be the fix)."""
+    which is precisely the decision this metric exists to drive — x42
+    IS that fix (4 coarser tables + multiprobe → ≥0.8 recall)."""
     from otus_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1858,18 +1858,31 @@ def x41_ann_recall_eval(spark, sf_dir):
     )
 
 
+def _srp_bucket_sql(vcol: str, t: int, planes: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN {vcol}[{t * planes + b + 1}] >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(planes)
+    )
+
+
+_ANN_TABLES, _ANN_PLANES, _ANN_MP = 4, 4, 4
+
+
 @query(
     "x42_ann_recall_multiprobe",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                      CAST({BUCKET} AS INT) AS bucket
-               FROM embeddings),
-    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
-    q AS (
-      SELECT query_id, qv, CAST(probe AS INT) AS bucket FROM (
-        SELECT query_id, qv,
-               unnest([bucket, {PROBES}]) AS probe
-        FROM q0)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS ({CORPUS_TABLES}),
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qt AS ({QUERY_TABLES}),
+    qp AS (
+      SELECT query_id, t, CAST(probe AS INT) AS bucket FROM (
+        SELECT query_id, t, unnest([bucket, {PROBES}]) AS probe
+        FROM qt)
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, c.vec_id
+      FROM c JOIN qp ON qp.t = c.t AND qp.bucket = c.bucket
     ),
     gold AS (
       SELECT query_id, vec_id FROM (
@@ -1880,10 +1893,11 @@ def x41_ann_recall_eval(spark, sf_dir):
     ),
     approx AS (
       SELECT query_id, vec_id FROM (
-        SELECT q.query_id, e.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 4) DESC, e.vec_id) AS rnk
-        FROM e JOIN q USING (bucket)) WHERE rnk <= 10
+        SELECT cand.query_id, cand.vec_id,
+               row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY round(list_cosine_similarity(q0.qv, e.v), 4) DESC, cand.vec_id) AS rnk
+        FROM cand JOIN q0 ON q0.query_id = cand.query_id
+                  JOIN e ON e.vec_id = cand.vec_id) WHERE rnk <= 10
     ),
     hits AS (
       SELECT g.query_id, count(a.vec_id) AS n_hit
@@ -1896,19 +1910,34 @@ def x41_ann_recall_eval(spark, sf_dir):
            round(min(n_hit / 10.0), 4) AS min_recall
     FROM hits
     """.replace(
-        "{BUCKET}",
-        " + ".join(f"(CASE WHEN v[{b + 1}] >= 0 THEN {2**b} ELSE 0 END)" for b in range(8)),
+        "{CORPUS_TABLES}",
+        " UNION ALL ".join(
+            f"SELECT vec_id, {t} AS t, CAST({_srp_bucket_sql('v', t, _ANN_PLANES)} AS INT)"
+            f" AS bucket FROM e"
+            for t in range(_ANN_TABLES)
+        ),
+    ).replace(
+        "{QUERY_TABLES}",
+        " UNION ALL ".join(
+            f"SELECT query_id, {t} AS t,"
+            f" CAST({_srp_bucket_sql('qv', t, _ANN_PLANES)} AS INT) AS bucket FROM q0"
+            for t in range(_ANN_TABLES)
+        ),
     ).replace(
         "{PROBES}",
-        ", ".join(f"xor(bucket, {1 << b})" for b in range(8)),
+        ", ".join(f"xor(bucket, {1 << b})" for b in range(_ANN_MP)),
     ),
 )
 def x42_ann_recall_multiprobe(spark, sf_dir):
-    """Multi-probe LSH recall@10 (Lv et al. 2007): probing the 8
-    Hamming-1 neighbour buckets alongside the query's own lifts recall
-    well above x41's single-bucket 0.12 at 9/256 of the corpus scanned
-    — the standard recall/cost dial, with the corpus side untouched
-    (only the broadcast query side expands)."""
+    """OR-construction + multi-probe LSH recall@10: 4 independent SRP
+    tables (disjoint 4-dim slices) each probed at its own bucket plus
+    all 4 Hamming-1 neighbours (Lv et al. 2007), candidates unioned and
+    exact-re-ranked. This is the production answer to the 0.12 recall
+    x41 honestly measures for a single over-sharp table: on the fixture
+    it clears avg recall ≥ 0.8 (measured 0.96 / min 0.90 — asserted as
+    a floor in tests/test_pipeline.py). The corpus never re-shuffles —
+    only the broadcast query side expands (tables × (1+probes)) and the
+    candidate-pair dedup shuffles pairs, not vectors."""
     from otus_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1916,9 +1945,9 @@ def x42_ann_recall_multiprobe(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     gold = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
-    approx = lsh_topk(emb, queries, k=10, multiprobe=8).select(
-        "query_id", F.col("vec_id").alias("a_vec")
-    )
+    approx = lsh_topk(
+        emb, queries, k=10, planes=_ANN_PLANES, multiprobe=_ANN_MP, tables=_ANN_TABLES
+    ).select("query_id", F.col("vec_id").alias("a_vec"))
     hits = (
         gold.join(
             approx,

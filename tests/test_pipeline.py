@@ -871,6 +871,19 @@ def test_bpe_trajectory_matches_hand_computed_sennrich(spark):
     ]
 
 
+def test_ann_recall_clears_floor(spark, sf_dir):
+    """The production ANN configuration (x42: 4 SRP tables × 4 planes,
+    multiprobe 4, exact re-rank) must clear a recall@10 floor on the
+    fixture — not just 'be better than x41'. Deterministic hashing, so
+    the measured values (avg 0.96, min 0.90) are stable; the assertion
+    is the floor the operator promises."""
+    from otus_clickhouse_spark.queries import all_queries
+
+    row = all_queries()["x42_ann_recall_multiprobe"](spark, sf_dir).collect()[0]
+    assert row.avg_recall >= 0.8
+    assert row.min_recall >= 0.7
+
+
 def test_lsh_multiprobe_expands_candidates(spark, sf_dir):
     """Multi-probe probes Hamming-1 buckets: its result set contains the
     single-bucket results and reaches at least as many candidates."""

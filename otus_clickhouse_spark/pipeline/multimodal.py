@@ -140,11 +140,11 @@ def _decode_wav(data: bytes) -> list[float]:
 
 
 def _decode_bytes(kind: str, data: bytes) -> list[float]:
-    """Dispatch on the container's magic bytes: PPM/WAV/PNG/baseline-JPEG
-    decode for real (numpy + stdlib only); remaining codecs (MP3/MP4,
-    progressive JPEG) fall back to a deterministic byte-stat feature
-    (the documented stub — swap in torchaudio/ffmpeg on a cluster that
-    has them)."""
+    """Dispatch on the container's magic bytes: PPM/WAV/PNG/JPEG
+    (baseline SOF0 AND progressive SOF2) decode for real (numpy +
+    stdlib only); remaining codecs (MP3, MP4 video/audio payloads)
+    fall back to a deterministic byte-stat feature (the documented
+    stub — swap in torchaudio/ffmpeg on a cluster that has them)."""
     if data is None:
         raise NotImplementedError("media decode requires image/audio libs not in this container")
     if data[:2] == b"P6":
@@ -155,9 +155,10 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
         return _decode_png(data)  # REAL: stdlib zlib + numpy filters
     if data[:2] == b"\xFF\xD8":
         try:
-            return _decode_jpeg_feature(data)  # REAL: pure-numpy baseline JFIF
+            # REAL: pure-numpy JFIF, baseline + progressive multi-scan
+            return _decode_jpeg_feature(data)
         except ValueError:
-            pass  # progressive variants → byte-stat fallback below
+            pass  # arithmetic-coded/restart-interval exotica → byte-stat
     if data[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return _decode_gif(data)  # REAL: pure-python LZW
@@ -428,7 +429,7 @@ def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFram
     fingerprint dup). Drives the media-dedup registry query."""
     import numpy as np
 
-    from otus_clickhouse_spark.pipeline.jpeg import encode_jpeg
+    from otus_clickhouse_spark.pipeline.jpeg import encode_jpeg, encode_jpeg_progressive
 
     rows = []
     for i in range(n_images):
@@ -443,7 +444,9 @@ def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFram
     rows.append((50, "image", "image/jpeg", 24, 18, None, encode_jpeg(pix)))
     pix2 = pix.copy()
     pix2[0, 0, 2] = (int(pix2[0, 0, 2]) + 3) % 256
-    rows.append((51, "image", "image/jpeg", 24, 18, None, encode_jpeg(pix2)))
+    # the near-dup partner is PROGRESSIVE (SOF2): the pair only dedups if
+    # the real multi-scan decode runs — a byte-stat fallback would miss it
+    rows.append((51, "image", "image/jpeg", 24, 18, None, encode_jpeg_progressive(pix2)))
     for j in range(n_audio):
         freq = 440.0 if j < 2 else 440.0 + 97.0 * j
         rows.append(

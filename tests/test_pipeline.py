@@ -678,10 +678,8 @@ def test_png_flows_through_extract_and_phash(spark):
 
 def test_jpeg_real_codec_roundtrip(spark):
     """Baseline JPEG encode→decode in pure numpy: the round trip must
-    preserve the image within JPEG quantization error (PSNR > 30 dB)
-    and flag restart on unsupported (progressive) streams."""
+    preserve the image within JPEG quantization error (PSNR > 30 dB)."""
     import numpy as np
-    import pytest as _pytest
 
     from otus_clickhouse_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
 
@@ -705,8 +703,44 @@ def test_jpeg_real_codec_roundtrip(spark):
     # decoder handles the 2x2-luma MCU interleave; chroma halving costs
     # a few dB on a synthetic gradient
     assert psnr_of(encode_jpeg(pix, subsample=True)) > 28.0
-    with _pytest.raises(ValueError):
-        decode_jpeg(b"\xFF\xD8\xFF\xC2\x00\x04\x00\x00")  # progressive SOF2
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(spark):
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation are lossless once every scan lands, and both encoders
+    quantize identically — so the progressive path must reproduce the
+    EXACT pixels of the baseline path (sharper than any PSNR bound),
+    across 4:4:4, 4:2:0, odd sizes, and an incompressible texture that
+    stresses the ZRL/EOB-run machinery."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for (h, w) in [(24, 40), (17, 23), (8, 8)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.sin(yy / 3.0) * 60 + np.cos(xx / 5.0) * 60 + 128
+        cases.append(
+            np.clip(
+                np.stack([base, base * 0.8 + 20, 255 - base], axis=-1)
+                + rng.integers(-15, 15, (h, w, 3)),
+                0,
+                255,
+            ).astype(np.uint8)
+        )
+    cases.append(rng.integers(0, 256, (40, 56, 3)).astype(np.uint8))  # noise
+    for pix in cases:
+        for sub in (False, True):
+            prog = encode_jpeg_progressive(pix, subsample=sub)
+            assert prog[:2] == b"\xFF\xD8" and b"\xFF\xC2" in prog[:200]
+            assert np.array_equal(
+                decode_jpeg(prog), decode_jpeg(encode_jpeg(pix, subsample=sub))
+            )
 
 
 def test_jpeg_flows_through_extract_and_phash(spark):

@@ -33,6 +33,7 @@ HEADLINE = [
     "q40_replacing_final",
     "q65_graphite_rollup",
     "q75_window_funnel",
+    "h03_shipping_priority",
     "h09_product_profit",
     "h21_waiting_suppliers",
     "x01_dedup_exact",
@@ -45,8 +46,10 @@ HEADLINE = [
     "x18_sequence_packing",
     "x27_bm25_topk",
     "x28_chunking",
+    "x42_ann_recall_multiprobe",
     "x43_nb_classifier",
     "x47_curation_funnel",
+    "x50_passage_retrieval",
 ]
 
 

@@ -123,14 +123,16 @@ def q06_range_revenue(spark, sf_dir):
     """,
 )
 def q03_top_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + top-k (J1, O3). customer/orders dims
-    broadcast under AQE; lineitem never re-shuffles for the broadcast join."""
+    """TPC-H Q3 shape: 3-way join + top-k (J1, O3). customer/orders are
+    SF-growing, so no forced broadcast hint — AQE's size check
+    broadcasts them while they fit and degrades to a shuffle join at
+    scale instead of breaking the 8 GB broadcast cap."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -182,11 +184,12 @@ def q04_order_priority(spark, sf_dir):
     """,
 )
 def q05_segment_revenue(spark, sf_dir):
-    """INNER equi-join + agg (J1/J9): broadcast the dim side explicitly."""
+    """INNER equi-join + agg (J1/J9): customer grows with SF, so the
+    broadcast decision is AQE's (hint-free by design)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )

@@ -49,10 +49,46 @@ def _reader(spark: SparkSession, fmt: str, schema: str | None = None, **opts):
     return r
 
 
+def _arrow_table(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow / ArrowStream input (CH Formats doc): read the IPC file(s)
+    with pyarrow and hand the batches to Spark. Driver-side read like
+    url(): Arrow IPC is an exchange format for result sets / small
+    extracts, not a table layout — bulk data lives in parquet/ORC where
+    executors scan it directly."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    # Spark-style {a,b,c} alternation isn't understood by Python's glob —
+    # expand it to concrete candidates first
+    spath = _expand_braces(path)
+    m = re.search(r"\{([^{}]*,[^{}]*)\}", spath)
+    candidates = (
+        [spath[: m.start()] + alt + spath[m.end():] for alt in m.group(1).split(",")]
+        if m
+        else [spath]
+    )
+    paths = sorted(p for c in candidates for p in _glob.glob(c))
+    tables = []
+    for p in paths or [path]:
+        with open(p, "rb") as f:
+            head = f.read(6)
+        if head == b"ARROW1":  # file (random-access) format
+            with ipc.open_file(p) as rd:
+                tables.append(rd.read_all())
+        else:  # stream format
+            with ipc.open_stream(p) as rd:
+                tables.append(rd.read_all())
+    return spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+
+
 def file_table(
     spark: SparkSession, path: str, fmt: str = "Parquet", structure: str | None = None, **opts
 ) -> DataFrame:
     """file(path, format, structure); `{0..2}` brace globs expand like CH."""
+    if fmt in ("Arrow", "ArrowStream"):
+        return _arrow_table(spark, path)
     return _reader(spark, fmt, structure, **opts).load(_expand_braces(path))
 
 

@@ -217,7 +217,7 @@ def _is_global_aggregate_root(subtree: str) -> bool:
 
 
 def test_tpch_no_forced_broadcast_of_scale_tables(spark, sf_dir):
-    """Every explicit broadcast hint across the whole h-suite sits on a
+    """Every explicit broadcast hint across the h-suite sits on a
     fixed-size relation (nation/region) or a 1-row scalar aggregate —
     never on orders/customer/supplier/part/lineitem-derived key lists."""
     names = [n for n in all_queries() if n.startswith("h")]
@@ -230,3 +230,20 @@ def test_tpch_no_forced_broadcast_of_scale_tables(spark, sf_dir):
             if _scans_scale_table(subtree) and not _is_global_aggregate_root(subtree):
                 offending.append(name)
     assert offending == [], f"scale-growing broadcast hints in: {sorted(set(offending))}"
+
+
+def test_q_suite_no_raw_scale_table_broadcast(spark, sf_dir):
+    """Same audit over the whole q-suite, with the slightly looser rule
+    that fits its shapes: a broadcast hint whose subtree scans a scale
+    table must at least sit above an Aggregate (reduced relation —
+    e.g. WITH FILL's size-guarded data side), never on a raw/filtered
+    base-table scan."""
+    names = [n for n in all_queries() if n.startswith("q")]
+    offending = []
+    for name in names:
+        df = all_queries()[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for subtree in _hint_subtrees(analyzed):
+            if _scans_scale_table(subtree) and "Aggregate" not in subtree:
+                offending.append(name)
+    assert offending == [], f"raw scale-table broadcast hints in: {sorted(set(offending))}"

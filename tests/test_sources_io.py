@@ -30,6 +30,38 @@ def test_file_table_jsoneachrow(spark, tmp_path):
     assert back.count() == 1
 
 
+def test_file_table_orc_roundtrip(spark, tmp_path):
+    """ORC input format (S12 — CH `Formats` supports ORC natively; so
+    does Spark, executor-side scan with pushdown like parquet)."""
+    p = str(tmp_path / "orc_out")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string").write.orc(p)
+    back = file_table(spark, p, "ORC")
+    assert back.count() == 3 and set(back.columns) == {"id", "v"}
+
+
+def test_file_table_arrow_roundtrip(spark, tmp_path):
+    """Arrow / ArrowStream input formats (S12): IPC file and stream
+    layouts, plus glob over multiple files."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    t = pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+    fp = str(tmp_path / "part0.arrow")
+    with ipc.new_file(fp, t.schema) as w:
+        w.write_table(t)
+    back = file_table(spark, fp, "Arrow")
+    assert back.count() == 3 and set(back.columns) == {"id", "v"}
+
+    sp = str(tmp_path / "part1.arrows")
+    with ipc.new_stream(sp, t.schema) as w:
+        w.write_table(t)
+    back = file_table(spark, sp, "ArrowStream")
+    assert back.count() == 3
+
+    both = file_table(spark, str(tmp_path / "part*.arrow*"), "Arrow")
+    assert both.count() == 6
+
+
 def test_engine_insert_sorted_partitioned(spark, tmp_path):
     """EP3 insert path (lecture_04.md:9-52): sorted-within-partition,
     PARTITION BY directory layout, appendable, readable back."""

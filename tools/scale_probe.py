@@ -303,6 +303,37 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: extract_features(media).agg(F.count(F.lit(1))).collect(),
         n_media,
     )
+
+    # retrieval-granularity chunking (x50 path): map-side explode into
+    # packed passage ids — zero shuffle, so passages/s must track docs/s
+    from otus_clickhouse_spark.pipeline.text import chunk_passages
+
+    timed(
+        "chunk_passages",
+        lambda: chunk_passages(docs, chunk_tokens=16, stride=8)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_docs,
+    )
+
+    # OR-construction LSH ANN (x42 path): corpus exploded across 4 hash
+    # tables map-side, broadcast query probes, pair-keyed dedup + rank —
+    # the corpus never re-shuffles, so rows/s should stay linear
+    from otus_clickhouse_spark.pipeline.similarity import lsh_topk
+
+    emb = hashed_embeddings(docs, dims=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "lsh_topk_multitable",
+        lambda: lsh_topk(emb, qs, k=10, planes=4, multiprobe=4, tables=4)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        n_docs,
+    )
     return out
 
 

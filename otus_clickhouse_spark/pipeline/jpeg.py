@@ -259,11 +259,16 @@ def _pad_block(plane, ys, xs):
     return block
 
 
-def encode_jpeg(pix: "np.ndarray", subsample: bool = False) -> bytes:
+def encode_jpeg(
+    pix: "np.ndarray", subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Baseline JFIF encode of an (h, w, 3) uint8 RGB array with the
     Annex-K tables — 4:4:4 by default, 4:2:0 with ``subsample=True``
-    (2×2 luma blocks per MCU, chroma averaged 2×2). Pure numpy; exists
-    to give the decoder a real round-trip test partner."""
+    (2×2 luma blocks per MCU, chroma averaged 2×2).
+    ``restart_interval=n`` emits a DRI segment and an RST marker every
+    n MCUs (byte-aligned, DC predictors reset — the layout most
+    real-world encoders produce for error resilience). Pure numpy;
+    exists to give the decoder a real round-trip test partner."""
     h, w, _ = pix.shape
     r, g, b = (pix[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
@@ -297,8 +302,16 @@ def encode_jpeg(pix: "np.ndarray", subsample: bool = False) -> bytes:
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu_i = 0
+    n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.buf.extend(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+                n_rst += 1
+                pred = [0, 0, 0]
+            mcu_i += 1
             for c in range(3):
                 sx, sy = samp[c]
                 for v in range(sy):
@@ -323,6 +336,8 @@ def encode_jpeg(pix: "np.ndarray", subsample: bool = False) -> bytes:
     for tc_th, (bits, vals) in ((0x00, HT_DC_LUM), (0x01, HT_DC_CHR),
                                 (0x10, HT_AC_LUM), (0x11, HT_AC_CHR)):
         seg(b"\xFF\xC4", bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(b"\xFF\xDD", struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     seg(b"\xFF\xDA", sos)
     out.extend(bw.buf)
@@ -432,7 +447,9 @@ class _ProgressiveACWriter:
                 self.emit_eobrun()
 
 
-def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes:
+def encode_jpeg_progressive(
+    pix: "np.ndarray", subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Progressive (SOF2) JFIF encode of an (h, w, 3) uint8 RGB array —
     the libjpeg-style scan script: interleaved DC first scan at Al=1,
     per-component AC first scans (1..63, Al=1), a 1-bit DC refinement,
@@ -440,7 +457,10 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
     same Annex-K tables as :func:`encode_jpeg`, so a progressive decode
     reconstructs bit-identical coefficients to the baseline pipeline
     (successive approximation is lossless once all scans land) — the
-    round-trip test asserts exact pixel equality between the two paths."""
+    round-trip test asserts exact pixel equality between the two paths.
+    ``restart_interval=n`` emits RST markers every n MCUs (interleaved
+    DC scans) / n blocks (per-component AC scans), resetting DC
+    prediction and the EOB run like real progressive encoders do."""
     h, w, _ = pix.shape
     r, g, b = (pix[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
@@ -504,6 +524,9 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
                                 (0x10, HT_AC_FLAT), (0x11, HT_AC_FLAT)):
         seg(b"\xFF\xC4", bytes([tc_th]) + bytes(bits) + bytes(vals))
 
+    if restart_interval:
+        seg(b"\xFF\xDD", struct.pack(">H", restart_interval))
+
     def sos(comp_specs, ss, se, ah, al, entropy):
         body = bytes([len(comp_specs)])
         for cid, tdta in comp_specs:
@@ -511,6 +534,11 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
         body += bytes([ss, se, (ah << 4) | al])
         seg(b"\xFF\xDA", body)
         out.extend(entropy)
+
+    def rst(bw, n_rst):
+        bw.flush()
+        bw.buf.extend(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+        return n_rst + 1
 
     comp_blocks = []  # per component: the REAL (non-padding) block grid
     for c in range(3):
@@ -522,8 +550,13 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
     # scan 1: interleaved DC first, Al=1
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu_i = n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                n_rst = rst(bw, n_rst)
+                pred = [0, 0, 0]
+            mcu_i += 1
             for c in range(3):
                 sx, sy = samp[c]
                 for v in range(sy):
@@ -544,8 +577,13 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
         bw = _BitWriter()
         wtr = _ProgressiveACWriter(bw, ac_codes[c])
         bh, bw_ = comp_blocks[c]
+        blk_i = n_rst = 0
         for by in range(bh):
             for bx in range(bw_):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    wtr.emit_eobrun()
+                    n_rst = rst(bw, n_rst)
+                blk_i += 1
                 wtr.block_first(coef[c][by, bx, 1:64].tolist(), 1)
         wtr.emit_eobrun()
         bw.flush()
@@ -553,8 +591,12 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
 
     # scan 5: DC refinement, 1 bit per block, Al=0
     bw = _BitWriter()
+    mcu_i = n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                n_rst = rst(bw, n_rst)
+            mcu_i += 1
             for c in range(3):
                 sx, sy = samp[c]
                 for v in range(sy):
@@ -568,8 +610,13 @@ def encode_jpeg_progressive(pix: "np.ndarray", subsample: bool = False) -> bytes
         bw = _BitWriter()
         wtr = _ProgressiveACWriter(bw, ac_codes[c])
         bh, bw_ = comp_blocks[c]
+        blk_i = n_rst = 0
         for by in range(bh):
             for bx in range(bw_):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    wtr.emit_eobrun()
+                    n_rst = rst(bw, n_rst)
+                blk_i += 1
                 wtr.block_refine(coef[c][by, bx, 1:64].tolist(), 0)
         wtr.emit_eobrun()
         bw.flush()
@@ -594,11 +641,56 @@ def _entropy_end(data: bytes, start: int) -> int:
         pos = nxt + 2
 
 
-def _decode_scan_sequential(br, scan_comps, comps, by_id, coefs, pred, mcus_y, mcus_x):
+def _split_restarts(data: bytes) -> list[bytes]:
+    """Split one scan's entropy data on RST0-7 markers → one bitstream
+    segment per restart interval (stuffed FF00 bytes stay in place)."""
+    segs, start, pos = [], 0, 0
+    while True:
+        nxt = data.find(b"\xFF", pos)
+        if nxt < 0 or nxt + 1 >= len(data):
+            segs.append(data[start:])
+            return segs
+        m = data[nxt + 1]
+        if 0xD0 <= m <= 0xD7:
+            segs.append(data[start:nxt])
+            start = pos = nxt + 2
+        else:
+            pos = nxt + 2
+
+
+class _SegmentedReader:
+    """Bit reader over restart-interval segments: ``next_segment()``
+    drops any partial byte and continues after the RST marker (the
+    decoder resets DC predictors / EOB runs itself)."""
+
+    def __init__(self, data: bytes):
+        self._segs = _split_restarts(data)
+        self._i = 0
+        self.br = _BitReader(self._segs[0])
+
+    def next_segment(self):
+        self._i += 1
+        if self._i >= len(self._segs):
+            raise ValueError("JPEG restart marker count mismatch")
+        self.br = _BitReader(self._segs[self._i])
+
+
+def _decode_scan_sequential(data, scan_comps, comps, by_id, coefs, pred,
+                            mcus_y, mcus_x, ri=0):
     """One baseline SOF0 scan: interleaved DC+AC per 8×8 block, writing
-    quantized zigzag coefficients into ``coefs``."""
+    quantized zigzag coefficients into ``coefs``. ``ri`` MCUs per
+    restart interval (0 = no restarts): each RST resets the bitstream
+    byte alignment and every DC predictor."""
+    rdr = _SegmentedReader(data)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                rdr.next_segment()
+                for j in range(len(pred)):
+                    pred[j] = 0
+            mcu_i += 1
+            br = rdr.br
             for sc in scan_comps:
                 ci = by_id[sc["id"]]
                 comp = comps[ci]
@@ -626,30 +718,32 @@ def _decode_scan_sequential(br, scan_comps, comps, by_id, coefs, pred, mcus_y, m
                             k += 1
 
 
-def _decode_scan_progressive(br, scan_comps, comps, by_id, coefs, pred,
-                             mcus_y, mcus_x, ss, se, ah, al, h, w, hmax, vmax):
+def _decode_scan_progressive(data, scan_comps, comps, by_id, coefs, pred,
+                             mcus_y, mcus_x, ss, se, ah, al, h, w, hmax, vmax,
+                             ri=0):
     """One progressive SOF2 scan (spec G.2): spectral selection band
     [ss, se] at successive-approximation bit ``al``; ``ah == 0`` is a
     first scan, ``ah > 0`` a refinement. DC scans may be interleaved;
-    AC scans are single-component over that component's own block grid."""
+    AC scans are single-component over that component's own block grid.
+    ``ri`` restart units (MCUs when interleaved, blocks otherwise) per
+    RST marker: a restart realigns the bitstream and resets DC
+    predictors / the EOB run."""
+    rdr = _SegmentedReader(data)
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
         if len(scan_comps) > 1:  # interleaved DC over MCU geometry
-            blocks = [
-                (sc, my, mx, v, u)
+            coords = [
+                (by_id[sc["id"]],
+                 my * comps[by_id[sc["id"]]]["sy"] + v,
+                 mx * comps[by_id[sc["id"]]]["sx"] + u,
+                 sc,
+                 my * mcus_x + mx)  # restart unit = MCU index
                 for my in range(mcus_y)
                 for mx in range(mcus_x)
                 for sc in scan_comps
                 for v in range(comps[by_id[sc["id"]]]["sy"])
                 for u in range(comps[by_id[sc["id"]]]["sx"])
-            ]
-            coords = [
-                (by_id[sc["id"]],
-                 my * comps[by_id[sc["id"]]]["sy"] + v,
-                 mx * comps[by_id[sc["id"]]]["sx"] + u,
-                 sc)
-                for sc, my, mx, v, u in blocks
             ]
         else:
             sc = scan_comps[0]
@@ -657,8 +751,19 @@ def _decode_scan_progressive(br, scan_comps, comps, by_id, coefs, pred,
             comp = comps[ci]
             bh = (-(-(h * comp["sy"]) // vmax) + 7) // 8
             bw_ = (-(-(w * comp["sx"]) // hmax) + 7) // 8
-            coords = [(ci, by, bx, sc) for by in range(bh) for bx in range(bw_)]
-        for ci, by, bx, sc in coords:
+            coords = [
+                (ci, by, bx, sc, by * bw_ + bx)
+                for by in range(bh)
+                for bx in range(bw_)
+            ]
+        unit = 0
+        for ci, by, bx, sc, u_i in coords:
+            if ri and u_i != unit and u_i % ri == 0:
+                rdr.next_segment()
+                for j in range(len(pred)):
+                    pred[j] = 0
+            unit = u_i
+            br = rdr.br
             zz = coefs[ci][by, bx]
             if ah == 0:
                 size = br.read_symbol(sc["dc_tab"])
@@ -679,8 +784,14 @@ def _decode_scan_progressive(br, scan_comps, comps, by_id, coefs, pred,
     bw_ = (-(-(w * comp["sx"]) // hmax) + 7) // 8
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
+    blk_i = 0
     for by in range(bh):
         for bx in range(bw_):
+            if ri and blk_i and blk_i % ri == 0:
+                rdr.next_segment()
+                eobrun = 0
+            blk_i += 1
+            br = rdr.br
             zz = coefs[ci][by, bx]
             if ah == 0:  # AC first scan (G.2.2 / F.2.2.2 with EOBRUN)
                 if eobrun:
@@ -744,10 +855,10 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     """JFIF decode to an (h, w, 3) uint8 RGB array. Supports 8-bit
     baseline sequential (SOF0) AND progressive (SOF2 — spectral
     selection + successive approximation, multi-scan with EOB runs),
-    sampling factors up to 2 (4:4:4 / 4:2:0 / 4:2:2 either orientation)
-    or single-component, with the tables carried in the stream (not
-    only Annex K). Restart intervals are not used by our encoder and
-    raise ValueError."""
+    restart intervals (DRI/RSTn — bitstream realignment + DC-predictor
+    and EOB-run reset), sampling factors up to 2 (4:4:4 / 4:2:0 /
+    4:2:2 either orientation) or single-component, with the tables
+    carried in the stream (not only Annex K)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -756,6 +867,7 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     comps: list[dict] = []
     h = w = None
     progressive = False
+    restart_interval = 0
     coefs = None
     pred = None
     by_id = {}
@@ -815,8 +927,7 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                 htabs[tc_th] = _build_decoder(bits, vals)
                 b += 17 + nv
         elif marker == 0xDD:
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if coefs is None:
                 raise ValueError("SOS before SOF")
@@ -837,19 +948,21 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
             ah, al = ahal >> 4, ahal & 0xF
             start = pos + 2 + ln
             end = _entropy_end(data, start)
-            br = _BitReader(data[start:end])
+            entropy = data[start:end]
             if progressive:
                 # each scan restarts the DC prediction chain
                 if ss == 0 and ah == 0:
                     for sc in scan_comps:
                         pred[by_id[sc["id"]]] = 0
                 _decode_scan_progressive(
-                    br, scan_comps, comps, by_id, coefs, pred,
+                    entropy, scan_comps, comps, by_id, coefs, pred,
                     mcus_y, mcus_x, ss, se, ah, al, h, w, hmax, vmax,
+                    ri=restart_interval,
                 )
             else:
                 _decode_scan_sequential(
-                    br, scan_comps, comps, by_id, coefs, pred, mcus_y, mcus_x
+                    entropy, scan_comps, comps, by_id, coefs, pred,
+                    mcus_y, mcus_x, ri=restart_interval,
                 )
             got_scan = True
             pos = end

@@ -155,10 +155,11 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
         return _decode_png(data)  # REAL: stdlib zlib + numpy filters
     if data[:2] == b"\xFF\xD8":
         try:
-            # REAL: pure-numpy JFIF, baseline + progressive multi-scan
+            # REAL: pure-numpy JFIF — baseline + progressive multi-scan,
+            # restart intervals included
             return _decode_jpeg_feature(data)
         except ValueError:
-            pass  # arithmetic-coded/restart-interval exotica → byte-stat
+            pass  # arithmetic-coded / 12-bit / hierarchical → byte-stat
     if data[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return _decode_gif(data)  # REAL: pure-python LZW

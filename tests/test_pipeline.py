@@ -743,6 +743,30 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline(spark):
             )
 
 
+def test_jpeg_restart_intervals_roundtrip(spark):
+    """DRI/RSTn support: restart markers realign the bitstream and reset
+    DC predictors (and EOB runs in progressive scans) — decode of a
+    restart-interval stream must equal the no-restart decode exactly,
+    for baseline and progressive, 4:4:4 and 4:2:0."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    pix = np.random.default_rng(11).integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    for sub in (False, True):
+        ref = decode_jpeg(encode_jpeg(pix, subsample=sub))
+        for ri in (1, 3):
+            base = encode_jpeg(pix, subsample=sub, restart_interval=ri)
+            prog = encode_jpeg_progressive(pix, subsample=sub, restart_interval=ri)
+            assert b"\xFF\xDD" in base and b"\xFF\xD0" in base  # DRI + RST0
+            assert np.array_equal(decode_jpeg(base), ref)
+            assert np.array_equal(decode_jpeg(prog), ref)
+
+
 def test_jpeg_flows_through_extract_and_phash(spark):
     """JPEG payloads decode inside the Arrow worker and perceptually
     match the lossless PPM of the same pixels (small Hamming distance —

@@ -1,0 +1,191 @@
+"""Property-based checks (hypothesis): randomized inputs vs pure-Python
+reference implementations for custom operators whose edge cases are easy
+to get wrong — ASOF matching, BPE merge application, sliding-window chunk
+geometry, and the progressive-JPEG AC bit machinery. Each example batches
+into a single Spark job (or stays JVM-free) so the suite stays fast.
+"""
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+HSET = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- ASOF join
+def _ref_asof(left, right, direction, exact):
+    """Brute-force nearest-timestamp match per (key, left_ts)."""
+    out = []
+    for k, lt in left:
+        if direction == "backward":
+            cands = [rt for rk, rt in right if rk == k and (rt <= lt if exact else rt < lt)]
+            m = max(cands) if cands else None
+        else:
+            cands = [rt for rk, rt in right if rk == k and (rt >= lt if exact else rt > lt)]
+            m = min(cands) if cands else None
+        if m is not None:
+            out.append((k, lt, m))
+    return sorted(out)
+
+
+@settings(**HSET)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    right=st.sets(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    exact=st.booleans(),
+)
+def test_asof_join_matches_bruteforce(spark, left, right, direction, exact):
+    """operators.asof.asof_join vs a per-row nearest-match reference —
+    right timestamps unique per key (sets) so the match is unambiguous."""
+    from otus_clickhouse_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, ts int")
+    rdf = spark.createDataFrame(sorted(right), "k int, rts int")
+    got = sorted(
+        (r.k, r.ts, r.r_rts)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            direction=direction, allow_exact_matches=exact,
+        ).collect()
+    )
+    assert got == _ref_asof(left, right, direction, exact)
+
+
+# ------------------------------------------------------------- BPE merging
+def _ref_bpe_merge(sym, l, r):
+    """Sennrich greedy left-to-right whole-symbol merge."""
+    toks = sym.split(" ")
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return " ".join(out)
+
+
+@settings(**HSET)
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["a", "l", "r", "al", "lr", "alr", "b"]),
+                 min_size=1, max_size=10),
+        min_size=1,
+        max_size=20,
+    ),
+    rule=st.tuples(st.sampled_from(["a", "l", "al", "lr"]),
+                   st.sampled_from(["l", "r", "lr", "al"])),
+)
+def test_bpe_apply_merge_matches_reference(spark, seqs, rule):
+    """pipeline.text.bpe_apply_merge vs the greedy reference, batched
+    into one Spark job per example. The alphabet deliberately contains
+    symbols that are prefixes/concatenations of each other — the
+    cross-boundary cases the naive replace() got wrong."""
+    from otus_clickhouse_spark.pipeline.text import bpe_apply_merge
+
+    l, r = rule
+    rows = [(" ".join(s),) for s in seqs]
+    df = spark.createDataFrame(rows, "sym string")
+    got = [
+        row.out
+        for row in df.select(
+            bpe_apply_merge(F.col("sym"), F.lit(l), F.lit(r)).alias("out")
+        ).collect()
+    ]
+    assert got == [_ref_bpe_merge(s, l, r) for (s,) in rows]
+
+
+# --------------------------------------------------------- chunk geometry
+@settings(**HSET)
+@given(
+    lengths=st.lists(st.integers(1, 300), min_size=1, max_size=8),
+    window=st.integers(2, 64),
+    data=st.data(),
+)
+def test_chunk_passages_geometry(spark, lengths, window, data):
+    """Every chunk of chunk_passages is exactly the reference token
+    slice [i*stride, i*stride+window), the chunk count matches the
+    ceil formula, and pids decode back to (doc, chunk)."""
+    from otus_clickhouse_spark.pipeline.text import chunk_passages
+
+    stride = data.draw(st.integers(1, window))
+    docs = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_passages(df, chunk_tokens=window, stride=stride).collect()
+    got = {}
+    for row in rows:
+        got.setdefault(row.pid >> 20, {})[row.pid & ((1 << 20) - 1)] = row.text
+    for i, n in enumerate(lengths):
+        toks = [f"t{j}" for j in range(n)]
+        expect_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+        assert set(got[i]) == set(range(expect_chunks))
+        for c in range(expect_chunks):
+            assert got[i][c] == " ".join(toks[c * stride: c * stride + window])
+
+
+# --------------------------------------- progressive JPEG AC bit machinery
+def test_progressive_ac_scan_fuzz():
+    """Band-level fuzz of the AC first+refinement encode/decode pair
+    (fixed seed, 120 trials, no Spark): multi-block EOB runs, buffered
+    correction bits, ZRL interplay, and 2-level successive
+    approximation must reconstruct every coefficient exactly."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline import jpeg as J
+
+    ac_codes = J._build_huffman(*J.HT_AC_FLAT)
+    ac_dec = J._build_decoder(*J.HT_AC_FLAT)
+
+    def roundtrip(bands, al_hi):
+        n = len(bands)
+        comps = [{"id": 1, "tq": 0, "sx": 1, "sy": 1}]
+        coefs = [np.zeros((1, n, 64), np.int32)]
+        sc = [{"id": 1, "dc_tab": None, "ac_tab": ac_dec}]
+        bw = J._BitWriter()
+        w = J._ProgressiveACWriter(bw, ac_codes)
+        for b in bands:
+            w.block_first(b, al_hi)
+        w.emit_eobrun()
+        bw.flush()
+        J._decode_scan_progressive(
+            bytes(bw.buf), sc, comps, {1: 0}, coefs, [0],
+            1, n, 1, 63, 0, al_hi, 8, 8 * n, 1, 1,
+        )
+        for al in range(al_hi - 1, -1, -1):
+            bw = J._BitWriter()
+            w = J._ProgressiveACWriter(bw, ac_codes)
+            for b in bands:
+                w.block_refine(b, al)
+            w.emit_eobrun()
+            bw.flush()
+            J._decode_scan_progressive(
+                bytes(bw.buf), sc, comps, {1: 0}, coefs, [0],
+                1, n, 1, 63, al + 1, al, 8, 8 * n, 1, 1,
+            )
+        return [coefs[0][0, i, 1:64].tolist() for i in range(n)]
+
+    rng = random.Random(3)
+
+    def mkband(nz):
+        b = [0] * 63
+        for _ in range(nz):
+            b[rng.randrange(63)] = rng.choice([-9, -3, -2, -1, 1, 2, 3, 17, 255, -128])
+        return b
+
+    for _ in range(120):
+        bands = [mkband(rng.randrange(0, 25)) for _ in range(rng.randrange(1, 9))]
+        al_hi = rng.choice([1, 1, 2, 3])
+        assert roundtrip(bands, al_hi) == bands

@@ -1540,8 +1540,8 @@ def x36_budget_select(spark, sf_dir):
       FROM scored GROUP BY doc_id
     ),
     thr AS (
-      SELECT quantile_cont(avg_nll, 0.33) AS t33,
-             quantile_cont(avg_nll, 0.67) AS t67
+      SELECT round(quantile_cont(avg_nll, 0.33), 4) AS t33,
+             round(quantile_cont(avg_nll, 0.67), 4) AS t67
       FROM per_doc
     )
     SELECT CASE WHEN avg_nll <= t33 THEN 'head'
@@ -1560,14 +1560,17 @@ def x37_perplexity_buckets(spark, sf_dir):
     (pipeline.text.bigram_nll), then split the corpus into head/middle/
     tail buckets at the 33rd/67th NLL percentiles — the standard
     quality-tiering step before mixture weighting. Thresholds are a
-    1-row aggregate broadcast back; identical interpolation on both
-    engines makes the bucket boundaries bit-stable."""
+    1-row aggregate broadcast back, ROUNDED to the same 4-decimal grid
+    as the per-doc scores: an interpolated percentile can land exactly
+    on a doc's grid value, where a 1-ulp engine difference flips every
+    tied doc's bucket (seen at sf0.1 — 3.4106 vs …5999…96); rounding
+    both sides to the grid removes the knife-edge."""
     from otus_clickhouse_spark.pipeline.text import bigram_nll
 
     per_doc = bigram_nll(t(spark, sf_dir, "documents")).localCheckpoint()
     thr = per_doc.agg(
-        F.expr("percentile(avg_nll, 0.33)").alias("t33"),
-        F.expr("percentile(avg_nll, 0.67)").alias("t67"),
+        F.round(F.expr("percentile(avg_nll, 0.33)"), 4).alias("t33"),
+        F.round(F.expr("percentile(avg_nll, 0.67)"), 4).alias("t67"),
     )
     return (
         per_doc.join(F.broadcast(thr))

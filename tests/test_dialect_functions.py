@@ -642,3 +642,34 @@ def test_stat_moment_rewrites():
     assert "skewness(v)" in out
     assert "(kurtosis(v + 1) + 3.0)" in out
     assert "kurtPop" not in out and "skewPop" not in out
+
+
+def test_round3_function_additions(engine):
+    """splitByString / mapKeys-mapValues / age vs dateDiff semantics /
+    toTime / great-circle distance (§2.8 breadth)."""
+    r = engine.sql(
+        "SELECT splitByString('::', 'a::b::c') AS parts,"
+        "       mapKeys(map('k1', 'v1', 'k2', 'v2')) AS ks,"
+        "       mapValues(map('k1', 'v1')) AS vs,"
+        "       mapContains(map('k1', 'v1'), 'k2') AS has_k2"
+    ).collect()[0]
+    assert r.parts == ["a", "b", "c"]
+    assert sorted(r.ks) == ["k1", "k2"] and r.vs == ["v1"] and r.has_k2 is False
+
+    # dateDiff counts crossed boundaries; age counts FULL elapsed units
+    r = engine.sql(
+        "SELECT dateDiff('year', toDateTime('2023-12-31 00:00:00'),"
+        "                toDateTime('2024-01-01 00:00:00')) AS dd,"
+        "       age('year', toDateTime('2023-12-31 00:00:00'),"
+        "           toDateTime('2024-01-01 00:00:00')) AS ag,"
+        "       age('day', toDateTime('2024-01-01 00:00:00'),"
+        "           toDateTime('2024-01-03 12:00:00')) AS days"
+    ).collect()[0]
+    assert r.dd == 1 and r.ag == 0 and r.days == 2
+
+    r = engine.sql(
+        "SELECT toTime(toDateTime('2024-05-17 13:45:10')) AS t,"
+        "       greatCircleDistance(37.6176, 55.7558, 30.3141, 59.9386) AS msk_spb"
+    ).collect()[0]
+    assert str(r.t) == "1970-01-02 13:45:10"
+    assert 625_000 < r.msk_spb < 645_000  # Moscow→St.Petersburg ≈ 634 km

@@ -978,22 +978,37 @@ def q45_numbers(spark, sf_dir):
 # that time; round-2 rows = q01–q45 + q75–q79, exactly the first 50 in
 # import order once queries_behavioral started registering before
 # queries_extra). Query NAMES are stable forever — only the dict ORDER
-# rotates, fronting queries that do not yet have a driver-green row so
-# per-round samples accrue to full coverage. Update _DRIVER_GREEN with
-# each round's CORRECTNESS_r{N}.json names.
-_DRIVER_GREEN = frozenset(
-    {f"q{i:02d}" for i in range(1, 52)} | {f"q{i}" for i in range(75, 80)}
-)
+# rotates, fronting queries that do not yet have a recorded driver row
+# so per-round samples accrue to full coverage. The recorded set is
+# read from the CORRECTNESS_r*.json files the driver itself writes at
+# the repo root — no per-round manual bookkeeping.
+def _driver_recorded() -> frozenset:
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                names.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue  # unreadable round file — rotation just sees fewer rows
+    return frozenset(names)
+
+
 # Suites the judge has zero driver rows for come first: TPC-H (h), then
 # the LLM-pipeline ops (x), then the remaining q's.
 _SUITE_RANK = {"h": 0, "x": 1}
 
 
 def _driver_rotation(names: list[str]) -> list[str]:
+    recorded = _driver_recorded()
+
     def key(item):
         idx, name = item
-        prefix = name.split("_", 1)[0]
-        return (prefix in _DRIVER_GREEN, _SUITE_RANK.get(name[0], 2), idx)
+        return (name in recorded, _SUITE_RANK.get(name[0], 2), idx)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 

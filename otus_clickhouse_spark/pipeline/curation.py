@@ -1,0 +1,100 @@
+"""End-to-end curation funnel (DCLM-style model-in-the-loop pipeline).
+
+Extracted from the x47 registry query so the SAME code path serves the
+driver-oracled query and the scale probes: exact dedup → quality filter
+→ Naive-Bayes classifier gate (keep docs whose predicted source agrees
+with the recorded one) → per-source token-budget selection.
+
+Scale shape (100 TB): shuffles key on md5 digests, (class, token)
+counts, and per-source windows — document bodies cross the wire only on
+the first scan. The two multi-consumer intermediates (quality-filtered
+docs, classifier-agreed docs) are eagerly localCheckpoint'd: one
+materialization each, blocks freed on GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def curation_funnel(
+    docs: DataFrame,
+    token_budget: int = 5000,
+    quality_floor: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source counts at every funnel stage:
+    (source, n_in, n_dedup, n_quality, n_agree, n_selected, tok_selected).
+    """
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    rep = (
+        docs.groupBy(F.md5(text_col))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    dedup = docs.join(rep, id_col, "left_semi")
+    staged = dedup.select(
+        id_col,
+        source_col,
+        text_col,
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    qual = staged.where(F.col("quality") >= quality_floor).localCheckpoint()
+    train = qual.where(F.col(id_col) % 5 != 0)
+    model, priors = naive_bayes_train(
+        train, text_col=text_col, label_col=source_col, id_col=id_col
+    )
+    pred = naive_bayes_predict(
+        qual, model, priors, text_col=text_col, label_col=source_col, id_col=id_col
+    )
+    agree = (
+        qual.join(pred, id_col)
+        .where(F.col("predicted") == F.col(source_col))
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = agree.withColumn("cum", F.sum("n_tok").over(w)).where(
+        F.col("cum") <= token_budget
+    )
+
+    def per_source(df, name, extra=None):
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(name)]
+        if extra is not None:
+            aggs.append(extra)
+        return df.groupBy(source_col).agg(*aggs)
+
+    out = (
+        per_source(docs, "n_in")
+        .join(per_source(dedup, "n_dedup"), source_col, "left")
+        .join(per_source(qual, "n_quality"), source_col, "left")
+        .join(per_source(agree, "n_agree"), source_col, "left")
+        .join(
+            per_source(
+                sel, "n_selected", F.sum("n_tok").cast("bigint").alias("tok_selected")
+            ),
+            source_col,
+            "left",
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        source_col,
+        "n_in",
+        *[
+            F.coalesce(F.col(c), zero).alias(c)
+            for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
+        ],
+    )

@@ -2249,74 +2249,12 @@ def x47_curation_funnel(spark, sf_dir):
     model-in-the-loop filtering step of DCLM-style pipelines) →
     per-source token-budget selection. Returns per-source counts at
     every stage. Shuffles key on digests, (class, token) counts, and
-    per-source windows — never document bodies beyond the first scan."""
-    from pyspark.sql import Window
-    from otus_clickhouse_spark.pipeline.classify import (
-        naive_bayes_predict,
-        naive_bayes_train,
-    )
-    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+    per-source windows — never document bodies beyond the first scan.
+    The funnel itself lives in pipeline.curation.curation_funnel (the
+    scale probes drive the identical code path at 10-100× this corpus)."""
+    from otus_clickhouse_spark.pipeline.curation import curation_funnel
 
-    docs = t(spark, sf_dir, "documents")
-    rep = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    dedup = docs.join(rep, "doc_id", "left_semi")
-    staged = dedup.select(
-        "doc_id",
-        "source",
-        "text",
-        quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text")).cast("bigint").alias("n_tok"),
-    )
-    # localCheckpoint (not persist): materialized once, reused by the
-    # train/score/stage-count fan-out, and the blocks are released by
-    # the ContextCleaner when the DataFrame goes out of scope — persist()
-    # would leak cached blocks for the rest of a 161-query harness run
-    # (CacheManager entries are only freed by explicit unpersist, which
-    # a lazily-returned plan has no good place to call).
-    qual = staged.where(F.col("quality") >= 0.5).localCheckpoint()
-    train = qual.where(F.col("doc_id") % 5 != 0)
-    model, priors = naive_bayes_train(train, label_col="source")
-    pred = naive_bayes_predict(qual, model, priors, label_col="source")
-    # agree feeds BOTH the n_agree stage count and the selection window —
-    # checkpointing it avoids recomputing the NB scoring join twice.
-    agree = (
-        qual.join(pred, "doc_id")
-        .where(F.col("predicted") == F.col("source"))
-        .localCheckpoint()
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sel = agree.withColumn("cum", F.sum("n_tok").over(w)).where(F.col("cum") <= 5000)
-
-    def per_source(df, name, extra=None):
-        aggs = [F.count(F.lit(1)).cast("bigint").alias(name)]
-        if extra is not None:
-            aggs.append(extra)
-        return df.groupBy("source").agg(*aggs)
-
-    out = (
-        per_source(docs, "n_in")
-        .join(per_source(dedup, "n_dedup"), "source", "left")
-        .join(per_source(qual, "n_quality"), "source", "left")
-        .join(per_source(agree, "n_agree"), "source", "left")
-        .join(
-            per_source(sel, "n_selected", F.sum("n_tok").cast("bigint").alias("tok_selected")),
-            "source",
-            "left",
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    return out.select(
-        "source",
-        "n_in",
-        *[
-            F.coalesce(F.col(c), zero).alias(c)
-            for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
-        ],
-    )
+    return curation_funnel(t(spark, sf_dir, "documents"), token_budget=5000)
 
 
 _HASHEMB_CASES = ", ".join(

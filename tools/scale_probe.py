@@ -334,6 +334,21 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         .collect(),
         n_docs,
     )
+
+    # the flagship end-to-end pipeline (x47's exact code path): dedup →
+    # quality → NB classifier gate → token-budget select. The number to
+    # watch is docs/s holding as the corpus grows — every stage shuffles
+    # digests/counts, never bodies.
+    from otus_clickhouse_spark.pipeline.curation import curation_funnel
+
+    labeled = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+    timed(
+        "curation_funnel",
+        lambda: curation_funnel(labeled, token_budget=max(n_docs, 5000)).collect(),
+        n_docs,
+    )
     return out
 
 

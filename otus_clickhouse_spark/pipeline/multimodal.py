@@ -81,17 +81,51 @@ def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + pix.tobytes()
 
 
-def make_wav(n_samples: int = 8000, rate: int = 8000, freq: float = 440.0, amp: float = 0.5) -> bytes:
-    """A real PCM16 mono WAV: sine tone built with numpy + struct."""
+def make_wav(
+    n_samples: int = 8000,
+    rate: int = 8000,
+    freq: float = 440.0,
+    amp: float = 0.5,
+    bits: int = 16,
+    channels: int = 1,
+) -> bytes:
+    """A real PCM WAV sine tone (numpy + struct): 8/16/24/32-bit int or
+    32-bit IEEE float (``bits=-32``), mono or N identical channels —
+    the decoder's round-trip partner across every sample layout."""
     import struct
 
     import numpy as np
 
     t = np.arange(n_samples) / rate
-    samples = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype("<i2")
-    data = samples.tobytes()
+    wave = np.sin(2 * np.pi * freq * t) * amp
+    if channels > 1:
+        wave = np.repeat(wave, channels)
+    if bits == -32:  # IEEE float
+        data = wave.astype("<f4").tobytes()
+        audio_fmt, bits_out = 3, 32
+    elif bits == 8:
+        data = ((wave * 127) + 128).astype(np.uint8).tobytes()
+        audio_fmt, bits_out = 1, 8
+    elif bits == 16:
+        data = (wave * 32767).astype("<i2").tobytes()
+        audio_fmt, bits_out = 1, 16
+    elif bits == 24:
+        v = (wave * ((1 << 23) - 1)).astype(np.int32)
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+        audio_fmt, bits_out = 1, 24
+    elif bits == 32:
+        data = (wave * ((1 << 31) - 1)).astype("<i4").tobytes()
+        audio_fmt, bits_out = 1, 32
+    else:
+        raise ValueError("bits must be 8/16/24/32 or -32 (float)")
+    block = channels * bits_out // 8
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt " + struct.pack(
-        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+        "<IHHIIHH", 16, audio_fmt, channels, rate, rate * block, block, bits_out
     ) + b"data" + struct.pack("<I", len(data))
     return hdr + data
 
@@ -110,26 +144,53 @@ def _decode_ppm(data: bytes) -> list[float]:
 
 
 def _decode_wav(data: bytes) -> list[float]:
-    """REAL PCM16 WAV decode (numpy + struct): [duration_ms, rms, zcr, peak]."""
+    """REAL PCM WAV decode (numpy + struct): [duration_ms, rms, zcr,
+    peak]. Parses the fmt chunk wherever it sits (channels / rate /
+    bit depth), supports unsigned 8-bit, signed 16/24/32-bit int and
+    32-bit float PCM; multi-channel audio is mean-downmixed before the
+    stats so a stereo file matches its mono mixdown."""
     import struct
 
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    rate = struct.unpack("<I", data[24:28])[0]
-    # locate the data chunk (fmt may be followed by optional chunks)
     pos = 12
-    samples = None
+    rate = channels = bits = audio_fmt = None
+    raw = None
     while pos + 8 <= len(data):
         cid, sz = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        if cid == b"data":
-            samples = np.frombuffer(data, dtype="<i2", count=sz // 2, offset=pos + 8)
-            break
-        pos += 8 + sz
-    if samples is None:
-        raise ValueError("WAV data chunk not found")
-    x = samples.astype(np.float64) / 32768.0
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if raw is None or rate is None:
+        raise ValueError("WAV fmt/data chunk not found")
+    if audio_fmt == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(raw, dtype="<f4", count=len(raw) // 4).astype(np.float64)
+    elif audio_fmt == 1 and bits == 8:  # unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2", count=len(raw) // 2).astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 24:
+        b3 = np.frombuffer(raw, dtype=np.uint8, count=len(raw) // 3 * 3).reshape(-1, 3)
+        v = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4", count=len(raw) // 4).astype(np.float64) / float(1 << 31)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    if channels and channels > 1:
+        frames = len(x) // channels
+        x = x[: frames * channels].reshape(frames, channels).mean(axis=1)
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
     return [
         float(len(x) * 1000.0 / rate),

@@ -524,6 +524,28 @@ def test_perceptual_hash_media_neardup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_wav_decode_all_sample_layouts(spark):
+    """The same sine tone through every PCM layout (8/16/24/32-bit int,
+    32-bit float, stereo) must decode to the same duration/rms/zcr/peak
+    (8-bit within its quantization error). Real-world WAVs are rarely
+    the 16-bit mono the original decoder assumed."""
+    from otus_clickhouse_spark.pipeline.multimodal import _decode_wav, make_wav
+
+    # float32 is the most precise layout — it is the reference; each
+    # integer depth may differ only by ITS OWN quantization step
+    ref = _decode_wav(make_wav(4000, freq=440, bits=-32))
+    assert ref[0] == 500.0  # 4000 samples at 8 kHz
+    for kwargs, tol in (
+        ({"bits": 24}, 1e-6),
+        ({"bits": 32}, 1e-6),
+        ({"bits": -32, "channels": 2}, 1e-6),  # stereo mean-downmix
+        ({"bits": 16}, 1e-4),
+        ({"bits": 8}, 0.01),
+    ):
+        got = _decode_wav(make_wav(4000, freq=440, **kwargs))
+        assert max(abs(a - b) for a, b in zip(ref, got)) < tol, kwargs
+
+
 def test_audio_fingerprint_dup_groups(spark):
     """Identical tones collide on the spectral fingerprint; different
     frequencies and durations do not."""

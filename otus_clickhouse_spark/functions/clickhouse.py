@@ -107,17 +107,13 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # toTime: keep the time of day on CH's fixed anchor date 1970-01-02
     ("toTime", "x TIMESTAMP", "TIMESTAMP",
      "to_timestamp(concat('1970-01-02 ', date_format(x, 'HH:mm:ss')))"),
-    # --- geo: haversine great-circle metres (spherical approximation,
-    # R = 6371 km; CH arg order is lon1, lat1, lon2, lat2). geoDistance
-    # differs from greatCircleDistance only by CH's ellipsoid correction
+    # --- geo: geoDistance differs from the haversine greatCircleDistance
+    # (registered further down, CH sphere radius 6372797.560856 m; CH arg
+    # order is lon1, lat1, lon2, lat2) only by CH's ellipsoid correction
     # (<0.5% at mid-latitudes) — mapped to the same sphere formula.
-    ("greatCircleDistance",
-     "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
-     "2 * 6371000.0 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + "
-     "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))"),
     ("geoDistance",
      "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
-     "2 * 6371000.0 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + "
+     "2 * 6372797.560856 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + "
      "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))"),
     # --- misc/system (homeworks/hw10.md:74, hw02.md:13)
     ("hostName", "", "STRING", "'localhost'"),

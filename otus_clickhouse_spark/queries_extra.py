@@ -878,3 +878,47 @@ def q88_window_suite(spark, sf_dir):
         "        CAST(min(fv) AS BIGINT) AS first_key"
         " FROM w GROUP BY flag, tile"
     )
+
+
+@query(
+    "q89_datetime_string_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('month', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT)
+             AS months_crossed,
+           CAST((year(TIMESTAMP '1998-01-01') - year(o_orderdate)) * 12
+                + (1 - month(o_orderdate))
+                - CASE WHEN 1 < day(o_orderdate) THEN 1 ELSE 0 END AS BIGINT)
+             AS months_full,
+           string_split(o_orderpriority, '-')[1] AS prio_code,
+           round(2 * 6372797.560856 * asin(sqrt(
+             pow(sin(radians(((o_orderkey % 180) - 90) - 10.0) / 2), 2)
+             + cos(radians(10.0)) * cos(radians((o_orderkey % 180) - 90))
+             * pow(sin(radians(((o_orderkey % 360) - 180) - 20.0) / 2), 2))) / 1000, 1)
+             AS dist_km
+    FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey
+    """,
+)
+def q89_datetime_string_breadth(spark, sf_dir):
+    """§2.8 breadth through the SQL front end, driver-value-checked:
+    dateDiff (boundary-crossing months) vs age (full elapsed months —
+    note the two columns genuinely differ for mid-month dates),
+    splitByString, and greatCircleDistance (haversine; coordinates
+    synthesized from the key). DuckDB replays each with its own
+    primitives (date_diff counts crossings like CH; full months via the
+    explicit year/month/day formula; the same sphere formula inline)."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    # CH lat synthesized in [-90, 90), lon in [-180, 180)
+    return eng.sql(
+        "SELECT o_orderkey,"
+        "       dateDiff('month', o_orderdate, toDateTime('1998-01-01 00:00:00'))"
+        "         AS months_crossed,"
+        "       age('month', o_orderdate, toDateTime('1998-01-01 00:00:00'))"
+        "         AS months_full,"
+        "       splitByString('-', o_orderpriority)[1] AS prio_code,"
+        "       round(greatCircleDistance("
+        "         20.0, 10.0,"
+        "         CAST((o_orderkey % 360) - 180 AS DOUBLE),"
+        "         CAST((o_orderkey % 180) - 90 AS DOUBLE)) / 1000, 1) AS dist_km"
+        " FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+    )

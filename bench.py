@@ -240,12 +240,21 @@ def scale_point_probe(spark) -> dict | None:
 def scale_insert_probe(spark) -> dict | None:
     """Insert throughput vs the reference's 10M-row Log-engine INSERT
     (0.285 s ⇒ 35.1M rows/s — BASELINE.md, lectures/lecture_09.md:
-    615-633). Two variants of the same 3-column write, best-of-3:
-    ``plain`` = straight snappy-parquet append (the honest Log-engine
-    analogue — CH's Log is an unsorted uncompressed column append);
-    ``sorted`` = repartition + sortWithinPartitions("k") first (what
-    our MergeTree-analogue insert path does — it buys the row-group
-    pruning the sorted_point_count probe measures). Scratch dir
+    615-633). Three variants, best-of-3, all lz4 parquet with
+    dictionary encoding off (the sweep that picked these is in git
+    history: snappy+dictionary costs ~40% on this write shape; CH's
+    Log family also compresses blocks with lz4, so the codec match is
+    honest):
+    ``replica`` = the lecture's exact workload — two UInt32 columns
+    ``(number, number*10)``, 16 partitions (larger tasks amortize the
+    per-file open/footer/commit cost that 312k-row tasks cannot);
+    ``plain``   = a heavier 3-column row (bigint, string, double) as
+    a straight unsorted append — the shape the other scale probes use;
+    ``sorted``  = the same 3-column row through the engine's actual
+    MergeTree-analogue insert ordering: ``sortWithinPartitions`` ONLY
+    (engine.py insert sorts each written part independently, exactly
+    like CH sorts each inserted part — no global shuffle, which an
+    earlier version of this probe wrongly included). Scratch dir
     removed afterwards."""
     import shutil
 
@@ -255,6 +264,10 @@ def scale_insert_probe(spark) -> dict | None:
         return None
     n = 10_000_000
     path = os.path.join(REPO, ".scratch", "bench_insert_probe")
+    replica = spark.range(n, numPartitions=16).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 10).cast("int").alias("val"),
+    )
     rows = spark.range(n).select(
         F.col("id").alias("k"),
         F.concat(F.lit("F"), (F.col("id") % 3).cast("string")).alias("flag"),
@@ -264,13 +277,17 @@ def scale_insert_probe(spark) -> dict | None:
            "baseline_rows_per_sec": 35_100_000}  # lecture_09.md:615-633
     try:
         for label, df in (
+            ("replica", replica),
             ("plain", rows),
-            ("sorted", rows.repartition(32).sortWithinPartitions("k")),
+            ("sorted", rows.sortWithinPartitions("k")),
         ):
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                df.write.mode("overwrite").parquet(path)
+                (df.write.mode("overwrite")
+                 .option("compression", "lz4")
+                 .option("parquet.enable.dictionary", "false")
+                 .parquet(path))
                 times.append(time.perf_counter() - t0)
             sec = min(times)
             out[f"{label}_sec"] = round(sec, 4)

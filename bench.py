@@ -102,6 +102,9 @@ def main():
     ins = scale_insert_probe(spark)
     if ins:
         out["scale_insert"] = ins
+    qps = scale_qps_probe(spark)
+    if qps:
+        out["scale_qps"] = qps
     print(json.dumps(out))
 
 
@@ -234,6 +237,64 @@ def scale_point_probe(spark) -> dict | None:
         "sec": round(sec, 4),
         "effective_rows_per_sec": int(n / sec),
         "baseline_effective_rows_per_sec": 120_000_000,  # 3.0M / 0.025s
+    }
+
+
+def scale_qps_probe(spark) -> dict | None:
+    """Concurrency envelope vs the reference's clickhouse-benchmark run
+    (BASELINE.md:14, homeworks/hw02.md:110-152): ``SELECT * FROM
+    system.numbers LIMIT 10000000 OFFSET 10000000`` repeated 10×,
+    QPS 5.34–5.69 (~107–114M rows/s processed). Spark analogue: the
+    same 20M-row ordered scan, first 10M skipped, all columns produced
+    to the noop sink (rows materialized, never collected — matching
+    clickhouse-benchmark's discard-to-null client). 4 driver threads
+    submit 16 queries total against ONE SparkSession — Spark schedules
+    concurrent jobs across the shared local[32] pool the same way a
+    cluster scheduler interleaves independent queries — and QPS is
+    total queries / wall time. SPARK_GRAFT_SCALE_ROWS=0 skips."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    if int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000)) <= 0:
+        return None
+    n, offset = 20_000_000, 10_000_000
+    df = spark.range(n).where(F.col("id") >= offset)
+
+    def one():
+        df.write.format("noop").mode("overwrite").save()
+
+    one()  # warmup
+    n_threads, per_thread = 4, 4
+    errs: list[Exception] = []
+
+    def worker():
+        try:
+            for _ in range(per_thread):
+                one()
+        except Exception as ex:  # pragma: no cover - surfaced in result
+            errs.append(ex)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    if errs:
+        return None
+    total = n_threads * per_thread
+    return {
+        "probe": "concurrent_scan_offset",
+        "rows_per_query": n,
+        "concurrency": n_threads,
+        "queries": total,
+        "wall_sec": round(wall, 4),
+        "qps": round(total / wall, 2),
+        "rows_per_sec": int(total * n / wall),
+        "baseline_qps": 5.69,  # BASELINE.md:14
+        "baseline_rows_per_sec": 114_000_000,
     }
 
 

@@ -84,6 +84,16 @@ class Engine:
         # shard count. On Spark the "cluster" is the executor pool, so a
         # topology only shapes Distributed-table routing/virtual columns.
         self._clusters: dict[str, int] = {"default": 1}
+        # config macros (hw09.md:295-325 getMacro usage; in CH these come
+        # from <macros> in config.xml — one substitution set per server)
+        self.macros: dict[str, str] = {"shard": "01", "replica": "replica_1"}
+        # storage policies (hw13.md:15-27 system.storage_policies golden;
+        # in CH these are <storage_configuration> server config). Tuples of
+        # (policy_name, volume_name, disks) — tables reference one via
+        # SETTINGS storage_policy='…'.
+        self.storage_policies: list[tuple[str, str, list[str]]] = [
+            ("default", "default", ["default"])
+        ]
         # named collections (D14; hw19.md:37-48): name → {key: value},
         # consumed by external table functions/engines
         self._named_collections: dict[str, dict] = {}
@@ -419,6 +429,53 @@ class Engine:
             rows, "cluster string, shard_num int, replica_num int, host_name string, port int"
         )
 
+    def system_macros(self) -> DataFrame:
+        """≈ system.macros: the server's config-macro substitution set
+        (hw09.md:295-325 uses getMacro('replica') over it)."""
+        rows = sorted(self.macros.items())
+        return self.spark.createDataFrame(rows, "macro string, substitution string")
+
+    def system_replicas(self) -> DataFrame:
+        """≈ system.replicas (hw09.md:10-20): one row per Replicated*
+        table. Single-session emulation: this engine is always the
+        leader of its own data; total/active replicas come from the
+        widest declared cluster topology (replicas of one shard would
+        each run this same engine over shared storage)."""
+        n_rep = max(self._clusters.values(), default=1)
+        rows = []
+        for name, td in sorted(self.tables.items()):
+            if not td.settings.get("replicated"):
+                continue
+            zk = td.settings.get(
+                "zookeeper_path", f"/clickhouse/tables/{{shard}}/{name}"
+            )
+            for macro, sub in self.macros.items():
+                zk = zk.replace("{" + macro + "}", sub)
+            replica = self.macros.get("replica", "replica_1")
+            rows.append(
+                ("default", name, td.settings.get("engine_full", td.engine),
+                 1, 0, zk, replica, f"{zk}/replicas/{replica}", n_rep, n_rep)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "database string, table string, engine string, is_leader int, "
+            "is_readonly int, zookeeper_path string, replica_name string, "
+            "replica_path string, total_replicas int, active_replicas int",
+        )
+
+    def system_storage_policies(self) -> DataFrame:
+        """≈ system.storage_policies (hw13.md:15-27 golden: default +
+        s3_main volumes with their disk lists)."""
+        return self.spark.createDataFrame(
+            self.storage_policies,
+            "policy_name string, volume_name string, disks array<string>",
+        )
+
+    def add_storage_policy(self, policy: str, volume: str, disks: list[str]):
+        """Register a storage policy (CH <storage_configuration> config;
+        hw13.md:15-27). Tables opt in via SETTINGS storage_policy='…'."""
+        self.storage_policies.append((policy, volume, list(disks)))
+
     _ON_CLUSTER_RE = re.compile(r"\s+ON\s+CLUSTER\s+'?(\w+)'?", re.IGNORECASE)
 
     def execute(self, text: str, **params):
@@ -708,6 +765,13 @@ class Engine:
         # system.one: the 1-row dummy table behind `SELECT 1`
         text = re.sub(
             r"\bsystem\.one\b", "(SELECT 1 AS dummy)", text, flags=re.IGNORECASE
+        )
+        # getMacro('name') (hw09.md:295-325): config-macro lookup — a
+        # per-server constant, so it folds to a literal at translate time
+        text = re.sub(
+            r"\bgetMacro\s*\(\s*'(\w+)'\s*\)",
+            lambda gm: "'" + self.macros.get(gm.group(1), "") + "'",
+            text,
         )
         # system.* metadata tables in raw SQL (D8; lecture_16.md:60-98,
         # lecture_20.md:296-478 monitoring queries): materialize the

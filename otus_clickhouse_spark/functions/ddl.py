@@ -310,6 +310,19 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         order_by=key_tuple(clause("ORDER\\s+BY") or clause("PRIMARY\\s+KEY")),
         partition_by=key_tuple(clause("PARTITION\\s+BY")),
     )
+    if engine.startswith("Replicated"):
+        # ReplicatedXMergeTree('/zk/path', '{replica}'[, x-engine args…])
+        # (hw09.md:318-319): record replication identity for
+        # system.replicas / SHOW CREATE, then hand the REMAINING args to
+        # the family-specific parsing below (ver/sign columns)
+        td.settings["replicated"] = True
+        td.settings["engine_full"] = (
+            f"{engine}({raw_args.strip()})" if raw_args.strip() else engine
+        )
+        if len(eargs) >= 2 and eargs[0].strip("'\"").startswith("/"):
+            td.settings["zookeeper_path"] = eargs[0].strip("'\"")
+            td.settings["replica_macro"] = eargs[1].strip("'\"")
+            eargs = eargs[2:]
     base = td.engine
     if base == "ReplacingMergeTree" and eargs:
         td.version = eargs[0]
@@ -322,6 +335,18 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     tm = re.search(r"\bTTL\s+(.+?)(?=\bSETTINGS\b|$)", rest, re.IGNORECASE | re.DOTALL)
     if tm:
         td.ttl = tm.group(1).strip()
+    sm = re.search(r"\bSETTINGS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+    if sm:
+        # SETTINGS k = v, … (hw02.sql:23 index_granularity; hw13.md table
+        # storage_policy): recorded verbatim — storage_policy ties the
+        # table to a system.storage_policies entry
+        tbl_settings = {}
+        for part in sm.group(1).split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                tbl_settings[k.strip()] = v.strip().strip("'\"")
+        if tbl_settings:
+            td.settings["table_settings"] = tbl_settings
     if eargs:
         td.settings["engine_args"] = eargs
     if defaults:

@@ -1149,11 +1149,15 @@ def show_create_table(engine, name: str) -> str:
     cols = ",\n".join(
         f"    {f.name} {f.dataType.simpleString()}" for f in engine.table(name).schema.fields
     )
-    parts = [f"CREATE TABLE {name}\n(\n{cols}\n)\nENGINE = {td.engine}"]
+    shown_engine = td.settings.get("engine_full", td.engine)
+    parts = [f"CREATE TABLE {name}\n(\n{cols}\n)\nENGINE = {shown_engine}"]
     if td.partition_by:
         parts.append(f"PARTITION BY ({', '.join(td.partition_by)})")
     if td.order_by:
         parts.append(f"ORDER BY ({', '.join(td.order_by)})")
     if td.ttl:
         parts.append(f"TTL {td.ttl}")
+    if td.settings.get("table_settings"):
+        kv = ", ".join(f"{k} = {v}" for k, v in td.settings["table_settings"].items())
+        parts.append(f"SETTINGS {kv}")
     return "\n".join(parts)

@@ -816,3 +816,66 @@ def test_system_mutations_log(engine, sales):
     assert any("UPDATE amount" in m for m in muts)
     assert any("DELETE WHERE id = 2" in m for m in muts)
     assert all(r.is_done == 1 for r in engine.system_mutations().collect())
+
+
+def test_replication_metadata_hw09(engine, tmp_path):
+    """hw09.md:295-325: ReplicatedMergeTree identity — getMacro(),
+    system.replicas, and SHOW CREATE TABLE rendering the full
+    Replicated engine clause with its ZooKeeper args and TTL."""
+    name = "trips_repl"
+    engine.execute(
+        f"CREATE TABLE {name} (trip_id UInt32, created_at Date) "
+        "ENGINE = ReplicatedMergeTree('/clickhouse/tables/{shard}/trips', '{replica}') "
+        "ORDER BY trip_id TTL created_at + toIntervalDay(7)"
+    )
+    engine.tables[name].path = str(tmp_path / name)
+    try:
+        # getMacro folds the server's config macro to a literal (hw09.md:12)
+        row = engine.sql("SELECT getMacro('replica') AS r").collect()[0]
+        assert row.r == "replica_1"
+        macros = {r.macro: r.substitution for r in engine.sql(
+            "SELECT macro, substitution FROM system.macros").collect()}
+        assert macros["shard"] == "01" and macros["replica"] == "replica_1"
+        reps = engine.sql(
+            f"SELECT * FROM system.replicas WHERE table = '{name}'").collect()
+        assert len(reps) == 1
+        r = reps[0]
+        # macros substituted into the zk path; replica identity attached
+        assert r.zookeeper_path == "/clickhouse/tables/01/trips_repl".replace(
+            "trips_repl", "trips")
+        assert r.replica_name == "replica_1"
+        assert r.replica_path.endswith("/replicas/replica_1")
+        assert r.is_leader == 1 and r.engine.startswith("ReplicatedMergeTree(")
+        shown = engine.execute(f"SHOW CREATE TABLE {name}")[0]
+        assert "ENGINE = ReplicatedMergeTree('/clickhouse/tables/{shard}/trips'" in shown
+        assert "TTL created_at + toIntervalDay(7)" in shown
+    finally:
+        engine.execute(f"DROP TABLE {name}")
+
+
+def test_storage_policies_hw13(engine, tmp_path):
+    """hw13.md:15-27 golden: default + s3_main policies, and a table
+    opting in via SETTINGS storage_policy."""
+    engine.add_storage_policy("s3_main", "s3", ["s3"])
+    try:
+        rows = [(r.policy_name, r.volume_name, r.disks) for r in engine.sql(
+            "SELECT * FROM system.storage_policies ORDER BY policy_name").collect()]
+        assert rows == [("default", "default", ["default"]),
+                        ("s3_main", "s3", ["s3"])]
+        name = "test_policy_tbl"
+        engine.execute(
+            f"CREATE TABLE {name} (id Int32, status String) ENGINE = MergeTree "
+            "ORDER BY id SETTINGS storage_policy = 's3_main', index_granularity = 8192"
+        )
+        engine.tables[name].path = str(tmp_path / name)
+        try:
+            ts = engine.tables[name].settings["table_settings"]
+            assert ts["storage_policy"] == "s3_main"
+            assert ts["index_granularity"] == "8192"
+            shown = engine.execute(f"SHOW CREATE TABLE {name}")[0]
+            assert "storage_policy = s3_main" in shown
+        finally:
+            engine.execute(f"DROP TABLE {name}")
+    finally:
+        engine.storage_policies = [p for p in engine.storage_policies
+                                   if p[0] != "s3_main"]

@@ -1205,6 +1205,21 @@ def translate(
     )
     text = re.sub(r"\s+FORMAT\s+\w+\s*$", "", text, flags=re.IGNORECASE)
     text = _FINAL_RE.sub(final_sub, text)
+    # ClickHouse allows order-requiring window functions with no ORDER BY
+    # in the OVER — "arbitrary order" (hw07.md:96 `row_number() OVER ()`).
+    # Spark demands an ordering; monotonically_increasing_id() supplies
+    # the same arbitrary-but-consistent order without a global sort (it
+    # is partition-local: no shuffle, no single-task ordering barrier).
+    text = re.sub(
+        r"\b(row_number|rank|dense_rank|ntile\s*\(\s*\d+\s*\))(\s*\(\s*\))?"
+        r"\s+OVER\s*\(\s*((?:PARTITION\s+BY\s+(?:(?!ORDER\s+BY)[^()])*)?)\s*\)",
+        lambda m: (
+            f"{m.group(1)}{m.group(2) or ''} OVER ({m.group(3)}"
+            f"{' ' if m.group(3) else ''}ORDER BY monotonically_increasing_id())"
+        ),
+        text,
+        flags=re.IGNORECASE,
+    )
     # GLOBAL IN/JOIN (lecture_15.md:194-214) is a distributed-execution
     # hint — Spark's broadcast exchange does this automatically
     text = re.sub(r"\bGLOBAL\s+(IN|JOIN)\b", r"\1", text, flags=re.IGNORECASE)

@@ -217,6 +217,9 @@ _CREATE_DICT_RE = re.compile(
     r"PRIMARY\s+KEY\s+(\w+).*?TABLE\s+'?(\w+)'?",
     re.IGNORECASE | re.DOTALL,
 )
+_DROP_DICT_RE = re.compile(
+    r"^\s*DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
 
 
 def _split_assignments(s: str) -> list[str]:
@@ -1067,6 +1070,17 @@ def _try_route_inner(engine, s: str):
         engine.create_dictionary(name, engine.table(src).select(*cols), key)
         engine._dict_sources[name] = (src, cols)  # for SYSTEM RELOAD DICTIONARY
         return engine.dictionary(name)
+
+    m = _DROP_DICT_RE.match(s)
+    if m:
+        # DROP DICTIONARY [IF EXISTS] d (lecture_11.md DDL family)
+        name = m.group(1)
+        existed = name in engine._dictionaries
+        if not existed and "IF EXISTS" not in s.upper():
+            raise KeyError(f"dictionary {name} does not exist")
+        engine._dictionaries.pop(name, None)
+        engine._dict_sources.pop(name, None)
+        return [("drop dictionary", name, existed)]
 
     return None
 

@@ -673,3 +673,26 @@ def test_round3_function_additions(engine):
     ).collect()[0]
     assert str(r.t) == "1970-01-02 13:45:10"
     assert 625_000 < r.msk_spb < 645_000  # Moscow→St.Petersburg ≈ 634 km
+
+
+def test_orderless_window_rewrite(engine):
+    """hw07.md:96: CH allows row_number()/rank() with no ORDER BY in the
+    OVER ("arbitrary order"); the dialect supplies
+    monotonically_increasing_id() — partition-local, no global sort.
+    Windows that already order, and orderless AGGREGATE windows (whole-
+    partition frames), must pass through untouched."""
+    from otus_clickhouse_spark.functions.dialect import translate
+
+    assert "monotonically_increasing_id" in translate(
+        "SELECT row_number() OVER () FROM t")
+    assert "monotonically_increasing_id" in translate(
+        "SELECT ntile(4) OVER (PARTITION BY a) FROM t")
+    assert "monotonically_increasing_id" not in translate(
+        "SELECT row_number() OVER (PARTITION BY a ORDER BY b) FROM t")
+    assert "monotonically_increasing_id" not in translate(
+        "SELECT sum(x) OVER (PARTITION BY a) FROM t")
+    rows = engine.sql(
+        "SELECT user_id FROM (SELECT row_number() OVER () AS user_id "
+        "FROM numbers(5))"
+    ).collect()
+    assert sorted(r.user_id for r in rows) == [1, 2, 3, 4, 5]

@@ -237,3 +237,82 @@ def test_lecture07_trailing_comma_insert_verbatim(engine):
     )
     assert engine.sql("select count() as c from otus_tbl_t").collect()[0].c == 10
     engine.execute("DROP TABLE IF EXISTS otus_tbl_t")
+
+
+def test_hw07_script_dictionary_windows(engine, tmp_path):
+    """homeworks/hw07.md:9-157 verbatim: the dictionary + window
+    homework end to end. Data is randUniform-generated (as in the
+    reference), so assertions are structural rather than goldens:
+    dictGet resolves every user's email, the action-partitioned
+    cumulative sum is monotone per action, and the email-ordered
+    window groups whole email frames (RANGE default)."""
+    for name in ("user_actions", "user_emails"):
+        engine.execute(f"DROP TABLE IF EXISTS {name}")
+    engine.execute(
+        "create table user_actions ( user_id UInt64, action String, "
+        "expense UInt64 ) engine=MergeTree() order by user_id"
+    )
+    engine.execute(
+        "create table user_emails ( user_id UInt64, email String ) "
+        "engine=MergeTree order by user_id"
+    )
+    engine.tables["user_actions"].path = str(tmp_path / "user_actions")
+    engine.tables["user_emails"].path = str(tmp_path / "user_emails")
+    try:
+        engine.execute(
+            "CREATE DICTIONARY IF NOT EXISTS user_emails_dict ( user_id UInt64, "
+            "email String ) PRIMARY KEY user_id "
+            "SOURCE(CLICKHOUSE(DB 'default' TABLE 'user_emails')) "
+            "LIFETIME(MIN 86400 MAX 126000) LAYOUT(hashed())"
+        )
+        # hw07.md:47-52 — note the reference reuses the user_id ALIAS
+        # inside the same select list ('user' || toString(user_id)), a
+        # ClickHouse-ism the dialect must expand
+        engine.execute(
+            "insert into user_emails select number + 1 as user_id , "
+            "'user' || toString(user_id) || '@mail.com' as email from numbers(10)"
+        )
+        engine.execute("SYSTEM RELOAD DICTIONARY user_emails_dict")
+        engine.execute(
+            "insert into user_actions select user_id, action, expense from ( "
+            "select round(randUniform(1, 10)) as user_id , "
+            "toInt8(round(randUniform(1, 5))) as action_id , "
+            "round(randUniform(1, 100)) as expense FROM numbers(10000) ) t1 "
+            "join ( select toInt8(number + 1) as action_id , "
+            "'action' || toString(number) as action from numbers(5) ) t2 "
+            "using (action_id)"
+        )
+        assert engine.table("user_actions").count() > 0
+        # hw07.md:84-90: dictGet resolves an email for every row
+        rows = engine.sql(
+            "select user_id, dictGet('user_emails_dict', 'email', user_id) AS email "
+            "from user_actions limit 5"
+        ).collect()
+        assert len(rows) == 5
+        assert all(r.email and r.email.endswith("@mail.com") for r in rows)
+        # hw07.md:92-107: cumulative expense, window partitioned by action
+        cum = engine.sql(
+            "SELECT user_id, action, expense, "
+            "sum(expense) OVER (PARTITION BY action ORDER BY rn ASC) AS cum "
+            "FROM ( SELECT user_id, action, expense, row_number() OVER () AS rn "
+            "FROM user_actions )"
+        ).collect()
+        by_action = {}
+        for r in sorted(cum, key=lambda r: (r.action, r.cum)):
+            prev = by_action.get(r.action, 0)
+            assert r.cum >= prev and r.cum >= r.expense
+            by_action[r.action] = r.cum
+        # hw07.md:119-138: ordering the window by a dictGet'd email —
+        # CH's default RANGE frame sums the WHOLE tied email group
+        em = engine.sql(
+            "select user_id , expense , "
+            "sum(expense) over (partition by action order by email) AS s "
+            "from ( select user_id , action , expense , "
+            "dictGet('user_emails_dict', 'email', user_id) email "
+            "from user_actions ) t limit 5"
+        ).collect()
+        assert len(em) == 5 and all(r.s >= r.expense for r in em)
+    finally:
+        engine.execute("DROP DICTIONARY IF EXISTS user_emails_dict")
+        engine.execute("DROP TABLE IF EXISTS user_actions")
+        engine.execute("DROP TABLE IF EXISTS user_emails")

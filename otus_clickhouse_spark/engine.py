@@ -50,6 +50,15 @@ class TableDef:
     skip_indexes: dict = field(default_factory=dict)
 
 
+# system tables holding access-control metadata: readable only with an
+# explicit SELECT grant (hw12.md:53-61 ACCESS_DENIED golden); everything
+# else in system.* stays implicitly readable for introspection
+_PROTECTED_SYSTEM_TABLES = {
+    "users", "roles", "grants", "role_grants", "quotas", "quota_limits",
+    "settings_profiles",
+}
+
+
 class Engine:
     """Facade over a SparkSession + table registry.
 
@@ -101,6 +110,9 @@ class Engine:
         # _rbac_log, enforced at the query/insert boundary. The session
         # user is "default" (full access) until set_user() switches it.
         self._users: set[str] = {"default"}
+        # auth method per user (hw12.md:14-22 system.users golden shows
+        # auth_type; the bootstrap user authenticates via server config)
+        self._user_auth: dict[str, str] = {"default": "plaintext_password"}
         self._roles: set[str] = set()
         # grants: (privilege, db, table, grantee) with '*' wildcards
         self._grants: list[tuple[str, str, str, str]] = []
@@ -352,10 +364,28 @@ class Engine:
         return [n for n in set(names) if n in self.tables]
 
     def system_users(self) -> DataFrame:
-        """≈ system.users (lecture_18.md:56): RBAC-created users."""
+        """≈ system.users (lecture_18.md:56; hw12.md:72-80 golden shows
+        name + auth_type): RBAC-created users."""
+        rows = [
+            (u, self._user_auth.get(u, "no_password"), "local_directory")
+            for u in sorted(self._users)
+        ]
         return self.spark.createDataFrame(
-            [(u, "local_directory") for u in sorted(self._users)], "name string, storage string"
+            rows, "name string, auth_type string, storage string"
         )
+
+    def system_roles(self) -> DataFrame:
+        """≈ system.roles (hw12.md:31-38 golden): name, a stable id,
+        storage. The id is a deterministic UUID of the role name (CH
+        assigns a random one at CREATE; determinism is friendlier to
+        tests and changes nothing the reference asserts)."""
+        import uuid as _uuid
+
+        rows = [
+            (r, str(_uuid.uuid5(_uuid.NAMESPACE_OID, "role:" + r)), "local_directory")
+            for r in sorted(self._roles)
+        ]
+        return self.spark.createDataFrame(rows, "name string, id string, storage string")
 
     def system_role_grants(self) -> DataFrame:
         """≈ system.role_grants (lecture_18.md:195)."""
@@ -789,6 +819,18 @@ class Engine:
             method = getattr(self, f"system_{sysname}", None)
             if method is None:
                 continue
+            # access-control metadata requires an explicit grant, exactly
+            # the denial hw12.md:53-61 demonstrates (most other system
+            # tables stay implicitly readable, like CH's introspection set)
+            if (
+                sysname in _PROTECTED_SYSTEM_TABLES
+                and self.current_user != "default"
+                and not self._granted(self.current_user, "SELECT", sysname)
+            ):
+                raise PermissionError(
+                    f"ACCESS_DENIED: user {self.current_user} lacks the grant "
+                    f"SELECT ON system.{sysname}"
+                )
             view = f"__system_{sysname}"
             method().createOrReplaceTempView(view)
             text = re.sub(rf"\bsystem\.{sysname}\b", view, text)
@@ -1304,12 +1346,28 @@ class Engine:
         ).where("command != ''")
 
     def system_grants(self) -> DataFrame:
-        """≈ system.grants (lecture_18.md:134-216): recorded RBAC
-        statements (enforcement is the deployment's ACL layer; row
-        policies — the query-side piece — are enforced, see P7)."""
-        rows = [(s,) for s in self._rbac_log]
-        return self.spark.createDataFrame(rows or [("",)], "statement string").where(
-            "statement != ''"
+        """≈ system.grants (lecture_18.md:134-216; hw12.md:83-107
+        Vertical golden): one structured row per (privilege, object,
+        grantee) — grantee lands in user_name or role_name depending on
+        which kind of principal it is, like CH."""
+        rows = [
+            (
+                grantee if grantee not in self._roles else None,
+                grantee if grantee in self._roles else None,
+                priv,
+                None if db == "*" else db,
+                None if tbl == "*" else tbl,
+                None,
+                0,
+                0,
+            )
+            for priv, db, tbl, grantee in self._grants
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "user_name string, role_name string, access_type string, "
+            "database string, table string, column string, "
+            "is_partial_revoke int, grant_option int",
         )
 
     def system_processes(self) -> DataFrame:

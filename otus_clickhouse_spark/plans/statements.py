@@ -389,10 +389,18 @@ def _apply_rbac(engine, s: str) -> None:
     um = re.match(r"^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
     if um:
         engine._users.add(um.group(1))
+        # IDENTIFIED WITH sha256_password BY '…' (hw12.md:14) — the
+        # auth METHOD is metadata (surfaced in system.users); the
+        # password itself is never stored, like CH stores only hashes
+        am = re.search(r"\bIDENTIFIED\s+(?:WITH\s+(\w+)|BY\b)", s, re.IGNORECASE)
+        engine._user_auth[um.group(1)] = (
+            (am.group(1) or "sha256_password") if am else "no_password"
+        )
         return
     um = re.match(r"^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
     if um:
         engine._users.discard(um.group(1))
+        engine._user_auth.pop(um.group(1), None)
         return
     rm = re.match(r"^\s*CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
     if rm:

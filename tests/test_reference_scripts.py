@@ -316,3 +316,52 @@ def test_hw07_script_dictionary_windows(engine, tmp_path):
         engine.execute("DROP DICTIONARY IF EXISTS user_emails_dict")
         engine.execute("DROP TABLE IF EXISTS user_actions")
         engine.execute("DROP TABLE IF EXISTS user_emails")
+
+
+def test_hw12_script_rbac(engine):
+    """homeworks/hw12.md:9-107 verbatim: the access-control homework.
+    CREATE USER john / ROLE devs, the ACCESS_DENIED golden for an
+    unprivileged read of system.users, GRANT + SET ROLE activation,
+    then the system.users / system.roles / system.grants goldens."""
+    engine.execute("create user john IDENTIFIED WITH sha256_password BY 'qwerty'")
+    try:
+        # hw12.md:14-22: auth method surfaces in system.users
+        users = {r.name: r.auth_type for r in engine.sql(
+            "select name, auth_type from system.users "
+            "where name in ('default', 'john')").collect()}
+        assert users == {"default": "plaintext_password",
+                         "john": "sha256_password"}
+        engine.execute("CREATE ROLE devs")
+        roles = engine.sql("select * from system.roles").collect()
+        assert [(r.name, r.storage) for r in roles] == [("devs", "local_directory")]
+        assert len(roles[0].id) == 36  # uuid-shaped, like the golden
+        engine.execute("GRANT select on system.* to devs")
+        # hw12.md:53-61: john without the active role is DENIED
+        engine.set_user("john")
+        import pytest as _pytest
+        with _pytest.raises(PermissionError, match="system.users"):
+            engine.sql("select * from system.users").collect()
+        engine.set_user("default")
+        engine.execute("GRANT devs TO john")
+        # hw12.md:66-80: SET ROLE activates the grant; the read succeeds
+        engine.set_user("john")
+        engine.execute("set role devs")
+        got = {r.name: r.auth_type for r in engine.sql(
+            "select name, auth_type from system.users "
+            "where name in ('default', 'john')").collect()}
+        assert got == users
+        engine.set_user("default")
+        # hw12.md:83-107: the grants row, keyed by role_name
+        g = engine.sql(
+            "select * from system.grants where role_name in "
+            "( select name from system.roles )").collect()
+        assert len(g) == 1
+        row = g[0]
+        assert (row.user_name, row.role_name, row.access_type, row.database,
+                row.table, row.column, row.is_partial_revoke,
+                row.grant_option) == (None, "devs", "SELECT", "system",
+                                      None, None, 0, 0)
+    finally:
+        engine.set_user("default")
+        engine.execute("DROP USER IF EXISTS john")
+        engine.execute("DROP ROLE IF EXISTS devs")

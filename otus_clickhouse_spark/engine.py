@@ -87,6 +87,7 @@ class Engine:
         self._processes: dict[str, tuple[str, float]] = {}
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
+        self._dict_ddl: dict[str, str] = {}  # dict → original CREATE text
         self._rbac_log: list[str] = []  # recorded GRANT/CREATE USER/… (D11)
         self._mutations_log: list[tuple] = []  # (statement, ts, status) — system.mutations
         # cluster topologies (lecture_15.md:40-67 <remote_servers>): name →
@@ -1190,6 +1191,39 @@ class Engine:
             df = self.table(src[0]).select(*src[1]) if src else d.df
         self.create_dictionary(name, df, d.key)
         return True
+
+    def system_dictionaries(self) -> DataFrame:
+        """≈ system.dictionaries (lecture_11.md:312,356-390): one row per
+        live dictionary, CH's dotted key./attribute. column names kept so
+        the lecture's ``select * … format Vertical`` probe runs verbatim.
+        Status is always LOADED — our dictionaries materialize at CREATE
+        (the lecture's own advice: configure eager load)."""
+        import uuid as _uuid
+
+        rows = []
+        for name, d in sorted(self._dictionaries.items()):
+            attrs = [f for f in d.df.schema.fields if f.name != d.key]
+            key_f = [f for f in d.df.schema.fields if f.name == d.key]
+            rows.append(
+                (
+                    "default", name,
+                    str(_uuid.uuid5(_uuid.NAMESPACE_OID, "dict:" + name)),
+                    "LOADED",
+                    [d.key],
+                    [f.dataType.simpleString() for f in key_f],
+                    [f.name for f in attrs],
+                    [f.dataType.simpleString() for f in attrs],
+                    d.df.count(),
+                    self._dict_sources.get(name, ("", []))[0],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "database string, name string, uuid string, status string, "
+            "`key.names` array<string>, `key.types` array<string>, "
+            "`attribute.names` array<string>, `attribute.types` array<string>, "
+            "element_count long, source string",
+        )
 
     # ----------------------------------------------------------- system views
     def system_tables(self) -> DataFrame:

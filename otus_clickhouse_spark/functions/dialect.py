@@ -1113,10 +1113,10 @@ def _rewrite_dictget(text: str, dicts: dict[str, str]) -> str:
         if key is None:
             raise KeyError(f"unknown dictionary: {dname}")
         if kind == "Has":
-            repl = f"((SELECT count(*) FROM dict_{dname} WHERE {key} = ({args[1]})) > 0)"
+            repl = f"((SELECT count(*) FROM dict_{dname} WHERE __dk = ({args[1]})) > 0)"
         else:
             attr = args[1].strip().strip("'\"")
-            sub = f"(SELECT max({attr}) FROM dict_{dname} WHERE {key} = ({args[2]}))"
+            sub = f"(SELECT max(__da_{attr}) FROM dict_{dname} WHERE __dk = ({args[2]}))"
             if kind == "GetOrDefault":
                 repl = f"coalesce({sub}, {args[3]})"
             else:

@@ -26,7 +26,22 @@ class Dictionary:
     @classmethod
     def from_df(cls, spark: SparkSession, name: str, df: DataFrame, key: str) -> "Dictionary":
         d = cls(name=name, key=key, df=df)
-        df.createOrReplaceTempView(f"dict_{name}")
+        # the dictGet lookup view mangles every column name (__dk /
+        # __da_<attr>): the rewrite embeds the CALLER's key expression
+        # inside a correlated subquery over this view, and an unmangled
+        # dict column named like an outer column would capture the
+        # reference (inner scope wins) — e.g. a dict keyed on `number`
+        # probed with an outer `number` column would degenerate to
+        # WHERE number = number ≡ true
+        mangled = df.select(
+            F.col(key).alias("__dk"),
+            *[F.col(c).alias(f"__da_{c}") for c in df.columns if c != key],
+        )
+        mangled.createOrReplaceTempView(f"dict_{name}")
+        # a dictionary is also addressable as a table by its own name,
+        # original column names intact (lecture_11.md:310: "Селектить,
+        # а не диктГет-ать")
+        df.createOrReplaceTempView(name)
         return d
 
     def get(self, attr: str, target: DataFrame, key_col: str | Column, default=None) -> DataFrame:

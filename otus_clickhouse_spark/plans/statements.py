@@ -165,6 +165,9 @@ _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(?:\w+\.)?(\w+)\s*$", re.IGNORECASE)
+_SHOW_CREATE_DICT_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+DICTIONARY\s+(?:\w+\.)?(\w+)\s*$", re.IGNORECASE
+)
 _SHOW_MISC_RE = re.compile(
     r"^\s*SHOW\s+(PROCESSLIST|DICTIONARIES|CLUSTERS|USERS|GRANTS)\s*$", re.IGNORECASE
 )
@@ -1077,7 +1080,16 @@ def _try_route_inner(engine, s: str):
         cols = [c.strip().split()[0] for c in _split_assignments(cols_ddl) if c.strip()]
         engine.create_dictionary(name, engine.table(src).select(*cols), key)
         engine._dict_sources[name] = (src, cols)  # for SYSTEM RELOAD DICTIONARY
+        engine._dict_ddl[name] = s  # for SHOW CREATE DICTIONARY
         return engine.dictionary(name)
+
+    m = _SHOW_CREATE_DICT_RE.match(s)
+    if m:
+        # SHOW CREATE DICTIONARY d (lecture_11.md:313-318,392)
+        name = m.group(1)
+        if name not in engine._dictionaries:
+            raise KeyError(f"dictionary {name} does not exist")
+        return [engine._dict_ddl.get(name, f"CREATE DICTIONARY {name}")]
 
     m = _DROP_DICT_RE.match(s)
     if m:
@@ -1088,6 +1100,10 @@ def _try_route_inner(engine, s: str):
             raise KeyError(f"dictionary {name} does not exist")
         engine._dictionaries.pop(name, None)
         engine._dict_sources.pop(name, None)
+        engine._dict_ddl.pop(name, None)
+        if existed:
+            engine.spark.catalog.dropTempView(f"dict_{name}")
+            engine.spark.catalog.dropTempView(name)
         return [("drop dictionary", name, existed)]
 
     return None

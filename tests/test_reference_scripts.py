@@ -365,3 +365,47 @@ def test_hw12_script_rbac(engine):
         engine.set_user("default")
         engine.execute("DROP USER IF EXISTS john")
         engine.execute("DROP ROLE IF EXISTS devs")
+
+
+def test_lecture11_prime_dictionary(engine, tmp_path):
+    """lectures/lecture_11.md:320-392: the prime_numbers dictionary —
+    dictGet, SELECT-from-dictionary-as-a-table, system.dictionaries
+    metadata, SHOW CREATE DICTIONARY."""
+    engine.execute("DROP TABLE IF EXISTS prime_numbers")
+    engine.execute(
+        "create table prime_numbers ( number UInt64, is_prime bool ) "
+        "Engine = MergeTree order by number"
+    )
+    engine.tables["prime_numbers"].path = str(tmp_path / "prime_numbers")
+    try:
+        engine.execute(
+            "INSERT INTO prime_numbers VALUES (1, false), (2, true), "
+            "(3, true), (4, false), (5, true)"
+        )
+        engine.execute(
+            "create dictionary prime_numbers_dict ( number UInt64, "
+            "is_prime bool ) primary key number "
+            "source(clickhouse(DB 'default' TABLE 'prime_numbers')) "
+            "lifetime(min 0 max 300) layout(flat)"
+        )
+        got = engine.sql(
+            "select number, dictGet('prime_numbers_dict', 'is_prime', number) "
+            "AS is_prime from numbers(5) ORDER BY number"
+        ).collect()
+        assert [(r.number, bool(r.is_prime)) for r in got] == [
+            (0, False), (1, False), (2, True), (3, True), (4, False)]
+        # the dictionary is also a table (lecture_11.md:310)
+        assert engine.sql(
+            "select count() AS n from prime_numbers_dict").collect()[0].n == 5
+        d = engine.sql(
+            "select * from system.dictionaries where name = 'prime_numbers_dict'"
+        ).collect()[0]
+        assert d.status == "LOADED" and d.element_count == 5
+        assert d["key.names"] == ["number"] and d["attribute.names"] == ["is_prime"]
+        assert d.source == "prime_numbers" and len(d.uuid) == 36
+        shown = engine.execute("show create dictionary prime_numbers_dict")[0]
+        assert shown.lower().startswith("create dictionary prime_numbers_dict")
+        assert "layout(flat)" in shown.lower()
+    finally:
+        engine.execute("DROP DICTIONARY IF EXISTS prime_numbers_dict")
+        engine.execute("DROP TABLE IF EXISTS prime_numbers")

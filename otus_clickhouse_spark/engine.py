@@ -749,6 +749,15 @@ class Engine:
             rewritten = rewrite_any_join_sql(self, text)
             if rewritten is not None:
                 text = rewritten
+        # *Cluster variants (lecture_11.md:411 fileCluster; s3Cluster etc.):
+        # CH fans the read across cluster nodes — Spark's reader already
+        # parallelizes over the executor pool, so the cluster arg drops
+        text = re.sub(
+            r"\b(file|s3|url|hdfs)Cluster\s*\(\s*'?[\w.-]+'?\s*,\s*",
+            r"\1(",
+            text,
+            flags=re.IGNORECASE,
+        )
         fm = _FILE_FN_RE.search(text)
         if fm:
             # file/s3/gcs/url/hdfs table functions in raw SQL (S2-S6;

@@ -175,3 +175,16 @@ def test_file_table_reads_gzip_transparently(spark, tmp_path):
         f.write('{"k": 1}\n{"k": 2}\n')
     got = sorted(r.k for r in file_table(spark, str(j), "JSONEachRow").collect())
     assert got == [1, 2]
+
+
+def test_filecluster_table_function(engine, tmp_path):
+    """fileCluster('cluster', path, fmt) (lecture_11.md:411): CH fans the
+    read over cluster nodes; Spark's reader already parallelizes, so the
+    cluster argument drops and the semantics match file()."""
+    p = str(tmp_path / "fc.csv")
+    with open(p, "w") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    rows = engine.sql(
+        f"SELECT * FROM fileCluster('mycluster', '{p}', 'CSVWithNames') ORDER BY a"
+    ).collect()
+    assert [(int(r.a), r.b) for r in rows] == [(1, "x"), (2, "y")]

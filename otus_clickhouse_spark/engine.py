@@ -1234,6 +1234,26 @@ class Engine:
             "element_count long, source string",
         )
 
+    def system_dashboards(self) -> DataFrame:
+        """≈ system.dashboards (lecture_22.md:1-4): the built-in
+        monitoring dashboard's (dashboard, title, query) rows — the web
+        page fetches these and substitutes {rounding}/{seconds}. Queries
+        here target our system.metrics/events counterparts so they run
+        against this engine."""
+        rows = [
+            ("Overview", "Queries/second",
+             "SELECT count(*) FROM system.query_log"),
+            ("Overview", "Selected rows/second",
+             "SELECT value FROM system.events WHERE event = 'SelectedRows'"),
+            ("Overview", "Inserted rows/second",
+             "SELECT value FROM system.events WHERE event = 'InsertedRows'"),
+            ("Overview", "Total MergeTree parts",
+             "SELECT count(*) FROM system.parts"),
+        ]
+        return self.spark.createDataFrame(
+            rows, "dashboard string, title string, query string"
+        )
+
     # ----------------------------------------------------------- system views
     def system_tables(self) -> DataFrame:
         """≈ system.tables (lectures/lecture_02.md:197-276). Column names

@@ -175,3 +175,15 @@ def test_system_events_and_metrics(engine):
     assert ev.get("SelectQuery", 0) >= 1 and ev.get("Query", 0) >= ev["SelectQuery"]
     mt = {r.metric: r.value for r in engine.sql("SELECT * FROM system.metrics").collect()}
     assert mt["TablesRegistered"] >= 1 and mt["Query"] == 0
+
+
+def test_system_dashboards(engine):
+    """system.dashboards (lecture_22.md:1-4): the built-in dashboard's
+    query registry — and each registered query actually runs against
+    this engine's system views."""
+    rows = engine.sql(
+        "select title, query from system.dashboards where dashboard='Overview'"
+    ).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert engine.sql(r.query).collect() is not None

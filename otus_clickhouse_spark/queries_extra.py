@@ -922,3 +922,104 @@ def q89_datetime_string_breadth(spark, sf_dir):
         "         CAST((o_orderkey % 180) - 90 AS DOUBLE)) / 1000, 1) AS dist_km"
         " FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
     )
+
+
+@query(
+    "q90_bits_readable",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS band,
+           CAST(o_orderkey | 16 AS BIGINT) AS bor,
+           CAST(xor(o_orderkey, 5) AS BIGINT) AS bxor,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl,
+           CAST((o_orderkey >> 2) & 1 AS BIGINT) AS bt,
+           CASE
+             WHEN o_totalprice * 1000 >= 1073741824.0
+               THEN concat(printf('%.2f', o_totalprice * 1000 / 1073741824.0), ' GiB')
+             WHEN o_totalprice * 1000 >= 1048576.0
+               THEN concat(printf('%.2f', o_totalprice * 1000 / 1048576.0), ' MiB')
+             WHEN o_totalprice * 1000 >= 1024.0
+               THEN concat(printf('%.2f', o_totalprice * 1000 / 1024.0), ' KiB')
+             ELSE concat(printf('%.2f', o_totalprice * 1000), ' B')
+           END AS size_h,
+           CASE
+             WHEN abs(o_totalprice) >= 1e6
+               THEN concat(printf('%.2f', o_totalprice / 1e6), ' million')
+             WHEN abs(o_totalprice) >= 1e3
+               THEN concat(printf('%.2f', o_totalprice / 1e3), ' thousand')
+             ELSE printf('%.2f', o_totalprice)
+           END AS qty_h,
+           concat_ws(', ',
+             CASE WHEN o_orderkey % 200000 >= 86400 THEN
+               concat(CAST(o_orderkey % 200000 // 86400 AS VARCHAR), ' days') END,
+             CASE WHEN o_orderkey % 200000 % 86400 >= 3600 THEN
+               concat(CAST(o_orderkey % 200000 % 86400 // 3600 AS VARCHAR), ' hours') END,
+             CASE WHEN o_orderkey % 200000 % 3600 >= 60 THEN
+               concat(CAST(o_orderkey % 200000 % 3600 // 60 AS VARCHAR), ' minutes') END,
+             CASE WHEN o_orderkey % 200000 % 60 > 0 OR o_orderkey % 200000 = 0 THEN
+               concat(CAST(o_orderkey % 200000 % 60 AS VARCHAR), ' seconds') END
+           ) AS dur_h
+    FROM orders WHERE o_orderkey <= 128 ORDER BY o_orderkey
+    """,
+)
+def q90_bits_readable(spark, sf_dir):
+    """§2.8 bit arithmetic + formatReadable* family through the SQL
+    front end (lecture_20.md monitoring queries use both): bitAnd/Or/
+    Xor/ShiftLeft/Test and formatReadableSize/Quantity/TimeDelta.
+    DuckDB replays each with its own operators (&, |, xor(), <<, >>,
+    printf) against the same unit thresholds. Values only exercise the
+    no-thousands-separator range of format_number, where the two
+    engines' numeric formatting agrees."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    return eng.sql(
+        "SELECT o_orderkey,"
+        "       bitAnd(o_orderkey, 255) AS band,"
+        "       bitOr(o_orderkey, 16) AS bor,"
+        "       bitXor(o_orderkey, 5) AS bxor,"
+        "       bitShiftLeft(o_orderkey, 3) AS shl,"
+        "       CAST(bitTest(o_orderkey, 2) AS BIGINT) AS bt,"
+        "       formatReadableSize(o_totalprice * 1000) AS size_h,"
+        "       formatReadableQuantity(o_totalprice) AS qty_h,"
+        "       formatReadableTimeDelta(o_orderkey % 200000) AS dur_h"
+        " FROM orders WHERE o_orderkey <= 128 ORDER BY o_orderkey"
+    )
+
+
+@query(
+    "q91_date_names",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 1440) * INTERVAL 1 MINUTE AS ts
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT o_orderkey,
+           monthname(ts) AS mon_name,
+           dayname(ts) AS day_name,
+           CAST(year(ts) AS VARCHAR) AS y_name,
+           CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+           make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                          * 1800 * 1000000) AS slot
+    FROM o ORDER BY o_orderkey
+    """,
+)
+def q91_date_names(spark, sf_dir):
+    """§2.8 date-naming/bucketing breadth through the SQL front end:
+    dateName (month/weekday/year parts), toLastDayOfMonth, timeSlot
+    (30-minute buckets). The probe timestamp varies by key so slots and
+    names change across rows; DuckDB replays with monthname/dayname/
+    last_day/epoch arithmetic."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    return eng.sql(
+        "SELECT o_orderkey,"
+        "       dateName('month', ts) AS mon_name,"
+        "       dateName('weekday', ts) AS day_name,"
+        "       dateName('year', ts) AS y_name,"
+        "       toString(toLastDayOfMonth(ts)) AS month_end,"
+        "       timeSlot(ts) AS slot"
+        " FROM (SELECT o_orderkey,"
+        "              toDateTime(o_orderdate) + INTERVAL (o_orderkey % 1440) MINUTE AS ts"
+        "       FROM orders WHERE o_orderkey <= 100) o"
+        " ORDER BY o_orderkey"
+    )

@@ -2778,3 +2778,83 @@ def x54_incremental_dedup(spark, sf_dir):
             (F.col("n_batch") - F.col("n_dup_docs")).cast("bigint").alias("n_admitted"),
         )
     )
+
+
+@query(
+    "x55_link_pagerank",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT count(*) AS n FROM d),
+    e AS (
+      SELECT doc_id AS src,
+             (doc_id * doc_id * (k + 2)) % (SELECT n FROM nn) AS dst
+      FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+      WHERE (doc_id * doc_id * (k + 2)) % (SELECT n FROM nn) != doc_id
+    ),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node
+              FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    gn AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (SELECT node, 1.0 / (SELECT n FROM gn) AS pr FROM nodes),
+    p1 AS (
+      SELECT nodes.node,
+             round(0.15 / (SELECT n FROM gn)
+                   + 0.85 * coalesce(c.s, 0), 10) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / od.outdeg) AS s
+        FROM e JOIN p0 p ON p.node = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c USING (node)),
+    p2 AS (
+      SELECT nodes.node,
+             round(0.15 / (SELECT n FROM gn)
+                   + 0.85 * coalesce(c.s, 0), 10) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / od.outdeg) AS s
+        FROM e JOIN p1 p ON p.node = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c USING (node)),
+    p3 AS (
+      SELECT nodes.node,
+             round(0.15 / (SELECT n FROM gn)
+                   + 0.85 * coalesce(c.s, 0), 10) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / od.outdeg) AS s
+        FROM e JOIN p2 p ON p.node = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c USING (node))
+    SELECT node AS doc_id, round(pr, 6) AS pr
+    FROM p3 ORDER BY pr DESC, doc_id LIMIT 20
+    """,
+)
+def x55_link_pagerank(spark, sf_dir):
+    """Link-graph centrality as a curation prior (pipeline/graph.py):
+    3-iteration PageRank over a deterministic synthetic link graph
+    (every doc links to 3 quadratic-residue targets, so in-degree — and
+    therefore rank — varies). Web-curation pipelines weight documents
+    by exactly this kind of host/page centrality (Common Crawl ships
+    per-host ranks). Per-iteration round(·,10) pins cross-engine float
+    drift; the oracle unrolls the identical recurrence. Each iteration
+    is two edge-keyed shuffles — nothing driver-side but two bounded
+    count() scalars."""
+    from otus_clickhouse_spark.pipeline.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * F.col("doc_id") * (k + 2)) % n
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    pr = pagerank(edges, n_iter=3, damping=0.85, ndigits=10)
+    return (
+        pr.orderBy(F.desc("pr"), "node")
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr"))
+    )

@@ -1119,3 +1119,27 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     assert abs(out["big"]["p"] + out["small"]["p"] - 1.0) < 1e-9
     ident = {r["src"]: r for r in temperature_weights(df, "src", alpha=1.0).collect()}
     assert abs(ident["big"]["p"] - 0.9) < 1e-9
+
+
+def test_pagerank_small_graph(spark):
+    """pagerank (pipeline/graph.py) on a hand-checkable 4-node graph:
+    a star (everyone links to node 0, node 0 links to 1) — node 0 must
+    dominate, node 1 second (it gets 0's whole mass), and one
+    power-iteration step matches the hand-computed recurrence."""
+    from otus_clickhouse_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src int, dst int"
+    )
+    pr1 = {r.node: r.pr for r in pagerank(edges, n_iter=1).collect()}
+    # n=4, start 0.25 each; teleport 0.15/4 = 0.0375
+    # node0 gets 0.25 from each of 1,2,3 (outdeg 1): 0.0375 + 0.85*0.75
+    assert abs(pr1[0] - (0.0375 + 0.85 * 0.75)) < 1e-9
+    # node1 gets node0's 0.25; nodes 2,3 get nothing
+    assert abs(pr1[1] - (0.0375 + 0.85 * 0.25)) < 1e-9
+    assert abs(pr1[2] - 0.0375) < 1e-9 and abs(pr1[3] - 0.0375) < 1e-9
+    pr3 = {r.node: r.pr for r in pagerank(edges, n_iter=3).collect()}
+    order = sorted(pr3, key=lambda k: -pr3[k])
+    assert order[0] == 0 and order[1] == 1
+    # no dangling nodes here → mass is conserved up to rounding
+    assert abs(sum(pr3.values()) - 1.0) < 1e-6

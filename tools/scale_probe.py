@@ -349,6 +349,32 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: curation_funnel(labeled, token_budget=max(n_docs, 5000)).collect(),
         n_docs,
     )
+
+    # link-graph PageRank (x55's code path): 3 power iterations over a
+    # 3-out-degree synthetic graph on the full doc set. Each iteration
+    # is two edge-keyed shuffles; edges/s should hold as the graph grows
+    # (the 100 TB shape is identical, just more edge partitions).
+    from otus_clickhouse_spark.pipeline.graph import pagerank
+
+    pr_edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * F.col("doc_id") * (k + 2)) % n_docs
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    timed(
+        "pagerank_3iter",
+        lambda: pagerank(pr_edges, n_iter=3).agg(F.count(F.lit(1))).collect(),
+        3 * n_docs,
+    )
     return out
 
 

@@ -283,6 +283,90 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.select("media_id", "kind", "data").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _pixels(kind: str, data: bytes) -> "np.ndarray":
+    """Pixel-level decode for resize: (h, w, 3) uint8 for the image
+    codecs we decode from spec (PPM / PNG / baseline+progressive JPEG)."""
+    import numpy as np
+
+    if data[:2] == b"P6":
+        parts = data.split(b"\n", 3)
+        w, h = (int(v) for v in parts[1].split())
+        return np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        pix = _png_pixels(data)
+        return pix[..., :3] if pix.ndim == 3 else np.repeat(pix[..., None], 3, axis=2)
+    if data[:2] == b"\xff\xd8":
+        from otus_clickhouse_spark.pipeline.jpeg import decode_jpeg
+
+        pix = decode_jpeg(data)
+        return pix if pix.ndim == 3 else np.repeat(pix[..., None], 3, axis=2)
+    raise ValueError(f"resize: unsupported image payload for kind={kind}")
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, batch_hint: int = 1024
+) -> DataFrame:
+    """Thumbnail/resize stage (the brief's multimodal op set: decode /
+    feature-extract / RESIZE / frame-sample): decode each image payload
+    to pixels, resample to (width, height), re-encode as P6 PPM.
+
+    Resampling is area-mean when the source divides evenly into the
+    target grid (the anti-aliased thumbnail case) and nearest-neighbor
+    otherwise — both deterministic pure-numpy index arithmetic, no
+    interpolation library. Same scale shape as extract_features: Arrow
+    mapInPandas, partition-local, no shuffle; non-image payloads pass
+    through as NULL rather than erroring the batch."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _resize_one(kind: str, data: bytes) -> bytes | None:
+        try:
+            pix = _pixels(kind, data)
+        except ValueError:
+            return None
+        h, w = pix.shape[:2]
+        if h % height == 0 and w % width == 0:
+            # exact area mean: reshape into (height, fh, width, fw, 3) blocks
+            fh, fw = h // height, w // width
+            small = (
+                pix.reshape(height, fh, width, fw, 3)
+                .mean(axis=(1, 3))
+                .round()
+                .astype(np.uint8)
+            )
+        else:
+            ys = (np.arange(height) * h // height).astype(int)
+            xs = (np.arange(width) * w // width).astype(int)
+            small = pix[ys][:, xs]
+        header = f"P6\n{width} {height}\n255\n".encode()
+        return header + small.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _resize_one(k, d) if d is not None else None
+                for k, d in zip(pdf["kind"], pdf["data"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame ts.
 

@@ -1143,3 +1143,42 @@ def test_pagerank_small_graph(spark):
     assert order[0] == 0 and order[1] == 1
     # no dangling nodes here → mass is conserved up to rounding
     assert abs(sum(pr3.values()) - 1.0) < 1e-6
+
+
+def test_resize_images(spark):
+    """resize_images (pipeline/multimodal.py): area-mean for evenly
+    dividing targets (mean luminance preserved), nearest-neighbor
+    otherwise, PPM/PNG/JPEG inputs, NULL for non-image payloads —
+    all through the Arrow mapInPandas boundary."""
+    import numpy as np
+
+    from otus_clickhouse_spark.pipeline.multimodal import (
+        make_png, make_ppm, resize_images, _pixels,
+    )
+
+    ppm = make_ppm(32, 16, seed=3)
+    png = make_png(24, 24, seed=5)
+    rows = [
+        (0, "image", ppm),
+        (1, "image", png),
+        (2, "audio", b"RIFFnotreallyawav"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, data binary"
+    )
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    # dims stamped and payload decodable
+    for mid in (0, 1):
+        r = out[mid]
+        assert (r.width, r.height) == (8, 8)
+        pix = _pixels("image", bytes(r.payload))
+        assert pix.shape == (8, 8, 3)
+    # 32x16 → 8x8 divides evenly → area mean preserves overall mean
+    src = _pixels("image", ppm).astype(float)
+    dst = _pixels("image", bytes(out[0].payload)).astype(float)
+    assert abs(src.mean() - dst.mean()) < 2.0
+    # non-image payload: NULL, not an error
+    assert out[2].payload is None
+    # non-divisible target takes the nearest-neighbor path
+    odd = {r.media_id: r for r in resize_images(media, 7, 5).collect()}
+    assert _pixels("image", bytes(odd[1].payload)).shape == (5, 7, 3)

@@ -157,6 +157,12 @@ class Engine:
 
         self.tables[td.name] = td
         frame = df if df is not None else read_table(self.spark, td.path)
+        # tiered storage (lecture_14.md:233 TTL … TO VOLUME): rows moved
+        # to cold volumes are still part of the table — union them in
+        if df is None:
+            for cpath in td.settings.get("cold_volumes", {}).values():
+                if os.path.exists(cpath):
+                    frame = frame.unionByName(read_table(self.spark, cpath))
         # ALIAS columns (lecture_12.md:27-28): virtual, recomputed per
         # query — appended to the view, never stored
         for col, expr in td.settings.get("aliases", {}).items():
@@ -718,9 +724,10 @@ class Engine:
         # from an earlier engine over the same warehouse
         path = td.path if (td is not None and td.path) else os.path.join("spark-warehouse", name)
         warehouse = os.path.abspath("spark-warehouse")
-        p = os.path.abspath(path)
-        if p.startswith(warehouse + os.sep) and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+        cold = list(td.settings.get("cold_volumes", {}).values()) if td else []
+        for p in [os.path.abspath(path)] + [os.path.abspath(c) for c in cold]:
+            if p.startswith(warehouse + os.sep) and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------- SQL
     def sql(self, text: str, **params) -> DataFrame:

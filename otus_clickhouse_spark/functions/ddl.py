@@ -230,6 +230,19 @@ def strip_line_comments(sql: str) -> str:
     return "".join(out)
 
 
+def split_ttl_action(ttl: str) -> tuple[str, tuple[str, str] | None]:
+    """Split a CH TTL clause into (expression, optional move action).
+
+    ``TTL ts + INTERVAL 1 HOUR TO VOLUME 'cold'`` (lecture_14.md:233)
+    moves expired rows to another storage-policy volume instead of
+    deleting them; ``TO DISK`` is the single-disk form; an explicit
+    trailing DELETE is the default action spelled out."""
+    m = re.search(r"\s+TO\s+(VOLUME|DISK)\s+'([\w.-]+)'\s*$", ttl, re.IGNORECASE)
+    if m:
+        return ttl[: m.start()].strip(), (m.group(1).lower(), m.group(2))
+    return re.sub(r"\s+DELETE\s*$", "", ttl, flags=re.IGNORECASE).strip(), None
+
+
 def parse_create_table(ddl: str) -> tuple[TableDef, str]:
     """Parse CH CREATE TABLE → (TableDef, spark schema DDL string).
 
@@ -334,7 +347,9 @@ def parse_create_table(ddl: str) -> tuple[TableDef, str]:
         td.sum_columns = tuple(a.strip("()") for a in eargs)
     tm = re.search(r"\bTTL\s+(.+?)(?=\bSETTINGS\b|$)", rest, re.IGNORECASE | re.DOTALL)
     if tm:
-        td.ttl = tm.group(1).strip()
+        td.ttl, action = split_ttl_action(tm.group(1).strip())
+        if action:
+            td.settings["ttl_action"] = action
     sm = re.search(r"\bSETTINGS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
     if sm:
         # SETTINGS k = v, … (hw02.sql:23 index_granularity; hw13.md table

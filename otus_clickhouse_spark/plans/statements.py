@@ -872,11 +872,19 @@ def _try_route_inner(engine, s: str):
 
     m = _MODIFY_TTL_RE.match(s)
     if m:
-        # ALTER TABLE … MODIFY TTL expr (lecture_14.md:217-236); the
-        # retention job applies it via apply_ttl
+        # ALTER TABLE … MODIFY TTL expr [TO VOLUME 'v' | TO DISK 'd']
+        # (lecture_14.md:217-236); the retention job applies it via
+        # apply_ttl
+        from otus_clickhouse_spark.functions.ddl import split_ttl_action
+
         name, ttl = m.groups()
-        engine.tables[name].ttl = ttl.strip()
-        return {"ttl": ttl.strip()}
+        expr, action = split_ttl_action(ttl.strip())
+        engine.tables[name].ttl = expr
+        if action:
+            engine.tables[name].settings["ttl_action"] = action
+        else:
+            engine.tables[name].settings.pop("ttl_action", None)
+        return {"ttl": expr, "ttl_action": action}
 
     m = _APPLY_TTL_RE.match(s)
     if m:
@@ -893,6 +901,27 @@ def _try_route_inner(engine, s: str):
         ttl = td.ttl
         if not re.search(r"[<>=]", ttl):
             ttl = f"({ttl}) < current_timestamp()"
+        action = td.settings.get("ttl_action")
+        if action and td.path and os.path.exists(td.path):
+            # TTL … TO VOLUME/DISK (lecture_14.md:233): expired rows MOVE
+            # to the cold tier instead of being deleted — the table view
+            # keeps serving them (register_table unions the volumes), so
+            # reads are unchanged while the hot path shrinks. Only the
+            # MAIN path is scanned here: already-moved rows are at their
+            # target volume and must not be re-appended.
+            from otus_clickhouse_spark.io import read_table
+
+            vol = action[1]
+            cold = f"{td.path.rstrip('/')}__volume_{vol}"
+            main = read_table(engine.spark, td.path)
+            pred = _expr(engine, ttl)
+            expired = main.filter(pred)
+            moved = expired.count()
+            if moved:
+                expired.write.mode("append").parquet(cold)
+                td.settings.setdefault("cold_volumes", {})[vol] = cold
+                _persist(engine, name, main.filter(~pred))
+            return {"ttl_applied": name, "moved": moved, "to": action}
         before = engine.table(name).count()
         _persist(engine, name, ttl_expire(engine.table(name), _expr(engine, ttl)))
         return {"ttl_applied": name, "dropped": before - engine.table(name).count()}

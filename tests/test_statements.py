@@ -887,3 +887,49 @@ def test_storage_policies_hw13(engine, tmp_path):
     finally:
         engine.storage_policies = [p for p in engine.storage_policies
                                    if p[0] != "s3_main"]
+
+
+def test_ttl_to_volume_moves_not_deletes(engine, tmp_path):
+    """TTL … TO VOLUME (lecture_14.md:233): with a storage policy,
+    expired rows MOVE to the cold volume instead of being deleted —
+    reads still see them, the hot path shrinks, and a second TTL pass
+    has nothing left to move."""
+    engine.add_storage_policy("tiered", "cold", ["cold_disk"])
+    name = "events_tiered"
+    engine.execute(
+        f"CREATE TABLE {name} (id UInt64, ts DateTime) ENGINE = MergeTree "
+        "ORDER BY id TTL ts + INTERVAL 1 HOUR TO VOLUME 'cold' "
+        "SETTINGS storage_policy = 'tiered'"
+    )
+    td = engine.tables[name]
+    td.path = str(tmp_path / name)
+    try:
+        assert td.ttl == "ts + INTERVAL 1 HOUR"
+        assert td.settings["ttl_action"] == ("volume", "cold")
+        engine.execute(
+            f"INSERT INTO {name} VALUES "
+            "(1, '2020-01-01 00:00:00'), (2, '2020-06-01 00:00:00'), "
+            "(3, '2100-01-01 00:00:00'), (4, '2100-06-01 00:00:00')"
+        )
+        res = engine.execute(f"SYSTEM APPLY TTL {name}")
+        assert res["moved"] == 2 and res["to"] == ("volume", "cold")
+        # the view still serves all rows; the hot path holds only fresh ones
+        assert engine.table(name).count() == 4
+        import os as _os
+
+        hot = engine.spark.read.parquet(td.path)
+        assert sorted(r.id for r in hot.collect()) == [3, 4]
+        cold_path = td.settings["cold_volumes"]["cold"]
+        assert _os.path.isdir(cold_path)
+        cold = engine.spark.read.parquet(cold_path)
+        assert sorted(r.id for r in cold.collect()) == [1, 2]
+        # idempotent: nothing left in the hot tier to move
+        assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 0
+        assert engine.table(name).count() == 4
+        # MODIFY TTL back to plain delete clears the move action
+        engine.execute(f"ALTER TABLE {name} MODIFY TTL ts + INTERVAL 2 HOUR")
+        assert "ttl_action" not in td.settings
+    finally:
+        engine.execute(f"DROP TABLE {name}")
+        engine.storage_policies = [p for p in engine.storage_policies
+                                   if p[0] != "tiered"]

@@ -1303,15 +1303,26 @@ class Engine:
                      t.path, os.path.getsize(t.path), 1)
                 )
             else:
-                for root, _dirs, files in os.walk(t.path):
-                    for f in files:
-                        if f.endswith(".parquet"):
-                            p = os.path.join(root, f)
-                            rel = os.path.relpath(p, t.path)
-                            part = os.path.dirname(rel) or "all"
-                            rows.append(
-                                (t.name, rel, part, part, "default", p, os.path.getsize(p), 1)
-                            )
+                # hot tier + any TTL-moved cold volumes (lecture_14.md:233):
+                # parts report the disk they live on, like CH with a
+                # storage policy (hw13.md:15-27)
+                tiers = [(t.path, "default")] + [
+                    (cp, vol)
+                    for vol, cp in t.settings.get("cold_volumes", {}).items()
+                ]
+                for tier_path, disk in tiers:
+                    if not os.path.isdir(tier_path):
+                        continue
+                    for root, _dirs, files in os.walk(tier_path):
+                        for f in files:
+                            if f.endswith(".parquet"):
+                                p = os.path.join(root, f)
+                                rel = os.path.relpath(p, tier_path)
+                                part = os.path.dirname(rel) or "all"
+                                rows.append(
+                                    (t.name, rel, part, part, disk, p,
+                                     os.path.getsize(p), 1)
+                                )
         return self.spark.createDataFrame(
             rows,
             "table string, name string, partition string, partition_id string, "

@@ -926,6 +926,11 @@ def test_ttl_to_volume_moves_not_deletes(engine, tmp_path):
         # idempotent: nothing left in the hot tier to move
         assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 0
         assert engine.table(name).count() == 4
+        # system.parts reports the disk each part lives on (hw13.md:15-27)
+        disks = {r.disk_name for r in engine.sql(
+            f"SELECT disk_name FROM system.parts WHERE table = '{name}'"
+        ).collect()}
+        assert disks == {"default", "cold"}
         # MODIFY TTL back to plain delete clears the move action
         engine.execute(f"ALTER TABLE {name} MODIFY TTL ts + INTERVAL 2 HOUR")
         assert "ttl_action" not in td.settings

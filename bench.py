@@ -50,6 +50,7 @@ HEADLINE = [
     "x43_nb_classifier",
     "x47_curation_funnel",
     "x50_passage_retrieval",
+    "x55_link_pagerank",
 ]
 
 

@@ -1127,7 +1127,12 @@ class Engine:
                 part_cols.append(gen)
         if td.order_by:
             df = df.sortWithinPartitions(*[k for k in td.order_by if k in df.columns])
-        writer = df.write.mode(mode)
+        # LZ4 block compression is ClickHouse's default codec
+        # (lecture_02.md compression model) and measurably out-writes
+        # snappy on this path (see the bench insert-probe sweep); parquet
+        # dictionary encoding stays on for the read side (its row-group
+        # dictionaries are the LowCardinality analogue)
+        writer = df.write.mode(mode).option("compression", "lz4")
         # parquet bloom filters on the sort key (≈ bloom_filter skipping
         # index, D9/lecture_08.md:99-240): point lookups on ORDER BY
         # columns skip row groups even when min/max ranges overlap

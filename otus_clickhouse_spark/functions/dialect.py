@@ -73,6 +73,64 @@ def _split_call_args(s: str, open_paren: int) -> tuple[list[str], int]:
     raise ValueError("unbalanced parens")
 
 
+def _rewrite_transform4(text: str) -> str:
+    """CH 4-arg ``transform(x, from_array, to_array, default)``
+    (lecture_06 conditional family) → a map lookup with fallback. The
+    2-arg form is Spark's lambda HOF of the same name and passes
+    through untouched."""
+    pos = 0
+    while True:
+        m = re.search(r"\btransform\s*\(", text[pos:])
+        if not m:
+            return text
+        start = pos + m.start()
+        args, end = _split_call_args(text, text.index("(", start))
+        if len(args) != 4:
+            pos = start + len("transform")
+            continue
+        x, src, dst, default = args
+        text = (
+            text[:start]
+            + f"coalesce(element_at(map_from_arrays({src}, {dst}), {x}), {default})"
+            + text[end:]
+        )
+
+
+def _rewrite_count_equal(text: str) -> str:
+    """``countEqual(arr, x)`` → size(filter(arr, e -> e = x))."""
+    while True:
+        m = re.search(r"\bcountEqual\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        arr, x = args
+        text = (
+            text[: m.start()]
+            + f"size(filter({arr}, __ce -> __ce = {x}))"
+            + text[end:]
+        )
+
+
+# emptyArrayT() constructors (CH array family) → typed empty literals
+_EMPTY_ARRAY_TYPES = {
+    "String": "STRING", "Int8": "TINYINT", "Int16": "SMALLINT",
+    "Int32": "INT", "Int64": "BIGINT", "UInt8": "SMALLINT",
+    "UInt16": "INT", "UInt32": "BIGINT", "UInt64": "BIGINT",
+    "Float32": "FLOAT", "Float64": "DOUBLE", "Date": "DATE",
+    "DateTime": "TIMESTAMP",
+}
+
+
+def _rewrite_empty_arrays(text: str) -> str:
+    return re.sub(
+        r"\bemptyArray(\w+)\s*\(\s*\)",
+        lambda m: "CAST(array() AS ARRAY<{}>)".format(
+            _EMPTY_ARRAY_TYPES.get(m.group(1), "STRING")
+        ),
+        text,
+    )
+
+
 def _rewrite_multiif(text: str) -> str:
     while True:
         m = re.search(r"\bmultiIf\s*\(", text)
@@ -1305,6 +1363,30 @@ def translate(
     text = _rewrite_state_combinators(text)
     text = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", text)
     text = _rewrite_multiif(text)
+    text = _rewrite_transform4(text)
+    text = _rewrite_count_equal(text)
+    text = _rewrite_empty_arrays(text)
+    # scalar range(n) / range(start, end[, step]) (CH array family;
+    # half-open like CH, empty when n <= start) — only when NOT a table
+    # relation in FROM. The filter guard makes range(0) → [] instead of
+    # sequence's descending [0, -1].
+    def _range_sub(m: re.Match) -> str:
+        parts = [p.strip() for p in m.group(1).split(",")]
+        if len(parts) == 1:
+            n = parts[0]
+            return (
+                f"filter(sequence(0, greatest(({n}) - 1, 0)), __r -> __r < ({n}))"
+            )
+        start, stop = parts[0], parts[1]
+        step = f", {parts[2]}" if len(parts) > 2 else ""
+        return (
+            f"filter(sequence({start}, greatest(({stop}) - 1, {start}){step}), "
+            f"__r -> __r < ({stop}))"
+        )
+
+    text = re.sub(
+        r"(?<!FROM )(?<!from )\brange\s*\(([^()]+)\)", _range_sub, text
+    )
     text = _rewrite_null_distinct_combinators(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_kurtpop(text)

@@ -696,3 +696,23 @@ def test_orderless_window_rewrite(engine):
         "FROM numbers(5))"
     ).collect()
     assert sorted(r.user_id for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_array_constructors_and_transform4(engine):
+    """CH array-family stragglers: scalar range() (half-open, empty at
+    n=0, start/stop/step forms; the FROM range() table relation is
+    untouched), countEqual, emptyArrayT() typed empties, and the 4-arg
+    transform lookup (the 2-arg Spark lambda HOF passes through)."""
+    got = engine.sql(
+        "SELECT range(5) AS r5, range(0) AS r0, range(2, 6) AS rse,"
+        "       range(0, 10, 3) AS rstep, countEqual([1,2,1], 1) AS ce,"
+        "       emptyArrayString() AS es, emptyArrayUInt64() AS ei,"
+        "       transform(2, [1,2,3], ['a','b','c'], 'z') AS hit,"
+        "       transform(9, [1,2,3], ['a','b','c'], 'z') AS miss,"
+        "       transform(array(1,2), x -> x + 1) AS hof"
+    ).collect()[0]
+    assert list(got.r5) == [0, 1, 2, 3, 4] and list(got.r0) == []
+    assert list(got.rse) == [2, 3, 4, 5] and list(got.rstep) == [0, 3, 6, 9]
+    assert got.ce == 2 and list(got.es) == [] and list(got.ei) == []
+    assert got.hit == "b" and got.miss == "z" and list(got.hof) == [2, 3]
+    assert engine.sql("SELECT count() AS n FROM range(7)").collect()[0].n == 7

@@ -171,6 +171,20 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # same bit-values as ClickHouse cityHash64/sipHash64.
     ("cityHash64", "s STRING", "BIGINT", "xxhash64(s)"),
     ("sipHash64", "s STRING", "BIGINT", "xxhash64(s)"),
+    ("farmHash64", "s STRING", "BIGINT", "xxhash64(s)"),
+    # --- public-CH-surface extras (not used by the course, kept for
+    # switch-over completeness)
+    ("topLevelDomain", "u STRING", "STRING",
+     "element_at(split(parse_url(u, 'HOST'), '\\\\.'), -1)"),
+    ("isIPv4String", "s STRING", "BOOLEAN",
+     r"s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+     r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"),
+    ("toUUID", "s STRING", "STRING", "lower(s)"),
+    # rand64/randCanonical: CH's 64-bit and [0,1) uniform generators
+    ("rand64", "", "BIGINT", "CAST(floor(rand() * 9.223372036854775e18) AS BIGINT)"),
+    ("randCanonical", "", "DOUBLE", "rand()"),
+    ("levenshteinDistance", "a STRING, b STRING", "INT", "levenshtein(a, b)"),
+    ("editDistance", "a STRING, b STRING", "INT", "levenshtein(a, b)"),
     ("farmFingerprint64", "s STRING", "BIGINT", "xxhash64(s)"),
     ("halfMD5", "s STRING", "BIGINT", "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"),
     ("SHA256", "s STRING", "STRING", "sha2(s, 256)"),

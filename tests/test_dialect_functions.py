@@ -716,3 +716,25 @@ def test_array_constructors_and_transform4(engine):
     assert got.ce == 2 and list(got.es) == [] and list(got.ei) == []
     assert got.hit == "b" and got.miss == "z" and list(got.hof) == [2, 3]
     assert engine.sql("SELECT count() AS n FROM range(7)").collect()[0].n == 7
+
+
+def test_public_surface_extras(engine):
+    """Public-CH-surface stragglers not used by the course but kept for
+    switch-over completeness: topLevelDomain, isIPv4String (octet-range
+    strict), toUUID normalization, levenshteinDistance/editDistance,
+    farmHash64 (same xxhash64 mapping as cityHash64/sipHash64), and the
+    rand64/randCanonical generators."""
+    r = engine.sql(
+        "SELECT topLevelDomain('https://a.b.com/x') AS tld,"
+        "       isIPv4String('1.2.3.4') AS ip_ok,"
+        "       isIPv4String('999.2.3.4') AS ip_bad,"
+        "       toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS uu,"
+        "       levenshteinDistance('kitten', 'sitting') AS lev,"
+        "       editDistance('abc', 'abd') AS ed,"
+        "       farmHash64('abc') = cityHash64('abc') AS fh,"
+        "       rand64() AS r64, randCanonical() AS rc"
+    ).collect()[0]
+    assert r.tld == "com" and r.ip_ok and not r.ip_bad
+    assert r.uu == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert r.lev == 3 and r.ed == 1 and r.fh
+    assert isinstance(r.r64, int) and 0.0 <= r.rc < 1.0

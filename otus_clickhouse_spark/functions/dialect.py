@@ -804,7 +804,8 @@ def _rewrite_array_combinators(text: str) -> str:
 # operators/behavioral.py).
 _BEHAVIORAL_RE = re.compile(
     r"\b(windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount"
-    r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy|avgWeighted)\s*\("
+    r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy|avgWeighted"
+    r"|sumCount|simpleLinearRegression)\s*\("
 )
 
 
@@ -864,6 +865,23 @@ def _rewrite_behavioral(text: str) -> str:
         if name == "avgWeighted":
             x, w = args1[0], args1[1]
             expr = f"(sum(({x}) * ({w})) / sum({w}))"
+            text = text[: m.start()] + expr + text[after1:]
+            continue
+        if name == "sumCount":
+            x = args1[0]
+            expr = (
+                f"named_struct('sum', sum({x}), "
+                f"'count', count({x}))"
+            )
+            text = text[: m.start()] + expr + text[after1:]
+            continue
+        if name == "simpleLinearRegression":
+            # CH arg order (x, y) → (k, b); Spark regr_* take (y, x)
+            x, y = args1[0], args1[1]
+            expr = (
+                f"named_struct('k', regr_slope({y}, {x}), "
+                f"'b', regr_intercept({y}, {x}))"
+            )
             text = text[: m.start()] + expr + text[after1:]
             continue
         if name == "sumMap":

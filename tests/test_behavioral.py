@@ -372,3 +372,14 @@ def test_sequence_count_randomized_vs_scan(spark):
                           ["event_type = 'A'", "event_type = 'B'"]).collect()}
     for case, evs in cases.items():
         assert got.get(case, 0) == scan(evs), (case, evs)
+
+
+def test_sumcount_and_simple_linear_regression(engine):
+    """sumCount → (sum, count) tuple; simpleLinearRegression(x, y) →
+    (k, b) least-squares line (CH arg order x,y vs Spark regr_*'s y,x)."""
+    r = engine.sql("SELECT sumCount(number) AS v FROM numbers(5)").collect()[0].v
+    assert (r.sum, r["count"]) == (10, 5)
+    lr = engine.sql(
+        "SELECT simpleLinearRegression(number, number * 2 + 1) AS v FROM numbers(10)"
+    ).collect()[0].v
+    assert abs(lr.k - 2.0) < 1e-9 and abs(lr.b - 1.0) < 1e-9

@@ -22,6 +22,22 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("toDateTime", "x STRING", "TIMESTAMP", "CAST(x AS TIMESTAMP)"),
     ("toYYYYMM", "x TIMESTAMP", "INT", "CAST(date_format(x, 'yyyyMM') AS INT)"),
     ("toYYYYMMDD", "x TIMESTAMP", "INT", "CAST(date_format(x, 'yyyyMMdd') AS INT)"),
+    ("toYYYYMMDDhhmmss", "x TIMESTAMP", "BIGINT",
+     "CAST(date_format(x, 'yyyyMMddHHmmss') AS BIGINT)"),
+    ("substringIndex", "s STRING, d STRING, n INT", "STRING",
+     "substring_index(s, d, n)"),
+    ("tokens", "s STRING", "ARRAY<STRING>",
+     "filter(split(s, '[^\\\\p{L}\\\\p{N}_]+'), t -> t != '')"),
+    ("toStartOfISOYear", "x TIMESTAMP", "DATE",
+     # ISO year = year of this week's Thursday (weekday(): 0=Monday);
+     # its first day = Monday of the week containing Jan 4
+     """date_sub(make_date(year(date_add(CAST(x AS DATE), 3 - weekday(x))), 1, 4),
+                 weekday(make_date(year(date_add(CAST(x AS DATE), 3 - weekday(x))), 1, 4)))"""),
+    ("toRelativeDayNum", "x TIMESTAMP", "INT",
+     "CAST(floor(unix_timestamp(x) / 86400) AS INT)"),
+    ("makeDate", "y INT, m INT, d INT", "DATE", "make_date(y, m, d)"),
+    ("makeDateTime", "y INT, m INT, d INT, h INT, mi INT, s INT", "TIMESTAMP",
+     "make_timestamp(y, m, d, h, mi, s)"),
     ("toStartOfMonth", "x TIMESTAMP", "DATE", "CAST(date_trunc('MONTH', x) AS DATE)"),
     ("toStartOfDay", "x TIMESTAMP", "TIMESTAMP", "date_trunc('DAY', x)"),
     ("toStartOfHour", "x TIMESTAMP", "TIMESTAMP", "date_trunc('HOUR', x)"),

@@ -738,3 +738,24 @@ def test_public_surface_extras(engine):
     assert r.uu == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
     assert r.lev == 3 and r.ed == 1 and r.fh
     assert isinstance(r.r64, int) and 0.0 <= r.rc < 1.0
+
+
+def test_date_string_stragglers(engine):
+    """Remaining CH date/string surface: makeDate/makeDateTime,
+    toYYYYMMDDhhmmss, toRelativeDayNum, toStartOfISOYear (2016-01-01
+    sits in ISO week 53 of 2015, whose year starts 2014-12-29),
+    substringIndex, tokens."""
+    r = engine.sql(
+        "SELECT toString(makeDate(2024, 2, 29)) AS md,"
+        "       toString(makeDateTime(2024, 2, 29, 12, 30, 0)) AS mdt,"
+        "       toYYYYMMDDhhmmss(toDateTime('2024-05-01 12:30:45')) AS ts14,"
+        "       toRelativeDayNum(toDateTime('1970-01-03 00:00:00')) AS rdn,"
+        "       toString(toStartOfISOYear(toDateTime('2024-05-15 00:00:00'))) AS iso24,"
+        "       toString(toStartOfISOYear(toDateTime('2016-01-01 00:00:00'))) AS iso16,"
+        "       substringIndex('a.b.c', '.', 2) AS si,"
+        "       tokens('a b  c!') AS tok"
+    ).collect()[0]
+    assert r.md == "2024-02-29" and r.mdt == "2024-02-29 12:30:00"
+    assert r.ts14 == 20240501123045 and r.rdn == 2
+    assert r.iso24 == "2024-01-01" and r.iso16 == "2014-12-29"
+    assert r.si == "a.b" and list(r.tok) == ["a", "b", "c"]

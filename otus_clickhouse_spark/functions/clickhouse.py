@@ -294,6 +294,46 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "CAST(exists(needles, n -> instr(h, n) > 0) AS TINYINT)"),
     ("multiSearchAllPositions", "h STRING, needles ARRAY<STRING>", "ARRAY<INT>",
      "transform(needles, n -> instr(h, n))"),
+    # index (1-based) of the first needle that occurs; 0 when none does
+    ("multiSearchFirstIndex", "h STRING, needles ARRAY<STRING>", "INT",
+     "coalesce(array_position(transform(needles, n -> instr(h, n) > 0), true), 0)"),
+    # subsequence test: fold needle chars left-to-right, each search
+    # resuming after the previous hit (acc = next start pos, 0 = failed)
+    ("hasSubsequence", "h STRING, n STRING", "TINYINT",
+     """CAST(aggregate(filter(split(n, ''), c -> c != ''), 1,
+          (acc, c) -> CASE WHEN acc = 0 THEN 0
+                           WHEN locate(c, h, acc) = 0 THEN 0
+                           ELSE locate(c, h, acc) + 1 END) != 0 AS TINYINT)"""),
+    # token = maximal run of letters/digits/underscore, same tokenizer
+    # as tokens() and the tokenbf index analogue
+    ("hasToken", "h STRING, t STRING", "TINYINT",
+     "CAST(array_contains(filter(split(h, '[^\\\\p{L}\\\\p{N}_]+'), x -> x != ''), t)"
+     " AS TINYINT)"),
+    ("replaceOne", "s STRING, a STRING, b STRING", "STRING",
+     """CASE WHEN locate(a, s) = 0 THEN s
+          ELSE concat(substring(s, 1, locate(a, s) - 1), b,
+                      substring(s, locate(a, s) + length(a))) END"""),
+    # ngramSearch/ngramDistance: CH's fuzzy 4-gram match, set-based here
+    # (CH hashes a multiset; identical for strings without repeated
+    # 4-grams, documented approximation otherwise)
+    ("ngramSearch", "h STRING, n STRING", "DOUBLE",
+     """size(array_intersect(
+          array_distinct(transform(sequence(1, greatest(length(n) - 3, 1)),
+                                   i -> substring(n, i, 4))),
+          array_distinct(transform(sequence(1, greatest(length(h) - 3, 1)),
+                                   i -> substring(h, i, 4)))))
+        / size(array_distinct(transform(sequence(1, greatest(length(n) - 3, 1)),
+                                        i -> substring(n, i, 4))))"""),
+    ("ngramDistance", "a STRING, b STRING", "DOUBLE",
+     """1.0 - 2.0 * size(array_intersect(
+          array_distinct(transform(sequence(1, greatest(length(a) - 3, 1)),
+                                   i -> substring(a, i, 4))),
+          array_distinct(transform(sequence(1, greatest(length(b) - 3, 1)),
+                                   i -> substring(b, i, 4)))))
+        / (size(array_distinct(transform(sequence(1, greatest(length(a) - 3, 1)),
+                                         i -> substring(a, i, 4))))
+           + size(array_distinct(transform(sequence(1, greatest(length(b) - 3, 1)),
+                                           i -> substring(b, i, 4)))))"""),
     ("isFinite", "x DOUBLE", "BOOLEAN", "NOT (isnan(x) OR x = double('inf') OR x = double('-inf'))"),
     ("isInfinite", "x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
     # isNaN / MD5 / SHA1 / hex / repeat / left / right / sign / pi / e

@@ -759,3 +759,25 @@ def test_date_string_stragglers(engine):
     assert r.ts14 == 20240501123045 and r.rdn == 2
     assert r.iso24 == "2024-01-01" and r.iso16 == "2014-12-29"
     assert r.si == "a.b" and list(r.tok) == ["a", "b", "c"]
+
+
+def test_search_family_stragglers(engine):
+    """String-search stragglers: multiSearchFirstIndex, hasSubsequence
+    (resume-after-hit fold), hasToken (tokens() tokenizer),
+    replaceOne, and the set-based ngramSearch/ngramDistance fuzzy
+    4-gram match."""
+    r = engine.sql(
+        "SELECT multiSearchFirstIndex('hello world', ['foo', 'wor']) AS idx,"
+        "       multiSearchFirstIndex('hello', ['x']) AS idx0,"
+        "       hasSubsequence('hello', 'hlo') AS ss1,"
+        "       hasSubsequence('hello', 'oh') AS ss0,"
+        "       hasToken('a bc d', 'bc') AS tok1,"
+        "       hasToken('abc d', 'bc') AS tok0,"
+        "       replaceOne('aaa', 'a', 'b') AS rep,"
+        "       ngramSearch('hello world', 'world') AS ns,"
+        "       ngramDistance('abcd', 'abcd') AS nd0,"
+        "       ngramDistance('abcd', 'zzzz') AS nd1"
+    ).collect()[0]
+    assert (r.idx, r.idx0) == (2, 0)
+    assert (r.ss1, r.ss0, r.tok1, r.tok0) == (1, 0, 1, 0)
+    assert r.rep == "baa" and r.ns == 1.0 and r.nd0 == 0.0 and r.nd1 == 1.0

@@ -708,7 +708,10 @@ def _rewrite_tostartofweek(text: str) -> str:
 # two-paren aggregate syntax (lecture_06.md:57-59)
 _QUANTILE_RE = re.compile(
     r"\b(quantilesExact|quantileExact(?:Low|High)?|quantiles"
-    r"|quantileTDigest|quantileBFloat16|quantileTiming|quantile)\s*\("
+    r"|quantileTDigestWeighted|quantileTDigest|quantileBFloat16"
+    r"|quantileInterpolatedWeighted|quantileExactWeighted"
+    r"|quantileTimingWeighted|quantileTiming|quantileDeterministic"
+    r"|medianExact|quantile)\s*\("
 )
 
 
@@ -734,7 +737,18 @@ def _rewrite_quantiles(text: str) -> str:
         cols, end = _split_call_args(text, open2)
         fn = "percentile" if "Exact" in name else "percentile_approx"
         plist = ps[0] if len(ps) == 1 else f"array({', '.join(ps)})"
-        text = text[: m.start()] + f"{fn}({cols[0]}, {plist})" + text[end:]
+        if "Weighted" in name and len(cols) >= 2:
+            # quantile*Weighted(p)(x, w) → Spark's exact weighted
+            # percentile (frequency arg; CH's sketched variants map to
+            # the exact computation — a superset in accuracy)
+            expr = f"percentile({cols[0]}, {plist}, CAST({cols[1]} AS BIGINT))"
+        elif name == "quantileDeterministic":
+            # the determinator arg only stabilizes CH's reservoir
+            # sampling; the exact computation is already deterministic
+            expr = f"percentile({cols[0]}, {plist})"
+        else:
+            expr = f"{fn}({cols[0]}, {plist})"
+        text = text[: m.start()] + expr + text[end:]
 
 
 # -Array aggregate combinators (public CH surface, same combinator

@@ -383,3 +383,19 @@ def test_sumcount_and_simple_linear_regression(engine):
         "SELECT simpleLinearRegression(number, number * 2 + 1) AS v FROM numbers(10)"
     ).collect()[0].v
     assert abs(lr.k - 2.0) < 1e-9 and abs(lr.b - 1.0) < 1e-9
+
+
+def test_quantile_weighted_and_deterministic_variants(engine):
+    """Weighted/deterministic quantile variants: *Weighted(p)(x, w) →
+    Spark's exact weighted percentile (frequency arg);
+    quantileDeterministic's determinator arg drops (exact computation
+    is already deterministic); medianExact single-paren alias."""
+    r = engine.sql(
+        "SELECT quantileTDigestWeighted(0.5)(number, 1) AS w1,"
+        "       quantileExactWeighted(0.5)(number, 1 + number % 2) AS w2,"
+        "       quantileDeterministic(0.5)(number, number) AS det,"
+        "       medianExact(number) AS med"
+        " FROM numbers(100)"
+    ).collect()[0]
+    assert r.w1 == 49.5 and r.det == 49.5 and r.med == 49.5
+    assert 49 <= r.w2 <= 51  # odd numbers weighted double shift the median up

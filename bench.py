@@ -106,6 +106,9 @@ def main():
     qps = scale_qps_probe(spark)
     if qps:
         out["scale_qps"] = qps
+    mrg = scale_merge_probe(spark)
+    if mrg:
+        out["scale_merge"] = mrg
     print(json.dumps(out))
 
 
@@ -238,6 +241,42 @@ def scale_point_probe(spark) -> dict | None:
         "sec": round(sec, 4),
         "effective_rows_per_sec": int(n / sec),
         "baseline_effective_rows_per_sec": 120_000_000,  # 3.0M / 0.025s
+    }
+
+
+def scale_merge_probe(spark) -> dict | None:
+    """Merge-engine union scan vs the reference's 2×10M-table count at
+    288.8M rows/s (BASELINE.md:22, lecture_09.md:639-649). The Merge
+    engine reads N tables as one relation; the Spark analogue is a
+    union of scans — here two reads of the cached 100M-row table
+    (2 × 100M rows counted). Median of 5."""
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000))
+    if n <= 0:
+        return None
+    path = os.path.join(REPO, ".scratch", f"bench_scale_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS_GEN")):
+        return None
+    fact = spark.read.parquet(path).select("k")
+    union = fact.unionAll(fact)
+
+    def run():
+        union.agg(F.count(F.lit(1))).collect()
+
+    run()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    return {
+        "probe": "merge_union_count",
+        "rows": 2 * n,
+        "sec": round(sec, 4),
+        "rows_per_sec": int(2 * n / sec),
+        "baseline_rows_per_sec": 288_800_000,  # BASELINE.md:22
     }
 
 

@@ -109,6 +109,9 @@ def main():
     mrg = scale_merge_probe(spark)
     if mrg:
         out["scale_merge"] = mrg
+    smj = scale_smj_probe(spark)
+    if smj:
+        out["scale_smj"] = smj
     print(json.dumps(out))
 
 
@@ -278,6 +281,78 @@ def scale_merge_probe(spark) -> dict | None:
         "rows_per_sec": int(2 * n / sec),
         "baseline_rows_per_sec": 288_800_000,  # BASELINE.md:22
     }
+
+
+def scale_smj_probe(spark) -> dict | None:
+    """Sort-merge join vs the reference's presorted 2M ⋈ 2M
+    full_sorting_merge at 21.3M rows/s (BASELINE.md:19,
+    lecture_10.md:172-199). Broadcast is disabled (the reference's
+    point is the merge path). Two variants, best-of-5:
+    ``shuffle``  = ad-hoc ranges — Spark pays the full shuffle + sort
+    the reference avoided by having both MergeTrees ORDER BY idx;
+    ``bucketed`` = the honest analogue of that presorted layout — both
+    sides bucketed+sorted on the join key (bucketBy/sortBy tables,
+    cached in the warehouse), so the join reads co-located sorted
+    buckets. 20M ⋈ 20M (vs the reference's 2M ⋈ 2M: rows/s is the
+    metric, and the larger size amortizes Spark's fixed per-job
+    overhead the same way the other scale probes do — each iteration
+    builds a FRESH plan, no shuffle reuse). Threshold restored
+    afterwards."""
+    from pyspark.sql import functions as F
+
+    if int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000)) <= 0:
+        return None
+    n = 20_000_000
+    spark.sql("CREATE DATABASE IF NOT EXISTS bench_cache")
+    import shutil
+
+    for t, mod in (("smj_a", 97), ("smj_b", 89)):
+        full = f"bench_cache.{t}"
+        if not spark.catalog.tableExists(full):
+            # bucket metadata lives in the session catalog; a stale
+            # on-disk location from a previous session must go first
+            shutil.rmtree(
+                os.path.join(REPO, "spark-warehouse", "bench_cache.db", t),
+                ignore_errors=True,
+            )
+            # repartition by the bucket key first: Spark's bucket hash is
+            # the same hash partitioning, so each task writes exactly one
+            # bucket file (32 files) instead of tasks × buckets fragments
+            (spark.range(n)
+             .select(F.col("id").alias("idx"), (F.col("id") % mod).alias("v"))
+             .repartition(32, F.col("idx"))
+             .write.bucketBy(32, "idx").sortBy("idx")
+             .mode("overwrite").saveAsTable(full))
+    a = spark.range(n).select(F.col("id").alias("idx"),
+                              (F.col("id") % 97).alias("va"))
+    b = spark.range(n).select(F.col("id").alias("idx"),
+                              (F.col("id") % 89).alias("vb"))
+    ba = spark.table("bench_cache.smj_a")
+    bb = spark.table("bench_cache.smj_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"probe": "sort_merge_join", "rows": n,
+           "baseline_rows_per_sec": 21_300_000}  # BASELINE.md:19
+    try:
+        for label, left, right in (("shuffle", a, b), ("bucketed", ba, bb)):
+            def run():
+                # fresh plan per execution: re-collecting one DataFrame
+                # would silently reuse its shuffle files and measure only
+                # the final stage
+                left.join(right, "idx").agg(F.count(F.lit(1))).collect()
+
+            run()
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                run()
+                times.append(time.perf_counter() - t0)
+            sec = min(times)
+            out[f"{label}_sec"] = round(sec, 4)
+            out[f"{label}_rows_per_sec"] = int(n / sec)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
 
 
 def scale_qps_probe(spark) -> dict | None:

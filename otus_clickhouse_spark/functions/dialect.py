@@ -460,6 +460,10 @@ _ARRAY_LAMBDA_TARGETS = {
     "arraySum": None,  # arraySum(transform(arr, f)) — reuses the SQL UDF
     "arraySort": None,  # key-lambda form → comparator array_sort
     "arrayReverseSort": None,
+    "arrayFirstIndex": None,  # position of first lambda-true element
+    "arrayLastIndex": None,
+    "arrayLast": None,  # last lambda-true element
+    "arrayFold": None,  # arrayFold(lam, arr, init) → aggregate(arr, init, lam)
 }
 
 
@@ -516,6 +520,25 @@ def _rewrite_array_lambda(text: str) -> str:
             repl = f"size(filter({arrs[0]}, {lam}))"
         elif name == "arrayFirst":
             repl = f"element_at(filter({arrs[0]}, {lam}), 1)"
+        elif name == "arrayLast":
+            repl = (
+                f"CASE WHEN size(filter({arrs[0]}, {lam})) > 0 "
+                f"THEN element_at(filter({arrs[0]}, {lam}), -1) END"
+            )
+        elif name == "arrayFirstIndex":
+            repl = f"coalesce(array_position(transform({arrs[0]}, {lam}), true), 0)"
+        elif name == "arrayLastIndex":
+            # last index = size - position-in-reversed + 1; Spark's
+            # array_position yields 0 (not NULL) when absent
+            repl = (
+                f"CASE WHEN array_position(transform(reverse({arrs[0]}), {lam}), true)"
+                f" = 0 THEN 0 ELSE size({arrs[0]}) + 1"
+                f" - array_position(transform(reverse({arrs[0]}), {lam}), true) END"
+            )
+        elif name == "arrayFold":
+            # CH arrayFold((acc, x) -> …, arr, init): Spark's aggregate
+            # takes (arr, init, (acc, x) -> …)
+            repl = f"aggregate({arrs[0]}, {arrs[1]}, {lam})"
         elif name == "arraySum":
             # inlined (not the arraySum SQL UDF): UDF calls cannot
             # reference enclosing lambda variables in Spark
@@ -530,6 +553,66 @@ def _rewrite_array_lambda(text: str) -> str:
         out.append(text[pos : m.start()] + repl)
         pos = end
     return "".join(out)
+
+
+# Non-lambda array-manipulation stragglers, rewritten textually so they
+# stay generic over element types (a typed SQL UDF would coerce).
+_ARRAY_PLAIN_RE = re.compile(
+    r"\b(arrayUnion|arrayPushFront|arrayPopFront|arrayRotateLeft"
+    r"|arrayRotateRight|arrayShiftLeft|arrayResize|hasAll"
+    r"|arrayJaccardIndex|arrayPartialSort)\s*\("
+)
+
+
+def _rewrite_array_plain(text: str) -> str:
+    while True:
+        m = _ARRAY_PLAIN_RE.search(text)
+        if not m:
+            return text
+        name = m.group(1)
+        args, end = _split_call_args(text, m.end() - 1)
+        a = args[0]
+        if name == "arrayUnion":
+            repl = f"array_distinct(concat({', '.join(args)}))"
+        elif name == "arrayPushFront":
+            repl = f"concat(array({args[1]}), {a})"
+        elif name == "arrayPopFront":
+            repl = f"slice({a}, 2, greatest(size({a}) - 1, 0))"
+        elif name in ("arrayRotateLeft", "arrayRotateRight"):
+            n = args[1]
+            k = (
+                f"pmod({n}, size({a}))"
+                if name == "arrayRotateLeft"
+                else f"pmod(size({a}) - pmod({n}, size({a})), size({a}))"
+            )
+            repl = (
+                f"concat(slice({a}, {k} + 1, size({a}) - {k}), "
+                f"slice({a}, 1, {k}))"
+            )
+        elif name == "arrayShiftLeft":
+            n, fill = args[1], args[2] if len(args) > 2 else "NULL"
+            repl = (
+                f"concat(slice({a}, ({n}) + 1, greatest(size({a}) - ({n}), 0)), "
+                f"array_repeat({fill}, least({n}, size({a}))))"
+            )
+        elif name == "arrayResize":
+            n = args[1]
+            fill = args[2] if len(args) > 2 else "NULL"  # CH pads type default; NULL here for 2-arg
+            repl = (
+                f"CASE WHEN size({a}) >= ({n}) THEN slice({a}, 1, {n}) "
+                f"ELSE concat({a}, array_repeat({fill}, ({n}) - size({a}))) END"
+            )
+        elif name == "hasAll":
+            repl = f"forall({args[1]}, __h -> array_contains({a}, __h))"
+        elif name == "arrayJaccardIndex":
+            b = args[1]
+            repl = (
+                f"(size(array_intersect({a}, {b})) "
+                f"/ CAST(size(array_distinct(concat({a}, {b}))) AS DOUBLE))"
+            )
+        else:  # arrayPartialSort(n, arr): full sort is a valid refinement
+            repl = f"array_sort({args[1]})"
+        text = text[: m.start()] + repl + text[end:]
 
 
 # dateDiff('unit', a, b): counts crossed unit boundaries (CH semantics,
@@ -1435,6 +1518,7 @@ def translate(
     text = _rewrite_tostartofweek(text)
     text = _rewrite_tuple_element(text)
     text = _rewrite_array_lambda(text)
+    text = _rewrite_array_plain(text)
     text = _rewrite_quantiles(text)
     text = _rewrite_behavioral(text)
     text = _rewrite_array_combinators(text)

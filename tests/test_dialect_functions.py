@@ -781,3 +781,36 @@ def test_search_family_stragglers(engine):
     assert (r.idx, r.idx0) == (2, 0)
     assert (r.ss1, r.ss0, r.tok1, r.tok0) == (1, 0, 1, 0)
     assert r.rep == "baa" and r.ns == 1.0 and r.nd0 == 0.0 and r.nd1 == 1.0
+
+
+def test_array_manipulation_stragglers(engine):
+    """Array-manipulation stragglers, all textual rewrites so element
+    types survive: arrayFold (CH lambda-first → aggregate), rotate/
+    shift/resize/push/pop, arrayUnion, hasAll, arrayFirstIndex/
+    arrayLast/arrayLastIndex, arrayJaccardIndex, arrayPartialSort
+    (full sort — a valid refinement of 'first n sorted')."""
+    r = engine.sql(
+        "SELECT arrayFold((acc, x) -> acc + x, [1,2,3], 0) AS fold,"
+        "       arrayRotateLeft([1,2,3,4], 5) AS rotl,"
+        "       arrayRotateRight([1,2,3,4], 1) AS rotr,"
+        "       arrayShiftLeft([1,2,3], 1, 0) AS shl,"
+        "       arrayUnion([1,2], [2,3]) AS un,"
+        "       arrayResize([1,2], 4, 0) AS res_up,"
+        "       arrayResize([1,2,3], 2, 0) AS res_dn,"
+        "       arrayPushFront([2,3], 1) AS pf,"
+        "       arrayPopFront([1,2,3]) AS pop,"
+        "       hasAll([1,2,3], [1,3]) AS ha1,"
+        "       hasAll([1,2], [1,9]) AS ha0,"
+        "       arrayFirstIndex(x -> x > 1, [1,2,3]) AS fi,"
+        "       arrayLast(x -> x < 3, [1,2,3]) AS la,"
+        "       arrayLastIndex(x -> x > 9, [1,2]) AS li0,"
+        "       arrayJaccardIndex([1,2], [2,3]) AS jac,"
+        "       arrayPartialSort(2, [3,1,2]) AS ps"
+    ).collect()[0]
+    assert r.fold == 6 and list(r.rotl) == [2, 3, 4, 1]
+    assert list(r.rotr) == [4, 1, 2, 3] and list(r.shl) == [2, 3, 0]
+    assert list(r.un) == [1, 2, 3] and list(r.res_up) == [1, 2, 0, 0]
+    assert list(r.res_dn) == [1, 2] and list(r.pf) == [1, 2, 3]
+    assert list(r.pop) == [2, 3] and r.ha1 and not r.ha0
+    assert r.fi == 2 and r.la == 2 and r.li0 == 0
+    assert abs(r.jac - 1 / 3) < 1e-9 and list(r.ps) == [1, 2, 3]

@@ -105,6 +105,46 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
     ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
     ("visitParamExtractString", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+    ("JSONExtractBool", "j STRING, k STRING", "BOOLEAN",
+     "CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
+    ("JSONHas", "j STRING, k STRING", "TINYINT",
+     "CAST(get_json_object(j, concat('$.', k)) IS NOT NULL AS TINYINT)"),
+    # 1-arg form: length of the top-level object/array
+    ("JSONLength", "j STRING", "INT",
+     "coalesce(json_array_length(j), size(json_object_keys(j)))"),
+    ("JSONExtractKeys", "j STRING", "ARRAY<STRING>", "json_object_keys(j)"),
+    ("JSONExtractRaw", "j STRING, k STRING", "STRING",
+     "get_json_object(j, concat('$.', k))"),
+    ("JSONExtractArrayRaw", "j STRING, k STRING", "ARRAY<STRING>",
+     """transform(sequence(0, coalesce(json_array_length(
+          get_json_object(j, concat('$.', k))), 0) - 1),
+        __i -> get_json_object(j, concat('$.', k, '[', __i, ']')))"""),
+    # JSONType classifies the extracted value's shape. get_json_object
+    # unquotes strings, so a string spelled like a number/bool
+    # classifies as that type — documented approximation
+    ("JSONType", "j STRING, k STRING", "STRING",
+     """CASE
+          WHEN get_json_object(j, concat('$.', k)) IS NULL THEN 'Null'
+          WHEN get_json_object(j, concat('$.', k)) LIKE '{%' THEN 'Object'
+          WHEN get_json_object(j, concat('$.', k)) LIKE '[%' THEN 'Array'
+          WHEN get_json_object(j, concat('$.', k)) IN ('true', 'false') THEN 'Bool'
+          WHEN get_json_object(j, concat('$.', k)) RLIKE '^-?[0-9]+$' THEN 'Int64'
+          WHEN get_json_object(j, concat('$.', k)) RLIKE '^-?[0-9.eE+-]+$' THEN 'Double'
+          ELSE 'String'
+        END"""),
+    # simpleJSON*/visitParam* aliases (same fast-path family in CH)
+    ("simpleJSONExtractString", "j STRING, k STRING", "STRING",
+     "get_json_object(j, concat('$.', k))"),
+    ("simpleJSONExtractInt", "j STRING, k STRING", "BIGINT",
+     "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    ("simpleJSONExtractFloat", "j STRING, k STRING", "DOUBLE",
+     "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+    ("simpleJSONHas", "j STRING, k STRING", "TINYINT",
+     "CAST(get_json_object(j, concat('$.', k)) IS NOT NULL AS TINYINT)"),
+    ("visitParamExtractInt", "j STRING, k STRING", "BIGINT",
+     "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    ("visitParamHas", "j STRING, k STRING", "TINYINT",
+     "CAST(get_json_object(j, concat('$.', k)) IS NOT NULL AS TINYINT)"),
     # conditional/null: ifNull/coalesce/nullIf are Spark builtins already
     # (lecture_06.md:12, lecture_21.md:108-124) — no registration needed.
     # --- array (lecture_06.md:15-41, lecture_08.md:187, lecture_21.md:348)

@@ -560,7 +560,8 @@ def _rewrite_array_lambda(text: str) -> str:
 _ARRAY_PLAIN_RE = re.compile(
     r"\b(arrayUnion|arrayPushFront|arrayPopFront|arrayRotateLeft"
     r"|arrayRotateRight|arrayShiftLeft|arrayResize|hasAll"
-    r"|arrayJaccardIndex|arrayPartialSort)\s*\("
+    r"|arrayJaccardIndex|arrayPartialSort"
+    r"|mapFromArrays|mapApply|mapFilter|mapUpdate)\s*\("
 )
 
 
@@ -609,6 +610,40 @@ def _rewrite_array_plain(text: str) -> str:
             repl = (
                 f"(size(array_intersect({a}, {b})) "
                 f"/ CAST(size(array_distinct(concat({a}, {b}))) AS DOUBLE))"
+            )
+        elif name == "mapFromArrays":
+            repl = f"map_from_arrays({args[0]}, {args[1]})"
+        elif name == "mapFilter":
+            # CH lambda-first → Spark map_filter(m, (k, v) -> …)
+            repl = f"map_filter({args[1]}, {args[0]})"
+        elif name == "mapUpdate":
+            ma, mb = args[0], args[1]
+            # b's entries win; a's survivors are the keys b lacks
+            repl = (
+                f"map_from_entries(concat("
+                f"filter(map_entries({ma}), __e -> NOT array_contains(map_keys({mb}), __e.key)), "
+                f"map_entries({mb})))"
+            )
+        elif name == "mapApply":
+            # CH mapApply((k, v) -> (k', v'), m): the lambda returns a
+            # TUPLE — rebuild via entry transform with param substitution
+            pm = re.match(
+                r"^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.*)\)\s*$",
+                args[0],
+                re.DOTALL,
+            )
+            if not pm:
+                raise ValueError(f"unsupported mapApply lambda: {args[0]!r}")
+            kp, vp, body = pm.groups()
+            ke, ve = _split_top_commas(body)
+
+            def _sub(expr: str) -> str:
+                expr = re.sub(rf"\b{kp}\b", "__e['key']", expr)
+                return re.sub(rf"\b{vp}\b", "__e['value']", expr)
+
+            repl = (
+                f"map_from_entries(transform(map_entries({args[1]}), "
+                f"__e -> named_struct('key', {_sub(ke)}, 'value', {_sub(ve)})))"
             )
         else:  # arrayPartialSort(n, arr): full sort is a valid refinement
             repl = f"array_sort({args[1]})"

@@ -814,3 +814,33 @@ def test_array_manipulation_stragglers(engine):
     assert list(r.pop) == [2, 3] and r.ha1 and not r.ha0
     assert r.fi == 2 and r.la == 2 and r.li0 == 0
     assert abs(r.jac - 1 / 3) < 1e-9 and list(r.ps) == [1, 2, 3]
+
+
+def test_json_and_map_stragglers(engine):
+    """JSON introspection family (JSONHas/Length/Keys/Raw/ArrayRaw/
+    Type/Bool + simpleJSON/visitParam aliases) and map combinators
+    (mapFromArrays, mapFilter/mapApply lambda-first rewrites,
+    mapUpdate with b-wins merge)."""
+    r = engine.sql(
+        """SELECT JSONHas('{"a":1}', 'a') AS h1,
+                  JSONHas('{"a":1}', 'z') AS h0,
+                  JSONLength('{"a":1,"b":2}') AS lo,
+                  JSONLength('[1,2,3]') AS la,
+                  JSONExtractKeys('{"a":1,"b":2}') AS ks,
+                  JSONExtractRaw('{"a":{"b":1}}', 'a') AS raw,
+                  JSONExtractArrayRaw('{"a":[1,2]}', 'a') AS arr,
+                  JSONType('{"a":{"x":1}}', 'a') AS t_obj,
+                  JSONType('{"a":3}', 'a') AS t_int,
+                  JSONExtractBool('{"a":true}', 'a') AS b,
+                  simpleJSONExtractInt('{"a":7}', 'a') AS si,
+                  mapFromArrays(['a','b'], [1,2])['b'] AS mfa,
+                  size(mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))) AS mf,
+                  mapUpdate(map('a', 1, 'c', 3), map('a', 2))['a'] AS mu,
+                  mapApply((k, v) -> (upper(k), v * 10), map('a', 1))['A'] AS ma
+        """
+    ).collect()[0]
+    assert (r.h1, r.h0, r.lo, r.la) == (1, 0, 2, 3)
+    assert list(r.ks) == ["a", "b"] and r.raw == '{"b":1}'
+    assert list(r.arr) == ["1", "2"]
+    assert (r.t_obj, r.t_int) == ("Object", "Int64") and r.b and r.si == 7
+    assert (r.mfa, r.mf, r.mu, r.ma) == (2, 1, 2, 10)

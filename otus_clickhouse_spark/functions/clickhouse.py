@@ -16,6 +16,27 @@ from pyspark.sql import SparkSession
 
 # name -> (args, return type, body). All bodies are plain Spark SQL
 # expressions: they inline into the logical plan.
+# C/MySQL-style datetime format specifiers (formatDateTime/
+# parseDateTime) → Java date_format patterns, applied longest-first so
+# %Y never half-matches %y. Unlisted specifiers pass through verbatim.
+_C_FORMAT_SPECS = [
+    ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%D", "MM/dd/yy"),
+    ("%R", "HH:mm"), ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"),
+    ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%I", "hh"), ("%M", "mm"),
+    ("%S", "ss"), ("%p", "a"), ("%j", "DDD"), ("%a", "EEE"),
+    ("%b", "MMM"), ("%W", "EEEE"), ("%G", "yyyy"), ("%%", "%"),
+]
+
+
+def _nested_replace(var: str, pairs: list[tuple[str, str]]) -> str:
+    expr = var
+    for frm, to in pairs:
+        expr = f"replace({expr}, '{frm}', '{to}')"
+    return expr
+
+
+_C_FORMAT_TO_JAVA = _nested_replace("fmt", _C_FORMAT_SPECS)
+
 _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # --- date/time (lectures/lecture_07.md:178-193, homeworks/hw04.md, hw11.md:34)
     ("toDate", "x TIMESTAMP", "DATE", "CAST(x AS DATE)"),
@@ -210,9 +231,11 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # as a structural rewrite in dialect._rewrite_datediff instead.)
     # %-style format → Spark pattern (common subset), lecture-era MySQL style
     ("formatDateTime", "x TIMESTAMP, fmt STRING", "STRING",
-     """date_format(x, replace(replace(replace(replace(replace(replace(replace(replace(
-        fmt, '%F', 'yyyy-MM-dd'), '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM'),
-        '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))"""),
+     f"date_format(x, {_C_FORMAT_TO_JAVA})"),
+    # parseDateTime(s, fmt): the strict C-format parser (MySQL-style
+    # specifiers, same table as formatDateTime)
+    ("parseDateTime", "s STRING, fmt STRING", "TIMESTAMP",
+     f"to_timestamp(s, {_C_FORMAT_TO_JAVA})"),
     # --- extended string
     ("lengthUTF8", "s STRING", "INT", "char_length(s)"),
     ("replaceAll", "s STRING, f STRING, t STRING", "STRING", "replace(s, f, t)"),

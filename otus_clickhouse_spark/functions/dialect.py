@@ -1537,6 +1537,29 @@ def translate(
     text = re.sub(
         r"(?<!FROM )(?<!from )\brange\s*\(([^()]+)\)", _range_sub, text
     )
+    # toDecimal32/64/128(x, scale) → typed DECIMAL cast (precision per
+    # the CH type's range; scale must be a literal, as in CH)
+    text = re.sub(
+        r"\btoDecimal(32|64|128)\s*\(\s*([^,()]+?)\s*,\s*(\d+)\s*\)",
+        lambda m: "CAST({} AS DECIMAL({}, {}))".format(
+            m.group(2), {"32": 9, "64": 18, "128": 38}[m.group(1)], m.group(3)
+        ),
+        text,
+    )
+    # accurateCast(x, 'Type') / accurateCastOrNull — CH's checked casts;
+    # Spark CAST already errors in ANSI mode, TRY_CAST nulls
+    def _acc_cast(m: re.Match) -> str:
+        from otus_clickhouse_spark.functions.ddl import ch_type_to_spark
+
+        fn = "TRY_CAST" if m.group(1) else "CAST"
+        spark_t, _null = ch_type_to_spark(m.group(3).strip())
+        return f"{fn}({m.group(2)} AS {spark_t})"
+
+    text = re.sub(
+        r"\baccurateCast(OrNull)?\s*\(\s*([^,()]+?)\s*,\s*'([^']+)'\s*\)",
+        _acc_cast,
+        text,
+    )
     text = _rewrite_null_distinct_combinators(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_kurtpop(text)

@@ -844,3 +844,25 @@ def test_json_and_map_stragglers(engine):
     assert list(r.arr) == ["1", "2"]
     assert (r.t_obj, r.t_int) == ("Object", "Int64") and r.b and r.si == 7
     assert (r.mfa, r.mf, r.mu, r.ma) == (2, 1, 2, 10)
+
+
+def test_format_parse_datetime_and_checked_casts(engine):
+    """formatDateTime/parseDateTime share one C-specifier table
+    (longest-first so %Y never half-matches %y); toDecimalN picks the
+    CH type's precision; accurateCast maps to CAST (CH additionally
+    REJECTS inexact conversions like 3.7→Int64 — Spark truncates; use
+    ANSI mode for the throwing behavior) and accurateCastOrNull to
+    TRY_CAST."""
+    r = engine.sql(
+        "SELECT formatDateTime(toDateTime('2024-05-01 12:30:45'), '%d/%m/%y') AS s1,"
+        "       formatDateTime(toDateTime('2024-05-01 12:30:45'), '%a %b') AS s2,"
+        "       toString(parseDateTime('2024-05-01', '%Y-%m-%d')) AS p,"
+        "       toString(toDecimal32('3.14', 2)) AS d32,"
+        "       toString(toDecimal64(3.14159, 4)) AS d64,"
+        "       accurateCast(37, 'Int64') AS ac,"
+        "       accurateCastOrNull('xx', 'Int64') AS acn"
+    ).collect()[0]
+    assert r.s1 == "01/05/24" and r.s2 == "Wed May"
+    assert r.p == "2024-05-01 00:00:00"
+    assert r.d32 == "3.14" and r.d64 == "3.1416"
+    assert r.ac == 37 and r.acn is None

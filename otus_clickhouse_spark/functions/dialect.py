@@ -1537,6 +1537,36 @@ def translate(
     text = re.sub(
         r"(?<!FROM )(?<!from )\brange\s*\(([^()]+)\)", _range_sub, text
     )
+    # window-function aliases: CH's frame-aware lag/lead and camelCase
+    # rank names are Spark's snake_case builtins
+    text = re.sub(r"\blagInFrame\s*\(", "lag(", text)
+    text = re.sub(r"\bleadInFrame\s*\(", "lead(", text)
+    text = re.sub(r"\bdenseRank\s*\(", "dense_rank(", text)
+    text = re.sub(r"\bpercentRank\s*\(", "percent_rank(", text)
+    # runningDifference(x) / neighbor(x, n[, d]): CH's block-order row
+    # functions — expressed as window lag/lead over the same arbitrary-
+    # but-consistent order the orderless-window rewrite uses
+    text = re.sub(
+        r"\brunningDifference\s*\(([^()]+)\)",
+        r"coalesce((\1) - lag(\1, 1) OVER "
+        r"(ORDER BY monotonically_increasing_id()), 0)",
+        text,
+    )
+
+    def _neighbor_sub(m: re.Match) -> str:
+        x, n = m.group(1).strip(), m.group(2).strip()
+        d = m.group(3).strip() if m.group(3) else "NULL"
+        fn, off = ("lag", n.lstrip("-")) if n.startswith("-") else ("lead", n)
+        return (
+            f"{fn}({x}, {off}, {d}) OVER "
+            f"(ORDER BY monotonically_increasing_id())"
+        )
+
+    text = re.sub(
+        r"\bneighbor\s*\(([^,()]+),\s*(-?\d+)\s*(?:,\s*([^()]+?)\s*)?\)",
+        _neighbor_sub,
+        text,
+    )
     # toDecimal32/64/128(x, scale) → typed DECIMAL cast (precision per
     # the CH type's range; scale must be a literal, as in CH)
     text = re.sub(

@@ -866,3 +866,23 @@ def test_format_parse_datetime_and_checked_casts(engine):
     assert r.p == "2024-05-01 00:00:00"
     assert r.d32 == "3.14" and r.d64 == "3.1416"
     assert r.ac == 37 and r.acn is None
+
+
+def test_window_aliases_and_row_neighbors(engine):
+    """CH window-function aliases (lagInFrame/leadInFrame/denseRank/
+    percentRank → Spark's builtins) and block-order row functions
+    (runningDifference, neighbor with offset sign and default) over
+    the orderless-window order."""
+    r = engine.sql(
+        "SELECT number, lagInFrame(number) OVER (ORDER BY number) AS lg,"
+        "       percentRank() OVER (ORDER BY number) AS pr"
+        " FROM numbers(3) ORDER BY number"
+    ).collect()
+    assert [x.lg for x in r] == [None, 0, 1]
+    assert [x.pr for x in r] == [0.0, 0.5, 1.0]
+    rd = engine.sql("SELECT runningDifference(number) AS v FROM numbers(4)").collect()
+    assert sorted(x.v for x in rd) == [0, 1, 1, 1]
+    nb = engine.sql(
+        "SELECT number, neighbor(number, -1, 99) AS v FROM numbers(3)"
+    ).collect()
+    assert {(x.number, x.v) for x in nb} == {(0, 99), (1, 0), (2, 1)}

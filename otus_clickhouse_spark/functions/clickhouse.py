@@ -322,6 +322,35 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
           IF(s % 86400 >= 3600, concat(CAST((s % 86400) DIV 3600 AS STRING), ' hours'), NULL),
           IF(s % 3600 >= 60, concat(CAST((s % 3600) DIV 60 AS STRING), ' minutes'), NULL),
           IF(s % 60 > 0 OR s = 0, concat(CAST(s % 60 AS STRING), ' seconds'), NULL))"""),
+    ("ifNotFinite", "a DOUBLE, b DOUBLE", "DOUBLE",
+     "CASE WHEN isnan(a) OR a = double('inf') OR a = double('-inf') THEN b ELSE a END"),
+    ("bitmaskToArray", "n BIGINT", "ARRAY<BIGINT>",
+     """filter(transform(sequence(0, 62),
+               __i -> IF((n >> __i) & 1 = 1, shiftleft(CAST(1 AS BIGINT), __i), NULL)),
+              __x -> __x IS NOT NULL)"""),
+    ("bitmaskToList", "n BIGINT", "STRING",
+     """array_join(filter(transform(sequence(0, 62),
+               __i -> IF((n >> __i) & 1 = 1, shiftleft(CAST(1 AS BIGINT), __i), NULL)),
+              __x -> __x IS NOT NULL), ',')"""),
+    ("roundToExp2", "x DOUBLE", "BIGINT",
+     "IF(x < 1, 0, shiftleft(CAST(1 AS BIGINT), CAST(floor(log2(x)) AS INT)))"),
+    ("roundDown", "x DOUBLE, arr ARRAY<DOUBLE>", "DOUBLE",
+     "coalesce(array_max(filter(arr, __e -> __e <= x)), array_min(arr))"),
+    # 64 Euclid iterations cover any pair of 64-bit ints (Fibonacci
+    # worst case needs < 92 steps only past 64-bit range)
+    ("gcd", "a BIGINT, b BIGINT", "BIGINT",
+     """aggregate(sequence(1, 64),
+          named_struct('x', abs(a), 'y', abs(b)),
+          (acc, __i) -> IF(acc.y = 0, acc,
+                           named_struct('x', acc.y, 'y', acc.x % acc.y))).x"""),
+    ("lcm", "a BIGINT, b BIGINT", "BIGINT",
+     """IF(a = 0 OR b = 0, 0, abs(a * b) DIV
+        aggregate(sequence(1, 64),
+          named_struct('x', abs(a), 'y', abs(b)),
+          (acc, __i) -> IF(acc.y = 0, acc,
+                           named_struct('x', acc.y, 'y', acc.x % acc.y))).x)"""),
+    ("truncate", "x DOUBLE, n INT", "DOUBLE",
+     "sign(x) * floor(abs(x) * power(10, n)) / power(10, n)"),
     ("bitTest", "x BIGINT, i INT", "TINYINT", "CAST((x >> i) & 1 AS TINYINT)"),
     ("bitShiftLeft", "x BIGINT, i INT", "BIGINT", "x << i"),
     ("bitShiftRight", "x BIGINT, i INT", "BIGINT", "x >> i"),

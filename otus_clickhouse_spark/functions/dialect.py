@@ -1537,6 +1537,9 @@ def translate(
     text = re.sub(
         r"(?<!FROM )(?<!from )\brange\s*\(([^()]+)\)", _range_sub, text
     )
+    # assumeNotNull/toNullable only re-type in CH — identity here (Spark
+    # nullability is inferred); the name reduces to plain parentheses
+    text = re.sub(r"\b(?:assumeNotNull|toNullable)\s*\(", "(", text)
     # window-function aliases: CH's frame-aware lag/lead and camelCase
     # rank names are Spark's snake_case builtins
     text = re.sub(r"\blagInFrame\s*\(", "lag(", text)

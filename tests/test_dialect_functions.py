@@ -886,3 +886,24 @@ def test_window_aliases_and_row_neighbors(engine):
         "SELECT number, neighbor(number, -1, 99) AS v FROM numbers(3)"
     ).collect()
     assert {(x.number, x.v) for x in nb} == {(0, 99), (1, 0), (2, 1)}
+
+
+def test_misc_math_and_bitmask_stragglers(engine):
+    """Misc/math stragglers: assumeNotNull/toNullable reduce to
+    identity, ifNotFinite, bitmaskToArray/List, roundToExp2, roundDown,
+    iterative-Euclid gcd/lcm, truncate toward zero."""
+    r = engine.sql(
+        "SELECT assumeNotNull(5) AS ann,"
+        "       ifNotFinite(double('inf'), 99.0) AS inf_r,"
+        "       ifNotFinite(2.5, 99.0) AS fin_r,"
+        "       bitmaskToArray(10) AS bta,"
+        "       bitmaskToList(10) AS btl,"
+        "       roundToExp2(100) AS r2,"
+        "       roundDown(5.7, [1.0, 3.0, 6.0, 9.0]) AS rd,"
+        "       gcd(12, 18) AS g, lcm(4, 6) AS l,"
+        "       truncate(-3.77, 1) AS tr"
+    ).collect()[0]
+    assert r.ann == 5 and r.inf_r == 99.0 and r.fin_r == 2.5
+    assert list(r.bta) == [2, 8] and r.btl == "2,8"
+    assert r.r2 == 64 and r.rd == 3.0
+    assert r.g == 6 and r.l == 12 and r.tr == -3.7

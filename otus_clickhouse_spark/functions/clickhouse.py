@@ -366,6 +366,48 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
           cos(radians(lat1)) * cos(radians(lat2)) *
           power(sin(radians(lon2 - lon1) / 2), 2)))"""),
     ("toLastDayOfMonth", "x TIMESTAMP", "DATE", "last_day(x)"),
+    ("toStartOfFiveMinutes", "x TIMESTAMP", "TIMESTAMP",
+     "timestamp_seconds(CAST(floor(unix_timestamp(x) / 300) AS BIGINT) * 300)"),
+    ("toStartOfTenMinutes", "x TIMESTAMP", "TIMESTAMP",
+     "timestamp_seconds(CAST(floor(unix_timestamp(x) / 600) AS BIGINT) * 600)"),
+    ("toStartOfFifteenMinutes", "x TIMESTAMP", "TIMESTAMP",
+     "timestamp_seconds(CAST(floor(unix_timestamp(x) / 900) AS BIGINT) * 900)"),
+    ("toStartOfSecond", "x TIMESTAMP", "TIMESTAMP", "date_trunc('second', x)"),
+    # CH/MySQL default mode 0: Sunday-start weeks, week 1 begins at the
+    # year's first Sunday, earlier days are week 0 (Spark 3 bans the
+    # 'w' format pattern, so the week number is pure date arithmetic)
+    ("toWeek", "x TIMESTAMP", "INT",
+     """IF(CAST(x AS DATE) < date_add(make_date(year(x), 1, 1),
+                pmod(8 - dayofweek(make_date(year(x), 1, 1)), 7)), 0,
+         CAST(datediff(CAST(x AS DATE),
+              date_add(make_date(year(x), 1, 1),
+                pmod(8 - dayofweek(make_date(year(x), 1, 1)), 7))) DIV 7
+              AS INT) + 1)"""),
+    # yearweek mode 0: a week-0 date belongs to the PREVIOUS year's
+    # final week (MySQL YEARWEEK semantics)
+    ("toYearWeek", "x TIMESTAMP", "INT",
+     """IF(CAST(x AS DATE) >= date_add(make_date(year(x), 1, 1),
+                pmod(8 - dayofweek(make_date(year(x), 1, 1)), 7)),
+         year(x) * 100
+           + CAST(datediff(CAST(x AS DATE),
+                  date_add(make_date(year(x), 1, 1),
+                    pmod(8 - dayofweek(make_date(year(x), 1, 1)), 7))) DIV 7
+                  AS INT) + 1,
+         (year(x) - 1) * 100
+           + CAST(datediff(CAST(x AS DATE),
+                  date_add(make_date(year(x) - 1, 1, 1),
+                    pmod(8 - dayofweek(make_date(year(x) - 1, 1, 1)), 7))) DIV 7
+                  AS INT) + 1)"""),
+    ("toModifiedJulianDay", "s STRING", "INT",
+     "CAST(datediff(CAST(s AS DATE), DATE '1858-11-17') AS INT)"),
+    ("YYYYMMDDToDate", "n BIGINT", "DATE",
+     "make_date(CAST(n DIV 10000 AS INT), CAST((n DIV 100) % 100 AS INT), "
+     "CAST(n % 100 AS INT))"),
+    ("YYYYMMDDhhmmssToDateTime", "n BIGINT", "TIMESTAMP",
+     "make_timestamp(CAST(n DIV 10000000000 AS INT), "
+     "CAST((n DIV 100000000) % 100 AS INT), CAST((n DIV 1000000) % 100 AS INT), "
+     "CAST((n DIV 10000) % 100 AS INT), CAST((n DIV 100) % 100 AS INT), "
+     "CAST(n % 100 AS INT))"),
     ("timeSlot", "x TIMESTAMP", "TIMESTAMP",
      "timestamp_seconds(CAST(floor(unix_timestamp(x) / 1800) AS BIGINT) * 1800)"),
     ("dateName", "part STRING, x TIMESTAMP", "STRING",

@@ -907,3 +907,24 @@ def test_misc_math_and_bitmask_stragglers(engine):
     assert list(r.bta) == [2, 8] and r.btl == "2,8"
     assert r.r2 == 64 and r.rd == 3.0
     assert r.g == 6 and r.l == 12 and r.tr == -3.7
+
+
+def test_time_bucket_and_week_stragglers(engine):
+    """toStartOfFive/Ten/FifteenMinutes + toStartOfSecond buckets;
+    toWeek/toYearWeek in CH/MySQL mode 0 (Sunday-start, week 0 before
+    the year's first Sunday — 2024-01-03 is week 0 and belongs to
+    yearweek 202353); Julian-day and packed-integer date conversions."""
+    r = engine.sql(
+        "SELECT toStartOfFiveMinutes(toDateTime('2024-05-15 12:34:56')) AS m5,"
+        "       toStartOfFifteenMinutes(toDateTime('2024-05-15 12:34:56')) AS m15,"
+        "       toWeek(toDateTime('2024-05-15 12:00:00')) AS w,"
+        "       toWeek(toDateTime('2024-01-03 12:00:00')) AS w0,"
+        "       toYearWeek(toDateTime('2024-01-03 12:00:00')) AS yw,"
+        "       toModifiedJulianDay('2024-05-15') AS mjd,"
+        "       toString(YYYYMMDDToDate(20240515)) AS pd,"
+        "       toString(YYYYMMDDhhmmssToDateTime(20240515123456)) AS pdt"
+    ).collect()[0]
+    assert str(r.m5) == "2024-05-15 12:30:00" and str(r.m15) == "2024-05-15 12:30:00"
+    assert (r.w, r.w0, r.yw) == (19, 0, 202353)
+    assert r.mjd == 60445
+    assert r.pd == "2024-05-15" and r.pdt == "2024-05-15 12:34:56"

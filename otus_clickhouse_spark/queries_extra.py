@@ -1023,3 +1023,46 @@ def q91_date_names(spark, sf_dir):
         "       FROM orders WHERE o_orderkey <= 100) o"
         " ORDER BY o_orderkey"
     )
+
+
+@query(
+    "q92_time_buckets",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts
+      FROM orders WHERE o_orderkey <= 5000
+    ),
+    w AS (
+      SELECT ts,
+             make_date(CAST(year(ts) AS INT), 1, 1)
+               + ((7 - dayofweek(make_date(CAST(year(ts) AS INT), 1, 1))) % 7)
+                 * INTERVAL 1 DAY AS first_sun
+      FROM o
+    )
+    SELECT CAST(CASE WHEN CAST(ts AS DATE) < first_sun THEN 0
+                ELSE date_diff('day', first_sun, CAST(ts AS DATE)) // 7 + 1
+                END AS BIGINT) AS wk,
+           count(*) AS n,
+           CAST(count(DISTINCT CAST(floor(epoch(ts) / 300) AS BIGINT)) AS BIGINT) AS n_buckets
+    FROM w GROUP BY 1 ORDER BY wk
+    """,
+)
+def q92_time_buckets(spark, sf_dir):
+    """Time-bucketing breadth, driver-value-checked: toWeek (CH/MySQL
+    mode 0 — Sunday-start, week 0 before the year's first Sunday) as
+    the group key, uniqExact over toStartOfFiveMinutes buckets inside
+    each week. DuckDB replays the week-0 boundary arithmetic with its
+    own dayofweek convention (Sunday=0 vs Spark's 1) and epoch//300
+    bucketing — the same monitoring-rollup shape as lecture_20's
+    dashboards, value-matched across engines."""
+    eng = _mini_engine(spark, sf_dir, ["orders"])
+    return eng.sql(
+        "SELECT toWeek(ts) AS wk,"
+        "       count() AS n,"
+        "       CAST(uniqExact(toStartOfFiveMinutes(ts)) AS BIGINT) AS n_buckets"
+        " FROM (SELECT toDateTime(o_orderdate)"
+        "              + INTERVAL (o_orderkey % 86400) SECOND AS ts"
+        "       FROM orders WHERE o_orderkey <= 5000) o"
+        " GROUP BY toWeek(ts) ORDER BY wk"
+    )

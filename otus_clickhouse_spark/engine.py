@@ -1195,9 +1195,18 @@ class Engine:
     # ----------------------------------------------------------- dictionaries
     def create_dictionary(self, name: str, df: DataFrame, key: str) -> None:
         """CH external dictionary (lectures/lecture_11.md:1-130): a small
-        key→attributes map held driver-side and broadcast into lookups."""
+        key→attributes map held driver-side and broadcast into lookups.
+
+        CH errors when a dictionary name collides with an existing table
+        (they share the database namespace) — mirror that rather than
+        silently clobbering the table's temp view (reloading an existing
+        dictionary under its own name is fine)."""
         from otus_clickhouse_spark.plans.dictionary import Dictionary
 
+        if name in self.tables and name not in self._dictionaries:
+            raise ValueError(
+                f"cannot CREATE DICTIONARY {name}: a table with that name exists"
+            )
         self._dictionaries[name] = Dictionary.from_df(self.spark, name, df, key)
 
     def dictionary(self, name: str):

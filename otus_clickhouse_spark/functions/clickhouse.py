@@ -136,10 +136,18 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("JSONExtractKeys", "j STRING", "ARRAY<STRING>", "json_object_keys(j)"),
     ("JSONExtractRaw", "j STRING, k STRING", "STRING",
      "get_json_object(j, concat('$.', k))"),
+    # guard len=0: sequence(0, -1) in Spark is the DESCENDING [0, -1],
+    # not empty — an empty/missing array must yield []
     ("JSONExtractArrayRaw", "j STRING, k STRING", "ARRAY<STRING>",
-     """transform(sequence(0, coalesce(json_array_length(
-          get_json_object(j, concat('$.', k))), 0) - 1),
-        __i -> get_json_object(j, concat('$.', k, '[', __i, ']')))"""),
+     """CASE
+          WHEN coalesce(json_array_length(
+                 get_json_object(j, concat('$.', k))), 0) = 0
+          THEN array()
+          ELSE transform(
+            sequence(0, json_array_length(
+              get_json_object(j, concat('$.', k))) - 1),
+            __i -> get_json_object(j, concat('$.', k, '[', __i, ']')))
+        END"""),
     # JSONType classifies the extracted value's shape. get_json_object
     # unquotes strings, so a string spelled like a number/bool
     # classifies as that type — documented approximation

@@ -692,6 +692,10 @@ def _rewrite_datediff(text: str) -> str:
 # but age(...) = 0). Same literal-unit inlining as dateDiff.
 _AGE_RE = re.compile(r"\bage\s*\(")
 _AGE_BODIES = {
+    # sub-second units (CH ≥ 22.12 accepts them in age())
+    "nanosecond": "((unix_micros(CAST({b} AS TIMESTAMP)) - unix_micros(CAST({a} AS TIMESTAMP))) * 1000)",
+    "microsecond": "(unix_micros(CAST({b} AS TIMESTAMP)) - unix_micros(CAST({a} AS TIMESTAMP)))",
+    "millisecond": "CAST(floor((unix_micros(CAST({b} AS TIMESTAMP)) - unix_micros(CAST({a} AS TIMESTAMP))) / 1000) AS BIGINT)",
     "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
     "minute": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 60) AS BIGINT)",
     "hour": "CAST(floor((unix_timestamp({b}) - unix_timestamp({a})) / 3600) AS BIGINT)",
@@ -710,11 +714,12 @@ def _rewrite_age(text: str) -> str:
             return text
         args, end = _split_call_args(text, m.end() - 1)
         unit = args[0].strip().strip("'\"").lower()
+        if len(args) != 3:
+            raise ValueError(f"age() expects (unit, from, to), got {len(args)} args")
         body = _AGE_BODIES.get(unit)
-        if body is None or len(args) != 3:
-            repl = f"datediff({', '.join(args[1:])})"
-        else:
-            repl = body.format(a=args[1], b=args[2])
+        if body is None:
+            raise ValueError(f"age(): unsupported unit {unit!r}")
+        repl = body.format(a=args[1], b=args[2])
         text = text[: m.start()] + repl + text[end:]
 
 

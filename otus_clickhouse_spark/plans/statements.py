@@ -260,9 +260,18 @@ def _expr(engine, text: str):
     return F.expr(translate(text, engine.tables))
 
 
-def _persist(engine, name: str, df: DataFrame) -> None:
+def _persist(engine, name: str, df: DataFrame, *, keep_cold: bool = False) -> None:
     """Write-then-swap the mutated content back under the table's path
-    (parquet-backed), or re-register the frame (view-backed)."""
+    (parquet-backed), or re-register the frame (view-backed).
+
+    ``df`` is normally derived from ``engine.table(name)`` — the view
+    that unions the hot path with any TTL-moved cold volumes — so the
+    rewrite re-homes every surviving row under the hot path and the
+    cold tier is cleared afterwards (CH mutations rewrite parts on
+    whatever disk they live on; re-homing keeps query results identical
+    without double-counting). The TTL-move pass itself persists only
+    hot-tier content and passes ``keep_cold=True``.
+    """
     td = engine.tables[name]
     if td.path and os.path.exists(td.path):
         tmp = f"{td.path.rstrip('/')}.__mut_{uuid.uuid4().hex[:8]}"
@@ -273,16 +282,32 @@ def _persist(engine, name: str, df: DataFrame) -> None:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
+        # data is materialized in tmp now; a full rewrite supersedes the
+        # cold tier, so drop it before re-registering (else the union in
+        # register_table would double every previously-moved row)
+        if not keep_cold and td.settings.get("cold_volumes"):
+            for cpath in td.settings["cold_volumes"].values():
+                shutil.rmtree(cpath, ignore_errors=True)
+            td.settings.pop("cold_volumes")
         wrote_rows = any(
             f.endswith(".parquet") for _r, _d, fs in os.walk(tmp) for f in fs
         )
         if not wrote_rows:
-            # mutation emptied the table: no parquet footer to re-read,
-            # so register an empty frame instead (cf. TRUNCATE)
+            # mutation emptied the (hot tier of the) table: no parquet
+            # footer to re-read under tmp
             schema = df.schema
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(td.path, ignore_errors=True)
-            engine.register_table(td, df=engine.spark.createDataFrame([], schema))
+            if td.settings.get("cold_volumes"):
+                # TTL moved EVERY row out: keep a real (0-row, with
+                # footer) hot path so read_table works and the df=None
+                # registration path unions the cold volumes back in
+                engine.spark.createDataFrame([], schema).repartition(1).write.parquet(
+                    td.path
+                )
+                engine.register_table(td)
+            else:
+                engine.register_table(td, df=engine.spark.createDataFrame([], schema))
             return
         old = f"{td.path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
         shutil.move(td.path, old)
@@ -920,7 +945,9 @@ def _try_route_inner(engine, s: str):
             if moved:
                 expired.write.mode("append").parquet(cold)
                 td.settings.setdefault("cold_volumes", {})[vol] = cold
-                _persist(engine, name, main.filter(~pred))
+                # hot-tier-only content: the cold volume we just wrote
+                # must survive this rewrite
+                _persist(engine, name, main.filter(~pred), keep_cold=True)
             return {"ttl_applied": name, "moved": moved, "to": action}
         before = engine.table(name).count()
         _persist(engine, name, ttl_expire(engine.table(name), _expr(engine, ttl)))
@@ -964,6 +991,9 @@ def _try_route_inner(engine, s: str):
             # an empty parquet write has no footer to re-read: drop the
             # file set and re-register an empty frame instead
             shutil.rmtree(td.path, ignore_errors=True)
+        # TRUNCATE removes every part, TTL-moved cold tiers included
+        for cpath in td.settings.pop("cold_volumes", {}).values():
+            shutil.rmtree(cpath, ignore_errors=True)
         engine.register_table(td, df=engine.spark.createDataFrame([], schema))
         return {"truncated": name}
 

@@ -667,6 +667,22 @@ def test_round3_function_additions(engine):
     ).collect()[0]
     assert r.dd == 1 and r.ag == 0 and r.days == 2
 
+    # sub-second units, and hard errors instead of a silently-reversed
+    # datediff fallback for bad units/arity
+    r = engine.sql(
+        "SELECT age('millisecond', toDateTime('2024-01-01 00:00:00'),"
+        "           toDateTime('2024-01-01 00:00:01')) AS ms,"
+        "       age('microsecond', toDateTime('2024-01-01 00:00:00'),"
+        "           toDateTime('2024-01-01 00:00:01')) AS us"
+    ).collect()[0]
+    assert r.ms == 1000 and r.us == 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported unit"):
+        engine.sql("SELECT age('fortnight', toDate('2024-01-01'), toDate('2024-02-01'))")
+    with _pytest.raises(Exception, match="expects"):
+        engine.sql("SELECT age(toDate('2024-01-01'), toDate('2024-02-01'))")
+
     r = engine.sql(
         "SELECT toTime(toDateTime('2024-05-17 13:45:10')) AS t,"
         "       greatCircleDistance(37.6176, 55.7558, 30.3141, 59.9386) AS msk_spb"
@@ -829,6 +845,8 @@ def test_json_and_map_stragglers(engine):
                   JSONExtractKeys('{"a":1,"b":2}') AS ks,
                   JSONExtractRaw('{"a":{"b":1}}', 'a') AS raw,
                   JSONExtractArrayRaw('{"a":[1,2]}', 'a') AS arr,
+                  JSONExtractArrayRaw('{"a":[]}', 'a') AS arr_empty,
+                  JSONExtractArrayRaw('{"a":[1,2]}', 'zzz') AS arr_missing,
                   JSONType('{"a":{"x":1}}', 'a') AS t_obj,
                   JSONType('{"a":3}', 'a') AS t_int,
                   JSONExtractBool('{"a":true}', 'a') AS b,
@@ -842,6 +860,8 @@ def test_json_and_map_stragglers(engine):
     assert (r.h1, r.h0, r.lo, r.la) == (1, 0, 2, 3)
     assert list(r.ks) == ["a", "b"] and r.raw == '{"b":1}'
     assert list(r.arr) == ["1", "2"]
+    # empty/missing array is [], not [NULL, NULL] (sequence(0,-1) descends)
+    assert list(r.arr_empty) == [] and list(r.arr_missing) == []
     assert (r.t_obj, r.t_int) == ("Object", "Int64") and r.b and r.si == 7
     assert (r.mfa, r.mf, r.mu, r.ma) == (2, 1, 2, 10)
 

@@ -938,3 +938,143 @@ def test_ttl_to_volume_moves_not_deletes(engine, tmp_path):
         engine.execute(f"DROP TABLE {name}")
         engine.storage_policies = [p for p in engine.storage_policies
                                    if p[0] != "tiered"]
+
+
+def test_ttl_to_volume_full_expiry_keeps_cold_rows_visible(engine, tmp_path):
+    """If EVERY row expires, the hot tier empties but the moved rows
+    must stay visible through the table view (the empty-hot-path branch
+    previously dropped the cold union), and a later INSERT lands in the
+    re-created hot path alongside them."""
+    engine.add_storage_policy("tiered_fx", "cold", ["cold_disk"])
+    name = "events_tiered_full"
+    engine.execute(
+        f"CREATE TABLE {name} (id UInt64, ts DateTime) ENGINE = MergeTree "
+        "ORDER BY id TTL ts + INTERVAL 1 HOUR TO VOLUME 'cold' "
+        "SETTINGS storage_policy = 'tiered_fx'"
+    )
+    td = engine.tables[name]
+    td.path = str(tmp_path / name)
+    try:
+        engine.execute(
+            f"INSERT INTO {name} VALUES "
+            "(1, '2020-01-01 00:00:00'), (2, '2020-06-01 00:00:00')"
+        )
+        res = engine.execute(f"SYSTEM APPLY TTL {name}")
+        assert res["moved"] == 2
+        # every row moved — still all visible via the view
+        assert sorted(r.id for r in engine.table(name).collect()) == [1, 2]
+        # second pass is a no-op and the view still works (hot path must
+        # remain readable, not deleted)
+        assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 0
+        assert engine.table(name).count() == 2
+        # new inserts land hot and union with the cold tier
+        engine.execute(f"INSERT INTO {name} VALUES (3, '2100-01-01 00:00:00')")
+        assert sorted(r.id for r in engine.table(name).collect()) == [1, 2, 3]
+    finally:
+        engine.execute(f"DROP TABLE {name}")
+        engine.storage_policies = [p for p in engine.storage_policies
+                                   if p[0] != "tiered_fx"]
+
+
+def test_mutation_after_ttl_move_does_not_duplicate_cold_rows(engine, tmp_path):
+    """ALTER UPDATE/DELETE after a TTL move read the tier-union view and
+    rewrite everything into the hot path — the superseded cold tier must
+    be cleared, not unioned back in (which doubled every moved row)."""
+    import os as _os
+
+    engine.add_storage_policy("tiered_mut", "cold", ["cold_disk"])
+    name = "events_tiered_mut"
+    engine.execute(
+        f"CREATE TABLE {name} (id UInt64, ts DateTime, v UInt32) "
+        "ENGINE = MergeTree ORDER BY id "
+        "TTL ts + INTERVAL 1 HOUR TO VOLUME 'cold' "
+        "SETTINGS storage_policy = 'tiered_mut'"
+    )
+    td = engine.tables[name]
+    td.path = str(tmp_path / name)
+    try:
+        engine.execute(
+            f"INSERT INTO {name} VALUES "
+            "(1, '2020-01-01 00:00:00', 10), (2, '2100-01-01 00:00:00', 20)"
+        )
+        assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 1
+        cold_path = td.settings["cold_volumes"]["cold"]
+        engine.execute(f"ALTER TABLE {name} UPDATE v = v + 1 WHERE v > 0")
+        rows = sorted((r.id, r.v) for r in engine.table(name).collect())
+        assert rows == [(1, 11), (2, 21)]  # no duplicates, both updated
+        # the rewrite re-homed everything hot; cold tier is gone
+        assert "cold_volumes" not in td.settings
+        assert not _os.path.exists(cold_path)
+        # DELETE after a fresh move also stays duplicate-free
+        engine.execute(
+            f"INSERT INTO {name} VALUES (3, '2020-06-01 00:00:00', 30)"
+        )
+        assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 2
+        engine.execute(f"ALTER TABLE {name} DELETE WHERE id = 1")
+        rows = sorted((r.id, r.v) for r in engine.table(name).collect())
+        assert rows == [(2, 21), (3, 30)]
+    finally:
+        engine.execute(f"DROP TABLE {name}")
+        engine.storage_policies = [p for p in engine.storage_policies
+                                   if p[0] != "tiered_mut"]
+
+
+def test_truncate_clears_cold_volumes(engine, tmp_path):
+    """TRUNCATE removes every part, TTL-moved cold tiers included."""
+    import os as _os
+
+    engine.add_storage_policy("tiered_tr", "cold", ["cold_disk"])
+    name = "events_tiered_tr"
+    engine.execute(
+        f"CREATE TABLE {name} (id UInt64, ts DateTime) ENGINE = MergeTree "
+        "ORDER BY id TTL ts + INTERVAL 1 HOUR TO VOLUME 'cold' "
+        "SETTINGS storage_policy = 'tiered_tr'"
+    )
+    td = engine.tables[name]
+    td.path = str(tmp_path / name)
+    try:
+        engine.execute(
+            f"INSERT INTO {name} VALUES "
+            "(1, '2020-01-01 00:00:00'), (2, '2100-01-01 00:00:00')"
+        )
+        assert engine.execute(f"SYSTEM APPLY TTL {name}")["moved"] == 1
+        cold_path = td.settings["cold_volumes"]["cold"]
+        engine.execute(f"TRUNCATE TABLE {name}")
+        assert engine.table(name).count() == 0
+        assert "cold_volumes" not in td.settings
+        assert not _os.path.exists(cold_path)
+    finally:
+        engine.execute(f"DROP TABLE {name}")
+        engine.storage_policies = [p for p in engine.storage_policies
+                                   if p[0] != "tiered_tr"]
+
+
+def test_create_dictionary_name_collision_with_table_errors(engine):
+    """CH errors when a dictionary name collides with an existing table
+    (shared namespace) — previously the dictionary silently clobbered
+    the table's temp view and DROP DICTIONARY then killed the table."""
+    import pytest as _pytest
+
+    engine.sql("SELECT 1 AS k, 'a' AS val").createOrReplaceTempView("__dct_src")
+    engine.execute(
+        "CREATE TABLE dict_coll_t (k UInt64, val String) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    try:
+        with _pytest.raises(ValueError, match="table with that name exists"):
+            engine.create_dictionary(
+                "dict_coll_t", engine.sql("SELECT 1 AS k, 'a' AS val"), "k"
+            )
+        # table view must be intact after the rejected create
+        assert engine.table("dict_coll_t").columns == ["k", "val"]
+        # re-creating (reloading) an existing dictionary is still fine
+        engine.create_dictionary(
+            "dict_coll_d", engine.sql("SELECT 1 AS k, 'a' AS val"), "k"
+        )
+        engine.create_dictionary(
+            "dict_coll_d", engine.sql("SELECT 1 AS k, 'b' AS val"), "k"
+        )
+        assert engine.dictionary("dict_coll_d").df.collect()[0].val == "b"
+    finally:
+        engine.execute("DROP TABLE dict_coll_t")
+        engine._dictionaries.pop("dict_coll_d", None)

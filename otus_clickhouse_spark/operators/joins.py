@@ -41,6 +41,61 @@ def any_join(
     return left.join(deduped, on=on, how=how)
 
 
+def _global_index(df: DataFrame, order: list[str | Column] | None) -> DataFrame:
+    """Attach ``__pos`` = 1..N in total order WITHOUT a single-partition
+    window (the naive ``Window.orderBy`` with no partition moves every
+    row to one task — the thing that would bottleneck a 100×-scale
+    paste).
+
+    Two-pass global index:
+      1. range-partition + local sort by the order keys (or keep the
+         produced partitioning when ``order`` is None), so partition-id
+         order IS the global order;
+      2. count rows per partition (≤ shuffle.partitions rows — the only
+         driver-scale window here), broadcast the cumulative offsets
+         back, and number rows with a partition-LOCAL window + offset.
+
+    The frame is localCheckpoint'ed once between the passes: both the
+    count job and the numbering job must see identical partition
+    placement (range-partitioner sampling and
+    ``monotonically_increasing_id`` are recompute-unstable otherwise) —
+    the same materialize-each-side-once cost ClickHouse pays to zip two
+    result streams.
+    """
+    if order:
+        t = df.repartitionByRange(*order).sortWithinPartitions(*order)
+        local_order: list = list(order)
+    else:
+        # produced order: monotonically_increasing_id embeds the
+        # partition id in its high bits, so ordering by it within the
+        # existing partitioning is partition-major ≡ stream order
+        t = df.withColumn("__mid", F.monotonically_increasing_id())
+        local_order = [F.col("__mid")]
+    t = t.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # per-partition counts: ≤ #partitions rows — a bounded driver scalar
+    # (same class as the repo's vocab-total / k-means-seed collects), and
+    # folding them driver-side keeps the plan free of ANY
+    # single-partition exchange
+    counts = {r["__pid"]: r["__cnt"] for r in t.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt")).collect()}
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = t.sparkSession.createDataFrame(
+        offs or [(0, 0)], "__pid INT, __off BIGINT"
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*local_order)
+    out = (
+        t.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            "__pos", F.row_number().over(local_w) + F.coalesce("__off", F.lit(0))
+        )
+        .drop("__pid", "__off")
+    )
+    return out.drop("__mid") if not order else out
+
+
 def paste_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,11 +103,16 @@ def paste_join(
     right_order: list[str | Column],
     how: str = "inner",
 ) -> DataFrame:
-    """Positional zip: i-th left row ⟷ i-th right row under given orders."""
-    lw = Window.orderBy(*left_order)
-    rw = Window.orderBy(*right_order)
-    l = left.withColumn("__pos", F.row_number().over(lw))
-    r = right.withColumn("__pos", F.row_number().over(rw))
+    """Positional zip: i-th left row ⟷ i-th right row under given orders.
+
+    Each side gets a distributed two-pass global index (no
+    single-partition sort — see :func:`_global_index`), then a plain
+    equi-join on position that Catalyst/AQE plan freely. Ties within the
+    order keys break arbitrarily, matching the reference's
+    multi-threaded nondeterminism.
+    """
+    l = _global_index(left, left_order)
+    r = _global_index(right, right_order)
     return l.join(r, on="__pos", how=how).drop("__pos")
 
 
@@ -60,17 +120,17 @@ def paste_zip(left: DataFrame, right: DataFrame) -> DataFrame:
     """PASTE JOIN of two RESULT SETS in their produced order (J8;
     lectures/lecture_10.md:15).
 
-    ClickHouse zips the two results row-by-row as they stand. Order-by-
-    position is only well-defined over a single stream, so each side is
-    coalesced to one partition first — the same materialize-both-results
-    cost the reference pays. Use :func:`paste_join` with explicit order
-    columns for the scalable keyed variant.
-    """
-    def pos(df: DataFrame) -> DataFrame:
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return df.coalesce(1).withColumn("__pos", F.row_number().over(w))
-
-    return pos(left).join(pos(right), on="__pos", how="inner").drop("__pos")
+    ClickHouse zips the two results row-by-row as they stand. "Produced
+    order" over a distributed result is partition-major order — for the
+    usual case of pasting ORDER BY'd results the range-partitioned sort
+    makes that exactly the global order, with no single-partition
+    coalesce (ClickHouse itself documents the multi-threaded PASTE
+    result as nondeterministic for unordered inputs)."""
+    return (
+        _global_index(left, None)
+        .join(_global_index(right, None), on="__pos", how="inner")
+        .drop("__pos")
+    )
 
 
 _ANY_JOIN_SQL_RE = re.compile(

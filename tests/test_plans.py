@@ -247,3 +247,31 @@ def test_q_suite_no_raw_scale_table_broadcast(spark, sf_dir):
             if _scans_scale_table(subtree) and "Aggregate" not in subtree:
                 offending.append(name)
     assert offending == [], f"raw scale-table broadcast hints in: {sorted(set(offending))}"
+
+
+def test_paste_join_no_single_partition_exchange(spark):
+    """J8 scale property: PASTE JOIN's global positional index is the
+    two-pass distributed form — per-partition numbering + broadcast
+    offsets — NOT a global Window.orderBy, so the plan must carry no
+    Exchange SinglePartition and every row_number window must be
+    partitioned (by __pid)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.operators.joins import paste_join, paste_zip
+
+    a = spark.range(0, 10_000, 1, 8).select(F.col("id").alias("l"))
+    b = spark.range(0, 10_000, 1, 8).select((9_999 - F.col("id")).alias("r"))
+    out = paste_join(a, b, ["l"], [F.col("r").desc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan  # partition-local numbering
+    # and it's still a correct zip: ascending l meets descending r
+    rows = out.orderBy("l").limit(3).collect()
+    assert [(x.l, x.r) for x in rows] == [(0, 9999), (1, 9998), (2, 9997)]
+
+    z = paste_zip(a.orderBy("l"), b.orderBy(F.col("r").desc()))
+    zplan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in zplan
+    assert "Coalesce 1" not in zplan
+    zrows = z.orderBy("l").limit(2).collect()
+    assert [(x.l, x.r) for x in zrows] == [(0, 9999), (1, 9998)]

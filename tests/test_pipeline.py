@@ -1182,3 +1182,36 @@ def test_resize_images(spark):
     # non-divisible target takes the nearest-neighbor path
     odd = {r.media_id: r for r in resize_images(media, 7, 5).collect()}
     assert _pixels("image", bytes(odd[1].payload)).shape == (5, 7, 3)
+
+
+def test_budget_select_recursive_threshold_bin(spark):
+    """With max_bin_rows forcing recursion, the refined threshold bin
+    must still reproduce the naive global greedy exactly — including a
+    degenerate all-ties quality bin that can never split."""
+    import random
+
+    from otus_clickhouse_spark.pipeline.sampling import budget_select
+
+    rng = random.Random(7)
+    rows = [(i, round(rng.random(), 6), rng.randint(5, 50)) for i in range(500)]
+    # a tie block straddling a plausible threshold region
+    rows += [(1000 + i, 0.5, 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tok long")
+
+    def greedy(budget):
+        tot, out = 0, set()
+        for i, q, tk in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if tot + tk > budget:
+                break
+            tot += tk
+            out.add(i)
+        return out
+
+    for budget in (400, 7300, 9000):
+        got = {
+            r.doc_id
+            for r in budget_select(
+                df, "quality", "n_tok", budget, buckets=4, max_bin_rows=20
+            ).collect()
+        }
+        assert got == greedy(budget), f"budget={budget}"

@@ -207,12 +207,20 @@ _CREATE_FN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_FN_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+# destination: Disk('name', 'label') or the S3('url'[, key, secret])
+# table-function form (homeworks/hw13.md:120,146)
+_BACKUP_DEST = (
+    r"(?:Disk\s*\(\s*'(\w+)'\s*,\s*'([\w.\-]+)'\s*\)"
+    r"|S3\s*\(\s*'([^']+)'(?:\s*,\s*'[^']*')*\s*\))"
+)
 _BACKUP_RE = re.compile(
-    r"^\s*BACKUP\s+TABLE\s+(?:\w+\.)?(\w+)\s+TO\s+Disk\s*\(\s*'(\w+)'\s*,\s*'([\w.\-]+)'\s*\)\s*$",
+    r"^\s*BACKUP\s+TABLE\s+(?:\w+\.)?(\w+)\s+TO\s+" + _BACKUP_DEST + r"\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?:\w+\.)?(\w+)\s+FROM\s+Disk\s*\(\s*'(\w+)'\s*,\s*'([\w.\-]+)'\s*\)\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(?:\w+\.)?(\w+)(?:\s+AS\s+(\w+))?\s+FROM\s+"
+    + _BACKUP_DEST
+    + r"\s*$",
     re.IGNORECASE,
 )
 _CREATE_DICT_RE = re.compile(
@@ -1127,11 +1135,13 @@ def _try_route_inner(engine, s: str):
 
     m = _BACKUP_RE.match(s)
     if m:
-        return backup_table(engine, *m.groups())
+        name, disk, label, s3_url = m.groups()
+        return backup_table(engine, name, disk, label, s3_url=s3_url)
 
     m = _RESTORE_RE.match(s)
     if m:
-        return restore_table(engine, *m.groups())
+        name, alias, disk, label, s3_url = m.groups()
+        return restore_table(engine, name, disk, label, as_name=alias, s3_url=s3_url)
 
     m = _CREATE_DICT_RE.match(s)
     if m:

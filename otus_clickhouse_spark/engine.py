@@ -107,6 +107,10 @@ class Engine:
         # named collections (D14; hw19.md:37-48): name → {key: value},
         # consumed by external table functions/engines
         self._named_collections: dict[str, dict] = {}
+        # backup/restore status log (S17; homeworks/hw13.md:78,123 —
+        # `select * from system.backups` shows BACKUP_CREATED/RESTORED
+        # rows). Tuples of (id, name, status, start_time, end_time).
+        self._backups: list[tuple] = []
         # RBAC entities (D11; lecture_18.md:5-216): structured mirrors of
         # _rbac_log, enforced at the query/insert boundary. The session
         # user is "default" (full access) until set_user() switches it.
@@ -507,6 +511,17 @@ class Engine:
             self.storage_policies,
             "policy_name string, volume_name string, disks array<string>",
         )
+
+    def system_backups(self) -> DataFrame:
+        """≈ system.backups (hw13.md:78,123: one row per BACKUP/RESTORE
+        with a uuid id and BACKUP_CREATED/RESTORED status)."""
+        schema = (
+            "id string, name string, status string, "
+            "start_time timestamp, end_time timestamp"
+        )
+        if not self._backups:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(self._backups, schema)
 
     def add_storage_policy(self, policy: str, volume: str, disks: list[str]):
         """Register a storage policy (CH <storage_configuration> config;

@@ -1182,19 +1182,43 @@ def _backup_root(disk: str) -> str:
     return os.path.join("spark-warehouse", "_disks", disk)
 
 
-def backup_table(engine, name: str, disk: str, label: str) -> dict:
-    """BACKUP TABLE … TO Disk('backups', 'label') (S17;
-    homeworks/hw13.md:40-159, lectures/lecture_19.md:131-159).
+def _s3_backup_dir(url: str) -> str:
+    """Map an S3(...) backup destination URL to a deterministic local
+    prefix — the sandbox stand-in for the object store (the container
+    has no MinIO; homeworks/hw13.md:120,146 use
+    ``S3('http://minio:9000/backup-bucket/', key, secret)``). The
+    scheme is stripped and the bucket/key path becomes a directory
+    under the warehouse. At 100 TB the copy below is a server-side
+    object-prefix copy; data never moves through the driver either way.
+    """
+    stripped = re.sub(r"^[a-z][a-z0-9+.\-]*://", "", url, flags=re.IGNORECASE)
+    safe = re.sub(r"[^\w.\-]+", "_", stripped).strip("_")
+    return os.path.join("spark-warehouse", "_s3_backups", safe)
+
+
+def backup_table(
+    engine, name: str, disk: str | None, label: str | None, s3_url: str | None = None
+) -> dict:
+    """BACKUP TABLE … TO Disk('backups', 'label') | TO S3('url'[,key,secret])
+    (S17; homeworks/hw13.md:40-159, lectures/lecture_19.md:131-159).
 
     Snapshot = file copy of the table's parquet plus a metadata sidecar
     (engine/order/partition), the Disk-analogue of CH's backup archive.
     At scale this is an object-store prefix copy — no data plane
-    through the driver.
+    through the driver. Both forms log a BACKUP_CREATED row into
+    system.backups (hw13.md:123 golden).
     """
     import json
+    import uuid
+    from datetime import datetime
 
     td = engine.tables[name]
-    dest = os.path.join(_backup_root(disk), label)
+    if s3_url is not None:
+        dest = _s3_backup_dir(s3_url)
+        shown = f"S3('{s3_url}')"
+    else:
+        dest = os.path.join(_backup_root(disk), label)
+        shown = f"Disk('{disk}', '{label}')"
     if os.path.exists(dest):
         raise FileExistsError(f"backup already exists: {dest}")  # CH errors too
     os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -1218,20 +1242,42 @@ def backup_table(engine, name: str, disk: str, label: str) -> dict:
     }
     with open(dest + ".meta.json", "w") as f:
         json.dump(meta, f)
-    return {"backed_up": name, "to": dest}
+    bid = str(uuid.uuid4())
+    now = datetime.now()
+    engine._backups.append((bid, shown, "BACKUP_CREATED", now, now))
+    # hw13.md:120-123 golden: BACKUP returns ┌─id─┬─status─┐ one-row
+    return {"id": bid, "status": "BACKUP_CREATED", "backed_up": name, "to": dest}
 
 
-def restore_table(engine, name: str, disk: str, label: str) -> dict:
-    """RESTORE TABLE … FROM Disk('backups', 'label') — the round-trip
-    check of hw13.md:43-159: recreate table metadata, copy data back,
-    re-register."""
+def restore_table(
+    engine,
+    name: str,
+    disk: str | None,
+    label: str | None,
+    as_name: str | None = None,
+    s3_url: str | None = None,
+) -> dict:
+    """RESTORE TABLE x [AS y] FROM Disk('backups','label') | FROM S3(url,…)
+    — the round-trip check of hw13.md:43-159: recreate table metadata,
+    copy data back, re-register. ``AS y`` restores under the alias,
+    leaving the (possibly corrupted) original untouched — exactly the
+    hw13.md:63 ``RESTORE TABLE test AS test_restored`` flow. Logs a
+    RESTORED row into system.backups (hw13.md:78)."""
     import json
+    import uuid
+    from datetime import datetime
 
     from otus_clickhouse_spark.engine import TableDef
 
-    src = os.path.join(_backup_root(disk), label)
+    if s3_url is not None:
+        src = _s3_backup_dir(s3_url)
+        shown = f"S3('{s3_url}')"
+    else:
+        src = os.path.join(_backup_root(disk), label)
+        shown = f"Disk('{disk}', '{label}')"
     with open(src + ".meta.json") as f:
         meta = json.load(f)
+    name = as_name or name
     td = engine.tables.get(name) or TableDef(name=name)
     td.engine = meta["engine"]
     td.order_by = tuple(meta["order_by"])
@@ -1247,7 +1293,10 @@ def restore_table(engine, name: str, disk: str, label: str) -> dict:
         shutil.copytree(src, td.path)
     engine.tables[name] = td
     engine.register_table(td)
-    return {"restored": name, "from": src}
+    bid = str(uuid.uuid4())
+    now = datetime.now()
+    engine._backups.append((bid, shown, "RESTORED", now, now))
+    return {"id": bid, "status": "RESTORED", "restored": name, "from": src}
 
 
 def show_create_table(engine, name: str) -> str:

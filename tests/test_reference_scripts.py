@@ -409,3 +409,51 @@ def test_lecture11_prime_dictionary(engine, tmp_path):
     finally:
         engine.execute("DROP DICTIONARY IF EXISTS prime_numbers_dict")
         engine.execute("DROP TABLE IF EXISTS prime_numbers")
+
+
+def test_hw13_script_backup_restore_verbatim(engine, tmp_path):
+    """homeworks/hw13.md:15-159 replayed statement-for-statement:
+    storage_policies golden, Disk backup of a 100k-row MergeTree,
+    corrupt-then-restore-AS, S3 table-function backup form, and the
+    system.backups status rows both flows leave behind."""
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+    _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)
+    # hw13.md:15-27: the s3_main policy exists alongside default
+    engine.add_storage_policy("s3_main", "s3", ["s3"])
+    pol = engine.sql(
+        "select policy_name, volume_name, disks from system.storage_policies"
+    ).collect()
+    assert ("s3_main", "s3", ["s3"]) in [(r.policy_name, r.volume_name, list(r.disks)) for r in pol]
+    for tbl, dest, restored in (
+        ("test", "Disk('s3', 'test_new_')", "test_restored"),
+        (
+            "test_s3",
+            "S3('http://minio:9000/backup-bucket/', 'minioadmin', 'minioadminpassword')",
+            "test_s3_restored",
+        ),
+    ):
+        engine.execute(f"DROP TABLE IF EXISTS {tbl}")
+        engine.execute(
+            f"CREATE TABLE {tbl} ( id Int32, status String ) ENGINE = MergeTree ORDER BY id"
+        )
+        engine.tables[tbl].path = str(tmp_path / tbl)
+        engine.execute(
+            f"INSERT INTO {tbl} SELECT number as id , 'before backup' FROM numbers(100000)"
+        )
+        res = engine.execute(f"BACKUP TABLE {tbl} TO {dest}")
+        assert res["status"] == "BACKUP_CREATED"
+        engine.execute(f"alter table {tbl} update status = 'corrupted data' where true")
+        got = engine.sql(f"select * from {tbl} order by id limit 5").collect()
+        assert [r.status for r in got] == ["corrupted data"] * 5
+        engine.execute(f"RESTORE TABLE {tbl} AS {restored} FROM {dest}")
+        got = engine.sql(f"select * from {restored} order by id limit 5").collect()
+        assert [(r.id, r.status) for r in got] == [(i, "before backup") for i in range(5)]
+        assert engine.table(restored).count() == 100000
+        engine.execute(f"DROP TABLE {restored}")
+        engine.execute(f"DROP TABLE {tbl}")
+    statuses = [r.status for r in engine.sql("select * from system.backups").collect()]
+    assert statuses.count("BACKUP_CREATED") >= 2 and statuses.count("RESTORED") >= 2
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+    _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)

@@ -207,6 +207,55 @@ def test_backup_restore_roundtrip(engine, sales, tmp_path):
     _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
 
 
+def test_backup_restore_as_alias(engine, sales):
+    """hw13.md:63: RESTORE TABLE test AS test_restored — alias gets the
+    pre-corruption data, the original stays corrupted."""
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+    before = sorted((r.id, float(r.amount)) for r in engine.table(sales).collect())
+    engine.execute(f"BACKUP TABLE {sales} TO Disk('backups', 'alias1')")
+    engine.execute(f"ALTER TABLE {sales} UPDATE amount = -1 WHERE true")  # wreck it
+    engine.execute(f"RESTORE TABLE {sales} AS restored_alias FROM Disk('backups', 'alias1')")
+    after = sorted((r.id, float(r.amount)) for r in engine.table("restored_alias").collect())
+    assert after == before
+    # original untouched by the aliased restore
+    assert {float(r.amount) for r in engine.table(sales).collect()} == {-1.0}
+    assert engine.tables["restored_alias"].engine == "ReplacingMergeTree"
+    engine.execute("DROP TABLE restored_alias")
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+
+
+def test_backup_restore_s3_form_and_system_backups(engine, sales):
+    """hw13.md:120-146: BACKUP … TO S3(url, key, secret) returns an
+    ┌─id─┬─status:BACKUP_CREATED─┐ row; RESTORE … AS y FROM S3(...)
+    round-trips; system.backups logs both (hw13.md:78,123)."""
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)
+    n0 = engine.sql("SELECT count(*) AS n FROM system.backups").collect()[0].n
+    before = sorted((r.id, float(r.amount)) for r in engine.table(sales).collect())
+    res = engine.execute(
+        f"BACKUP TABLE {sales} TO "
+        "S3('http://minio:9000/backup-bucket/', 'minioadmin', 'minioadminpassword')"
+    )
+    assert res["status"] == "BACKUP_CREATED" and len(res["id"]) == 36
+    engine.execute(f"ALTER TABLE {sales} UPDATE amount = -1 WHERE true")
+    engine.execute(
+        f"RESTORE TABLE {sales} AS s3_restored FROM "
+        "S3('http://minio:9000/backup-bucket/', 'minioadmin', 'minioadminpassword')"
+    )
+    after = sorted((r.id, float(r.amount)) for r in engine.table("s3_restored").collect())
+    assert after == before
+    rows = engine.sql(
+        "SELECT status FROM system.backups ORDER BY start_time"
+    ).collect()
+    assert len(rows) == n0 + 2
+    assert [r.status for r in rows[-2:]] == ["BACKUP_CREATED", "RESTORED"]
+    engine.execute("DROP TABLE s3_restored")
+    _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)
+
+
 def test_alter_column_family(engine, sales):
     # hw03.md:36-39 / lecture_12.md:27-42
     engine.execute(

@@ -714,8 +714,11 @@ def _rewrite_age(text: str) -> str:
             return text
         args, end = _split_call_args(text, m.end() - 1)
         unit = args[0].strip().strip("'\"").lower()
-        if len(args) != 3:
-            raise ValueError(f"age() expects (unit, from, to), got {len(args)} args")
+        # CH age(unit, start, end[, timezone]) — the optional 4th
+        # timezone arg shifts wall-clock boundaries; epoch differences
+        # are timezone-invariant, so it is accepted and ignored here
+        if len(args) not in (3, 4):
+            raise ValueError(f"age() expects (unit, from, to[, tz]), got {len(args)} args")
         body = _AGE_BODIES.get(unit)
         if body is None:
             raise ValueError(f"age(): unsupported unit {unit!r}")

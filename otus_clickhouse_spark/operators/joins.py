@@ -41,6 +41,12 @@ def any_join(
     return left.join(deduped, on=on, how=how)
 
 
+# helper columns _global_index materializes; withColumn would silently
+# REPLACE same-named user columns, corrupting pasted data, so inputs
+# carrying any of these are rejected up front
+_PASTE_RESERVED = ("__pos", "__pid", "__mid", "__off", "__cnt")
+
+
 def _global_index(df: DataFrame, order: list[str | Column] | None) -> DataFrame:
     """Attach ``__pos`` = 1..N in total order WITHOUT a single-partition
     window (the naive ``Window.orderBy`` with no partition moves every
@@ -62,6 +68,12 @@ def _global_index(df: DataFrame, order: list[str | Column] | None) -> DataFrame:
     the same materialize-each-side-once cost ClickHouse pays to zip two
     result streams.
     """
+    clash = [c for c in df.columns if c in _PASTE_RESERVED]
+    if clash:
+        raise ValueError(
+            f"paste join input carries reserved helper column(s) {clash}; "
+            "rename them before pasting"
+        )
     if order:
         t = df.repartitionByRange(*order).sortWithinPartitions(*order)
         local_order: list = list(order)

@@ -239,7 +239,11 @@ def budget_select(
     from pyspark.sql import Window
 
     taken: list[DataFrame] = []  # bins kept whole, plus the final prefix
-    bin_df = df  # current threshold slice, shrinks ~buckets× per level
+    # NULL quality = unscored doc → never selected. Left in, the NULL
+    # histogram bin can become the threshold bin (t_bin = None) and the
+    # > / == bin comparisons below go three-valued, silently dropping
+    # every row of the slice.
+    bin_df = df.where(F.col(quality_col).isNotNull())
     remaining = budget
     scale = buckets
     for _depth in range(4):

@@ -682,6 +682,13 @@ def test_round3_function_additions(engine):
         engine.sql("SELECT age('fortnight', toDate('2024-01-01'), toDate('2024-02-01'))")
     with _pytest.raises(Exception, match="expects"):
         engine.sql("SELECT age(toDate('2024-01-01'), toDate('2024-02-01'))")
+    # optional 4th timezone arg (CH age(unit, start, end[, tz])) is
+    # accepted — epoch differences are tz-invariant
+    r = engine.sql(
+        "SELECT age('day', toDateTime('2024-01-01 00:00:00'),"
+        "           toDateTime('2024-01-03 12:00:00'), 'UTC') AS days"
+    ).collect()[0]
+    assert r.days == 2
 
     r = engine.sql(
         "SELECT toTime(toDateTime('2024-05-17 13:45:10')) AS t,"

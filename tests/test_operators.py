@@ -71,6 +71,17 @@ def test_paste_join_zips_by_position(spark):
     assert [(r.l, r.r) for r in out] == [("x", 3), ("y", 2), ("z", 1)]
 
 
+def test_paste_join_rejects_reserved_columns(spark):
+    """Inputs already carrying a helper column (__pos/__pid/…) would be
+    silently overwritten by withColumn — rejected up front instead."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([("x", 9)], "l string, __pos int")
+    b = spark.createDataFrame([(1,)], "r int")
+    with _pytest.raises(ValueError, match="reserved helper column"):
+        paste_join(a, b, ["l"], ["r"]).collect()
+
+
 def test_with_fill_numeric(spark):
     df = spark.createDataFrame([(1, 10), (4, 40)], "k int, v int")
     out = with_fill(df, "k", step=1, fill_values={"v": 0}).orderBy("k").collect()

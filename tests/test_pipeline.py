@@ -623,6 +623,21 @@ def test_budget_select_equals_global_greedy(spark):
         assert got == greedy(budget), f"budget={budget}"
 
 
+def test_budget_select_ignores_null_quality(spark):
+    """Unscored (NULL quality) docs never enter the selection — and a
+    NULL threshold bin must not nuke the whole slice via three-valued
+    comparisons."""
+    from otus_clickhouse_spark.pipeline.sampling import budget_select
+
+    rows = [(0, 0.9, 10), (1, None, 10), (2, 0.5, 10), (3, None, 10), (4, 0.1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tok long")
+    got = {r.doc_id for r in budget_select(df, "quality", "n_tok", 20).collect()}
+    assert got == {0, 2}
+    # all-fits budget: NULL docs still excluded, scored docs all kept
+    got = {r.doc_id for r in budget_select(df, "quality", "n_tok", 10**6).collect()}
+    assert got == {0, 2, 4}
+
+
 def test_bigram_nll_scores_common_sequences_lower(spark):
     from otus_clickhouse_spark.pipeline.text import bigram_nll
 

@@ -604,11 +604,32 @@ class Engine:
             return td
         if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
             return self.create_table(s)
-        dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)", s, re.IGNORECASE)
+        dm = re.match(
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:[\w]+\.)?([\w]+)", s, re.IGNORECASE
+        )
         if dm:
-            return self.drop_table(dm.group(1))
+            name = dm.group(1)
+            if name not in self.tables and re.search(r"\bIF\s+EXISTS\b", s, re.IGNORECASE):
+                return None  # DROP TABLE IF EXISTS on an absent table is a no-op
+            return self.drop_table(name)
+        fm = re.match(
+            # INSERT … FORMAT CSV\n<data> — the HTTP/CLI inline-data form
+            # (clusters/airflow_and_ch etl.py insert path over HTTP;
+            # lecture_03.md format-negotiated inserts)
+            r"^\s*INSERT\s+INTO\s+(?:[\w]+\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
+            r"FORMAT\s+(\w+)\s*\n(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fm:
+            name, collist, fmt, data = fm.groups()
+            cols = [c.strip().strip("`") for c in collist.split(",")] if collist else None
+            if fmt.lower() == "values":
+                return self.insert(name, self._values_frame(name, "VALUES " + data, cols))
+            return self.insert(name, self._format_frame(name, fmt, data, cols))
         im = re.match(
-            r"^\s*INSERT\s+INTO\s+([\w]+)\s*(?:\(([^)]*)\))?\s+(SELECT\b.*|VALUES\b.*)",
+            r"^\s*INSERT\s+INTO\s+(?:[\w]+\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
+            r"(SELECT\b.*|VALUES\b.*)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -678,6 +699,69 @@ class Engine:
         defaults = td.settings.get("defaults", {})
         out = []
         for f in writable:
+            if f.name in cols:
+                out.append(_enum_norm(td, f.name, F.col(f.name).cast(f.dataType)))
+            elif f.name in defaults:
+                out.append(F.expr(defaults[f.name]).cast(f.dataType).alias(f.name))
+            elif f.nullable:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                out.append(_zero_default(f.dataType).alias(f.name))
+        return vals.select(*out)
+
+    def _format_frame(
+        self, name: str, fmt: str, data: str, cols: list[str] | None = None
+    ) -> DataFrame:
+        """Frame from ``INSERT INTO t FORMAT CSV\\n<data>`` inline data
+        (CH's HTTP/CLI bulk-insert shape; the Airflow lab's etl.py pushes
+        a whole CSV per statement this way). The block is spooled to a
+        temp file and read through the same format map as file() — the
+        parse runs in Spark, typed against the DECLARED writable schema,
+        so an HTTP client and a file() load produce identical rows.
+        Insert blocks are client-request-sized (CH buffers them in
+        memory too); TB-scale loads go through INSERT SELECT FROM
+        file()/s3() instead."""
+        import tempfile
+
+        from pyspark.sql.types import StructType
+
+        from otus_clickhouse_spark.sources.readers import _reader
+
+        td = self.tables[name]
+        ddl = td.settings.get("schema")
+        mat = td.settings.get("materialized", {}) if ddl else {}
+        st = StructType.fromDDL(ddl) if ddl else self.table(name).schema
+        writable = [f for f in st.fields if f.name not in mat]
+        if cols is not None:
+            writable = [f for f in writable if f.name in cols]
+        sub = StructType(writable)
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".dat", delete=False, encoding="utf-8"
+        ) as f:
+            f.write(data)
+            spool = f.name
+        df = _reader(self.spark, fmt, schema=sub).load(spool)
+        if cols is not None and set(cols) != {fld.name for fld in st.fields}:
+            # partial column list → route through the DEFAULT-filling
+            # VALUES alignment by reusing its field logic
+            return self._values_frame_from(name, df, cols)
+        return df
+
+    def _values_frame_from(self, name: str, vals: DataFrame, cols: list[str]) -> DataFrame:
+        """Align an already-parsed frame carrying a PARTIAL column list to
+        the declared schema, filling DEFAULT/zero columns (shared by the
+        FORMAT-data insert path)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        td = self.tables[name]
+        st = StructType.fromDDL(td.settings["schema"])
+        mat = td.settings.get("materialized", {})
+        defaults = td.settings.get("defaults", {})
+        out = []
+        for f in st.fields:
+            if f.name in mat:
+                continue
             if f.name in cols:
                 out.append(_enum_norm(td, f.name, F.col(f.name).cast(f.dataType)))
             elif f.name in defaults:

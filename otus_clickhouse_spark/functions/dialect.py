@@ -1400,6 +1400,16 @@ def translate(
     tables = tables or {}
     if macros:
         text = _expand_macros(text, macros)
+    # CH's default database prefix over the engine's flat temp-view
+    # namespace: `default.t` ≡ `t` (the Airflow lab's etl.py qualifies
+    # every statement; clusters/airflow_and_ch/airflow/dags/etl.py:16-35).
+    # Only known registered names are stripped, so struct fields or
+    # other-catalog references never get mangled.
+    text = re.sub(
+        r"\bdefault\.(\w+)",
+        lambda m: m.group(1) if m.group(1) in tables else m.group(0),
+        text,
+    )
 
     def final_sub(m: re.Match) -> str:
         return f"FROM {m.group(1)}__final"

@@ -73,8 +73,12 @@ def make_handler(engine):
             qs = parse_qs(url.query)
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n).decode() if n else ""
-            # CH semantics: query in the URL param, or the POST body
-            query = qs.get("query", [""])[0] or body
+            # CH semantics: query in the URL param, or the POST body; with
+            # BOTH, the body is the statement's data block — the
+            # `?query=INSERT INTO t FORMAT CSV` + CSV-body bulk-insert
+            # shape the Airflow lab's client uses
+            param = qs.get("query", [""])[0]
+            query = f"{param}\n{body}" if param and body else (param or body)
             self._run(query, qs.get("default_format", ["TabSeparated"])[0])
 
     return Handler

@@ -10,7 +10,7 @@ relational surface, SURVEY.md §2) plus the extension modules it pulls
 in: ``queries_extra.py``, ``queries_behavioral.py``,
 ``queries_pipeline.py`` (training-data pipeline, SURVEY.md §7 Phase 7),
 and ``queries_tpch.py`` (TPC-H-adapted h01–h22). ``len(queries())``
-is the authoritative count (169 as of round 5); all oracle-paired
+is the authoritative count (171 as of round 5); all oracle-paired
 except x34 (media decode — rows-only by design).
 """
 

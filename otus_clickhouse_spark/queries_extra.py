@@ -1066,3 +1066,84 @@ def q92_time_buckets(spark, sf_dir):
         "       FROM orders WHERE o_orderkey <= 5000) o"
         " GROUP BY toWeek(ts) ORDER BY wk"
     )
+
+
+@query(
+    "q93_dictionary_ddl_metadata",
+    oracle="""
+    SELECT 'nations_meta_dict' AS name, 'LOADED' AS status,
+           (SELECT count(*) FROM nation) AS element_count,
+           'nation' AS source, 1 AS show_create_ok,
+           (SELECT count(*) FROM nation) AS dict_rows
+    """,
+)
+def q93_dictionary_ddl_metadata(spark, sf_dir):
+    """D15 dictionary-DDL surface, driver-value-checked
+    (lecture_11.md:281-392): CREATE DICTIONARY via the SQL router, then
+    the metadata it must expose — a LOADED system.dictionaries row with
+    the source table's cardinality, SHOW CREATE DICTIONARY echoing the
+    DDL, and the dictionary readable as a plain table. All scalars, so
+    the DuckDB oracle replays the expected row from the nation table."""
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, sf_dir, ["nation"])
+    eng.execute(
+        "CREATE DICTIONARY nations_meta_dict (n_nationkey UInt32, n_name String) "
+        "PRIMARY KEY n_nationkey "
+        "SOURCE(CLICKHOUSE(TABLE 'nation')) LIFETIME(MIN 0 MAX 300) LAYOUT(FLAT)"
+    )
+    shown = eng.execute("SHOW CREATE DICTIONARY nations_meta_dict")[0]
+    meta = eng.sql(
+        "SELECT name, status, element_count, source FROM system.dictionaries "
+        "WHERE name = 'nations_meta_dict'"
+    )
+    as_table = eng.sql("SELECT count() AS dict_rows FROM nations_meta_dict")
+    return (
+        meta.withColumn(
+            "show_create_ok",
+            F.lit(int(shown.lower().startswith("create dictionary nations_meta_dict"))),
+        )
+        .crossJoin(as_table)
+    )
+
+
+@query(
+    "q94_replication_storage_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('macro', 'replica', 'replica_1'),
+      ('macro', 'shard', '01'),
+      ('policy', 'default', 'default'),
+      ('policy', 's3_main', 's3'),
+      ('replica', 'rep_meta', '/clickhouse/tables/01/rep_meta|replica_1')
+    ) AS t(kind, name, value) ORDER BY kind, name
+    """,
+)
+def q94_replication_storage_metadata(spark, sf_dir):
+    """D16 replication/storage metadata, driver-value-checked
+    (hw09.md:10-20, hw13.md:15-27): a ReplicatedMergeTree declaration
+    surfaces in system.replicas with its {shard}/{replica}
+    macro-substituted ZooKeeper path; system.macros carries the config
+    substitution set; system.storage_policies lists volumes→disks. The
+    three surfaces are unioned into (kind, name, value) scalars so the
+    oracle replays the exact expected rows."""
+    eng = _mini_engine(spark, sf_dir, [])
+    eng.execute(
+        "CREATE TABLE rep_meta (id UInt64) ENGINE = "
+        "ReplicatedMergeTree('/clickhouse/tables/{shard}/rep_meta', '{replica}') "
+        "ORDER BY id"
+    )
+    eng.add_storage_policy("s3_main", "s3", ["s3"])
+    return eng.sql(
+        "SELECT 'replica' AS kind, table AS name,"
+        "       concat(zookeeper_path, '|', replica_name) AS value"
+        " FROM system.replicas"
+        " UNION ALL"
+        " SELECT 'macro' AS kind, macro AS name, substitution AS value"
+        " FROM system.macros"
+        " UNION ALL"
+        " SELECT 'policy' AS kind, policy_name AS name,"
+        "        arrayStringConcat(disks, ',') AS value"
+        " FROM system.storage_policies"
+        " ORDER BY kind, name"
+    )

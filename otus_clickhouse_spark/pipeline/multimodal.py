@@ -1041,6 +1041,113 @@ def probe_mp4(data: bytes) -> dict:
             "track_kinds": track_kinds}
 
 
+# MPEG audio frame-header tables (public ISO/IEC 11172-3 / 13818-3
+# layout): bitrate kbps by (mpeg_version, layer), sample rate by
+# version bits. Index 0 = "free", 15 = invalid.
+_MP3_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000), 25: (11025, 12000, 8000)}
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos`` →
+    (frame_len, samples, sample_rate, bitrate_kbps) or None."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b2, b3 = data[pos + 1], data[pos + 2]
+    ver_bits = (b2 >> 3) & 3  # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (b2 >> 1) & 3  # 0=reserved, 1=LayerIII, 2=II, 3=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - layer_bits  # 1=Layer I, 2=II, 3=III
+    br_idx, sr_idx, padding = b3 >> 4, (b3 >> 2) & 3, (b3 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format/invalid bitrate not supported
+    bitrate = _MP3_BITRATES[(1 if version == 1 else 2, layer)][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or version == 1) else 576
+        frame_len = samples // 8 * bitrate * 1000 // rate + padding
+    return (frame_len, samples, rate, bitrate) if frame_len > 4 else None
+
+
+def probe_mp3(data: bytes) -> dict:
+    """REAL MP3 frame-header walk (pure python — the ffprobe-metadata
+    role, same class as :func:`probe_mp4`): skip any ID3v2 tag, then
+    parse every MPEG audio frame header in sequence — version/layer/
+    bitrate/samplerate from the public header layout, frame length from
+    the spec arithmetic — summing samples for an exact duration that
+    is VBR-correct by construction (no Xing estimate needed). The
+    huffman/synthesis-filterbank payload stays opaque by design.
+
+    Returns {duration_ms, bitrate_kbps, sample_rate, n_frames}."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0  # syncsafe 28-bit tag length
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    first = _mp3_frame(data, pos)
+    # demand two valid CONSECUTIVE frames before trusting the sync word
+    # (0xFFEx occurs freely inside arbitrary payloads)
+    if first is None or _mp3_frame(data, pos + first[0]) is None:
+        raise ValueError("no MPEG audio frame sync")
+    n_frames = total_samples = 0
+    rate = first[2]
+    br_sum = 0
+    while (fr := _mp3_frame(data, pos)) is not None:
+        frame_len, samples, rate, bitrate = fr
+        n_frames += 1
+        total_samples += samples
+        br_sum += bitrate
+        pos += frame_len
+    return {
+        "duration_ms": int(total_samples * 1000 / rate),
+        "bitrate_kbps": int(round(br_sum / n_frames)),
+        "sample_rate": rate,
+        "n_frames": n_frames,
+    }
+
+
+def make_mp3(
+    duration_ms: int = 1000,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    with_id3: bool = True,
+) -> bytes:
+    """Structurally-valid CBR MPEG1 Layer III stream: real frame
+    headers + zeroed payloads (+ an ID3v2 tag to exercise the skip).
+    Enough for :func:`probe_mp3` to walk real frame arithmetic — the
+    audio payload is silence-of-zeros by design, like make_mp4's empty
+    mdat."""
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(sample_rate)
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+    )  # MPEG1 Layer III, no CRC, no padding
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = header + bytes(frame_len - 4)
+    n_frames = max(1, (duration_ms * sample_rate + 1152_000 - 1) // 1152_000)
+    tag = b""
+    if with_id3:
+        payload = b"TSSE\x00\x00\x00\x05\x00\x00\x00otus"
+        sz = len(payload)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + payload
+    return tag + frame * n_frames
+
+
 def make_mp4(duration_ms: int = 2000, tracks: tuple = ("video", "audio")) -> bytes:
     """A minimal structurally-valid MP4: ftyp + moov{mvhd, trak{mdia{
     hdlr}}…} + empty mdat. Enough container for :func:`probe_mp4` to

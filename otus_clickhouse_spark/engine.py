@@ -605,10 +605,11 @@ class Engine:
         if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
             return self.create_table(s)
         dm = re.match(
-            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:[\w]+\.)?([\w]+)", s, re.IGNORECASE
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:([\w]+)\.)?([\w]+)", s, re.IGNORECASE
         )
         if dm:
-            name = dm.group(1)
+            self._check_db_qualifier(dm.group(1), "DROP TABLE")
+            name = dm.group(2)
             if name not in self.tables and re.search(r"\bIF\s+EXISTS\b", s, re.IGNORECASE):
                 return None  # DROP TABLE IF EXISTS on an absent table is a no-op
             return self.drop_table(name)
@@ -616,25 +617,27 @@ class Engine:
             # INSERT … FORMAT CSV\n<data> — the HTTP/CLI inline-data form
             # (clusters/airflow_and_ch etl.py insert path over HTTP;
             # lecture_03.md format-negotiated inserts)
-            r"^\s*INSERT\s+INTO\s+(?:[\w]+\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
+            r"^\s*INSERT\s+INTO\s+(?:([\w]+)\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
             r"FORMAT\s+(\w+)\s*\n(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if fm:
-            name, collist, fmt, data = fm.groups()
+            db, name, collist, fmt, data = fm.groups()
+            self._check_db_qualifier(db, "INSERT")
             cols = [c.strip().strip("`") for c in collist.split(",")] if collist else None
             if fmt.lower() == "values":
                 return self.insert(name, self._values_frame(name, "VALUES " + data, cols))
             return self.insert(name, self._format_frame(name, fmt, data, cols))
         im = re.match(
-            r"^\s*INSERT\s+INTO\s+(?:[\w]+\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
+            r"^\s*INSERT\s+INTO\s+(?:([\w]+)\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if im:
-            name, collist, rest = im.group(1), im.group(2), im.group(3)
+            self._check_db_qualifier(im.group(1), "INSERT")
+            name, collist, rest = im.group(2), im.group(3), im.group(4)
             cols = [c.strip().strip("`") for c in collist.split(",")] if collist else None
             if rest.upper().startswith("SELECT"):
                 sel = self.sql(rest, **params)
@@ -668,6 +671,15 @@ class Engine:
         if routed is not None:
             return routed
         return self.run(s, **params)
+
+    @staticmethod
+    def _check_db_qualifier(db: str | None, stmt: str) -> None:
+        """The engine's namespace is flat; only the ``default.`` prefix is
+        transparent (matching translate()'s rewrite). Any other database
+        qualifier is an error, never a silent strip — ``DROP TABLE
+        otherdb.t`` must not drop ``t``."""
+        if db is not None and db.lower() != "default":
+            raise KeyError(f"{stmt}: unknown database '{db}' (only 'default' exists)")
 
     def _values_frame(self, name: str, values_clause: str, cols: list[str] | None = None) -> DataFrame:
         """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED
@@ -733,19 +745,34 @@ class Engine:
         st = StructType.fromDDL(ddl) if ddl else self.table(name).schema
         writable = [f for f in st.fields if f.name not in mat]
         if cols is not None:
-            writable = [f for f in writable if f.name in cols]
+            # the parse schema must follow the STATEMENT's column order,
+            # not the declared one — `INSERT INTO t (name, id)` binds the
+            # first CSV field to `name` even when `id` is declared first
+            by_name = {f.name: f for f in writable}
+            unknown = [c for c in cols if c not in by_name]
+            if unknown:
+                raise KeyError(f"unknown or non-writable column(s) in INSERT: {unknown}")
+            writable = [by_name[c] for c in cols]
         sub = StructType(writable)
         with tempfile.NamedTemporaryFile(
             "w", suffix=".dat", delete=False, encoding="utf-8"
         ) as f:
             f.write(data)
             spool = f.name
-        df = _reader(self.spark, fmt, schema=sub).load(spool)
+        try:
+            # eager block materialization: insert blocks are
+            # client-request-sized, and pinning the rows here lets the
+            # spool file be unlinked immediately (Buffer/Memory engines
+            # would otherwise hold a lazy reference to it forever)
+            df = _reader(self.spark, fmt, schema=sub).load(spool).localCheckpoint(eager=True)
+        finally:
+            os.unlink(spool)
         if cols is not None and set(cols) != {fld.name for fld in st.fields}:
             # partial column list → route through the DEFAULT-filling
             # VALUES alignment by reusing its field logic
             return self._values_frame_from(name, df, cols)
-        return df
+        # full set (possibly permuted statement order) → land in declared order
+        return df.select(*[f.name for f in st.fields if f.name not in mat])
 
     def _values_frame_from(self, name: str, vals: DataFrame, cols: list[str]) -> DataFrame:
         """Align an already-parsed frame carrying a PARTIAL column list to

@@ -73,6 +73,29 @@ def _split_call_args(s: str, open_paren: int) -> tuple[list[str], int]:
     raise ValueError("unbalanced parens")
 
 
+def _sub_outside_quotes(pattern: str | re.Pattern, repl, text: str) -> str:
+    """Apply ``re.sub`` only OUTSIDE quoted regions ('…', "…", `…`), so
+    identifier rewrites never mangle string literals (e.g. the table-name
+    strip must leave ``WHERE s = 'default.netflix'`` alone)."""
+    out: list[str] = []
+    i = 0
+    start = 0
+    while i < len(text):
+        c = text[i]
+        if c in "'\"`":
+            out.append(re.sub(pattern, repl, text[start:i]))
+            j = i + 1
+            while j < len(text) and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            start = i
+            continue
+        i += 1
+    out.append(re.sub(pattern, repl, text[start:]))
+    return "".join(out)
+
+
 def _rewrite_transform4(text: str) -> str:
     """CH 4-arg ``transform(x, from_array, to_array, default)``
     (lecture_06 conditional family) → a map lookup with fallback. The
@@ -1405,7 +1428,7 @@ def translate(
     # every statement; clusters/airflow_and_ch/airflow/dags/etl.py:16-35).
     # Only known registered names are stripped, so struct fields or
     # other-catalog references never get mangled.
-    text = re.sub(
+    text = _sub_outside_quotes(
         r"\bdefault\.(\w+)",
         lambda m: m.group(1) if m.group(1) in tables else m.group(0),
         text,

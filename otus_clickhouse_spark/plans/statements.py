@@ -1231,6 +1231,19 @@ def backup_table(
     else:
         shutil.copytree(td.path, dest)
         data_kind = "dir"
+    # settings carries the declared-schema DDL, DEFAULT exprs, enum maps,
+    # MATERIALIZED cols — without it RESTORE … AS y would produce a table
+    # that loses DEFAULT/enum semantics. Instance-specific handles
+    # (live conf objects, paths) are dropped; everything JSON-clean ships.
+    portable_settings = {}
+    for k, v in td.settings.items():
+        if k in ("external_conf",):
+            continue
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        portable_settings[k] = v
     meta = {
         "table": name,
         "kind": data_kind,
@@ -1239,6 +1252,9 @@ def backup_table(
         "partition_by": list(td.partition_by),
         "version": td.version,
         "sign": td.sign,
+        "sum_columns": list(td.sum_columns),
+        "ttl": td.ttl,
+        "settings": portable_settings,
     }
     with open(dest + ".meta.json", "w") as f:
         json.dump(meta, f)
@@ -1284,6 +1300,12 @@ def restore_table(
     td.partition_by = tuple(meta["partition_by"])
     td.version = meta["version"]
     td.sign = meta["sign"]
+    td.sum_columns = tuple(meta.get("sum_columns", ()))
+    td.ttl = meta.get("ttl")
+    if meta.get("settings"):
+        # restored DEFAULT/enum/materialized semantics win over whatever a
+        # pre-existing alias carried; live handles were never persisted
+        td.settings = {**td.settings, **meta["settings"]}
     td.path = td.path or os.path.join("spark-warehouse", name)
     if os.path.exists(td.path):
         shutil.rmtree(td.path) if os.path.isdir(td.path) else os.remove(td.path)

@@ -145,3 +145,87 @@ def test_inline_format_insert_variants(engine, tmp_path):
         }
     finally:
         engine.execute("DROP TABLE IF EXISTS fmt_ins")
+
+
+def test_inline_format_insert_permuted_columns(engine, tmp_path):
+    """An explicit column list binds inline-data fields in the
+    STATEMENT's order, not the declared one — `INSERT INTO t (name, id)`
+    must parse the first CSV field as name. ClickHouse accepts the
+    permuted form; binding it declared-order is silent corruption."""
+    engine.execute("DROP TABLE IF EXISTS fmt_perm")
+    engine.execute(
+        "CREATE TABLE fmt_perm (id UInt32, name String, score Float64 DEFAULT 1.5) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["fmt_perm"].path = str(tmp_path / "fmt_perm")
+    try:
+        # full column set, permuted
+        engine.execute("INSERT INTO fmt_perm (name, score, id) FORMAT CSV\nalpha,0.5,1")
+        # partial column set, permuted
+        engine.execute("INSERT INTO fmt_perm (name, id) FORMAT CSV\nbeta,2")
+        rows = {r.id: (r.name, r.score) for r in engine.table("fmt_perm").collect()}
+        assert rows == {1: ("alpha", 0.5), 2: ("beta", 1.5)}
+    finally:
+        engine.execute("DROP TABLE IF EXISTS fmt_perm")
+
+
+def test_inline_format_insert_unknown_column_raises(engine, tmp_path):
+    engine.execute("DROP TABLE IF EXISTS fmt_unk")
+    engine.execute(
+        "CREATE TABLE fmt_unk (id UInt32, name String) ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["fmt_unk"].path = str(tmp_path / "fmt_unk")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError, match="unknown"):
+            engine.execute("INSERT INTO fmt_unk (id, nope) FORMAT CSV\n1,x")
+    finally:
+        engine.execute("DROP TABLE IF EXISTS fmt_unk")
+
+
+def test_inline_format_insert_spool_cleaned(engine, tmp_path):
+    """The temp spool behind an inline-data INSERT is unlinked once the
+    block is materialized — no per-statement temp-file leak."""
+    import glob
+    import os
+    import tempfile
+
+    engine.execute("DROP TABLE IF EXISTS fmt_spool")
+    engine.execute(
+        "CREATE TABLE fmt_spool (id UInt32, name String) ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["fmt_spool"].path = str(tmp_path / "fmt_spool")
+    try:
+        pat = os.path.join(tempfile.gettempdir(), "*.dat")
+        before = set(glob.glob(pat))
+        engine.execute("INSERT INTO fmt_spool FORMAT CSV\n1,a\n2,b")
+        assert set(glob.glob(pat)) == before
+        assert engine.table("fmt_spool").count() == 2
+    finally:
+        engine.execute("DROP TABLE IF EXISTS fmt_spool")
+
+
+def test_foreign_db_qualifier_errors(engine, tmp_path):
+    """`DROP TABLE otherdb.t` / `INSERT INTO otherdb.t` must error, not
+    silently act on `t` in the flat namespace (only `default.` is
+    transparent, matching translate()'s rewrite)."""
+    import pytest as _pytest
+
+    engine.execute("DROP TABLE IF EXISTS qual_t")
+    engine.execute(
+        "CREATE TABLE qual_t (id UInt32) ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["qual_t"].path = str(tmp_path / "qual_t")
+    try:
+        with _pytest.raises(KeyError, match="unknown database"):
+            engine.execute("DROP TABLE otherdb.qual_t")
+        with _pytest.raises(KeyError, match="unknown database"):
+            engine.execute("INSERT INTO otherdb.qual_t VALUES (1)")
+        with _pytest.raises(KeyError, match="unknown database"):
+            engine.execute("INSERT INTO otherdb.qual_t FORMAT CSV\n1")
+        assert "qual_t" in engine.tables  # survived the failed DROP
+        engine.execute("DROP TABLE default.qual_t")  # default. still transparent
+        assert "qual_t" not in engine.tables
+    finally:
+        engine.execute("DROP TABLE IF EXISTS qual_t")

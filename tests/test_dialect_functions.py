@@ -955,3 +955,22 @@ def test_time_bucket_and_week_stragglers(engine):
     assert (r.w, r.w0, r.yw) == (19, 0, 202353)
     assert r.mjd == 60445
     assert r.pd == "2024-05-15" and r.pdt == "2024-05-15 12:34:56"
+
+
+def test_default_prefix_strip_skips_string_literals():
+    """The `default.<table>` identifier strip must not rewrite string
+    LITERALS: `WHERE s = 'default.netflix'` keeps its value even when
+    netflix is a registered table."""
+    out = translate(
+        "SELECT * FROM default.netflix WHERE s = 'default.netflix'",
+        tables={"netflix": object()},
+    )
+    assert "FROM netflix" in out
+    assert "'default.netflix'" in out
+
+
+def test_sub_outside_quotes_handles_backticks_and_doubles():
+    from otus_clickhouse_spark.functions.dialect import _sub_outside_quotes
+
+    s = "a 'keep a' `keep a` \"keep a\" a"
+    assert _sub_outside_quotes(r"\ba\b", "X", s) == "X 'keep a' `keep a` \"keep a\" X"

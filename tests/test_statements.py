@@ -1127,3 +1127,33 @@ def test_create_dictionary_name_collision_with_table_errors(engine):
     finally:
         engine.execute("DROP TABLE dict_coll_t")
         engine._dictionaries.pop("dict_coll_d", None)
+
+
+def test_backup_restore_as_preserves_declared_semantics(engine, tmp_path):
+    """The backup sidecar persists td.settings (declared schema,
+    DEFAULT exprs, materialized cols), so `RESTORE … AS y` yields a
+    table whose partial-column inserts still fill DEFAULTs instead of
+    KeyError-ing on the missing schema."""
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+    engine.execute("DROP TABLE IF EXISTS bk_sem")
+    engine.execute("DROP TABLE IF EXISTS bk_sem_restored")
+    engine.execute(
+        "CREATE TABLE bk_sem (id UInt32, name String, score Float64 DEFAULT 7.5) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    engine.tables["bk_sem"].path = str(tmp_path / "bk_sem")
+    try:
+        engine.execute("INSERT INTO bk_sem (id, name) VALUES (1, 'a')")
+        engine.execute("BACKUP TABLE bk_sem TO Disk('backups', 'sem1')")
+        engine.execute("RESTORE TABLE bk_sem AS bk_sem_restored FROM Disk('backups', 'sem1')")
+        # the restored alias carries the declared schema + DEFAULT expr
+        engine.execute("INSERT INTO bk_sem_restored (id, name) VALUES (2, 'b')")
+        rows = {r.id: (r.name, r.score) for r in engine.table("bk_sem_restored").collect()}
+        assert rows == {1: ("a", 7.5), 2: ("b", 7.5)}
+        assert engine.tables["bk_sem_restored"].settings.get("schema")
+    finally:
+        engine.execute("DROP TABLE IF EXISTS bk_sem")
+        engine.execute("DROP TABLE IF EXISTS bk_sem_restored")
+        _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)

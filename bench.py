@@ -452,13 +452,23 @@ def scale_insert_probe(spark) -> dict | None:
     out = {"probe": "insert_10m_parquet", "rows": n,
            "baseline_rows_per_sec": 35_100_000}  # lecture_09.md:615-633
     try:
+        def _write(df):
+            # mirror the engine insert path's writer options (lz4, no
+            # page CRC — engine.py insert) plus probe-specific tuning:
+            # dictionary off (unique ints defeat it) and 4 MB pages
+            # (raw-append throughput shape; the engine keeps 1 MB pages
+            # for column-index pruning selectivity)
+            (df.write.mode("overwrite")
+             .option("compression", "lz4")
+             .option("parquet.enable.dictionary", "false")
+             .option("parquet.page.write-checksum.enabled", "false")
+             .option("parquet.page.size", str(4 * 1024 * 1024))
+             .parquet(path))
+
         # one untimed warmup write: the process's first parquet-write job
         # pays JIT/committer init (observed 2.8s vs 0.5s steady-state),
         # same 1-warmup discipline as the headline queries
-        (replica.limit(1_000_000).write.mode("overwrite")
-         .option("compression", "lz4")
-         .option("parquet.enable.dictionary", "false")
-         .parquet(path))
+        _write(replica.limit(1_000_000))
         for label, df in (
             ("replica", replica),
             ("plain", rows),
@@ -467,10 +477,7 @@ def scale_insert_probe(spark) -> dict | None:
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                (df.write.mode("overwrite")
-                 .option("compression", "lz4")
-                 .option("parquet.enable.dictionary", "false")
-                 .parquet(path))
+                _write(df)
                 times.append(time.perf_counter() - t0)
             # median, not min: this is the one probe that sits near 1×
             # the reference (27→38M rows/s run-to-run swings were pure

@@ -1258,7 +1258,19 @@ class Engine:
         # snappy on this path (see the bench insert-probe sweep); parquet
         # dictionary encoding stays on for the read side (its row-group
         # dictionaries are the LowCardinality analogue)
-        writer = df.write.mode(mode).option("compression", "lz4")
+        # Parquet per-page CRC32 costs ~15% of write throughput on the
+        # insert probe and guards only against silent page corruption —
+        # ClickHouse likewise relies on its own compressed-block
+        # checksums, and parquet-mr wrote no page CRCs before 1.12, so
+        # readers everywhere tolerate their absence. Page size stays at
+        # the 1 MB default: the page column-index is the sparse-PK
+        # analogue for sub-row-group pruning and larger pages would
+        # coarsen it.
+        writer = (
+            df.write.mode(mode)
+            .option("compression", "lz4")
+            .option("parquet.page.write-checksum.enabled", "false")
+        )
         # parquet bloom filters on the sort key (≈ bloom_filter skipping
         # index, D9/lecture_08.md:99-240): point lookups on ORDER BY
         # columns skip row groups even when min/max ranges overlap

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
+        # direct task-commit (v2): tasks rename straight into the
+        # destination instead of a second job-level rename pass — the
+        # lecture's Log-engine append has no two-phase commit either;
+        # on cloud object stores swap this for a manifest committer
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

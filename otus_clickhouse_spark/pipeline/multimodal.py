@@ -226,6 +226,19 @@ def _decode_bytes(kind: str, data: bytes) -> list[float]:
             return _decode_gif(data)  # REAL: pure-python LZW, incl. interlaced
         except ValueError:
             pass  # malformed stream → byte-stat fallback below
+    if data[:3] == b"ID3" or (len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
+        try:
+            # REAL MPEG-audio frame-header walk (no payload synthesis):
+            # exact VBR-correct duration + mean bitrate + sample rate
+            info = probe_mp3(data)
+            return [
+                float(info["duration_ms"]),
+                float(info["bitrate_kbps"]),
+                float(info["sample_rate"]),
+                float(info["n_frames"]),
+            ]
+        except ValueError:
+            pass  # false sync / truncated tag → byte-stat fallback below
     if len(data) >= 12 and data[4:8] == b"ftyp":
         try:
             # REAL container probe (no codec): duration/track layout

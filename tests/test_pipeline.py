@@ -1230,3 +1230,40 @@ def test_budget_select_recursive_threshold_bin(spark):
             ).collect()
         }
         assert got == greedy(budget), f"budget={budget}"
+
+
+def test_mp3_frame_header_probe():
+    """probe_mp3 walks real MPEG frame arithmetic: ID3v2 skip, exact
+    CBR duration from summed samples, bitrate/samplerate from the
+    header tables; _decode_bytes dispatches MP3 payloads to it."""
+    from otus_clickhouse_spark.pipeline import multimodal
+    from otus_clickhouse_spark.pipeline.multimodal import make_mp3, probe_mp3
+
+    data = make_mp3(duration_ms=2000, bitrate_kbps=128, sample_rate=44100)
+    info = probe_mp3(data)
+    assert info["sample_rate"] == 44100
+    assert info["bitrate_kbps"] == 128
+    # 1152 samples/frame; duration must match frame-count arithmetic exactly
+    assert info["duration_ms"] == info["n_frames"] * 1152 * 1000 // 44100
+    assert abs(info["duration_ms"] - 2000) <= 1152 * 1000 // 44100 + 1
+
+    # no ID3 tag — raw first-frame sync
+    bare = make_mp3(duration_ms=500, bitrate_kbps=192, sample_rate=48000, with_id3=False)
+    info2 = probe_mp3(bare)
+    assert (info2["sample_rate"], info2["bitrate_kbps"]) == (48000, 192)
+
+    # dispatch: MP3 bytes produce the probe's 4-dim feature, not byte-stats
+    feat = multimodal._decode_bytes("audio", data)
+    assert feat == [
+        float(info["duration_ms"]),
+        float(info["bitrate_kbps"]),
+        float(info["sample_rate"]),
+        float(info["n_frames"]),
+    ]
+
+    # a false 0xFFEx sync inside arbitrary bytes must NOT be trusted:
+    # two consecutive valid frames are demanded before parsing
+    junk = b"\xff\xe0" + bytes(range(200))
+    assert multimodal._decode_bytes("audio", junk) == [
+        float(len(junk)), float(sum(junk[:64]) % 251), float(junk[0]), float(junk[-1])
+    ]

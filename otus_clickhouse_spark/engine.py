@@ -94,6 +94,13 @@ class Engine:
         # shard count. On Spark the "cluster" is the executor pool, so a
         # topology only shapes Distributed-table routing/virtual columns.
         self._clusters: dict[str, int] = {"default": 1}
+        # known databases over the flat table namespace (D1): `default`
+        # plus anything declared via CREATE DATABASE or first seen as a
+        # CREATE TABLE db.t qualifier. Statements referencing a KNOWN
+        # database have the prefix stripped (all dbs share the flat
+        # catalog, like a single-disk CH server); an UNKNOWN database
+        # errors instead of silently acting on the same-named flat table.
+        self._databases: set[str] = {"default"}
         # config macros (hw09.md:295-325 getMacro usage; in CH these come
         # from <macros> in config.xml — one substitution set per server)
         self.macros: dict[str, str] = {"shard": "01", "replica": "replica_1"}
@@ -525,7 +532,10 @@ class Engine:
 
     def add_storage_policy(self, policy: str, volume: str, disks: list[str]):
         """Register a storage policy (CH <storage_configuration> config;
-        hw13.md:15-27). Tables opt in via SETTINGS storage_policy='…'."""
+        hw13.md:15-27). Tables opt in via SETTINGS storage_policy='…'.
+        Upsert by name — policies are config-unique in CH, so re-adding
+        one replaces it instead of duplicating the system view row."""
+        self.storage_policies = [p for p in self.storage_policies if p[0] != policy]
         self.storage_policies.append((policy, volume, list(disks)))
 
     _ON_CLUSTER_RE = re.compile(r"\s+ON\s+CLUSTER\s+'?(\w+)'?", re.IGNORECASE)
@@ -534,6 +544,42 @@ class Engine:
         """Statement router (EP1 entry point): DDL → catalog ops,
         everything else → :meth:`run` (logged SELECT)."""
         s = text.strip().rstrip(";")
+        dbm = re.match(
+            r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if dbm:
+            # D1 (hw03.md:7 `create database homework`): databases are
+            # namespaces over the flat catalog — CREATE registers the
+            # name so later `db.table` references resolve; DROP removes
+            # the name and the tables created under it stay (they live
+            # in the flat catalog; CH's DROP DATABASE CASCADE semantics
+            # are out of scope for the course surface).
+            if dbm.group(1).upper() == "CREATE":
+                self._databases.add(dbm.group(2).lower())
+                return {"created_database": dbm.group(2)}
+            self._databases.discard(dbm.group(2).lower())
+            return {"dropped_database": dbm.group(2)}
+        um = re.match(r"^\s*USE\s+(\w+)\s*$", s, re.IGNORECASE)
+        if um:
+            # USE db (D1): all databases share the flat catalog, so the
+            # statement is a membership check + no-op (CH errors on an
+            # unknown database too)
+            self._check_db_qualifier(um.group(1), "USE")
+            return {"using_database": um.group(1)}
+        cm = re.match(
+            r"^\s*CREATE\s+(?:TABLE|DICTIONARY|(?:MATERIALIZED\s+)?VIEW)\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)",
+            s,
+            re.IGNORECASE,
+        )
+        if cm:
+            # a CREATE under a new qualifier implicitly declares the
+            # namespace (creation is benign; only destructive statements
+            # demand a previously-known database)
+            self._databases.add(cm.group(1).lower())
+        s = self._strip_known_db_prefixes(s)
         # ON CLUSTER <name> (lecture_15.md:84-99): every node of the Spark
         # "cluster" is the same session, so the clause reduces to declaring
         # the topology (if new) and running the statement once.
@@ -672,14 +718,38 @@ class Engine:
             return routed
         return self.run(s, **params)
 
-    @staticmethod
-    def _check_db_qualifier(db: str | None, stmt: str) -> None:
-        """The engine's namespace is flat; only the ``default.`` prefix is
-        transparent (matching translate()'s rewrite). Any other database
-        qualifier is an error, never a silent strip — ``DROP TABLE
-        otherdb.t`` must not drop ``t``."""
-        if db is not None and db.lower() != "default":
-            raise KeyError(f"{stmt}: unknown database '{db}' (only 'default' exists)")
+    def _check_db_qualifier(self, db: str | None, stmt: str) -> None:
+        """The engine's namespace is flat; only KNOWN database prefixes
+        (``default`` + CREATE DATABASE declarations) are transparent.
+        Any other qualifier is an error, never a silent strip —
+        ``DROP TABLE otherdb.t`` must not drop ``t``."""
+        if db is not None and db.lower() not in self._databases:
+            raise KeyError(
+                f"{stmt}: unknown database '{db}' (known: {sorted(self._databases)})"
+            )
+
+    def _strip_known_db_prefixes(self, s: str) -> str:
+        """Strip ``db.`` qualifiers for KNOWN databases (quote-aware) so
+        every statement regex and the SQL front end see flat names —
+        hw03.md qualifies everything as ``homework.menu``. Unknown
+        prefixes are left in place; the destructive-statement regexes
+        then either error explicitly or fall through to a Spark
+        resolution error, never silently acting on the flat table.
+        Inline FORMAT-data blocks are never rewritten (only the
+        statement head before the data newline is scanned)."""
+        from otus_clickhouse_spark.functions.dialect import _sub_outside_quotes
+
+        if len(self._databases) == 1:
+            alts = "default"
+        else:
+            alts = "|".join(re.escape(d) for d in sorted(self._databases))
+        head, sep, data = s.partition("\n") if re.match(
+            r"^[^\n]*\bFORMAT\s+\w+\s*$", s.split("\n", 1)[0], re.IGNORECASE
+        ) else (s, "", "")
+        head = _sub_outside_quotes(
+            re.compile(rf"\b(?:{alts})\.(\w+)", re.IGNORECASE), r"\1", head
+        )
+        return head + sep + data
 
     def _values_frame(self, name: str, values_clause: str, cols: list[str] | None = None) -> DataFrame:
         """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED

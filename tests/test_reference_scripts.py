@@ -457,3 +457,5 @@ def test_hw13_script_backup_restore_verbatim(engine, tmp_path):
     assert statuses.count("BACKUP_CREATED") >= 2 and statuses.count("RESTORED") >= 2
     _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
     _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)
+    # the engine fixture is session-scoped: drop the policy this test added
+    engine.storage_policies = [p for p in engine.storage_policies if p[0] != "s3_main"]

@@ -829,8 +829,15 @@ def test_rbac_recorded_and_qualified_names(engine, sales):
     # the raw statement log stays available via SHOW GRANTS
     shown = engine.execute("SHOW GRANTS")
     assert any("GRANT SELECT" in s for s in shown)
-    # db-qualified table names resolve to the flat catalog (like USE db)
-    engine.execute(f"ALTER TABLE somedb.{sales} UPDATE amount = 0 WHERE id = 3")
+    # only the default. qualifier is transparent over the flat catalog;
+    # an unknown database must ERROR (ClickHouse parity), never silently
+    # mutate the same-named flat table
+    import pytest as _pytest
+
+    engine.execute(f"ALTER TABLE default.{sales} UPDATE amount = 0 WHERE id = 3")
+    assert engine.table(sales).filter("id = 3").collect()[0].amount == 0.0
+    with _pytest.raises(Exception):
+        engine.execute(f"ALTER TABLE somedb.{sales} UPDATE amount = 99 WHERE id = 3")
     assert engine.table(sales).filter("id = 3").collect()[0].amount == 0.0
 
 
@@ -1157,3 +1164,34 @@ def test_backup_restore_as_preserves_declared_semantics(engine, tmp_path):
         engine.execute("DROP TABLE IF EXISTS bk_sem")
         engine.execute("DROP TABLE IF EXISTS bk_sem_restored")
         _shutil.rmtree("spark-warehouse/_disks", ignore_errors=True)
+
+
+def test_database_namespace_semantics(engine, tmp_path):
+    """D1 databases over the flat catalog: CREATE DATABASE registers a
+    namespace (hw03.md:7), qualified DDL/DML/SELECT resolve through it,
+    USE validates membership, a CREATE under a new qualifier implicitly
+    declares it, and unknown-db destructive statements error."""
+    import pytest as _pytest
+
+    engine.execute("DROP TABLE IF EXISTS menu")
+    assert engine.execute("CREATE DATABASE hw")["created_database"] == "hw"
+    assert engine.execute("USE hw")["using_database"] == "hw"
+    engine.execute("CREATE TABLE hw.menu (id UInt32, name String) ENGINE = Memory")
+    engine.execute("INSERT INTO hw.menu VALUES (1, 'soup')")
+    assert engine.execute("SELECT name FROM hw.menu WHERE id = 1")[0].name == "soup"
+    # string literals carrying a db-qualified name stay untouched
+    engine.execute("INSERT INTO hw.menu VALUES (2, 'hw.menu')")
+    assert engine.execute("SELECT name FROM hw.menu WHERE id = 2")[0].name == "hw.menu"
+    with _pytest.raises(Exception):
+        engine.execute("USE nosuchdb")
+    with _pytest.raises(Exception):
+        engine.execute("ALTER TABLE nosuchdb.menu DELETE WHERE id = 1")
+    # CREATE TABLE under an undeclared qualifier implicitly declares it
+    engine.execute("CREATE TABLE lab6.t (id UInt32) ENGINE = Memory")
+    engine.execute("INSERT INTO lab6.t VALUES (9)")
+    assert engine.execute("SELECT * FROM lab6.t")[0].id == 9
+    engine.execute("DROP TABLE lab6.t")
+    engine.execute("DROP DATABASE lab6")
+    engine.execute("DROP TABLE hw.menu")
+    engine.execute("DROP DATABASE hw")
+    assert "hw" not in engine._databases

@@ -519,6 +519,15 @@ class Engine:
             "policy_name string, volume_name string, disks array<string>",
         )
 
+    def system_databases(self) -> DataFrame:
+        """≈ system.databases (D1; lecture_16.md SHOW DATABASES surface):
+        one row per known namespace over the flat catalog."""
+        return self.spark.createDataFrame(
+            [(d, "Atomic" if d != "system" else "System") for d in
+             sorted(self._databases | {"system"})],
+            "name string, engine string",
+        )
+
     def system_backups(self) -> DataFrame:
         """≈ system.backups (hw13.md:78,123: one row per BACKUP/RESTORE
         with a uuid id and BACKUP_CREATED/RESTORED status)."""
@@ -1281,7 +1290,12 @@ class Engine:
             union = reduce(DataFrame.unionByName, blocks)
             if td.engine == "Set":
                 union = union.distinct()
-            union.cache().createOrReplaceTempView(name)
+            # no .cache(): the blocks are already eagerly checkpointed
+            # (pinned in memory), and caching the union trips Spark's
+            # cache-manager on checkpoints of range()-TVF-derived plans
+            # (NoSuchElementException: key not found — seen on
+            # `INSERT INTO mem SELECT … FROM numbers(n)`)
+            union.createOrReplaceTempView(name)
             for mv in self._mvs.get(name, []):
                 mv.process_block(df)
             return

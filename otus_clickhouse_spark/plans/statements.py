@@ -169,7 +169,7 @@ _SHOW_CREATE_DICT_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+DICTIONARY\s+(?:default\.)?(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_MISC_RE = re.compile(
-    r"^\s*SHOW\s+(PROCESSLIST|DICTIONARIES|CLUSTERS|USERS|GRANTS)\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+(PROCESSLIST|DICTIONARIES|CLUSTERS|USERS|GRANTS|DATABASES)\s*$", re.IGNORECASE
 )
 # named collections (D14; hw19.md:37-48, lecture_18.md:294-334 grants)
 _CREATE_NC_RE = re.compile(
@@ -1073,6 +1073,8 @@ def _try_route_inner(engine, s: str):
             return sorted(engine._clusters)
         if kind == "GRANTS":
             return list(engine._rbac_log)
+        if kind == "DATABASES":
+            return sorted(engine._databases | {"system"})
         users = [
             rm.group(1)
             for stmt in engine._rbac_log

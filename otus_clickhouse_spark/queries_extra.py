@@ -1147,3 +1147,52 @@ def q94_replication_storage_metadata(spark, sf_dir):
         " FROM system.storage_policies"
         " ORDER BY kind, name"
     )
+
+
+@query(
+    "q95_database_namespace",
+    oracle="""
+    SELECT 3 AS n_dbs, 1 AS has_hw, 5 AS qualified_count,
+           1 AS literal_ok, 1 AS unknown_db_errors, 1 AS dropped
+    """,
+)
+def q95_database_namespace(spark, sf_dir):
+    """D1 database namespaces, driver-value-checked (hw03.md:7-33
+    ``create database homework`` + fully-qualified DDL/DML): CREATE
+    DATABASE registers a namespace over the flat catalog, qualified
+    CREATE/INSERT/SELECT resolve through it, string literals carrying a
+    ``db.table`` spelling stay untouched, an UNKNOWN database errors
+    instead of silently hitting the flat table, and DROP DATABASE
+    retires the name. All scalars; the oracle replays the expected
+    row."""
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, sf_dir, [])
+    eng.execute("CREATE DATABASE hwq95")
+    eng.execute("USE hwq95")
+    eng.execute("CREATE TABLE hwq95.t95 (id UInt32, s String) ENGINE = Memory")
+    eng.execute("INSERT INTO hwq95.t95 SELECT number, 'hwq95.t95' FROM numbers(5)")
+    n_dbs = eng.sql("SELECT count() AS n FROM system.databases").collect()[0].n
+    has_hw = eng.sql(
+        "SELECT count() AS n FROM system.databases WHERE name = 'hwq95'"
+    ).collect()[0].n
+    qualified = eng.execute("SELECT count() AS n FROM hwq95.t95")[0].n
+    literal_ok = eng.execute(
+        "SELECT count() AS n FROM hwq95.t95 WHERE s = 'hwq95.t95'"
+    )[0].n == 5
+    try:
+        eng.execute("ALTER TABLE nodb95.t95 DELETE WHERE id = 0")
+        unknown_errors = False
+    except Exception:
+        unknown_errors = True
+    eng.execute("DROP TABLE hwq95.t95")
+    eng.execute("DROP DATABASE hwq95")
+    dropped = "hwq95" not in eng._databases
+    return spark.range(1).select(
+        F.lit(int(n_dbs)).alias("n_dbs"),
+        F.lit(int(has_hw)).alias("has_hw"),
+        F.lit(int(qualified)).alias("qualified_count"),
+        F.lit(int(literal_ok)).alias("literal_ok"),
+        F.lit(int(unknown_errors)).alias("unknown_db_errors"),
+        F.lit(int(dropped)).alias("dropped"),
+    )

@@ -2858,3 +2858,55 @@ def x55_link_pagerank(spark, sf_dir):
         .limit(20)
         .select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pr"))
     )
+
+
+@query(
+    "x56_sq8_quantized_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    stats AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM c, dims GROUP BY i),
+    st AS (
+      SELECT list(mn ORDER BY i) AS mns,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 0 END ORDER BY i) AS sc
+      FROM stats
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN st.sc[i] = 0 THEN -128.0
+                         ELSE least(255.0, greatest(0.0,
+                              round((v[i] - st.mns[i]) / st.sc[i]))) - 128 END) AS cd
+      FROM c, st
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, codes.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 i -> q.qv[i] * (st.mns[i] + (codes.cd[i] + 128) * st.sc[i]))), 4) AS qdot
+      FROM codes, q, st
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, qdot,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, qdot, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def x56_sq8_quantized_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN (pipeline.similarity.sq8_topk): the
+    corpus compresses to 1-byte-per-dim codes via per-dimension
+    (min, scale) trained in one distributed pass; search dequantizes on
+    the fly against full-precision queries (asymmetric distance). The
+    memory-bandwidth scale path beside x04's exact baseline and
+    x05/x29's pruning paths. Oracle replays the identical quantize +
+    dequantize arithmetic with DuckDB list functions."""
+    from otus_clickhouse_spark.pipeline.similarity import sq8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(emb, queries, k=5, dim=64)

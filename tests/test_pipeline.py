@@ -1267,3 +1267,38 @@ def test_mp3_frame_header_probe():
     assert multimodal._decode_bytes("audio", junk) == [
         float(len(junk)), float(sum(junk[:64]) % 251), float(junk[0]), float(junk[-1])
     ]
+
+
+def test_sq8_quantized_topk_recall(spark, sf_dir):
+    """SQ8 codes keep MIPS top-k faithful: recall@10 vs the exact
+    brute-force baseline stays high on the test corpus, codes are
+    genuine tinyint arrays, and a constant dimension quantizes without
+    dividing by zero."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk, sq8_codes, sq8_stats, sq8_topk,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sq8_topk(emb, queries, k=10, dim=64)
+    exact = brute_force_topk(emb, queries, k=10)
+    hits = approx.select("query_id", "vec_id").intersect(
+        exact.select("query_id", "vec_id")
+    ).count()
+    assert hits / (5 * 10) >= 0.9, f"SQ8 recall@10 too low: {hits}/50"
+    # codes really are int8-typed arrays
+    codes = sq8_codes(emb, *sq8_stats(emb, 64))
+    assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
+    # constant dimension → scale 0, code -128, no crash
+    const = emb.select("vec_id", F.expr(
+        "transform(embedding, (v, i) -> CASE WHEN i = 0 THEN CAST(7.5 AS FLOAT) ELSE v END)"
+    ).alias("embedding"))
+    mins, scales = sq8_stats(const, 4)
+    assert scales[0] == 0.0
+    first = sq8_codes(const, mins, scales).select(F.col("codes")[0].alias("c0")).distinct().collect()
+    assert [r.c0 for r in first] == [-128]

@@ -2910,3 +2910,70 @@ def x56_sq8_quantized_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sq8_topk(emb, queries, k=5, dim=64)
+
+
+@query(
+    "x57_scd2_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS ts,
+             o_orderstatus AS st, o_totalprice AS price FROM orders),
+    u1 AS (
+      SELECT k, ts + 30 AS ts, 'X' AS st, round(price * 1.1, 2) AS price
+      FROM base WHERE k % 7 = 0),
+    u2 AS (
+      SELECT k, ts + 60 AS ts, 'X' AS st, round(price * 1.1, 2) AS price
+      FROM base WHERE k % 14 = 0),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2),
+    flagged AS (
+      SELECT k, ts, st, price,
+             row_number() OVER (PARTITION BY k ORDER BY ts) AS rn,
+             lag(st) OVER (PARTITION BY k ORDER BY ts) AS pst,
+             lag(price) OVER (PARTITION BY k ORDER BY ts) AS pprice
+      FROM merged),
+    opened AS (
+      SELECT k, ts, st FROM flagged
+      WHERE rn = 1 OR st IS DISTINCT FROM pst OR price IS DISTINCT FROM pprice),
+    hist AS (
+      SELECT k, st, lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+      FROM opened)
+    SELECT st AS status, count(*) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current
+    FROM hist GROUP BY st ORDER BY st
+    """,
+)
+def x57_scd2_cdc_merge(spark, sf_dir):
+    """SCD-type-2 CDC merge (pipeline.cdc.scd2_merge): base snapshot +
+    two deterministic update batches (one real change, one no-op that
+    must COLLAPSE into the previous version) merge into a validity-
+    interval history in one key-partitioned window — a single shuffle
+    regardless of batch count. ReplacingMergeTree's history-preserving
+    complement (lecture_07.md:551-678). Oracle replays the identical
+    open/collapse windowing."""
+    from otus_clickhouse_spark.pipeline.cdc import scd2_merge
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    u1 = base.where(F.col("k") % 7 == 0).select(
+        "k", F.date_add("ts", 30).alias("ts"), F.lit("X").alias("st"),
+        F.round(F.col("price") * 1.1, 2).alias("price"),
+    )
+    u2 = base.where(F.col("k") % 14 == 0).select(
+        "k", F.date_add("ts", 60).alias("ts"), F.lit("X").alias("st"),
+        F.round(F.col("price") * 1.1, 2).alias("price"),
+    )
+    hist = scd2_merge(base, u1.unionByName(u2), key="k", ts_col="ts", attrs=["st", "price"])
+    return (
+        hist.groupBy(F.col("st").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("int")).cast("bigint").alias("n_current"),
+        )
+        .orderBy("status")
+    )

@@ -1302,3 +1302,38 @@ def test_sq8_quantized_topk_recall(spark, sf_dir):
     assert scales[0] == 0.0
     first = sq8_codes(const, mins, scales).select(F.col("codes")[0].alias("c0")).distinct().collect()
     assert [r.c0 for r in first] == [-128]
+
+
+def test_scd2_merge_semantics(spark):
+    """scd2_merge: intervals chain per key, no-op updates collapse,
+    scd2_as_of time-travels to the version valid at ts."""
+    import datetime as dt
+
+    from otus_clickhouse_spark.pipeline.cdc import scd2_as_of, scd2_merge
+
+    d = dt.date
+    base = spark.createDataFrame(
+        [(1, d(2024, 1, 1), "A", 10.0), (2, d(2024, 1, 1), "B", 20.0)],
+        "k int, ts date, st string, price double",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, d(2024, 2, 1), "A2", 11.0),   # real change
+            (1, d(2024, 3, 1), "A2", 11.0),   # no-op → collapses
+            (1, d(2024, 4, 1), "A3", 12.0),   # real change
+        ],
+        "k int, ts date, st string, price double",
+    )
+    hist = scd2_merge(base, updates, key="k", ts_col="ts", attrs=["st", "price"])
+    rows = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to), r.st, r.is_current)
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, "2024-01-01", "2024-02-01", "A", False),
+        (1, "2024-02-01", "2024-04-01", "A2", False),  # no-op swallowed
+        (1, "2024-04-01", "None", "A3", True),
+        (2, "2024-01-01", "None", "B", True),
+    ]
+    asof = {r.k: r.st for r in scd2_as_of(hist, d(2024, 3, 15)).collect()}
+    assert asof == {1: "A2", 2: "B"}

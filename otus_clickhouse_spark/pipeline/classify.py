@@ -266,3 +266,55 @@ def hashed_embeddings(
         id_col,
         F.transform("raw", lambda x: x / nrm).alias("embedding"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+    ndigits: int = 4,
+) -> DataFrame:
+    """nDCG@k retrieval-quality eval: one row per query with
+    ``(dcg, idcg, ndcg)`` using the standard exponential gain
+    ``(2^rel - 1) / log2(pos + 1)``.
+
+    Plan shape: DCG is a broadcast-or-shuffle join of the top-k ranking
+    against the judged labels followed by a per-query sum; IDCG ranks
+    each query's judged set by relevance in a window. Both shuffle only
+    (query, doc, small-int) triples — at 100 TB the eval cost tracks
+    the judgment set, never the corpus. All arithmetic is portable SQL
+    (log2/pow), so a DuckDB oracle replays it exactly.
+
+    Queries whose ranking hits no judged doc score dcg = 0 (the eval's
+    point: an unjudged-only ranking is indistinguishable from a bad
+    one under the available labels).
+    """
+    gain = lambda rel, pos: (F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1)  # noqa: E731
+    dcg = (
+        ranked.where(F.col(rank_col) <= k)
+        .join(labels, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.sum(gain(F.col(rel_col), F.col(rank_col))).alias("dcg"))
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc(rel_col), F.col(id_col))
+    idcg = (
+        labels.withColumn("__ipos", F.row_number().over(w))
+        .where(F.col("__ipos") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(gain(F.col(rel_col), F.col("__ipos"))).alias("idcg"))
+    )
+    return (
+        idcg.join(dcg, query_col, "left")
+        .select(
+            query_col,
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), ndigits).alias("dcg"),
+            F.round(F.col("idcg"), ndigits).alias("idcg"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), ndigits
+            ).alias("ndcg"),
+        )
+    )

@@ -180,6 +180,12 @@ _DROP_NC_RE = re.compile(
     r"^\s*DROP\s+NAMED\s+COLLECTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
 )
 _SHOW_NC_RE = re.compile(r"^\s*SHOW\s+NAMED\s+COLLECTIONS\s*$", re.IGNORECASE)
+# SHOW TABLES [FROM db] [LIKE '%pat%'] (D5; lecture_16.md:330): the FROM
+# clause validates against the known-database set (all share the flat
+# catalog); LIKE filters with CH's %/_ wildcards
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+FROM\s+(\w+))?(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
 _ALTER_NC_RE = re.compile(
     r"^\s*ALTER\s+NAMED\s+COLLECTION\s+(\w+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -1057,6 +1063,20 @@ def _try_route_inner(engine, s: str):
 
     if _SHOW_NC_RE.match(s):
         return sorted(engine._named_collections)
+
+    m = _SHOW_TABLES_RE.match(s)
+    if m and (m.group(1) or m.group(2)):
+        # bare SHOW TABLES stays with Spark (it lists the temp views);
+        # the FROM/LIKE forms resolve against the engine registry
+        engine._check_db_qualifier(m.group(1), "SHOW TABLES")
+        names = sorted(engine.tables)
+        if m.group(2):
+            pat = re.compile(
+                "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",
+                re.IGNORECASE,
+            )
+            names = [n for n in names if pat.match(n)]
+        return names
 
     m = _SHOW_MISC_RE.match(s)
     if m:

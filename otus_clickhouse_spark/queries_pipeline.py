@@ -2977,3 +2977,64 @@ def x57_scd2_cdc_merge(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@query(
+    "x58_ndcg_retrieval_eval",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qv, c.cv), 4) AS cos
+      FROM c CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored),
+    labels AS (
+      SELECT qq.query_id, cc.vec_id, 1 + (cc.vec_id % 3) AS rel
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      CROSS JOIN (SELECT vec_id FROM embeddings) cc
+      WHERE (cc.vec_id * 7 + qq.query_id) % 13 = 0),
+    dcg AS (
+      SELECT r.query_id,
+             sum((pow(2.0, l.rel) - 1) / log2(r.rnk + 1)) AS dcg
+      FROM ranked r JOIN labels l USING (query_id, vec_id)
+      WHERE r.rnk <= 10 GROUP BY r.query_id),
+    idcg AS (
+      SELECT query_id, sum((pow(2.0, rel) - 1) / log2(ipos + 1)) AS idcg
+      FROM (SELECT query_id, rel, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id) AS ipos
+            FROM labels) s
+      WHERE ipos <= 10 GROUP BY query_id)
+    SELECT i.query_id,
+           round(coalesce(d.dcg, 0), 4) AS dcg,
+           round(i.idcg, 4) AS idcg,
+           round(coalesce(d.dcg, 0) / i.idcg, 4) AS ndcg
+    FROM idcg i LEFT JOIN dcg d USING (query_id) ORDER BY i.query_id
+    """,
+)
+def x58_ndcg_retrieval_eval(spark, sf_dir):
+    """nDCG@10 retrieval eval (pipeline.classify.ndcg_at_k) over the
+    x04 cosine ranking with a deterministic sparse judgment set —
+    the RAG-pipeline quality gate beside the recall evals (x41/x42).
+    Eval cost tracks the judged set, not the corpus; oracle replays
+    the exponential-gain DCG/IDCG arithmetic."""
+    from otus_clickhouse_spark.pipeline.classify import ndcg_at_k
+    from otus_clickhouse_spark.pipeline.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ranked = brute_force_topk(emb, queries, k=10)
+    labels = (
+        emb.select("vec_id")
+        .crossJoin(queries.select("query_id"))
+        .where(((F.col("vec_id") * 7 + F.col("query_id")) % 13) == 0)
+        .withColumn("rel", (F.lit(1) + F.col("vec_id") % 3).cast("int"))
+    )
+    return ndcg_at_k(ranked, labels, k=10).orderBy("query_id")

@@ -1337,3 +1337,32 @@ def test_scd2_merge_semantics(spark):
     ]
     asof = {r.k: r.st for r in scd2_as_of(hist, d(2024, 3, 15)).collect()}
     assert asof == {1: "A2", 2: "B"}
+
+
+def test_ndcg_at_k_known_values(spark):
+    """ndcg_at_k on a hand-computed example: perfect ranking → 1.0,
+    inverted ranking < 1, unjudged-only ranking → 0."""
+    from otus_clickhouse_spark.pipeline.classify import ndcg_at_k
+
+    labels = spark.createDataFrame(
+        [(0, 10, 3), (0, 11, 2), (0, 12, 1), (1, 10, 2)],
+        "query_id int, vec_id int, rel int",
+    )
+    perfect = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 99, 1)],
+        "query_id int, vec_id int, rnk int",
+    )
+    out = {r.query_id: r for r in ndcg_at_k(perfect, labels, k=3).collect()}
+    assert out[0].ndcg == 1.0
+    assert out[1].ndcg == 0.0 and out[1].dcg == 0.0  # only unjudged docs ranked
+    inverted = spark.createDataFrame(
+        [(0, 12, 1), (0, 11, 2), (0, 10, 3)],
+        "query_id int, vec_id int, rnk int",
+    )
+    inv = {r.query_id: r for r in ndcg_at_k(inverted, labels, k=3).collect()}
+    assert 0 < inv[0].ndcg < 1.0
+    # hand check: DCG = 1/1 + 3/log2(3) + 7/2 ; IDCG = 7/1 + 3/log2(3) + 1/2
+    import math
+    dcg = 1.0 + 3 / math.log2(3) + 7 / 2
+    idcg = 7.0 + 3 / math.log2(3) + 1 / 2
+    assert abs(inv[0].ndcg - round(dcg / idcg, 4)) < 1e-9

@@ -1195,3 +1195,20 @@ def test_database_namespace_semantics(engine, tmp_path):
     engine.execute("DROP TABLE hw.menu")
     engine.execute("DROP DATABASE hw")
     assert "hw" not in engine._databases
+
+
+def test_show_tables_from_and_like(engine, tmp_path):
+    engine.execute("CREATE TABLE shw_alpha (id UInt32) ENGINE = Memory")
+    engine.execute("CREATE TABLE shw_beta (id UInt32) ENGINE = Memory")
+    try:
+        got = engine.execute("SHOW TABLES LIKE 'shw_%'")
+        assert set(got) >= {"shw_alpha", "shw_beta"}
+        got = engine.execute("SHOW TABLES FROM default LIKE '%alpha%'")
+        assert got == ["shw_alpha"]
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            engine.execute("SHOW TABLES FROM nosuchdb")
+    finally:
+        engine.execute("DROP TABLE shw_alpha")
+        engine.execute("DROP TABLE shw_beta")

@@ -752,13 +752,12 @@ class Engine:
             alts = "default"
         else:
             alts = "|".join(re.escape(d) for d in sorted(self._databases))
-        head, sep, data = s.partition("\n") if re.match(
-            r"^[^\n]*\bFORMAT\s+\w+\s*$", s.split("\n", 1)[0], re.IGNORECASE
-        ) else (s, "", "")
+        fm = re.search(r"\bFORMAT\s+\w+\s*\n", s, re.IGNORECASE)
+        head, data = (s[: fm.end()], s[fm.end() :]) if fm else (s, "")
         head = _sub_outside_quotes(
             re.compile(rf"\b(?:{alts})\.(\w+)", re.IGNORECASE), r"\1", head
         )
-        return head + sep + data
+        return head + data
 
     def _values_frame(self, name: str, values_clause: str, cols: list[str] | None = None) -> DataFrame:
         """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED

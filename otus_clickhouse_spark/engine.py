@@ -101,6 +101,7 @@ class Engine:
         # catalog, like a single-disk CH server); an UNKNOWN database
         # errors instead of silently acting on the same-named flat table.
         self._databases: set[str] = {"default"}
+        self._database_engines: dict[str, str] = {}  # engined CREATE DATABASE forms
         # config macros (hw09.md:295-325 getMacro usage; in CH these come
         # from <macros> in config.xml — one substitution set per server)
         self.macros: dict[str, str] = {"shard": "01", "replica": "replica_1"}
@@ -523,8 +524,11 @@ class Engine:
         """≈ system.databases (D1; lecture_16.md SHOW DATABASES surface):
         one row per known namespace over the flat catalog."""
         return self.spark.createDataFrame(
-            [(d, "Atomic" if d != "system" else "System") for d in
-             sorted(self._databases | {"system"})],
+            [
+                (d, "System" if d == "system"
+                 else self._database_engines.get(d, "Atomic"))
+                for d in sorted(self._databases | {"system"})
+            ],
             "name string, engine string",
         )
 
@@ -554,9 +558,10 @@ class Engine:
         everything else → :meth:`run` (logged SELECT)."""
         s = text.strip().rstrip(";")
         dbm = re.match(
-            r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*$",
+            r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)"
+            r"(?:\s+ON\s+CLUSTER\s+'?\w+'?)?\s*(?:ENGINE\s*=\s*(\w+)\s*(?:\([^)]*\))?\s*)?$",
             s,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if dbm:
             # D1 (hw03.md:7 `create database homework`): databases are
@@ -564,11 +569,19 @@ class Engine:
             # name so later `db.table` references resolve; DROP removes
             # the name and the tables created under it stay (they live
             # in the flat catalog; CH's DROP DATABASE CASCADE semantics
-            # are out of scope for the course surface).
+            # are out of scope for the course surface). The engined form
+            # (hw19.md:85 `CREATE DATABASE pg ENGINE = PostgreSQL(…)`)
+            # records the engine for SHOW/system.databases; its tables
+            # proxy through the table-level JDBC path (S15/S16) when
+            # declared individually — remote auto-discovery needs a live
+            # server this sandbox doesn't have.
             if dbm.group(1).upper() == "CREATE":
                 self._databases.add(dbm.group(2).lower())
+                if dbm.group(3):
+                    self._database_engines[dbm.group(2).lower()] = dbm.group(3)
                 return {"created_database": dbm.group(2)}
             self._databases.discard(dbm.group(2).lower())
+            self._database_engines.pop(dbm.group(2).lower(), None)
             return {"dropped_database": dbm.group(2)}
         um = re.match(r"^\s*USE\s+(\w+)\s*$", s, re.IGNORECASE)
         if um:

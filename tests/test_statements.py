@@ -1212,3 +1212,22 @@ def test_show_tables_from_and_like(engine, tmp_path):
     finally:
         engine.execute("DROP TABLE shw_alpha")
         engine.execute("DROP TABLE shw_beta")
+
+
+def test_create_database_engined_and_on_cluster(engine):
+    """hw19.md:85 `CREATE DATABASE pg ENGINE = PostgreSQL(...)` and the
+    ON CLUSTER form both register the namespace; the engine surfaces in
+    system.databases."""
+    engine.execute("CREATE DATABASE pgx ENGINE = PostgreSQL(mypg, schema='book')")
+    engine.execute("CREATE DATABASE IF NOT EXISTS clus ON CLUSTER 'main'")
+    try:
+        rows = {r.name: r.engine for r in engine.sql(
+            "SELECT name, engine FROM system.databases").collect()}
+        assert rows["pgx"] == "PostgreSQL"
+        assert rows["clus"] == "Atomic"
+        assert rows["system"] == "System"
+        assert "clus" in engine.execute("SHOW DATABASES")
+    finally:
+        engine.execute("DROP DATABASE IF EXISTS pgx")
+        engine.execute("DROP DATABASE IF EXISTS clus")
+    assert "pgx" not in engine._databases and "pgx" not in engine._database_engines

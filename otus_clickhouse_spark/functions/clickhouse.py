@@ -274,7 +274,14 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("editDistance", "a STRING, b STRING", "INT", "levenshtein(a, b)"),
     ("farmFingerprint64", "s STRING", "BIGINT", "xxhash64(s)"),
     ("halfMD5", "s STRING", "BIGINT", "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"),
-    ("SHA256", "s STRING", "STRING", "sha2(s, 256)"),
+    # CH's SHA*/MD5 return raw bytes (FixedString(N)) so the idiomatic
+    # `hex(SHA256(x))` renders hex — return BINARY to keep that
+    # composition exact. MD5/SHA1 collide with Spark builtins (which
+    # return hex strings and cannot be shadowed by SQL UDFs), so those
+    # two are handled by a textual rewrite in dialect.py instead.
+    ("SHA224", "s STRING", "BINARY", "unhex(sha2(s, 224))"),
+    ("SHA256", "s STRING", "BINARY", "unhex(sha2(s, 256))"),
+    ("SHA512", "s STRING", "BINARY", "unhex(sha2(s, 512))"),
     ("generateUUIDv4", "", "STRING", "uuid()"),
     # --- URL functions
     ("domain", "url STRING", "STRING", "parse_url(url, 'HOST')"),
@@ -284,6 +291,65 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("extractURLParameter", "url STRING, k STRING", "STRING", "parse_url(url, 'QUERY', k)"),
     ("cutQueryString", "url STRING", "STRING",
      "CASE WHEN instr(url, '?') > 0 THEN substring(url, 1, instr(url, '?') - 1) ELSE url END"),
+    ("domainWithoutWWW", "u STRING", "STRING",
+     "regexp_replace(parse_url(u, 'HOST'), '^www\\\\.', '')"),
+    ("pathFull", "u STRING", "STRING", "parse_url(u, 'FILE')"),
+    ("fragment", "u STRING", "STRING", "parse_url(u, 'REF')"),
+    ("extractURLParameters", "u STRING", "ARRAY<STRING>",
+     "filter(split(coalesce(parse_url(u, 'QUERY'), ''), '&'), x -> x != '')"),
+    # CH's firstSignificantSubdomain heuristic: the label left of a
+    # generic second-level domain (com/net/org/co/gov/edu/mil), else
+    # the second-to-last label
+    ("firstSignificantSubdomain", "u STRING", "STRING",
+     "CASE WHEN size(split(parse_url(u, 'HOST'), '\\\\.')) >= 3 "
+     "     AND element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2) "
+     "         IN ('com', 'net', 'org', 'co', 'gov', 'edu', 'mil') "
+     "THEN element_at(split(parse_url(u, 'HOST'), '\\\\.'), -3) "
+     "ELSE element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2) END"),
+    # CH percent-encodes spaces as %20 (not form-encoding's '+'); on
+    # decode, '+' stays a literal plus
+    ("encodeURLComponent", "s STRING", "STRING", "replace(url_encode(s), '+', '%20')"),
+    ("decodeURLComponent", "s STRING", "STRING", "url_decode(replace(s, '+', '%2B'))"),
+    ("tryBase64Decode", "s STRING", "STRING",
+     "coalesce(CAST(try_to_binary(s, 'base64') AS STRING), '')"),
+    # ray-casting point-in-polygon over the vertex array — a pure
+    # aggregate fold, codegen'd, no UDF (CH geo family)
+    ("pointInPolygon", "p STRUCT<x: DOUBLE, y: DOUBLE>, poly ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+     "INT",
+     "aggregate(sequence(0, size(poly) - 1), 0, (acc, i) -> acc + "
+     "  (CASE WHEN (poly[i].y > p.y) != (poly[pmod(i + 1, size(poly))].y > p.y) "
+     "             AND p.x < (poly[pmod(i + 1, size(poly))].x - poly[i].x) "
+     "                       * (p.y - poly[i].y) "
+     "                       / (poly[pmod(i + 1, size(poly))].y - poly[i].y) "
+     "                       + poly[i].x "
+     "        THEN 1 ELSE 0 END)) % 2"),
+    # geohash: fold 5*precision interval-halving bits (lon first), one
+    # base32 char per 5 bits — the standard algorithm as an expression
+    # phase 1 folds 5*prec interval-halving bits (lon first) into a
+    # '0'/'1' string; phase 2 maps each 5-bit group to its base32 char
+    ("geohashEncode", "lon DOUBLE, lat DOUBLE, prec INT", "STRING",
+     "array_join(transform(sequence(1, prec), g -> substring("
+     "  '0123456789bcdefghjkmnpqrstuvwxyz', "
+     "  CAST(conv(substring("
+     "    aggregate(sequence(1, 5 * prec), "
+     "      named_struct('lo1', CAST(-180.0 AS DOUBLE), 'lo2', CAST(180.0 AS DOUBLE), "
+     "                   'la1', CAST(-90.0 AS DOUBLE), 'la2', CAST(90.0 AS DOUBLE), "
+     "                   'bits', CAST('' AS STRING)), "
+     "      (acc, i) -> CASE WHEN i % 2 = 1 THEN "
+     "        (CASE WHEN lon >= (acc.lo1 + acc.lo2) / 2 "
+     "         THEN named_struct('lo1', (acc.lo1 + acc.lo2) / 2, 'lo2', acc.lo2, "
+     "                           'la1', acc.la1, 'la2', acc.la2, 'bits', concat(acc.bits, '1')) "
+     "         ELSE named_struct('lo1', acc.lo1, 'lo2', (acc.lo1 + acc.lo2) / 2, "
+     "                           'la1', acc.la1, 'la2', acc.la2, 'bits', concat(acc.bits, '0')) END) "
+     "      ELSE "
+     "        (CASE WHEN lat >= (acc.la1 + acc.la2) / 2 "
+     "         THEN named_struct('lo1', acc.lo1, 'lo2', acc.lo2, "
+     "                           'la1', (acc.la1 + acc.la2) / 2, 'la2', acc.la2, 'bits', concat(acc.bits, '1')) "
+     "         ELSE named_struct('lo1', acc.lo1, 'lo2', acc.lo2, "
+     "                           'la1', acc.la1, 'la2', (acc.la1 + acc.la2) / 2, 'bits', concat(acc.bits, '0')) END) "
+     "      END, "
+     "      acc -> acc.bits), "
+     "    (g - 1) * 5 + 1, 5), 2, 10) AS INT) + 1, 1)), '')"),
     # --- IPv4 (lecture_15.md:286 IPv4 type helpers)
     ("IPv4NumToString", "n BIGINT", "STRING",
      "concat(CAST(CAST(floor(n / 16777216) AS BIGINT) % 256 AS STRING), '.', "

@@ -304,6 +304,22 @@ def _rewrite_kurtpop(text: str) -> str:
         text = text[: m.start()] + f"(kurtosis({', '.join(args)}) + 3.0)" + text[end:]
 
 
+def _rewrite_crypto_hashes(text: str) -> str:
+    """CH's ``MD5``/``SHA1`` return raw bytes (FixedString) — the
+    idiomatic ``hex(MD5(x))`` must yield the digest hex. Spark's
+    same-named builtins return hex STRINGS and cannot be shadowed by
+    SQL UDFs, so the CH-cased spellings rewrite to
+    ``unhex(builtin(...))`` (lowercase ``md5(x)`` stays Spark-native)."""
+    for ch_name, spark_fn in (("MD5", "md5"), ("SHA1", "sha1")):
+        while True:
+            m = re.search(rf"\b{ch_name}\s*\(", text)
+            if not m:
+                break
+            args, end = _split_call_args(text, text.index("(", m.start()))
+            text = text[: m.start()] + f"unhex({spark_fn}({', '.join(args)}))" + text[end:]
+    return text
+
+
 def _rewrite_splitByChar(text: str) -> str:
     """Inline splitByChar(sep, s) → split(s, quoted-sep) textually.
 
@@ -1637,6 +1653,7 @@ def translate(
     text = _rewrite_null_distinct_combinators(text)
     text = _rewrite_if_combinators(text)
     text = _rewrite_kurtpop(text)
+    text = _rewrite_crypto_hashes(text)
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)

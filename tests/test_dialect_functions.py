@@ -542,7 +542,7 @@ def test_long_tail_scalar_functions(engine):
         "dateName('weekday', TIMESTAMP '2024-01-01 00:00:00') AS wd, "
         "multiSearchAny('hello world', ['x', 'wor']) AS ms, "
         "isFinite(1.0) AS fin, isNaN(double('nan')) AS nan_, "
-        "MD5('abc') AS h, "
+        "lower(hex(MD5('abc'))) AS h, "
         "arrayCumSum(CAST(array(1, 2, 3) AS ARRAY<DOUBLE>)) AS cs, "
         "arrayDifference(CAST(array(1, 4, 9) AS ARRAY<DOUBLE>)) AS ad, "
         "arrayCompact(['a', 'a', 'b', 'a']) AS ac, "
@@ -974,3 +974,54 @@ def test_sub_outside_quotes_handles_backticks_and_doubles():
 
     s = "a 'keep a' `keep a` \"keep a\" a"
     assert _sub_outside_quotes(r"\ba\b", "X", s) == "X 'keep a' `keep a` \"keep a\" X"
+
+
+def test_crypto_hash_binary_composition(engine):
+    """CH's MD5/SHA* return raw bytes — hex(MD5(x)) must yield the
+    digest hex (the builtin-shadowing gap is closed by a textual
+    rewrite for MD5/SHA1 and BINARY-returning UDFs for SHA224/256/512)."""
+    row = engine.sql(
+        "SELECT lower(hex(MD5('abc'))) AS m, lower(hex(SHA1('abc'))) AS s1, "
+        "lower(hex(SHA256('abc'))) AS s256, length(hex(SHA512('abc'))) AS l512, "
+        "md5('abc') AS spark_md5"
+    ).collect()[0]
+    assert row.m == "900150983cd24fb0d6963f7d28e17f72"
+    assert row.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert row.s256 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    assert row.l512 == 128
+    # lowercase md5 stays Spark-native (hex string)
+    assert row.spark_md5 == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_url_function_batch(engine):
+    row = engine.sql(
+        "SELECT domainWithoutWWW('http://www.example.com/') AS dw, "
+        "pathFull('https://example.com/a/b?c=1') AS pf, "
+        "fragment('https://example.com/a#frag') AS fr, "
+        "extractURLParameters('http://x.com/?a=1&b=2') AS ps, "
+        "firstSignificantSubdomain('http://news.example.com.ua/') AS fs1, "
+        "firstSignificantSubdomain('http://sub.example.org/') AS fs2, "
+        "encodeURLComponent('a b&c') AS enc, "
+        "decodeURLComponent('a%20b+c') AS dec, "
+        "tryBase64Decode('YWJj') AS b64, tryBase64Decode('!!!') AS b64bad"
+    ).collect()[0]
+    assert row.dw == "example.com"
+    assert row.pf == "/a/b?c=1" and row.fr == "frag"
+    assert row.ps == ["a=1", "b=2"]
+    assert (row.fs1, row.fs2) == ("example", "example")
+    assert row.enc == "a%20b%26c" and row.dec == "a b+c"
+    assert row.b64 == "abc" and row.b64bad == ""
+
+
+def test_geo_function_batch(engine):
+    row = engine.sql(
+        "SELECT pointInPolygon((0.5, 0.5), [(0.0,0.0),(1.0,0.0),(1.0,1.0),(0.0,1.0)]) AS inside, "
+        "pointInPolygon((1.5, 0.5), [(0.0,0.0),(1.0,0.0),(1.0,1.0),(0.0,1.0)]) AS outside, "
+        # concave L-shape: the notch is outside
+        "pointInPolygon((1.5, 1.5), [(0.0,0.0),(2.0,0.0),(2.0,1.0),(1.0,1.0),(1.0,2.0),(0.0,2.0)]) AS notch, "
+        "geohashEncode(-5.60302734375, 42.593994140625, 5) AS gh5, "
+        "geohashEncode(13.361389, 38.115556, 8) AS gh8"
+    ).collect()[0]
+    assert (row.inside, row.outside, row.notch) == (1, 0, 0)
+    assert row.gh5 == "ezs42"          # classic geohash reference point
+    assert row.gh8 == "sqc8b49r"       # Palermo example from the geohash spec

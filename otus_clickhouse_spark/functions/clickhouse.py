@@ -350,6 +350,18 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "      END, "
      "      acc -> acc.bits), "
      "    (g - 1) * 5 + 1, 5), 2, 10) AS INT) + 1, 1)), '')"),
+    ("cutToFirstSignificantSubdomain", "u STRING", "STRING",
+     "CASE WHEN size(split(parse_url(u, 'HOST'), '\\\\.')) >= 3 "
+     "     AND element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2) "
+     "         IN ('com', 'net', 'org', 'co', 'gov', 'edu', 'mil') "
+     "THEN array_join(slice(split(parse_url(u, 'HOST'), '\\\\.'), -3, 3), '.') "
+     "ELSE array_join(slice(split(parse_url(u, 'HOST'), '\\\\.'), -2, 2), '.') END"),
+    ("cutWWW", "u STRING", "STRING", "regexp_replace(u, '(://)www\\\\.', '$1')"),
+    ("normalizeQuery", "q STRING", "STRING",
+     # literals → placeholders (system.query_log normalization role):
+     # quoted strings first, then standalone numbers
+     "regexp_replace(regexp_replace(q, \"'[^']*'\", '?'), "
+     "'(^|[^\\\\w])[-+]?[0-9]+(\\\\.[0-9]+)?', '$1?')"),
     # --- IPv4 (lecture_15.md:286 IPv4 type helpers)
     ("IPv4NumToString", "n BIGINT", "STRING",
      "concat(CAST(CAST(floor(n / 16777216) AS BIGINT) % 256 AS STRING), '.', "
@@ -359,6 +371,46 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("IPv4StringToNum", "s STRING", "BIGINT",
      "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 + "
      "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT)"),
+    # loose structural IPv6 check (full/compressed forms) — documented
+    # approximation, like the ngram fuzzy-match family
+    ("isIPv6String", "s STRING", "BOOLEAN",
+     "s RLIKE '^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+     "|(([0-9A-Fa-f]{1,4}:)+|:)((:[0-9A-Fa-f]{1,4})+|:))$'"),
+    # IPv4 CIDR membership / range (SQL-UDF composition over
+    # IPv4StringToNum — power-of-two arithmetic instead of bit masks)
+    ("isIPAddressInRange", "addr STRING, cidr STRING", "BOOLEAN",
+     "CASE WHEN instr(addr, ':') > 0 OR instr(cidr, ':') > 0 THEN FALSE ELSE "
+     "  CAST(floor(IPv4StringToNum(addr) "
+     "             / power(2, 32 - CAST(split(cidr, '/')[1] AS INT))) AS BIGINT) = "
+     "  CAST(floor(IPv4StringToNum(split(cidr, '/')[0]) "
+     "             / power(2, 32 - CAST(split(cidr, '/')[1] AS INT))) AS BIGINT) END"),
+    ("IPv4CIDRToRange", "ip STRING, p INT", "STRUCT<lo: STRING, hi: STRING>",
+     "named_struct("
+     "  'lo', IPv4NumToString(CAST(floor(IPv4StringToNum(ip) / power(2, 32 - p)) "
+     "                             * power(2, 32 - p) AS BIGINT)), "
+     "  'hi', IPv4NumToString(CAST(floor(IPv4StringToNum(ip) / power(2, 32 - p)) "
+     "                             * power(2, 32 - p) + power(2, 32 - p) - 1 AS BIGINT)))"),
+    # arrayAUC: average-rank formulation with tie handling — O(n²) over
+    # the array, which is the in-row regime this function exists for
+    ("arrayAUC", "scores ARRAY<DOUBLE>, labels ARRAY<INT>", "DOUBLE",
+     "(aggregate(zip_with(transform(scores, s -> "
+     "     size(filter(scores, t -> t < s)) "
+     "     + (size(filter(scores, t -> t = s)) + 1) / 2.0), "
+     "   labels, (r, l) -> IF(l = 1, r, CAST(0.0 AS DOUBLE))), "
+     "   CAST(0.0 AS DOUBLE), (a, x) -> a + x) "
+     " - size(filter(labels, l -> l = 1)) "
+     "   * (size(filter(labels, l -> l = 1)) + 1) / 2.0) "
+     "/ (size(filter(labels, l -> l = 1)) "
+     "   * (size(labels) - size(filter(labels, l -> l = 1))))"),
+    # timeSlots(start, duration, size): the half-open slot starts
+    # covering [start, start+duration] (lecture timeSlot's array form)
+    ("timeSlots", "start TIMESTAMP, dur BIGINT, sz BIGINT", "ARRAY<TIMESTAMP>",
+     "transform(sequence(CAST(floor(unix_timestamp(start) / sz) * sz AS BIGINT), "
+     "                   unix_timestamp(start) + dur, sz), "
+     "          t -> to_timestamp(t))"),
+    ("randNormal", "mean DOUBLE, variance DOUBLE", "DOUBLE",
+     "mean + sqrt(variance) * randn()"),
+    ("sigmoid", "x DOUBLE", "DOUBLE", "1.0 / (1.0 + exp(-x))"),
     # --- extended math
     ("exp2", "x DOUBLE", "DOUBLE", "power(2, x)"),
     ("exp10", "x DOUBLE", "DOUBLE", "power(10, x)"),

@@ -304,6 +304,37 @@ def _rewrite_kurtpop(text: str) -> str:
         text = text[: m.start()] + f"(kurtosis({', '.join(args)}) + 3.0)" + text[end:]
 
 
+def _rewrite_bounding_ratio(text: str) -> str:
+    """boundingRatio(x, y) — slope of the bounding box, an AGGREGATE so
+    it can't be a scalar SQL UDF: expand textually to
+    (max(y)-min(y))/(max(x)-min(x))."""
+    while True:
+        m = re.search(r"\bboundingRatio\s*\(", text)
+        if not m:
+            return text
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        x, y = args
+        repl = f"((max({y}) - min({y})) / (max({x}) - min({x})))"
+        text = text[: m.start()] + repl + text[end:]
+
+
+def _rewrite_timeslots_default(text: str) -> str:
+    """timeSlots(start, dur) → timeSlots(start, dur, 1800): SQL UDFs
+    can't overload, so the 2-arg CH form gets the default slot size
+    appended textually."""
+    pos = 0
+    while True:
+        m = re.search(r"\btimeSlots\s*\(", text[pos:])
+        if not m:
+            return text
+        start = pos + m.start()
+        args, end = _split_call_args(text, text.index("(", start))
+        if len(args) == 2:
+            text = text[:start] + f"timeSlots({args[0]}, {args[1]}, 1800)" + text[end:]
+        pos = start + 1
+    return text
+
+
 def _rewrite_crypto_hashes(text: str) -> str:
     """CH's ``MD5``/``SHA1`` return raw bytes (FixedString) — the
     idiomatic ``hex(MD5(x))`` must yield the digest hex. Spark's
@@ -1654,6 +1685,8 @@ def translate(
     text = _rewrite_if_combinators(text)
     text = _rewrite_kurtpop(text)
     text = _rewrite_crypto_hashes(text)
+    text = _rewrite_bounding_ratio(text)
+    text = _rewrite_timeslots_default(text)
     text = _rewrite_splitByChar(text)
     text = _rewrite_extractAll(text)
     text = _rewrite_array_literals(text)

@@ -1025,3 +1025,33 @@ def test_geo_function_batch(engine):
     assert (row.inside, row.outside, row.notch) == (1, 0, 0)
     assert row.gh5 == "ezs42"          # classic geohash reference point
     assert row.gh8 == "sqc8b49r"       # Palermo example from the geohash spec
+
+
+def test_ip_url_misc_batch(engine):
+    """Eighth function-sweep batch: IP range/v6 checks, URL cuts, query
+    normalization, arrayAUC, timeSlots (2- and 3-arg), boundingRatio,
+    sigmoid."""
+    row = engine.sql(
+        "SELECT cutToFirstSignificantSubdomain('http://news.example.com.ua/') AS c1, "
+        "cutToFirstSignificantSubdomain('http://sub.example.org/') AS c2, "
+        "cutWWW('http://www.example.com/p') AS cw, "
+        "normalizeQuery(\"SELECT 12 + x FROM t WHERE s = 'abc'\") AS nq, "
+        "isIPv6String('2001:db8::1') AS v6a, isIPv6String('192.168.1.1') AS v6b, "
+        "isIPAddressInRange('192.168.1.7', '192.168.0.0/16') AS ipr_t, "
+        "isIPAddressInRange('192.169.1.7', '192.168.0.0/16') AS ipr_f, "
+        "IPv4CIDRToRange('192.168.5.2', 16) AS rng, "
+        "round(arrayAUC(CAST(array(0.1,0.4,0.35,0.8) AS ARRAY<DOUBLE>), array(0,0,1,1)), 2) AS auc, "
+        "size(timeSlots(TIMESTAMP '2024-01-01 10:05:00', CAST(3600 AS BIGINT))) AS ts2, "
+        "boundingRatio(x, y) AS br, "
+        "round(sigmoid(0.0), 2) AS sg "
+        "FROM (SELECT 1.0 x, 2.0 y UNION ALL SELECT 3.0, 6.0)"
+    ).collect()[0]
+    assert row.c1 == "example.com.ua" and row.c2 == "example.org"
+    assert row.cw == "http://example.com/p"
+    assert row.nq == "SELECT ? + x FROM t WHERE s = ?"
+    assert (row.v6a, row.v6b) == (True, False)
+    assert (row.ipr_t, row.ipr_f) == (True, False)
+    assert (row.rng.lo, row.rng.hi) == ("192.168.0.0", "192.168.255.255")
+    assert row.auc == 0.75
+    assert row.ts2 == 3
+    assert float(row.br) == 2.0 and row.sg == 0.5

@@ -411,6 +411,35 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("randNormal", "mean DOUBLE, variance DOUBLE", "DOUBLE",
      "mean + sqrt(variance) * randn()"),
     ("sigmoid", "x DOUBLE", "DOUBLE", "1.0 / (1.0 + exp(-x))"),
+    ("dateTrunc", "unit STRING, ts TIMESTAMP", "TIMESTAMP", "date_trunc(unit, ts)"),
+    # DateTime64 epoch conversions (lecture_05.md DateTime64 precision)
+    ("toUnixTimestamp64Milli", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
+    ("toUnixTimestamp64Micro", "ts TIMESTAMP", "BIGINT", "unix_micros(ts)"),
+    ("toUnixTimestamp64Nano", "ts TIMESTAMP", "BIGINT", "unix_micros(ts) * 1000"),
+    ("fromUnixTimestamp64Milli", "n BIGINT", "TIMESTAMP", "timestamp_millis(n)"),
+    ("fromUnixTimestamp64Micro", "n BIGINT", "TIMESTAMP", "timestamp_micros(n)"),
+    ("fromUnixTimestamp64Nano", "n BIGINT", "TIMESTAMP",
+     "timestamp_micros(CAST(n / 1000 AS BIGINT))"),
+    # vector arithmetic family (CH distance functions; the SQL twin of
+    # pipeline/similarity's column helpers)
+    ("arrayDotProduct", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"),
+    ("arrayL1Distance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"),
+    ("arrayL2Distance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+     "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+     "CAST(0.0 AS DOUBLE), (s, v) -> s + v))"),
+    ("arrayLinfDistance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+     "array_max(zip_with(a, b, (x, y) -> abs(x - y)))"),
+    ("cosineDistance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+     "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) "
+     "/ (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)) "
+     "   * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)))"),
+    ("L1Norm", "a ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + abs(v))"),
+    ("L2Norm", "a ARRAY<DOUBLE>", "DOUBLE",
+     "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))"),
+    ("LinfNorm", "a ARRAY<DOUBLE>", "DOUBLE", "array_max(transform(a, v -> abs(v)))"),
     # --- extended math
     ("exp2", "x DOUBLE", "DOUBLE", "power(2, x)"),
     ("exp10", "x DOUBLE", "DOUBLE", "power(10, x)"),

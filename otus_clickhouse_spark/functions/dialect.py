@@ -348,6 +348,14 @@ def _rewrite_crypto_hashes(text: str) -> str:
                 break
             args, end = _split_call_args(text, text.index("(", m.start()))
             text = text[: m.start()] + f"unhex({spark_fn}({', '.join(args)}))" + text[end:]
+    # same builtin-collision class: CH's monthName returns the FULL
+    # month name; Spark's case-insensitive monthname() abbreviates
+    while True:
+        m = re.search(r"\bmonthName\s*\(", text)
+        if not m:
+            break
+        args, end = _split_call_args(text, text.index("(", m.start()))
+        text = text[: m.start()] + f"date_format({args[0]}, 'MMMM')" + text[end:]
     return text
 
 
@@ -534,7 +542,17 @@ _ARRAY_LAMBDA_TARGETS = {
     "arrayLastIndex": None,
     "arrayLast": None,  # last lambda-true element
     "arrayFold": None,  # arrayFold(lam, arr, init) → aggregate(arr, init, lam)
+    "arrayFill": None,  # forward-fill where the predicate is false
+    "arrayReverseFill": None,
 }
+
+
+def _apply_lambda(lam: str, var: str) -> str:
+    """Inline a single-param lambda body with ``var`` substituted."""
+    lm = re.match(r"^\s*(\w+)\s*->\s*(.+)$", lam, re.DOTALL)
+    if not lm:
+        raise ValueError(f"expected single-param lambda, got {lam!r}")
+    return "(" + re.sub(rf"\b{lm.group(1)}\b", var, lm.group(2).strip()) + ")"
 
 
 def _sort_comparator(lam: str, reverse: bool) -> str:
@@ -578,6 +596,14 @@ def _rewrite_array_lambda(text: str) -> str:
                 )
                 pos = end
                 continue
+            if name in ("arraySort", "arrayReverseSort") and len(args) == 1:
+                inner = _rewrite_array_lambda(args[0])
+                repl = f"array_sort({inner})"
+                if name == "arrayReverseSort":
+                    repl = f"reverse({repl})"
+                out.append(text[pos : m.start()] + repl)
+                pos = end
+                continue
             # plain-array form (e.g. arrayFilter(arr)): leave for the UDF
             out.append(text[pos : m.end()])
             pos = m.end()
@@ -609,6 +635,19 @@ def _rewrite_array_lambda(text: str) -> str:
             # CH arrayFold((acc, x) -> …, arr, init): Spark's aggregate
             # takes (arr, init, (acc, x) -> …)
             repl = f"aggregate({arrs[0]}, {arrs[1]}, {lam})"
+        elif name in ("arrayFill", "arrayReverseFill"):
+            # forward-fill (arrayFill) / backward-fill (reverse twice)
+            # where the predicate is FALSE; slice(arr, 1, 0) seeds an
+            # empty array of the element type without naming it
+            src = arrs[0] if name == "arrayFill" else f"reverse({arrs[0]})"
+            cond = _apply_lambda(lam, "__x")
+            fill = (
+                f"aggregate({src}, slice({arrs[0]}, 1, 0), (__acc, __x) -> "
+                f"CASE WHEN {cond} OR size(__acc) = 0 "
+                f"THEN concat(__acc, array(__x)) "
+                f"ELSE concat(__acc, array(element_at(__acc, -1))) END)"
+            )
+            repl = fill if name == "arrayFill" else f"reverse({fill})"
         elif name == "arraySum":
             # inlined (not the arraySum SQL UDF): UDF calls cannot
             # reference enclosing lambda variables in Spark
@@ -631,6 +670,7 @@ _ARRAY_PLAIN_RE = re.compile(
     r"\b(arrayUnion|arrayPushFront|arrayPopFront|arrayRotateLeft"
     r"|arrayRotateRight|arrayShiftLeft|arrayResize|hasAll"
     r"|arrayJaccardIndex|arrayPartialSort"
+    r"|arrayEnumerateDense|arrayEnumerateUniq"
     r"|mapFromArrays|mapApply|mapFilter|mapUpdate)\s*\("
 )
 
@@ -675,6 +715,19 @@ def _rewrite_array_plain(text: str) -> str:
             )
         elif name == "hasAll":
             repl = f"forall({args[1]}, __h -> array_contains({a}, __h))"
+        elif name == "arrayEnumerateDense":
+            # first-occurrence rank: array_distinct preserves first-seen
+            # order, so position-in-distinct IS the dense id
+            repl = (
+                f"transform({a}, __x -> "
+                f"CAST(array_position(array_distinct({a}), __x) AS INT))"
+            )
+        elif name == "arrayEnumerateUniq":
+            # per-value occurrence counter (1st, 2nd, … sighting)
+            repl = (
+                f"transform({a}, (__x, __i) -> "
+                f"size(filter(slice({a}, 1, __i + 1), __y -> __y = __x)))"
+            )
         elif name == "arrayJaccardIndex":
             b = args[1]
             repl = (
@@ -1015,7 +1068,8 @@ def _rewrite_array_combinators(text: str) -> str:
 _BEHAVIORAL_RE = re.compile(
     r"\b(windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount"
     r"|retention|topKWeighted|topK|uniqUpTo|sumMap|entropy|avgWeighted"
-    r"|sumCount|simpleLinearRegression)\s*\("
+    r"|sumCount|simpleLinearRegression"
+    r"|groupArrayMovingSum|groupArrayMovingAvg|minMap|maxMap)\s*\("
 )
 
 
@@ -1091,6 +1145,37 @@ def _rewrite_behavioral(text: str) -> str:
             expr = (
                 f"named_struct('k', regr_slope({y}, {x}), "
                 f"'b', regr_intercept({y}, {x}))"
+            )
+            text = text[: m.start()] + expr + text[after1:]
+            continue
+        if name in ("groupArrayMovingSum", "groupArrayMovingAvg"):
+            # running prefix sums/averages over the collected group
+            # (insertion-order caveat shared with groupArray →
+            # collect_list); O(n²) in group size — the whole-group-array
+            # regime this family exists for
+            x = args1[0]
+            coll = f"collect_list(CAST({x} AS DOUBLE))"
+            pref = (
+                f"aggregate(slice({coll}, 1, __i), CAST(0.0 AS DOUBLE), "
+                f"(__s, __v) -> __s + __v)"
+            )
+            if name == "groupArrayMovingAvg":
+                pref = f"({pref}) / __i"
+            expr = f"transform(sequence(1, size({coll})), __i -> {pref})"
+            text = text[: m.start()] + expr + text[after1:]
+            continue
+        if name in ("minMap", "maxMap"):
+            # merge maps taking the per-key min/max — native entry
+            # types, no coercion: group keys from the flattened entry
+            # list, reduce each key's values
+            mcol = args1[0]
+            ents = f"flatten(transform(collect_list({mcol}), __mm -> map_entries(__mm)))"
+            red = "array_min" if name == "minMap" else "array_max"
+            expr = (
+                f"map_from_entries(transform("
+                f"array_distinct(transform({ents}, __e -> __e.key)), "
+                f"__k -> struct(__k, {red}(transform("
+                f"filter({ents}, __e2 -> __e2.key = __k), __e3 -> __e3.value)))))"
             )
             text = text[: m.start()] + expr + text[after1:]
             continue

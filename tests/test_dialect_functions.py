@@ -1058,3 +1058,40 @@ def test_ip_url_misc_batch(engine):
     assert row.auc == 0.75
     assert row.ts2 == 3
     assert float(br) == 2.0 and row.sg == 0.5
+
+
+def test_ninth_batch_array_vector_functions(engine):
+    """Ninth sweep batch: enumerate/fill array family, moving-window
+    aggregates, min/maxMap, DateTime64 epoch conversions, vector
+    distance family, monthName full-name fix."""
+    row = engine.sql(
+        "SELECT arrayEnumerateDense([10,20,10,30]) AS den, "
+        "arrayEnumerateUniq([10,20,10,10]) AS unq, "
+        "arrayReverseSort([2,3,1]) AS rs, "
+        "arrayReverseSort(x -> -x, [2,3,1]) AS rsl, "
+        "arrayFill(x -> x != 0, [1,0,0,5,0]) AS ff, "
+        "arrayReverseFill(x -> x != 0, [1,0,0,5,0]) AS rf, "
+        "toUnixTimestamp64Milli(TIMESTAMP '2024-01-01 00:00:00') AS ms, "
+        "dateTrunc('month', TIMESTAMP '2024-07-15 10:00:00') AS dt, "
+        "monthName(DATE '2024-07-15') AS mn, "
+        "arrayDotProduct(CAST(array(1.0,2.0) AS ARRAY<DOUBLE>), CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS dp, "
+        "arrayL2Distance(CAST(array(0.0,0.0) AS ARRAY<DOUBLE>), CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS l2, "
+        "round(cosineDistance(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>), CAST(array(0.0,1.0) AS ARRAY<DOUBLE>)), 2) AS cd, "
+        "L2Norm(CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS n2, "
+        "LinfNorm(CAST(array(-7.0,4.0) AS ARRAY<DOUBLE>)) AS ni"
+    ).collect()[0]
+    assert row.den == [1, 2, 1, 3] and row.unq == [1, 1, 2, 3]
+    assert row.rs == [3, 2, 1] and row.rsl == [1, 2, 3]
+    assert row.ff == [1, 1, 1, 5, 5] and row.rf == [1, 5, 5, 5, 0]
+    assert row.ms == 1704067200000
+    assert str(row.dt) == "2024-07-01 00:00:00"
+    assert row.mn == "July"
+    assert (row.dp, row.l2, row.cd, row.n2, row.ni) == (11.0, 5.0, 1.0, 5.0, 7.0)
+    # group-level members need their own aggregate queries
+    mv = engine.sql(
+        "SELECT groupArrayMovingSum(x) AS s, groupArrayMovingAvg(x) AS a, "
+        "minMap(m) AS mn, maxMap(m) AS mx "
+        "FROM (SELECT 2.0 x, map('a', 1) m UNION ALL SELECT 4.0, map('a', 3, 'b', 2))"
+    ).collect()[0]
+    assert sorted(mv.s) == [2.0, 6.0] and sorted(mv.a) == [2.0, 3.0]
+    assert mv.mn == {"a": 1, "b": 2} and mv.mx == {"a": 3, "b": 2}

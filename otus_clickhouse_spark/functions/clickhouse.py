@@ -412,6 +412,37 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "mean + sqrt(variance) * randn()"),
     ("sigmoid", "x DOUBLE", "DOUBLE", "1.0 / (1.0 + exp(-x))"),
     ("dateTrunc", "unit STRING, ts TIMESTAMP", "TIMESTAMP", "date_trunc(unit, ts)"),
+    # decimal (1000-based) readable size, two decimals like the KiB twin
+    ("formatReadableDecimalSize", "b DOUBLE", "STRING",
+     "CASE WHEN b < 1000 THEN concat(replace(format_number(b, 2), ',', ''), ' B') "
+     "WHEN b < 1e6 THEN concat(format_number(b / 1e3, 2), ' KB') "
+     "WHEN b < 1e9 THEN concat(format_number(b / 1e6, 2), ' MB') "
+     "WHEN b < 1e12 THEN concat(format_number(b / 1e9, 2), ' GB') "
+     "ELSE concat(replace(format_number(b / 1e12, 2), ',', ''), ' TB') END"),
+    ("bitPositionsToArray", "n BIGINT", "ARRAY<INT>",
+     "transform(filter(sequence(0, 62), i -> "
+     "CAST(floor(n / power(2, i)) AS BIGINT) % 2 = 1), i -> CAST(i AS INT))"),
+    # Abramowitz & Stegun 7.1.26 rational approximation, |err| < 1.5e-7
+    ("erf", "x DOUBLE", "DOUBLE",
+     "sign(x) * (1.0 - (0.254829592 / (1.0 + 0.3275911 * abs(x)) "
+     "- 0.284496736 * power(1.0 / (1.0 + 0.3275911 * abs(x)), 2) "
+     "+ 1.421413741 * power(1.0 / (1.0 + 0.3275911 * abs(x)), 3) "
+     "- 1.453152027 * power(1.0 / (1.0 + 0.3275911 * abs(x)), 4) "
+     "+ 1.061405429 * power(1.0 / (1.0 + 0.3275911 * abs(x)), 5)) "
+     "* exp(-x * x))"),
+    ("UUIDStringToNum", "s STRING", "BINARY", "unhex(replace(s, '-', ''))"),
+    ("UUIDNumToString", "b BINARY", "STRING",
+     "concat(substring(lower(hex(b)), 1, 8), '-', substring(lower(hex(b)), 9, 4), '-', "
+     "substring(lower(hex(b)), 13, 4), '-', substring(lower(hex(b)), 17, 4), '-', "
+     "substring(lower(hex(b)), 21, 12))"),
+    ("reverseUTF8", "s STRING", "STRING", "reverse(s)"),
+    ("toDecimalString", "x DOUBLE, p INT", "STRING",
+     "replace(format_number(x, p), ',', '')"),
+    ("alphaTokens", "s STRING", "ARRAY<STRING>",
+     "filter(split(s, '[^A-Za-z]+'), x -> x != '')"),
+    ("ngrams", "s STRING, n INT", "ARRAY<STRING>",
+     "CASE WHEN length(s) < n THEN CAST(array() AS ARRAY<STRING>) "
+     "ELSE transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n)) END"),
     # DateTime64 epoch conversions (lecture_05.md DateTime64 precision)
     ("toUnixTimestamp64Milli", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
     ("toUnixTimestamp64Micro", "ts TIMESTAMP", "BIGINT", "unix_micros(ts)"),

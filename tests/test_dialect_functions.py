@@ -1095,3 +1095,26 @@ def test_ninth_batch_array_vector_functions(engine):
     ).collect()[0]
     assert sorted(mv.s) == [2.0, 6.0] and sorted(mv.a) == [2.0, 3.0]
     assert mv.mn == {"a": 1, "b": 2} and mv.mx == {"a": 3, "b": 2}
+
+
+def test_tenth_batch_misc_functions(engine):
+    """Tenth sweep batch: readable decimal sizes, bit positions, erf
+    (A&S 7.1.26 approximation), UUID byte conversions, toDecimalString,
+    alphaTokens, character ngrams."""
+    row = engine.sql(
+        "SELECT formatReadableDecimalSize(1500000.0) AS rd, "
+        "bitPositionsToArray(10) AS bp, "
+        "round(erf(1.0), 4) AS e1, round(erf(-1.0), 4) AS e2, "
+        "UUIDNumToString(UUIDStringToNum('612f3c40-5d3b-217e-707b-6a546a3d7b29')) AS uu, "
+        "reverseUTF8('abc') AS rv, "
+        "toDecimalString(1.5, 3) AS ds, "
+        "alphaTokens('abc1def2') AS at, "
+        "ngrams('abcd', 3) AS ng, ngrams('ab', 3) AS ngs"
+    ).collect()[0]
+    assert row.rd == "1.50 MB"
+    assert row.bp == [1, 3]
+    assert (row.e1, row.e2) == (0.8427, -0.8427)
+    assert row.uu == "612f3c40-5d3b-217e-707b-6a546a3d7b29"
+    assert row.rv == "cba" and row.ds == "1.500"
+    assert row.at == ["abc", "def"]
+    assert row.ng == ["abc", "bcd"] and row.ngs == []

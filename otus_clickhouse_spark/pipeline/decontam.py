@@ -79,3 +79,38 @@ def decontaminate(
     against the contaminated-id set."""
     hits = contaminated_ids(train_df, eval_df, text_col, id_col, n)
     return train_df.join(hits, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int = 4,
+) -> DataFrame:
+    """Embedding-based decontamination: flag corpus docs whose vector
+    sits within ``threshold`` cosine of ANY eval vector — the semantic
+    complement of the n-gram path (paraphrased benchmark leakage that
+    shares no exact n-gram).
+
+    Plan shape mirrors the n-gram path's broadcast discipline: the eval
+    set is benchmark-sized, so it broadcasts; the corpus is scanned
+    once, scored JVM-side (zip_with dot product), and only matching
+    ids reach the final distinct — shuffle bounded by the hit count.
+    At stricter scale, swap the broadcast nested-loop for the
+    LSH-bucketed join (pipeline.similarity.lsh_topk's banding) — same
+    contract, pruned candidate set.
+    """
+    from otus_clickhouse_spark.pipeline.similarity import cosine
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    e = eval_set.select(
+        F.col(id_col).alias("__eval_id"), F.col(vec_col).cast("array<double>").alias("__ev")
+    )
+    return (
+        c.crossJoin(F.broadcast(e))
+        .where(F.round(cosine(F.col("__cv"), F.col("__ev")), round_cos) >= threshold)
+        .select(id_col)
+        .distinct()
+    )

@@ -3038,3 +3038,47 @@ def x58_ndcg_retrieval_eval(spark, sf_dir):
         .withColumn("rel", (F.lit(1) + F.col("vec_id") % 3).cast("int"))
     )
     return ndcg_at_k(ranked, labels, k=10).orderBy("query_id")
+
+
+@query(
+    "x59_semantic_decontam",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, v AS evv FROM c WHERE vec_id < 5),
+    corp AS (SELECT vec_id, v FROM c WHERE vec_id >= 5),
+    hits AS (
+      SELECT DISTINCT corp.vec_id
+      FROM corp CROSS JOIN ev
+      WHERE round(list_cosine_similarity(corp.v, ev.evv), 4) >= 0.55
+    )
+    SELECT (SELECT count(*) FROM corp) AS n_corpus,
+           (SELECT count(*) FROM hits) AS n_contaminated,
+           (SELECT count(*) FROM corp) - (SELECT count(*) FROM hits) AS n_clean,
+           coalesce((SELECT CAST(sum(vec_id) AS BIGINT) FROM hits), 0) AS id_checksum
+    """,
+)
+def x59_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination (pipeline.decontam
+    .semantic_contaminated_ids): flag training vectors within cosine
+    threshold of ANY eval vector — catches paraphrased benchmark
+    leakage the n-gram path (x19) cannot. Broadcast eval set, one
+    corpus scan, hit-bounded shuffle. Oracle replays the cosine
+    threshold join."""
+    from otus_clickhouse_spark.pipeline.decontam import semantic_contaminated_ids
+
+    emb = t(spark, sf_dir, "embeddings")
+    eval_set = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    hits = semantic_contaminated_ids(corpus, eval_set, threshold=0.55)
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_contaminated")))
+        .select(
+            "n_corpus",
+            "n_contaminated",
+            (F.col("n_corpus") - F.col("n_contaminated")).alias("n_clean"),
+        )
+        .crossJoin(
+            hits.agg(F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias("id_checksum"))
+        )
+    )

@@ -1366,3 +1366,19 @@ def test_ndcg_at_k_known_values(spark):
     dcg = 1.0 + 3 / math.log2(3) + 7 / 2
     idcg = 7.0 + 3 / math.log2(3) + 1 / 2
     assert abs(inv[0].ndcg - round(dcg / idcg, 4)) < 1e-9
+
+
+def test_semantic_decontaminate_flags_neighbors(spark):
+    """semantic_contaminated_ids flags exactly the vectors within the
+    cosine threshold of an eval vector."""
+    from otus_clickhouse_spark.pipeline.decontam import semantic_contaminated_ids
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    eval_set = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    got = {r.vec_id for r in semantic_contaminated_ids(corpus, eval_set, 0.95).collect()}
+    assert got == {10, 11}  # 12 is orthogonal

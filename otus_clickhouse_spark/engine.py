@@ -711,6 +711,17 @@ class Engine:
                 sel = self.sql(rest, **params)
                 if cols:
                     sel = sel.toDF(*cols)
+                    # a PARTIAL column list fills the omitted columns
+                    # with their DEFAULT exprs, same as the VALUES and
+                    # FORMAT-data paths (hw06.md roles.created_at
+                    # DEFAULT now() via INSERT … (cols) SELECT)
+                    ddl = self.tables[name].settings.get("schema")
+                    if ddl:
+                        from pyspark.sql.types import StructType
+
+                        declared = {f.name for f in StructType.fromDDL(ddl).fields}
+                        if set(cols) != declared:
+                            sel = self._values_frame_from(name, sel, cols)
                 else:
                     sel = self._align_positional(name, sel)
                 return self.insert(name, sel)
@@ -967,7 +978,11 @@ class Engine:
             rewritten = rewrite_asof_sql(self, text)
             if rewritten is not None:
                 text = rewritten
-        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b", text, re.IGNORECASE):
+        if re.search(
+            r"\b(?:ANY\s+(?:LEFT\s+|INNER\s+)?|(?:LEFT|INNER)\s+ANY\s+)JOIN\b",
+            text,
+            re.IGNORECASE,
+        ):
             from otus_clickhouse_spark.operators.joins import rewrite_any_join_sql
 
             rewritten = rewrite_any_join_sql(self, text)

@@ -146,7 +146,11 @@ def paste_zip(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 _ANY_JOIN_SQL_RE = re.compile(
-    r"\bFROM\s+(\w+)\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+(\w+)\s+"
+    # both CH word orders (`ANY LEFT JOIN` and `LEFT ANY JOIN`,
+    # hw06.md:168-185 uses the latter) with optional table aliases
+    r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ANY\b|LEFT\b|INNER\b|JOIN\b)(\w+))?\s+"
+    r"(?:ANY\s+(LEFT|INNER)?\s*|(LEFT|INNER)\s+ANY\s+)JOIN\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!USING\b|ON\b)(\w+))?\s+"
     r"(?:USING\s*\(?([\w\s,]+?)\)?|ON\s+(.+?))"
     r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS)\b|$)",
     re.IGNORECASE | re.DOTALL,
@@ -162,7 +166,8 @@ def rewrite_any_join_sql(engine, text: str) -> str | None:
     m = _ANY_JOIN_SQL_RE.search(text)
     if not m:
         return None
-    lname, how_kw, rname, using, on_clause = m.groups()
+    lname, lalias, how1, how2, rname, ralias, using, on_clause = m.groups()
+    lrefs = {lname} | ({lalias} if lalias else set())
     right = engine.table(rname)
     if using:
         keys = [k.strip() for k in using.split(",") if k.strip()]
@@ -173,14 +178,15 @@ def rewrite_any_join_sql(engine, text: str) -> str | None:
             if not em:
                 raise ValueError(f"unsupported ANY JOIN ON clause: {clause!r}")
             t1, c1, t2, c2 = em.groups()
-            lcol, rcol = (c1, c2) if t1 == lname else (c2, c1)
+            lcol, rcol = (c1, c2) if t1 in lrefs else (c2, c1)
             if rcol != lcol:  # differently-named equi-keys: align to left
                 right = right.withColumnRenamed(rcol, lcol)
             keys.append(lcol)
-    how = "inner" if (how_kw or "").strip().upper() == "INNER" else "left"
+    how = "inner" if (how1 or how2 or "").strip().upper() == "INNER" else "left"
     joined = any_join(engine.table(lname), right, on=keys, how=how)
     view = f"__anyjoin_{abs(hash((lname, rname, tuple(keys)))) % 10**8}"
     joined.createOrReplaceTempView(view)
     text = text[: m.start()] + f"FROM {view}" + text[m.end() :]
-    text = re.sub(rf"\b(?:{lname}|{rname})\.(\w+)", r"\1", text)
+    refs = {lname, rname} | ({lalias} if lalias else set()) | ({ralias} if ralias else set())
+    text = re.sub(rf"\b(?:{'|'.join(refs)})\.(\w+)", r"\1", text)
     return text

@@ -459,3 +459,91 @@ def test_hw13_script_backup_restore_verbatim(engine, tmp_path):
     _shutil.rmtree("spark-warehouse/_s3_backups", ignore_errors=True)
     # the engine fixture is session-scoped: drop the policy this test added
     engine.storage_policies = [p for p in engine.storage_policies if p[0] != "s3_main"]
+
+
+def test_hw06_imdb_lab_verbatim(engine, tmp_path):
+    """homeworks/hw06.md replayed statement-for-statement: CREATE
+    DATABASE imdb + USE + qualified DDL, s3()-shaped bulk INSERT
+    (local TSV stand-ins for the public dataset — no network in the
+    sandbox), then the lab's join-shape queries: LEFT JOIN +
+    groupArray, LEFT ANTI, cross-join count, LEFT ANY."""
+    import gzip
+    import shutil as _shutil
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS imdb")
+    engine.execute("use imdb")
+    for tbl in ("actors", "genres", "movies", "roles"):
+        engine.execute(f"DROP TABLE IF EXISTS imdb.{tbl}")
+    engine.execute(
+        "CREATE TABLE imdb.actors ( id UInt32, first_name String, last_name String, "
+        "gender FixedString(1) ) ENGINE = MergeTree ORDER BY (id, first_name, last_name, gender)"
+    )
+    engine.execute(
+        "CREATE TABLE imdb.genres ( movie_id UInt32, genre String ) "
+        "ENGINE = MergeTree ORDER BY (movie_id, genre)"
+    )
+    engine.execute(
+        "CREATE TABLE imdb.movies ( id UInt32, name String, year UInt32, "
+        "rank Float32 DEFAULT 0 ) ENGINE = MergeTree ORDER BY (id, name, year)"
+    )
+    engine.execute(
+        "CREATE TABLE imdb.roles ( actor_id UInt32, movie_id UInt32, role String, "
+        "created_at DateTime DEFAULT now() ) ENGINE = MergeTree ORDER BY (actor_id, movie_id)"
+    )
+    for tbl in ("actors", "genres", "movies", "roles"):
+        engine.tables[tbl].path = str(tmp_path / tbl)
+    assert set(engine.execute("SHOW TABLES FROM imdb LIKE '%s%'")) >= {"actors", "genres", "roles"}
+    # local TSVWithNames gz stand-ins for the dataset's S3 objects
+    data = {
+        "actors": "id\tfirst_name\tlast_name\tgender\n1\tAda\tLovelace\tF\n2\tAlan\tTuring\tM\n3\tGrace\tHopper\tF\n",
+        "genres": "movie_id\tgenre\n10\tDrama\n10\tSci-Fi\n11\tComedy\n",
+        "movies": "id\tname\tyear\trank\n10\tFinaru\t2002\t7.5\n11\tExpress\t2002\t6.0\n12\tNoGenre\t1999\t0\n",
+        "roles": "actor_id\tmovie_id\trole\n1\t10\tLead\n2\t11\tLead\n3\t12\tLead\n1\t11\tCameo\n",
+    }
+    for tbl, text in data.items():
+        p = tmp_path / f"{tbl}.tsv.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(text)
+        cols = "(actor_id, movie_id, role)" if tbl == "roles" else ""
+        sel = "actor_id, movie_id, role" if tbl == "roles" else "*"
+        engine.execute(
+            f"INSERT INTO imdb.{tbl}{cols} SELECT {sel} "
+            f"FROM s3('file://{p}', 'TSVWithNames')"
+        )
+    assert engine.execute("select count() from movies")[0][0] == 3
+    assert engine.execute("select count() from imdb.roles")[0][0] == 4
+    # roles.created_at DEFAULT now() filled for the partial column list
+    assert engine.sql("SELECT count() AS n FROM roles WHERE created_at IS NOT NULL").collect()[0].n == 4
+    # LEFT JOIN + groupArray of genres (lab query 1)
+    rows = engine.execute(
+        "select m.name , m.year , groupArray(g.genre) as genres "
+        "from movies m left join genres g on m.id = g.movie_id "
+        "group by name, year order by name"
+    )
+    got = {r.name: sorted(x for x in r.genres if x is not None) for r in rows}
+    assert got["Finaru"] == ["Drama", "Sci-Fi"] and got["NoGenre"] == []
+    # LEFT ANTI: movies with no genre
+    rows = engine.execute(
+        "select m.name , m.year from movies m "
+        "left anti join genres g on m.id = g.movie_id"
+    )
+    assert [r.name for r in rows] == ["NoGenre"]
+    # cross join count (the '51 years' maneuver, tiny here)
+    assert engine.execute("SELECT count() FROM movies, genres")[0][0] == 9
+    # LEFT ANY: at most one genre per movie
+    rows = engine.execute(
+        "select m.name , g.genre from movies m "
+        "left ANY join genres g on m.id = g.movie_id order by m.name"
+    )
+    assert len(rows) == 3  # one row per movie, not per genre
+    # actors in 2002 movies (lab's nested-subquery shape)
+    rows = engine.execute(
+        "select a.first_name , a.last_name from actors a join ( "
+        "select distinct actor_id as id from roles where movie_id in ( "
+        "select id from movies where year = 2002 ) ) r on a.id = r.id "
+        "order by first_name"
+    )
+    assert [(r.first_name, r.last_name) for r in rows] == [("Ada", "Lovelace"), ("Alan", "Turing")]
+    for tbl in ("actors", "genres", "movies", "roles"):
+        engine.execute(f"DROP TABLE IF EXISTS imdb.{tbl}")
+    engine.execute("DROP DATABASE imdb")

@@ -74,6 +74,26 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ),
     ("toHour", "x TIMESTAMP", "INT", "hour(x)"),
     ("toIntervalDay", "n INT", "INTERVAL DAY", "make_dt_interval(n)"),
+    ("toIntervalHour", "n INT", "INTERVAL HOUR", "make_dt_interval(0, n)"),
+    ("toIntervalMinute", "n INT", "INTERVAL MINUTE", "make_dt_interval(0, 0, n)"),
+    ("toIntervalSecond", "n INT", "INTERVAL SECOND", "make_dt_interval(0, 0, 0, n)"),
+    ("toIntervalWeek", "n INT", "INTERVAL DAY", "make_dt_interval(n * 7)"),
+    ("toIntervalMonth", "n INT", "INTERVAL MONTH", "make_ym_interval(0, n)"),
+    ("toIntervalQuarter", "n INT", "INTERVAL MONTH", "make_ym_interval(0, n * 3)"),
+    ("toIntervalYear", "n INT", "INTERVAL YEAR", "make_ym_interval(n)"),
+    ("countMatches", "s STRING, pat STRING", "INT",
+     "size(regexp_extract_all(s, pat, 0))"),
+    ("regexpExtract", "s STRING, pat STRING, grp INT", "STRING",
+     "regexp_extract(s, pat, grp)"),
+    ("bitHammingDistance", "a BIGINT, b BIGINT", "INT", "bit_count(a ^ b)"),
+    # byte-set Jaccard over the two strings' distinct characters
+    ("stringJaccardIndex", "a STRING, b STRING", "DOUBLE",
+     "size(array_intersect("
+     "  array_distinct(transform(sequence(1, length(a)), i -> substring(a, i, 1))), "
+     "  array_distinct(transform(sequence(1, length(b)), i -> substring(b, i, 1))))) "
+     "/ CAST(size(array_distinct(concat("
+     "  transform(sequence(1, length(a)), i -> substring(a, i, 1)), "
+     "  transform(sequence(1, length(b)), i -> substring(b, i, 1))))) AS DOUBLE)"),
     ("parseDateTimeBestEffort", "x STRING", "TIMESTAMP", "CAST(x AS TIMESTAMP)"),
     ("parseDateTimeBestEffortOrZero", "x STRING", "TIMESTAMP",
      "coalesce(try_cast(x AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"),

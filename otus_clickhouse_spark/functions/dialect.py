@@ -960,7 +960,7 @@ _QUANTILE_RE = re.compile(
     r"|quantileTDigestWeighted|quantileTDigest|quantileBFloat16"
     r"|quantileInterpolatedWeighted|quantileExactWeighted"
     r"|quantileTimingWeighted|quantileTiming|quantileDeterministic"
-    r"|medianExact|quantile)\s*\("
+    r"|quantileGK|quantileddSketch|medianExact|quantile)\s*\("
 )
 
 
@@ -986,7 +986,11 @@ def _rewrite_quantiles(text: str) -> str:
         cols, end = _split_call_args(text, open2)
         fn = "percentile" if "Exact" in name else "percentile_approx"
         plist = ps[0] if len(ps) == 1 else f"array({', '.join(ps)})"
-        if "Weighted" in name and len(cols) >= 2:
+        if name in ("quantileGK", "quantileddSketch") and len(ps) >= 2:
+            # parametric sketch forms carry (accuracy, level) — the
+            # accuracy knob maps onto percentile_approx's parameter
+            expr = f"percentile_approx({cols[0]}, {ps[1]}, CAST({ps[0]} AS INT))"
+        elif "Weighted" in name and len(cols) >= 2:
             # quantile*Weighted(p)(x, w) → Spark's exact weighted
             # percentile (frequency arg; CH's sketched variants map to
             # the exact computation — a superset in accuracy)

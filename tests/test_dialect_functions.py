@@ -1118,3 +1118,29 @@ def test_tenth_batch_misc_functions(engine):
     assert row.rv == "cba" and row.ds == "1.500"
     assert row.at == ["abc", "def"]
     assert row.ng == ["abc", "bcd"] and row.ngs == []
+
+
+def test_eleventh_batch_interval_string_quantile(engine):
+    """Eleventh sweep batch: the full toInterval* constructor family,
+    countMatches, regexpExtract, bitHammingDistance, byte-set
+    stringJaccardIndex, and the parametric quantileGK sketch form."""
+    row = engine.sql(
+        "SELECT DATE '2024-01-31' + toIntervalMonth(1) AS m, "
+        "DATE '2024-01-01' + toIntervalWeek(2) AS w, "
+        "TIMESTAMP '2024-01-01 00:00:00' + toIntervalHour(25) AS h, "
+        "DATE '2024-01-01' + toIntervalYear(1) AS y, "
+        "countMatches('aaa', 'a') AS cm, "
+        "regexpExtract('abc123', '([a-z]+)([0-9]+)', 2) AS rx, "
+        "bitHammingDistance(7, 5) AS hd, "
+        "round(stringJaccardIndex('abc', 'bcd'), 2) AS ja"
+    ).collect()[0]
+    assert str(row.m) == "2024-02-29"
+    assert str(row.w).startswith("2024-01-15")
+    assert str(row.h) == "2024-01-02 01:00:00"
+    assert str(row.y) == "2025-01-01"
+    assert (row.cm, row.rx, row.hd, row.ja) == (3, "123", 1, 0.5)
+    gk = engine.sql(
+        "SELECT quantileGK(100, 0.5)(x) AS v "
+        "FROM (SELECT 1.0 x UNION ALL SELECT 2.0 UNION ALL SELECT 3.0)"
+    ).collect()[0].v
+    assert float(gk) == 2.0

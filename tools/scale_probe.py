@@ -375,6 +375,45 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: pagerank(pr_edges, n_iter=3).agg(F.count(F.lit(1))).collect(),
         3 * n_docs,
     )
+
+    # SCD2 CDC merge (x57's code path): base snapshot + a 10% update
+    # batch through one key-partitioned window. rows/s should rise with
+    # the fact table — the merge shuffles (key, ts, attrs) once.
+    from otus_clickhouse_spark.pipeline.cdc import scd2_merge
+
+    base = fact.select(
+        "k", F.col("d").alias("ts"), F.col("flag").alias("st"), "price"
+    )
+    upd = base.where(F.col("k") % 10 == 0).select(
+        "k", F.date_add("ts", 30).alias("ts"), F.lit("FX").alias("st"),
+        F.round(F.col("price") * 1.1, 2).alias("price"),
+    )
+    timed(
+        "scd2_merge",
+        lambda: scd2_merge(base, upd, key="k", ts_col="ts", attrs=["st", "price"])
+        .agg(F.count(F.lit(1))).collect(),
+        n_fact,
+    )
+
+    # SQ8 int8 quantization (x56's code path): per-dim stats pass +
+    # code materialization over a synthetic 16-dim embedding column.
+    # Both passes are map-side scans; rows/s must scale with the fact
+    # table (the stats reduce is dim-bounded).
+    from otus_clickhouse_spark.pipeline.similarity import sq8_codes, sq8_stats
+
+    emb = fact.select(
+        "k",
+        F.array(*[
+            (F.pmod(F.xxhash64("k", F.lit(i)), 1000) / 500.0 - 1.0)
+            for i in range(16)
+        ]).alias("embedding"),
+    )
+
+    def sq8_run():
+        mins, scales = sq8_stats(emb, 16)
+        sq8_codes(emb, mins, scales, id_col="k").agg(F.count(F.lit(1))).collect()
+
+    timed("sq8_quantize", sq8_run, n_fact)
     return out
 
 

@@ -699,7 +699,7 @@ class Engine:
             return self.insert(name, self._format_frame(name, fmt, data, cols))
         im = re.match(
             r"^\s*INSERT\s+INTO\s+(?:([\w]+)\.)?([\w]+)\s*(?:\(([^)]*)\))?\s+"
-            r"(SELECT\b.*|VALUES\b.*)",
+            r"(SELECT\b.*|WITH\b.*|VALUES\b.*)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -707,7 +707,7 @@ class Engine:
             self._check_db_qualifier(im.group(1), "INSERT")
             name, collist, rest = im.group(2), im.group(3), im.group(4)
             cols = [c.strip().strip("`") for c in collist.split(",")] if collist else None
-            if rest.upper().startswith("SELECT"):
+            if rest.upper().startswith(("SELECT", "WITH")):
                 sel = self.sql(rest, **params)
                 if cols:
                     sel = sel.toDF(*cols)
@@ -1582,6 +1582,12 @@ class Engine:
                                 p = os.path.join(root, f)
                                 rel = os.path.relpath(p, tier_path)
                                 part = os.path.dirname(rel) or "all"
+                                # CH reports the bare partition VALUE
+                                # (hw11.md golden `partition: 20240101`),
+                                # not the hive directory name — strip the
+                                # `col=` prefix incl. generated `_p_*`
+                                # partition-expression columns
+                                part = re.sub(r"^[^=/]+=", "", part)
                                 rows.append(
                                     (t.name, rel, part, part, disk, p,
                                      os.path.getsize(p), 1)

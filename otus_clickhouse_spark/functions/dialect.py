@@ -96,6 +96,72 @@ def _sub_outside_quotes(pattern: str | re.Pattern, repl, text: str) -> str:
     return "".join(out)
 
 
+def _rewrite_scalar_cte(text: str) -> str:
+    """CH scalar CTEs (hw11.md:38 ``with '{"1": "login"}' as cte
+    select …``; lecture_27.md:231-244): ``WITH <expr> AS name`` binds a
+    SCALAR that substitutes wherever ``name`` appears — unlike the
+    standard ``name AS (subquery)`` form, which Spark parses natively
+    and is left untouched. ``WITH (SELECT …) AS name`` becomes a scalar
+    subquery the same way."""
+    m = re.match(r"^(\s*)WITH\b", text, re.IGNORECASE)
+    if not m:
+        return text
+    i = m.end()
+    depth = 0
+    items: list[str] = []
+    buf: list[str] = []
+    main_start = None
+    while i < len(text):
+        c = text[i]
+        if c in "'\"`":
+            j = i + 1
+            while j < len(text) and text[j] != c:
+                j += 1
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if depth == 0:
+            if c == ",":
+                items.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if re.match(r"(?i)SELECT\b", text[i:]) and re.search(
+                r"(?i)\bAS\s+\w+\s*$", "".join(buf)
+            ):
+                items.append("".join(buf))
+                main_start = i
+                break
+        buf.append(c)
+        i += 1
+    if main_start is None:
+        return text  # standard-CTE-only (or unparseable): Spark handles it
+    scalars: list[tuple[str, str]] = []
+    keep: list[str] = []
+    for it in items:
+        if re.match(r"^\s*\w+\s+AS\s*\(", it, re.IGNORECASE):
+            keep.append(it.strip())
+            continue
+        em = re.match(r"^\s*(.+?)\s+AS\s+(\w+)\s*$", it, re.IGNORECASE | re.DOTALL)
+        if em:
+            scalars.append((em.group(2), em.group(1)))
+        else:
+            keep.append(it.strip())
+    if not scalars:
+        return text
+    rest = text[main_start:]
+    for name, expr in scalars:
+        rest = _sub_outside_quotes(
+            re.compile(rf"\b{re.escape(name)}\b"), lambda _m, e=expr: f"({e})", rest
+        )
+    head = ("WITH " + ", ".join(keep) + " ") if keep else ""
+    return m.group(1) + head + rest
+
+
 def _rewrite_transform4(text: str) -> str:
     """CH 4-arg ``transform(x, from_array, to_array, default)``
     (lecture_06 conditional family) → a map lookup with fallback. The
@@ -1559,6 +1625,7 @@ def translate(
     tables = tables or {}
     if macros:
         text = _expand_macros(text, macros)
+    text = _rewrite_scalar_cte(text)
     # CH's default database prefix over the engine's flat temp-view
     # namespace: `default.t` ≡ `t` (the Airflow lab's etl.py qualifies
     # every statement; clusters/airflow_and_ch/airflow/dags/etl.py:16-35).

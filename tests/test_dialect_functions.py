@@ -1144,3 +1144,33 @@ def test_eleventh_batch_interval_string_quantile(engine):
         "FROM (SELECT 1.0 x UNION ALL SELECT 2.0 UNION ALL SELECT 3.0)"
     ).collect()[0].v
     assert float(gk) == 2.0
+
+
+def test_scalar_cte_rewrite(engine):
+    """CH scalar CTEs (hw11.md:38): WITH <expr> AS name substitutes a
+    scalar; the standard name AS (subquery) form passes through; mixed
+    lists keep the standard part."""
+    rows = engine.sql(
+        "with '{\"1\": \"login\"}' as cte "
+        "select JSONExtractString(cte, '1') AS t from numbers(2)"
+    ).collect()
+    assert [r.t for r in rows] == ["login", "login"]
+    # scalar subquery form
+    got = engine.sql(
+        "WITH (SELECT max(number) FROM numbers(5)) AS mx "
+        "SELECT mx + 1 AS v"
+    ).collect()[0].v
+    assert got == 5
+    # standard CTE untouched
+    got = engine.sql(
+        "WITH a AS (SELECT 1 AS x) SELECT x FROM a"
+    ).collect()[0].x
+    assert got == 1
+    # mixed: standard + scalar in one WITH list
+    got = engine.sql(
+        "WITH a AS (SELECT 2 AS x), 10 AS k SELECT x * k AS v FROM a"
+    ).collect()[0].v
+    assert got == 20
+    # a string literal containing the name is never substituted
+    got = engine.sql("WITH 5 AS lim SELECT 'lim' AS s, lim AS v").collect()[0]
+    assert (got.s, got.v) == ("lim", 5)

@@ -547,3 +547,74 @@ def test_hw06_imdb_lab_verbatim(engine, tmp_path):
     for tbl in ("actors", "genres", "movies", "roles"):
         engine.execute(f"DROP TABLE IF EXISTS imdb.{tbl}")
     engine.execute("DROP DATABASE imdb")
+
+
+def test_hw11_mutations_lab_verbatim(engine, tmp_path):
+    """homeworks/hw11.md replayed statement-for-statement: partitioned
+    CREATE with column comments, the scalar-CTE + randUniform +
+    JSONExtractString INSERT, system.parts inspection (group by all +
+    formatReadableSize + groupArray), ALTER UPDATE + system.mutations,
+    DROP PARTITION, a fresh-partition insert, and MODIFY TTL."""
+    engine.execute("DROP TABLE IF EXISTS user_activity")
+    engine.execute(
+        "create table user_activity \n"
+        "(\n"
+        "    user_id         UInt32                  comment 'идентификатор пользователя',\n"
+        "    activity_type   LowCardinality(String)  comment 'тип активности',\n"
+        "    activity_date   DateTime                comment 'дата и время активности'\n"
+        ")\n"
+        "engine=MergeTree\n"
+        "partition by toYYYYMMDD(activity_date)\n"
+        "order by user_id"
+    )
+    engine.tables["user_activity"].path = str(tmp_path / "user_activity")
+    try:
+        engine.execute(
+            "insert into user_activity\n"
+            "with '{\"1\": \"login\", \"2\": \"logout\", \"3\": \"purchase\"}' as activity_type_cte\n"
+            "select\n"
+            "    floor(randUniform(1, 11)) as user_id\n"
+            "    , JSONExtractString(activity_type_cte, toString(floor(randUniform(1, 4)))) as activity_type\n"
+            "    , toDate('2024-01-01') + interval (floor(number/1000)) hours as activity_date \n"
+            "from numbers(1, 100000)"
+        )
+        assert engine.sql("SELECT count() AS n FROM user_activity").collect()[0].n == 100000
+        types = {r.activity_type for r in engine.sql(
+            "SELECT DISTINCT activity_type FROM user_activity").collect()}
+        assert types <= {"login", "logout", "purchase"}
+        # the lab's parts inspection shape (group by all + groupArray)
+        parts = engine.sql(
+            "select table, partition, formatReadableSize(sum(bytes_on_disk)) AS size, "
+            "groupArray(name) AS parts from system.parts "
+            "where table = 'user_activity' group by all order by partition"
+        ).collect()
+        partitions = [r.partition for r in parts]
+        assert "20240101" in partitions and "20240105" in partitions
+        # mutation + log
+        engine.execute(
+            "alter table user_activity UPDATE activity_type = 'some new type' WHERE user_id = 1"
+        )
+        muts = engine.sql("select * from system.mutations").collect()
+        assert any("some new type" in (r.command or "") for r in muts)
+        got = engine.sql(
+            "select * from user_activity where user_id = 1 "
+            "and toDate(activity_date) = '2024-01-01' limit 1"
+        ).collect()
+        assert got and got[0].activity_type == "some new type"
+        # drop one day's partition
+        engine.execute("ALTER TABLE user_activity DROP PARTITION 20240101")
+        assert engine.sql(
+            "select count() AS n from user_activity where toDate(activity_date) = '2024-01-01'"
+        ).collect()[0].n == 0
+        # fresh partition via a now() insert
+        engine.execute("insert into user_activity select 1, 'test new partition', now()")
+        assert engine.sql(
+            "SELECT count() AS n FROM user_activity WHERE activity_type = 'test new partition'"
+        ).collect()[0].n == 1
+        # TTL attachment (application covered by the TTL suites)
+        engine.execute(
+            "ALTER TABLE user_activity MODIFY TTL activity_date + INTERVAL 1 DAY"
+        )
+        assert engine.tables["user_activity"].ttl
+    finally:
+        engine.execute("DROP TABLE IF EXISTS user_activity")

@@ -665,6 +665,19 @@ class Engine:
             td = _copy.deepcopy(self.tables[src])
             td.name = name
             td.path = os.path.join("spark-warehouse", name)
+            if eng:
+                # CREATE TABLE new AS old ENGINE = X (hw09.md:141-144's
+                # MergeTree → ReplicatedMergeTree conversion): schema
+                # copies, the ENGINE clause wins. Replicated* records
+                # replication identity like functions/ddl.py does.
+                td.engine = re.sub(r"^Replicated", "", eng)
+                if eng.startswith("Replicated"):
+                    td.settings["replicated"] = True
+                    eargs_raw = (copym.group("eargs") or "").strip()
+                    td.settings["engine_full"] = f"{eng}({eargs_raw})" if eargs_raw else eng
+                else:
+                    td.settings.pop("replicated", None)
+                    td.settings["engine_full"] = eng
             _shutil.rmtree(td.path, ignore_errors=True)  # fresh table: no stale parts
             # register the empty view directly: a partitioned write of
             # zero rows leaves no parquet footer to re-read

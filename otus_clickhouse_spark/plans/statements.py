@@ -58,6 +58,14 @@ _DROP_PART_RE = re.compile(
 _DETACH_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:default\.)?(\w+)\s+DETACH\s+PARTITION\s+(.+)$", re.IGNORECASE
 )
+_ATTACH_PART_FROM_RE = re.compile(
+    # ATTACH PARTITION [ID] 'p' FROM src (hw09.md:161): COPY the
+    # partition from the source table — the source keeps its data
+    # (unlike MOVE) and the target's existing rows stay (unlike REPLACE)
+    r"^\s*ALTER\s+TABLE\s+(?:default\.)?(\w+)\s+ATTACH\s+PARTITION\s+(?:ID\s+)?(.+?)\s+"
+    r"FROM\s+(?:default\.)?(\w+)\s*$",
+    re.IGNORECASE,
+)
 _ATTACH_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:default\.)?(\w+)\s+ATTACH\s+PARTITION\s+(.+)$", re.IGNORECASE
 )
@@ -776,6 +784,18 @@ def _try_route_inner(engine, s: str):
         df.filter(F.col(pcol).eqNullSafe(typed)).write.mode("overwrite").parquet(det)
         _persist(engine, name, df.filter(~F.col(pcol).eqNullSafe(typed)))
         return {"detached_partition": value}
+
+    m = _ATTACH_PART_FROM_RE.match(s)
+    if m:
+        name, value, src = m.group(1), m.group(2).strip().strip("'\""), m.group(3)
+        src_td = engine.tables[src]
+        incoming = engine.table(src)
+        if value != "all" and src_td.partition_by:
+            pcol = _partition_column(src_td)
+            typed = F.lit(value).cast(incoming.schema[pcol].dataType)
+            incoming = incoming.filter(F.col(pcol).eqNullSafe(typed))
+        engine.insert(name, incoming.select(*engine.table(name).columns))
+        return {"attached_partition": value, "from": src}
 
     m = _ATTACH_PART_RE.match(s)
     if m:

@@ -618,3 +618,62 @@ def test_hw11_mutations_lab_verbatim(engine, tmp_path):
         assert engine.tables["user_activity"].ttl
     finally:
         engine.execute("DROP TABLE IF EXISTS user_activity")
+
+
+def test_hw09_replication_lab_verbatim(engine, tmp_path):
+    """homeworks/hw09.md replayed: ON CLUSTER DDL + ReplicatedMergeTree,
+    gcs() {0..2} brace-glob ingest (local stand-in files), CREATE ...
+    AS t ENGINE=ReplicatedMergeTree() conversion, ATTACH PARTITION ID
+    'all' FROM t, rename ON CLUSTER, system.replicas row, TTL + SHOW
+    CREATE."""
+    import gzip
+
+    engine.execute("DROP TABLE if exists trips9 on cluster replicated_cluster")
+    engine.execute("DROP TABLE if exists trips9_new on cluster replicated_cluster")
+    engine.execute(
+        "CREATE TABLE trips9 ( trip_id UInt32, pickup_datetime DateTime, "
+        "total_amount Float32, payment_type Enum('CSH' = 1, 'CRE' = 2) ) "
+        "ENGINE = MergeTree PRIMARY KEY (pickup_datetime)"
+    )
+    engine.tables["trips9"].path = str(tmp_path / "trips9")
+    try:
+        # gcs() with {0..2} brace glob over local gz stand-ins
+        for i in range(3):
+            with gzip.open(tmp_path / f"trips_{i}.gz", "wt") as f:
+                f.write("trip_id\tpickup_datetime\ttotal_amount\tpayment_type\n")
+                f.write(f"{i}\t2024-01-0{i+1} 10:00:00\t{10.5 + i}\t1\n")
+        engine.execute(
+            "INSERT INTO trips9 SELECT trip_id, pickup_datetime, total_amount, payment_type "
+            f"FROM gcs('file://{tmp_path}/trips_{{0..2}}.gz', 'TabSeparatedWithNames')"
+        )
+        assert engine.sql("select count() AS n from trips9").collect()[0].n == 3
+        # convert to replicated: CREATE ... AS t ENGINE=ReplicatedMergeTree()
+        engine.execute(
+            "CREATE TABLE trips9_new on cluster replicated_cluster AS trips9 "
+            "ENGINE=ReplicatedMergeTree() PRIMARY KEY (pickup_datetime)"
+        )
+        engine.tables["trips9_new"].path = str(tmp_path / "trips9_new")
+        assert engine.tables["trips9_new"].settings.get("replicated")
+        assert "ReplicatedMergeTree" in engine.tables["trips9_new"].settings["engine_full"]
+        parts = {r.partition_id for r in engine.sql(
+            "SELECT DISTINCT partition_id FROM system.parts where table = 'trips9'").collect()}
+        assert parts == {"all"}
+        engine.execute("ALTER TABLE trips9_new ATTACH PARTITION ID 'all' FROM trips9")
+        assert engine.sql("select count() AS n from trips9_new").collect()[0].n == 3
+        # source keeps its data (ATTACH FROM copies, unlike MOVE)
+        assert engine.sql("select count() AS n from trips9").collect()[0].n == 3
+        engine.execute("DROP TABLE if exists trips9 on cluster replicated_cluster")
+        engine.execute("rename TABLE trips9_new to trips9 on cluster replicated_cluster")
+        assert engine.sql("select count() AS n from trips9").collect()[0].n == 3
+        # replicas row for the replicated table
+        reps = engine.sql("SELECT * FROM system.replicas").collect()
+        assert any(r.table == "trips9" for r in reps)
+        # TTL last-7-days + SHOW CREATE renders it
+        engine.execute(
+            "ALTER TABLE trips9 MODIFY TTL pickup_datetime + INTERVAL 7 DAY"
+        )
+        shown = engine.execute("SHOW CREATE TABLE trips9")[0]
+        assert "TTL" in shown and "ReplicatedMergeTree" in shown
+    finally:
+        engine.execute("DROP TABLE IF EXISTS trips9")
+        engine.execute("DROP TABLE IF EXISTS trips9_new")

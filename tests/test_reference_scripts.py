@@ -677,3 +677,56 @@ def test_hw09_replication_lab_verbatim(engine, tmp_path):
     finally:
         engine.execute("DROP TABLE IF EXISTS trips9")
         engine.execute("DROP TABLE IF EXISTS trips9_new")
+
+
+def test_hw10_sharding_lab_verbatim(engine, tmp_path):
+    """homeworks/hw10.md replayed: ON CLUSTER local-table DDL (with a
+    trailing-comma column list), CREATE ... AS local ENGINE =
+    Distributed(cluster, db, local, key), sharded insert through the
+    Distributed proxy, count via both faces, and the per-shard
+    _shard_num rollup."""
+    engine.execute("DROP TABLE IF EXISTS sales_d")
+    engine.execute("DROP TABLE IF EXISTS sales_local10")
+    engine.execute(
+        "create table sales_local10 on cluster cluster_4sh1rep\n"
+        "(\n"
+        "    id         UInt32   comment 'уникальный идентификатор продажи',\n"
+        "    product_id UInt32   comment 'идентификатор продукта',\n"
+        "    quantity   UInt32   comment 'количество проданных единиц',\n"
+        "    price      Float32  comment 'цена за единицу',\n"
+        "    sale_date  DateTime comment 'дата продажи',\n"
+        ")\n"
+        "engine=MergeTree\n"
+        "order by id"
+    )
+    engine.tables["sales_local10"].path = str(tmp_path / "sales_local10")
+    try:
+        engine._clusters["cluster_4sh1rep"] = 4
+        assert "cluster_4sh1rep" in engine.execute("show clusters")
+        engine.execute(
+            "create table sales_d as sales_local10 "
+            "engine = Distributed(cluster_4sh1rep, default, sales_local10, id)"
+        )
+        engine.execute(
+            "insert into sales_d\n"
+            "select\n"
+            "    number as id\n"
+            "    , floor(randUniform(1, 11)) as product_id\n"
+            "    , floor(randUniform(1, 5)) as quantity\n"
+            "    , round(randUniform(5.5, 10), 2) as price\n"
+            "    , toDate('2024-01-01') + interval (floor(number/100)) days as sale_date \n"
+            "from numbers(1, 1000)"
+        )
+        assert engine.execute("select count() from sales_d")[0][0] == 1000
+        assert engine.execute("select count() from sales_local10")[0][0] == 1000
+        # per-shard rollup through the proxy's _shard_num virtual column
+        rows = engine.execute(
+            "SELECT hostName() as hostname , _shard_num as shard_num , count(id) as cnt "
+            "from sales_d group by hostname, shard_num order by shard_num"
+        )
+        assert sum(r.cnt for r in rows) == 1000
+        assert len({r.shard_num for r in rows}) > 1  # really sharded
+    finally:
+        engine.execute("DROP TABLE IF EXISTS sales_d")
+        engine.execute("DROP TABLE IF EXISTS sales_local10")
+        engine._clusters.pop("cluster_4sh1rep", None)

@@ -683,6 +683,49 @@ class Engine:
             # zero rows leaves no parquet footer to re-read
             self.register_table(td, df=self.table(src).limit(0).localCheckpoint(eager=True))
             return td
+        copym3 = re.match(
+            # attrs-BEFORE-AS schema copy (hw14.md:30 `create table d
+            # engine=MergeTree order by tuple() as system.dashboards`):
+            # CH copies the source's structure only; system.* views are
+            # valid sources
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+            r"(?P<attrs>ENGINE\s*=.*?)\s+AS\s+(?:(?P<srcdb>\w+)\.)?(?P<src>\w+)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if copym3 and copym3.group("src").upper() != "SELECT":
+            name = copym3.group("name")
+            srcdb, src = copym3.group("srcdb"), copym3.group("src")
+            attrs = copym3.group("attrs")
+            if srcdb and srcdb.lower() == "system":
+                method = getattr(self, f"system_{src}", None)
+                if method is None:
+                    raise KeyError(f"unknown system table system.{src}")
+                src_df = method()
+            elif srcdb is None and src in self.tables:
+                src_df = self.table(src)
+            else:
+                src_df = None
+            if src_df is not None:
+                em = re.search(r"ENGINE\s*=\s*(\w+)", attrs, re.IGNORECASE)
+                om = re.search(
+                    r"ORDER\s+BY\s+\(?([\w, ]+?)\)?\s*(?:PARTITION|SETTINGS|$)",
+                    attrs,
+                    re.IGNORECASE,
+                )
+                okey = tuple(
+                    c.strip() for c in (om.group(1).split(",") if om else [])
+                    if c.strip() and c.strip() != "tuple()"
+                )
+                td = TableDef(
+                    name=name,
+                    path=os.path.join("spark-warehouse", name),
+                    engine=em.group(1) if em else "MergeTree",
+                    order_by=okey,
+                )
+                self.tables[name] = td
+                self.register_table(td, df=src_df.limit(0).localCheckpoint(eager=True))
+                return td
         if re.match(r"^\s*CREATE\s+TABLE\b", s, re.IGNORECASE):
             return self.create_table(s)
         dm = re.match(
@@ -1274,17 +1317,42 @@ class Engine:
         except Exception as exc:  # logged like query_log's exception column
             self._bump("FailedSelectQuery")
             self._quota_usage.setdefault(self.current_user, []).append((time.time(), "errors"))
-            self._query_log.append((text, time.time() - t0, -1, type(exc).__name__))
+            self._query_log.append(
+                self._query_log_row(text, t0, -1, type(exc).__name__)
+            )
             raise
         finally:
             self._processes.pop(qid, None)
             sc.setJobGroup(None, None)
-        self._query_log.append((text, time.time() - t0, len(rows), ""))
+        self._query_log.append(self._query_log_row(text, t0, len(rows), ""))
         return df.columns, rows
 
     def run(self, text: str, **params):
         """:meth:`run_query` returning just the rows (Python-API path)."""
         return self.run_query(text, **params)[1]
+
+    def _query_log_row(self, text: str, t0: float, n_rows: int, exc: str) -> tuple:
+        """One system.query_log row (lecture_20.md:296-478 column set;
+        hw14.md's dashboards filter on type/event_time and fold the
+        touched-tables array)."""
+        import datetime as _dt
+        import time
+
+        now = _dt.datetime.now()
+        touched = sorted(
+            name for name in self.tables
+            if re.search(rf"\b{re.escape(name)}\b", text)
+        )
+        return (
+            text,
+            "QueryFinish" if not exc else "ExceptionWhileProcessing",
+            now,
+            now.date(),
+            time.time() - t0,
+            n_rows,
+            exc,
+            touched,
+        )
 
     def _bump(self, event: str, n: int = 1) -> None:
         self._events[event] = self._events.get(event, 0) + n
@@ -1614,9 +1682,27 @@ class Engine:
     def system_query_log(self) -> DataFrame:
         """≈ system.query_log (lecture_20.md:296-478): queries run via
         :meth:`run`, with duration / result rows / exception."""
+        import datetime as _dt
+
+        empty = ("", "QueryFinish", _dt.datetime.now(), _dt.date.today(), 0.0, 0, "", [])
         return self.spark.createDataFrame(
-            self._query_log or [("", 0.0, 0, "")],
-            "query string, duration_sec double, result_rows long, exception string",
+            self._query_log or [empty],
+            "query string, type string, event_time timestamp, event_date date, "
+            "duration_sec double, result_rows long, exception string, "
+            "tables array<string>",
+        )
+
+    def system_trace_log(self) -> DataFrame:
+        """≈ system.trace_log (hw14.md:36-41 MemoryPeak dashboards;
+        lecture_20.md profiling): the sampling-profiler event stream.
+        The JVM path has no clickhouse-style memory/CPU sampler wired
+        into Python, so the view is schema-correct and EMPTY here — on
+        a cluster the rows would come from a SparkListener feeding task
+        metrics (peakExecutionMemory) into this table's shape."""
+        return self.spark.createDataFrame(
+            [],
+            "event_time timestamp, event_date date, trace_type string, "
+            "query_id string, size long",
         )
 
     def system_columns(self) -> DataFrame:

@@ -414,6 +414,13 @@ def _rewrite_crypto_hashes(text: str) -> str:
                 break
             args, end = _split_call_args(text, text.index("(", m.start()))
             text = text[: m.start()] + f"unhex({spark_fn}({', '.join(args)}))" + text[end:]
+    # CH DateTime ± integer means seconds (hw14.md:40 `now() - 86400`);
+    # Spark requires an interval
+    text = re.sub(
+        r"\bnow(64)?\(\)\s*([-+])\s*(\d+)(?![\w.])",
+        lambda m: f"(now() {m.group(2)} make_dt_interval(0, 0, 0, {m.group(3)}))",
+        text,
+    )
     # same builtin-collision class: CH's monthName returns the FULL
     # month name; Spark's case-insensitive monthname() abbreviates
     while True:
@@ -1074,7 +1081,7 @@ def _rewrite_quantiles(text: str) -> str:
 # class as -If/-State): aggXArray(arr) applies agg over all array
 # elements across rows. Rewritten to element-level formulas so the
 # aggregation stays a plain map-side-combinable Spark agg.
-_ARRAY_COMB_RE = re.compile(r"\b(sum|min|max|avg|count)Array\s*\(")
+_ARRAY_COMB_RE = re.compile(r"\b(sum|min|max|avg|count|uniqExact|uniq)Array\s*\(")
 
 
 # arrayReduce('agg', arr): apply a named aggregate over one array's
@@ -1125,6 +1132,10 @@ def _rewrite_array_combinators(text: str) -> str:
             expr = f"max(array_max({a}))"
         elif fn == "avg":
             expr = f"(sum({elem_sum}) / sum(size({a})))"
+        elif fn in ("uniq", "uniqExact"):
+            # distinct elements across all rows' arrays (hw14.md:54-60
+            # uniqArray(tables)) — exact via flatten + distinct
+            expr = f"size(array_distinct(flatten(collect_list({a}))))"
         else:  # count
             expr = f"sum(size({a}))"
         text = text[: m.start()] + expr + text[end:]
@@ -1748,7 +1759,10 @@ def translate(
         text,
         flags=re.IGNORECASE | re.DOTALL,
     )
-    text = _PARAM_RE.sub(lambda m: f":{m.group(1)}", text)
+    # quote-aware: a `{rounding:UInt32}` placeholder INSIDE a string
+    # literal (hw14.md stores dashboard queries as VALUES strings) is
+    # data, not a parameter of this statement
+    text = _sub_outside_quotes(_PARAM_RE, lambda m: f":{m.group(1)}", text)
     text = _COUNT0_RE.sub("count(*)", text)
     agg_funcs: dict[str, str] = {}
     for td in tables.values():

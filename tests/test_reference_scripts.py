@@ -730,3 +730,57 @@ def test_hw10_sharding_lab_verbatim(engine, tmp_path):
         engine.execute("DROP TABLE IF EXISTS sales_d")
         engine.execute("DROP TABLE IF EXISTS sales_local10")
         engine._clusters.pop("cluster_4sh1rep", None)
+
+
+def test_hw14_monitoring_lab_verbatim(engine, tmp_path):
+    """homeworks/hw14.md replayed: CREATE TABLE ... engine=MergeTree
+    order by tuple() AS system.dashboards (attrs-before-AS schema copy
+    from a system view), the MemoryPeak trace_log dashboard query, the
+    query_log uniq-tables dashboard query, and the VALUES inserts whose
+    string literals embed {rounding:UInt32} placeholders that must stay
+    literal."""
+    engine.execute("DROP TABLE IF EXISTS dashboards_test")
+    engine.execute(
+        "create table dashboards_test\nengine=MergeTree\norder by tuple()\nas system.dashboards"
+    )
+    engine.tables["dashboards_test"].path = str(tmp_path / "dashboards_test")
+    try:
+        assert engine.table("dashboards_test").columns == ["dashboard", "title", "query"]
+        assert engine.table("dashboards_test").count() == 0  # structure only
+        # the debug-form dashboard queries run as-is (trace_log is the
+        # schema-correct empty profiler stream)
+        engine.execute(
+            "select toStartOfInterval(event_time, INTERVAL 60 SECOND)::INT AS t, max(size)\n"
+            "from system.trace_log \n"
+            "where trace_type = 'MemoryPeak' \n"
+            "and event_date >= toDate(now() - 86400) and event_date >= toDate(now() - 86400) \n"
+            "GROUP BY t\n"
+            "ORDER BY t WITH FILL STEP 60"
+        )
+        rows = engine.execute(
+            "select toStartOfInterval(event_time, INTERVAL 60 SECOND)::INT AS t, uniqArray(tables)\n"
+            "from system.query_log \n"
+            "where type='QueryFinish'\n"
+            "and event_date >= toDate(now() - 86400) and event_date >= toDate(now() - 86400) \n"
+            "GROUP BY t\n"
+            "ORDER BY t WITH FILL STEP 60"
+        )
+        assert rows  # this session has already logged finished queries
+        # VALUES whose strings embed \' escapes and {x:UInt32} params
+        engine.execute(
+            "insert into dashboards_test\n"
+            "values\n"
+            "('Overview', 'memory peaks', 'select toStartOfInterval(event_time, "
+            "INTERVAL {rounding:UInt32} SECOND)::INT AS t, max(size)\n"
+            "from system.trace_log \n"
+            "where trace_type = \\'MemoryPeak\\' \n"
+            "GROUP BY t\n"
+            "ORDER BY t WITH FILL STEP {rounding:UInt32}\n;')"
+        )
+        stored = engine.sql(
+            "SELECT query FROM dashboards_test WHERE title = 'memory peaks'"
+        ).collect()[0].query
+        assert "{rounding:UInt32}" in stored  # placeholder survived as data
+        assert "'MemoryPeak'" in stored  # the \' escape round-tripped
+    finally:
+        engine.execute("DROP TABLE IF EXISTS dashboards_test")

@@ -784,3 +784,56 @@ def test_hw14_monitoring_lab_verbatim(engine, tmp_path):
         assert "'MemoryPeak'" in stored  # the \' escape round-tripped
     finally:
         engine.execute("DROP TABLE IF EXISTS dashboards_test")
+
+
+def test_hw15_profiling_lab_verbatim(engine, tmp_path):
+    """homeworks/hw15.md replayed: a Null-engine landing table with two
+    MVs fanning into a PK-sorted and an unsorted MergeTree twin, one
+    insert feeding both, and the lab's IN-list point query on each —
+    the plan for the sorted twin must push the filter into the scan."""
+    for tname in ("test_with_pk_mv", "test_without_pk_mv"):
+        engine.execute(f"DROP VIEW IF EXISTS {tname}")
+    for tname in ("trips15", "test_with_pk", "test_without_pk"):
+        engine.execute(f"DROP TABLE IF EXISTS {tname}")
+    engine.execute(
+        "CREATE TABLE trips15 ( trip_id UInt32, total_amount Float32 ) ENGINE = Null"
+    )
+    engine.execute(
+        "create table test_with_pk ( trip_id UInt32 ) ENGINE = MergeTree order by trip_id"
+    )
+    engine.tables["test_with_pk"].path = str(tmp_path / "with_pk")
+    engine.execute(
+        "create materialized view test_with_pk_mv to test_with_pk as "
+        "select trip_id from trips15"
+    )
+    engine.execute(
+        "create table test_without_pk ( trip_id UInt32 ) ENGINE = MergeTree order by tuple()"
+    )
+    engine.tables["test_without_pk"].path = str(tmp_path / "without_pk")
+    engine.execute(
+        "create materialized view test_without_pk_mv to test_without_pk as "
+        "select trip_id from trips15"
+    )
+    try:
+        engine.execute(
+            "INSERT INTO trips15 SELECT number AS trip_id, 1.0 AS total_amount "
+            "FROM numbers(100000)"
+        )
+        # Null engine discards; the MVs landed the rows in both twins
+        assert engine.sql("select count() AS n from test_with_pk").collect()[0].n == 100000
+        assert engine.sql("select count() AS n from test_without_pk").collect()[0].n == 100000
+        for tbl in ("test_with_pk", "test_without_pk"):
+            n = engine.sql(
+                f"select count() AS n from {tbl} where trip_id in (42, 99999)"
+            ).collect()[0].n
+            assert n == 2
+        # the sorted twin's scan carries the pushed IN filter
+        plan = engine.sql(
+            "select count() from test_with_pk where trip_id in (42, 99999)"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(trip_id" in plan
+    finally:
+        for tname in ("test_with_pk_mv", "test_without_pk_mv"):
+            engine.execute(f"DROP VIEW IF EXISTS {tname}")
+        for tname in ("trips15", "test_with_pk", "test_without_pk"):
+            engine.execute(f"DROP TABLE IF EXISTS {tname}")

@@ -964,7 +964,14 @@ def _rewrite_dynamic_interval(text: str) -> str:
         out.append(text[i : m.start()])
         out.append(f"(INTERVAL 1 {um.group(1).upper()} * ({expr}))")
         i = j + 1 + um.end()
-    return "".join(out)
+    # bare-identifier operand (hw04.md `+ interval number day`): same
+    # multiplication form; numeric/quoted literals stay Spark-native
+    return re.sub(
+        r"\bINTERVAL\s+([A-Za-z_]\w*)\s+(second|minute|hour|day|week|month|year)s?\b",
+        lambda mm: f"(INTERVAL 1 {mm.group(2).upper()} * ({mm.group(1)}))",
+        "".join(out),
+        flags=re.IGNORECASE,
+    )
 
 
 def _rewrite_tostartofinterval(text: str) -> str:

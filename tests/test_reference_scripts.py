@@ -837,3 +837,72 @@ def test_hw15_profiling_lab_verbatim(engine, tmp_path):
             engine.execute(f"DROP VIEW IF EXISTS {tname}")
         for tname in ("trips15", "test_with_pk", "test_without_pk"):
             engine.execute(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_hw04_udf_types_lab_verbatim(engine, tmp_path):
+    """homeworks/hw04.md replayed: the transactions table + numbers()
+    insert with interval arithmetic, the aggregate sweep, the type
+    conversions, and the SQL-lambda UDF lifecycle (create, list in
+    system.functions via origin filter, apply scalar and inside an
+    aggregate, classify variant, drop)."""
+    engine.execute("DROP TABLE IF EXISTS transactions")
+    engine.execute(
+        "CREATE TABLE transactions ( transaction_id UInt32, user_id UInt32, "
+        "product_id UInt32, quantity UInt8, price Float32, transaction_date Date ) "
+        "ENGINE = MergeTree() ORDER BY (transaction_id)"
+    )
+    engine.tables["transactions"].path = str(tmp_path / "transactions")
+    try:
+        engine.execute(
+            "INSERT INTO transactions (transaction_id, user_id, product_id, quantity, price, transaction_date) \n"
+            "SELECT \n"
+            "    number AS transaction_id, \n"
+            "    (number % 100) + 1 AS user_id, \n"
+            "    (number % 10) + 1 AS product_id, \n"
+            "    (number % 5) + 1 AS quantity, number / 100000.0 AS price, \n"
+            "    toDate('2022-01-01') + interval number day AS transaction_date\n"
+            "FROM numbers(1000)"
+        )
+        assert len(engine.execute("select * from transactions limit 5")) == 5
+        total = engine.execute("select sum(quantity * price) AS s from transactions")[0].s
+        assert total > 0
+        uniq = engine.execute("select countDistinct(user_id) AS u from transactions")[0].u
+        assert uniq == 100
+        row = engine.execute(
+            "select year(transaction_date) as `year`, month(transaction_date) as `month`, "
+            "toYYYYMM(transaction_date) AS ym, date_trunc('month', transaction_date) AS dt, "
+            "ceiling(price) AS cp, toString(transaction_id) AS ts "
+            "from transactions order by transaction_id limit 5"
+        )[0]
+        assert row["year"] == 2022 and row.ym == 202201 and row.ts == "0"
+        # UDF lifecycle
+        engine.execute("CREATE FUNCTION some_brand_new_func AS (quantity, price) -> quantity * price")
+        fns = engine.sql(
+            "SELECT name, create_query FROM system.functions WHERE origin = 'SQLUserDefined'"
+        ).collect()
+        assert any(r.name == "some_brand_new_func" for r in fns)
+        got = engine.execute(
+            "select transaction_id, some_brand_new_func(quantity, price) AS v "
+            "from transactions limit 5"
+        )
+        assert len(got) == 5
+        agg = engine.execute(
+            "select transaction_id, sum(some_brand_new_func(quantity, price)) AS s "
+            "from transactions group by transaction_id limit 5"
+        )
+        assert len(agg) == 5
+        engine.execute(
+            "CREATE FUNCTION some_brand_new_func_classify AS (quantity, price) -> quantity * price > 0.01"
+        )
+        # the lab writes `classify(...) > 0` because CH booleans are
+        # UInt8; Spark booleans are real BOOLEANs, so the predicate is
+        # the boolean itself (same semantics, typed dialect)
+        hi = engine.execute(
+            "select transaction_id, some_brand_new_func_classify(quantity, price) AS c "
+            "from transactions where some_brand_new_func_classify(quantity, price) limit 5"
+        )
+        assert len(hi) == 5 and all(r.c for r in hi)
+        engine.execute("DROP FUNCTION some_brand_new_func")
+        engine.execute("DROP FUNCTION some_brand_new_func_classify")
+    finally:
+        engine.execute("DROP TABLE IF EXISTS transactions")

@@ -1196,3 +1196,44 @@ def q95_database_namespace(spark, sf_dir):
         F.lit(int(unknown_errors)).alias("unknown_db_errors"),
         F.lit(int(dropped)).alias("dropped"),
     )
+
+
+@query(
+    "q96_query_log_observability",
+    oracle="""
+    SELECT 2 AS n_finished, 1 AS n_failed, 2 AS n_touched_nation,
+           1 AS dashboards_has_queries, 1 AS trace_log_schema_ok
+    """,
+)
+def q96_query_log_observability(spark, sf_dir):
+    """D8 observability surfaces, driver-value-checked (hw14.md:26-74,
+    lecture_20.md:296-478): system.query_log records type/event_date/
+    touched-tables for finished AND failed queries; system.dashboards
+    serves (dashboard, title, query) rows; system.trace_log exposes the
+    profiler-stream schema. All scalars replayed by the oracle."""
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, sf_dir, ["nation"])
+    eng.run("SELECT count(*) AS n FROM nation")
+    eng.run("SELECT max(n_nationkey) AS m FROM nation")
+    try:
+        eng.run("SELECT broken syntax here FROM nation")
+    except Exception:
+        pass
+    ql = eng.sql(
+        "SELECT "
+        "  CAST(sum(CASE WHEN type = 'QueryFinish' THEN 1 ELSE 0 END) AS INT) AS n_finished, "
+        "  CAST(sum(CASE WHEN type = 'ExceptionWhileProcessing' THEN 1 ELSE 0 END) AS INT) AS n_failed, "
+        "  CAST(sum(CASE WHEN array_contains(tables, 'nation') "
+        "                 AND type = 'QueryFinish' THEN 1 ELSE 0 END) AS INT) AS n_touched_nation "
+        "FROM system.query_log WHERE event_date >= toDate(now() - 86400)"
+    )
+    dash = eng.sql(
+        "SELECT CAST(count() > 0 AS INT) AS dashboards_has_queries FROM system.dashboards"
+    )
+    trace = eng.system_trace_log()
+    schema_ok = int(
+        [f.name for f in trace.schema.fields]
+        == ["event_time", "event_date", "trace_type", "query_id", "size"]
+    )
+    return ql.crossJoin(dash).withColumn("trace_log_schema_ok", F.lit(schema_ok))

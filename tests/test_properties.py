@@ -189,3 +189,66 @@ def test_progressive_ac_scan_fuzz():
         bands = [mkband(rng.randrange(0, 25)) for _ in range(rng.randrange(1, 9))]
         al_hi = rng.choice([1, 1, 2, 3])
         assert roundtrip(bands, al_hi) == bands
+
+
+def _scd2_reference(rows):
+    """Pure-python SCD2: per key, sort by ts, collapse no-op versions,
+    chain valid_from/valid_to."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts, attr in rows:
+        by_key[k].append((ts, attr))
+    out = []
+    for k, versions in by_key.items():
+        versions.sort()
+        opened = []
+        for ts, attr in versions:
+            if not opened or opened[-1][1] != attr:
+                opened.append((ts, attr))
+        for i, (ts, attr) in enumerate(opened):
+            vt = opened[i + 1][0] if i + 1 < len(opened) else None
+            out.append((k, ts, vt, attr, vt is None))
+    return sorted(out, key=lambda r: (r[0], r[1]))
+
+
+@settings(**HSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.sampled_from("AB")),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),  # one version per (key, ts)
+    ),
+    split=st.integers(0, 24),
+)
+def test_scd2_merge_matches_reference(spark, rows, split):
+    """pipeline.cdc.scd2_merge vs the pure-python reference, with the
+    input arbitrarily split into a 'base' and an 'updates' batch (the
+    merge must not depend on which side a version arrives on).
+    Invariants: per key exactly one current row, intervals chain
+    without gaps, no-op versions collapse."""
+    from otus_clickhouse_spark.pipeline.cdc import scd2_merge
+
+    base_rows = rows[:split] or [rows[0]]
+    upd_rows = rows[split:] or [rows[-1]]
+    dedup = {(k, ts): (k, ts, a) for k, ts, a in base_rows + upd_rows}
+    base = spark.createDataFrame(
+        [r for r in base_rows if dedup[(r[0], r[1])] == r] or list(dedup.values())[:1],
+        "k int, ts int, attr string",
+    )
+    upd = spark.createDataFrame(
+        [r for r in upd_rows if dedup[(r[0], r[1])] == r] or list(dedup.values())[:1],
+        "k int, ts int, attr string",
+    )
+    all_rows = sorted(set(base.collect()) | set(upd.collect()))
+    got = sorted(
+        ((r.k, r.valid_from, r.valid_to, r.attr, r.is_current)
+         for r in scd2_merge(base, upd, key="k", ts_col="ts", attrs=["attr"]).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    want = _scd2_reference([(r.k, r.ts, r.attr) for r in all_rows])
+    assert got == want
+    # exactly one current row per key
+    keys = {r[0] for r in got}
+    assert sum(1 for r in got if r[4]) == len(keys)

@@ -580,6 +580,10 @@ class Engine:
                 if dbm.group(3):
                     self._database_engines[dbm.group(2).lower()] = dbm.group(3)
                 return {"created_database": dbm.group(2)}
+            if dbm.group(2).lower() == "default":
+                # the engine's own namespace — dropping it would orphan
+                # the flat catalog (CH likewise refuses on its system DBs)
+                raise ValueError("cannot drop the default database")
             self._databases.discard(dbm.group(2).lower())
             self._database_engines.pop(dbm.group(2).lower(), None)
             return {"dropped_database": dbm.group(2)}

@@ -91,28 +91,45 @@ def main():
         "queries": results,
         "sf": sf,
     }
-    scale = scale_probe(spark)
-    if scale:
-        out["scale"] = scale
-    join = scale_join_probe(spark)
-    if join:
-        out["scale_join"] = join
-    point = scale_point_probe(spark)
-    if point:
-        out["scale_point"] = point
-    ins = scale_insert_probe(spark)
-    if ins:
-        out["scale_insert"] = ins
-    qps = scale_qps_probe(spark)
-    if qps:
-        out["scale_qps"] = qps
-    mrg = scale_merge_probe(spark)
-    if mrg:
-        out["scale_merge"] = mrg
-    smj = scale_smj_probe(spark)
-    if smj:
-        out["scale_smj"] = smj
-    print(json.dumps(out))
+    detail = dict(out)
+    for key, probe in (
+        ("scale", scale_probe),
+        ("scale_join", scale_join_probe),
+        ("scale_point", scale_point_probe),
+        ("scale_insert", scale_insert_probe),
+        ("scale_qps", scale_qps_probe),
+        ("scale_merge", scale_merge_probe),
+        ("scale_smj", scale_smj_probe),
+    ):
+        r = probe(spark)
+        if r:
+            detail[key] = r
+    # full probe payloads live in BENCH_DETAIL.json; the stdout line must
+    # stay well under the driver's 2000-char tail capture or it records
+    # "parsed": null (it did in rounds 3-5). The line keeps a compact
+    # ours-vs-baseline Mrows/s summary per probe.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {}
+    for key in detail:
+        if not key.startswith("scale"):
+            continue
+        p = detail[key]
+        ours = next(
+            (p[k] for k in ("rows_per_sec", "effective_rows_per_sec",
+                            "replica_rows_per_sec", "bucketed_rows_per_sec") if k in p),
+            None,
+        )
+        base = next((v for k, v in p.items() if k.startswith("baseline_") and "rows" in k), None)
+        if ours and base:
+            compact[key] = [round(ours / 1e6, 1), round(base / 1e6, 1)]
+    out["scale_mrows_per_sec_ours_vs_baseline"] = compact
+    out["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(out)
+    if len(line) > 1900:  # last-ditch: drop per-query detail before the tail cap
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 def scale_probe(spark) -> dict | None:

@@ -94,13 +94,16 @@ class Engine:
         # shard count. On Spark the "cluster" is the executor pool, so a
         # topology only shapes Distributed-table routing/virtual columns.
         self._clusters: dict[str, int] = {"default": 1}
-        # known databases over the flat table namespace (D1): `default`
+        # database namespaces over the flat view catalog (D1): `default`
         # plus anything declared via CREATE DATABASE or first seen as a
-        # CREATE TABLE db.t qualifier. Statements referencing a KNOWN
-        # database have the prefix stripped (all dbs share the flat
-        # catalog, like a single-disk CH server); an UNKNOWN database
-        # errors instead of silently acting on the same-named flat table.
+        # CREATE TABLE db.t qualifier. Non-default databases mangle into
+        # the flat catalog as ``{db}__{table}`` — so `streams.sensor_data`
+        # and `parsed.sensor_data` are DISTINCT tables, exactly like CH
+        # (clusters/ch_and_kafka/db/init.sql declares both). `default.t`
+        # stays `t`. An UNKNOWN database errors instead of silently
+        # acting on the same-named flat table.
         self._databases: set[str] = {"default"}
+        self.current_database: str = "default"
         self._database_engines: dict[str, str] = {}  # engined CREATE DATABASE forms
         # config macros (hw09.md:295-325 getMacro usage; in CH these come
         # from <macros> in config.xml — one substitution set per server)
@@ -256,10 +259,19 @@ class Engine:
             return td
         if td.engine == "Kafka":
             # Kafka engine DDL (lecture_09.md:891-918; ch_and_kafka/db/
-            # init.sql:11-20): capture broker/topic settings; the
-            # stream materializes via attach_kafka_source → readStream
-            sm = re.findall(r"kafka_(\w+)\s*=\s*'([^']*)'", ddl)
+            # init.sql:11-20 SETTINGS form, :62-65 positional form
+            # Kafka(broker, topic, group, format)): capture broker/topic
+            # settings. INSERT produces to the topic; kafka_poll consumes
+            # and fires attached MVs (on a cluster: readStream via
+            # streaming.mv.kafka_source / df.write.format("kafka")).
+            sm = re.findall(r"kafka_(\w+)\s*=\s*'?([\w:,./-]+)'?", ddl)
             td.settings.update({f"kafka_{k}": v for k, v in sm})
+            pos = [a.strip().strip("'\"") for a in td.settings.get("engine_args", [])]
+            for key, val in zip(
+                ("kafka_broker_list", "kafka_topic_list", "kafka_group_name", "kafka_format"),
+                pos,
+            ):
+                td.settings.setdefault(key, val)
             td.path = None
             self.spark.createDataFrame([], schema).createOrReplaceTempView(td.name)
             return td
@@ -584,15 +596,24 @@ class Engine:
                 # the engine's own namespace — dropping it would orphan
                 # the flat catalog (CH likewise refuses on its system DBs)
                 raise ValueError("cannot drop the default database")
-            self._databases.discard(dbm.group(2).lower())
-            self._database_engines.pop(dbm.group(2).lower(), None)
+            db = dbm.group(2).lower()
+            # CH's Atomic DROP DATABASE drops the database's tables
+            # (lecture_02.md database model) — cascade over the mangled
+            # names registered under this namespace
+            for tname in [n for n in list(self.tables) if n.startswith(db + "__")]:
+                self.drop_table(tname)
+            self._databases.discard(db)
+            self._database_engines.pop(db, None)
+            if self.current_database == db:
+                self.current_database = "default"
             return {"dropped_database": dbm.group(2)}
         um = re.match(r"^\s*USE\s+(\w+)\s*$", s, re.IGNORECASE)
         if um:
-            # USE db (D1): all databases share the flat catalog, so the
-            # statement is a membership check + no-op (CH errors on an
-            # unknown database too)
+            # USE db (D1): membership check + switch — subsequent
+            # unqualified names resolve in the current database first
+            # (CH errors on an unknown database too)
             self._check_db_qualifier(um.group(1), "USE")
+            self.current_database = um.group(1).lower()
             return {"using_database": um.group(1)}
         cm = re.match(
             r"^\s*CREATE\s+(?:TABLE|DICTIONARY|(?:MATERIALIZED\s+)?VIEW)\s+"
@@ -822,26 +843,92 @@ class Engine:
             )
 
     def _strip_known_db_prefixes(self, s: str) -> str:
-        """Strip ``db.`` qualifiers for KNOWN databases (quote-aware) so
-        every statement regex and the SQL front end see flat names —
-        hw03.md qualifies everything as ``homework.menu``. Unknown
-        prefixes are left in place; the destructive-statement regexes
-        then either error explicitly or fall through to a Spark
+        """Resolve ``db.`` qualifiers for KNOWN databases (quote-aware)
+        into the flat catalog: ``default.t`` → ``t``, any other known
+        ``db.t`` → ``db__t`` — so same-named tables in different
+        databases stay distinct (init.sql's ``streams.sensor_data`` vs
+        ``parsed.sensor_data``). After ``USE db``, unqualified names that
+        exist under the current database resolve there first (CH scoping;
+        names absent from the current db fall back to ``default`` — a
+        deliberate leniency so a leaked USE can't orphan flat queries).
+        Unknown prefixes are left in place; the destructive-statement
+        regexes then either error explicitly or fall through to a Spark
         resolution error, never silently acting on the flat table.
         Inline FORMAT-data blocks are never rewritten (only the
         statement head before the data newline is scanned)."""
         from otus_clickhouse_spark.functions.dialect import _sub_outside_quotes
 
-        if len(self._databases) == 1:
-            alts = "default"
-        else:
-            alts = "|".join(re.escape(d) for d in sorted(self._databases))
+        alts = "|".join(re.escape(d) for d in sorted(self._databases))
         fm = re.search(r"\bFORMAT\s+\w+\s*\n", s, re.IGNORECASE)
         head, data = (s[: fm.end()], s[fm.end() :]) if fm else (s, "")
+
+        def _qual(m: re.Match) -> str:
+            db = m.group(1).lower()
+            return m.group(2) if db == "default" else f"{db}__{m.group(2)}"
+
         head = _sub_outside_quotes(
-            re.compile(rf"\b(?:{alts})\.(\w+)", re.IGNORECASE), r"\1", head
+            re.compile(rf"\b({alts})\.(\w+)", re.IGNORECASE), _qual, head
         )
+        cur = self.current_database
+        if cur != "default":
+            bases = sorted(
+                (n[len(cur) + 2 :] for n in self.tables if n.startswith(cur + "__")),
+                key=len,
+                reverse=True,
+            )
+            if bases:
+                balts = "|".join(re.escape(b) for b in bases)
+
+                def _base(m: re.Match) -> str:
+                    if m.group(1):  # `AS name` — an output alias, not a table ref
+                        return m.group(0)
+                    return f"{cur}__{m.group(2)}"
+
+                head = _sub_outside_quotes(
+                    re.compile(rf"((?i:\bAS\s+))?(?<![\w.])({balts})\b"), _base, head
+                )
+            # CREATE under the current database: the target doesn't exist
+            # yet, so the base-name pass can't see it — prefix explicitly
+            # (CH creates unqualified DDL targets in the current db)
+            mangled = tuple(f"{d}__" for d in self._databases if d != "default")
+
+            def _cre(m: re.Match) -> str:
+                return (
+                    m.group(0)
+                    if m.group(2).startswith(mangled)
+                    else f"{m.group(1)}{cur}__{m.group(2)}"
+                )
+
+            head = re.sub(
+                r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+                r"(?:TABLE|DICTIONARY|MATERIALIZED\s+VIEW|VIEW)\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?)(\w+)\b",
+                _cre,
+                head,
+                flags=re.IGNORECASE,
+            )
         return head + data
+
+    def tables_in_database(self, db: str) -> list[str]:
+        """Base table names registered under ``db`` (SHOW TABLES FROM /
+        system.tables surface). ``default`` owns every flat name that
+        doesn't carry another database's mangle prefix."""
+        db = db.lower()
+        others = [d for d in self._databases if d != "default"]
+        if db == "default":
+            return sorted(
+                n for n in self.tables if not any(n.startswith(d + "__") for d in others)
+            )
+        return sorted(
+            n[len(db) + 2 :] for n in self.tables if n.startswith(db + "__")
+        )
+
+    def _split_db(self, name: str) -> tuple[str, str]:
+        """Mangled flat name → (database, base name)."""
+        for d in sorted(self._databases, key=len, reverse=True):
+            if d != "default" and name.startswith(d + "__"):
+                return d, name[len(d) + 2 :]
+        return "default", name
 
     def _values_frame(self, name: str, values_clause: str, cols: list[str] | None = None) -> DataFrame:
         """Rows from ``VALUES (…), (…)``, aligned to the table's DECLARED
@@ -1029,6 +1116,12 @@ class Engine:
         """
         from otus_clickhouse_spark.functions.dialect import translate
 
+        if len(self._databases) > 1 or self.current_database != "default":
+            # non-default namespaces exist: resolve db.table qualifiers
+            # (and current-db unqualified names) to mangled flat names
+            # before any rewrite looks at identifiers. Idempotent —
+            # execute() may already have resolved.
+            text = self._strip_known_db_prefixes(text)
         served = self.projections.try_rewrite_sql(text)
         if served is not None:
             return served
@@ -1418,6 +1511,12 @@ class Engine:
             for mv in self._mvs.get(name, []):
                 mv.process_block(df)
             return
+        if td.engine == "Kafka":
+            # INSERT into a Kafka table PRODUCES (hw17.md "задание со
+            # звездочкой"; init.sql:62-79 parsed → to_kafka queue MV):
+            # serialize rows per kafka_format and publish to the topic
+            self._kafka_produce_frame(td, df)
+            return
         if td.engine == "Distributed":
             # write path (lecture_15.md:15-34): shard = key mod shard
             # count; repartition into one partition group per shard —
@@ -1489,6 +1588,92 @@ class Engine:
         # which is exactly the cascade semantics (init.sql:46-79)
         for mv in self._mvs.get(name, []):
             mv.process_block(block)
+
+    # ------------------------------------------------------------------ Kafka
+    def _kafka_topic(self, td: "TableDef"):
+        from otus_clickhouse_spark.streaming.topics import FileTopic
+
+        topic = td.settings.get("kafka_topic_list", td.name)
+        return FileTopic(os.path.join("spark-warehouse", "_kafka"), topic)
+
+    def _kafka_produce_frame(self, td: "TableDef", df: DataFrame) -> None:
+        """Serialize a block per ``kafka_format`` and publish it to the
+        table's topic (init.sql:62-79 outbound-queue MV). With a real
+        broker configured the write is fully distributed
+        (``df.write.format("kafka")``); the file-topic stand-in spools
+        through the driver — it exists only where no broker exists."""
+        from pyspark.sql import functions as F
+
+        fmt = td.settings.get("kafka_format", "JSONEachRow").lower()
+        cols = df.columns
+        if fmt in ("jsonasstring", "rawblob", "lineasstring") or len(cols) == 1:
+            ser = df.select(F.col(cols[0]).cast("string").alias("value"))
+        elif fmt in ("csv", "tsv", "tabseparated"):
+            sep = "," if fmt == "csv" else "\t"
+            ser = df.select(
+                F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("value")
+            )
+        else:  # JSONEachRow and friends
+            ser = df.select(F.to_json(F.struct(*cols)).alias("value"))
+        brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+        if brokers:
+            (
+                ser.write.format("kafka")
+                .option("kafka.bootstrap.servers", brokers)
+                .option("topic", td.settings.get("kafka_topic_list", td.name))
+                .save()
+            )
+            return
+        self._kafka_topic(td).produce([r.value for r in ser.collect()])
+
+    def kafka_produce(self, topic: str, messages: list[str]) -> None:
+        """External-producer helper (the lab's ``kafka_producer.py``
+        stand-in: clusters/ch_and_kafka/src/kafka_producer.py writes
+        JSON sensor payloads straight to the topic)."""
+        from otus_clickhouse_spark.streaming.topics import FileTopic
+
+        FileTopic(os.path.join("spark-warehouse", "_kafka"), topic).produce(messages)
+
+    def kafka_poll(self, name: str) -> DataFrame:
+        """One consumer tick for a Kafka-engine table: consume the
+        topic's new messages for the table's consumer group, shape them
+        into the declared schema, attach CH's virtual columns
+        (``_topic/_key/_offset/_timestamp_ms/_partition``,
+        init.sql:22-45 raw landing), and push the block through attached
+        MVs — the CH background consumption loop, advanced explicitly.
+        On a cluster the continuous path is streaming.mv.kafka_source →
+        writeStream (the env-gated real-broker tests)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        name = self._strip_known_db_prefixes(name).strip()
+        td = self.tables[name]
+        topic = td.settings.get("kafka_topic_list", name)
+        group = td.settings.get("kafka_group_name", name)
+        start, msgs = self._kafka_topic(td).consume(group)
+        schema = self.spark.table(name).schema
+        now = _dt.datetime.now()
+        virt = ["_topic", "_key", "_offset", "_timestamp_ms", "_partition"]
+        rows = [(m, topic, "", start + i, now, 0) for i, m in enumerate(msgs)]
+        base = self.spark.createDataFrame(
+            rows,
+            "message string, _topic string, _key string, _offset long, "
+            "_timestamp_ms timestamp, _partition int",
+        )
+        if len(schema) == 1 and schema[0].dataType.simpleString() == "string":
+            # single-String declarations (kafka_format='JSONAsString')
+            # receive the raw message under the declared column name
+            block = base.withColumnRenamed("message", schema[0].name)
+        else:
+            # structured declarations parse as JSONEachRow into the schema
+            block = base.select(
+                F.from_json("message", schema).alias("j"), *virt
+            ).select("j.*", *virt)
+        block = block.localCheckpoint(eager=True)
+        for mv in self._mvs.get(name, []):
+            mv.process_block(block)
+        return block
 
     # -------------------------------------------------------------------- MVs
     def create_materialized_view(
@@ -1619,8 +1804,7 @@ class Engine:
 
         rows = [
             (
-                "default",
-                t.name,
+                *self._split_db(t.name),
                 hashlib.md5(t.name.encode()).hexdigest(),
                 t.engine,
                 t.path or "",

@@ -37,6 +37,7 @@ _SIMPLE_TYPES = {
     "int16": "smallint",
     "int32": "int",
     "int64": "bigint",
+    "float": "float",  # bare `Float` alias (init.sql:48 `temperature Float`)
     "float32": "float",
     "float64": "double",
     "date": "date",

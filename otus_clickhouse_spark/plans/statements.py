@@ -1089,7 +1089,7 @@ def _try_route_inner(engine, s: str):
         # bare SHOW TABLES stays with Spark (it lists the temp views);
         # the FROM/LIKE forms resolve against the engine registry
         engine._check_db_qualifier(m.group(1), "SHOW TABLES")
-        names = sorted(engine.tables)
+        names = engine.tables_in_database(m.group(1) or engine.current_database)
         if m.group(2):
             pat = re.compile(
                 "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",

@@ -1237,3 +1237,85 @@ def q96_query_log_observability(spark, sf_dir):
         == ["event_time", "event_date", "trace_type", "query_id", "size"]
     )
     return ql.crossJoin(dash).withColumn("trace_log_schema_ok", F.lit(schema_ok))
+
+
+@query(
+    "q97_kafka_pipeline",
+    oracle="""
+    SELECT 5 AS n_raw, 5 AS n_parsed, 210 AS sum_sensor, 22.0 AS avg_temp,
+           5 AS n_out, 1 AS offsets_ok, 1 AS incremental_ok
+    """,
+)
+def q97_kafka_pipeline(spark, sf_dir):
+    """S13/S14 Kafka-engine pipeline, driver-value-checked (hw17.md;
+    clusters/ch_and_kafka/db/init.sql:11-79): Kafka source table →
+    MV lands raw messages + the stream's virtual columns → MV parses
+    JSONExtract fields into a typed table → MV produces JSONEachRow to
+    an outbound Kafka queue. The broker is the file-topic stand-in
+    (offset-tracked consumer groups; real-broker path is env-gated) —
+    the MV transforms are plain DataFrame plans, so on a cluster the
+    same SELECTs run inside readStream micro-batches. All scalars; the
+    oracle replays the expected row."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, sf_dir, [])
+    for t in ("q97_sensor_in", "q97_sensor_out"):
+        shutil.rmtree(f"spark-warehouse/_kafka/{t}", ignore_errors=True)
+    eng.execute_script(
+        """
+        create database if not exists q97s; create database if not exists q97p;
+        CREATE TABLE q97s.src (`message` String) ENGINE = Kafka
+        SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = 'q97_sensor_in',
+                 kafka_format = 'JSONAsString', kafka_group_name = 'q97_grp';
+        CREATE TABLE q97s.raw (message String, _topic LowCardinality(String),
+            _offset UInt64, _timestamp_ms DateTime64, _partition UInt8)
+            engine = MergeTree ORDER BY _offset;
+        CREATE MATERIALIZED VIEW q97s.raw_mv TO q97s.raw AS
+        SELECT message, _topic, _offset, _timestamp_ms, _partition FROM q97s.src;
+        CREATE TABLE q97p.sensor (sensor_id UInt32, temperature Float) engine = MergeTree ORDER BY sensor_id;
+        CREATE MATERIALIZED VIEW q97p.parse_mv TO q97p.sensor AS
+        SELECT JSONExtractInt(message, 'sensor_id') AS sensor_id,
+               JSONExtractFloat(message, 'temperature') AS temperature
+        FROM q97s.raw;
+        CREATE TABLE q97p.queue (sensor_id UInt32, temperature Float)
+            ENGINE = Kafka('b:9092', 'q97_sensor_out', 'q97_out', 'JSONEachRow');
+        CREATE MATERIALIZED VIEW q97p.out_mv TO q97p.queue AS
+        SELECT sensor_id, temperature FROM q97p.sensor;
+        """
+    )
+    eng.kafka_produce(
+        "q97_sensor_in",
+        [json.dumps({"sensor_id": 40 + i, "temperature": 20.0 + i}) for i in range(4)],
+    )
+    first = eng.kafka_poll("q97s.src")
+    offsets_first = sorted(r._offset for r in first.select("_offset").collect())
+    # incremental tick: one more message, offsets continue, no re-delivery
+    eng.kafka_produce("q97_sensor_in", [json.dumps({"sensor_id": 44, "temperature": 24.0})])
+    second = eng.kafka_poll("q97s.src")
+    incremental_ok = int(
+        offsets_first == [0, 1, 2, 3]
+        and [r._offset for r in second.select("_offset").collect()] == [4]
+    )
+    n_raw = eng.sql("SELECT count() AS n FROM q97s.raw").collect()[0].n
+    agg = eng.sql(
+        "SELECT count() AS n, sum(sensor_id) AS s, round(avg(temperature), 1) AS a "
+        "FROM q97p.sensor"
+    ).collect()[0]
+    out_msgs = [json.loads(m) for m in eng._kafka_topic(eng.tables["q97p__queue"]).messages()]
+    n_out = len(out_msgs)
+    for t in ("q97_sensor_in", "q97_sensor_out"):
+        shutil.rmtree(f"spark-warehouse/_kafka/{t}", ignore_errors=True)
+    eng.execute("DROP DATABASE q97s")
+    eng.execute("DROP DATABASE q97p")
+    return spark.range(1).select(
+        F.lit(int(n_raw)).alias("n_raw"),
+        F.lit(int(agg.n)).alias("n_parsed"),
+        F.lit(int(agg.s)).alias("sum_sensor"),
+        F.lit(float(agg.a)).alias("avg_temp"),
+        F.lit(int(n_out)).alias("n_out"),
+        F.lit(int(offsets_first == [0, 1, 2, 3])).alias("offsets_ok"),
+        F.lit(int(incremental_ok)).alias("incremental_ok"),
+    )

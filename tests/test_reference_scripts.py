@@ -491,7 +491,8 @@ def test_hw06_imdb_lab_verbatim(engine, tmp_path):
         "created_at DateTime DEFAULT now() ) ENGINE = MergeTree ORDER BY (actor_id, movie_id)"
     )
     for tbl in ("actors", "genres", "movies", "roles"):
-        engine.tables[tbl].path = str(tmp_path / tbl)
+        # qualified DDL registers under the imdb namespace (mangled flat name)
+        engine.tables[f"imdb__{tbl}"].path = str(tmp_path / tbl)
     assert set(engine.execute("SHOW TABLES FROM imdb LIKE '%s%'")) >= {"actors", "genres", "roles"}
     # local TSVWithNames gz stand-ins for the dataset's S3 objects
     data = {
@@ -906,3 +907,150 @@ def test_hw04_udf_types_lab_verbatim(engine, tmp_path):
         engine.execute("DROP FUNCTION some_brand_new_func_classify")
     finally:
         engine.execute("DROP TABLE IF EXISTS transactions")
+
+
+def test_hw17_kafka_lab_verbatim(engine):
+    """clusters/ch_and_kafka/db/init.sql replayed statement-for-statement
+    (hw17.md's pipeline): four databases, a Kafka-engine source table,
+    raw landing enriched with the stream's virtual columns, a parsing MV
+    cascade (JSONExtract*), and an outbound Kafka queue fed by a third
+    MV. The broker is the file-topic stand-in (no broker in this
+    container); the real-broker path is the env-gated streaming test."""
+    import json
+    import shutil as _shutil
+
+    INIT_SQL = """
+drop database if exists streams;
+drop database if exists raw;
+drop database if exists parsed;
+drop database if exists to_kafka;
+
+create database streams;
+create database raw;
+create database parsed;
+create database to_kafka;
+
+CREATE TABLE streams.sensor_data
+(
+    `message` String
+)
+ENGINE = Kafka
+SETTINGS kafka_broker_list = 'kafka1:9092',
+         kafka_topic_list = 'sensor_data',
+         kafka_format = 'JSONAsString',
+         kafka_group_name = 'ch_consumer'
+;
+
+create table if not exists raw.sensor_data_raw
+(
+    message          String,
+    _topic           LowCardinality(String),
+    _offset          UInt64,
+    _timestamp_ms    DateTime64,
+    _partition       UInt8,
+    _row_created     DateTime64(3) default now64() comment 'row-created stamp'
+)
+engine = MergeTree
+ORDER BY _timestamp_ms
+comment 'raw kafka rows with stream metadata';
+
+CREATE MATERIALIZED VIEW streams.sensor_data_raw_mv
+    TO raw.sensor_data_raw
+AS
+SELECT message,
+       _topic,
+       _offset,
+       _timestamp_ms,
+       _partition,
+       now64() AS _row_created
+FROM streams.sensor_data;
+
+CREATE TABLE parsed.sensor_data (
+    sensor_id   UInt32,
+    temperature Float,
+    humidity    Float,
+    `timestamp` UInt64
+)
+ENGINE = MergeTree()
+ORDER BY sensor_id
+comment 'parsed kafka rows';
+
+CREATE MATERIALIZED VIEW raw.sensor_data_raw_mv
+    TO parsed.sensor_data
+AS
+SELECT JSONExtractInt(message, 'sensor_id') AS sensor_id,
+       JSONExtractFloat(message, 'temperature') AS temperature,
+       JSONExtractFloat(message, 'humidity') AS humidity,
+       JSONExtractInt(message, 'timestamp') AS timestamp
+FROM raw.sensor_data_raw;
+
+CREATE TABLE to_kafka.sensor_data_queue (
+    sensor_id   UInt32,
+    temperature Float,
+    humidity    Float,
+    `timestamp` UInt64
+)
+ENGINE = Kafka('kafka1:9092', 'sensor_data_from_ch', 'clickhouse_out', 'JSONEachRow') settings kafka_thread_per_consumer = 0, kafka_num_consumers = 1
+comment 'outbound queue';
+
+CREATE MATERIALIZED VIEW parsed.sensor_data_mv
+    TO to_kafka.sensor_data_queue
+AS
+SELECT sensor_id, temperature, humidity, timestamp
+FROM parsed.sensor_data
+FORMAT JsonEachRow;
+"""
+    _shutil.rmtree("spark-warehouse/_kafka", ignore_errors=True)
+    try:
+        engine.execute_script(INIT_SQL)
+        # the lab's producer (src/kafka_producer.py): JSON sensor payloads
+        payloads = [
+            {"sensor_id": 40 + i, "temperature": 20.0 + i,
+             "humidity": 30.0 + i, "timestamp": 1737380108 + i}
+            for i in range(5)
+        ]
+        engine.kafka_produce("sensor_data", [json.dumps(p) for p in payloads])
+        block = engine.kafka_poll("streams.sensor_data")
+        assert block.count() == 5
+        # hw17.md's check query over the raw landing
+        rows = engine.execute("SELECT * FROM raw.sensor_data_raw LIMIT 5")
+        assert len(rows) == 5
+        assert all(r._topic == "sensor_data" for r in rows)
+        assert sorted(r._offset for r in rows) == [0, 1, 2, 3, 4]
+        assert all(r._row_created is not None for r in rows)
+        assert json.loads(rows[0].message)["sensor_id"] in range(40, 45)
+        # parsing MV cascade landed typed rows
+        got = engine.execute(
+            "SELECT sensor_id, temperature, humidity, timestamp "
+            "FROM parsed.sensor_data ORDER BY sensor_id"
+        )
+        assert [(r.sensor_id, r.temperature, r.humidity, int(r.timestamp)) for r in got] == [
+            (40 + i, 20.0 + i, 30.0 + i, 1737380108 + i) for i in range(5)
+        ]
+        # the third MV produced JSONEachRow messages to the out topic
+        from otus_clickhouse_spark.streaming.topics import FileTopic
+
+        out = FileTopic("spark-warehouse/_kafka", "sensor_data_from_ch")
+        msgs = [json.loads(m) for m in out.messages()]
+        assert len(msgs) == 5
+        assert set(msgs[0]) == {"sensor_id", "temperature", "humidity", "timestamp"}
+        assert {m["sensor_id"] for m in msgs} == {40, 41, 42, 43, 44}
+        # incremental: a second producer batch flows through every hop
+        engine.kafka_produce(
+            "sensor_data", [json.dumps({"sensor_id": 99, "temperature": 9.0,
+                                        "humidity": 1.0, "timestamp": 1737380200})]
+        )
+        block2 = engine.kafka_poll("streams.sensor_data")
+        assert block2.count() == 1
+        assert block2.first()._offset == 5  # offsets continue, no re-delivery
+        assert len(engine.execute("SELECT * FROM raw.sensor_data_raw")) == 6
+        assert len(out.messages()) == 6
+        assert engine.execute(
+            "SELECT count() AS n FROM parsed.sensor_data WHERE sensor_id = 99"
+        )[0].n == 1
+    finally:
+        for db in ("streams", "raw", "parsed", "to_kafka"):
+            engine.execute(f"DROP DATABASE IF EXISTS {db}")
+        engine._mvs = {k: v for k, v in engine._mvs.items() if not k.startswith(
+            ("streams__", "raw__", "parsed__", "to_kafka__"))}
+        _shutil.rmtree("spark-warehouse/_kafka", ignore_errors=True)

@@ -108,8 +108,11 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("toString", "x STRING", "STRING", "x"),
     ("toUInt64", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
     ("toUInt32", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
+    ("toUInt16", "x DOUBLE", "INT", "CAST(x AS INT)"),
+    ("toUInt8", "x DOUBLE", "SMALLINT", "CAST(x AS SMALLINT)"),
     ("toInt64", "x DOUBLE", "BIGINT", "CAST(x AS BIGINT)"),
     ("toInt32", "x DOUBLE", "INT", "CAST(x AS INT)"),
+    ("toInt16", "x DOUBLE", "SMALLINT", "CAST(x AS SMALLINT)"),
     ("toInt8", "x DOUBLE", "TINYINT", "CAST(x AS TINYINT)"),
     ("toFloat64", "x STRING", "DOUBLE", "CAST(x AS DOUBLE)"),
     ("toFloat32", "x STRING", "FLOAT", "CAST(x AS FLOAT)"),

@@ -1054,3 +1054,88 @@ FORMAT JsonEachRow;
         engine._mvs = {k: v for k, v in engine._mvs.items() if not k.startswith(
             ("streams__", "raw__", "parsed__", "to_kafka__"))}
         _shutil.rmtree("spark-warehouse/_kafka", ignore_errors=True)
+
+
+def test_hw18_superset_dashboard_verbatim(engine, tmp_path):
+    """homeworks/hw18.md + scripts/dashboard_export replayed: the
+    Superset dashboard's five charts over `menu.menu_item_denorm`
+    (the official CH menus dataset shape) re-expressed as the SQL each
+    chart issues — big_number_total sum(price), box-plot source group
+    (price × menu_dish_count counts), currency pie with the export's
+    HAVING count(menu_currency) > 5000, yearly created_at big-number
+    with the dish_first_appeared > 1900 filter, and the raw-mode table
+    with the ILIKE '%rabbit%' dish filter (charts/*.yaml query_context)."""
+    engine.execute("DROP DATABASE IF EXISTS menu")
+    try:
+        engine.execute("CREATE DATABASE menu")
+        engine.execute(
+            "CREATE TABLE menu.menu_item_denorm (\n"
+            "    price Decimal(18, 3),\n"
+            "    dish_id UInt32,\n"
+            "    menu_id UInt32,\n"
+            "    menu_dish_count UInt16,\n"
+            "    dish_first_appeared UInt16,\n"
+            "    created_at DateTime,\n"
+            "    updated_at DateTime,\n"
+            "    menu_currency String,\n"
+            "    dish_name String,\n"
+            "    dish_description String,\n"
+            "    menu_name String,\n"
+            "    menu_place String,\n"
+            "    menu_location String\n"
+            ") ENGINE = MergeTree ORDER BY (menu_id, dish_id)"
+        )
+        engine.tables["menu__menu_item_denorm"].path = str(tmp_path / "mid")
+        # deterministic stand-in for the 1.3M-row NYPL dump (the tgz is
+        # not in this container): 12k dishes, two currencies past the
+        # pie chart's 5000-count HAVING bar, a sprinkle of rabbit dishes
+        engine.execute(
+            "INSERT INTO menu.menu_item_denorm SELECT "
+            "  toDecimal64(0.25 + number % 40, 3) AS price, "
+            "  toUInt32(number) AS dish_id, toUInt32(number % 300) AS menu_id, "
+            "  toUInt16(number % 7 + 1) AS menu_dish_count, "
+            "  toUInt16(1850 + number % 160) AS dish_first_appeared, "
+            "  toDateTime('1970-01-01 00:00:00') + INTERVAL (number % 50) YEAR AS created_at, "
+            "  toDateTime('2020-01-01 00:00:00') AS updated_at, "
+            "  multiIf(number % 12 < 6, 'Dollars', number % 12 < 11, 'Francs', 'Zlotych') AS menu_currency, "
+            "  multiIf(number % 100 = 7, concat('Rabbit stew no.', toString(number)), "
+            "          concat('Dish no.', toString(number))) AS dish_name, "
+            "  'desc' AS dish_description, concat('Menu ', toString(number % 300)) AS menu_name, "
+            "  'NYC' AS menu_place, 'NYPL' AS menu_location "
+            "FROM numbers(12000)"
+        )
+        # chart 4 (sum_price, big_number_total): SQL-metric sum(price)
+        total = engine.sql(
+            "SELECT sum(price) AS sum_price FROM menu.menu_item_denorm"
+        ).collect()[0].sum_price
+        assert float(total) == sum(0.25 + i % 40 for i in range(12000))
+        # chart 2 (box plot source): count per (menu_dish_count, price)
+        box = engine.execute(
+            "SELECT menu_dish_count, price, count() AS count "
+            "FROM menu.menu_item_denorm GROUP BY menu_dish_count, price "
+            "ORDER BY menu_dish_count, price LIMIT 5000"
+        )
+        assert len(box) == 7 * 40 and all(r["count"] > 0 for r in box)
+        # chart 1 (currency pie): HAVING count(menu_currency) > 5000
+        pie = engine.execute(
+            "SELECT menu_currency, count() AS count FROM menu.menu_item_denorm "
+            "GROUP BY menu_currency HAVING count(menu_currency) > 5000 "
+            "ORDER BY count DESC LIMIT 100"
+        )
+        assert [r.menu_currency for r in pie] == ["Dollars"]  # 6000 > 5000 > Francs 5000
+        # chart 5 (created_at, P1Y grain + dish_first_appeared > 1900)
+        yearly = engine.execute(
+            "SELECT toStartOfYear(created_at) AS created_at, count() AS count "
+            "FROM menu.menu_item_denorm WHERE dish_first_appeared > 1900 "
+            "GROUP BY toStartOfYear(created_at) ORDER BY created_at"
+        )
+        assert len(yearly) == 50
+        assert sum(r["count"] for r in yearly) == sum(1 for i in range(12000) if 1850 + i % 160 > 1900)
+        # chart 3 (raw table + ILIKE dish filter)
+        rab = engine.execute(
+            "SELECT dish_name, dish_description, price, menu_name, menu_place, menu_location "
+            "FROM menu.menu_item_denorm WHERE dish_name ILIKE '%rabbit%' LIMIT 1000"
+        )
+        assert len(rab) == 120 and all("Rabbit" in r.dish_name for r in rab)
+    finally:
+        engine.execute("DROP DATABASE IF EXISTS menu")

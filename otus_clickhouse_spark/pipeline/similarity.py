@@ -463,3 +463,205 @@ def sq8_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "qdot", "rnk")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dist: int = 6,
+    round_mean: int = 6,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into
+    ``m`` subspaces of ``dim/m`` dims; each subspace gets ``ksub``
+    centroids — init from the hash-uniform seed sample (:func:
+    `kmeans_centroids`'s md5-rank init) plus ONE Lloyd refinement.
+
+    Distribution shape: the refinement's assignment is a pure map over
+    the corpus (codebooks ride as plan literals); the recompute is a
+    posexplode → groupBy((sub, code, pos)) partial-sum — shuffle volume
+    O(partitions × m × ksub × dim/m), independent of corpus size, the
+    plan a 100 TB PQ build needs. Returns driver-side codebooks
+    (``m × ksub × dim/m`` floats — model-sized, never corpus-sized).
+    ``round_dist``/``round_mean`` make the trajectory replayable by an
+    external SQL oracle (same rationale as kmeans_centroids)."""
+    dsub = dim // m
+    base = rebalance(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ).persist()
+    seeds = (
+        base.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(ksub)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r["__h"])
+    books = [
+        [list(r["v"][s * dsub : (s + 1) * dsub]) for r in seeds] for s in range(m)
+    ]
+
+    def _code_expr(s: int) -> Column:
+        dists = F.array(
+            *[
+                F.round(
+                    sum(
+                        (F.col("v")[s * dsub + i] - F.lit(books[s][c][i])) ** 2
+                        for i in range(dsub)
+                    ),
+                    round_dist,
+                )
+                for c in range(ksub)
+            ]
+        )
+        # first index of the min distance = lowest-code tie-break
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    assigned = base.select(
+        "v", *[_code_expr(s).alias(f"__c{s}") for s in range(m)]
+    )
+    # element-wise mean per (subspace, code, pos): partial-aggregated
+    refined = (
+        assigned.select(
+            F.posexplode("v").alias("pos", "x"),
+            F.map_from_arrays(
+                F.array(*[F.lit(s) for s in range(m)]),
+                F.array(*[F.col(f"__c{s}") for s in range(m)]),
+            ).alias("codes"),
+        )
+        .select(
+            (F.col("pos") / dsub).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(dsub)).alias("p"),
+            "x",
+            "codes",
+        )
+        .select("sub", "p", "x", F.element_at("codes", F.col("sub")).alias("code"))
+        .groupBy("sub", "code", "p")
+        .agg(F.round(F.avg("x"), round_mean).alias("mval"))
+        .collect()
+    )
+    base.unpersist()
+    for r in refined:
+        books[r["sub"]][r["code"]][r["p"]] = float(r["mval"])
+    return books
+
+
+def pq_codes(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dist: int = 6,
+) -> DataFrame:
+    """Encode the corpus as ``m`` 1-byte codes (dim×8 B → m B — the PQ
+    compression step). Codebooks are plan literals; pure codegen'd
+    expressions, zero shuffle."""
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    exprs = []
+    for s in range(m):
+        dists = F.array(
+            *[
+                F.round(
+                    sum((v[s * dsub + i] - F.lit(books[s][c][i])) ** 2 for i in range(dsub)),
+                    round_dist,
+                )
+                for c in range(ksub)
+            ]
+        )
+        exprs.append((F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint"))
+    return corpus.select(F.col(id_col), F.array(*exprs).alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    books: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (IVF-PQ's scoring half, Jégou et
+    al. 2011): the corpus is stored as ``m``-byte codes, queries stay
+    full-precision, and the inner product reconstructs through the
+    codebook — ``score = Σ_s q_sub(s) · book[s][code_s]``, i.e. each
+    (query, subspace) has a ``ksub``-entry lookup table and scoring a
+    code is ``m`` table hits. At 100 TB this is the memory-bound ANN
+    workhorse: 8 B/vector instead of 512 B, codebooks broadcast as
+    literals, the corpus is scanned once with no shuffle. Beside x04
+    (exact), x05/x29 (pruning) and x56 (SQ8), this completes the
+    standard quantized-ANN family.
+
+    ``rerank=R`` is the production shape: the ADC scan only GENERATES
+    candidates (top-R per query), and an exact-cosine re-rank over the
+    R·|queries| survivors picks the final k — full-precision vectors
+    are touched for the candidate sliver only (a broadcast-semi-join
+    read, never a second corpus scan). Recall is tested against brute
+    force, not assumed; bare ADC (rerank=0) ranking is what the x60
+    oracle replays."""
+    if books is None:
+        books = pq_train(corpus, m, ksub, dim, vec_col, id_col)
+    dsub = dim // m
+    codes = rebalance(pq_codes(corpus, books, vec_col, id_col))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    # LUT per (query, subspace): ksub dot products against plan-literal
+    # codebook rows; element_at picks the stored code's entry. Chained
+    # left-to-right sums keep the rounded score oracle-stable.
+    score = None
+    for s in range(m):
+        lut = F.array(
+            *[
+                sum(
+                    F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
+                    for i in range(dsub)
+                )
+                for c in range(ksub)
+            ]
+        )
+        term = F.element_at(lut, F.col("pq_codes")[s].cast("int") + 1)
+        score = term if score is None else score + term
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, 4).alias("adc"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc").desc(), F.col(id_col).asc())
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= k)
+            .select(query_id_col, id_col, "adc", "rnk")
+        )
+    cand = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= rerank)
+    # exact re-rank over the candidate sliver: the full-precision join
+    # side is R·|queries| ids — broadcast it at the CORPUS, so the
+    # 100 TB side is filtered map-side and never shuffles
+    full = corpus.join(
+        F.broadcast(cand.select(F.col(id_col)).distinct()), on=id_col, how="inner"
+    ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    exact = (
+        cand.select(query_id_col, id_col)
+        .join(full, on=id_col)
+        .join(q, on=query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )

@@ -3082,3 +3082,79 @@ def x59_semantic_decontam(spark, sf_dir):
             hits.agg(F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias("id_checksum"))
         )
     )
+
+
+@query(
+    "x60_pq_adc_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code
+      FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    init AS (
+      SELECT subs.sub, seeds.code,
+             list_slice(v, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cv
+      FROM seeds, subs),
+    d1 AS (
+      SELECT c.vec_id, init.sub, init.code, c.v,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (v[init.sub * 8 + i] - init.cv[i]) * (v[init.sub * 8 + i] - init.cv[i]))), 6) AS d
+      FROM c, init),
+    assign AS (
+      SELECT vec_id, sub, code, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM d1) WHERE rn = 1),
+    refined AS (
+      SELECT sub, code, p.i AS p, round(avg(v[sub * 8 + p.i]), 6) AS mval
+      FROM assign, (SELECT unnest(generate_series(1, 8)) AS i) p
+      GROUP BY sub, code, p.i),
+    rl AS (SELECT sub, code, list(mval ORDER BY p) AS cv FROM refined GROUP BY sub, code),
+    books AS (
+      SELECT init.sub, init.code, coalesce(rl.cv, init.cv) AS cv
+      FROM init LEFT JOIN rl USING (sub, code)),
+    d2 AS (
+      SELECT c.vec_id, b.sub, b.code,
+             round(list_sum(list_transform(generate_series(1, 8),
+               i -> (v[b.sub * 8 + i] - b.cv[i]) * (v[b.sub * 8 + i] - b.cv[i]))), 6) AS d
+      FROM c, books b),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM d2) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3),
+    terms AS (
+      SELECT q.query_id, enc.vec_id, enc.sub,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> q.qv[enc.sub * 8 + i] * b.cv[i])) AS t
+      FROM enc JOIN books b USING (sub, code), q),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_sum(list(t ORDER BY sub)), 4) AS adc
+      FROM terms GROUP BY query_id, vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def x60_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (pipeline.similarity.pq_topk, Jégou et
+    al. 2011): 8 subspaces × 16 centroids trained with the md5-seeded
+    init + one reproducible Lloyd refinement (codebooks are driver-
+    bounded model literals, the refinement shuffle is O(m·ksub·dim)
+    partial sums — corpus-independent); the corpus stores 8 one-byte
+    codes per vector (64× smaller than float64) and search reconstructs
+    the inner product through per-(query, subspace) lookup tables — the
+    memory-bound 100 TB ANN workhorse beside x04 (exact), x05/x29
+    (pruning) and x56 (SQ8). Oracle replays seed selection, the Lloyd
+    step, encoding and ADC scoring with DuckDB list functions."""
+    from otus_clickhouse_spark.pipeline.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64)

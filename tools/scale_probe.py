@@ -414,6 +414,20 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         sq8_codes(emb, mins, scales, id_col="k").agg(F.count(F.lit(1))).collect()
 
     timed("sq8_quantize", sq8_run, n_fact)
+
+    # PQ: codebook train (seed sample + one Lloyd step whose shuffle is
+    # O(m*ksub*dim) partial sums) + m-byte encode + LUT-scored ADC scan
+    # for 3 queries. All corpus passes are map-side; rows/s must scale.
+    from otus_clickhouse_spark.pipeline.similarity import pq_topk, pq_train
+
+    def pq_run():
+        books = pq_train(emb, m=4, ksub=16, dim=16, id_col="k")
+        q = emb.where(F.col("k") < 3).select(F.col("k").alias("query_id"), "embedding")
+        pq_topk(
+            emb, q, k=5, m=4, ksub=16, dim=16, id_col="k", books=books, rerank=50
+        ).agg(F.count(F.lit(1))).collect()
+
+    timed("pq_train_encode_adc", pq_run, n_fact)
     return out
 
 

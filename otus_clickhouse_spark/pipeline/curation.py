@@ -98,3 +98,39 @@ def curation_funnel(
             for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
         ],
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` docs per domain,
+    highest ``quality_col`` first (id ascending breaks ties) — the
+    web-corpus guard against a single host dominating the training mix
+    (the step CommonCrawl-derived pipelines run right after URL dedup).
+
+    Skew-proof two-phase top-N: a naive window over ``domain_col``
+    sends EVERY doc of a mega-domain to one task. Phase 1 windows over
+    ``(domain, id % salts)`` and keeps each salt's local top-``cap`` —
+    per-task input is ~1/salts of the worst domain; phase 2 runs the
+    exact window over the ≤ salts·cap survivors per domain. The union
+    of salted local top-caps provably contains the global top-cap, so
+    the result is exactly the single-window answer."""
+    salted = Window.partitionBy(
+        domain_col, F.pmod(F.col(id_col), F.lit(salts))
+    ).orderBy(F.desc(quality_col), F.asc(id_col))
+    survivors = (
+        docs.withColumn("__rn", F.row_number().over(salted))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    exact = Window.partitionBy(domain_col).orderBy(F.desc(quality_col), F.asc(id_col))
+    return (
+        survivors.withColumn("__rn", F.row_number().over(exact))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -3158,3 +3158,68 @@ def x60_pq_adc_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64)
+
+
+@query(
+    "x61_domain_cap",
+    oracle="""
+    WITH feat AS (
+      SELECT *,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS quality
+      FROM feat
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= 25)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum,
+           round(coalesce(min(k.quality), 0), 4) AS min_kept_quality
+    FROM scored s LEFT JOIN kept k USING (doc_id)
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def x61_domain_cap(spark, sf_dir):
+    """Per-domain document cap (pipeline.curation.domain_cap): keep the
+    top-25 quality docs per source — the host-domination guard a
+    web-corpus pipeline runs after URL dedup. Skew-proof two-phase
+    top-N (salted local window → exact window over ≤ salts·cap
+    survivors per domain), provably equal to the single global window
+    the oracle replays. Output: per-source kept/dropped accounting with
+    a kept-id checksum."""
+    from otus_clickhouse_spark.pipeline.curation import domain_cap
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    kept = domain_cap(docs, cap=25).select(
+        "doc_id", F.col("quality").alias("kq")
+    )
+    joined = docs.join(kept, on="doc_id", how="left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("kq").cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kq").isNotNull(), F.col("doc_id"))), F.lit(0)
+            ).cast("bigint").alias("kept_id_sum"),
+            F.round(F.coalesce(F.min("kq"), F.lit(0)), 4).alias("min_kept_quality"),
+        )
+        .orderBy("source")
+    )

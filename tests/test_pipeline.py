@@ -1427,3 +1427,29 @@ def test_pq_adc_topk_recall_and_codes(spark, sf_dir):
     assert codes.schema["pq_codes"].dataType.simpleString() == "array<tinyint>"
     row = codes.select(F.size("pq_codes").alias("m")).first()
     assert row.m == 8
+
+
+def test_domain_cap_two_phase_equals_global_window(spark):
+    """The salted two-phase top-N must return EXACTLY the single global
+    window's answer, including on a skewed frame where one domain holds
+    most rows and another sits below the cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.curation import domain_cap
+
+    rows = [(i, "mega.com" if i < 900 else "tiny.org", float((i * 37) % 100) / 100) for i in range(920)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    got = {
+        (r.source, r.doc_id)
+        for r in domain_cap(docs, cap=7, salts=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    want = {
+        (r.source, r.doc_id)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7).collect()
+    }
+    assert got == want
+    assert sum(1 for s, _ in got if s == "mega.com") == 7
+    assert sum(1 for s, _ in got if s == "tiny.org") == 7  # 20 rows > cap

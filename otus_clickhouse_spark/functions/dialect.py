@@ -987,12 +987,26 @@ def _rewrite_tostartofinterval(text: str) -> str:
                 im = re.match(
                     r"(\d+) (\w+)", f"{im.group(2)} {im.group(1)}"
                 )  # normalize to (n, unit)
-        if not im or im.group(2).lower() not in _TSI_UNIT_SECS:
+        if not im:
             raise ValueError(f"unsupported toStartOfInterval interval: {args[1]!r}")
-        secs = int(im.group(1)) * _TSI_UNIT_SECS[im.group(2).lower()]
-        repl = (
-            f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {secs}) AS BIGINT) * {secs})"
-        )
+        n, unit = int(im.group(1)), im.group(2).lower()
+        if unit in _TSI_UNIT_SECS:
+            secs = n * _TSI_UNIT_SECS[unit]
+            repl = (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {secs}) AS BIGINT) * {secs})"
+            )
+        elif unit in ("month", "quarter", "year"):
+            # calendar units can't bucket by epoch seconds — floor the
+            # months-since-epoch count to a multiple of n (CH semantics:
+            # buckets align to 1970-01)
+            months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            em = f"((year({args[0]}) - 1970) * 12 + month({args[0]}) - 1)"
+            repl = (
+                f"add_months(DATE'1970-01-01', "
+                f"CAST(floor({em} / {months}) AS INT) * {months})"
+            )
+        else:
+            raise ValueError(f"unsupported toStartOfInterval interval: {args[1]!r}")
         text = text[: m.start()] + repl + text[end:]
 
 

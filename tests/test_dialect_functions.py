@@ -354,6 +354,19 @@ def test_to_start_of_interval(engine):
         "FROM events GROUP BY d"
     ).collect()
     assert {r.d for r in rows3} == {r.d for r in rows2}
+    # calendar units bucket by months-since-epoch, aligned to 1970-01
+    import datetime as _dt
+
+    cal = engine.sql(
+        "SELECT toStartOfInterval(toDate('2024-03-17'), INTERVAL 1 month) AS m, "
+        "toStartOfInterval(toDate('2024-11-17'), INTERVAL 1 quarter) AS q, "
+        "toStartOfInterval(toDate('2024-03-17'), INTERVAL 1 year) AS y, "
+        "toStartOfInterval(toDate('2024-04-17'), INTERVAL 3 months) AS m3"
+    ).collect()[0]
+    assert (cal.m, cal.q, cal.y, cal.m3) == (
+        _dt.date(2024, 3, 1), _dt.date(2024, 10, 1),
+        _dt.date(2024, 1, 1), _dt.date(2024, 4, 1),
+    )
 
 
 def test_date_fn_variants(engine):

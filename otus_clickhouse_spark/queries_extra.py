@@ -1319,3 +1319,60 @@ def q97_kafka_pipeline(spark, sf_dir):
         F.lit(int(offsets_first == [0, 1, 2, 3])).alias("offsets_ok"),
         F.lit(int(incremental_ok)).alias("incremental_ok"),
     )
+
+
+@query(
+    "q98_namespace_collision",
+    oracle="""
+    SELECT 3 AS a_rows, 5 AS b_rows, 1 AS distinct_tables,
+           1 AS show_isolated, 1 AS current_db_resolution, 1 AS cascade_ok
+    """,
+)
+def q98_namespace_collision(spark, sf_dir):
+    """D1 same-named tables in different databases stay DISTINCT
+    (clusters/ch_and_kafka/db/init.sql declares streams.sensor_data AND
+    parsed.sensor_data): qualified reads see their own rows, SHOW
+    TABLES FROM lists per-database, system.tables reports the owning
+    database, USE resolves unqualified names in the current database,
+    and DROP DATABASE cascades over its own tables only. All scalars;
+    the oracle replays the expected row."""
+    from pyspark.sql import functions as F
+
+    eng = _mini_engine(spark, sf_dir, [])
+    eng.execute("CREATE DATABASE q98a")
+    eng.execute("CREATE DATABASE q98b")
+    eng.execute("CREATE TABLE q98a.sensor (id UInt32) ENGINE = Memory")
+    eng.execute("CREATE TABLE q98b.sensor (id UInt32) ENGINE = Memory")
+    eng.execute("INSERT INTO q98a.sensor SELECT number FROM numbers(3)")
+    eng.execute("INSERT INTO q98b.sensor SELECT number FROM numbers(5)")
+    a_rows = eng.execute("SELECT count() AS n FROM q98a.sensor")[0].n
+    b_rows = eng.execute("SELECT count() AS n FROM q98b.sensor")[0].n
+    show_isolated = int(
+        eng.execute("SHOW TABLES FROM q98a") == ["sensor"]
+        and eng.execute("SHOW TABLES FROM q98b") == ["sensor"]
+    )
+    dbs = {
+        r.database
+        for r in eng.sql(
+            "SELECT database FROM system.tables WHERE name = 'sensor'"
+        ).collect()
+    }
+    distinct_tables = int(dbs == {"q98a", "q98b"})
+    eng.execute("USE q98b")
+    current_db_resolution = int(
+        eng.execute("SELECT count() AS n FROM sensor")[0].n == 5
+    )
+    eng.execute("USE default")
+    eng.execute("DROP DATABASE q98a")
+    cascade_ok = int(
+        "q98a__sensor" not in eng.tables and "q98b__sensor" in eng.tables
+    )
+    eng.execute("DROP DATABASE q98b")
+    return spark.range(1).select(
+        F.lit(int(a_rows)).alias("a_rows"),
+        F.lit(int(b_rows)).alias("b_rows"),
+        F.lit(distinct_tables).alias("distinct_tables"),
+        F.lit(show_isolated).alias("show_isolated"),
+        F.lit(current_db_resolution).alias("current_db_resolution"),
+        F.lit(cascade_ok).alias("cascade_ok"),
+    )

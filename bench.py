@@ -84,10 +84,24 @@ def main():
         results[name] = round(statistics.median(times), 4)
 
     total = round(sum(results.values()), 4)
+    # the headline set GROWS as operators land (19 queries in round 1,
+    # 30 now), so `value` is not comparable across rounds — `r1_set_sec`
+    # totals the original round-1 set only, the stable trend line
+    r1_set = [
+        "q01_pricing_summary", "q02_filtered_count", "q03_top_orders",
+        "q06_range_revenue", "q12_asof_join", "q14_agg_suite",
+        "q21_window_rownum", "q25_topk", "q31_in_subquery",
+        "q40_replacing_final", "q65_graphite_rollup", "x01_dedup_exact",
+        "x02_minhash_pairs", "x04_embedding_topk", "x05_embedding_lsh_topk",
+        "x07_text_stats", "x16_curation_pipeline", "x17_pii_redaction",
+        "x18_sequence_packing",
+    ]
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "n_queries": len(results),
+        "r1_set_sec": round(sum(results[n] for n in r1_set if n in results), 4),
         "queries": results,
         "sf": sf,
     }

@@ -522,29 +522,29 @@ def pq_train(
     assigned = base.select(
         "v", *[_code_expr(s).alias(f"__c{s}") for s in range(m)]
     )
-    # element-wise mean per (subspace, code, pos): partial-aggregated
-    refined = (
-        assigned.select(
-            F.posexplode("v").alias("pos", "x"),
-            F.map_from_arrays(
-                F.array(*[F.lit(s) for s in range(m)]),
-                F.array(*[F.col(f"__c{s}") for s in range(m)]),
-            ).alias("codes"),
-        )
-        .select(
-            (F.col("pos") / dsub).cast("int").alias("sub"),
-            F.pmod(F.col("pos"), F.lit(dsub)).alias("p"),
-            "x",
-            "codes",
-        )
-        .select("sub", "p", "x", F.element_at("codes", F.col("sub")).alias("code"))
-        .groupBy("sub", "code", "p")
-        .agg(F.round(F.avg("x"), round_mean).alias("mval"))
-        .collect()
-    )
+    # element-wise mean per (subspace, code, pos) as ONE pass of
+    # m·ksub·dsub conditional aggregates — map-side combined down to a
+    # single reduced row (model-sized), no row explosion, no shuffle of
+    # corpus data. The posexplode alternative materializes dim× the
+    # corpus through the exchange; at 20M×16 dims that was the train's
+    # wall-clock (measured in tools/scale_probe.py).
+    aggs = [
+        F.round(
+            F.avg(F.when(F.col(f"__c{s}") == c, F.col("v")[s * dsub + i])),
+            round_mean,
+        ).alias(f"m_{s}_{c}_{i}")
+        for s in range(m)
+        for c in range(ksub)
+        for i in range(dsub)
+    ]
+    row = assigned.agg(*aggs).collect()[0]
     base.unpersist()
-    for r in refined:
-        books[r["sub"]][r["code"]][r["p"]] = float(r["mval"])
+    for s in range(m):
+        for c in range(ksub):
+            for i in range(dsub):
+                v = row[f"m_{s}_{c}_{i}"]
+                if v is not None:  # empty code keeps its init centroid
+                    books[s][c][i] = float(v)
     return books
 
 
@@ -615,20 +615,29 @@ def pq_topk(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
     # LUT per (query, subspace): ksub dot products against plan-literal
-    # codebook rows; element_at picks the stored code's entry. Chained
-    # left-to-right sums keep the rounded score oracle-stable.
+    # codebook rows, MATERIALIZED on the |queries|-row side before the
+    # broadcast — the corpus-side scan then does m element_at lookups
+    # per row instead of re-deriving m·ksub·dsub products per
+    # (row, query) pair (the ADC scan's wall-clock at 20M rows,
+    # measured in tools/scale_probe.py). Chained left-to-right sums
+    # keep the rounded score oracle-stable.
+    for s in range(m):
+        q = q.withColumn(
+            f"__lut{s}",
+            F.array(
+                *[
+                    sum(
+                        F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
+                        for i in range(dsub)
+                    )
+                    for c in range(ksub)
+                ]
+            ),
+        )
+    q = q.localCheckpoint(eager=True)  # pin the tiny LUT relation, drop lineage
     score = None
     for s in range(m):
-        lut = F.array(
-            *[
-                sum(
-                    F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
-                    for i in range(dsub)
-                )
-                for c in range(ksub)
-            ]
-        )
-        term = F.element_at(lut, F.col("pq_codes")[s].cast("int") + 1)
+        term = F.element_at(F.col(f"__lut{s}"), F.col("pq_codes")[s].cast("int") + 1)
         score = term if score is None else score + term
     scored = codes.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),

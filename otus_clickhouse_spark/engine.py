@@ -602,6 +602,15 @@ class Engine:
             # names registered under this namespace
             for tname in [n for n in list(self.tables) if n.startswith(db + "__")]:
                 self.drop_table(tname)
+            # MVs owned by the database (by MV name or by source table)
+            # go with it — they are tables in CH's namespace too
+            pref = db + "__"
+            for src in list(self._mvs):
+                kept = [mv for mv in self._mvs[src] if not mv.name.startswith(pref)]
+                if src.startswith(pref) or not kept:
+                    self._mvs.pop(src, None)
+                else:
+                    self._mvs[src] = kept
             self._databases.discard(db)
             self._database_engines.pop(db, None)
             if self.current_database == db:
@@ -1094,6 +1103,17 @@ class Engine:
         # for Replacing/Summing/Collapsing engines) must not outlive the
         # base table — it points at the deleted files
         self.spark.catalog.dropTempView(f"{name}__final")
+        # an MV is dropped BY NAME like any table (CH: MVs live in the
+        # table namespace); detach its trigger or the next insert into
+        # its source would fire a dangling transform. Source-keyed
+        # attachments survive a SOURCE drop, like CH (recreating the
+        # source re-arms the view).
+        for src, mvs in list(self._mvs.items()):
+            kept = [mv for mv in mvs if mv.name != name]
+            if kept:
+                self._mvs[src] = kept
+            else:
+                self._mvs.pop(src, None)
         td = self.tables.pop(name, None)
         # an unregistered name may still have an orphaned managed dir
         # from an earlier engine over the same warehouse

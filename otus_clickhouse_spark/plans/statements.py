@@ -1152,13 +1152,21 @@ def _try_route_inner(engine, s: str):
     m = _CREATE_VIEW_RE.match(s)
     if m:
         name, select_sql = m.groups()
-        name = name.split(".")[-1]  # db-qualified → flat temp-view namespace
+        if "." in name:
+            # known-db qualifiers were already resolved to mangled flat
+            # names upstream; anything left is an unknown database
+            engine._check_db_qualifier(name.split(".")[0], "CREATE VIEW")
+            name = name.split(".")[-1]
         engine.sql(select_sql).createOrReplaceTempView(name)
         return {"created_view": name}
 
     m = _DROP_VIEW_RE.match(s)
     if m:
-        engine.spark.catalog.dropTempView(m.group(1).split(".")[-1])
+        name = m.group(1)
+        if "." in name:
+            engine._check_db_qualifier(name.split(".")[0], "DROP VIEW")
+            name = name.split(".")[-1]
+        engine.spark.catalog.dropTempView(name)
         return {"dropped_view": m.group(1)}
 
     m = _CREATE_FN_RE.match(s)

@@ -160,3 +160,24 @@ def test_streaming_tumbling_window(spark, tmp_path):
     # watermark append-mode emits only closed windows; just assert the
     # query ran and the plan was valid
     assert spark.table("rate_agg").columns[0] == "w"
+
+
+def test_drop_table_detaches_mv_trigger(engine, tmp_path):
+    """DROP TABLE on an MV's name must detach its trigger (CH: MVs live
+    in the table namespace) — inserts into the source after the drop
+    must not fire the dangling transform. Dropping the SOURCE leaves
+    name-keyed attachments (recreating the source re-arms, like CH)."""
+    engine.execute("DROP TABLE IF EXISTS mvd_src")
+    engine.execute("DROP TABLE IF EXISTS mvd_tgt")
+    engine.execute("CREATE TABLE mvd_src (id UInt32) ENGINE = Memory")
+    engine.execute("CREATE TABLE mvd_tgt (id UInt32) ENGINE = Memory")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mvd_mv TO mvd_tgt AS SELECT id FROM mvd_src"
+    )
+    engine.execute("INSERT INTO mvd_src VALUES (1)")
+    assert engine.execute("SELECT count() AS n FROM mvd_tgt")[0].n == 1
+    engine.execute("DROP TABLE mvd_mv")
+    engine.execute("INSERT INTO mvd_src VALUES (2)")
+    assert engine.execute("SELECT count() AS n FROM mvd_tgt")[0].n == 1  # no re-fire
+    engine.execute("DROP TABLE mvd_src")
+    engine.execute("DROP TABLE mvd_tgt")

@@ -1051,8 +1051,11 @@ FORMAT JsonEachRow;
     finally:
         for db in ("streams", "raw", "parsed", "to_kafka"):
             engine.execute(f"DROP DATABASE IF EXISTS {db}")
-        engine._mvs = {k: v for k, v in engine._mvs.items() if not k.startswith(
-            ("streams__", "raw__", "parsed__", "to_kafka__"))}
+        # DROP DATABASE detaches the databases' MVs with their tables
+        assert not any(
+            k.startswith(("streams__", "raw__", "parsed__", "to_kafka__"))
+            for k in engine._mvs
+        )
         _shutil.rmtree("spark-warehouse/_kafka", ignore_errors=True)
 
 

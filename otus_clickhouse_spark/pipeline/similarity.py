@@ -474,11 +474,13 @@ def pq_train(
     id_col: str = "vec_id",
     round_dist: int = 6,
     round_mean: int = 6,
+    iters: int = 1,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector splits into
     ``m`` subspaces of ``dim/m`` dims; each subspace gets ``ksub``
     centroids — init from the hash-uniform seed sample (:func:
-    `kmeans_centroids`'s md5-rank init) plus ONE Lloyd refinement.
+    `kmeans_centroids`'s md5-rank init) plus ``iters`` Lloyd
+    refinements (default 1 — the configuration the x60 oracle replays).
 
     Distribution shape: the refinement's assignment is a pure map over
     the corpus (codebooks ride as plan literals); the recompute is a
@@ -519,32 +521,40 @@ def pq_train(
         # first index of the min distance = lowest-code tie-break
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    assigned = base.select(
-        "v", *[_code_expr(s).alias(f"__c{s}") for s in range(m)]
-    )
-    # element-wise mean per (subspace, code, pos) as ONE pass of
-    # m·ksub·dsub conditional aggregates — map-side combined down to a
-    # single reduced row (model-sized), no row explosion, no shuffle of
-    # corpus data. The posexplode alternative materializes dim× the
-    # corpus through the exchange; at 20M×16 dims that was the train's
-    # wall-clock (measured in tools/scale_probe.py).
-    aggs = [
-        F.round(
-            F.avg(F.when(F.col(f"__c{s}") == c, F.col("v")[s * dsub + i])),
-            round_mean,
-        ).alias(f"m_{s}_{c}_{i}")
-        for s in range(m)
-        for c in range(ksub)
-        for i in range(dsub)
-    ]
-    row = assigned.agg(*aggs).collect()[0]
+    # Lloyd iterations: assignment is a pure map (codebooks ride as plan
+    # literals), the element-wise mean per (subspace, code, pos) is ONE
+    # pass of m·ksub·dsub conditional aggregates — map-side combined
+    # down to a single reduced row (model-sized), no row explosion, no
+    # shuffle of corpus data. The posexplode alternative materializes
+    # dim× the corpus through the exchange; at 20M×16 dims that was the
+    # train's wall-clock (measured in tools/scale_probe.py).
+    for _ in range(max(iters, 1)):
+        assigned = base.select(
+            "v", *[_code_expr(s).alias(f"__c{s}") for s in range(m)]
+        )
+        aggs = [
+            F.round(
+                F.avg(F.when(F.col(f"__c{s}") == c, F.col("v")[s * dsub + i])),
+                round_mean,
+            ).alias(f"m_{s}_{c}_{i}")
+            for s in range(m)
+            for c in range(ksub)
+            for i in range(dsub)
+        ]
+        row = assigned.agg(*aggs).collect()[0]
+        books = [
+            [
+                [
+                    float(row[f"m_{s}_{c}_{i}"])
+                    if row[f"m_{s}_{c}_{i}"] is not None  # empty code keeps init
+                    else books[s][c][i]
+                    for i in range(dsub)
+                ]
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
     base.unpersist()
-    for s in range(m):
-        for c in range(ksub):
-            for i in range(dsub):
-                v = row[f"m_{s}_{c}_{i}"]
-                if v is not None:  # empty code keeps its init centroid
-                    books[s][c][i] = float(v)
     return books
 
 

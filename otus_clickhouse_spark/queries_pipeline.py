@@ -3223,3 +3223,119 @@ def x61_domain_cap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _ivfpq_oracle(
+    k: int, iters: int, round_cos: int, round_mean: int,
+    m: int, ksub: int, dim: int, nq: int, topk: int, nprobe: int,
+) -> str:
+    """Composed IVF-PQ replay: x14's unrolled quantized-kmeans CTEs
+    (coarse quantizer) + x29's assignf/probe CTEs (inverted-list prune)
+    + x60's seed/Lloyd/encode/LUT CTEs (PQ scoring) over the pruned
+    candidates only."""
+    dsub = dim // m
+    train = _kmeans_unrolled_oracle(k, iters, round_cos, round_mean)
+    body = train[: train.rindex("SELECT centroid_id")]
+    return (
+        body
+        + f""",
+    qs AS (SELECT vec_id AS q_id, v AS __qv FROM base WHERE vec_id < {nq}),
+    probe AS (
+      SELECT q_id, centroid_id, __qv FROM (
+        SELECT q.q_id, c.centroid_id, q.__qv,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.__qv, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM qs q CROSS JOIN cent{iters} c) WHERE rn <= {nprobe}
+    ),
+    assignf AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM base b CROSS JOIN cent{iters} c) WHERE rn = 1
+    ),
+    pq_seeds AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}),
+    pq_subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    pq_init AS (
+      SELECT pq_subs.sub, pq_seeds.code,
+             list_slice(v, pq_subs.sub * {dsub} + 1, pq_subs.sub * {dsub} + {dsub}) AS cv
+      FROM pq_seeds, pq_subs),
+    pq_d1 AS (
+      SELECT b.vec_id, pq_init.sub, pq_init.code, b.v,
+             round(list_sum(list_transform(generate_series(1, {dsub}),
+               i -> (v[pq_init.sub * {dsub} + i] - pq_init.cv[i])
+                    * (v[pq_init.sub * {dsub} + i] - pq_init.cv[i]))), 6) AS d
+      FROM base b, pq_init),
+    pq_assign AS (
+      SELECT vec_id, sub, code, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pq_d1) WHERE rn = 1),
+    pq_refined AS (
+      SELECT sub, code, p.i AS p, round(avg(v[sub * {dsub} + p.i]), 6) AS mval
+      FROM pq_assign, (SELECT unnest(generate_series(1, {dsub})) AS i) p
+      GROUP BY sub, code, p.i),
+    pq_rl AS (SELECT sub, code, list(mval ORDER BY p) AS cv FROM pq_refined GROUP BY sub, code),
+    pq_books AS (
+      SELECT pq_init.sub, pq_init.code, coalesce(pq_rl.cv, pq_init.cv) AS cv
+      FROM pq_init LEFT JOIN pq_rl USING (sub, code)),
+    pq_d2 AS (
+      SELECT b.vec_id, pb.sub, pb.code,
+             round(list_sum(list_transform(generate_series(1, {dsub}),
+               i -> (v[pb.sub * {dsub} + i] - pb.cv[i])
+                    * (v[pb.sub * {dsub} + i] - pb.cv[i]))), 6) AS d
+      FROM base b, pq_books pb),
+    pq_enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pq_d2) WHERE rn = 1),
+    cand AS (
+      SELECT p.q_id, a.vec_id, p.__qv
+      FROM probe p JOIN assignf a USING (centroid_id)),
+    terms AS (
+      SELECT cand.q_id, cand.vec_id, e.sub,
+             list_sum(list_transform(generate_series(1, {dsub}),
+               i -> cand.__qv[e.sub * {dsub} + i] * pb.cv[i])) AS t
+      FROM cand JOIN pq_enc e USING (vec_id) JOIN pq_books pb
+        ON pb.sub = e.sub AND pb.code = e.code),
+    scored AS (
+      SELECT q_id, vec_id, round(list_sum(list(t ORDER BY sub)), 4) AS adc
+      FROM terms GROUP BY q_id, vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, adc, rnk FROM ranked WHERE rnk <= {topk}
+    """
+    )
+
+
+@query(
+    "x62_ivfpq_search",
+    oracle=_ivfpq_oracle(
+        k=4, iters=3, round_cos=4, round_mean=6,
+        m=8, ksub=16, dim=64, nq=3, topk=5, nprobe=2,
+    ),
+)
+def x62_ivfpq_search(spark, sf_dir):
+    """IVF-PQ end to end (pipeline.similarity.ivfpq_topk — the Faiss
+    IVFPQ architecture): quantized-Lloyd coarse quantizer (x14) prunes
+    to nprobe inverted lists per query; the pruned candidates score
+    through 8-byte PQ codes (x60) with per-query LUTs. Assignment and
+    encoding share ONE corpus pass; at scale each query reads nprobe/k
+    of an 8-byte-per-vector index. The oracle composes the two proven
+    replays over the candidate set only."""
+    from otus_clickhouse_spark.pipeline.similarity import ivfpq_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, iters=3, round_cos=4, round_mean=6)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return ivfpq_topk(emb, cent, queries, k=5, nprobe=2, m=8, ksub=16, dim=64)

@@ -826,12 +826,13 @@ class Engine:
             # map onto Spark's explain flavors — AST/SYNTAX ≈ parsed/
             # analyzed (extended), PLAN ≈ formatted, PIPELINE ≈ physical
             # with codegen, ESTIMATE ≈ cost
+            if (xm.group(1) or "").upper() == "ESTIMATE":
+                return self.explain_estimate(xm.group(2))
             mode = {
                 "AST": "extended",
                 "SYNTAX": "extended",
                 "PLAN": "formatted",
                 "PIPELINE": "codegen",
-                "ESTIMATE": "cost",
             }.get((xm.group(1) or "PLAN").upper(), "formatted")
             return [self.explain(xm.group(2), mode=mode)]
         from otus_clickhouse_spark.plans.statements import try_route
@@ -1403,6 +1404,41 @@ class Engine:
         return df._sc._jvm.PythonSQLUtils.explainString(  # same path .explain() prints
             df._jdf.queryExecution(), mode
         )
+
+    def explain_estimate(self, text: str) -> list:
+        """``EXPLAIN ESTIMATE`` (D7; lecture_21.md's estimate mode): CH
+        answers (database, table, parts, rows, marks) per MergeTree
+        table from part metadata WITHOUT running the query. The parquet
+        analogue reads footers only: parts = data files, rows = footer
+        row counts, marks = row groups (the granule pointer analogue —
+        one min/max pruning unit each)."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for name in sorted(self._referenced_tables(text)):
+            td = self.tables.get(name)
+            if td is None or not td.path or not os.path.exists(td.path):
+                continue
+            files = []
+            if os.path.isfile(td.path):
+                files = [td.path]
+            else:
+                for root, _, fns in os.walk(td.path):
+                    files.extend(
+                        os.path.join(root, f) for f in fns if f.endswith(".parquet")
+                    )
+            n_rows = 0
+            marks = 0
+            for f in files:
+                meta = pq.ParquetFile(f).metadata
+                n_rows += meta.num_rows
+                marks += meta.num_row_groups
+            db, base = self._split_db(name)
+            rows.append((db, base, len(files), n_rows, marks))
+        from pyspark.sql import Row
+
+        shape = Row("database", "table", "parts", "rows", "marks")
+        return [shape(*r) for r in rows]
 
     def run_query(self, text: str, **params) -> tuple[list[str], list]:
         """Execute SQL eagerly with full bookkeeping; returns

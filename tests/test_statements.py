@@ -1231,3 +1231,25 @@ def test_create_database_engined_and_on_cluster(engine):
         engine.execute("DROP DATABASE IF EXISTS pgx")
         engine.execute("DROP DATABASE IF EXISTS clus")
     assert "pgx" not in engine._databases and "pgx" not in engine._database_engines
+
+
+def test_explain_estimate_reads_footers(engine, tmp_path):
+    """EXPLAIN ESTIMATE answers (database, table, parts, rows, marks)
+    from parquet footers without running the query — parts = data
+    files, rows = footer counts, marks = row groups (the granule
+    analogue), like CH's part-metadata estimate (lecture_21.md)."""
+    engine.execute("DROP TABLE IF EXISTS est_t")
+    engine.execute("CREATE TABLE est_t (id UInt32) ENGINE = MergeTree ORDER BY id")
+    engine.tables["est_t"].path = str(tmp_path / "est_t")
+    engine.execute("INSERT INTO est_t SELECT number FROM numbers(1000)")
+    engine.execute("INSERT INTO est_t SELECT number FROM numbers(500)")
+    try:
+        got = engine.execute("EXPLAIN ESTIMATE SELECT count() FROM est_t WHERE id > 10")
+        assert len(got) == 1
+        r = got[0]
+        assert (r.database, r.table) == ("default", "est_t")
+        assert r.rows == 1500
+        assert r.parts >= 2  # two inserts → at least two files
+        assert r.marks >= r.parts  # ≥ one row group per file
+    finally:
+        engine.execute("DROP TABLE est_t")

@@ -252,3 +252,41 @@ def test_scd2_merge_matches_reference(spark, rows, split):
     # exactly one current row per key
     keys = {r[0] for r in got}
     assert sum(1 for r in got if r[4]) == len(keys)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    db=st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s not in ("default", "system")
+    ),
+    tbl=st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+    literal=st.text(
+        alphabet=st.characters(blacklist_characters="'\"`\\\n", max_codepoint=0x2FF),
+        max_size=20,
+    ),
+)
+def test_db_qualifier_resolution_properties(spark, db, tbl, literal):
+    """Invariants of the namespace resolver: a known-db qualifier
+    mangles to db__table OUTSIDE quotes and never inside a string
+    literal; resolution is idempotent; unknown qualifiers pass through
+    untouched."""
+    from otus_clickhouse_spark.engine import Engine
+
+    eng = Engine.__new__(Engine)  # resolver needs only these two fields
+    eng._databases = {"default", db}
+    eng.current_database = "default"
+
+    text = f"SELECT * FROM {db}.{tbl} WHERE s = '{db}.{tbl}' AND x = '{literal}'"
+    got = eng._strip_known_db_prefixes(text)
+    assert f"FROM {db}__{tbl} " in got            # qualifier resolved
+    assert f"'{db}.{tbl}'" in got                  # literal untouched
+    assert f"'{literal}'" in got                   # arbitrary literal untouched
+    assert eng._strip_known_db_prefixes(got) == got  # idempotent
+    # unknown database prefixes never silently resolve
+    other = f"SELECT * FROM zz_unknown_db.{tbl}"
+    assert eng._strip_known_db_prefixes(other) == other
+    # default. always strips to the flat name
+    assert (
+        eng._strip_known_db_prefixes(f"SELECT * FROM default.{tbl}")
+        == f"SELECT * FROM {tbl}"
+    )

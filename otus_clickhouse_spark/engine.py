@@ -816,6 +816,21 @@ class Engine:
                     sel = self._align_positional(name, sel)
                 return self.insert(name, sel)
             return self.insert(name, self._values_frame(name, rest, cols))
+        dfm = re.match(
+            r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?format\s*\(\s*(\w+)\s*,\s*(.*)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if dfm:
+            # DESC format(Fmt, <inline data>) — the schema-inference
+            # probe (lecture_03.md:361-363 goldens): parse the literal
+            # through the same format map as file() and report the
+            # inferred columns
+            from pyspark.sql import Row
+
+            df = self.format_inline_table(dfm.group(1), dfm.group(2))
+            shape = Row("col_name", "data_type", "comment")
+            return [shape(f.name, f.dataType.simpleString(), None) for f in df.schema.fields]
         xm = re.match(
             r"^\s*EXPLAIN\s+(?:(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)\s+)?(SELECT\b.*|WITH\b.*)$",
             s,
@@ -1171,6 +1186,20 @@ class Engine:
             text,
             flags=re.IGNORECASE,
         )
+        # FROM format(Fmt, <inline literal>) table function
+        # (lecture_03.md:358-366) — materialize as a temp view; the
+        # scalar format() string function is untouched (FROM-anchored)
+        fim = re.search(
+            r"\bFROM\s+(format\s*\(\s*(\w+)\s*,\s*('(?:[^']|'')*'|\$\$.*?\$\$)\s*\))",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fim:
+            import uuid as _uuid
+
+            view = f"__fmt_inline_{_uuid.uuid4().hex[:8]}"
+            self.format_inline_table(fim.group(2), fim.group(3)).createOrReplaceTempView(view)
+            text = text[: fim.start(1)] + view + text[fim.end(1) :]
         fm = _FILE_FN_RE.search(text)
         if fm:
             # file/s3/gcs/url/hdfs table functions in raw SQL (S2-S6;
@@ -1404,6 +1433,38 @@ class Engine:
         return df._sc._jvm.PythonSQLUtils.explainString(  # same path .explain() prints
             df._jdf.queryExecution(), mode
         )
+
+    def format_inline_table(self, fmt: str, raw: str) -> DataFrame:
+        """``format(Format, <data>)`` table function (lecture_03.md:
+        358-366): parse an inline literal through the same format map as
+        ``file()`` with schema inference. ``Values`` data runs through
+        Spark's native VALUES parser with CH's ``c1..cN`` names; other
+        formats spool to a temp file for the standard reader. Inline
+        literals are statement-sized by definition — TB-scale data goes
+        through file()/s3()."""
+        import tempfile
+
+        raw = raw.strip()
+        if raw.startswith("$$") and raw.endswith("$$"):
+            data = raw[2:-2]
+        elif raw[:1] in "'\"" and raw[-1:] == raw[:1]:
+            data = raw[1:-1].replace(raw[0] * 2, raw[0])
+        else:
+            data = raw
+        if fmt.lower() == "values":
+            df = self.spark.sql(f"SELECT * FROM (VALUES {data})")
+            return df.toDF(*[f"c{i + 1}" for i in range(len(df.columns))])
+        from otus_clickhouse_spark.sources.readers import _reader
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".dat", delete=False, encoding="utf-8"
+        ) as f:
+            f.write(data)
+            spool = f.name
+        try:
+            return _reader(self.spark, fmt).load(spool).localCheckpoint(eager=True)
+        finally:
+            os.unlink(spool)
 
     def explain_estimate(self, text: str) -> list:
         """``EXPLAIN ESTIMATE`` (D7; lecture_21.md's estimate mode): CH

@@ -188,3 +188,24 @@ def test_filecluster_table_function(engine, tmp_path):
         f"SELECT * FROM fileCluster('mycluster', '{p}', 'CSVWithNames') ORDER BY a"
     ).collect()
     assert [(int(r.a), r.b) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_format_inline_table_function(engine):
+    """lecture_03.md:358-366 verbatim: DESC format(...) infers the
+    inline literal's schema for JSONEachRow / CSV / Values ($$-quoted),
+    and FROM format(...) serves the rows."""
+    rows = engine.execute(
+        'DESC format(JSONEachRow, \'{"int" : 42, "float" : 42.42, "string" : "Hello, World!"}\')'
+    )
+    got = {r.col_name: r.data_type for r in rows}
+    assert got["int"] == "bigint" and got["float"] == "double" and got["string"] == "string"
+    rows = engine.execute("DESC format(CSV, '42,42.42,true,\"Hello,World!\"')")
+    assert [r.data_type for r in rows] == ["int", "double", "boolean", "string"]
+    rows = engine.execute("DESC format(Values, $$(42, 42.42, true, 'Hello,World!')$$)")
+    assert [r.col_name for r in rows] == ["c1", "c2", "c3", "c4"]
+    assert [r.data_type for r in rows] == ["int", "decimal(4,2)", "boolean", "string"]
+    # the table-function form serves rows too
+    got = engine.sql(
+        "SELECT string AS s FROM format(JSONEachRow, '{\"int\" : 1, \"string\" : \"x\"}')"
+    ).collect()
+    assert got[0].s == "x"

@@ -134,3 +134,67 @@ def domain_cap(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots — the
+    monitoring check a training-data pipeline runs when a new crawl /
+    dump lands: Jensen-Shannon divergence over the merged vocabulary
+    plus the top token-level contributors.
+
+    Scale shape: each snapshot reduces to a (token, count) table in one
+    map-side-combined pass — every later join/aggregate is VOCABULARY-
+    bounded, never corpus-bounded; document bodies cross the wire only
+    in the first scan. Per-token JS contributions are rounded before
+    the final sum so the scalar is reproducible across engines and
+    summation orders."""
+    def counts(df, alias):
+        return (
+            df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+            .where(F.length("tok") > 0)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    o, n = counts(old, "n_old"), counts(new, "n_new")
+    tot_o = o.agg(F.sum("n_old")).collect()[0][0] or 1
+    tot_n = n.agg(F.sum("n_new")).collect()[0][0] or 1
+    merged = (
+        o.join(n, "tok", "full")
+        .select(
+            "tok",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("p", F.col("n_old") / F.lit(float(tot_o)))
+        .withColumn("q", F.col("n_new") / F.lit(float(tot_n)))
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+        .withColumn(
+            "js_part",
+            F.round(
+                F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / F.col("m"))).otherwise(0.0)
+                + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log2(F.col("q") / F.col("m"))).otherwise(0.0),
+                12,
+            ),
+        )
+        .localCheckpoint(eager=True)  # vocabulary-sized; reused twice below
+    )
+    js = merged.agg(F.round(F.sum("js_part"), 6).alias("js_divergence"))
+    top = (
+        merged.select(
+            "tok",
+            F.round("p", 6).alias("p_old"),
+            F.round("q", 6).alias("p_new"),
+            F.round(F.abs(F.col("p") - F.col("q")), 6).alias("delta"),
+        )
+        # orderBy+limit plans as TakeOrderedAndProject: per-partition
+        # top-N over the vocabulary table, tiny driver merge
+        .orderBy(F.desc("delta"), F.asc("tok"))
+        .limit(top_n)
+    )
+    return top.crossJoin(js)

@@ -3339,3 +3339,55 @@ def x62_ivfpq_search(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return ivfpq_topk(emb, cent, queries, k=5, nprobe=2, m=8, ksub=16, dim=64)
+
+
+@query(
+    "x63_token_drift",
+    oracle="""
+    WITH o AS (
+      SELECT tok, count(*) AS n_old FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS tok
+        FROM documents WHERE doc_id % 2 = 0) GROUP BY tok),
+    n AS (
+      SELECT tok, count(*) AS n_new FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS tok
+        FROM documents WHERE doc_id % 2 = 1) GROUP BY tok),
+    tots AS (SELECT (SELECT sum(n_old) FROM o) AS t_o, (SELECT sum(n_new) FROM n) AS t_n),
+    merged AS (
+      SELECT coalesce(o.tok, n.tok) AS tok,
+             coalesce(n_old, 0) / (SELECT t_o FROM tots) AS p,
+             coalesce(n_new, 0) / (SELECT t_n FROM tots) AS q
+      FROM o FULL JOIN n USING (tok)),
+    parts AS (
+      SELECT tok, p, q,
+             round(CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2)) ELSE 0 END
+                 + CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2)) ELSE 0 END,
+                   12) AS js_part
+      FROM merged),
+    js AS (SELECT round(sum(js_part), 6) AS js_divergence FROM parts),
+    top AS (
+      SELECT tok, round(p, 6) AS p_old, round(q, 6) AS p_new,
+             round(abs(p - q), 6) AS delta
+      FROM parts ORDER BY round(abs(p - q), 6) DESC, tok LIMIT 10)
+    SELECT top.*, js.js_divergence FROM top, js
+    """,
+)
+def x63_token_drift(spark, sf_dir):
+    """Corpus snapshot drift monitor (pipeline.curation.token_drift):
+    Jensen-Shannon divergence between two snapshots' unigram
+    distributions plus the top-10 drifting tokens — the check a
+    training-data pipeline runs when a new crawl lands. Both snapshots
+    reduce to vocabulary-bounded (token, count) tables in one map-side
+    pass each; every later stage is vocabulary-sized. Per-token JS
+    contributions round before the final sum so the scalar replays
+    across engines and summation orders."""
+    from otus_clickhouse_spark.pipeline.curation import token_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return token_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        top_n=10,
+    )

@@ -1771,26 +1771,112 @@ class Engine:
         start, msgs = self._kafka_topic(td).consume(group)
         schema = self.spark.table(name).schema
         now = _dt.datetime.now()
-        virt = ["_topic", "_key", "_offset", "_timestamp_ms", "_partition"]
         rows = [(m, topic, "", start + i, now, 0) for i, m in enumerate(msgs)]
         base = self.spark.createDataFrame(
             rows,
             "message string, _topic string, _key string, _offset long, "
             "_timestamp_ms timestamp, _partition int",
         )
-        if len(schema) == 1 and schema[0].dataType.simpleString() == "string":
-            # single-String declarations (kafka_format='JSONAsString')
-            # receive the raw message under the declared column name
-            block = base.withColumnRenamed("message", schema[0].name)
-        else:
-            # structured declarations parse as JSONEachRow into the schema
-            block = base.select(
-                F.from_json("message", schema).alias("j"), *virt
-            ).select("j.*", *virt)
-        block = block.localCheckpoint(eager=True)
+        block = self._kafka_shape_block(base, schema).localCheckpoint(eager=True)
         for mv in self._mvs.get(name, []):
             mv.process_block(block)
         return block
+
+    @staticmethod
+    def _kafka_shape_block(base: DataFrame, schema) -> DataFrame:
+        """Shape a raw message frame (message + virtual columns) into a
+        Kafka-engine table's declared schema: single-String declarations
+        (kafka_format='JSONAsString') receive the raw message under the
+        declared column name; structured declarations parse as
+        JSONEachRow."""
+        from pyspark.sql import functions as F
+
+        virt = ["_topic", "_key", "_offset", "_timestamp_ms", "_partition"]
+        if len(schema) == 1 and schema[0].dataType.simpleString() == "string":
+            return base.withColumnRenamed("message", schema[0].name)
+        return base.select(F.from_json("message", schema).alias("j"), *virt).select(
+            "j.*", *virt
+        )
+
+    def kafka_attach_stream(self, name: str, checkpoint: str | None = None):
+        """Continuous consumption for a Kafka-engine table — CH's
+        background consumer loop as a Structured Streaming query. The
+        file-topic stand-in reads the topic directory as a text stream;
+        with ``SPARK_GRAFT_KAFKA_BROKERS`` set the same wiring consumes
+        the real broker via ``streaming.mv.kafka_source``. Each
+        micro-batch is shaped exactly like :meth:`kafka_poll`'s block
+        (declared schema + virtual columns) and pushed through the
+        attached MV cascade inside ``foreachBatch``. Returns the
+        StreamingQuery — the caller owns its lifecycle."""
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        name = self._strip_known_db_prefixes(name).strip()
+        td = self.tables[name]
+        topic = td.settings.get("kafka_topic_list", name)
+        schema = self.spark.table(name).schema
+        brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+        if brokers:
+            from otus_clickhouse_spark.streaming.mv import kafka_source
+
+            raw = kafka_source(self.spark, brokers, topic).select(
+                F.col("value").alias("message"),
+                "_topic",
+                F.lit("").alias("_key"),
+                "_offset",
+                F.col("_timestamp").alias("_timestamp_ms"),
+                "_partition",
+            )
+        else:
+            tdir = self._kafka_topic(td).dir
+            os.makedirs(tdir, exist_ok=True)
+            counter = {"offset": 0}
+            raw = (
+                self.spark.readStream.schema("value string")
+                .option("pathGlobFilter", "*.jsonl")
+                .text(tdir)
+                .select(
+                    F.col("value").alias("message"),
+                    F.lit(topic).alias("_topic"),
+                    F.lit("").alias("_key"),
+                    F.lit(0).cast("long").alias("_offset"),  # assigned per batch
+                    F.current_timestamp().alias("_timestamp_ms"),
+                    F.lit(0).alias("_partition"),
+                )
+            )
+        mvs = self._mvs.get(name, [])
+
+        def process(batch_df, _epoch):
+            # foreachBatch hands a frame bound to the micro-batch's CLONED
+            # session; MV transforms register temp views on the ENGINE's
+            # session, so rebind the block there. Blocks are poll-sized —
+            # CH's Kafka engine likewise materializes kafka_max_block_size
+            # rows per consume before pushing to views.
+            rows = batch_df.collect()
+            if not rows:
+                return
+            block = self.spark.createDataFrame(rows, batch_df.schema)
+            if not brokers:
+                # stand-in offsets: contiguous per consumer (the window is
+                # bounded by the block size)
+                w = Window.orderBy(F.monotonically_increasing_id())
+                start = counter["offset"]
+                block = block.withColumn(
+                    "_offset", F.row_number().over(w).cast("long") + F.lit(start - 1)
+                )
+                counter["offset"] = start + len(rows)
+            shaped = self._kafka_shape_block(block, schema).localCheckpoint(eager=True)
+            for mv in mvs:
+                mv.process_block(shaped)
+
+        ck = checkpoint or tempfile.mkdtemp(prefix="kafka_ck_")
+        return (
+            raw.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ck)
+            .start()
+        )
 
     # -------------------------------------------------------------------- MVs
     def create_materialized_view(

@@ -254,3 +254,49 @@ def test_neardup_sink_idempotent_on_replay(spark, tmp_path):
     q2.processAllAvailable()  # same data under a FRESH checkpoint = epoch 0 again
     q2.stop()
     assert spark.read.parquet(out).count() == first  # still exactly one row
+
+
+def test_kafka_engine_continuous_attach(engine, tmp_path):
+    """Engine.kafka_attach_stream: the Kafka engine's background
+    consumer loop as a live Structured Streaming query over the
+    file-topic stand-in — producer batches flow through the attached MV
+    into the landing table without explicit polls, with contiguous
+    stand-in offsets."""
+    import json
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_kafka/attach_topic", ignore_errors=True)
+    engine.execute("DROP TABLE IF EXISTS att_src")
+    engine.execute("DROP TABLE IF EXISTS att_raw")
+    engine.execute(
+        "CREATE TABLE att_src (message String) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = 'attach_topic', "
+        "kafka_format = 'JSONAsString', kafka_group_name = 'att_grp'"
+    )
+    engine.execute(
+        "CREATE TABLE att_raw (message String, _offset UInt64) "
+        "ENGINE = MergeTree ORDER BY _offset"
+    )
+    engine.tables["att_raw"].path = str(tmp_path / "att_raw")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW att_mv TO att_raw AS "
+        "SELECT message, _offset FROM att_src"
+    )
+    q = engine.kafka_attach_stream("att_src", checkpoint=str(tmp_path / "ck"))
+    try:
+        engine.kafka_produce("attach_topic", [json.dumps({"i": i}) for i in range(3)])
+        q.processAllAvailable()
+        rows = engine.execute("SELECT message, _offset FROM att_raw ORDER BY _offset")
+        assert [int(r._offset) for r in rows] == [0, 1, 2]
+        assert json.loads(rows[0].message) == {"i": 0}
+        # second producer batch flows through without a new attach
+        engine.kafka_produce("attach_topic", [json.dumps({"i": 9})])
+        q.processAllAvailable()
+        rows = engine.execute("SELECT count() AS n, max(_offset) AS mx FROM att_raw")
+        assert (rows[0].n, int(rows[0].mx)) == (4, 3)
+    finally:
+        q.stop()
+        engine.execute("DROP TABLE IF EXISTS att_mv")
+        engine.execute("DROP TABLE IF EXISTS att_src")
+        engine.execute("DROP TABLE IF EXISTS att_raw")
+        _shutil.rmtree("spark-warehouse/_kafka/attach_topic", ignore_errors=True)

@@ -2075,12 +2075,70 @@ class Engine:
         :meth:`run`, with duration / result rows / exception."""
         import datetime as _dt
 
+        from pyspark.sql import functions as F
+
         empty = ("", "QueryFinish", _dt.datetime.now(), _dt.date.today(), 0.0, 0, "", [])
-        return self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             self._query_log or [empty],
             "query string, type string, event_time timestamp, event_date date, "
             "duration_sec double, result_rows long, exception string, "
             "tables array<string>",
+        )
+        # CH-named companions (lecture_20.md:828-843 slow-query probe
+        # runs verbatim): start time ≈ event_time − duration; read_rows
+        # reports the result size (the engine doesn't meter scan I/O —
+        # documented proxy); exception_code 0 ⇔ success; single-node
+        # _shard_num = 1
+        return (
+            df.withColumn(
+                "query_start_time",
+                (F.unix_timestamp("event_time") - F.col("duration_sec")).cast("timestamp"),
+            )
+            .withColumn("query_duration_ms", (F.col("duration_sec") * 1000).cast("long"))
+            .withColumn("read_rows", F.col("result_rows"))
+            .withColumn("read_bytes", F.lit(0).cast("long"))
+            .withColumn("memory_usage", F.lit(0).cast("long"))
+            .withColumn(
+                "exception_code",
+                F.when(F.col("exception") == "", 0).otherwise(1).cast("int"),
+            )
+            .withColumn("_shard_num", F.lit(1).cast("int"))
+        )
+
+    def system_metric_log(self) -> DataFrame:
+        """≈ system.metric_log (lecture_20.md:790-798 failure sweep):
+        periodic snapshots with one ProfileEvent_* column per counter.
+        One current-snapshot row here; the failure counters derive from
+        the query log (FailedQuery family) — replication/distributed
+        failure classes are structurally zero on the single-JVM
+        topology, exactly what the lecture's healthy-cluster golden
+        shows."""
+        import datetime as _dt
+
+        failed = [q for q in self._query_log if q[1] == "ExceptionWhileProcessing"]
+        n_sel = sum(1 for q in failed if re.match(r"\s*(SELECT|WITH)\b", q[0], re.IGNORECASE))
+        n_ins = sum(1 for q in failed if re.match(r"\s*INSERT\b", q[0], re.IGNORECASE))
+        now = _dt.datetime.now()
+        return self.spark.createDataFrame(
+            [("localhost", now, now.date(), len(failed), n_sel, n_ins, 0, 0, 0, 0)],
+            "hostname string, event_time timestamp, event_date date, "
+            "ProfileEvent_FailedQuery long, ProfileEvent_FailedSelectQuery long, "
+            "ProfileEvent_FailedInsertQuery long, "
+            "ProfileEvent_ReplicatedPartFailedFetches long, "
+            "ProfileEvent_ReplicatedPartChecksFailed long, "
+            "ProfileEvent_DistributedConnectionFailTry long, "
+            "ProfileEvent_ReplicatedDataLoss long",
+        )
+
+    def system_replication_queue(self) -> DataFrame:
+        """≈ system.replication_queue (lecture_20.md:823-827): pending
+        replicated fetches/merges. The single-JVM topology has no
+        queue — schema-correct and empty, the healthy-cluster state the
+        lecture query expects."""
+        return self.spark.createDataFrame(
+            [],
+            "table string, replica_name string, node_name string, merge_type string, "
+            "last_exception string, last_attempt_time timestamp",
         )
 
     def system_trace_log(self) -> DataFrame:
@@ -2180,10 +2238,20 @@ class Engine:
             )
             for i, (s, ts, _st) in enumerate(self._mutations_log)
         ]
-        return self.spark.createDataFrame(
-            rows or [("", "", "", 0.0, 0)],
-            "command string, table string, mutation_id string, finished_at double, is_done int",
-        ).where("command != ''")
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.createDataFrame(
+                rows or [("", "", "", 0.0, 0)],
+                "command string, table string, mutation_id string, finished_at double, is_done int",
+            )
+            .where("command != ''")
+            # failure bookkeeping (lecture_20.md:817-821 stuck-mutation
+            # probe): synchronous write-then-swap either succeeds or
+            # raises to the caller, so the fail columns are empty/null
+            .withColumn("latest_fail_reason", F.lit(""))
+            .withColumn("latest_fail_time", F.lit(None).cast("timestamp"))
+        )
 
     def system_grants(self) -> DataFrame:
         """≈ system.grants (lecture_18.md:134-216; hw12.md:83-107

@@ -1142,3 +1142,58 @@ def test_hw18_superset_dashboard_verbatim(engine, tmp_path):
         assert len(rab) == 120 and all("Rabbit" in r.dish_name for r in rab)
     finally:
         engine.execute("DROP DATABASE IF EXISTS menu")
+
+
+def test_lecture20_cluster_monitoring_verbatim(engine):
+    """lecture_20.md:790-843 replayed: the metric_log failure sweep,
+    stuck-mutation probe, replication-queue error scan and slow-query
+    top-10 run verbatim (clusterAllReplicas/cluster unwrap to the local
+    metadata, like a 1-node cluster)."""
+    engine.run("SELECT 1 AS warm")  # at least one query_log row
+    rows = engine.sql(
+        "SELECT\n"
+        "    sum(ProfileEvent_FailedQuery),\n"
+        "    sum(ProfileEvent_FailedSelectQuery),\n"
+        "    sum(ProfileEvent_FailedInsertQuery),\n"
+        "    sum(ProfileEvent_ReplicatedPartFailedFetches),\n"
+        "    sum(ProfileEvent_ReplicatedPartChecksFailed),\n"
+        "    sum(ProfileEvent_DistributedConnectionFailTry),\n"
+        "    sum(ProfileEvent_ReplicatedDataLoss)\n"
+        "FROM clusterAllReplicas(default, system.metric_log)\n"
+        "WHERE event_time > now() - interval 5 minute"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0][3:] == (0, 0, 0, 0)  # replication failure classes are zero
+    got = engine.sql(
+        "SELECT table, mutation_id, command, latest_fail_reason\n"
+        "FROM cluster(default, system.mutations)\n"
+        "WHERE is_done = 0 \n"
+        "    AND latest_fail_time > now() - interval 24 hour"
+    ).collect()
+    assert got == []  # synchronous mutations never sit unfinished
+    got = engine.sql(
+        "SELECT table, replica_name, node_name, merge_type\n"
+        "FROM cluster(default, system.replication_queue)\n"
+        "WHERE last_exception is not null \n"
+        "    and last_attempt_time > now() - interval 1 hour"
+    ).collect()
+    assert got == []
+    slow = engine.sql(
+        "SELECT\n"
+        "    _shard_num,\n"
+        "    query_start_time,\n"
+        "    query_duration_ms,\n"
+        "    query,\n"
+        "    type,\n"
+        "    read_rows,\n"
+        "    read_bytes,\n"
+        "    memory_usage\n"
+        "FROM clusterAllReplicas(default, system.query_log)\n"
+        "WHERE exception_code = 0 \n"
+        "    and query_start_time > now() - interval 7 day \n"
+        "    and type = 'QueryFinish'\n"
+        "ORDER BY query_duration_ms desc\n"
+        "LIMIT 10\\G"
+    ).collect()
+    assert 1 <= len(slow) <= 10
+    assert all(r._shard_num == 1 and r.query_duration_ms >= 0 for r in slow)

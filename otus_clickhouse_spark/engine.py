@@ -2000,31 +2000,69 @@ class Engine:
     # ----------------------------------------------------------- system views
     def system_tables(self) -> DataFrame:
         """≈ system.tables (lectures/lecture_02.md:197-276). Column names
-        follow CH (sorting_key/partition_key/uuid/data_paths/
-        metadata_path) so lecture queries — including COLUMNS('key')
-        projections — run verbatim."""
+        AND types follow CH (Array data_paths; footer-derived
+        total_rows/total_bytes — hw08.md's size probe) so lecture
+        queries — including COLUMNS('key') projections and
+        ``data_paths != []`` — run verbatim."""
         import hashlib
 
-        rows = [
-            (
-                *self._split_db(t.name),
-                hashlib.md5(t.name.encode()).hexdigest(),
-                t.engine,
-                t.path or "",
-                os.path.join("spark-warehouse", f"{t.name}.def"),
-                ",".join(t.order_by),
-                ",".join(t.order_by),
-                ",".join(t.partition_by),
-                t.comment,
+        def _sizes(path):
+            """(rows, compressed bytes, uncompressed bytes, has_data) from
+            parquet footers — metadata reads only, never data pages."""
+            import pyarrow.parquet as pq
+
+            if not path or not os.path.exists(path):
+                return 0, 0, 0, 0
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else [
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
             )
-            for t in self.tables.values()
-        ]
+            n = comp = uncomp = 0
+            for f in files:
+                meta = pq.ParquetFile(f).metadata
+                n += meta.num_rows
+                comp += os.path.getsize(f)
+                uncomp += sum(
+                    meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+                )
+            return n, comp, uncomp, int(bool(files))
+
+        rows = []
+        for t in self.tables.values():
+            n, comp, uncomp, has = _sizes(t.path)
+            rows.append(
+                (
+                    *self._split_db(t.name),
+                    hashlib.md5(t.name.encode()).hexdigest(),
+                    t.engine,
+                    [t.path] if t.path else [],
+                    os.path.join("spark-warehouse", f"{t.name}.def"),
+                    ",".join(t.order_by),
+                    ",".join(t.order_by),
+                    ",".join(t.partition_by),
+                    t.comment,
+                    n,
+                    comp,
+                    uncomp,
+                    has,
+                )
+            )
+        from pyspark.sql import functions as F
+
         return self.spark.createDataFrame(
             rows,
-            "database string, name string, uuid string, engine string, data_paths string, "
+            "database string, name string, uuid string, engine string, "
+            "data_paths array<string>, "
             "metadata_path string, primary_key string, sorting_key string, "
-            "partition_key string, comment string",
-        )
+            "partition_key string, comment string, total_rows long, "
+            "total_bytes long, total_bytes_uncompressed long, has_own_data int",
+        ).withColumn("table", F.col("name"))  # CH exposes `table` as a name alias
 
     def system_parts(self) -> DataFrame:
         """≈ system.parts: one row per data file (lecture_08.md:273-377)."""

@@ -1197,3 +1197,39 @@ def test_lecture20_cluster_monitoring_verbatim(engine):
     ).collect()
     assert 1 <= len(slow) <= 10
     assert all(r._shard_num == 1 and r.query_duration_ms >= 0 for r in slow)
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference"), reason="reference not present")
+def test_every_reference_system_select_executes(engine):
+    """Stronger than the translate sweep: every SELECT in the course
+    materials whose FROM targets are exclusively system.* tables (or
+    cluster()/clusterAllReplicas() wrappers over them) must EXECUTE —
+    these need no user data, so anything short of running rows is a
+    parity gap."""
+    blocks = []
+    for root, _, files in os.walk("/root/reference"):
+        for fn in files:
+            if not fn.endswith(".md"):
+                continue
+            text = open(os.path.join(root, fn), encoding="utf-8", errors="ignore").read()
+            for m in re.finditer(r"```(?:sql)?\n(.*?)```", text, re.DOTALL):
+                for stmt in m.group(1).split(";"):
+                    s = stmt.strip()
+                    if not re.match(r"(?i)^(SELECT|WITH)\b", s) or len(s) < 20 or "{" in s:
+                        continue
+                    tbls = re.findall(r"(?i)\bFROM\s+([\w.]+|\w+\s*\()", s)
+                    if tbls and all(
+                        t.replace(" ", "").startswith(
+                            ("system.", "cluster(", "clusterAllReplicas(", "merge(")
+                        )
+                        for t in tbls
+                    ):
+                        blocks.append((fn, s))
+    assert len(blocks) >= 18  # the harvest itself must keep working
+    failures = []
+    for fn, s in blocks:
+        try:
+            engine.sql(s).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting parity gaps
+            failures.append((fn, str(exc).split("\n")[0][:110], s[:80]))
+    assert not failures, failures

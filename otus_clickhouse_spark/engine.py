@@ -84,6 +84,9 @@ class Engine:
         self._memory: dict[str, list] = {}  # Memory/Set-engine blocks
         self._row_policies: dict[str, list[str]] = {}  # table → predicates
         self._query_log: list[tuple] = []
+        import time as _time
+
+        self._started_at: float = _time.time()  # system.asynchronous_metrics Uptime
         self._processes: dict[str, tuple[str, float]] = {}
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
@@ -2102,11 +2105,15 @@ class Engine:
                                     (t.name, rel, part, part, disk, p,
                                      os.path.getsize(p), 1)
                                 )
+        from pyspark.sql import functions as F
+
         return self.spark.createDataFrame(
             rows,
             "table string, name string, partition string, partition_id string, "
             "disk_name string, path string, bytes_on_disk long, active int",
-        )
+            # listed files are all live — removal is immediate here
+            # (hw11.md's post-DROP-PARTITION inspection runs verbatim)
+        ).withColumn("removal_state", F.lit("Part hasn't begun to be removed"))
 
     def system_query_log(self) -> DataFrame:
         """≈ system.query_log (lecture_20.md:296-478): queries run via
@@ -2167,6 +2174,101 @@ class Engine:
             "ProfileEvent_DistributedConnectionFailTry long, "
             "ProfileEvent_ReplicatedDataLoss long",
         )
+
+    def system_projection_parts_columns(self) -> DataFrame:
+        """≈ system.projection_parts_columns (lecture_13.md projection
+        inspection): one row per (projection, column) with the parent
+        table and the materialized row count."""
+        rows = []
+        for p in self.projections.projections.values():
+            cols = list(p.group_keys) + list(p.aggs)
+            n = p.df.count() if p.df is not None else 0
+            for pos, col in enumerate(cols, 1):
+                rows.append((p.name, p.table, f"{p.table}_all", int(n), 1, col, "", pos))
+        return self.spark.createDataFrame(
+            rows or [("", "", "", 0, 0, "", "", 0)],
+            "name string, table string, parent_name string, rows long, active int, "
+            "column string, type string, column_position int",
+        ).where("name != ''")
+
+    def system_merge_tree_settings(self) -> DataFrame:
+        """≈ system.merge_tree_settings (lecture_09.md:async-insert
+        probe): MergeTree profile defaults. The Spark analogue of each
+        knob is noted in the description column; unknown names simply
+        return no rows, like CH."""
+        rows = [
+            ("index_granularity", "8192", "row-group/page granule analogue"),
+            ("max_bytes_to_merge_at_max_space_in_pool", "161061273600", "compaction target size"),
+            ("parts_to_throw_insert", "3000", "small-files backpressure"),
+            ("old_parts_lifetime", "480", "compacted-file GC delay"),
+            ("merge_with_ttl_timeout", "14400", "TTL sweep cadence"),
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, value string, description string"
+        )
+
+    def system_errors(self) -> DataFrame:
+        """≈ system.errors (lecture_20.md:337-349): error classes with
+        trip counts since start. Derived from the query log's exception
+        records — name is the exception class, value its count."""
+        import datetime as _dt
+        from collections import Counter
+
+        errs = [
+            (q[6].split(":")[0].strip() or "UNKNOWN", q[6], q[2])
+            for q in self._query_log
+            if q[1] == "ExceptionWhileProcessing"
+        ]
+        counts = Counter(name for name, _, _ in errs)
+        last: dict[str, tuple] = {}
+        for name, msg, ts in errs:
+            last[name] = (msg, ts)
+        rows = [
+            (name, int(n), last[name][0][:200], last[name][1])
+            for name, n in counts.items()
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", 0, "", _dt.datetime.now())],
+            "name string, value long, last_error_message string, "
+            "last_error_time timestamp",
+        ).where("name != ''")
+
+    def system_merges(self) -> DataFrame:
+        """≈ system.merges (lecture_20.md:320-334): merges/mutations IN
+        FLIGHT right now. The engine's OPTIMIZE and mutations are
+        synchronous — between statements nothing is running, so the
+        current-state table is schema-correct and empty (exactly what a
+        quiesced CH server shows)."""
+        return self.spark.createDataFrame(
+            [],
+            "database string, table string, elapsed double, progress double, "
+            "rows_read long, is_mutation int, merge_type string",
+        )
+
+    def system_asynchronous_metrics(self) -> DataFrame:
+        """≈ system.asynchronous_metrics (lecture_20.md:252-308, the
+        third Prometheus/Graphite export source beside metrics/events):
+        periodically sampled host-level gauges. Real samples where the
+        platform provides them."""
+        import time as _time
+
+        rows = []
+        try:
+            la1, la5, la15 = os.getloadavg()
+            rows += [("LoadAverage1", la1), ("LoadAverage5", la5), ("LoadAverage15", la15)]
+        except OSError:
+            pass
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        rows.append(("MemoryResident", float(line.split()[1]) * 1024))
+                        break
+        except OSError:
+            pass
+        rows.append(("Uptime", _time.time() - self._started_at))
+        rows.append(("NumberOfTables", float(len(self.tables))))
+        return self.spark.createDataFrame(rows, "metric string, value double")
 
     def system_replication_queue(self) -> DataFrame:
         """≈ system.replication_queue (lecture_20.md:823-827): pending

@@ -1214,7 +1214,9 @@ def test_every_reference_system_select_executes(engine):
             text = open(os.path.join(root, fn), encoding="utf-8", errors="ignore").read()
             for m in re.finditer(r"```(?:sql)?\n(.*?)```", text, re.DOTALL):
                 for stmt in m.group(1).split(";"):
-                    s = stmt.strip()
+                    # leading `-- …` comment lines hide the SELECT from the
+                    # statement-kind match (lecture_20's merges probe)
+                    s = re.sub(r"^(\s*--[^\n]*\n)+", "", stmt).strip()
                     if not re.match(r"(?i)^(SELECT|WITH)\b", s) or len(s) < 20 or "{" in s:
                         continue
                     tbls = re.findall(r"(?i)\bFROM\s+([\w.]+|\w+\s*\()", s)
@@ -1225,7 +1227,7 @@ def test_every_reference_system_select_executes(engine):
                         for t in tbls
                     ):
                         blocks.append((fn, s))
-    assert len(blocks) >= 18  # the harvest itself must keep working
+    assert len(blocks) >= 20  # the harvest itself must keep working
     failures = []
     for fn, s in blocks:
         try:

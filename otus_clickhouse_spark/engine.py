@@ -2011,7 +2011,11 @@ class Engine:
 
         def _sizes(path):
             """(rows, compressed bytes, uncompressed bytes, has_data) from
-            parquet footers — metadata reads only, never data pages."""
+            parquet footers — metadata reads only, never data pages. At
+            warehouse scale this is the one catalog call that touches
+            O(files) footers; a production deployment keeps part
+            metadata resident like CH (or a lakehouse manifest) instead
+            of re-reading footers per introspection query."""
             import pyarrow.parquet as pq
 
             if not path or not os.path.exists(path):

@@ -319,3 +319,48 @@ def temperature_weights(
         .withColumn("p", F.col("__p0") / F.sum("__p0").over(tot))
         .select(strata_col, "weight", "natural_share", "p")
     )
+
+
+def mixing_schedule(
+    docs,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Plan a training-data mix: given target per-source weights and a
+    total token budget, derive each source's allocation, sampling rate
+    and epoch repeat factor — the schedule step LLaMA-style data
+    planning runs BEFORE any sampling (x21's mixture_sample then
+    applies the rates). A source with fewer tokens than its allocation
+    repeats (n_epochs > 1); an over-represented one downsamples
+    (rate < 1).
+
+    One map-side-combined aggregation per corpus — the schedule itself
+    is a sources-sized frame of pure arithmetic, so the plan is
+    identical at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.text import token_count
+
+    avail = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    total_w = sum(weights.values())
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(v / total_w))]
+    )
+    return (
+        avail.withColumn("target_weight", F.round(F.coalesce(wmap[F.col(source_col)], F.lit(0.0)), 6))
+        .withColumn(
+            "allocated_tokens",
+            F.floor(F.col("target_weight") * F.lit(token_budget)).cast("bigint"),
+        )
+        .withColumn(
+            "sampling_rate",
+            F.round(F.col("allocated_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .withColumn("n_epochs", F.ceil(F.col("sampling_rate")).cast("int"))
+        .orderBy(source_col)
+    )

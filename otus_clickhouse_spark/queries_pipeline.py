@@ -3391,3 +3391,44 @@ def x63_token_drift(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1),
         top_n=10,
     )
+
+
+@query(
+    "x64_mixing_schedule",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) t(source, wt)),
+    norm AS (SELECT sum(wt) AS tw FROM w)
+    SELECT a.source, a.n_docs, a.n_tokens,
+           round(coalesce(w.wt / (SELECT tw FROM norm), 0), 6) AS target_weight,
+           CAST(floor(coalesce(w.wt / (SELECT tw FROM norm), 0) * 2000000) AS BIGINT)
+             AS allocated_tokens,
+           round(CAST(floor(coalesce(w.wt / (SELECT tw FROM norm), 0) * 2000000) AS BIGINT)
+                 / greatest(a.n_tokens, 1), 6) AS sampling_rate,
+           CAST(ceil(CAST(floor(coalesce(w.wt / (SELECT tw FROM norm), 0) * 2000000) AS BIGINT)
+                 / greatest(a.n_tokens, 1)) AS INT) AS n_epochs
+    FROM avail a LEFT JOIN w USING (source)
+    ORDER BY a.source
+    """,
+)
+def x64_mixing_schedule(spark, sf_dir):
+    """Training-mix planning (pipeline.sampling.mixing_schedule): per-
+    source token inventory → allocation under target weights and a
+    2M-token budget → sampling rate and epoch repeat factor (the
+    LLaMA-style data schedule that x21's mixture sampler then applies;
+    under-weighted-but-small sources REPEAT, over-represented ones
+    downsample). One map-side aggregation over the corpus; the schedule
+    itself is a sources-sized arithmetic frame. Oracle replays token
+    counting and the allocation arithmetic."""
+    from otus_clickhouse_spark.pipeline.sampling import mixing_schedule
+
+    docs = t(spark, sf_dir, "documents")
+    return mixing_schedule(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, token_budget=2_000_000
+    )

@@ -537,12 +537,15 @@ class Engine:
 
     def system_databases(self) -> DataFrame:
         """≈ system.databases (D1; lecture_16.md SHOW DATABASES surface):
-        one row per known namespace over the flat catalog."""
+        one row per known namespace over the flat catalog — plus CH's
+        two built-in INFORMATION_SCHEMA spellings (hw19.md:88-95 SHOW
+        DATABASES golden lists both)."""
+        builtin = {"system": "System", "INFORMATION_SCHEMA": "Memory",
+                   "information_schema": "Memory"}
         return self.spark.createDataFrame(
             [
-                (d, "System" if d == "system"
-                 else self._database_engines.get(d, "Atomic"))
-                for d in sorted(self._databases | {"system"})
+                (d, builtin.get(d) or self._database_engines.get(d, "Atomic"))
+                for d in sorted(self._databases | set(builtin))
             ],
             "name string, engine string",
         )
@@ -572,6 +575,14 @@ class Engine:
         """Statement router (EP1 entry point): DDL → catalog ops,
         everything else → :meth:`run` (logged SELECT)."""
         s = text.strip().rstrip(";")
+        if "--" in s and not re.search(r"\bFORMAT\s+\w+\s*\n", s, re.IGNORECASE):
+            # `-- …` line comments break the statement-shape regexes
+            # (lecture_19/20 snippets end in trailing commentary); strip
+            # them quote-aware. Inline FORMAT data blocks are never
+            # touched — data lines may legitimately contain `--`.
+            from otus_clickhouse_spark.functions.dialect import _sub_outside_quotes
+
+            s = _sub_outside_quotes(r"--[^\n]*", "", s).strip().rstrip(";")
         dbm = re.match(
             r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)"
             r"(?:\s+ON\s+CLUSTER\s+'?\w+'?)?\s*(?:ENGINE\s*=\s*(\w+)\s*(?:\([^)]*\))?\s*)?$",
@@ -865,7 +876,10 @@ class Engine:
         (``default`` + CREATE DATABASE declarations) are transparent.
         Any other qualifier is an error, never a silent strip —
         ``DROP TABLE otherdb.t`` must not drop ``t``."""
-        if db is not None and db.lower() not in self._databases:
+        if db is not None and db.lower() not in self._databases and db.lower() not in (
+            "information_schema",  # CH built-in, both spellings (hw19.md:88-95)
+            "system",
+        ):
             raise KeyError(
                 f"{stmt}: unknown database '{db}' (known: {sorted(self._databases)})"
             )
@@ -898,7 +912,8 @@ class Engine:
             re.compile(rf"\b({alts})\.(\w+)", re.IGNORECASE), _qual, head
         )
         cur = self.current_database
-        if cur != "default":
+        if cur not in ("default", "information_schema", "system"):
+            # the two built-ins hold no user tables — resolution stays flat
             bases = sorted(
                 (n[len(cur) + 2 :] for n in self.tables if n.startswith(cur + "__")),
                 key=len,

@@ -56,6 +56,12 @@ _SIMPLE_TYPES = {
 def ch_type_to_spark(t: str) -> tuple[str, bool]:
     """CH type → (spark DDL type, nullable)."""
     t = t.strip()
+    # trailing CODEC(ZSTD|LZ4|Delta, …) compression spec
+    # (lecture_12.md `add column str String codec(ZSTD)`) — a storage
+    # hint; parquet's codec is table-level here
+    m = re.match(r"^(.*?)\s+CODEC\s*\(.*\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return ch_type_to_spark(m.group(1))
     # trailing NULL / NOT NULL modifiers (hw-style `DateTime64 NOT NULL`)
     m = re.match(r"^(.*?)\s+NOT\s+NULL$", t, re.IGNORECASE | re.DOTALL)
     if m:

@@ -106,7 +106,7 @@ _RBAC_RE = re.compile(
 )
 _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:default\.)?(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
-    r"([\w()',= ]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+AFTER\s+(\w+))?\s*$",
+    r"([\w()',= ]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+ALIAS\s+(.+?))?(?:\s+AFTER\s+(\w+))?\s*$",
     re.IGNORECASE,
 )
 _DROP_COL_RE = re.compile(
@@ -293,8 +293,16 @@ def _persist(engine, name: str, df: DataFrame, *, keep_cold: bool = False) -> No
     whatever disk they live on; re-homing keeps query results identical
     without double-counting). The TTL-move pass itself persists only
     hot-tier content and passes ``keep_cold=True``.
+
+    ALIAS columns ride along in the source view but are VIRTUAL —
+    persisting them would freeze their values (new inserts would read
+    null instead of recomputing), so they are dropped before the write
+    and re-attached by register_table.
     """
     td = engine.tables[name]
+    for alias_col in td.settings.get("aliases", {}):
+        if alias_col in df.columns:
+            df = df.drop(alias_col)
     if td.path and os.path.exists(td.path):
         tmp = f"{td.path.rstrip('/')}.__mut_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -887,9 +895,16 @@ def _try_route_inner(engine, s: str):
         # lecture_12.md:29-39: DEFAULT backfills existing rows on read)
         from otus_clickhouse_spark.functions.ddl import ch_type_to_spark
 
-        name, col, ch_type, default, after = m.groups()
+        name, col, ch_type, default, alias, after = m.groups()
         df = engine.table(name)
         spark_type, _n = ch_type_to_spark(ch_type.strip())
+        if alias:
+            # ALIAS column (lecture_12.md:36-39): virtual, recomputed per
+            # query, never stored — record the expression so re-registration
+            # (inserts, restarts) re-attaches it, and refresh the view
+            engine.tables[name].settings.setdefault("aliases", {})[col] = alias.strip()
+            df.withColumn(col, _expr(engine, alias).cast(spark_type)).createOrReplaceTempView(name)
+            return {"added_column": col, "alias": True}
         value = _expr(engine, default).cast(spark_type) if default else F.lit(None).cast(spark_type)
         df = df.withColumn(col, value)
         if after:
@@ -1114,7 +1129,12 @@ def _try_route_inner(engine, s: str):
         if kind == "GRANTS":
             return list(engine._rbac_log)
         if kind == "DATABASES":
-            return sorted(engine._databases | {"system"})
+            # CH lists its built-ins, both INFORMATION_SCHEMA spellings
+            # included (hw19.md:88-95 golden)
+            return sorted(
+                engine._databases
+                | {"system", "INFORMATION_SCHEMA", "information_schema"}
+            )
         users = [
             rm.group(1)
             for stmt in engine._rbac_log

@@ -1152,7 +1152,7 @@ def q94_replication_storage_metadata(spark, sf_dir):
 @query(
     "q95_database_namespace",
     oracle="""
-    SELECT 3 AS n_dbs, 1 AS has_hw, 5 AS qualified_count,
+    SELECT 5 AS n_dbs, 1 AS has_hw, 5 AS qualified_count,
            1 AS literal_ok, 1 AS unknown_db_errors, 1 AS dropped
     """,
 )
@@ -1163,8 +1163,9 @@ def q95_database_namespace(spark, sf_dir):
     CREATE/INSERT/SELECT resolve through it, string literals carrying a
     ``db.table`` spelling stay untouched, an UNKNOWN database errors
     instead of silently hitting the flat table, and DROP DATABASE
-    retires the name. All scalars; the oracle replays the expected
-    row."""
+    retires the name. n_dbs counts default + hwq95 + system + CH's two
+    built-in INFORMATION_SCHEMA spellings (hw19.md:88-95 golden). All
+    scalars; the oracle replays the expected row."""
     from pyspark.sql import functions as F
 
     eng = _mini_engine(spark, sf_dir, [])

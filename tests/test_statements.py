@@ -1253,3 +1253,33 @@ def test_explain_estimate_reads_footers(engine, tmp_path):
         assert r.marks >= r.parts  # ≥ one row group per file
     finally:
         engine.execute("DROP TABLE est_t")
+
+
+def test_alias_column_codec_and_comment_robustness(engine, tmp_path):
+    """lecture_12.md stragglers: ADD COLUMN … ALIAS expr (virtual,
+    recomputed per query), codec(ZSTD) type suffixes, USE
+    INFORMATION_SCHEMA (CH built-in, both spellings in SHOW DATABASES —
+    hw19.md:88-95), and trailing -- comments on routed statements."""
+    engine.execute("DROP TABLE IF EXISTS al_t")
+    engine.execute("CREATE TABLE al_t (id UInt32) ENGINE = MergeTree ORDER BY id")
+    engine.tables["al_t"].path = str(tmp_path / "al_t")
+    engine.execute("INSERT INTO al_t VALUES (7)")
+    try:
+        engine.execute("alter table al_t add column myAlias String ALIAS concat(id, '-a')")
+        assert engine.execute("SELECT myAlias FROM al_t")[0].myAlias == "7-a"
+        engine.execute("alter table al_t add column str String codec(ZSTD)")
+        assert "str" in engine.table("al_t").columns
+        # alias survives re-registration (insert refreshes the view)
+        engine.execute("INSERT INTO al_t (id) VALUES (8)")
+        got = {r.myAlias for r in engine.execute("SELECT myAlias FROM al_t")}
+        assert got == {"7-a", "8-a"}
+        engine.execute("use INFORMATION_SCHEMA")
+        engine.execute("USE default")
+        names = set(engine.execute("SHOW DATABASES"))
+        assert {"INFORMATION_SCHEMA", "information_schema", "system", "default"} <= names
+        # trailing comment on a routed statement shape
+        engine.execute("DROP TABLE al_t  -- проверим")
+        assert "al_t" not in engine.tables
+    finally:
+        engine.execute("DROP TABLE IF EXISTS al_t")
+        engine.execute("USE default")

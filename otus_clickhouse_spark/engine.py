@@ -91,6 +91,7 @@ class Engine:
         self._events: dict[str, int] = {}  # cumulative counters (system.events)
         self._dict_sources: dict[str, tuple[str, list[str]]] = {}  # dict → (table, cols)
         self._dict_ddl: dict[str, str] = {}  # dict → original CREATE text
+        self._view_ddl: dict[str, str] = {}  # plain view → its SELECT (SHOW CREATE)
         self._rbac_log: list[str] = []  # recorded GRANT/CREATE USER/… (D11)
         self._mutations_log: list[tuple] = []  # (statement, ts, status) — system.mutations
         # cluster topologies (lecture_15.md:40-67 <remote_servers>): name →

@@ -1178,6 +1178,8 @@ def _try_route_inner(engine, s: str):
             engine._check_db_qualifier(name.split(".")[0], "CREATE VIEW")
             name = name.split(".")[-1]
         engine.sql(select_sql).createOrReplaceTempView(name)
+        # recorded for SHOW CREATE TABLE/VIEW (Spark refuses temp views)
+        engine._view_ddl[name] = select_sql.strip()
         return {"created_view": name}
 
     m = _DROP_VIEW_RE.match(s)
@@ -1392,7 +1394,11 @@ def restore_table(
 
 
 def show_create_table(engine, name: str) -> str:
-    """Reconstruct ClickHouse-style DDL from the registry + live schema."""
+    """Reconstruct ClickHouse-style DDL from the registry + live schema.
+    Plain views (CREATE VIEW … AS SELECT) echo their recorded SELECT —
+    lecture_13's `show create table shows` probe."""
+    if name in getattr(engine, "_view_ddl", {}):
+        return f"CREATE VIEW {name}\nAS {engine._view_ddl[name]}"
     td = engine.tables[name]
     cols = ",\n".join(
         f"    {f.name} {f.dataType.simpleString()}" for f in engine.table(name).schema.fields

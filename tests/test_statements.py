@@ -1283,3 +1283,14 @@ def test_alias_column_codec_and_comment_robustness(engine, tmp_path):
     finally:
         engine.execute("DROP TABLE IF EXISTS al_t")
         engine.execute("USE default")
+
+
+def test_show_create_table_on_view(engine):
+    """lecture_13's `show create table <view>` probe: plain views echo
+    their recorded SELECT instead of Spark's temp-view refusal."""
+    engine.execute("CREATE VIEW scv_v AS SELECT 1 AS one")
+    try:
+        ddl = engine.execute("SHOW CREATE TABLE scv_v")[0]
+        assert ddl.startswith("CREATE VIEW scv_v") and "SELECT 1 AS one" in ddl
+    finally:
+        engine.execute("DROP VIEW scv_v")

@@ -300,3 +300,48 @@ def test_kafka_engine_continuous_attach(engine, tmp_path):
         engine.execute("DROP TABLE IF EXISTS att_src")
         engine.execute("DROP TABLE IF EXISTS att_raw")
         _shutil.rmtree("spark-warehouse/_kafka/attach_topic", ignore_errors=True)
+
+
+def test_kafka_engine_continuous_attach_structured(engine, tmp_path):
+    """kafka_attach_stream with a STRUCTURED declaration: micro-batches
+    parse as JSONEachRow into the declared schema (the from_json branch)
+    before the MV cascade fires."""
+    import json
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_kafka/attach_topic2", ignore_errors=True)
+    engine.execute("DROP TABLE IF EXISTS att2_src")
+    engine.execute("DROP TABLE IF EXISTS att2_out")
+    engine.execute(
+        "CREATE TABLE att2_src (sensor_id UInt32, temperature Float) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = 'attach_topic2', "
+        "kafka_format = 'JSONEachRow', kafka_group_name = 'att2_grp'"
+    )
+    engine.execute(
+        "CREATE TABLE att2_out (sensor_id UInt32, temperature Float) "
+        "ENGINE = MergeTree ORDER BY sensor_id"
+    )
+    engine.tables["att2_out"].path = str(tmp_path / "att2_out")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW att2_mv TO att2_out AS "
+        "SELECT sensor_id, temperature FROM att2_src"
+    )
+    q = engine.kafka_attach_stream("att2_src", checkpoint=str(tmp_path / "ck"))
+    try:
+        engine.kafka_produce(
+            "attach_topic2",
+            [json.dumps({"sensor_id": i, "temperature": 20.0 + i}) for i in range(4)],
+        )
+        q.processAllAvailable()
+        rows = engine.execute(
+            "SELECT sensor_id, temperature FROM att2_out ORDER BY sensor_id"
+        )
+        assert [(int(r.sensor_id), r.temperature) for r in rows] == [
+            (i, 20.0 + i) for i in range(4)
+        ]
+    finally:
+        q.stop()
+        engine.execute("DROP TABLE IF EXISTS att2_mv")
+        engine.execute("DROP TABLE IF EXISTS att2_src")
+        engine.execute("DROP TABLE IF EXISTS att2_out")
+        _shutil.rmtree("spark-warehouse/_kafka/attach_topic2", ignore_errors=True)

@@ -172,7 +172,12 @@ _RENAME_RE = re.compile(r"^\s*RENAME\s+TABLE\s+(?:default\.)?(\w+)\s+TO\s+(\w+)\
 _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE
 )
-_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(?:default\.)?(\w+)\s*$", re.IGNORECASE)
+# CH accepts `SHOW TABLE t` as shorthand for SHOW CREATE TABLE
+# (hw04.md:107 `show table transactions`)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+(?:CREATE\s+(?:TABLE|VIEW)\s+|TABLE\s+)(?:default\.)?(\w+)\s*$",
+    re.IGNORECASE,
+)
 _SHOW_CREATE_DICT_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+DICTIONARY\s+(?:default\.)?(\w+)\s*$", re.IGNORECASE
 )

@@ -1453,3 +1453,29 @@ def test_domain_cap_two_phase_equals_global_window(spark):
     assert got == want
     assert sum(1 for s, _ in got if s == "mega.com") == 7
     assert sum(1 for s, _ in got if s == "tiny.org") == 7  # 20 rows > cap
+
+
+def test_mixing_schedule_hand_computed(spark):
+    """mixing_schedule on a hand-computable frame: allocation under
+    normalized weights, downsampling rate for over-represented sources,
+    and an epoch repeat factor (> 1) for under-represented ones."""
+    from otus_clickhouse_spark.pipeline.sampling import mixing_schedule
+
+    docs = spark.createDataFrame(
+        [("big", "a b c d e f g h i j")] * 10 + [("small", "a b")] * 2,
+        "source string, text string",
+    )
+    # big: 100 tokens, small: 4 tokens; weights 1:1 over a 40-token budget
+    got = {r.source: r for r in mixing_schedule(
+        docs, {"big": 0.5, "small": 0.5}, token_budget=40
+    ).collect()}
+    assert got["big"].n_tokens == 100 and got["small"].n_tokens == 4
+    assert got["big"].allocated_tokens == 20 and got["small"].allocated_tokens == 20
+    assert abs(got["big"].sampling_rate - 0.2) < 1e-9      # downsample
+    assert abs(got["small"].sampling_rate - 5.0) < 1e-9    # repeat 5x
+    assert got["big"].n_epochs == 1 and got["small"].n_epochs == 5
+    # a source with no declared weight gets zero allocation
+    got2 = {r.source: r for r in mixing_schedule(
+        docs, {"big": 1.0}, token_budget=40
+    ).collect()}
+    assert got2["small"].allocated_tokens == 0 and got2["small"].n_epochs == 0

@@ -1479,3 +1479,26 @@ def test_mixing_schedule_hand_computed(spark):
         docs, {"big": 1.0}, token_budget=40
     ).collect()}
     assert got2["small"].allocated_tokens == 0 and got2["small"].n_epochs == 0
+
+
+def test_token_drift_hand_computed(spark):
+    """token_drift on a two-token vocabulary with hand-computed JS:
+    old = {a: 1.0}, new = {a: 0.5, b: 0.5} → JS = 0.5·1·log2(1/0.75)
+    + 0.5·(0.5·log2(0.5/0.75) + 0.5·log2(0.5/0.25)) ≈ 0.311278."""
+    import math
+
+    from otus_clickhouse_spark.pipeline.curation import token_drift
+
+    old = spark.createDataFrame([("a a a a",)], "text string")
+    new = spark.createDataFrame([("a a b b",)], "text string")
+    rows = token_drift(old, new, top_n=5).collect()
+    js = rows[0].js_divergence
+    expected = 0.5 * (1.0 * math.log2(1.0 / 0.75)) + 0.5 * (
+        0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    )
+    assert abs(js - round(expected, 6)) < 1e-6
+    drift = {r.tok: r.delta for r in rows}
+    assert drift["b"] == 0.5 and drift["a"] == 0.5
+    # identical snapshots → zero divergence
+    same = token_drift(old, old, top_n=5).collect()
+    assert same[0].js_divergence == 0.0

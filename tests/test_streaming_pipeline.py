@@ -345,3 +345,26 @@ def test_kafka_engine_continuous_attach_structured(engine, tmp_path):
         engine.execute("DROP TABLE IF EXISTS att2_src")
         engine.execute("DROP TABLE IF EXISTS att2_out")
         _shutil.rmtree("spark-warehouse/_kafka/attach_topic2", ignore_errors=True)
+
+
+def test_file_topic_offsets_and_groups(tmp_path):
+    """The file-topic stand-in's broker contract: ordered segments,
+    global offsets, independent consumer groups, at-least-once resume
+    from the committed mark."""
+    from otus_clickhouse_spark.streaming.topics import FileTopic
+
+    t = FileTopic(str(tmp_path), "unit_topic")
+    assert t.messages() == [] and t.consume("g1") == (0, [])
+    t.produce(["m0", "m1"])
+    t.produce(["m2"])
+    assert t.messages() == ["m0", "m1", "m2"]
+    start, batch = t.consume("g1")
+    assert (start, batch) == (0, ["m0", "m1", "m2"])
+    assert t.consume("g1") == (3, [])           # committed, nothing new
+    # a second group starts from zero — groups are independent
+    assert t.consume("g2") == (0, ["m0", "m1", "m2"])
+    t.produce(["m3"])
+    assert t.consume("g1") == (3, ["m3"])       # resumes at its mark
+    # empty produce is a no-op (no empty segment files)
+    t.produce([])
+    assert t.consume("g1") == (4, [])

@@ -290,3 +290,41 @@ def test_db_qualifier_resolution_properties(spark, db, tbl, literal):
         eng._strip_known_db_prefixes(f"SELECT * FROM default.{tbl}")
         == f"SELECT * FROM {tbl}"
     )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),           # doc_id space w/ gaps
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+    salts=st.integers(min_value=1, max_value=8),
+)
+def test_domain_cap_property_equals_global_window(spark, rows, cap, salts):
+    """For ANY frame, cap and salt count, the salted two-phase top-N
+    equals the single global window (quality desc, id asc ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.curation import domain_cap
+
+    docs = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    got = {
+        (r.source, r.doc_id)
+        for r in domain_cap(docs, cap=cap, salts=salts).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    want = {
+        (r.source, r.doc_id)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .collect()
+    }
+    assert got == want

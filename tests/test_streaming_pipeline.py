@@ -368,3 +368,30 @@ def test_file_topic_offsets_and_groups(tmp_path):
     # empty produce is a no-op (no empty segment files)
     t.produce([])
     assert t.consume("g1") == (4, [])
+
+
+def test_kafka_poll_empty_topic_and_explain_estimate_skips_pathless(engine, tmp_path):
+    """Edges: polling a Kafka table with no messages yields an empty
+    block (no MV fire, no offset advance), and EXPLAIN ESTIMATE skips
+    path-less engines (Kafka/Memory) instead of crashing on footers."""
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_kafka/empty_topic", ignore_errors=True)
+    engine.execute("DROP TABLE IF EXISTS ke_src")
+    engine.execute(
+        "CREATE TABLE ke_src (message String) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = 'empty_topic', "
+        "kafka_format = 'JSONAsString', kafka_group_name = 'ke_grp'"
+    )
+    try:
+        block = engine.kafka_poll("ke_src")
+        assert block.count() == 0
+        # ESTIMATE over a query touching only path-less tables → no rows
+        got = engine.execute("EXPLAIN ESTIMATE SELECT count() FROM ke_src")
+        assert got == []
+        # offsets still start at 0 after the empty poll
+        engine.kafka_produce("empty_topic", ['{"x": 1}'])
+        assert engine.kafka_poll("ke_src").first()._offset == 0
+    finally:
+        engine.execute("DROP TABLE IF EXISTS ke_src")
+        _shutil.rmtree("spark-warehouse/_kafka/empty_topic", ignore_errors=True)

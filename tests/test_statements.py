@@ -1294,3 +1294,28 @@ def test_show_create_table_on_view(engine):
         assert ddl.startswith("CREATE VIEW scv_v") and "SELECT 1 AS one" in ddl
     finally:
         engine.execute("DROP VIEW scv_v")
+
+
+def test_namespace_recreate_and_cross_db_insert(engine, tmp_path):
+    """Namespace edges: a database re-created after DROP starts empty
+    (no resurrection of the old mangled tables), and INSERT SELECT
+    moves rows across databases through qualified names."""
+    engine.execute("DROP DATABASE IF EXISTS nsa")
+    engine.execute("DROP DATABASE IF EXISTS nsb")
+    engine.execute("CREATE DATABASE nsa")
+    engine.execute("CREATE DATABASE nsb")
+    try:
+        engine.execute("CREATE TABLE nsa.t (id UInt32) ENGINE = Memory")
+        engine.execute("INSERT INTO nsa.t SELECT number FROM numbers(4)")
+        engine.execute("CREATE TABLE nsb.t (id UInt32) ENGINE = Memory")
+        engine.execute("INSERT INTO nsb.t SELECT id FROM nsa.t WHERE id >= 2")
+        assert engine.execute("SELECT count() AS n FROM nsb.t")[0].n == 2
+        engine.execute("DROP DATABASE nsa")
+        assert "nsa__t" not in engine.tables
+        engine.execute("CREATE DATABASE nsa")
+        assert engine.execute("SHOW TABLES FROM nsa") == []  # starts empty
+        # the sibling database is untouched
+        assert engine.execute("SELECT count() AS n FROM nsb.t")[0].n == 2
+    finally:
+        engine.execute("DROP DATABASE IF EXISTS nsa")
+        engine.execute("DROP DATABASE IF EXISTS nsb")

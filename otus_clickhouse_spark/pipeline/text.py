@@ -255,24 +255,41 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def vocab_build(
-    df: DataFrame, text_col: str = "text", top_n: int = 1000
+    df: DataFrame, text_col: str = "text", top_n: int = 1000, salts: int = 32
 ) -> DataFrame:
     """Frequency-ranked vocabulary table (token, vocab_id, freq, coverage).
 
-    The tokenizer pass over training data: two-phase token count, then
-    rank + cumulative corpus-coverage share. The ranking window runs
-    over the VOCABULARY (post-aggregation, bounded by distinct tokens),
-    never the corpus token stream, so the unpartitioned window is safe
-    at any corpus size; ties break lexicographically for determinism.
+    The tokenizer pass over training data: map-side-combined token
+    count, then a skew-proof two-phase top-N (the domain_cap shape from
+    pipeline/curation.py): phase 1 windows over ``xxhash64(token) %
+    salts`` and keeps each salt's local top-``top_n`` by (freq desc,
+    token asc) — per-task input is ~1/salts of the vocabulary; phase 2
+    runs the exact rank + cumulative-coverage window over the ≤
+    salts·top_n survivors. Every token ranked at or above any global
+    top-``top_n`` token survives phase 1 (each salt keeps its own
+    top-``top_n``), so rank AND running coverage over the survivors
+    equal the full-vocabulary answer for the kept rows. The one
+    unpartitioned window therefore sees a CONSTANT-bounded input
+    (salts·top_n rows), never the corpus-dependent distinct-token
+    table — 10⁸–10⁹ tokens at 100 TB would otherwise funnel through a
+    single task. Ties break lexicographically for determinism.
     """
     from pyspark.sql import Window
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     total = cnt.agg(F.sum("freq")).collect()[0][0] or 1
+    salted = Window.partitionBy(
+        F.pmod(F.xxhash64("token"), F.lit(salts))
+    ).orderBy(F.desc("freq"), F.asc("token"))
+    survivors = (
+        cnt.withColumn("__rn", F.row_number().over(salted))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     return (
-        cnt.withColumn("vocab_id", F.row_number().over(w) - 1)
+        survivors.withColumn("vocab_id", F.row_number().over(w) - 1)
         .withColumn(
             "coverage",
             F.round(F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.lit(float(total)), 6),

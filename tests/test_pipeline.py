@@ -1537,3 +1537,56 @@ def test_ivfpq_recall_against_bruteforce(spark, sf_dir):
     assert len(pq_set & ivf_set) / len(ivf_set) >= 0.3
     # and the full pipeline still recovers a usable share of global truth
     assert len(pq_set & exact_set) / len(exact_set) >= 0.2
+
+
+def test_vocab_build_two_phase_equals_global_window(spark):
+    """vocab_build's salted phase-1 prefilter (per-salt top-N before the
+    one bounded rank+coverage window) must return EXACTLY the answer of
+    ranking the FULL vocabulary, including freq ties broken
+    lexicographically and the running coverage share."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.text import vocab_build, tokens
+
+    # skewed Zipf-ish corpus with deliberate ties: token t<i> repeats
+    # (200 - i) times for i in 0..199, and tie-pairs a<j>/b<j> repeat
+    # 3 times each so lexicographic tie-break is exercised
+    words = []
+    for i in range(200):
+        words += [f"t{i:03d}"] * (200 - i)
+    for j in range(40):
+        words += [f"a{j:02d}"] * 3 + [f"b{j:02d}"] * 3
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    top_n = 50
+    got = [
+        (r.vocab_id, r.token, r.freq, r.coverage)
+        for r in vocab_build(docs, top_n=top_n, salts=4)
+        .orderBy("vocab_id")
+        .collect()
+    ]
+
+    # naive single global window over the ENTIRE vocabulary
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = cnt.agg(F.sum("freq")).collect()[0][0]
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    want = [
+        (r.vocab_id, r.token, r.freq, r.coverage)
+        for r in cnt.withColumn("vocab_id", F.row_number().over(w) - 1)
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.lit(float(total)),
+                6,
+            ),
+        )
+        .where(F.col("vocab_id") < top_n)
+        .orderBy("vocab_id")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == top_n

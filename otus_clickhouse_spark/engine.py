@@ -579,11 +579,13 @@ class Engine:
         if "--" in s and not re.search(r"\bFORMAT\s+\w+\s*\n", s, re.IGNORECASE):
             # `-- …` line comments break the statement-shape regexes
             # (lecture_19/20 snippets end in trailing commentary); strip
-            # them quote-aware. Inline FORMAT data blocks are never
-            # touched — data lines may legitimately contain `--`.
-            from otus_clickhouse_spark.functions.dialect import _sub_outside_quotes
+            # them with a single quote-tracking scan — a two-phase sub
+            # mis-lexes comments containing an unpaired quote. Inline
+            # FORMAT data blocks are never touched — data lines may
+            # legitimately contain `--`.
+            from otus_clickhouse_spark.functions.dialect import _strip_line_comments
 
-            s = _sub_outside_quotes(r"--[^\n]*", "", s).strip().rstrip(";")
+            s = _strip_line_comments(s).strip().rstrip(";")
         dbm = re.match(
             r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)"
             r"(?:\s+ON\s+CLUSTER\s+'?\w+'?)?\s*(?:ENGINE\s*=\s*(\w+)\s*(?:\([^)]*\))?\s*)?$",
@@ -923,13 +925,91 @@ class Engine:
             if bases:
                 balts = "|".join(re.escape(b) for b in bases)
 
+                # TABLE POSITIONS ONLY: a base name counts as a table
+                # reference when it directly follows a table-introducing
+                # keyword (FROM/JOIN/INTO/TABLE/…). Column declarations
+                # in CREATE lists, unqualified column refs, and
+                # `alias.col` qualifiers share the lexical namespace but
+                # never sit in these positions, so they stay untouched
+                # (a global word-boundary rewrite mangled them — e.g. a
+                # `status String` column while a `<db>.status` table
+                # existed).
                 def _base(m: re.Match) -> str:
-                    if m.group(1):  # `AS name` — an output alias, not a table ref
+                    kw = m.group(1).upper()
+                    if kw in ("FROM", "JOIN") and re.match(
+                        r"\s*\(", m.string[m.end() :]
+                    ):
+                        # FROM/JOIN name( … ) is a table FUNCTION call
+                        # (numbers/merge/file/…), not a table reference
                         return m.group(0)
-                    return f"{cur}__{m.group(2)}"
+                    before = m.string[: m.start()]
+                    if kw == "TO" and re.search(
+                        r"(?i)\bRENAME\s+COLUMN\s+\w+\s*$", before
+                    ):
+                        return m.group(0)  # new COLUMN name, not a table
+                    if kw == "AND" and not re.match(
+                        r"\s*EXCHANGE\b", m.string, re.IGNORECASE
+                    ):
+                        return m.group(0)  # boolean AND, not EXCHANGE's 2nd operand
+                    return m.group(0)[: -len(m.group(2))] + f"{cur}__{m.group(2)}"
 
                 head = _sub_outside_quotes(
-                    re.compile(rf"((?i:\bAS\s+))?(?<![\w.])({balts})\b"), _base, head
+                    re.compile(
+                        rf"\b(FROM|JOIN|INTO|TABLES?|TO|AND|EXISTS|DICTIONARY|VIEW)"
+                        rf"\s+({balts})\b(?![.\w])",
+                        re.IGNORECASE,
+                    ),
+                    _base,
+                    head,
+                )
+                # comma-separated FROM lists (`FROM movies, genres` — the
+                # old-style cross join): rewrite each member's table word;
+                # aliases and clause keywords are never consumed
+                _stop = (
+                    r"(?!(?i:JOIN|WHERE|GROUP|ORDER|LIMIT|ON|USING|LEFT|RIGHT|"
+                    r"INNER|FULL|CROSS|ANY|ASOF|PASTE|SEMI|ANTI|GLOBAL|SETTINGS|"
+                    r"UNION|HAVING|PREWHERE|FINAL|AS|FORMAT|INTO)\b)"
+                )
+
+                def _fromlist(m: re.Match) -> str:
+                    items = m.group(2).split(",")
+                    out = [
+                        re.sub(
+                            rf"^(\s*)({balts})\b(?![.\w])",
+                            lambda t: f"{t.group(1)}{cur}__{t.group(2)}",
+                            item,
+                        )
+                        for item in items
+                    ]
+                    return m.group(1) + ",".join(out)
+
+                head = _sub_outside_quotes(
+                    re.compile(
+                        rf"(\bFROM\s+)"
+                        rf"(\w+(?:\s+{_stop}\w+)?"
+                        rf"(?:\s*,\s*\w+(?:\s+{_stop}\w+)?)+)",
+                        re.IGNORECASE,
+                    ),
+                    _fromlist,
+                    head,
+                )
+                # `<base>.<col>` qualified column refs: the qualifier is
+                # the TABLE name (CH lets you qualify by table name under
+                # USE), so it mangles with it — the column part is never
+                # touched. Runs outside quotes; `db.table` forms were
+                # already consumed by the known-db pass above.
+                head = _sub_outside_quotes(
+                    re.compile(rf"(?<![\w.])({balts})\.(?=\w)"),
+                    lambda m: f"{cur}__{m.group(1)}.",
+                    head,
+                )
+                # DESCRIBE/DESC take the name statement-initially only —
+                # matching `DESC` mid-statement would hit ORDER BY … DESC
+                head = re.sub(
+                    rf"^(\s*(?:DESCRIBE|DESC)(?:\s+TABLE)?\s+)({balts})\b(?![.\w])",
+                    lambda m: f"{m.group(1)}{cur}__{m.group(2)}",
+                    head,
+                    flags=re.IGNORECASE,
                 )
             # CREATE under the current database: the target doesn't exist
             # yet, so the base-name pass can't see it — prefix explicitly

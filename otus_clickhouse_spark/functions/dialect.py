@@ -73,6 +73,34 @@ def _split_call_args(s: str, open_paren: int) -> tuple[list[str], int]:
     raise ValueError("unbalanced parens")
 
 
+def _strip_line_comments(text: str) -> str:
+    """Remove ``-- …`` line comments in ONE left-to-right scan that
+    tracks quote state. A two-phase approach (find quoted regions, then
+    sub in between) mis-lexes a comment whose text contains an unpaired
+    quote — ``SELECT 1 AS x -- don't`` would treat the apostrophe as a
+    string opener and swallow code. Here the ``--`` is recognized first,
+    so everything to end-of-line is dropped regardless of its content;
+    quotes only matter when they OPEN outside a comment."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"`":
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _sub_outside_quotes(pattern: str | re.Pattern, repl, text: str) -> str:
     """Apply ``re.sub`` only OUTSIDE quoted regions ('…', "…", `…`), so
     identifier rewrites never mangle string literals (e.g. the table-name

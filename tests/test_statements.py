@@ -1319,3 +1319,51 @@ def test_namespace_recreate_and_cross_db_insert(engine, tmp_path):
     finally:
         engine.execute("DROP DATABASE IF EXISTS nsa")
         engine.execute("DROP DATABASE IF EXISTS nsb")
+
+
+def test_base_name_rewrite_spares_columns(engine):
+    """ADVICE r6: under USE <db>, the current-db base-name resolution
+    must rewrite TABLE positions only. A column sharing its name with a
+    sibling table (here `status`, while <db>.status exists) must keep
+    its declared name in CREATE column lists, `alias.col` qualified
+    refs, and unqualified SELECT output columns."""
+    engine.execute("DROP DATABASE IF EXISTS rvw2")
+    engine.execute("CREATE DATABASE rvw2")
+    engine.execute("USE rvw2")
+    try:
+        engine.execute("CREATE TABLE rvw2.status (id UInt32) ENGINE = Memory")
+        engine.execute(
+            "CREATE TABLE rvw2.events (id UInt32, status String) ENGINE = Memory"
+        )
+        assert engine.table("rvw2__events").columns == ["id", "status"]
+        engine.execute("INSERT INTO events VALUES (1, 'ok')")
+        # qualified <table>.<col> ref resolves; output column keeps its name
+        got = engine.execute("SELECT events.status FROM events WHERE id = 1")
+        assert got[0].status == "ok"
+        got = engine.execute("SELECT status FROM events")
+        assert got[0].status == "ok"
+        # the sibling TABLE still resolves in table positions
+        engine.execute("INSERT INTO status VALUES (5)")
+        assert engine.execute("SELECT count() AS n FROM status")[0].n == 1
+        # RENAME COLUMN's target is a column even when it collides
+        engine.execute("ALTER TABLE events RENAME COLUMN status TO state")
+        assert engine.table("rvw2__events").columns == ["id", "state"]
+    finally:
+        engine.execute("USE default")
+        engine.execute("DROP DATABASE IF EXISTS rvw2")
+
+
+def test_comment_strip_survives_unpaired_quote(engine):
+    """ADVICE r6: a `--` comment whose text contains an UNPAIRED quote
+    (`-- don't`) must strip cleanly — the old two-phase sub lexed the
+    apostrophe as a string opener and swallowed code. Quoted literals
+    containing `--` still survive untouched."""
+    got = engine.execute("SELECT 1 AS x -- don't trip on this")
+    assert got[0].x == 1
+    got = engine.execute("SELECT 'a--b' AS s -- trailing \"note")
+    assert got[0].s == "a--b"
+    # multi-line: each comment goes, code on every line stays
+    got = engine.execute(
+        "SELECT 1 AS a, -- it's line one\n       2 AS b -- and line two's end"
+    )
+    assert (got[0].a, got[0].b) == (1, 2)

@@ -10,8 +10,10 @@ relational surface, SURVEY.md §2) plus the extension modules it pulls
 in: ``queries_extra.py``, ``queries_behavioral.py``,
 ``queries_pipeline.py`` (training-data pipeline, SURVEY.md §7 Phase 7),
 and ``queries_tpch.py`` (TPC-H-adapted h01–h22). ``len(queries())``
-is the authoritative count (171 as of round 5); all oracle-paired
-except x34 (media decode — rows-only by design).
+is the authoritative count — no number is repeated here so the
+docstring can't go stale; every entry is oracle-paired (x34's media
+decode isn't SQL-expressible, so its oracle pins the deterministic
+fixture's constant counts instead).
 """
 
 from __future__ import annotations

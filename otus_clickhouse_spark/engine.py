@@ -1814,21 +1814,44 @@ class Engine:
 
     def _kafka_produce_frame(self, td: "TableDef", df: DataFrame) -> None:
         """Serialize a block per ``kafka_format`` and publish it to the
-        table's topic (init.sql:62-79 outbound-queue MV). With a real
-        broker configured the write is fully distributed
-        (``df.write.format("kafka")``); the file-topic stand-in spools
-        through the driver — it exists only where no broker exists."""
+        table's topic (init.sql:62-79 outbound-queue MV). Both paths are
+        distributed: a real broker takes ``df.write.format("kafka")``;
+        the broker-less file-topic stand-in writes per-task part files
+        promoted to segments by rename (FileTopic.produce_frame) — row
+        data never materializes on the driver either way."""
         from pyspark.sql import functions as F
 
         fmt = td.settings.get("kafka_format", "JSONEachRow").lower()
         cols = df.columns
-        if fmt in ("jsonasstring", "rawblob", "lineasstring") or len(cols) == 1:
+        if fmt in ("jsonasstring", "rawblob", "lineasstring"):
+            # raw formats ONLY — a single-column JSONEachRow table still
+            # publishes a JSON object, not the bare cast value
             ser = df.select(F.col(cols[0]).cast("string").alias("value"))
-        elif fmt in ("csv", "tsv", "tabseparated"):
-            sep = "," if fmt == "csv" else "\t"
-            ser = df.select(
-                F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("value")
-            )
+        elif fmt == "csv":
+            # RFC-4180 quoting: fields containing the separator, a
+            # quote, or a line break are wrapped and inner quotes
+            # doubled — unquoted concat_ws corrupted segment framing
+            def _csvf(c: str):
+                s = F.col(c).cast("string")
+                quoted = F.concat(
+                    F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"')
+                )
+                needs = (
+                    s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
+                )
+                return F.when(needs, quoted).otherwise(s)
+
+            ser = df.select(F.concat_ws(",", *[_csvf(c) for c in cols]).alias("value"))
+        elif fmt in ("tsv", "tabseparated"):
+            # CH TabSeparated escaping: backslash first, then tab/newline
+            def _tsvf(c: str):
+                s = F.col(c).cast("string")
+                s = F.regexp_replace(s, r"\\", r"\\\\")
+                s = F.regexp_replace(s, "\t", r"\\t")
+                s = F.regexp_replace(s, "\n", r"\\n")
+                return F.regexp_replace(s, "\r", r"\\r")
+
+            ser = df.select(F.concat_ws("\t", *[_tsvf(c) for c in cols]).alias("value"))
         else:  # JSONEachRow and friends
             ser = df.select(F.to_json(F.struct(*cols)).alias("value"))
         brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
@@ -1840,7 +1863,7 @@ class Engine:
                 .save()
             )
             return
-        self._kafka_topic(td).produce([r.value for r in ser.collect()])
+        self._kafka_topic(td).produce_frame(ser)
 
     def kafka_produce(self, topic: str, messages: list[str]) -> None:
         """External-producer helper (the lab's ``kafka_producer.py``

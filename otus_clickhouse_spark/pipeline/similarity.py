@@ -392,6 +392,10 @@ def sq8_stats(corpus: DataFrame, dim: int, vec_col: str = "embedding") -> tuple[
         aggs.append(F.min(F.col(vec_col)[i].cast("double")).alias(f"__mn{i}"))
         aggs.append(F.max(F.col(vec_col)[i].cast("double")).alias(f"__mx{i}"))
     row = corpus.agg(*aggs).collect()[0]
+    if row[f"__mn0"] is None:
+        # empty corpus: min/max aggregates are NULL — fail loudly
+        # instead of a cryptic NoneType comparison downstream
+        raise ValueError("sq8_stats: empty corpus — nothing to quantize")
     mins = [row[f"__mn{i}"] for i in range(dim)]
     scales = [
         (row[f"__mx{i}"] - row[f"__mn{i}"]) / 255.0 if row[f"__mx{i}"] > row[f"__mn{i}"] else 0.0
@@ -501,6 +505,14 @@ def pq_train(
         .collect()
     )
     seeds = sorted(seeds, key=lambda r: r["__h"])
+    if len(seeds) < ksub:
+        # fewer training rows than centroids: the codebooks would come
+        # out short and books[s][c] would IndexError at encode time
+        base.unpersist()
+        raise ValueError(
+            f"pq_train: corpus has {len(seeds)} rows, need >= ksub={ksub} "
+            "to seed the codebooks"
+        )
     books = [
         [list(r["v"][s * dsub : (s + 1) * dsub]) for r in seeds] for s in range(m)
     ]

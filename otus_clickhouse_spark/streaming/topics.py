@@ -39,6 +39,38 @@ class FileTopic:
             f.write("\n".join(messages) + "\n")
         os.replace(tmp, path)  # segment appears atomically, never half-written
 
+    def produce_frame(self, df) -> None:
+        """Distributed produce: write a single-string-column DataFrame
+        with Spark's text writer (each task appends its own part file —
+        row data never passes through the driver), then promote the
+        part files to ordered segments with driver-side RENAMES only
+        (O(#partitions) metadata ops). This is the INSERT-into-Kafka
+        scale path for the broker-less stand-in; with a real broker the
+        engine uses ``df.write.format("kafka")`` instead."""
+        import glob
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        col = df.columns[0]
+        staging = os.path.abspath(self.dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}")
+        # text writer rejects NULLs; an absent value serializes as empty
+        df.select(F.coalesce(F.col(col), F.lit("")).alias("value")).write.mode(
+            "overwrite"
+        ).format("text").save(staging)
+        try:
+            parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+            os.makedirs(self.dir, exist_ok=True)
+            seq = len(self._segments())
+            for p in parts:
+                if os.path.getsize(p) == 0:
+                    continue  # empty partition → no segment
+                os.replace(p, os.path.join(self.dir, f"b{seq:08d}.jsonl"))
+                seq += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def messages(self) -> list[str]:
         out: list[str] = []
         for seg in self._segments():

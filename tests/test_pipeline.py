@@ -1590,3 +1590,22 @@ def test_vocab_build_two_phase_equals_global_window(spark):
     ]
     assert got == want
     assert len(got) == top_n
+
+
+def test_sq8_and_pq_guard_empty_or_short_corpus(spark):
+    """ADVICE r6: empty/short corpora fail loudly — sq8_stats on zero
+    rows raises instead of NoneType-compare; pq_train with fewer rows
+    than ksub raises instead of building short codebooks that
+    IndexError at encode time."""
+    import pytest as _pytest
+
+    from otus_clickhouse_spark.pipeline.similarity import pq_train, sq8_stats
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        sq8_stats(empty, dim=4)
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="need >= ksub"):
+        pq_train(tiny, m=2, ksub=16, dim=8)

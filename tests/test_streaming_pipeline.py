@@ -395,3 +395,78 @@ def test_kafka_poll_empty_topic_and_explain_estimate_skips_pathless(engine, tmp_
     finally:
         engine.execute("DROP TABLE IF EXISTS ke_src")
         _shutil.rmtree("spark-warehouse/_kafka/empty_topic", ignore_errors=True)
+
+
+def test_kafka_produce_serialization_per_format(engine, tmp_path):
+    """ADVICE r6: a SINGLE-column table declared kafka_format=
+    'JSONEachRow' must publish JSON objects (not the bare cast value);
+    CSV fields embedding the separator/quotes/newlines are RFC-4180
+    quoted; TSV escapes tab/newline/backslash — so the file-topic's
+    line-per-message framing survives any payload."""
+    import json as _json
+    import shutil as _shutil
+
+    for ddl, fmt, topic in [
+        ("CREATE TABLE kp_j (v String) ENGINE = Kafka SETTINGS "
+         "kafka_format = 'JSONEachRow', kafka_topic_list = 'kp_j'", "json", "kp_j"),
+        ("CREATE TABLE kp_c (a String, b UInt32) ENGINE = Kafka SETTINGS "
+         "kafka_format = 'CSV', kafka_topic_list = 'kp_c'", "csv", "kp_c"),
+        ("CREATE TABLE kp_t (a String, b UInt32) ENGINE = Kafka SETTINGS "
+         "kafka_format = 'TSV', kafka_topic_list = 'kp_t'", "tsv", "kp_t"),
+    ]:
+        engine.execute(f"DROP TABLE IF EXISTS {topic}")
+        engine.execute(ddl)
+    try:
+        engine.execute("INSERT INTO kp_j VALUES ('plain')")
+        msgs = engine._kafka_topic(engine.tables["kp_j"]).messages()
+        assert _json.loads(msgs[0]) == {"v": "plain"}
+
+        engine.execute("INSERT INTO kp_c VALUES ('a,b\" and \nnewline', 7)")
+        msgs = engine._kafka_topic(engine.tables["kp_c"]).messages()
+        # the embedded newline is quote-protected: framing would split
+        # an unquoted message in two — instead csv round-trips it
+        import csv as _csv
+        import io as _io
+
+        rec = next(_csv.reader(_io.StringIO("\n".join(msgs))))
+        assert rec == ['a,b" and \nnewline', "7"]
+
+        engine.execute("INSERT INTO kp_t VALUES ('x\ty\\nz', 9)")
+        msgs = engine._kafka_topic(engine.tables["kp_t"]).messages()
+        assert len(msgs) == 1 and msgs[0] == "x\\ty\\nz\t9"
+    finally:
+        for topic in ("kp_j", "kp_c", "kp_t"):
+            engine.execute(f"DROP TABLE IF EXISTS {topic}")
+        _shutil.rmtree("spark-warehouse/_kafka/kp_j", ignore_errors=True)
+        _shutil.rmtree("spark-warehouse/_kafka/kp_c", ignore_errors=True)
+        _shutil.rmtree("spark-warehouse/_kafka/kp_t", ignore_errors=True)
+
+
+def test_kafka_produce_frame_distributed_million_rows(engine):
+    """Scale pin for the broker-less produce path: INSERT SELECT of 1M
+    rows into a Kafka-engine table goes through FileTopic.produce_frame
+    (per-task part files renamed to segments) — multiple segments (one
+    per non-empty partition), correct total count, offsets consumable —
+    with no driver-side list materialization."""
+    import shutil as _shutil
+
+    engine.execute("DROP TABLE IF EXISTS kp_big")
+    engine.execute(
+        "CREATE TABLE kp_big (id UInt64) ENGINE = Kafka SETTINGS "
+        "kafka_format = 'JSONEachRow', kafka_topic_list = 'kp_big', "
+        "kafka_group_name = 'kp_big_grp'"
+    )
+    try:
+        engine.execute("INSERT INTO kp_big SELECT number AS id FROM numbers(1000000)")
+        topic = engine._kafka_topic(engine.tables["kp_big"])
+        segs = topic._segments()
+        assert len(segs) > 1, "expected one segment per non-empty partition"
+        start, batch = topic.consume("kp_big_grp")
+        assert start == 0 and len(batch) == 1000000
+        import json as _json
+
+        assert _json.loads(batch[0]) == {"id": 0}
+        assert _json.loads(batch[-1])["id"] == 999999
+    finally:
+        engine.execute("DROP TABLE IF EXISTS kp_big")
+        _shutil.rmtree("spark-warehouse/_kafka/kp_big", ignore_errors=True)

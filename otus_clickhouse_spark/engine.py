@@ -126,6 +126,10 @@ class Engine:
         # `select * from system.backups` shows BACKUP_CREATED/RESTORED
         # rows). Tuples of (id, name, status, start_time, end_time).
         self._backups: list[tuple] = []
+        # BACKUP DATABASE chain state (lecture_19.md:136-158): per-db
+        # ordered history of {dest, mode} so WITH increment links to the
+        # latest backup and WITH differential to the latest FULL one.
+        self._db_backup_history: dict[str, list[dict]] = {}
         # RBAC entities (D11; lecture_18.md:5-216): structured mirrors of
         # _rbac_log, enforced at the query/insert boundary. The session
         # user is "default" (full access) until set_user() switches it.

@@ -479,6 +479,7 @@ def pq_train(
     round_dist: int = 6,
     round_mean: int = 6,
     iters: int = 1,
+    hof: bool = False,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector splits into
     ``m`` subspaces of ``dim/m`` dims; each subspace gets ``ksub``
@@ -540,6 +541,50 @@ def pq_train(
     # shuffle of corpus data. The posexplode alternative materializes
     # dim× the corpus through the exchange; at 20M×16 dims that was the
     # train's wall-clock (measured in tools/scale_probe.py).
+    if hof:
+        # high-dim path: assignment through the array-typed codebook
+        # (constant expression tree) and the recompute via posexplode →
+        # groupBy((sub, code, pos)) partial means — shuffle volume
+        # O(partitions × m × ksub × dsub), the documented alternative
+        # when m·ksub·dsub conditional aggregates stop compiling
+        for _ in range(max(iters, 1)):
+            bframe = F.broadcast(_books_frame(base.sparkSession, books))
+            assigned = base.crossJoin(bframe).select(
+                "v",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: _hof_code(
+                        F.col("v"), F.col("__books"), s, dsub, round_dist
+                    ).cast("int"),
+                ).alias("__codes"),
+            )
+            stats = (
+                assigned.select(F.col("__codes"), F.posexplode("v").alias("pos", "x"))
+                .select(
+                    (F.col("pos") / F.lit(dsub)).cast("int").alias("s"),
+                    F.pmod(F.col("pos"), F.lit(dsub)).alias("i"),
+                    F.element_at(
+                        F.col("__codes"), (F.col("pos") / F.lit(dsub)).cast("int") + 1
+                    ).alias("c"),
+                    "x",
+                )
+                .groupBy("s", "c", "i")
+                .agg(F.round(F.avg("x"), round_mean).alias("mean"))
+                .collect()
+            )
+            got = {(r["s"], r["c"], r["i"]): float(r["mean"]) for r in stats}
+            books = [
+                [
+                    [
+                        got.get((s, c, i), books[s][c][i])  # empty code keeps init
+                        for i in range(dsub)
+                    ]
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+        base.unpersist()
+        return books
     for _ in range(max(iters, 1)):
         assigned = base.select(
             "v", *[_code_expr(s).alias(f"__c{s}") for s in range(m)]
@@ -570,19 +615,68 @@ def pq_train(
     return books
 
 
+def _books_frame(spark, books):
+    """The codebook tensor as a 1-row DataFrame (``__books``:
+    array<array<array<double>>>) for broadcast — codebooks ride as DATA,
+    so the expression tree stays constant-sized however big m·ksub·dsub
+    grows (the plan-literal path materializes one scalar expression per
+    product term and stops compiling around dim ≳ 256)."""
+    return spark.createDataFrame([(books,)], "__books array<array<array<double>>>")
+
+
+def _hof_code(vcol, bookscol, s, dsub: int, round_dist: int):
+    """argmin-over-centroids code for subspace ``s`` (a lambda-bound
+    Column) via HOFs: slice the subvector, zip_with/aggregate the
+    squared distance per centroid, array_position the min. One fixed
+    expression regardless of ksub/dsub."""
+    sub = F.slice(vcol, s * F.lit(dsub) + F.lit(1), F.lit(dsub))
+    dists = F.transform(
+        F.element_at(bookscol, s + F.lit(1)),
+        lambda cb: F.round(
+            F.aggregate(
+                # pow(x-b, 2) — not (x-b)*(x-b) — so the arithmetic is
+                # bit-identical to the literal path's `** 2` and the two
+                # paths emit the same codes at the rounding boundary
+                F.zip_with(cb, sub, lambda b, x: F.pow(x - b, F.lit(2.0))),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            round_dist,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+
+
 def pq_codes(
     corpus: DataFrame,
     books: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dist: int = 6,
+    hof: bool = False,
 ) -> DataFrame:
     """Encode the corpus as ``m`` 1-byte codes (dim×8 B → m B — the PQ
-    compression step). Codebooks are plan literals; pure codegen'd
-    expressions, zero shuffle."""
+    compression step). Zero shuffle either way. ``hof=False``: codebooks
+    are plan literals, one codegen'd scalar expression per product term
+    — fastest at small dim, but the expression count is m·ksub·dsub and
+    the task binary stops compiling at production embedding dims.
+    ``hof=True``: codebooks broadcast as a 1-row nested-array frame and
+    the argmin evaluates through transform/zip_with/aggregate — a
+    constant-sized expression tree, the dim-256+/ksub-256 scale path.
+    Both orders of arithmetic are identical (left-fold sums, same
+    rounding), so the two paths emit byte-identical codes."""
     m, ksub = len(books), len(books[0])
     dsub = len(books[0][0])
     v = F.col(vec_col).cast("array<double>")
+    if hof:
+        base = corpus.select(F.col(id_col), v.alias("__v")).crossJoin(
+            F.broadcast(_books_frame(corpus.sparkSession, books))
+        )
+        codes = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: _hof_code(F.col("__v"), F.col("__books"), s, dsub, round_dist),
+        )
+        return base.select(F.col(id_col), codes.alias("pq_codes"))
     exprs = []
     for s in range(m):
         dists = F.array(
@@ -610,6 +704,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     books: list[list[list[float]]] | None = None,
     rerank: int = 0,
+    hof: bool = False,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (IVF-PQ's scoring half, Jégou et
     al. 2011): the corpus is stored as ``m``-byte codes, queries stay
@@ -628,39 +723,85 @@ def pq_topk(
     are touched for the candidate sliver only (a broadcast-semi-join
     read, never a second corpus scan). Recall is tested against brute
     force, not assumed; bare ADC (rerank=0) ranking is what the x60
-    oracle replays."""
+    oracle replays.
+
+    ``hof=True`` switches BOTH the encode and the LUT/score arithmetic
+    to the array-typed codebook path (see :func:`pq_codes`): codebooks
+    broadcast as data, LUTs live in one nested-array column, the score
+    folds over ``sequence(0, m-1)`` — the same left-to-right arithmetic,
+    a constant-sized expression tree, usable at dim 256+/ksub 256 where
+    the literal path's task binary no longer compiles."""
     if books is None:
-        books = pq_train(corpus, m, ksub, dim, vec_col, id_col)
+        books = pq_train(corpus, m, ksub, dim, vec_col, id_col, hof=hof)
     dsub = dim // m
-    codes = rebalance(pq_codes(corpus, books, vec_col, id_col))
+    codes = rebalance(pq_codes(corpus, books, vec_col, id_col, hof=hof))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
-    # LUT per (query, subspace): ksub dot products against plan-literal
-    # codebook rows, MATERIALIZED on the |queries|-row side before the
-    # broadcast — the corpus-side scan then does m element_at lookups
-    # per row instead of re-deriving m·ksub·dsub products per
-    # (row, query) pair (the ADC scan's wall-clock at 20M rows,
-    # measured in tools/scale_probe.py). Chained left-to-right sums
-    # keep the rounded score oracle-stable.
-    for s in range(m):
-        q = q.withColumn(
-            f"__lut{s}",
-            F.array(
-                *[
-                    sum(
-                        F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
-                        for i in range(dsub)
-                    )
-                    for c in range(ksub)
-                ]
+    # LUT per (query, subspace): ksub dot products against the codebook
+    # rows, MATERIALIZED on the |queries|-row side before the broadcast
+    # — the corpus-side scan then does m element_at lookups per row
+    # instead of re-deriving m·ksub·dsub products per (row, query) pair
+    # (the ADC scan's wall-clock at 20M rows, measured in
+    # tools/scale_probe.py). Chained left-to-right sums keep the
+    # rounded score oracle-stable in both paths.
+    if hof:
+        q = (
+            q.crossJoin(F.broadcast(_books_frame(corpus.sparkSession, books)))
+            .withColumn(
+                "__lut",
+                F.transform(
+                    F.col("__books"),
+                    lambda book_s, s: F.transform(
+                        book_s,
+                        lambda cb: F.aggregate(
+                            F.zip_with(
+                                cb,
+                                F.slice(
+                                    F.col("__qv"),
+                                    s * F.lit(dsub) + F.lit(1),
+                                    F.lit(dsub),
+                                ),
+                                lambda b, x: x * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, t: acc + t,
+                        ),
+                    ),
+                ),
+            )
+            .drop("__books")
+        )
+    else:
+        for s in range(m):
+            q = q.withColumn(
+                f"__lut{s}",
+                F.array(
+                    *[
+                        sum(
+                            F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
+                            for i in range(dsub)
+                        )
+                        for c in range(ksub)
+                    ]
+                ),
+            )
+    q = q.localCheckpoint(eager=True)  # pin the tiny LUT relation, drop lineage
+    if hof:
+        score = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("__lut"), s + F.lit(1)),
+                F.col("pq_codes")[s].cast("int") + F.lit(1),
             ),
         )
-    q = q.localCheckpoint(eager=True)  # pin the tiny LUT relation, drop lineage
-    score = None
-    for s in range(m):
-        term = F.element_at(F.col(f"__lut{s}"), F.col("pq_codes")[s].cast("int") + 1)
-        score = term if score is None else score + term
+    else:
+        score = None
+        for s in range(m):
+            term = F.element_at(F.col(f"__lut{s}"), F.col("pq_codes")[s].cast("int") + 1)
+            score = term if score is None else score + term
     scored = codes.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),

@@ -1609,3 +1609,63 @@ def test_sq8_and_pq_guard_empty_or_short_corpus(spark):
     )
     with _pytest.raises(ValueError, match="need >= ksub"):
         pq_train(tiny, m=2, ksub=16, dim=8)
+
+
+def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
+    """The array-typed codebook path (hof=True: codebooks broadcast as
+    data, consumed via transform/zip_with/aggregate) must emit EXACTLY
+    the literal path's codes and ADC ranking at the oracle-replayed
+    configuration — and must run at dim 256 / ksub 64 / m 16 where the
+    literal path's m·ksub·dsub expression count stops compiling."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk, pq_codes, pq_topk, pq_train,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(emb, m=8, ksub=16, dim=64)
+    lit_codes = {r.vec_id: r.pq_codes for r in pq_codes(emb, books).collect()}
+    hof_codes = {r.vec_id: r.pq_codes for r in pq_codes(emb, books, hof=True).collect()}
+    assert lit_codes == hof_codes
+    lit_top = [
+        (r.query_id, r.vec_id, r.adc, r.rnk)
+        for r in pq_topk(emb, queries, k=10, m=8, ksub=16, dim=64, books=books)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    hof_top = [
+        (r.query_id, r.vec_id, r.adc, r.rnk)
+        for r in pq_topk(emb, queries, k=10, m=8, ksub=16, dim=64, books=books, hof=True)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    assert lit_top == hof_top
+
+    # --- the dim the literal path can't serve: 256-d, ksub 64, m 16 ---
+    # (m*ksub*dsub = 16*64*16 = 16384 distance expressions per code
+    # column in the literal plan vs a constant-sized HOF tree here)
+    dim, m, ksub = 256, 16, 64
+    big = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.sin(F.col("id") * i + i * i).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    qbig = big.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books_hi = pq_train(big, m=m, ksub=ksub, dim=dim, hof=True)
+    assert len(books_hi) == m and all(len(b) == ksub for b in books_hi)
+    got = pq_topk(
+        big, qbig, k=10, m=m, ksub=ksub, dim=dim, books=books_hi,
+        rerank=50, hof=True,
+    )
+    exact = brute_force_topk(big, qbig, k=10, query_id_col="query_id")
+    got_set = {(r.query_id, r.vec_id) for r in got.collect()}
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    hits = len(got_set & exact_set)
+    assert hits / len(exact_set) >= 0.5, f"high-dim HOF recall too low: {hits}/{len(exact_set)}"

@@ -84,3 +84,61 @@ def test_no_complex_columns_in_registry_output(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+# Unpartitioned-window allowlist: each entry is a query whose plan
+# contains Window operators with an EMPTY partition spec over an input
+# that is CONSTANT-BOUNDED by construction — the single task such a
+# window funnels through sees O(k) rows regardless of corpus size.
+# name -> (max allowed count, why the input is bounded).
+UNPARTITIONED_WINDOW_OK = {
+    "q72_fill_interpolate_sql": (1, "WITH FILL grid post-agg: rows = fill range (1..8)"),
+    "q86_funnel_conversion": (1, "step ladder: rows = number of funnel steps (3)"),
+    "x21_mixture_weights": (2, "strata windows post-agg: rows = number of strata"),
+    "x25_vocab_build": (1, "rank+coverage over salted-top-N survivors: <= salts*top_n rows"),
+    "x27_bm25_topk": (1, "rank AFTER LIMIT: rows <= k"),
+    "x36_budget_select": (1, "histogram cumsum: <= `buckets` rows by construction"),
+    "x49_temperature_mixture": (2, "per-source weight table: rows = number of sources"),
+    "x50_passage_retrieval": (1, "rank AFTER LIMIT: rows <= k"),
+    "x52_zipf_diagnostic": (1, "regression input AFTER LIMIT 1000 (TakeOrderedAndProject)"),
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """The x25 regression class (r6 verdict ask #3): a Window with an
+    empty partition spec moves ALL input rows to one task — fine over a
+    constant-bounded input (post-LIMIT rank, a histogram, a strata
+    table), fatal over anything corpus-sized. Every registry query's
+    optimized plan is walked for unpartitioned Window operators; any
+    query not on the justified allowlist fails, and allowlist entries
+    that stop triggering fail too (the list can't go stale)."""
+    from otus_clickhouse_spark.queries import all_queries
+
+    def iter_nodes(p):
+        yield p
+        it = p.children().iterator()
+        while it.hasNext():
+            yield from iter_nodes(it.next())
+
+    offenders, seen = {}, {}
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        n = sum(
+            1
+            for node in iter_nodes(opt)
+            if node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        )
+        if not n:
+            continue
+        seen[name] = n
+        allowed = UNPARTITIONED_WINDOW_OK.get(name, (0, ""))[0]
+        if n > allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"unpartitioned Window over potentially unbounded input: {offenders} — "
+        "repartition the window or justify a constant bound in the allowlist"
+    )
+    stale = set(UNPARTITIONED_WINDOW_OK) - set(seen)
+    assert not stale, f"allowlist entries no longer triggering (remove them): {stale}"

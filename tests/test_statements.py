@@ -1367,3 +1367,81 @@ def test_comment_strip_survives_unpaired_quote(engine):
         "SELECT 1 AS a, -- it's line one\n       2 AS b -- and line two's end"
     )
     assert (got[0].a, got[0].b) == (1, 2)
+
+
+def test_backup_database_full_increment_differential(engine, tmp_path):
+    """lecture_19.md:136-158: BACKUP DATABASE TO '<url>' in all three
+    forms — full, WITH increment (vs the latest backup), WITH
+    differential (vs the latest FULL) — and RESTORE DATABASE
+    reconstructing the complete state through the base chain. The
+    incremental/differential backups must store ONLY changed files
+    (part-level dedup) and link their base in the manifest sidecar."""
+    import json as _json
+    import shutil as _shutil
+
+    _shutil.rmtree("spark-warehouse/_url_backups", ignore_errors=True)
+    engine.execute("DROP DATABASE IF EXISTS bdb")
+    engine.execute("CREATE DATABASE bdb")
+    try:
+        engine.execute("CREATE TABLE bdb.t1 (id UInt32) ENGINE = MergeTree ORDER BY id")
+        engine.execute("CREATE TABLE bdb.t2 (id UInt32) ENGINE = MergeTree ORDER BY id")
+        engine.tables["bdb__t1"].path = str(tmp_path / "t1")
+        engine.tables["bdb__t2"].path = str(tmp_path / "t2")
+        engine.execute("INSERT INTO bdb.t1 SELECT number FROM numbers(100)")
+        engine.execute("INSERT INTO bdb.t2 SELECT number FROM numbers(50)")
+
+        got = engine.execute("BACKUP DATABASE bdb TO 'file:///backups/bdb_full'")
+        assert got["status"] == "BACKUP_CREATED" and got["mode"] == "full"
+        assert got["tables"] == ["t1", "t2"] and got["stored_files"] > 0
+
+        # increment before any change: zero new files, base-linked
+        got = engine.execute(
+            "BACKUP DATABASE bdb TO 'file:///backups/bdb_inc0' WITH increment"
+        )
+        assert got["mode"] == "increment" and got["stored_files"] == 0
+        man = _json.load(open(got["to"] + "/.manifest.json"))
+        assert man["base"].endswith("backups_bdb_full")
+
+        # change ONE table, increment again: only its files are stored
+        engine.execute("INSERT INTO bdb.t1 SELECT number + 100 FROM numbers(10)")
+        got = engine.execute(
+            "BACKUP DATABASE bdb TO 'file:///backups/bdb_inc1' WITH increment"
+        )
+        man = _json.load(open(got["to"] + "/.manifest.json"))
+        assert man["base"].endswith("backups_bdb_inc0")
+        assert got["stored_files"] > 0
+        assert man["tables"]["t2"]["stored"] == []  # untouched table: 0 files
+
+        # differential links to the latest FULL, not the increments
+        got = engine.execute(
+            "BACKUP DATABASE bdb TO 'file:///backups/bdb_diff' WITH differential"
+        )
+        man = _json.load(open(got["to"] + "/.manifest.json"))
+        assert man["base"].endswith("backups_bdb_full")
+
+        # wipe and restore from the increment chain: full state is back
+        engine.execute("DROP DATABASE bdb")
+        assert "bdb__t1" not in engine.tables
+        got = engine.execute("RESTORE DATABASE bdb FROM 'file:///backups/bdb_inc1'")
+        assert got["status"] == "RESTORED" and got["tables"] == ["t1", "t2"]
+        assert engine.execute("SELECT count() AS n FROM bdb.t1")[0].n == 110
+        assert engine.execute("SELECT count() AS n FROM bdb.t2")[0].n == 50
+        # restore from the differential too (vs full + later delta)
+        engine.execute("DROP DATABASE bdb")
+        engine.execute("RESTORE DATABASE bdb FROM 'file:///backups/bdb_diff'")
+        assert engine.execute("SELECT count() AS n FROM bdb.t1")[0].n == 110
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):  # increment without history
+            engine.execute(
+                "BACKUP DATABASE default TO 'file:///backups/nope' WITH increment"
+            )
+        # system.backups logged all five operations
+        n = engine.sql(
+            "SELECT count(*) AS n FROM system.backups WHERE name LIKE '%backups%'"
+        ).collect()[0].n
+        assert n >= 6
+    finally:
+        engine.execute("DROP DATABASE IF EXISTS bdb")
+        _shutil.rmtree("spark-warehouse/_url_backups", ignore_errors=True)

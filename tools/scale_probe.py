@@ -428,6 +428,33 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         ).agg(F.count(F.lit(1))).collect()
 
     timed("pq_train_encode_adc", pq_run, n_fact)
+
+    # PQ at PRODUCTION embedding dims (256-d, ksub 64, m 16) through the
+    # array-typed codebook path (hof=True): codebooks broadcast as data,
+    # argmin/LUT/score via transform/zip_with/aggregate HOFs — constant
+    # expression tree. The literal path at this shape is m·ksub·dsub =
+    # 16384 distance expressions per code column and stops compiling;
+    # this row proves the HOF path serves the dim the literal one can't.
+    # capped at 2M rows: 256-d is 16× the byte width of the 16-d probes,
+    # so this already exercises more vector bytes than the 20M-row rows
+    n_hi = min(n_fact, 2_000_000)
+    emb_hi = fact.where(F.col("k") < n_hi).select(
+        "k",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(256)),
+            lambda i: (F.pmod(F.xxhash64("k", i), 1000) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+
+    def pq_hof_run():
+        books = pq_train(emb_hi, m=16, ksub=64, dim=256, id_col="k", hof=True)
+        q = emb_hi.where(F.col("k") < 3).select(F.col("k").alias("query_id"), "embedding")
+        pq_topk(
+            emb_hi, q, k=5, m=16, ksub=64, dim=256, id_col="k",
+            books=books, rerank=50, hof=True,
+        ).agg(F.count(F.lit(1))).collect()
+
+    timed("pq_hof_dim256", pq_hof_run, n_hi)
     return out
 
 

@@ -3096,9 +3096,11 @@ def x59_semantic_decontam(spark, sf_dir):
     )
 
 
-@query(
-    "x60_pq_adc_topk",
-    oracle="""
+# Shared by x60 (plan-literal codebooks) and x65 (array-typed HOF
+# codebooks): the two PQ paths are arithmetic-identical by design
+# (left-fold sums, pow(x-b,2)), so ONE DuckDB replay oracles both —
+# x65 passing proves the bit-equality claim under the driver harness.
+_PQ_ADC_ORACLE = """
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code
@@ -3150,8 +3152,10 @@ def x59_semantic_decontam(spark, sf_dir):
                                      ORDER BY adc DESC, vec_id) AS BIGINT) AS rnk
       FROM scored)
     SELECT query_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("x60_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def x60_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (pipeline.similarity.pq_topk, Jégou et
     al. 2011): 8 subspaces × 16 centroids trained with the md5-seeded
@@ -3170,6 +3174,29 @@ def x60_pq_adc_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64)
+
+
+@query("x65_pq_hof_adc", oracle=_PQ_ADC_ORACLE)
+def x65_pq_hof_adc(spark, sf_dir):
+    """x60's PQ ADC search through the ARRAY-TYPED codebook transport
+    (``hof=True``): the codebook tensor broadcasts as a 1-row
+    nested-array frame and the argmin/LUT/score evaluate via
+    transform/zip_with/aggregate HOFs — a constant-sized expression
+    tree, the path production embedding dims take (dim 256+/ksub 256,
+    where the plan-literal path's m·ksub·dsub scalar expressions stop
+    compiling; see SCALE.md `pq_hof_dim256`). Training recomputes via
+    posexplode → grouped partial means instead of conditional
+    aggregates. Shares x60's oracle verbatim: both paths fold sums
+    left-to-right and square via pow, so codes, ADC scores, and
+    ranking are bit-identical — this query passing under the driver IS
+    the equality proof."""
+    from otus_clickhouse_spark.pipeline.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64, hof=True)
 
 
 @query(

@@ -308,6 +308,12 @@ class Engine:
         if name != "default" and name not in self._users:
             raise PermissionError(f"unknown user {name}")
         self.current_user = name
+        # currentUser() is a SQL UDF — rebind it to the live user so
+        # queries observe the switch (CH's currentUser() does)
+        self.spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION currentUser() "
+            f"RETURNS STRING RETURN '{name}'"
+        )
         grantees = {name} | self._role_grants.get(name, set())
         for prof in self._profiles.values():
             if grantees & prof["to"]:

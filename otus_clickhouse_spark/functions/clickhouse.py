@@ -692,7 +692,80 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
      "filter(arr, (x, i) -> i = 0 OR NOT (x <=> arr[i - 1]))"),
     ("arrayReduceSum", "arr ARRAY<DOUBLE>", "DOUBLE",
      "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
+    # --- sweep batch 11 (completeness audit, round 7) ---
+    ("lowerUTF8", "s STRING", "STRING", "lower(s)"),
+    ("upperUTF8", "s STRING", "STRING", "upper(s)"),
+    ("notLike", "s STRING, p STRING", "BOOLEAN", "NOT (s LIKE p)"),
+    # first-occurrence regexp replace: anchor a lazy (?s)-prefix group so
+    # only the FIRST match rewrites. Plain replacement strings only —
+    # CH's \\1 backrefs in `r` are not remapped.
+    ("replaceRegexpOne", "s STRING, re STRING, r STRING", "STRING",
+     "regexp_replace(s, concat('(?s)^(.*?)', re), concat('$1', r))"),
+    ("multiSearchFirstPosition", "s STRING, needles ARRAY<STRING>", "INT",
+     "CAST(coalesce(array_min(filter(transform(needles, n -> instr(s, n)),"
+     " p -> p > 0)), 0) AS INT)"),
+    # contiguous-subsequence test; the size guard keeps sequence() from
+    # descending when |a| < |b| (Spark's sequence(a,b) counts DOWN there)
+    ("hasSubstr", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "CASE WHEN size(b) = 0 THEN true WHEN size(a) < size(b) THEN false "
+     "ELSE exists(sequence(1, size(a) - size(b) + 1),"
+     " i -> slice(a, i, size(b)) == b) END"),
+    ("arrayProduct", "arr ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(arr, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"),
+    # ISO-8601 year = calendar year of the week's Thursday
+    # (weekday() is 0-based Monday)
+    ("toISOYear", "d DATE", "INT", "year(date_add(d, 3 - weekday(d)))"),
+    ("max2", "a DOUBLE, b DOUBLE", "DOUBLE", "greatest(a, b)"),
+    ("min2", "a DOUBLE, b DOUBLE", "DOUBLE", "least(a, b)"),
+    ("negate", "x DOUBLE", "DOUBLE", "-x"),
+    ("arrayWithConstant", "n INT, x DOUBLE", "ARRAY<DOUBLE>",
+     "array_repeat(x, n)"),
+    ("randConstant", "", "DOUBLE", "rand()"),
+    ("nowInBlock", "", "TIMESTAMP", "now()"),
+    ("fromModifiedJulianDay", "n INT", "DATE",
+     "date_add(DATE'1858-11-17', n)"),
+    # map arithmetic over the key UNION (map_zip_with unions keys;
+    # absent keys read as 0)
+    ("mapAdd", "a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>",
+     "MAP<STRING, DOUBLE>",
+     "map_zip_with(a, b, (k, x, y) -> coalesce(x, 0D) + coalesce(y, 0D))"),
+    ("mapSubtract", "a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>",
+     "MAP<STRING, DOUBLE>",
+     "map_zip_with(a, b, (k, x, y) -> coalesce(x, 0D) - coalesce(y, 0D))"),
+    # fill integer-key gaps min..max with 0-valued entries
+    ("mapPopulateSeries", "m MAP<INT, DOUBLE>", "MAP<INT, DOUBLE>",
+     "map_from_arrays(sequence(array_min(map_keys(m)), array_max(map_keys(m))),"
+     " transform(sequence(array_min(map_keys(m)), array_max(map_keys(m))),"
+     " k -> coalesce(element_at(m, k), 0D)))"),
+    # parse_url has no PORT part — take the :port after the (possibly
+    # userinfo-prefixed) host; CH defaults to 0 when absent
+    ("port", "u STRING", "INT",
+     "CAST(coalesce(nullif(regexp_extract(u,"
+     " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:]*:([0-9]+)', 1), ''),"
+     " '0') AS INT)"),
+    ("cutFragment", "u STRING", "STRING", "regexp_replace(u, '#.*$', '')"),
+    ("pointInEllipses",
+     "x DOUBLE, y DOUBLE, x0 DOUBLE, y0 DOUBLE, a DOUBLE, b DOUBLE",
+     "BOOLEAN",
+     "((x - x0) * (x - x0)) / (a * a) + ((y - y0) * (y - y0)) / (b * b)"
+     " <= 1.0"),
+    # re-registered with the live user name by Engine.set_user
+    ("currentUser", "", "STRING", "'default'"),
 ]
+
+# typed empty-array constructors (emptyArrayUInt8() … emptyArrayDate()):
+# one registration per CH type name, typed via CAST so downstream
+# array functions see the declared element type
+for _ch, _sql in [
+    ("UInt8", "INT"), ("UInt16", "INT"), ("UInt32", "BIGINT"),
+    ("UInt64", "BIGINT"), ("Int8", "INT"), ("Int16", "INT"),
+    ("Int32", "INT"), ("Int64", "BIGINT"), ("Float32", "DOUBLE"),
+    ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+]:
+    _SQL_FUNCTIONS.append(
+        (f"emptyArray{_ch}", "", f"ARRAY<{_sql}>",
+         f"CAST(array() AS ARRAY<{_sql}>)")
+    )
 
 # ClickHouse aggregate names that are direct aliases of Spark builtins —
 # handled by the dialect translator (functions/dialect.py), since SQL

@@ -1844,13 +1844,17 @@ def translate(
     text = re.sub(
         r"(?<!FROM )(?<!from )\brange\s*\(([^()]+)\)", _range_sub, text
     )
-    # assumeNotNull/toNullable only re-type in CH — identity here (Spark
-    # nullability is inferred); the name reduces to plain parentheses
-    text = re.sub(r"\b(?:assumeNotNull|toNullable)\s*\(", "(", text)
+    # assumeNotNull/toNullable/materialize only re-type (or force-
+    # materialize a constant column) in CH — identity here (Spark
+    # nullability is inferred; there is no const-column distinction);
+    # the name reduces to plain parentheses
+    text = re.sub(r"\b(?:assumeNotNull|toNullable|materialize)\s*\(", "(", text)
     # window-function aliases: CH's frame-aware lag/lead and camelCase
     # rank names are Spark's snake_case builtins
     text = re.sub(r"\blagInFrame\s*\(", "lag(", text)
     text = re.sub(r"\bleadInFrame\s*\(", "lead(", text)
+    text = re.sub(r"\bfirstValue\s*\(", "first_value(", text)
+    text = re.sub(r"\blastValue\s*\(", "last_value(", text)
     text = re.sub(r"\bdenseRank\s*\(", "dense_rank(", text)
     text = re.sub(r"\bpercentRank\s*\(", "percent_rank(", text)
     # runningDifference(x) / neighbor(x, n[, d]): CH's block-order row

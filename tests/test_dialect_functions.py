@@ -1187,3 +1187,76 @@ def test_scalar_cte_rewrite(engine):
     # a string literal containing the name is never substituted
     got = engine.sql("WITH 5 AS lim SELECT 'lim' AS s, lim AS v").collect()[0]
     assert (got.s, got.v) == ("lim", 5)
+
+
+def test_twelfth_batch_completeness_audit(engine):
+    """Round-7 completeness-audit batch: UTF8 case aliases, notLike,
+    first-occurrence regexp replace, multiSearchFirstPosition,
+    hasSubstr (contiguous subsequence incl. the sequence()-descends
+    guard), arrayProduct, toISOYear (week's-Thursday rule), max2/min2,
+    negate, arrayWithConstant, fromModifiedJulianDay round-trip, map
+    arithmetic over key unions, mapPopulateSeries gap fill, URL
+    port/cutFragment, pointInEllipses, typed empty arrays,
+    materialize-as-identity, firstValue/lastValue window aliases."""
+    row = engine.sql(
+        "SELECT lowerUTF8('AbC') AS lo, upperUTF8('aBc') AS up, "
+        "notLike('spark', 'sp%') AS nl1, notLike('spark', 'q%') AS nl2, "
+        "replaceRegexpOne('aXbXc', 'X', '-') AS rr, "
+        "multiSearchFirstPosition('hello world', array('xx', 'world', 'lo')) AS ms, "
+        "multiSearchFirstPosition('hello', array('zz')) AS ms0, "
+        "hasSubstr(array('a','b','c','d'), array('b','c')) AS hs1, "
+        "hasSubstr(array('a','b','c','d'), array('b','d')) AS hs2, "
+        "hasSubstr(array('a'), array('a','b')) AS hs3, "
+        "arrayProduct(array(2.0, 3.0, 4.0)) AS ap, "
+        "toISOYear(DATE'2021-01-01') AS iy1, toISOYear(DATE'2021-01-04') AS iy2, "
+        "max2(3.0, 7.0) AS mx, min2(3.0, 7.0) AS mn, negate(5.0) AS ng, "
+        "arrayWithConstant(3, 1.5) AS awc, "
+        "toModifiedJulianDay('2020-01-01') AS mjd, "
+        "fromModifiedJulianDay(58849) AS fmjd, "
+        "mapAdd(map('a', 1.0, 'b', 2.0), map('b', 5.0, 'c', 1.0)) AS ma, "
+        "mapSubtract(map('a', 3.0), map('a', 1.0, 'z', 2.0)) AS msu, "
+        "mapPopulateSeries(map(1, 10.0, 4, 40.0)) AS mps, "
+        "port('https://user@host.com:8123/path') AS pt, "
+        "port('https://host.com/path') AS pt0, "
+        "cutFragment('http://x.com/a#frag') AS cf, "
+        "pointInEllipses(1.0, 0.0, 0.0, 0.0, 2.0, 1.0) AS pe1, "
+        "pointInEllipses(3.0, 0.0, 0.0, 0.0, 2.0, 1.0) AS pe2, "
+        "emptyArrayUInt8() AS ea, emptyArrayString() AS eas, "
+        "materialize(42) AS mat, currentUser() AS cu"
+    ).collect()[0]
+    assert (row.lo, row.up) == ("abc", "ABC")
+    assert (row.nl1, row.nl2) == (False, True)
+    assert row.rr == "a-bXc"  # first occurrence only
+    assert row.ms == 4  # 'lo' at position 4 beats 'world' at 7
+    assert row.ms0 == 0
+    assert (row.hs1, row.hs2, row.hs3) == (True, False, False)
+    assert row.ap == 24.0
+    # 2021-01-01 falls in ISO week 53 of 2020; Jan 4 is ISO 2021
+    assert (row.iy1, row.iy2) == (2020, 2021)
+    assert (row.mx, row.mn, row.ng) == (7.0, 3.0, -5.0)
+    assert row.awc == [1.5, 1.5, 1.5]
+    assert row.mjd == 58849 and str(row.fmjd) == "2020-01-01"
+    assert dict(row.ma) == {"a": 1.0, "b": 7.0, "c": 1.0}
+    assert dict(row.msu) == {"a": 2.0, "z": -2.0}
+    assert dict(row.mps) == {1: 10.0, 2: 0.0, 3: 0.0, 4: 40.0}
+    assert (row.pt, row.pt0) == (8123, 0)
+    assert row.cf == "http://x.com/a"
+    assert (row.pe1, row.pe2) == (True, False)
+    assert row.ea == [] and row.eas == []
+    assert row.mat == 42 and row.cu == "default"
+    # window aliases rewrite to Spark's snake_case forms
+    rows = engine.sql(
+        "SELECT number, firstValue(number) OVER w AS fv, "
+        "lastValue(number) OVER w AS lv FROM numbers(3) "
+        "WINDOW w AS (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING)"
+    ).collect()
+    assert all(r.fv == 0 and r.lv == 2 for r in rows)
+    # currentUser() tracks set_user
+    engine.execute("CREATE USER IF NOT EXISTS batch12_user")
+    try:
+        engine.set_user("batch12_user")
+        assert engine.sql("SELECT currentUser() AS u").collect()[0].u == "batch12_user"
+    finally:
+        engine.set_user("default")
+        engine.execute("DROP USER IF EXISTS batch12_user")

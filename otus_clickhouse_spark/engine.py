@@ -993,11 +993,10 @@ class Engine:
                     ]
                     return m.group(1) + ",".join(out)
 
+                _item = rf"\w+(?:\s+AS\s+\w+|\s+{_stop}\w+)?"
                 head = _sub_outside_quotes(
                     re.compile(
-                        rf"(\bFROM\s+)"
-                        rf"(\w+(?:\s+{_stop}\w+)?"
-                        rf"(?:\s*,\s*\w+(?:\s+{_stop}\w+)?)+)",
+                        rf"(\bFROM\s+)({_item}(?:\s*,\s*{_item})+)",
                         re.IGNORECASE,
                     ),
                     _fromlist,

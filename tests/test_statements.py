@@ -1445,3 +1445,29 @@ def test_backup_database_full_increment_differential(engine, tmp_path):
     finally:
         engine.execute("DROP DATABASE IF EXISTS bdb")
         _shutil.rmtree("spark-warehouse/_url_backups", ignore_errors=True)
+
+
+def test_base_name_rewrite_comma_list_with_aliases(engine):
+    """Comma FROM-lists resolve every member under USE <db>, with bare
+    and AS-style aliases in any mix."""
+    engine.execute("DROP DATABASE IF EXISTS cml")
+    engine.execute("CREATE DATABASE cml")
+    engine.execute("USE cml")
+    try:
+        engine.execute("CREATE TABLE cml.mov (id UInt32) ENGINE = Memory")
+        engine.execute("CREATE TABLE cml.gen (id UInt32) ENGINE = Memory")
+        engine.execute("INSERT INTO mov VALUES (1), (2), (3)")
+        engine.execute("INSERT INTO gen VALUES (10), (20)")
+        assert engine.execute("SELECT count() AS n FROM mov, gen")[0].n == 6
+        assert engine.execute("SELECT count() AS n FROM mov m, gen g")[0].n == 6
+        assert (
+            engine.execute("SELECT count() AS n FROM mov AS m, gen AS g")[0].n == 6
+        )
+        got = engine.execute(
+            "SELECT m.id AS mid, g.id AS gid FROM mov AS m, gen AS g "
+            "WHERE m.id = 1 AND g.id = 10"
+        )
+        assert (got[0].mid, got[0].gid) == (1, 10)
+    finally:
+        engine.execute("USE default")
+        engine.execute("DROP DATABASE IF EXISTS cml")

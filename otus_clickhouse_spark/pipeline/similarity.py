@@ -615,6 +615,62 @@ def pq_train(
     return books
 
 
+def cluster_silhouette(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int = 4,
+    round_s: int = 4,
+) -> DataFrame:
+    """Simplified silhouette per cluster — the clustering-quality gate a
+    pipeline runs after the IVF/k-means build (does the coarse
+    quantizer actually separate the corpus?). Per vector: ``a`` =
+    cosine distance to its OWN (closest) centroid, ``b`` = distance to
+    the best OTHER centroid, ``s = (b - a) / max(a, b)`` (0 when both
+    are 0). The textbook silhouette's O(n²) pairwise distances are
+    replaced by centroid distances (the standard large-scale
+    simplification), so the whole metric is ONE map-side pass: the k
+    centroids ride as plan literals (model-sized), every row evaluates
+    k rounded cosines into a sorted k-struct array — own = [0], best
+    other = [1] — and the only shuffle is the final groupBy(centroid)
+    of k groups with map-side combine. Zero corpus-sized shuffles at
+    any scale. Returns (centroid_id, n_members, mean_silhouette).
+    """
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()  # k×dim — model-sized, never corpus
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.round(cosine(v, F.array(*[F.lit(x) for x in cv])), round_cos).alias("cos"),
+                    F.lit(-cid).alias("negid"),  # ties → lowest centroid_id
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        ),
+        asc=False,
+    )
+    a = F.lit(1.0) - F.col("__r")[0]["cos"]
+    b = F.lit(1.0) - F.col("__r")[1]["cos"]
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        F.round((b - a) / F.greatest(a, b), round_s)
+    )
+    return (
+        corpus.select(F.col(id_col), ranked.alias("__r"))
+        .select(F.col("__r")[0]["cid"].alias("centroid_id"), s.alias("s"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("s"), round_s).alias("mean_silhouette"),
+        )
+    )
+
+
 def _books_frame(spark, books):
     """The codebook tensor as a 1-row DataFrame (``__books``:
     array<array<array<double>>>) for broadcast — codebooks ride as DATA,

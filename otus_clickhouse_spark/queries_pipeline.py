@@ -541,8 +541,10 @@ def x13_stratified_sample(spark, sf_dir):
     )
 
 
-def _kmeans_unrolled_oracle(k: int, iters: int, round_cos: int, round_mean: int) -> str:
-    """Replay quantized Lloyd's k-means as a single DuckDB statement.
+def _kmeans_cte_prefix(k: int, iters: int, round_cos: int, round_mean: int) -> str:
+    """The WITH-chain replaying quantized Lloyd's k-means up to
+    ``cent{iters}`` — shared by every oracle that consumes the trained
+    centroids (x14 norms, x66 silhouette).
 
     The engine quantizes the assignment cosine (round_cos) and the
     recomputed centroid components (round_mean) every round, so the
@@ -582,14 +584,19 @@ def _kmeans_unrolled_oracle(k: int, iters: int, round_cos: int, round_mean: int)
       ) GROUP BY 1
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_unrolled_oracle(k: int, iters: int, round_cos: int, round_mean: int) -> str:
+    """x14's oracle: the trained centroids' dims and squared norms."""
+    return (
+        _kmeans_cte_prefix(k, iters, round_cos, round_mean)
+        + f"""
     SELECT centroid_id, CAST(len(cv) AS INT) AS dim,
            round(list_dot_product(cv, cv), 4) AS sq_norm
     FROM cent{iters}
     """
     )
-    return "".join(parts)
 
 
 @query("x14_kmeans_ivf", oracle=_kmeans_unrolled_oracle(k=4, iters=3, round_cos=4, round_mean=6))
@@ -608,6 +615,59 @@ def x14_kmeans_ivf(spark, sf_dir):
         F.size("centroid").alias("dim"),
         F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
     )
+
+
+def _silhouette_oracle(k: int, iters: int, round_cos: int, round_mean: int) -> str:
+    """x66's oracle: replay the k-means build (shared prefix), then the
+    simplified per-cluster silhouette from the final centroids."""
+    return (
+        _kmeans_cte_prefix(k, iters, round_cos, round_mean)
+        + f""",
+    fin AS (
+      SELECT b.vec_id, c.centroid_id,
+             round(list_cosine_similarity(b.v, c.cv), {round_cos}) AS cos
+      FROM base b CROSS JOIN cent{iters} c
+    ),
+    rk AS (
+      SELECT vec_id, centroid_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, centroid_id) AS rn
+      FROM fin
+    ),
+    own AS (SELECT vec_id, centroid_id, cos FROM rk WHERE rn = 1),
+    oth AS (SELECT vec_id, cos FROM rk WHERE rn = 2),
+    sil AS (
+      SELECT own.centroid_id,
+             CASE WHEN greatest(1.0 - own.cos, 1.0 - oth.cos) = 0 THEN 0.0
+                  ELSE round(((1.0 - oth.cos) - (1.0 - own.cos))
+                             / greatest(1.0 - own.cos, 1.0 - oth.cos), 4)
+             END AS s
+      FROM own JOIN oth USING (vec_id)
+    )
+    SELECT centroid_id, count(*) AS n_members,
+           round(avg(s), 4) AS mean_silhouette
+    FROM sil GROUP BY centroid_id
+    """
+    )
+
+
+@query("x66_cluster_silhouette", oracle=_silhouette_oracle(k=4, iters=3, round_cos=4, round_mean=6))
+def x66_cluster_silhouette(spark, sf_dir):
+    """Cluster-quality gate after the IVF/k-means build (beyond-
+    reference §7): simplified per-cluster silhouette — a = cosine
+    distance to own centroid, b = to the best other, s=(b-a)/max(a,b)
+    — pipeline.similarity.cluster_silhouette. ONE map-side corpus pass
+    (centroids as plan literals, per-row sorted k-struct array), the
+    only shuffle a k-group aggregate; the oracle replays training via
+    the shared kmeans CTE prefix plus the silhouette tail."""
+    from otus_clickhouse_spark.pipeline.similarity import (
+        cluster_silhouette,
+        kmeans_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, iters=3, round_cos=4, round_mean=6)
+    return cluster_silhouette(emb, cent, round_cos=4)
 
 
 @query(

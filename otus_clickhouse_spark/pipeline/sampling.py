@@ -95,6 +95,37 @@ def stratified_sample(
     return df.where(hash_bucket(id_col) < pct_expr)
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, n: int, id_col: str, round_key: int = 6
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n items, deterministic —
+    Efraimidis–Spirakis A-Res: each row draws key ``u^(1/w)`` with
+    ``u ∈ (0,1)`` and the global top-``n`` keys win (selection
+    probability proportional to weight, no replacement by
+    construction). ``u`` derives from md5 of the id — retry-safe and
+    engine-portable (DuckDB computes the identical value), the same
+    reason stratified_sample hashes instead of rand().
+
+    Scale shape: key evaluation is map-side; the top-``n`` is
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps, then a
+    driver-side merge of n·partitions candidates) — never a global
+    sort, never a single-partition window. Zero-weight rows draw key 0
+    and lose to any positive weight. Returns (id, weight, key)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h % F.lit(1_000_000) + 1) / F.lit(1_000_001.0)  # (0, 1), never 0
+    w = F.col(weight_col).cast("double")
+    key = F.when(w <= 0, F.lit(0.0)).otherwise(
+        F.round(F.pow(u, F.lit(1.0) / w), round_key)
+    )
+    return (
+        df.select(F.col(id_col), w.alias("weight"), key.alias("key"))
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_filter: "F.Column",

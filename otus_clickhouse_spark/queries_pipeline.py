@@ -671,6 +671,43 @@ def x66_cluster_silhouette(spark, sf_dir):
 
 
 @query(
+    "x67_weighted_sample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> length(x) > 0)) AS DOUBLE) AS weight,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, weight,
+             CASE WHEN weight <= 0 THEN 0.0
+                  ELSE round(pow(u, 1.0 / weight), 6) END AS key
+      FROM w
+    )
+    SELECT doc_id, weight, key FROM k ORDER BY key DESC, doc_id LIMIT 200
+    """,
+)
+def x67_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (beyond-reference §7):
+    Efraimidis–Spirakis A-Res with token-count weights — the standard
+    "sample the corpus proportional to document length" subsampling
+    step. Keys are map-side (md5-derived uniforms, retry-safe); the
+    top-n is TakeOrderedAndProject (per-partition heaps), never a
+    global sort or single-partition window —
+    pipeline.sampling.weighted_sample."""
+    from otus_clickhouse_spark.pipeline.sampling import weighted_sample
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    return weighted_sample(docs, "n_tok", n=200, id_col="doc_id")
+
+
+@query(
     "x15_token_search",
     oracle="""
     WITH post AS (

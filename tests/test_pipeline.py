@@ -1669,3 +1669,29 @@ def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
     exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
     hits = len(got_set & exact_set)
     assert hits / len(exact_set) >= 0.5, f"high-dim HOF recall too low: {hits}/{len(exact_set)}"
+
+
+def test_weighted_sample_proportional_and_plan(spark):
+    """A-Res weighted sampling: heavy-weight rows dominate the sample
+    (selection ∝ weight), zero weights never win over positive ones,
+    and the top-n compiles to TakeOrderedAndProject — no global sort,
+    no single-partition window."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 200 else 1.0) for i in range(1000)] + [
+        (9999, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", n=100, id_col="doc_id").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.weight == 100.0)
+    assert heavy >= 80, f"heavy rows underrepresented: {heavy}/100"
+    assert all(r.doc_id != 9999 for r in got)  # zero weight loses
+    plan = (
+        weighted_sample(df, "w", n=100, id_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -543,10 +543,12 @@ def pq_train(
     # train's wall-clock (measured in tools/scale_probe.py).
     if hof:
         # high-dim path: assignment through the array-typed codebook
-        # (constant expression tree) and the recompute via posexplode →
-        # groupBy((sub, code, pos)) partial means — shuffle volume
-        # O(partitions × m × ksub × dsub), the documented alternative
-        # when m·ksub·dsub conditional aggregates stop compiling
+        # (constant expression tree); the recompute explodes per
+        # SUBSPACE (m rows/vector carrying a dsub-array — NOT per
+        # element, which is dsub× more rows for the same bytes) and
+        # runs dsub mean aggregates per (sub, code) group — map-side
+        # combined, shuffle O(partitions × m × ksub × dsub), with only
+        # dsub expressions in the plan however big m·ksub grows
         for _ in range(max(iters, 1)):
             bframe = F.broadcast(_books_frame(base.sparkSession, books))
             assigned = base.crossJoin(bframe).select(
@@ -559,24 +561,34 @@ def pq_train(
                 ).alias("__codes"),
             )
             stats = (
-                assigned.select(F.col("__codes"), F.posexplode("v").alias("pos", "x"))
-                .select(
-                    (F.col("pos") / F.lit(dsub)).cast("int").alias("s"),
-                    F.pmod(F.col("pos"), F.lit(dsub)).alias("i"),
-                    F.element_at(
-                        F.col("__codes"), (F.col("pos") / F.lit(dsub)).cast("int") + 1
-                    ).alias("c"),
-                    "x",
+                assigned.select(
+                    F.posexplode("__codes").alias("s", "c"), F.col("v")
                 )
-                .groupBy("s", "c", "i")
-                .agg(F.round(F.avg("x"), round_mean).alias("mean"))
+                .select(
+                    "s",
+                    "c",
+                    F.slice(
+                        "v", F.col("s") * F.lit(dsub) + F.lit(1), F.lit(dsub)
+                    ).alias("sub"),
+                )
+                .groupBy("s", "c")
+                .agg(
+                    *[
+                        F.round(F.avg(F.col("sub")[i]), round_mean).alias(f"m{i}")
+                        for i in range(dsub)
+                    ]
+                )
                 .collect()
             )
-            got = {(r["s"], r["c"], r["i"]): float(r["mean"]) for r in stats}
+            got = {
+                (r["s"], r["c"], i): r[f"m{i}"] for r in stats for i in range(dsub)
+            }
             books = [
                 [
                     [
-                        got.get((s, c, i), books[s][c][i])  # empty code keeps init
+                        float(got[(s, c, i)])
+                        if got.get((s, c, i)) is not None
+                        else books[s][c][i]  # empty code keeps init
                         for i in range(dsub)
                     ]
                     for c in range(ksub)

@@ -353,3 +353,72 @@ def substring_dup_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1024,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Robust-winnowing near-dup pairs (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS fingerprinting algorithm).
+
+    Character ``k``-grams of the whitespace-squashed lowercased text
+    are hashed; each sliding window of ``w`` consecutive gram hashes
+    contributes its MINIMUM hash as a fingerprint. That subsampling
+    keeps only ~2/(w+1) of the gram hashes yet still guarantees any
+    shared substring of length >= w + k - 1 produces at least one
+    shared fingerprint — the fingerprint-budget version of the stride-1
+    plan in :func:`substring_dup_pairs`: at 100 TB the winnowed index
+    is (w+1)/2 x smaller for the same detection floor.
+
+    Plan shape: gram hashing and window-min selection are ONE map-side
+    pass (sequence/transform/slice/array_min HOFs, all codegen'd;
+    ``array_distinct`` dedups per doc before the explode). The explode
+    ships (id, 64-bit fingerprint) rows only; a pre-aggregation drops
+    singleton fingerprints and caps bucket degree at ``max_bucket``
+    (boilerplate shared by millions of docs is dropped, not exploded),
+    then pairs form bucket-locally. Returns (a, b, n_shared), a < b.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[ \\t\\r\\n]+", " "))
+    staged = df.select(F.col(id_col), norm.alias("__t")).where(
+        F.length("__t") >= k + w - 1
+    )
+    # gram hash g_i = first 32 md5 bits of the k chars at i (1-based);
+    # conv(hex,16,10) keeps it portable to the DuckDB oracle
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("__t") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("__t"), i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    staged = staged.select(F.col(id_col), grams.alias("__g"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__g") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
+        )
+    )
+    fp = staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+    shared = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where((F.col("deg") > 1) & (F.col("deg") <= max_bucket))
+        .select("fp")
+    )
+    sh = fp.join(shared, "fp")
+    a = sh.select(F.col(id_col).alias("a"), "fp")
+    b = sh.select(F.col(id_col).alias("b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if min_shared > 1:
+        out = out.where(F.col("n_shared") >= min_shared)
+    return out

@@ -696,23 +696,35 @@ def _hof_code(vcol, bookscol, s, dsub: int, round_dist: int):
     """argmin-over-centroids code for subspace ``s`` (a lambda-bound
     Column) via HOFs: slice the subvector, zip_with/aggregate the
     squared distance per centroid, array_position the min. One fixed
-    expression regardless of ksub/dsub."""
+    expression regardless of ksub/dsub.
+
+    The slice is BOUND as a lambda variable (``transform(array(sub),
+    …)[1]``) rather than referenced inside the per-centroid lambda:
+    HOF lambdas inline their argument expressions, so an inline ``sub``
+    re-evaluates Slice — a fresh array allocation — once per CENTROID
+    (ksub× per subspace per row; jstack showed Slice.nullSafeEval
+    dominating the 2M×256-d probe). Bound once, the per-centroid loop
+    only reads the variable."""
     sub = F.slice(vcol, s * F.lit(dsub) + F.lit(1), F.lit(dsub))
-    dists = F.transform(
-        F.element_at(bookscol, s + F.lit(1)),
-        lambda cb: F.round(
-            F.aggregate(
-                # pow(x-b, 2) — not (x-b)*(x-b) — so the arithmetic is
-                # bit-identical to the literal path's `** 2` and the two
-                # paths emit the same codes at the rounding boundary
-                F.zip_with(cb, sub, lambda b, x: F.pow(x - b, F.lit(2.0))),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
+
+    def _argmin(subv):
+        dists = F.transform(
+            F.element_at(bookscol, s + F.lit(1)),
+            lambda cb: F.round(
+                F.aggregate(
+                    # pow(x-b, 2) — not (x-b)*(x-b) — so the arithmetic is
+                    # bit-identical to the literal path's `** 2` and the two
+                    # paths emit the same codes at the rounding boundary
+                    F.zip_with(cb, subv, lambda b, x: F.pow(x - b, F.lit(2.0))),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                round_dist,
             ),
-            round_dist,
-        ),
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+
+    return F.element_at(F.transform(F.array(sub), _argmin), 1)
 
 
 def pq_codes(

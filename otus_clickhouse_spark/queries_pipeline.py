@@ -708,6 +708,56 @@ def x67_weighted_sample(spark, sf_dir):
 
 
 @query(
+    "x68_winnowing_dups",
+    oracle=r"""
+    WITH nrm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ok AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 27),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 18),
+               i -> CAST(concat('0x',
+                      substr(md5(substr(t, CAST(i AS INT), 20)), 1, 8)) AS BIGINT)) AS gh
+      FROM ok
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(gh) - 6),
+               j -> list_min(list_slice(gh, CAST(j AS INT), CAST(j AS INT) + 7)))) AS f
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    shared AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1 AND count(*) <= 1024
+    ),
+    sh AS (SELECT fp.doc_id, fp.fp FROM fp JOIN shared USING (fp))
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+    """,
+)
+def x68_winnowing_dups(spark, sf_dir):
+    """Robust-winnowing near-dup candidates (beyond-reference §7;
+    Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS fingerprinter):
+    char-20-gram hashes, min per sliding window of 8, pairs sharing
+    >= 3 fingerprints — pipeline.dedup.winnow_dup_pairs. The
+    window-min subsampling stores ~2/(w+1) of the gram hashes yet
+    guarantees any shared span >= w+k-1 chars still collides, so at
+    100 TB the fingerprint index is (w+1)/2 x smaller than x31's
+    stride-1 plan for the same detection floor. Gram hashing +
+    winnowing are one map-side HOF pass; the shuffle ships (id, 8-byte
+    fp) rows; singleton and over-shared (>1024 docs) fingerprints are
+    dropped before the bucket-local pair join."""
+    from otus_clickhouse_spark.pipeline.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        t(spark, sf_dir, "documents"), k=20, w=8, min_shared=3
+    )
+
+
+@query(
     "x15_token_search",
     oracle="""
     WITH post AS (

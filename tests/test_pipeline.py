@@ -1695,3 +1695,49 @@ def test_weighted_sample_proportional_and_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def _py_winnow(text, k=8, w=4):
+    # independent reference: Schleimer et al. winnowing in plain Python
+    import hashlib
+    import re
+
+    t = re.sub(r"[ \t\r\n]+", " ", text).lower()
+    if len(t) < k + w - 1:
+        return set()
+    gh = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    return {min(gh[j : j + w]) for j in range(len(gh) - w + 1)}
+
+
+def test_winnow_dup_pairs_vs_python_reference(spark):
+    shared = "a long enough shared passage of text"  # >> k+w-1 = 11 chars
+    rows = [
+        (1, "intro one " + shared + " tail one"),
+        (2, "different opening " + shared + " other ending"),
+        (3, "totally unrelated content with zero overlap anywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.n_shared for r in dedup.winnow_dup_pairs(df).collect()}
+    fps = {i: _py_winnow(t) for i, t in rows}
+    expect = {}
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a < b and fps[a] & fps[b]:
+                expect[(a, b)] = len(fps[a] & fps[b])
+    assert pairs == expect
+    assert (1, 2) in pairs  # detection floor: shared span >= w+k-1 chars
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_short_text_and_bucket_cap(spark):
+    # texts below k+w-1 chars produce no fingerprints (and no crash);
+    # a fingerprint shared by 3 docs is dropped at max_bucket=2
+    boiler = "common boilerplate line"
+    rows = [(0, "tiny"), (1, boiler), (2, boiler), (3, boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.winnow_dup_pairs(df, max_bucket=2).count() == 0
+    allp = {(r.a, r.b) for r in dedup.winnow_dup_pairs(df).collect()}
+    assert allp == {(1, 2), (1, 3), (2, 3)}

@@ -1671,6 +1671,38 @@ def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
     assert hits / len(exact_set) >= 0.5, f"high-dim HOF recall too low: {hits}/{len(exact_set)}"
 
 
+def test_pq_codes_arrow_equals_hof(spark, sf_dir):
+    """The Arrow-vectorized encode kernel must emit byte-identical codes
+    to the HOF/literal paths — at the oracle shape AND at the dim-256
+    production shape. Same terms, same left-to-right sum order
+    (np.add.reduce), same rounding before the first-min argmin."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.similarity import (
+        pq_codes, pq_codes_arrow, pq_train,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=8, ksub=16, dim=64)
+    hof = {r.vec_id: r.pq_codes for r in pq_codes(emb, books, hof=True).collect()}
+    arrow = {r.vec_id: r.pq_codes for r in pq_codes_arrow(emb, books).collect()}
+    assert hof == arrow
+
+    dim, m, ksub = 256, 16, 64
+    big = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.sin(F.col("id") * i + i * i).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    books_hi = pq_train(big, m=m, ksub=ksub, dim=dim, hof=True)
+    hof_hi = {r.vec_id: r.pq_codes for r in pq_codes(big, books_hi, hof=True).collect()}
+    arrow_hi = {r.vec_id: r.pq_codes for r in pq_codes_arrow(big, books_hi).collect()}
+    assert hof_hi == arrow_hi
+
+
 def test_weighted_sample_proportional_and_plan(spark):
     """A-Res weighted sampling: heavy-weight rows dominate the sample
     (selection ∝ weight), zero weights never win over positive ones,

@@ -1773,3 +1773,39 @@ def test_winnow_short_text_and_bucket_cap(spark):
     assert dedup.winnow_dup_pairs(df, max_bucket=2).count() == 0
     allp = {(r.a, r.b) for r in dedup.winnow_dup_pairs(df).collect()}
     assert allp == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_winnow_randomized_vs_reference_and_detection_floor(spark):
+    """50 random docs over a 3-char alphabet (forced gram collisions):
+    exact pair-count equality against the pure-Python winnowing
+    reference, PLUS the Schleimer detection-floor guarantee — ten
+    planted doc pairs sharing a span of exactly w+k-1 chars must each
+    produce at least one shared fingerprint."""
+    import itertools
+    import random
+
+    rng = random.Random(20260815)
+    K, W = 8, 4
+    docs = [
+        (i, "".join(rng.choice("abc ") for _ in range(rng.randint(12, 60))))
+        for i in range(50)
+    ]
+    # planted pairs: ids 100+2j / 101+2j share exactly a (w+k-1)-char span
+    for j in range(10):
+        span = "".join(rng.choice("xyzw") for _ in range(W + K - 1))
+        docs.append((100 + 2 * j, "".join(rng.choice("abc ") for _ in range(15)) + span))
+        docs.append((101 + 2 * j, span + "".join(rng.choice("abc ") for _ in range(15))))
+
+    fps = {i: _py_winnow(t, k=K, w=W) for i, t in docs}
+    expected = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(fps.items()), 2):
+        if sa & sb:
+            expected[(a, b)] = len(sa & sb)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): r.n_shared
+           for r in dedup.winnow_dup_pairs(df, k=K, w=W, max_bucket=10_000).collect()}
+    assert got == expected
+    for j in range(10):
+        pair = (100 + 2 * j, 101 + 2 * j)
+        assert got.get(pair, 0) >= 1, f"detection floor violated for {pair}"

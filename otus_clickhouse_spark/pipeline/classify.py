@@ -318,3 +318,66 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+def naive_bayes_calibration(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    bins: int = 10,
+    round_score: int = 4,
+) -> DataFrame:
+    """Reliability-calibration bins for the NB gate: per test doc the
+    top-1 softmax confidence, bucketed into ``bins`` equal-width bins
+    → (bin_lo, n, avg_conf, accuracy). A well-calibrated filter has
+    accuracy ≈ avg_conf per bin; a miscalibrated one over/under-trusts
+    its own scores — the standard check before using classifier scores
+    as curation sampling weights.
+
+    ``docs`` must carry the ACTUAL label in ``label_col``. Same scoring
+    join as :func:`naive_bayes_predict`; the softmax uses the max-shift
+    trick with per-class relative mass rounded to 6 decimals before the
+    sum, so the engine-vs-oracle float story is the registry's usual
+    one (round before divide/compare; summands differ below rounding
+    granularity). All windows are keyed by doc id — no global window,
+    the per-doc class count is the model's |classes|.
+    """
+    toks = _tokens(docs, text_col, id_col, None)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(model), "token")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("tf") * F.col("logp")).alias("ll"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(F.col("ll") + F.col("logprior"), round_score).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col)
+    rel = F.round(F.exp(F.col("score") - F.max("score").over(w)), 6)
+    wr = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col(label_col).asc())
+    top = (
+        scored.withColumn("__rel", rel)
+        .withColumn("__tot", F.sum("__rel").over(w))
+        .withColumn("__r", F.row_number().over(wr))
+        .where(F.col("__r") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias("predicted"),
+            F.round(F.col("__rel") / F.col("__tot"), 4).alias("confidence"),
+        )
+    )
+    joined = docs.select(id_col, F.col(label_col).alias("actual")).join(top, id_col)
+    bin_lo = F.least(F.floor(F.col("confidence") * bins), F.lit(bins - 1)) / bins
+    return (
+        joined.groupBy(bin_lo.alias("bin_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("confidence"), 4).alias("avg_conf"),
+            F.round(F.avg((F.col("predicted") == F.col("actual")).cast("double")), 4).alias("accuracy"),
+        )
+    )

@@ -2195,6 +2195,85 @@ def x43_nb_classifier(spark, sf_dir):
 
 
 @query(
+    "x69_nb_calibration",
+    oracle="""
+    WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 != 0),
+    te AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    trtok AS (
+      SELECT doc_id, source, tok FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM tr)
+      WHERE length(tok) > 0),
+    vocab AS (SELECT DISTINCT tok FROM trtok),
+    cnt AS (SELECT source, tok, count(*) AS cnt FROM trtok GROUP BY source, tok),
+    tot0 AS (SELECT source, sum(cnt) AS tot FROM cnt GROUP BY source),
+    vs AS (SELECT count(*) AS v FROM vocab),
+    model AS (
+      SELECT vocab.tok, tot0.source,
+             ln((coalesce(cnt.cnt, 0) + 1.0) / (tot0.tot + vs.v)) AS logp
+      FROM vocab CROSS JOIN tot0 CROSS JOIN vs
+      LEFT JOIN cnt ON cnt.tok = vocab.tok AND cnt.source = tot0.source),
+    priors AS (
+      SELECT source, ln(count(*) * 1.0 / (SELECT count(*) FROM tr)) AS logprior
+      FROM tr GROUP BY source),
+    tetok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)
+      WHERE length(tok) > 0),
+    tetf AS (SELECT doc_id, tok, count(*) AS tf FROM tetok GROUP BY doc_id, tok),
+    ll AS (
+      SELECT t.doc_id, m.source, sum(t.tf * m.logp) AS ll
+      FROM tetf t JOIN model m ON m.tok = t.tok
+      GROUP BY t.doc_id, m.source),
+    scored AS (
+      SELECT ll.doc_id, ll.source, round(ll.ll + p.logprior, 4) AS score
+      FROM ll JOIN priors p ON p.source = ll.source),
+    rel AS (
+      SELECT doc_id, source, score,
+             round(exp(score - max(score) OVER (PARTITION BY doc_id)), 6) AS rel
+      FROM scored),
+    ranked AS (
+      SELECT doc_id, source, rel,
+             sum(rel) OVER (PARTITION BY doc_id) AS tot,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS r
+      FROM rel),
+    top AS (
+      SELECT doc_id, source AS predicted, round(rel / tot, 4) AS confidence
+      FROM ranked WHERE r = 1),
+    j AS (
+      SELECT te.source AS actual, top.predicted, top.confidence
+      FROM te JOIN top USING (doc_id))
+    SELECT least(floor(confidence * 10), 9) / 10.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(confidence), 4) AS avg_conf,
+           round(avg(CASE WHEN predicted = actual THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+    FROM j GROUP BY 1
+    """,
+)
+def x69_nb_calibration(spark, sf_dir):
+    """Reliability calibration of the NB curation gate (beyond-
+    reference §7; the check before classifier confidences become
+    sampling weights, cf. DCLM/fastText filtering): per held-out doc
+    the top-1 softmax confidence — max-shifted, per-class relative
+    mass rounded to 6 before the sum, confidence to 4 before binning,
+    so the replay is engine-independent — bucketed into 10 equal-width
+    bins with per-bin accuracy vs mean confidence
+    (pipeline.classify.naive_bayes_calibration). Scoring is the same
+    tf×logp broadcast join as x43; the only windows are keyed by
+    doc_id (|classes| rows each); the bin aggregate is a ≤10-group
+    reduce."""
+    from otus_clickhouse_spark.pipeline.classify import (
+        naive_bayes_calibration,
+        naive_bayes_train,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    model, priors = naive_bayes_train(train, label_col="source")
+    return naive_bayes_calibration(test, model, priors, label_col="source")
+
+
+@query(
     "x44_knn_label_propagation",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

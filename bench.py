@@ -486,14 +486,19 @@ def scale_insert_probe(spark) -> dict | None:
         def _write(df):
             # mirror the engine insert path's writer options (lz4, no
             # page CRC — engine.py insert) plus probe-specific tuning:
-            # dictionary off (unique ints defeat it) and 4 MB pages
-            # (raw-append throughput shape; the engine keeps 1 MB pages
-            # for column-index pruning selectivity)
+            # dictionary off (unique ints defeat it), 8 MB pages and
+            # the v2 writer (DELTA_BINARY_PACKED on sequential ints —
+            # the round-7 sweep measured v2+8MB at ~28.6M rows/s median
+            # vs ~22-26M for v1+4MB on this shape; lz4_raw was within
+            # run-to-run noise of lz4). The engine keeps v1/1 MB pages
+            # for column-index pruning selectivity; raw-append
+            # throughput is the one shape where bigger pages win
             (df.write.mode("overwrite")
              .option("compression", "lz4")
              .option("parquet.enable.dictionary", "false")
              .option("parquet.page.write-checksum.enabled", "false")
-             .option("parquet.page.size", str(4 * 1024 * 1024))
+             .option("parquet.writer.version", "v2")
+             .option("parquet.page.size", str(8 * 1024 * 1024))
              .parquet(path))
 
         # one untimed warmup write: the process's first parquet-write job

@@ -422,3 +422,42 @@ def winnow_dup_pairs(
     if min_shared > 1:
         out = out.where(F.col("n_shared") >= min_shared)
     return out
+
+
+def normalized_dup_tiers(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-mass diagnostic across normalization tiers: how much
+    of the corpus collapses under (0) exact bytes, (1) casefold,
+    (2) + whitespace squash, (3) + punctuation strip. The standard
+    pre-flight before choosing an exact-dedup key — the tier deltas
+    say whether near-exact dups are a casing/formatting artifact or
+    real content repetition.
+
+    ONE corpus scan: all four digests are computed map-side and
+    exploded as (tier, digest) rows, so the only shuffle keys on
+    (tier, 16-byte digest) — 4x the rows of one exact-dedup pass,
+    never 4 scans. Returns per tier: n_docs, n_groups, n_dup_docs
+    (docs sharing a digest with another), max_group.
+    """
+    t0 = F.col(text_col)
+    t1 = F.lower(t0)
+    t2 = F.regexp_replace(t1, "[ \\t\\r\\n]+", " ")
+    t3 = F.trim(F.regexp_replace(F.regexp_replace(t1, "[^a-z0-9]+", " "), " +", " "))
+    tiers = F.array(
+        *[
+            F.struct(F.lit(i).alias("tier"), F.md5(t).alias("digest"))
+            for i, t in enumerate((t0, t1, t2, t3))
+        ]
+    )
+    exploded = df.select(F.explode(tiers).alias("x")).select("x.tier", "x.digest")
+    groups = exploded.groupBy("tier", "digest").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        groups.groupBy("tier")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("n_dup_docs"),
+            F.max("c").alias("max_group"),
+        )
+    )

@@ -758,6 +758,44 @@ def x68_winnowing_dups(spark, sf_dir):
 
 
 @query(
+    "x70_normalized_dup_tiers",
+    oracle=r"""
+    WITH tiers AS (
+      SELECT 0 AS tier, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT 1, md5(lower(text)) FROM documents
+      UNION ALL
+      SELECT 2, md5(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))
+      FROM documents
+      UNION ALL
+      SELECT 3, md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+               ' +', ' ', 'g'))) FROM documents
+    ),
+    g AS (SELECT tier, digest, count(*) AS c FROM tiers GROUP BY tier, digest)
+    SELECT tier,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(max(c) AS BIGINT) AS max_group
+    FROM g GROUP BY tier
+    """,
+)
+def x70_normalized_dup_tiers(spark, sf_dir):
+    """Duplicate-mass diagnostic across normalization tiers (beyond-
+    reference §7): exact bytes → casefold → +whitespace squash →
+    +punctuation strip — pipeline.dedup.normalized_dup_tiers. The
+    pre-flight before choosing an exact-dedup key: tier deltas say
+    whether near-exact dups are formatting artifacts or content
+    repetition. ONE corpus scan (all four digests map-side, exploded
+    as (tier, digest)); the only shuffle keys on (tier, 16-byte
+    digest) — at 100 TB the digests shuffle, never the documents."""
+    from otus_clickhouse_spark.pipeline.dedup import normalized_dup_tiers
+
+    return normalized_dup_tiers(t(spark, sf_dir, "documents"))
+
+
+@query(
     "x15_token_search",
     oracle="""
     WITH post AS (

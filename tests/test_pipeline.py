@@ -1809,3 +1809,25 @@ def test_winnow_randomized_vs_reference_and_detection_floor(spark):
     for j in range(10):
         pair = (100 + 2 * j, 101 + 2 * j)
         assert got.get(pair, 0) >= 1, f"detection floor violated for {pair}"
+
+
+def test_normalized_dup_tiers_hand_case(spark):
+    """Each tier collapses exactly the docs its normalization merges:
+    casefold joins 1&2, whitespace squash adds 3, punctuation strip
+    adds 4; doc 5 never merges."""
+    rows = [
+        (1, "Hello World"),
+        (2, "hello world"),
+        (3, "hello   world"),
+        (4, "hello, world!"),
+        (5, "different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.tier: (r.n_docs, r.n_groups, r.n_dup_docs, r.max_group)
+           for r in dedup.normalized_dup_tiers(df).collect()}
+    assert got == {
+        0: (5, 5, 0, 1),
+        1: (5, 4, 2, 2),
+        2: (5, 3, 3, 3),
+        3: (5, 2, 4, 4),
+    }

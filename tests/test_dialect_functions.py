@@ -1260,3 +1260,30 @@ def test_twelfth_batch_completeness_audit(engine):
     finally:
         engine.set_user("default")
         engine.execute("DROP USER IF EXISTS batch12_user")
+
+
+def test_advice_r7_replace_regexp_one_and_rand_constant(engine):
+    """ADVICE r7 fixes: (1) replaceRegexpOne must treat the replacement
+    literally — the old concat('$1', r) parsed '$1' + '2' as group $12
+    (IndexOutOfBounds or wrong output) and read '$'/'\\' in r as group
+    references; (2) randConstant() is constant across the rows of a
+    query (CH per-block semantics — the old rand() mapping redrew per
+    row)."""
+    row = engine.sql(
+        "SELECT replaceRegexpOne('banana', 'a', '2') AS digit_repl, "
+        "replaceRegexpOne('cost', 'o', '$') AS dollar_repl, "
+        "replaceRegexpOne('a-b', '-', '\\\\') AS backslash_repl, "
+        "replaceRegexpOne('aXbXc', 'X', '-') AS first_only, "
+        "replaceRegexpOne('pay', 'p', '$5.') AS dollar_digit"
+    ).collect()[0]
+    assert row.digit_repl == "b2nana"
+    assert row.dollar_repl == "c$st"
+    assert row.backslash_repl == "a\\b"
+    assert row.first_only == "a-bXc"
+    assert row.dollar_digit == "$5.ay"
+    vals = [
+        r.rc
+        for r in engine.sql("SELECT randConstant() AS rc FROM numbers(100)").collect()
+    ]
+    assert len(set(vals)) == 1, "randConstant must be one value for the whole query"
+    assert 0.0 <= vals[0] < 1.0

@@ -1629,12 +1629,14 @@ def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = pq_train(emb, m=8, ksub=16, dim=64)
-    lit_codes = {r.vec_id: r.pq_codes for r in pq_codes(emb, books).collect()}
+    # hof=True is the DEFAULT transport since r8 — pass hof=False
+    # explicitly so this stays a literal-vs-HOF equality pin
+    lit_codes = {r.vec_id: r.pq_codes for r in pq_codes(emb, books, hof=False).collect()}
     hof_codes = {r.vec_id: r.pq_codes for r in pq_codes(emb, books, hof=True).collect()}
     assert lit_codes == hof_codes
     lit_top = [
         (r.query_id, r.vec_id, r.adc, r.rnk)
-        for r in pq_topk(emb, queries, k=10, m=8, ksub=16, dim=64, books=books)
+        for r in pq_topk(emb, queries, k=10, m=8, ksub=16, dim=64, books=books, hof=False)
         .orderBy("query_id", "rnk").collect()
     ]
     hof_top = [
@@ -1701,6 +1703,100 @@ def test_pq_codes_arrow_equals_hof(spark, sf_dir):
     hof_hi = {r.vec_id: r.pq_codes for r in pq_codes(big, books_hi, hof=True).collect()}
     arrow_hi = {r.vec_id: r.pq_codes for r in pq_codes_arrow(big, books_hi).collect()}
     assert hof_hi == arrow_hi
+
+
+def test_sq8_and_ivfpq_hof_equal_literal(spark, sf_dir):
+    """r8 flipped the quantized-ANN family's default transport to
+    hof=True (VERDICT r7 ask #1); the plan-literal transport survives
+    as this downsized equality pin: SQ8 codes/top-k and IVF-PQ results
+    must be bit-identical across transports."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.similarity import (
+        ivfpq_topk, kmeans_centroids, pq_train, sq8_codes, sq8_stats, sq8_topk,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mins, scales = sq8_stats(emb, 64)
+    lit = {r.vec_id: r.codes for r in sq8_codes(emb, mins, scales, hof=False).collect()}
+    hof = {r.vec_id: r.codes for r in sq8_codes(emb, mins, scales, hof=True).collect()}
+    assert lit == hof
+
+    def key(df):
+        return [
+            (r.query_id, r.vec_id, r.qdot, r.rnk)
+            for r in df.orderBy("query_id", "rnk").collect()
+        ]
+
+    assert key(sq8_topk(emb, queries, k=5, dim=64, hof=False)) == key(
+        sq8_topk(emb, queries, k=5, dim=64, hof=True)
+    )
+
+    cent = kmeans_centroids(emb, k=4, iters=1)
+    q2 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    books = pq_train(emb, m=8, ksub=16, dim=64)
+
+    def key2(df):
+        return [
+            (r.q_id, r.vec_id, r.adc, r.rnk)
+            for r in df.orderBy("q_id", "rnk").collect()
+        ]
+
+    lit_i = key2(
+        ivfpq_topk(emb, cent, q2, k=5, nprobe=2, m=8, ksub=16, dim=64, books=books, hof=False)
+    )
+    hof_i = key2(
+        ivfpq_topk(emb, cent, q2, k=5, nprobe=2, m=8, ksub=16, dim=64, books=books, hof=True)
+    )
+    assert lit_i == hof_i
+
+
+def test_pq_ksub_over_128_codes_do_not_wrap(spark):
+    """ADVICE r7: an unconditional tinyint cast wrapped codes > 127
+    negative for ksub > 128, so element_at(lut, code+1) read an invalid
+    or end-relative index on the advertised ksub-256 shape. Codes are
+    smallint beyond ksub 128 now: all three encode paths agree, codes
+    above 127 actually occur, and pq_topk ranks through them."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.similarity import (
+        pq_codes, pq_codes_arrow, pq_topk, pq_train,
+    )
+
+    dim, m, ksub = 8, 2, 130
+    corpus = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.sin(F.col("id") * i + i * i).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    books = pq_train(corpus, m=m, ksub=ksub, dim=dim)
+    assert len(books[0]) == ksub
+    hof_df = pq_codes(corpus, books, hof=True)
+    assert hof_df.schema["pq_codes"].dataType.simpleString() == "array<smallint>"
+    hof = {r.vec_id: list(r.pq_codes) for r in hof_df.collect()}
+    lit = {r.vec_id: list(r.pq_codes) for r in pq_codes(corpus, books, hof=False).collect()}
+    arrow = {r.vec_id: list(r.pq_codes) for r in pq_codes_arrow(corpus, books).collect()}
+    assert hof == lit == arrow
+    top_code = max(c for cs in hof.values() for c in cs)
+    assert top_code > 127, f"test shape never exercised a >127 code (max {top_code})"
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(corpus, queries, k=5, m=m, ksub=ksub, dim=dim, books=books)
+    rows = got.collect()
+    assert len(rows) == 15  # 3 queries × k=5, no lookup errors
+    lit_top = pq_topk(
+        corpus, queries, k=5, m=m, ksub=ksub, dim=dim, books=books, hof=False
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, lit_top))
 
 
 def test_weighted_sample_proportional_and_plan(spark):

@@ -142,3 +142,36 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     )
     stale = set(UNPARTITIONED_WINDOW_OK) - set(seen)
     assert not stale, f"allowlist entries no longer triggering (remove them): {stale}"
+
+
+def test_registry_codegen_compiles(spark, sf_dir):
+    """Codegen-health guard (r7 verdict ask #2): the PQ literal
+    transport's registry plans FAILED whole-stage codegen (janino
+    InternalCompilerException, 3.5–4.9 MiB task binaries) and silently
+    ran interpreted — a 12–15× slowdown invisible to every correctness
+    check (x60 43.5 s vs its bit-identical HOF twin at 3.6 s, sf0.01).
+    Execute every registry query with ``spark.sql.codegen.fallback=
+    false`` so a compile failure RAISES instead of interpreting; the
+    noop sink forces full execution without driver-collect cost. (The
+    other silent-fallback channel — bytecode above
+    ``spark.sql.codegen.hugeMethodLimit`` — downgrades before the
+    compile step and cannot be trapped this way; janino errors are the
+    observed failure class.)"""
+    from otus_clickhouse_spark.queries import all_queries
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        failures = {}
+        for name, fn in sorted(all_queries().items()):
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — report every offender
+                failures[name] = str(exc).splitlines()[0][:160]
+            finally:
+                spark.catalog.clearCache()
+        assert not failures, (
+            f"whole-stage codegen compile failures (these queries run "
+            f"interpreted at scale): {failures}"
+        )
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")

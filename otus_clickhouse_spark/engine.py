@@ -1827,43 +1827,17 @@ class Engine:
         distributed: a real broker takes ``df.write.format("kafka")``;
         the broker-less file-topic stand-in writes per-task part files
         promoted to segments by rename (FileTopic.produce_frame) — row
-        data never materializes on the driver either way."""
-        from pyspark.sql import functions as F
+        data never materializes on the driver either way. Per-format
+        escaping lives in :func:`formats.serialize_frame` (shared with
+        the CLI module — r7 verdict #5); the file-topic path passes
+        ``line_framed=True`` so one logical row is always one message
+        (ADVICE r7: RFC-4180 quoted newlines split across line-framed
+        segments)."""
+        from otus_clickhouse_spark.formats import serialize_frame
 
-        fmt = td.settings.get("kafka_format", "JSONEachRow").lower()
-        cols = df.columns
-        if fmt in ("jsonasstring", "rawblob", "lineasstring"):
-            # raw formats ONLY — a single-column JSONEachRow table still
-            # publishes a JSON object, not the bare cast value
-            ser = df.select(F.col(cols[0]).cast("string").alias("value"))
-        elif fmt == "csv":
-            # RFC-4180 quoting: fields containing the separator, a
-            # quote, or a line break are wrapped and inner quotes
-            # doubled — unquoted concat_ws corrupted segment framing
-            def _csvf(c: str):
-                s = F.col(c).cast("string")
-                quoted = F.concat(
-                    F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"')
-                )
-                needs = (
-                    s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
-                )
-                return F.when(needs, quoted).otherwise(s)
-
-            ser = df.select(F.concat_ws(",", *[_csvf(c) for c in cols]).alias("value"))
-        elif fmt in ("tsv", "tabseparated"):
-            # CH TabSeparated escaping: backslash first, then tab/newline
-            def _tsvf(c: str):
-                s = F.col(c).cast("string")
-                s = F.regexp_replace(s, r"\\", r"\\\\")
-                s = F.regexp_replace(s, "\t", r"\\t")
-                s = F.regexp_replace(s, "\n", r"\\n")
-                return F.regexp_replace(s, "\r", r"\\r")
-
-            ser = df.select(F.concat_ws("\t", *[_tsvf(c) for c in cols]).alias("value"))
-        else:  # JSONEachRow and friends
-            ser = df.select(F.to_json(F.struct(*cols)).alias("value"))
+        fmt = td.settings.get("kafka_format", "JSONEachRow")
         brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+        ser = serialize_frame(df, fmt, line_framed=not brokers)
         if brokers:
             (
                 ser.write.format("kafka")
@@ -1949,10 +1923,17 @@ class Engine:
         topic = td.settings.get("kafka_topic_list", name)
         schema = self.spark.table(name).schema
         brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+        # Per-trigger bound (r7 verdict weak #2): without one, attaching
+        # over a large backlog materializes the WHOLE backlog in the
+        # first micro-batch. CH's consumer loop is likewise block-bounded
+        # (kafka_max_block_size, default 65536).
+        max_block = int(td.settings.get("kafka_max_block_size", 65536))
         if brokers:
             from otus_clickhouse_spark.streaming.mv import kafka_source
 
-            raw = kafka_source(self.spark, brokers, topic).select(
+            raw = kafka_source(
+                self.spark, brokers, topic, maxOffsetsPerTrigger=str(max_block)
+            ).select(
                 F.col("value").alias("message"),
                 "_topic",
                 F.lit("").alias("_key"),
@@ -1967,6 +1948,9 @@ class Engine:
             raw = (
                 self.spark.readStream.schema("value string")
                 .option("pathGlobFilter", "*.jsonl")
+                # segments are produce blocks; 16/trigger bounds a batch
+                # the way maxOffsetsPerTrigger bounds the broker path
+                .option("maxFilesPerTrigger", "16")
                 .text(tdir)
                 .select(
                     F.col("value").alias("message"),
@@ -1978,27 +1962,40 @@ class Engine:
                 )
             )
         mvs = self._mvs.get(name, [])
+        stage_root = tempfile.mkdtemp(prefix="kafka_stage_")
 
-        def process(batch_df, _epoch):
+        def process(batch_df, epoch):
             # foreachBatch hands a frame bound to the micro-batch's CLONED
             # session; MV transforms register temp views on the ENGINE's
-            # session, so rebind the block there. Blocks are poll-sized —
-            # CH's Kafka engine likewise materializes kafka_max_block_size
-            # rows per consume before pushing to views.
-            rows = batch_df.collect()
-            if not rows:
+            # session, so the block must be rebound there. r7 verdict
+            # weak #2: the old rebind collect()ed every micro-batch to
+            # the driver. Now the batch STAGES to parquet (a distributed
+            # write) and re-reads on the engine session — row data never
+            # passes through the driver; together with the per-trigger
+            # bound above, a deep backlog streams through in
+            # block-sized, executor-resident batches.
+            import shutil as _shutil
+
+            stage = os.path.join(stage_root, f"epoch_{epoch}")
+            batch_df.write.mode("overwrite").parquet(stage)
+            block = self.spark.read.parquet(stage)
+            n = block.count()
+            if not n:
+                _shutil.rmtree(stage, ignore_errors=True)
                 return
-            block = self.spark.createDataFrame(rows, batch_df.schema)
             if not brokers:
-                # stand-in offsets: contiguous per consumer (the window is
-                # bounded by the block size)
+                # stand-in offsets: contiguous per consumer (the window
+                # input is bounded by maxFilesPerTrigger × block size)
                 w = Window.orderBy(F.monotonically_increasing_id())
                 start = counter["offset"]
                 block = block.withColumn(
                     "_offset", F.row_number().over(w).cast("long") + F.lit(start - 1)
                 )
-                counter["offset"] = start + len(rows)
+                counter["offset"] = start + n
             shaped = self._kafka_shape_block(block, schema).localCheckpoint(eager=True)
+            # the eager checkpoint pins the block executor-side; the
+            # staging files are no longer referenced
+            _shutil.rmtree(stage, ignore_errors=True)
             for mv in mvs:
                 mv.process_block(shaped)
 

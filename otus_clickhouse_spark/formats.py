@@ -141,3 +141,60 @@ def _vertical(columns: list[str], data: list[tuple]) -> str:
         lines += [f"{c.ljust(w)}: {_cell(v)}" for c, v in zip(columns, row)]
         blocks.append("\n".join(lines))
     return "\n\n".join(blocks)
+
+
+def serialize_frame(df, fmt: str, line_framed: bool = False):
+    """Row-per-message serialization as COLUMN EXPRESSIONS: render every
+    row of ``df`` into one string message (single ``value`` column) per
+    ``fmt`` — the produce-side twin of :func:`render`, kept in this
+    module so the per-format escaping rules live in ONE place (r7
+    verdict #5: the same CSV/TSV rules previously existed here for the
+    CLI and separately in engine._kafka_produce_frame). Serialization
+    happens task-side; the driver never sees row data.
+
+    ``line_framed=True`` is the file-topic stand-in's contract — one
+    message per LINE (ADVICE r7): CSV fields escape backslash/CR/LF
+    (CH TabSeparated-style, backslash first so the escaping is
+    unambiguous) BEFORE the RFC-4180 quoting decision, so a quoted
+    field can never carry a literal line break and one logical row is
+    always one message, matching the real broker's one-row-one-message
+    framing. With a length-framed real broker (``line_framed=False``)
+    CSV stays pure RFC-4180, where a quoted field may span lines
+    within one message."""
+    from pyspark.sql import functions as F
+
+    fmt = fmt.lower()
+    cols = df.columns
+
+    def _esc_breaks(s):
+        s = F.regexp_replace(s, r"\\", r"\\\\")
+        s = F.regexp_replace(s, "\n", r"\\n")
+        return F.regexp_replace(s, "\r", r"\\r")
+
+    if fmt in ("jsonasstring", "rawblob", "lineasstring"):
+        # raw formats ONLY — a single-column JSONEachRow table still
+        # publishes a JSON object, not the bare cast value
+        return df.select(F.col(cols[0]).cast("string").alias("value"))
+    if fmt in ("csv", "csvwithnames"):
+        # RFC-4180 quoting: fields containing the separator, a quote,
+        # or a line break are wrapped and inner quotes doubled
+        def _csvf(c: str):
+            s = F.col(c).cast("string")
+            if line_framed:
+                s = _esc_breaks(s)
+            quoted = F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"'))
+            needs = (
+                s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
+            )
+            return F.when(needs, quoted).otherwise(s)
+
+        return df.select(F.concat_ws(",", *[_csvf(c) for c in cols]).alias("value"))
+    if fmt in ("tsv", "tabseparated", "tsvwithnames", "tabseparatedwithnames"):
+        # CH TabSeparated escaping: backslash first, then tab/newline
+        def _tsvf(c: str):
+            s = _esc_breaks(F.col(c).cast("string"))
+            return F.regexp_replace(s, "\t", r"\\t")
+
+        return df.select(F.concat_ws("\t", *[_tsvf(c) for c in cols]).alias("value"))
+    # JSONEachRow and friends
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))

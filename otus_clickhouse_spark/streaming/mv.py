@@ -49,23 +49,33 @@ class MaterializedView:
         )
 
 
-def kafka_source(spark, brokers: str, topic: str, starting: str = "earliest") -> DataFrame:
+def kafka_source(
+    spark,
+    brokers: str,
+    topic: str,
+    starting: str = "earliest",
+    maxOffsetsPerTrigger: str | None = None,
+) -> DataFrame:
     """Kafka engine table (consumer) — lecture_09.md:891-918.
 
     Exposes the same virtual columns the CH Kafka engine does
     (_topic/_partition/_offset/_timestamp — init.sql:24-30).
+    ``maxOffsetsPerTrigger`` bounds a micro-batch so attaching over a
+    deep backlog never materializes it in one trigger (r7 verdict).
     Requires the spark-sql-kafka package on the cluster; this container
     has no Kafka, so tests exercise the MV path with file/memory sources.
     """
     from pyspark.sql import functions as F
 
-    raw = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", starting)
-        .load()
     )
+    if maxOffsetsPerTrigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    raw = reader.load()
     return raw.select(
         F.col("value").cast("string").alias("value"),
         F.col("topic").alias("_topic"),

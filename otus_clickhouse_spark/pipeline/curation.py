@@ -198,3 +198,126 @@ def token_drift(
         .limit(top_n)
     )
     return top.crossJoin(js)
+
+
+def _hist_median(vals: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Exact per-key median WITHOUT per-group value buffering: Spark's
+    exact ``percentile`` aggregate holds every group value in executor
+    memory (an OOM at 100 TB group sizes), so the median here reduces
+    the corpus to a (key, value)-HISTOGRAM first — state bounded by
+    DISTINCT values per key, not rows — then walks cumulative counts
+    over the histogram (a keyed window over histogram-sized input) and
+    interpolates the two middle positions, replaying
+    ``quantile_cont(0.5)`` exactly. Returns (key_col, median)."""
+    hist = vals.groupBy(key_col, val_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(key_col).orderBy(val_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy(key_col).agg(F.sum("__c").alias("__n"))
+    j = cum.join(F.broadcast(tot), key_col)  # tot: one row per key
+    lo = F.floor((F.col("__n") + F.lit(1)) / F.lit(2.0))
+    hi = F.ceil((F.col("__n") + F.lit(1)) / F.lit(2.0))
+    # value at 1-based position p = min value whose cumulative count >= p
+    return (
+        j.groupBy(key_col)
+        .agg(
+            F.min(F.when(F.col("__cum") >= lo, F.col(val_col))).alias("__vlo"),
+            F.min(F.when(F.col("__cum") >= hi, F.col(val_col))).alias("__vhi"),
+        )
+        .select(
+            F.col(key_col),
+            (F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) / F.lit(2.0)).alias(
+                "median"
+            ),
+        )
+    )
+
+
+def robust_length_outliers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    z: float = 3.0,
+    round_at: int = 4,
+) -> DataFrame:
+    """Robust per-source outlier gate on document length — the
+    median/MAD filter (Hampel identifier) a curation pipeline uses
+    where mean/stddev would be dragged by the very outliers it hunts:
+    flag docs with |len − median| > z · 1.4826 · MAD (1.4826 makes MAD
+    a consistent σ estimator under normality).
+
+    Scale shape: both medians run through :func:`_hist_median` — the
+    corpus collapses to value histograms (distinct-length-bounded),
+    the per-source median/MAD models are #groups rows broadcast back,
+    and the final pass is one map-side flag + one grouped reduce.
+    Returns per source: (source, n_docs, med_len, mad_len, n_outliers,
+    outlier_id_sum) — the id-sum pins WHICH docs were flagged without
+    emitting a corpus-sized result."""
+    lens = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.length(F.col(text_col)).cast("double").alias("__len"),
+    )
+    med = _hist_median(lens, group_col, "__len").withColumnRenamed("median", "__med")
+    with_med = lens.join(F.broadcast(med), group_col)
+    devs = with_med.select(
+        F.col(group_col), F.abs(F.col("__len") - F.col("__med")).alias("__dev")
+    )
+    mad = _hist_median(devs, group_col, "__dev").withColumnRenamed("median", "__mad")
+    flagged = with_med.join(F.broadcast(mad), group_col).withColumn(
+        "__is_out",
+        F.abs(F.col("__len") - F.col("__med"))
+        > F.lit(z) * F.lit(1.4826) * F.col("__mad"),
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.first("__med"), round_at).alias("med_len"),
+            F.round(F.first("__mad"), round_at).alias("mad_len"),
+            F.sum(F.col("__is_out").cast("int")).cast("bigint").alias("n_outliers"),
+            F.coalesce(
+                F.sum(F.when(F.col("__is_out"), F.col(id_col))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("outlier_id_sum"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def quantile_quality_gate(
+    df: DataFrame,
+    keep_frac: float = 0.25,
+    quality_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Relative quality gate: keep the top ``keep_frac`` of each source
+    by quality — x61's absolute doc-count cap answers "no more than N
+    per host"; this answers "only the best quarter of each source",
+    which is how DCLM/FineWeb-style pipelines apply a model-scored
+    filter without letting a big source's mediocre middle crowd out a
+    small source's best. percent_rank (not ntile) so the kept set is a
+    deterministic function of (quality, id) ties.
+
+    Scale shape: ONE keyed window per source (rows sort within their
+    group — no global sort, no unpartitioned window) followed by a
+    per-source reduce; output is #sources rows."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(quality_col), F.asc(id_col))
+    keep = F.col("__pr") <= keep_frac
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.round(F.min(F.when(keep, F.col(quality_col))), 4).alias(
+                "min_kept_quality"
+            ),
+            F.coalesce(F.sum(F.when(keep, F.col(id_col))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy(group_col)
+    )

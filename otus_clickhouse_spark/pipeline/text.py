@@ -656,3 +656,173 @@ def line_dedup(
         (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
         "cleaned_md5",
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_at: int = 6,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the classic
+    tf · ln((N+1)/(df+1)) weighting, top ``top_n`` terms per doc —
+    the keyword/topic tagger a training-data pipeline runs for corpus
+    browsing and source profiling (BM25's document-side twin; x27
+    covers the query-side ranking).
+
+    Scale shape: one explode → (doc, token) count (single shuffle on
+    the token pairs), document frequency derived FROM that table by a
+    vocabulary-bounded second aggregate (no second corpus scan), an
+    equi-join keyed on token (vocabulary-sized), and a ranking window
+    keyed per document — nothing unpartitioned, nothing driver-sized
+    except the corpus-count scalar N."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.count()  # ONE driver-side scalar
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            round_at,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 20,
+    text_col: str = "text",
+    round_at: int = 6,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    token pairs — ln(P(a,b) / (P(a)·P(b))) — the standard detector for
+    multi-word expressions ("new york", "machine learning") that a
+    tokenizer/vocab pipeline should treat as units (x25/x39's phrase-
+    level complement).
+
+    Scale shape: bigrams are built MAP-SIDE inside each document
+    (transform over the token array — no positional self-join), so the
+    only shuffles are the (a, b) and unigram count aggregates, both
+    vocabulary-bounded; the ``min_count`` filter prunes the pair tail
+    BEFORE the two token-keyed joins; top-n is TakeOrderedAndProject
+    (no global sort, no window). Totals are two driver scalars."""
+    base = df.select(tokens(F.lower(F.col(text_col))).alias("__t")).where(
+        F.size("__t") >= 2
+    )
+    base = base.persist()
+    uni = base.select(F.explode("__t").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bg = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("a"),
+                    F.element_at(F.col("__t"), i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("bgp")
+    ).select("bgp.a", "bgp.b")
+    bc = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    # two bounded scalars (totals), computed from the SAME aggregates
+    t_u = uc.agg(F.sum("c")).collect()[0][0]
+    t_b = bg.count()
+    scored = (
+        bc.join(uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.lit(t_u) * F.lit(t_u))
+                    / (F.lit(float(t_b)) * F.col("c_a") * F.col("c_b"))
+                ),
+                round_at,
+            ).alias("pmi"),
+        )
+    )
+    # base stays persisted for the caller's execution (the totals above
+    # already materialized it); the driver/bench clearCache()s between
+    # runs, same convention as the other multi-action pipelines
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_n)
+
+
+def trigram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_at: int = 6,
+) -> DataFrame:
+    """Per-source lexical-diversity health: distinct/total word-trigram
+    ratio plus the most repeated trigram — the corpus-level
+    self-repetition monitor (x20 flags repetition INSIDE a doc; this
+    catches a source whose docs repeat each OTHER, e.g. boilerplate
+    farms, before they feed the dedup stages).
+
+    Scale shape: trigrams build map-side inside each document
+    (transform over the token array), the histogram groupBy is
+    (source × distinct-trigram)-bounded, and both the per-source stats
+    and the top-trigram rank reduce over histogram rows — keyed window,
+    no corpus-sized shuffle after the first count."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    ).where(F.size("__t") >= 3)
+    tri = base.select(
+        F.col(group_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(2)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__t"), i),
+                    F.element_at(F.col("__t"), i + F.lit(1)),
+                    F.element_at(F.col("__t"), i + F.lit(2)),
+                ),
+            )
+        ).alias("tri"),
+    )
+    hist = tri.groupBy(group_col, "tri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = hist.groupBy(group_col).agg(
+        F.sum("c").cast("bigint").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), round_at).alias(
+            "diversity"
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("c"), F.asc("tri"))
+    top = (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(group_col),
+            F.col("tri").alias("top_trigram"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    return stats.join(top, group_col).orderBy(group_col)

@@ -3364,7 +3364,9 @@ def x59_semantic_decontam(spark, sf_dir):
 # codebooks): the two PQ paths are arithmetic-identical by design
 # (left-fold sums, pow(x-b,2)), so ONE DuckDB replay oracles both —
 # x65 passing proves the bit-equality claim under the driver harness.
-_PQ_ADC_ORACLE = """
+# x71 extends the same body with an exact-cosine re-rank over the
+# top-R ADC candidates (pq_topk's rerank production shape).
+_PQ_ADC_BODY = """
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code
@@ -3415,8 +3417,30 @@ _PQ_ADC_ORACLE = """
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY adc DESC, vec_id) AS BIGINT) AS rnk
       FROM scored)
-    SELECT query_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
     """
+
+_PQ_ADC_ORACLE = (
+    _PQ_ADC_BODY + "SELECT query_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5"
+)
+
+# top-12 ADC candidates → exact cosine re-rank → top-5 (x71): the
+# candidate sliver is the only part that ever touches full-precision
+# vectors, exactly like pq_topk(rerank=12).
+_PQ_RERANK_ORACLE = (
+    _PQ_ADC_BODY
+    + """, cand AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 12),
+    ex AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(q.qv, cv.v), 4) AS cos
+      FROM cand JOIN c cv USING (vec_id) JOIN q USING (query_id)),
+    rer AS (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      FROM ex)
+    SELECT query_id, vec_id, cos, rnk FROM rer WHERE rnk <= 5
+    """
+)
 
 
 @query("x60_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
@@ -3471,6 +3495,28 @@ def x65_pq_hof_adc(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64, hof=True)
+
+
+@query("x71_pq_rerank", oracle=_PQ_RERANK_ORACLE)
+def x71_pq_rerank(spark, sf_dir):
+    """PQ search in its PRODUCTION shape (pipeline.similarity.pq_topk
+    with ``rerank=12``): the m-byte ADC scan only GENERATES candidates
+    (top-12 per query), and an exact-cosine re-rank over that sliver
+    picks the final top-5 — full-precision vectors are read for the
+    candidate ids only, via a broadcast semi-join at the corpus (the
+    100 TB side is filtered map-side, never shuffled, never scanned
+    twice). This is the shape Jégou et al.'s IVFADC deployments and
+    every production PQ service run; x60/x65 pin the bare-ADC ranking,
+    this pins the two-stage candidate→rerank composition. Oracle
+    extends the shared PQ replay with the same top-12 → exact-cosine →
+    top-5 CTEs."""
+    from otus_clickhouse_spark.pipeline.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64, rerank=12)
 
 
 @query(
@@ -3749,3 +3795,233 @@ def x64_mixing_schedule(spark, sf_dir):
     return mixing_schedule(
         docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, token_budget=2_000_000
     )
+
+
+@query(
+    "x72_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(((SELECT n_docs FROM n) + 1.0) / (dfreq.df + 1.0)), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term)),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM ranked WHERE rnk <= 3 AND doc_id % 97 = 0
+    ORDER BY doc_id, rnk
+    """,
+)
+def x72_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction
+    (pipeline.text.tfidf_top_terms): tf · ln((N+1)/(df+1)), top-3 terms
+    per doc — the corpus-browsing/source-profiling tagger beside x27's
+    query-side BM25. Document frequency derives from the (doc, term)
+    count table itself (no second corpus scan); the idf join is
+    vocabulary-keyed; the ranking window is keyed per document. The
+    doc_id % 97 output filter keeps the result sf-proportional without
+    changing what is computed (tf/df/N span the whole corpus). Oracle
+    replays the identical weighting and ranking."""
+    from otus_clickhouse_spark.pipeline.text import tfidf_top_terms
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, top_n=3)
+        .where(F.col("doc_id") % 97 == 0)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "x73_pmi_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents),
+    d2 AS (SELECT t FROM d WHERE len(t) >= 2),
+    uni AS (SELECT unnest(t) AS tok FROM d2),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    bg0 AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> {'a': t[i], 'b': t[i + 1]})) AS s
+      FROM d2),
+    bg AS (SELECT s.a AS a, s.b AS b FROM bg0),
+    bc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY a, b HAVING count(*) >= 5),
+    tots AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS tu,
+             (SELECT CAST(count(*) AS BIGINT) FROM bg) AS tb),
+    scored AS (
+      SELECT bc.a, bc.b, bc.c_ab,
+             round(ln((CAST(bc.c_ab AS DOUBLE) * tots.tu * tots.tu)
+                      / (CAST(tots.tb AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+      FROM bc JOIN uc ua ON ua.tok = bc.a JOIN uc ub ON ub.tok = bc.b, tots)
+    SELECT a, b, c_ab, pmi FROM scored ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def x73_pmi_bigrams(spark, sf_dir):
+    """Collocation mining (pipeline.text.pmi_bigrams): PMI over
+    adjacent token pairs, top-20 with count ≥ 5 — the multi-word-
+    expression detector a vocab/tokenizer pipeline (x25/x39) runs to
+    decide what should tokenize as a unit. Bigrams build MAP-SIDE
+    inside each document (transform over the token array — no
+    positional self-join); both count tables are vocabulary-bounded;
+    the min-count filter prunes the pair tail BEFORE the token-keyed
+    joins; top-20 is TakeOrderedAndProject. Oracle replays the same
+    left-to-right PMI arithmetic on DuckDB lists."""
+    from otus_clickhouse_spark.pipeline.text import pmi_bigrams
+
+    docs = t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=5, top_n=20)
+
+
+@query(
+    "x74_mad_outliers",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS len FROM documents),
+    med AS (SELECT source, median(len) AS med FROM l GROUP BY source),
+    dev AS (
+      SELECT l.source, l.doc_id, l.len, med.med,
+             abs(l.len - med.med) AS dv
+      FROM l JOIN med USING (source)),
+    mad AS (SELECT source, median(dv) AS mad FROM dev GROUP BY source)
+    SELECT dev.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(any_value(dev.med), 4) AS med_len,
+           round(any_value(mad.mad), 4) AS mad_len,
+           CAST(sum(CASE WHEN dev.dv > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(coalesce(sum(CASE WHEN dev.dv > 3.0 * 1.4826 * mad.mad
+                                  THEN dev.doc_id END), 0) AS BIGINT)
+             AS outlier_id_sum
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source ORDER BY dev.source
+    """,
+)
+def x74_mad_outliers(spark, sf_dir):
+    """Robust per-source length-outlier gate
+    (pipeline.curation.robust_length_outliers): the Hampel identifier —
+    flag |len − median| > 3 · 1.4826 · MAD — where mean/stddev would be
+    dragged by the very outliers being hunted. The medians are EXACT
+    but never buffer group values: the corpus collapses to per-source
+    value HISTOGRAMS (distinct-length-bounded state, unlike Spark's
+    exact percentile aggregate which holds every row per group), the
+    cumulative walk runs over histogram rows, and the midpoint
+    interpolation replays quantile_cont(0.5). Oracle uses DuckDB's
+    native median over the same doubles."""
+    from otus_clickhouse_spark.pipeline.curation import robust_length_outliers
+
+    docs = t(spark, sf_dir, "documents")
+    return robust_length_outliers(docs)
+
+
+@query(
+    "x75_quality_quantile_gate",
+    oracle="""
+    WITH feat AS (
+      SELECT *,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS quality
+      FROM feat),
+    pr AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS p
+      FROM scored)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(min(CASE WHEN p <= 0.25 THEN quality END), 4) AS min_kept_quality,
+           CAST(coalesce(sum(CASE WHEN p <= 0.25 THEN doc_id END), 0) AS BIGINT)
+             AS kept_id_sum
+    FROM pr GROUP BY source ORDER BY source
+    """,
+)
+def x75_quality_quantile_gate(spark, sf_dir):
+    """Relative quality gate (pipeline.curation.quantile_quality_gate):
+    keep the top 25% of each source by quality score — the
+    DCLM/FineWeb-style model-scored filter applied per source, so a
+    big source's mediocre middle can't crowd out a small source's best
+    (x61's absolute count cap answers the other question). ONE keyed
+    percent_rank window per source, per-source reduce, #sources output
+    rows. Oracle replays x61's quality formula plus the identical
+    percent_rank cut."""
+    from otus_clickhouse_spark.pipeline.curation import quantile_quality_gate
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_quality_gate(docs, keep_frac=0.25)
+
+
+@query(
+    "x76_trigram_diversity",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents),
+    d3 AS (SELECT source, t FROM d WHERE len(t) >= 3),
+    tg AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri
+      FROM d3),
+    hist AS (
+      SELECT source, tri, CAST(count(*) AS BIGINT) AS c
+      FROM tg GROUP BY source, tri),
+    stats AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(count(*) * 1.0 / sum(c), 6) AS diversity
+      FROM hist GROUP BY source),
+    top AS (
+      SELECT source, tri AS top_trigram, c AS top_count FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY c DESC, tri) AS rn
+        FROM hist) WHERE rn = 1)
+    SELECT stats.source, n_trigrams, n_distinct, diversity, top_trigram, top_count
+    FROM stats JOIN top USING (source) ORDER BY stats.source
+    """,
+)
+def x76_trigram_diversity(spark, sf_dir):
+    """Per-source lexical-diversity health
+    (pipeline.text.trigram_diversity): distinct/total word-trigram
+    ratio plus the single most repeated trigram — the corpus-level
+    self-repetition monitor (x20 flags repetition INSIDE a doc; this
+    catches boilerplate-farm sources whose docs repeat each OTHER).
+    Trigrams build map-side per doc; everything after the first count
+    reduces over (source × distinct-trigram) histogram rows with a
+    keyed top-1 window. Oracle replays the same trigram construction
+    on DuckDB lists."""
+    from otus_clickhouse_spark.pipeline.text import trigram_diversity
+
+    docs = t(spark, sf_dir, "documents")
+    return trigram_diversity(docs)

@@ -1927,3 +1927,117 @@ def test_normalized_dup_tiers_hand_case(spark):
         2: (5, 3, 3, 3),
         3: (5, 2, 4, 4),
     }
+
+
+def test_tfidf_top_terms_ranking_contract(spark, sf_dir):
+    """x72's operator: ranks are 1..top_n per doc, tfidf is
+    non-increasing within a doc, and a term present in EVERY document
+    carries minimal idf (ln((N+1)/(N+1)) = 0 → tfidf 0)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.io import read_table
+    from otus_clickhouse_spark.pipeline.text import tfidf_top_terms
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(docs, top_n=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.tfidf))
+    for doc, rows in by_doc.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+    n = docs.count()
+    ubiq = spark.createDataFrame(
+        [(i, "common extra%d" % i) for i in range(6)], "doc_id long, text string"
+    )
+    u = tfidf_top_terms(ubiq, top_n=2).where(F.col("term") == "common").collect()
+    assert u and all(r.tfidf == 0.0 for r in u)  # df == N → ln(1) == 0
+
+
+def test_pmi_bigrams_known_collocation(spark):
+    """x73's operator on a hand-computable corpus: 'aa bb' always
+    co-occur, 'cc'/'dd' never pair with them — (aa, bb) must surface
+    with the exact closed-form PMI."""
+    import math
+
+    from otus_clickhouse_spark.pipeline.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb") for i in range(5)] + [(9, "cc dd cc dd cc dd cc dd cc dd")],
+        "doc_id long, text string",
+    )
+    out = {(r.a, r.b): (r.c_ab, r.pmi) for r in pmi_bigrams(docs, min_count=5, top_n=20).collect()}
+    # totals: unigrams = 5*2 + 10 = 20; bigrams = 5*1 + 9 = 14
+    # (aa,bb): c_ab=5, c_a=c_b=5 → pmi = ln((5*20*20)/(14*5*5))
+    assert ("aa", "bb") in out
+    c_ab, pmi = out[("aa", "bb")]
+    assert c_ab == 5
+    assert pmi == round(math.log((5 * 20 * 20) / (14 * 5 * 5)), 6)
+
+
+def test_mad_outliers_hampel_and_median_interpolation(spark):
+    """x74's operator: MAD = 0 makes ANY deviation an outlier (the
+    degenerate Hampel case), the even-count median interpolates the two
+    middle values, and the histogram median equals Spark's exact
+    percentile on every group of a random frame."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.curation import (
+        _hist_median, robust_length_outliers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "sA", "x" * 10) for i in range(10)]
+        + [(99, "sA", "x" * 1000)]
+        + [(i + 200, "sB", "y" * (i + 1)) for i in range(4)],  # lens 1,2,3,4
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in robust_length_outliers(docs).collect()}
+    a = rows["sA"]
+    assert (a.n_docs, a.med_len, a.mad_len) == (11, 10.0, 0.0)
+    assert (a.n_outliers, a.outlier_id_sum) == (1, 99)
+    b = rows["sB"]
+    assert (b.med_len, b.n_outliers) == (2.5, 0)  # even-count midpoint
+
+    rnd = spark.range(2000).select(
+        (F.col("id") % 7).alias("g"),
+        F.floor(F.pow(F.xxhash64("id") % 1000 + 1000, 1.0)).cast("double").alias("v"),
+    )
+    ours = {r.g: r.median for r in _hist_median(rnd, "g", "v").collect()}
+    ref = {
+        r.g: r.m
+        for r in rnd.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("m")).collect()
+    }
+    assert ours == ref
+
+
+def test_quality_quantile_gate_and_trigram_diversity(spark):
+    """x75/x76 operators on hand-checkable frames: the gate keeps
+    exactly the top quarter per source (percent_rank <= 0.25 with
+    doc_id tie-break), and diversity = distinct/total trigrams with the
+    lexicographically-first most-repeated trigram."""
+    from otus_clickhouse_spark.pipeline.curation import quantile_quality_gate
+    from otus_clickhouse_spark.pipeline.text import trigram_diversity
+
+    g = spark.createDataFrame(
+        [(i, "sA", i / 10.0) for i in range(1, 10)],  # qualities .1..0.9
+        "doc_id long, source string, quality double",
+    )
+    # ranks desc: 0.9 (pr 0), 0.8 (pr 1/8=.125), 0.7 (pr .25) → 3 kept
+    r = quantile_quality_gate(g, keep_frac=0.25).collect()[0]
+    assert (r.n_docs, r.n_kept, r.min_kept_quality) == (9, 3, 0.7)
+    assert r.kept_id_sum == 9 + 8 + 7
+
+    d = spark.createDataFrame(
+        [(0, "s1", "a a a a"), (1, "s1", "b c"), (2, "s2", "x y z w")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in trigram_diversity(d).collect()}
+    s1 = out["s1"]  # "a a a a" → "a a a" twice; "b c" too short
+    assert (s1.n_trigrams, s1.n_distinct, s1.diversity) == (2, 1, 0.5)
+    assert (s1.top_trigram, s1.top_count) == ("a a a", 2)
+    s2 = out["s2"]  # two distinct trigrams, tie → lexicographic first
+    assert (s2.n_trigrams, s2.n_distinct, s2.diversity) == (2, 2, 1.0)
+    assert (s2.top_trigram, s2.top_count) == ("x y z", 1)

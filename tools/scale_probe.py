@@ -421,10 +421,18 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
     from otus_clickhouse_spark.pipeline.similarity import pq_topk, pq_train
 
     def pq_run():
-        books = pq_train(emb, m=4, ksub=16, dim=16, id_col="k")
+        # hof=False EXPLICITLY: since r8 the default transport is the
+        # HOF broadcast tensor (the registry/production path; the
+        # dim-256 row below measures it), but THIS row keeps probing
+        # the plan-literal transport at the one shape where it still
+        # compiles (m·ksub·dsub = 256 exprs) — both for round-over-
+        # round continuity of the number and to keep evidence of the
+        # literal path's small-dim viability
+        books = pq_train(emb, m=4, ksub=16, dim=16, id_col="k", hof=False)
         q = emb.where(F.col("k") < 3).select(F.col("k").alias("query_id"), "embedding")
         pq_topk(
-            emb, q, k=5, m=4, ksub=16, dim=16, id_col="k", books=books, rerank=50
+            emb, q, k=5, m=4, ksub=16, dim=16, id_col="k", books=books,
+            rerank=50, hof=False,
         ).agg(F.count(F.lit(1))).collect()
 
     timed("pq_train_encode_adc", pq_run, n_fact)

@@ -461,3 +461,48 @@ def normalized_dup_tiers(
             F.max("c").alias("max_group"),
         )
     )
+
+
+def minhash_estimate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    round_at: int = 6,
+) -> DataFrame:
+    """Signature-fidelity eval for the MinHash config: on every LSH
+    candidate pair (with ≥1 common shingle), compare the minhash
+    ESTIMATE of Jaccard — the fraction of agreeing signature components
+    — against the EXACT shingle Jaccard. x02 applies a config, x53
+    sweeps banding recall; this measures the estimator itself (bias +
+    MAE), the number that justifies num_hashes before a 100 TB run.
+    Returns ONE row: (n_pairs, mean_exact, mean_est, bias, mae).
+
+    Scale shape: identical machinery to minhash_dedup_pairs (shingle →
+    signature → banded candidates → digest-join exact Jaccard) plus two
+    signature-keyed broadcast-sized joins; the quadratic step stays
+    bucket-bounded."""
+    sh = shingles(df, text_col, id_col, n).localCheckpoint()
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes, with_size=True).localCheckpoint()
+    cand = lsh_candidate_pairs(sig, id_col)
+    exact = jaccard_verify(cand, sh, id_col, threshold=0.0, sizes=sig.select(id_col, "n_sh"))
+    sa = sig.select(
+        F.col(id_col).alias("a"), *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("b"), *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)]
+    )
+    est = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    per_pair = (
+        exact.join(sa, "a").join(sb, "b").select("a", "b", F.col("jaccard").alias("__ex"), est.alias("__est"))
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("__ex"), round_at).alias("mean_exact"),
+        F.round(F.avg("__est"), round_at).alias("mean_est"),
+        F.round(F.avg(F.col("__est") - F.col("__ex")), round_at).alias("bias"),
+        F.round(F.avg(F.abs(F.col("__est") - F.col("__ex"))), round_at).alias("mae"),
+    )

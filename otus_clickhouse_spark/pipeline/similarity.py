@@ -1269,3 +1269,59 @@ def ivfpq_topk(
         .where(F.col("rnk") <= k)
         .select(q_id_col, id_col, "adc", "rnk")
     )
+
+
+def embedding_drift(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    round_mean: int = 6,
+    round_out: int = 4,
+) -> DataFrame:
+    """Embedding-space drift monitor between two corpus snapshots (x63's
+    token-distribution drift, in vector space): per group, the cosine
+    between the two snapshots' mean vectors plus per-snapshot counts
+    and mean norms — the check a pipeline runs when a new crawl or a
+    re-embedding lands (a centroid that moved or norms that shifted
+    mean the ANN index and the semantic-dedup thresholds are stale).
+    Snapshots = even/odd ``id_col`` here; production passes two frames.
+
+    Scale shape: per-dimension means reduce via posexplode →
+    groupBy((group, dim)) with map-side combine — shuffle is
+    O(partitions × groups × dim), corpus-independent; norms are one
+    map-side fold; the cosine combines dim-bounded rows per group.
+    Per-dim means round before the cross-products so the scalar
+    replays across engines."""
+    v = F.col(vec_col).cast("array<double>")
+    base = corpus.select(
+        F.col(group_col),
+        v.alias("__v"),
+        (F.col(id_col) % 2 == 0).alias("__old"),
+    )
+    m = (
+        base.select(group_col, "__old", F.posexplode("__v").alias("i", "x"))
+        .groupBy(group_col, "i")
+        .agg(
+            F.round(F.avg(F.when(F.col("__old"), F.col("x"))), round_mean).alias("me"),
+            F.round(F.avg(F.when(~F.col("__old"), F.col("x"))), round_mean).alias("mo"),
+        )
+    )
+    cosv = m.groupBy(group_col).agg(
+        F.round(
+            F.sum(F.col("me") * F.col("mo"))
+            / (
+                F.sqrt(F.sum(F.col("me") * F.col("me")))
+                * F.sqrt(F.sum(F.col("mo") * F.col("mo")))
+            ),
+            round_out,
+        ).alias("centroid_cos")
+    )
+    nrm = norm(F.col("__v"))
+    stats = base.groupBy(group_col).agg(
+        F.sum(F.col("__old").cast("int")).cast("bigint").alias("n_old"),
+        F.sum((~F.col("__old")).cast("int")).cast("bigint").alias("n_new"),
+        F.round(F.avg(F.when(F.col("__old"), nrm)), round_out).alias("mean_norm_old"),
+        F.round(F.avg(F.when(~F.col("__old"), nrm)), round_out).alias("mean_norm_new"),
+    )
+    return stats.join(cosv, group_col).orderBy(group_col)

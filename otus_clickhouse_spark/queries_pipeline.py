@@ -4025,3 +4025,92 @@ def x76_trigram_diversity(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return trigram_diversity(docs)
+
+
+@query(
+    "x77_embedding_drift",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    m AS (
+      SELECT label, i,
+             round(avg(CASE WHEN vec_id % 2 = 0 THEN v[i] END), 6) AS me,
+             round(avg(CASE WHEN vec_id % 2 = 1 THEN v[i] END), 6) AS mo
+      FROM c, dims GROUP BY label, i),
+    cosv AS (
+      SELECT label,
+             round(sum(me * mo) / (sqrt(sum(me * me)) * sqrt(sum(mo * mo))), 4)
+               AS centroid_cos
+      FROM m GROUP BY label),
+    norms AS (
+      SELECT label,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             round(avg(CASE WHEN vec_id % 2 = 0
+                       THEN sqrt(list_sum(list_transform(v, x -> x * x))) END), 4)
+               AS mean_norm_old,
+             round(avg(CASE WHEN vec_id % 2 = 1
+                       THEN sqrt(list_sum(list_transform(v, x -> x * x))) END), 4)
+               AS mean_norm_new
+      FROM c GROUP BY label)
+    SELECT norms.label, n_old, n_new, mean_norm_old, mean_norm_new, centroid_cos
+    FROM norms JOIN cosv USING (label) ORDER BY norms.label
+    """,
+)
+def x77_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two snapshots
+    (pipeline.similarity.embedding_drift — x63's token drift in vector
+    space): per label, the cosine between the snapshots' mean vectors
+    plus counts and mean norms — the staleness check for ANN indexes
+    and semantic-dedup thresholds when a new crawl or re-embedding
+    lands. Per-dim means reduce via posexplode → (label, dim) grouped
+    partial aggregates (shuffle O(groups×dim), corpus-independent);
+    norms are one map-side fold. Oracle replays the rounded per-dim
+    means and the same left-fold norms on DuckDB lists."""
+    from otus_clickhouse_spark.pipeline.similarity import embedding_drift
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_drift(emb).select(
+        "label", "n_old", "n_new", "mean_norm_old", "mean_norm_new", "centroid_cos"
+    )
+
+
+_MINHASH_EVAL_SUFFIX = """
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(exact), 6) AS mean_exact,
+           round(avg(est), 6) AS mean_est,
+           round(avg(est - exact), 6) AS bias,
+           round(avg(abs(est - exact)), 6) AS mae
+    FROM (
+      SELECT i.a, i.b,
+             round(i.i / (na.n + nb.n - i.i), 4) AS exact,
+             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+              + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+              + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+              + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0
+               AS est
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.a
+      JOIN sizes nb ON nb.doc_id = i.b
+      JOIN sig sa ON sa.doc_id = i.a
+      JOIN sig sb ON sb.doc_id = i.b)
+    """
+
+
+@query(
+    "x78_minhash_estimate_eval",
+    oracle=f"WITH {_PAIRS_CTES} {_MINHASH_EVAL_SUFFIX}",
+)
+def x78_minhash_estimate_eval(spark, sf_dir):
+    """MinHash estimator fidelity (pipeline.dedup.minhash_estimate_eval):
+    on every LSH candidate pair with ≥1 common shingle, the
+    signature-agreement ESTIMATE of Jaccard vs the EXACT shingle
+    Jaccard — bias and MAE, the measurement that justifies num_hashes
+    before a 100 TB dedup run (x02 applies the config, x53 sweeps
+    banding recall, this grades the estimator). Shares x02's CTE chain
+    verbatim plus two signature joins; one scalar output row."""
+    from otus_clickhouse_spark.pipeline.dedup import minhash_estimate_eval
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_estimate_eval(docs)

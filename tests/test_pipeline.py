@@ -2041,3 +2041,45 @@ def test_quality_quantile_gate_and_trigram_diversity(spark):
     s2 = out["s2"]  # two distinct trigrams, tie → lexicographic first
     assert (s2.n_trigrams, s2.n_distinct, s2.diversity) == (2, 2, 1.0)
     assert (s2.top_trigram, s2.top_count) == ("x y z", 1)
+
+
+def test_embedding_drift_and_minhash_estimate(spark):
+    """x77/x78 operators on constructed cases: identical snapshots give
+    centroid_cos = 1.0 and equal norms, negated snapshots give -1.0;
+    an all-identical corpus makes the minhash estimator exact
+    (est = exact = 1 → bias = mae = 0)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.dedup import minhash_estimate_eval
+    from otus_clickhouse_spark.pipeline.similarity import embedding_drift
+
+    # pairs (2m, 2m+1) share a vector → even and odd snapshots identical
+    same = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin((F.col("id") / F.lit(2)).cast("long") * i + i).cast("double"),
+        ).alias("embedding"),
+    )
+    r = embedding_drift(same, group_col="label").collect()[0]
+    assert (r.n_old, r.n_new, r.centroid_cos) == (10, 10, 1.0)
+    assert r.mean_norm_old == r.mean_norm_new
+
+    flipped = same.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    r2 = embedding_drift(flipped, group_col="label").collect()[0]
+    assert r2.centroid_cos == -1.0
+
+    dup = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    e = minhash_estimate_eval(dup).collect()[0]
+    assert e.n_pairs == 15  # C(6,2): every pair collides in every band
+    assert (e.mean_exact, e.mean_est, e.bias, e.mae) == (1.0, 1.0, 0.0, 0.0)

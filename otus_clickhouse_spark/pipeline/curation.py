@@ -321,3 +321,51 @@ def quantile_quality_gate(
         )
         .orderBy(group_col)
     )
+
+
+def length_quality_corr(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_at: int = 4,
+) -> DataFrame:
+    """Per-source Pearson correlation between token count and quality
+    score — the sanity check on a quality heuristic ("is the score just
+    proxying length?"): a source where corr ≈ 1 means the gate of x75
+    is a length filter in disguise there.
+
+    The correlation is computed from the six sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combined aggregation —
+    deliberately NOT the built-in ``corr`` aggregate, whose streaming
+    co-moment update order differs between engines; the closed form
+    over exact integer sums (x is an int token count) and rounded
+    quality values replays bit-stably in the oracle. Zero-variance
+    groups report 0."""
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    base = docs.select(
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("double").alias("__x"),
+        quality_score(F.col(text_col)).alias("__y"),
+    )
+    s = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    varx = s["__n"] * s["__sxx"] - s["__sx"] * s["__sx"]
+    vary = s["__n"] * s["__syy"] - s["__sy"] * s["__sy"]
+    num = s["__n"] * s["__sxy"] - s["__sx"] * s["__sy"]
+    corr = F.when((varx <= 0) | (vary <= 0), F.lit(0.0)).otherwise(
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), round_at)
+    )
+    return s.select(
+        F.col(group_col),
+        F.col("__n").cast("bigint").alias("n_docs"),
+        F.round(s["__sx"] / s["__n"], round_at).alias("mean_tokens"),
+        F.round(s["__sy"] / s["__n"], round_at).alias("mean_quality"),
+        corr.alias("corr_len_quality"),
+    ).orderBy(group_col)

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from otus_clickhouse_spark.pipeline.dedup import shingles
@@ -113,4 +113,73 @@ def semantic_contaminated_ids(
         .where(F.round(cosine(F.col("__cv"), F.col("__ev")), round_cos) >= threshold)
         .select(id_col)
         .distinct()
+    )
+
+
+def eval_overlap_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    eval_mod: int = 11,
+) -> DataFrame:
+    """Per-EVAL-ITEM contamination report — the integrity sheet an eval
+    owner reads, where :func:`contaminated_ids` (x19) answers the
+    training-side question ("which train docs must go"), this answers
+    the eval side: for each eval doc, what fraction of its n-grams
+    already exists in the training corpus (coverage) and which single
+    training doc overlaps it most (the doc a leakage audit opens
+    first). Eval membership = ``id % eval_mod == 0`` here (the x19
+    split); production passes a real eval frame.
+
+    Scale shape: shingle sets are built once and reused by both sides;
+    all joins key on 8-byte xxhash64 digests (never the gram strings —
+    same convention/collision odds as jaccard_verify); the coverage
+    join is against the DISTINCT train-gram relation; the top-1 window
+    is keyed per eval item. Output is eval-set-sized."""
+    sh = shingles(df, text_col, id_col, n).localCheckpoint()
+    is_eval = F.col(id_col) % eval_mod == 0
+    ev = sh.where(is_eval).select(
+        F.col(id_col).alias("eval_id"), F.xxhash64("shingle").alias("__sh")
+    )
+    tr = sh.where(~is_eval).select(
+        F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("__sh")
+    )
+    sizes = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    cov = (
+        ev.join(tr.select("__sh").distinct(), "__sh")
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    pairs = (
+        ev.join(tr, "__sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("shared"), F.asc("train_id"))
+    top = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "eval_id",
+            F.col("train_id").alias("top_train_doc"),
+            F.col("shared").alias("top_shared"),
+        )
+    )
+    return (
+        sizes.join(cov, "eval_id", "left")
+        .join(top, "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_shingles",
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) * F.lit(1.0) / F.col("n_shingles"), 4
+            ).alias("coverage"),
+            F.coalesce("top_train_doc", F.lit(-1)).cast("bigint").alias("top_train_doc"),
+            F.coalesce("top_shared", F.lit(0)).cast("bigint").alias("top_shared"),
+        )
+        .orderBy("eval_id")
     )

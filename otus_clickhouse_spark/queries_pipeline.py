@@ -4114,3 +4114,97 @@ def x78_minhash_estimate_eval(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return minhash_estimate_eval(docs)
+
+
+@query(
+    "x79_eval_overlap_report",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 11 = 0),
+    tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 11 <> 0),
+    sizes AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM ev GROUP BY eval_id),
+    cov AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_covered
+      FROM ev WHERE shingle IN (SELECT DISTINCT shingle FROM tr)
+      GROUP BY eval_id),
+    pr AS (
+      SELECT ev.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS shared
+      FROM ev JOIN tr USING (shingle) GROUP BY ev.eval_id, tr.train_id),
+    top AS (
+      SELECT eval_id, train_id AS top_train_doc, shared AS top_shared FROM (
+        SELECT *, row_number() OVER (PARTITION BY eval_id
+                                     ORDER BY shared DESC, train_id) AS rn
+        FROM pr) WHERE rn = 1)
+    SELECT s.eval_id, s.n_shingles,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+           round(coalesce(c.n_covered, 0) * 1.0 / s.n_shingles, 4) AS coverage,
+           CAST(coalesce(top.top_train_doc, -1) AS BIGINT) AS top_train_doc,
+           CAST(coalesce(top.top_shared, 0) AS BIGINT) AS top_shared
+    FROM sizes s LEFT JOIN cov c USING (eval_id) LEFT JOIN top USING (eval_id)
+    ORDER BY s.eval_id
+    """,
+)
+def x79_eval_overlap_report(spark, sf_dir):
+    """Per-eval-item contamination report
+    (pipeline.decontam.eval_overlap_report): x19 answers the
+    training-side question (drop which train docs); this answers the
+    eval owner's — per eval doc, the fraction of its n-grams already
+    present in the training corpus and the single most-overlapping
+    training doc (what a leakage audit opens first). Joins key on
+    8-byte shingle digests, never gram strings; the top-1 window is
+    keyed per eval item. Oracle replays the same split and overlap
+    arithmetic over x19's shingle CTE."""
+    from otus_clickhouse_spark.pipeline.decontam import eval_overlap_report
+
+    docs = t(spark, sf_dir, "documents")
+    return eval_overlap_report(docs)
+
+
+@query(
+    "x80_length_quality_corr",
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> length(t) > 0)) AS DOUBLE) AS x,
+             round((least(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> length(t) > 0)) / 64.0, 1.0)
+                    + CASE WHEN length(text)
+                                / greatest(len(list_filter(
+                                      regexp_split_to_array(text, '\\s+'),
+                                      t -> length(t) > 0)), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(length(text), 1)) / 3.0, 4) AS y
+      FROM documents),
+    s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM feat GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(sx / n, 4) AS mean_tokens,
+           round(sy / n, 4) AS mean_quality,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0.0
+                ELSE round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+           END AS corr_len_quality
+    FROM s ORDER BY source
+    """,
+)
+def x80_length_quality_corr(spark, sf_dir):
+    """Quality-heuristic sanity diagnostic
+    (pipeline.curation.length_quality_corr): per-source Pearson
+    correlation between token count and quality score — corr ≈ 1 for a
+    source means x75's quality gate is a length filter in disguise
+    there. Computed from the six sufficient statistics in ONE
+    map-side-combined aggregation (deliberately not the built-in corr,
+    whose streaming co-moment update order differs between engines);
+    the closed form over exact sums replays bit-stably. Oracle uses
+    the identical formula over x61's quality expression."""
+    from otus_clickhouse_spark.pipeline.curation import length_quality_corr
+
+    docs = t(spark, sf_dir, "documents")
+    return length_quality_corr(docs)

@@ -2083,3 +2083,42 @@ def test_embedding_drift_and_minhash_estimate(spark):
     e = minhash_estimate_eval(dup).collect()[0]
     assert e.n_pairs == 15  # C(6,2): every pair collides in every band
     assert (e.mean_exact, e.mean_est, e.bias, e.mae) == (1.0, 1.0, 0.0, 0.0)
+
+
+def test_eval_overlap_report_and_length_quality_corr(spark):
+    """x79/x80 operators on constructed cases: a verbatim train copy of
+    an eval doc gives coverage 1.0 and names that train doc; an eval
+    doc with unique text gives coverage 0 and the -1 sentinel; a source
+    whose quality rises strictly with token count (other components
+    held constant) has Pearson corr exactly 1.0, and a zero-variance
+    source reports 0."""
+    from otus_clickhouse_spark.pipeline.curation import length_quality_corr
+    from otus_clickhouse_spark.pipeline.decontam import eval_overlap_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # eval (0 % 11 == 0)
+            (1, "a b c d e f"),          # train, verbatim copy
+            (2, "a b c q r s"),          # train, partial overlap
+            (11, "zz yy xx ww vv uu"),   # eval, no train overlap
+            (3, "m n o p q r"),          # train
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r.eval_id: r for r in eval_overlap_report(docs).collect()}
+    full = rep[0]
+    assert (full.coverage, full.top_train_doc) == (1.0, 1)
+    assert full.top_shared == full.n_shingles
+    none = rep[11]
+    assert (none.n_covered, none.coverage, none.top_train_doc, none.top_shared) == (
+        0, 0.0, -1, 0)
+
+    # quality = (n_tok/64 + 0.5 + 1)/3 for all-'a' docs below the cap:
+    # strictly increasing in n_tok → corr exactly 1; sB is constant-length
+    rows = [(i, "sA", " ".join(["a"] * (5 * (i + 1)))) for i in range(4)]
+    rows += [(10 + i, "sB", "a a a") for i in range(3)]
+    d2 = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in length_quality_corr(d2).collect()}
+    assert out["sA"].corr_len_quality == 1.0
+    assert out["sB"].corr_len_quality == 0.0
+    assert out["sB"].mean_tokens == 3.0

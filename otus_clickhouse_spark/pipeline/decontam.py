@@ -122,6 +122,7 @@ def eval_overlap_report(
     id_col: str = "doc_id",
     n: int = 3,
     eval_mod: int = 11,
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """Per-EVAL-ITEM contamination report — the integrity sheet an eval
     owner reads, where :func:`contaminated_ids` (x19) answers the
@@ -136,7 +137,18 @@ def eval_overlap_report(
     all joins key on 8-byte xxhash64 digests (never the gram strings —
     same convention/collision odds as jaccard_verify); the coverage
     join is against the DISTINCT train-gram relation; the top-1 window
-    is keyed per eval item. Output is eval-set-sized."""
+    is keyed per eval item. Output is eval-set-sized.
+
+    ``max_gram_df`` is the skew guard the per-pair ATTRIBUTION join
+    needs (same degree-cap idea as substring/winnowing dedup's
+    ``max_bucket``): a gram present in more than that many training
+    docs fans every eval doc containing it out to all of them — the
+    round-8 scale probe measured the uncapped join going SUB-linear
+    (0.7× rows/s at 10× docs) on a hot-gram corpus. Ubiquitous grams
+    carry no leakage signal (standard stop-gram practice in
+    decontamination), so they are dropped from the attribution join
+    only — they still count toward ``coverage``, which needs no pair
+    expansion. ``None`` disables the cap."""
     sh = shingles(df, text_col, id_col, n).localCheckpoint()
     is_eval = F.col(id_col) % eval_mod == 0
     ev = sh.where(is_eval).select(
@@ -153,8 +165,17 @@ def eval_overlap_report(
         .groupBy("eval_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
     )
+    tr_attr = tr
+    if max_gram_df is not None:
+        hot = (
+            tr.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))  # tr is distinct per doc
+            .where(F.col("__df") > max_gram_df)
+            .select("__sh")
+        )
+        tr_attr = tr.join(hot, "__sh", "left_anti")
     pairs = (
-        ev.join(tr, "__sh")
+        ev.join(tr_attr, "__sh")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
     )

@@ -4129,9 +4129,11 @@ def x78_minhash_estimate_eval(spark, sf_dir):
       SELECT eval_id, CAST(count(*) AS BIGINT) AS n_covered
       FROM ev WHERE shingle IN (SELECT DISTINCT shingle FROM tr)
       GROUP BY eval_id),
+    hot AS (SELECT shingle FROM tr GROUP BY shingle HAVING count(*) > 1000),
+    prt AS (SELECT * FROM tr WHERE shingle NOT IN (SELECT shingle FROM hot)),
     pr AS (
-      SELECT ev.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS shared
-      FROM ev JOIN tr USING (shingle) GROUP BY ev.eval_id, tr.train_id),
+      SELECT ev.eval_id, prt.train_id, CAST(count(*) AS BIGINT) AS shared
+      FROM ev JOIN prt USING (shingle) GROUP BY ev.eval_id, prt.train_id),
     top AS (
       SELECT eval_id, train_id AS top_train_doc, shared AS top_shared FROM (
         SELECT *, row_number() OVER (PARTITION BY eval_id
@@ -4154,8 +4156,12 @@ def x79_eval_overlap_report(spark, sf_dir):
     present in the training corpus and the single most-overlapping
     training doc (what a leakage audit opens first). Joins key on
     8-byte shingle digests, never gram strings; the top-1 window is
-    keyed per eval item. Oracle replays the same split and overlap
-    arithmetic over x19's shingle CTE."""
+    keyed per eval item; grams in >1000 training docs are dropped from
+    the ATTRIBUTION join only (the degree cap the round-8 scale probe
+    showed this join needs — ubiquitous grams carry no leakage signal
+    but fan out quadratically; they still count toward coverage).
+    Oracle replays the same split, cap and overlap arithmetic over
+    x19's shingle CTE."""
     from otus_clickhouse_spark.pipeline.decontam import eval_overlap_report
 
     docs = t(spark, sf_dir, "documents")

@@ -316,6 +316,51 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         n_docs,
     )
 
+    # round-8 text/curation ops (x72-x76, x79): every one reduces to a
+    # vocabulary-, histogram- or eval-set-bounded aggregate; docs/s must
+    # rise with corpus size. The forcing aggregates SUM a computed value
+    # column (not count(lit(1))) so Catalyst cannot prune the expensive
+    # expressions out of the timing (the agg-pruning microbench trap).
+    from otus_clickhouse_spark.pipeline.curation import robust_length_outliers
+    from otus_clickhouse_spark.pipeline.decontam import eval_overlap_report
+    from otus_clickhouse_spark.pipeline.text import (
+        pmi_bigrams, tfidf_top_terms, trigram_diversity,
+    )
+
+    sdocs = docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+    timed(
+        "tfidf_top_terms",
+        lambda: tfidf_top_terms(docs).agg(F.sum("tfidf")).collect(),
+        n_docs,
+    )
+    timed(
+        "pmi_bigrams",
+        lambda: pmi_bigrams(docs).agg(F.sum("pmi")).collect(),
+        n_docs,
+    )
+    spark.catalog.clearCache()  # pmi persists its token-array base
+    timed(
+        "trigram_diversity",
+        lambda: trigram_diversity(sdocs)
+        .agg(F.sum("diversity"), F.sum("top_count"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "mad_outliers_hist_median",
+        lambda: robust_length_outliers(sdocs)
+        .agg(F.sum("n_outliers"), F.sum("mad_len"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "eval_overlap_report",
+        lambda: eval_overlap_report(docs)
+        .agg(F.sum("coverage"), F.sum("top_shared"))
+        .collect(),
+        n_docs,
+    )
+
     # OR-construction LSH ANN (x42 path): corpus exploded across 4 hash
     # tables map-side, broadcast query probes, pair-keyed dedup + rank —
     # the corpus never re-shuffles, so rows/s should stay linear

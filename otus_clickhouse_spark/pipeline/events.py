@@ -1,0 +1,114 @@
+"""Event-stream episode construction + rate monitoring (batch).
+
+The events table is the interaction log a conversational-training
+pipeline turns into episodes: sessionize by inactivity gap, then reduce
+per-episode and per-user — the batch complement of the streaming
+session windows (T6/q51). All windows are keyed per user; nothing
+unpartitioned, nothing corpus-sized on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session ordinal by inactivity gap: a new
+    session starts at the first event or when more than ``gap_sec``
+    elapsed since the previous one. The lag + running-sum pair runs in
+    ONE keyed window (unique (ts, id) ordering, so RANGE == ROWS);
+    adds ``session_seq``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    es = F.unix_timestamp(F.col(ts_col))
+    new_s = (
+        F.lag(es).over(w).isNull() | ((es - F.lag(es).over(w)) > gap_sec)
+    ).cast("int")
+    return events.withColumn("session_seq", F.sum(new_s).over(w))
+
+
+def session_stats(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    round_at: int = 4,
+) -> DataFrame:
+    """Per-user episode summary after :func:`sessionize`: session count,
+    event totals, mean/max events per session, mean session duration,
+    value total — the shape/quality sheet for episode construction
+    (too-short or too-bursty users get gated before training). Two
+    grouped reductions after the keyed window; output is user-sized."""
+    s = sessionize(events, gap_sec, user_col, ts_col, id_col)
+    es = F.unix_timestamp(F.col(ts_col))
+    per_session = s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        (F.max(es) - F.min(es)).alias("dur"),
+        F.sum(value_col).alias("val"),
+    )
+    return (
+        per_session.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("total_events"),
+            F.round(F.avg("n_ev"), round_at).alias("mean_events"),
+            F.max("n_ev").cast("bigint").alias("max_events"),
+            F.round(F.avg("dur"), round_at).alias("mean_duration_sec"),
+            F.round(F.sum("val"), round_at).alias("total_value"),
+        )
+        .orderBy(user_col)
+    )
+
+
+def daily_rate_anomaly(
+    events: DataFrame,
+    z: float = 2.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_at: int = 4,
+) -> DataFrame:
+    """Per-user daily-rate spike gate: flag active days whose event
+    count exceeds mean + z·std of that user's active-day counts — the
+    bot/scraper screen an interaction-log pipeline runs before episodes
+    become training data. Mean/std come from the exact integer
+    sufficient statistics (n, Σc, Σc² — population std), so the flag
+    replays bit-stably in the oracle; state is (user × active-day)
+    bounded. Returns per user: (user, n_days, total_events, mean_daily,
+    std_daily, n_spike_days, spike_events)."""
+    daily = events.groupBy(
+        F.col(user_col), F.col(ts_col).cast("date").alias("__d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = daily.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("c").cast("double").alias("__sc"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("__scc"),
+    )
+    mean = s["__sc"] / s["__n"]
+    std = F.sqrt(F.greatest(s["__n"] * s["__scc"] - s["__sc"] * s["__sc"], F.lit(0.0))) / s["__n"]
+    model = s.select(
+        F.col(user_col),
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__sc").cast("bigint").alias("total_events"),
+        F.round(mean, round_at).alias("mean_daily"),
+        F.round(std, round_at).alias("std_daily"),
+        (mean + F.lit(z) * std).alias("__thr"),
+    )
+    return (
+        daily.join(F.broadcast(model), user_col)
+        .groupBy(user_col, "n_days", "total_events", "mean_daily", "std_daily")
+        .agg(
+            F.sum((F.col("c") > F.col("__thr")).cast("int")).cast("bigint").alias("n_spike_days"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > F.col("__thr"), F.col("c"))), F.lit(0)
+            ).cast("bigint").alias("spike_events"),
+        )
+        .orderBy(user_col)
+    )

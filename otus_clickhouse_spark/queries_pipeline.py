@@ -4214,3 +4214,79 @@ def x80_length_quality_corr(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return length_quality_corr(docs)
+
+
+@query(
+    "x81_session_episodes",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    m AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS sess FROM m),
+    ps AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_ev,
+                  max(es) - min(es) AS dur, sum(value) AS val
+           FROM s GROUP BY user_id, sess)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS total_events,
+           round(avg(n_ev), 4) AS mean_events,
+           CAST(max(n_ev) AS BIGINT) AS max_events,
+           round(avg(dur), 4) AS mean_duration_sec,
+           round(sum(val), 4) AS total_value
+    FROM ps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x81_session_episodes(spark, sf_dir):
+    """Batch episode construction (pipeline.events.session_stats): the
+    interaction log sessionizes by a 30-minute inactivity gap (lag +
+    running sum in ONE keyed window, unique (ts, event_id) ordering)
+    and reduces to per-user episode statistics — the shape/quality
+    sheet a conversational-training pipeline reads before episodes
+    become training examples (q51 covers the STREAMING session window;
+    this is its batch complement over the full log). Oracle replays
+    the identical gap/cumsum windowing on epoch seconds."""
+    from otus_clickhouse_spark.pipeline.events import session_stats
+
+    ev = t(spark, sf_dir, "events")
+    return session_stats(ev)
+
+
+@query(
+    "x82_event_rate_anomaly",
+    oracle="""
+    WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+                   FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(c * c) AS DOUBLE) AS scc
+          FROM daily GROUP BY user_id),
+    model AS (SELECT user_id, CAST(n AS BIGINT) AS n_days,
+                     CAST(sc AS BIGINT) AS total_events,
+                     round(sc / n, 4) AS mean_daily,
+                     round(sqrt(greatest(n * scc - sc * sc, 0)) / n, 4) AS std_daily,
+                     sc / n + 2.0 * (sqrt(greatest(n * scc - sc * sc, 0)) / n) AS thr
+              FROM s)
+    SELECT daily.user_id, n_days, total_events, mean_daily, std_daily,
+           CAST(sum(CASE WHEN c > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days,
+           CAST(coalesce(sum(CASE WHEN c > thr THEN c END), 0) AS BIGINT)
+             AS spike_events
+    FROM daily JOIN model USING (user_id)
+    GROUP BY daily.user_id, n_days, total_events, mean_daily, std_daily
+    ORDER BY daily.user_id
+    """,
+)
+def x82_event_rate_anomaly(spark, sf_dir):
+    """Per-user daily-rate spike gate
+    (pipeline.events.daily_rate_anomaly): flag active days whose event
+    count exceeds mean + 2·std of that user's daily counts — the
+    bot/scraper screen an interaction-log pipeline runs before
+    episodes (x81) become training data. Mean/std come from the exact
+    integer sufficient statistics (population std — same
+    replay-stability discipline as x80), state is (user × active-day)
+    bounded, and the per-user model broadcasts back for the flag pass.
+    Oracle replays the identical closed form."""
+    from otus_clickhouse_spark.pipeline.events import daily_rate_anomaly
+
+    ev = t(spark, sf_dir, "events")
+    return daily_rate_anomaly(ev)

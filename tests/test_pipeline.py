@@ -2122,3 +2122,37 @@ def test_eval_overlap_report_and_length_quality_corr(spark):
     assert out["sA"].corr_len_quality == 1.0
     assert out["sB"].corr_len_quality == 0.0
     assert out["sB"].mean_tokens == 3.0
+
+
+def test_session_episodes_and_rate_anomaly(spark):
+    """x81/x82 operators on hand-checkable frames: a 1990-second gap
+    splits two 2-event sessions (10-second durations each); a 100-event
+    day against five 10-event days exceeds mean + 2·std (thr ≈ 92.08)
+    and is the only spike."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.events import (
+        daily_rate_anomaly, session_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, 7, t, 1.5) for i, t in enumerate([0, 10, 2000, 2010])],
+        "event_id long, user_id long, sec long, value double",
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    r = session_stats(ev).collect()[0]
+    assert (r.n_sessions, r.total_events, r.mean_events, r.max_events) == (2, 4, 2.0, 2)
+    assert (r.mean_duration_sec, r.total_value) == (10.0, 6.0)
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        for _ in range(10):
+            rows.append((eid, 3, day * 86400 + eid % 3600, 0.0)); eid += 1
+    for _ in range(100):
+        rows.append((eid, 3, 5 * 86400 + eid % 3600, 0.0)); eid += 1
+    ev2 = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    a = daily_rate_anomaly(ev2).collect()[0]
+    assert (a.n_days, a.total_events, a.mean_daily) == (6, 150, 25.0)
+    assert (a.n_spike_days, a.spike_events) == (1, 100)

@@ -6,10 +6,12 @@ driver-oracled query and the scale probes: exact dedup → quality filter
 with the recorded one) → per-source token-budget selection.
 
 Scale shape (100 TB): shuffles key on md5 digests, (class, token)
-counts, and per-source windows — document bodies cross the wire only on
-the first scan. The two multi-consumer intermediates (quality-filtered
-docs, classifier-agreed docs) are eagerly localCheckpoint'd: one
-materialization each, blocks freed on GC.
+counts, and per-(source, quality) histograms — document bodies cross
+the wire only on the first scan, and no window ever sees corpus-sized
+input (the token-budget cut reduces to histogram cumsums plus a
+tie-bounded boundary-bucket window). The two multi-consumer
+intermediates (quality-filtered docs, classifier-agreed docs) are
+eagerly localCheckpoint'd: one materialization each, blocks freed on GC.
 """
 
 from __future__ import annotations
@@ -61,13 +63,8 @@ def curation_funnel(
         .where(F.col("predicted") == F.col(source_col))
         .localCheckpoint()
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.col("quality").desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sel = agree.withColumn("cum", F.sum("n_tok").over(w)).where(
-        F.col("cum") <= token_budget
+    sel_stats = budget_select_stats(
+        agree, token_budget, source_col=source_col, id_col=id_col
     )
 
     def per_source(df, name, extra=None):
@@ -81,13 +78,7 @@ def curation_funnel(
         .join(per_source(dedup, "n_dedup"), source_col, "left")
         .join(per_source(qual, "n_quality"), source_col, "left")
         .join(per_source(agree, "n_agree"), source_col, "left")
-        .join(
-            per_source(
-                sel, "n_selected", F.sum("n_tok").cast("bigint").alias("tok_selected")
-            ),
-            source_col,
-            "left",
-        )
+        .join(sel_stats, source_col, "left")
     )
     zero = F.lit(0).cast("bigint")
     return out.select(
@@ -97,6 +88,81 @@ def curation_funnel(
             F.coalesce(F.col(c), zero).alias(c)
             for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
         ],
+    )
+
+
+def budget_select_stats(
+    df: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source (n_selected, tok_selected) for the token-budget cut:
+    rows kept while the running sum of ``tok_col`` over
+    (quality DESC, id ASC) stays <= ``token_budget``. ``tok_col`` must
+    be non-negative (token counts) and ``id_col`` unique.
+
+    Scale shape (r8 verdict ask #1): the naive form — a cumulative-sum
+    window partitioned by the ~20-ary source key over the
+    corpus-proportional input — single-tasks a multi-TB sort at 100 TB.
+    Since quality rounds to 4 decimals upstream, reduce to a
+    per-(source, quality) histogram (≤ ~10k rows/source), locate the
+    ONE bucket per source where the running token total crosses the
+    budget from bucket-level cumulative sums, and resolve only that
+    bucket's rows with a window over the tie-bounded bucket (x25
+    two-phase trick). tok >= 0 makes the row-level cumsum
+    nondecreasing, so the kept set is exactly (full buckets with
+    tcum <= budget) + (the boundary bucket's id-ordered prefix fitting
+    the remaining budget)."""
+    hist = df.groupBy(source_col, quality_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(tok_col).cast("bigint").alias("__st"),
+    )
+    wh = Window.partitionBy(source_col).orderBy(F.desc(quality_col))
+    cum = hist.withColumn("__tcum", F.sum("__st").over(wh))
+    budget = F.lit(int(token_budget))
+    full_stats = (
+        cum.where(F.col("__tcum") <= budget)
+        .groupBy(source_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("__full_n"),
+            F.sum("__st").cast("bigint").alias("__full_tok"),
+        )
+    )
+    boundary = cum.where(
+        ((F.col("__tcum") - F.col("__st")) <= budget) & (F.col("__tcum") > budget)
+    ).select(
+        source_col,
+        F.col(quality_col).alias("__bq"),
+        (budget - (F.col("__tcum") - F.col("__st"))).alias("__rem"),
+    )
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part_stats = (
+        df.join(F.broadcast(boundary), source_col)
+        .where(F.col(quality_col) == F.col("__bq"))
+        .withColumn("__run", F.sum(tok_col).over(wb))
+        .where(F.col("__run") <= F.col("__rem"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__part_n"),
+            F.sum(tok_col).cast("bigint").alias("__part_tok"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return full_stats.join(part_stats, source_col, "full").select(
+        source_col,
+        (F.coalesce("__full_n", zero) + F.coalesce("__part_n", zero))
+        .cast("bigint")
+        .alias("n_selected"),
+        (F.coalesce("__full_tok", zero) + F.coalesce("__part_tok", zero))
+        .cast("bigint")
+        .alias("tok_selected"),
     )
 
 
@@ -298,24 +364,85 @@ def quantile_quality_gate(
     per host"; this answers "only the best quarter of each source",
     which is how DCLM/FineWeb-style pipelines apply a model-scored
     filter without letting a big source's mediocre middle crowd out a
-    small source's best. percent_rank (not ntile) so the kept set is a
-    deterministic function of (quality, id) ties.
+    small source's best. Semantics are exactly a percent_rank cut over
+    (quality DESC, id ASC): ``id_col`` must be unique, so rank ==
+    row_number and the kept set is the first K rows of each source
+    where K replays Spark's double ``(rank-1)/(n-1) <= keep_frac``
+    boundary.
 
-    Scale shape: ONE keyed window per source (rows sort within their
-    group — no global sort, no unpartitioned window) followed by a
-    per-source reduce; output is #sources rows."""
-    w = Window.partitionBy(group_col).orderBy(F.desc(quality_col), F.asc(id_col))
-    keep = F.col("__pr") <= keep_frac
-    return (
-        df.withColumn("__pr", F.percent_rank().over(w))
+    Scale shape (r8 verdict ask #1): the naive form — one percent_rank
+    window partitioned by a ~20-ary ``group_col`` — funnels EVERY row
+    of a source into one sort task (a multi-TB single-task sort at
+    100 TB). Instead the corpus reduces to a per-(source, quality)
+    HISTOGRAM (quality values round to 4 decimals upstream, so ≤ ~10k
+    rows per source); the cut position K comes from per-source totals;
+    whole kept buckets are summed from histogram rows; and the ONE
+    boundary bucket per source is tie-broken with a window whose input
+    is only that bucket's rows (bounded by ties at a single quality
+    value — the x25 two-phase trick). No corpus-sized window remains."""
+    hist = df.groupBy(group_col, quality_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(id_col).cast("bigint").alias("__ids"),
+    )
+    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    # K = #rows with percent_rank <= keep_frac, replaying the DOUBLE
+    # division (rank-1)/(n-1): candidate m = floor(kf*(n-1)) can be off
+    # by one ulp either way, so probe m+1 / m / m-1 with the same
+    # double comparison the window operator would evaluate.
+    d = (F.col("__n") - F.lit(1)).cast("double")
+    j = F.floor(F.lit(float(keep_frac)) * d)
+    kf = F.lit(float(keep_frac))
+    m = (
+        F.when(F.col("__n") == 1, F.lit(0))
+        .when((j + F.lit(1)).cast("double") / d <= kf, j + F.lit(1))
+        .when(j.cast("double") / d <= kf, j)
+        .otherwise(j - F.lit(1))
+    )
+    cuts = tot.select(
+        group_col,
+        "__n",
+        F.greatest(F.least(m + F.lit(1), F.col("__n")), F.lit(0)).alias("__k"),
+    )
+    # cumulative counts over the HISTOGRAM (quality unique per bucket)
+    wh = Window.partitionBy(group_col).orderBy(F.desc(quality_col))
+    cum = hist.withColumn("__cum", F.sum("__c").over(wh))
+    j2 = cum.join(F.broadcast(cuts), group_col)
+    kept_b = F.greatest(
+        F.least(F.col("__k") - (F.col("__cum") - F.col("__c")), F.col("__c")),
+        F.lit(0),
+    )
+    stats = j2.groupBy(group_col).agg(
+        F.first("__n").cast("bigint").alias("n_docs"),
+        F.first(F.least(F.col("__k"), F.col("__n"))).cast("bigint").alias("n_kept"),
+        F.round(F.min(F.when(kept_b > 0, F.col(quality_col))), 4).alias(
+            "min_kept_quality"
+        ),
+        F.coalesce(F.sum(F.when(kept_b == F.col("__c"), F.col("__ids"))), F.lit(0))
+        .cast("bigint")
+        .alias("__full_ids"),
+    )
+    # the (at most one per source) partially-kept boundary bucket:
+    # smallest `__take` ids among the rows tied at that quality value
+    boundary = j2.where((kept_b > 0) & (kept_b < F.col("__c"))).select(
+        group_col, F.col(quality_col).alias("__bq"), kept_b.alias("__take")
+    )
+    wb = Window.partitionBy(group_col).orderBy(F.asc(id_col))
+    part = (
+        df.join(F.broadcast(boundary), group_col)
+        .where(F.col(quality_col) == F.col("__bq"))
+        .withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") <= F.col("__take"))
         .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
-            F.round(F.min(F.when(keep, F.col(quality_col))), 4).alias(
-                "min_kept_quality"
-            ),
-            F.coalesce(F.sum(F.when(keep, F.col(id_col))), F.lit(0))
+        .agg(F.sum(id_col).cast("bigint").alias("__part_ids"))
+    )
+    return (
+        stats.join(part, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "min_kept_quality",
+            (F.col("__full_ids") + F.coalesce(F.col("__part_ids"), F.lit(0)))
             .cast("bigint")
             .alias("kept_id_sum"),
         )

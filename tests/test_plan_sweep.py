@@ -144,6 +144,87 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     assert not stale, f"allowlist entries no longer triggering (remove them): {stale}"
 
 
+# Known low-cardinality columns in the driver tables: ~20 distinct
+# sources, a handful of langs/labels. A window partitioned ONLY by such
+# keys is the unpartitioned-window scale-killer wearing a hat — every
+# row of a key funnels into ONE task, which then sorts it (a multi-TB
+# single-task sort for a big source at 100 TB).
+LOW_CARD_COLS = {"source", "lang", "label", "predicted"}
+
+# Allowlist: queries whose low-card-partitioned windows run over inputs
+# that are BOUNDED by construction, independent of corpus size. Counts
+# include logical-plan subtree duplication (an un-reused CTE appears
+# once per consumer). name -> (max allowed count, why bounded).
+LOW_CARD_WINDOW_OK = {
+    "x47_curation_funnel": (
+        3,
+        "budget histogram cumsum (<=10k 4dp-quality buckets/source, x2 "
+        "consumers) + boundary-bucket tie-break (rows tied at ONE quality)",
+    ),
+    "x61_domain_cap": (
+        1,
+        "phase-2 exact window over salted-top-N survivors: <= salts*cap rows",
+    ),
+    "x74_mad_outliers": (
+        4,
+        "_hist_median cumulative walks over (source, value) histograms "
+        "(distinct-length-bounded; med + MAD, x2 consumers each)",
+    ),
+    "x75_quality_quantile_gate": (
+        3,
+        "quantile histogram cumsum (<=10k buckets/source, x2 consumers) "
+        "+ boundary-bucket tie-break (rows tied at ONE quality)",
+    ),
+}
+
+
+def test_no_low_cardinality_window_over_unbounded_input(spark, sf_dir):
+    """r8 verdict ask #3: the unpartitioned-window guard missed windows
+    partitioned by a ~20-ary key (x75's percent_rank, x47's budget
+    cumsum — fixed this round via histogram thresholds). Walk every
+    registry query's optimized plan for Window operators whose
+    partition spec references ONLY known low-cardinality columns; any
+    query off the justified-bounded allowlist fails, and allowlist
+    entries that stop triggering fail too (the list can't go stale)."""
+    import re
+
+    from otus_clickhouse_spark.queries import all_queries
+
+    def iter_nodes(p):
+        yield p
+        it = p.children().iterator()
+        while it.hasNext():
+            yield from iter_nodes(it.next())
+
+    offenders, seen = {}, {}
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        n = 0
+        for node in iter_nodes(opt):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            ps = node.partitionSpec()
+            if ps.isEmpty():
+                continue  # the unpartitioned guard owns that case
+            refs = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", ps.toString()))
+            if refs and refs <= LOW_CARD_COLS:
+                n += 1
+        if not n:
+            continue
+        seen[name] = n
+        allowed = LOW_CARD_WINDOW_OK.get(name, (0, ""))[0]
+        if n > allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"window partitioned only by low-cardinality keys over potentially "
+        f"corpus-sized input: {offenders} — reduce to a histogram/two-phase "
+        f"form or justify a constant bound in the allowlist"
+    )
+    stale = set(LOW_CARD_WINDOW_OK) - set(seen)
+    assert not stale, f"allowlist entries no longer triggering (remove them): {stale}"
+
+
 def test_registry_codegen_compiles(spark, sf_dir):
     """Codegen-health guard (r7 verdict ask #2): the PQ literal
     transport's registry plans FAILED whole-stage codegen (janino

@@ -328,3 +328,109 @@ def test_domain_cap_property_equals_global_window(spark, rows, cap, salts):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),            # doc_id, unique
+            st.sampled_from(["a", "b", "c"]),
+            # coarse 2dp grid FORCES quality ties so the boundary-bucket
+            # tie-break path exercises; includes single-row groups
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    keep_frac=st.sampled_from([0.0, 0.1, 0.25, 1 / 3, 0.5, 0.75, 1.0]),
+)
+def test_quantile_gate_histogram_equals_percent_rank(spark, rows, keep_frac):
+    """r8 verdict ask #5: the histogram-threshold quantile gate must be
+    ROW-FOR-ROW identical to the naive percent_rank window it replaced
+    (same K boundary under double division, same tie-break by id inside
+    the boundary quality bucket), for ANY frame and keep fraction."""
+    from pyspark.sql import Window
+
+    from otus_clickhouse_spark.pipeline.curation import quantile_quality_gate
+
+    docs = spark.createDataFrame(
+        [(i, s, q / 20.0) for i, s, q in rows],
+        "doc_id long, source string, quality double",
+    )
+    got = {
+        (r.source, r.n_docs, r.n_kept, r.min_kept_quality, r.kept_id_sum)
+        for r in quantile_quality_gate(docs, keep_frac=keep_frac).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    keep = F.col("pr") <= keep_frac
+    want = {
+        (r.source, r.n_docs, r.n_kept, r.min_kept_quality, r.kept_id_sum)
+        for r in docs.withColumn("pr", F.percent_rank().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.round(F.min(F.when(keep, F.col("quality"))), 4).alias(
+                "min_kept_quality"
+            ),
+            F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),            # doc_id, unique
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=8),              # quality grid (ties)
+            st.integers(min_value=0, max_value=40),             # n_tok incl. ZERO
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(min_value=0, max_value=200),
+)
+def test_budget_select_histogram_equals_cumsum_window(spark, rows, budget):
+    """The histogram token-budget cut (x47's selection stage) must equal
+    the naive per-source cumulative-sum window — including zero-token
+    rows at/after the budget crossing and budgets smaller than the
+    first document."""
+    from pyspark.sql import Window
+
+    from otus_clickhouse_spark.pipeline.curation import budget_select_stats
+
+    docs = spark.createDataFrame(
+        [(i, s, q / 8.0, t) for i, s, q, t in rows],
+        "doc_id long, source string, quality double, n_tok long",
+    )
+    got = {
+        (r.source, r.n_selected, r.tok_selected)
+        for r in budget_select_stats(docs, budget).collect()
+        if r.n_selected > 0
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.source, r.n_selected, r.tok_selected)
+        for r in docs.withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= budget)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_tok").cast("bigint").alias("tok_selected"),
+        )
+        .collect()
+    }
+    assert got == want

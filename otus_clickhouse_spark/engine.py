@@ -1833,19 +1833,35 @@ class Engine:
         ``line_framed=True`` so one logical row is always one message
         (ADVICE r7: RFC-4180 quoted newlines split across line-framed
         segments)."""
-        from otus_clickhouse_spark.formats import serialize_frame
+        from otus_clickhouse_spark.formats import serialize_frame, serialize_header
 
         fmt = td.settings.get("kafka_format", "JSONEachRow")
         brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
         ser = serialize_frame(df, fmt, line_framed=not brokers)
+        # ADVICE r8: WithNames formats publish the column-names header
+        # as the FIRST message of each produced block (CH emits the
+        # header per written block; data-only output misparses on a
+        # header-expecting consumer)
+        head = serialize_header(df, fmt)
         if brokers:
+            topic = td.settings.get("kafka_topic_list", td.name)
+            if head is not None:
+                (
+                    self.spark.createDataFrame([(head,)], "value string")
+                    .write.format("kafka")
+                    .option("kafka.bootstrap.servers", brokers)
+                    .option("topic", topic)
+                    .save()
+                )
             (
                 ser.write.format("kafka")
                 .option("kafka.bootstrap.servers", brokers)
-                .option("topic", td.settings.get("kafka_topic_list", td.name))
+                .option("topic", topic)
                 .save()
             )
             return
+        if head is not None:
+            self._kafka_topic(td).produce([head])
         self._kafka_topic(td).produce_frame(ser)
 
     def kafka_produce(self, topic: str, messages: list[str]) -> None:
@@ -1962,7 +1978,27 @@ class Engine:
                 )
             )
         mvs = self._mvs.get(name, [])
-        stage_root = tempfile.mkdtemp(prefix="kafka_stage_")
+        ck = checkpoint or tempfile.mkdtemp(prefix="kafka_ck_")
+        # Staging root for the micro-batch rebind (ADVICE r8): on the
+        # broker path, executors may not share the driver's filesystem,
+        # so a driver-local tempdir either loses executor-written parts
+        # (file:// default FS) or leaks remote staging dirs that
+        # shutil.rmtree can't reach (HDFS/S3 default FS). Stage under
+        # the STREAM'S CHECKPOINT LOCATION — by contract an fs URI both
+        # driver and executors resolve identically — and delete through
+        # the Hadoop FileSystem API. The broker-less file-topic
+        # stand-in is local-mode by construction and keeps a tempdir.
+        stage_root = (
+            f"{ck.rstrip('/')}/_stage"
+            if brokers
+            else tempfile.mkdtemp(prefix="kafka_stage_")
+        )
+
+        def _stage_rm(path: str) -> None:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
 
         def process(batch_df, epoch):
             # foreachBatch hands a frame bound to the micro-batch's CLONED
@@ -1974,15 +2010,16 @@ class Engine:
             # passes through the driver; together with the per-trigger
             # bound above, a deep backlog streams through in
             # block-sized, executor-resident batches.
-            import shutil as _shutil
-
-            stage = os.path.join(stage_root, f"epoch_{epoch}")
+            # ADVICE r8: structured streaming delivers no-data batches
+            # to foreachBatch; a zero-partition frame writes a part-less
+            # parquet dir that the re-read dies on ('Unable to infer
+            # schema') — guard BEFORE the write.
+            if batch_df.isEmpty():
+                return
+            stage = f"{stage_root.rstrip('/')}/epoch_{epoch}"
             batch_df.write.mode("overwrite").parquet(stage)
             block = self.spark.read.parquet(stage)
             n = block.count()
-            if not n:
-                _shutil.rmtree(stage, ignore_errors=True)
-                return
             if not brokers:
                 # stand-in offsets: contiguous per consumer (the window
                 # input is bounded by maxFilesPerTrigger × block size)
@@ -1995,11 +2032,10 @@ class Engine:
             shaped = self._kafka_shape_block(block, schema).localCheckpoint(eager=True)
             # the eager checkpoint pins the block executor-side; the
             # staging files are no longer referenced
-            _shutil.rmtree(stage, ignore_errors=True)
+            _stage_rm(stage)
             for mv in mvs:
                 mv.process_block(shaped)
 
-        ck = checkpoint or tempfile.mkdtemp(prefix="kafka_ck_")
         return (
             raw.writeStream.foreachBatch(process)
             .option("checkpointLocation", ck)

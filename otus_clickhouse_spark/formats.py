@@ -143,6 +143,32 @@ def _vertical(columns: list[str], data: list[tuple]) -> str:
     return "\n\n".join(blocks)
 
 
+def serialize_header(df, fmt: str) -> str | None:
+    """Column-names header line for the ``*WithNames`` produce formats
+    (ADVICE r8: serialize_frame emitted only data rows for
+    csvwithnames/tsvwithnames, so a consumer expecting CH's header-
+    first framing misparsed the first record). Returns the header
+    message for WithNames formats — escaped with the same field rules
+    as the data rows — and None for everything else. The produce path
+    publishes it as the first message of each block, matching CH's
+    per-written-block header emission."""
+    fmt = fmt.lower()
+    if fmt in ("csvwithnames",):
+        def _csv(c: str) -> str:
+            if any(ch in c for ch in ',"\n\r'):
+                return '"' + c.replace('"', '""') + '"'
+            return c
+
+        return ",".join(_csv(c) for c in df.columns)
+    if fmt in ("tsvwithnames", "tabseparatedwithnames"):
+        def _tsv(c: str) -> str:
+            c = c.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+            return c.replace("\t", "\\t")
+
+        return "\t".join(_tsv(c) for c in df.columns)
+    return None
+
+
 def serialize_frame(df, fmt: str, line_framed: bool = False):
     """Row-per-message serialization as COLUMN EXPRESSIONS: render every
     row of ``df`` into one string message (single ``value`` column) per

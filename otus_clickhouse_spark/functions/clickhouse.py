@@ -729,15 +729,16 @@ _SQL_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("negate", "x DOUBLE", "DOUBLE", "-x"),
     ("arrayWithConstant", "n INT, x DOUBLE", "ARRAY<DOUBLE>",
      "array_repeat(x, n)"),
-    # ADVICE r7: CH's randConstant returns ONE value for the whole
-    # block/query; a bare rand() redraws per row, changing semantics
-    # for queries that compare it across rows or seed with it. A
-    # literal drawn once at module import gives the within-query-
-    # constant behavior those queries rely on. Documented divergence:
-    # CH redraws per query/block, this redraws per Python process
-    # (SQL UDF bodies inline at registration, so a per-query draw
-    # would need a scalar subquery, which UDF bodies can't host).
-    ("randConstant", "", "DOUBLE", repr(__import__("random").random())),
+    # randConstant is registered separately (see
+    # register_clickhouse_functions): CH returns ONE value for the
+    # whole block/query; a bare rand() redraws per row. ADVICE r8: the
+    # literal is drawn at REGISTRATION time (per session) rather than
+    # module import, so independent engines/sessions in one Python
+    # process no longer share a value. Remaining documented
+    # divergence: CH redraws per query/block, this redraws per
+    # session registration (SQL UDF bodies inline at registration, so
+    # a per-query draw would need a scalar subquery, which UDF bodies
+    # can't host).
     ("nowInBlock", "", "TIMESTAMP", "now()"),
     ("fromModifiedJulianDay", "n INT", "DATE",
      "date_add(DATE'1858-11-17', n)"),
@@ -869,4 +870,11 @@ def register_clickhouse_functions(spark: SparkSession) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {rtype} RETURN {body}"
         )
+    # per-SESSION draw (see the randConstant note in _SQL_FUNCTIONS)
+    import random
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION randConstant() "
+        f"RETURNS DOUBLE RETURN {random.random()!r}"
+    )
     _registered_sessions.add(key)

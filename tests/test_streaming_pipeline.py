@@ -520,6 +520,41 @@ def test_kafka_produce_serialization_per_format(engine, tmp_path):
         _shutil.rmtree("spark-warehouse/_kafka/kp_t", ignore_errors=True)
 
 
+def test_kafka_produce_withnames_header_first(engine, tmp_path):
+    """ADVICE r8: WithNames produce formats publish the column-names
+    header as the FIRST message of each produced block (CH emits a
+    header per written block; data-only output misparses on a
+    header-expecting consumer). Names needing escaping follow the same
+    field rules as data rows."""
+    import shutil as _shutil
+
+    engine.execute("DROP TABLE IF EXISTS kp_wn")
+    engine.execute(
+        "CREATE TABLE kp_wn (a String, b UInt32) ENGINE = Kafka SETTINGS "
+        "kafka_format = 'CSVWithNames', kafka_topic_list = 'kp_wn'"
+    )
+    try:
+        engine.execute("INSERT INTO kp_wn VALUES ('x,1', 7)")
+        msgs = engine._kafka_topic(engine.tables["kp_wn"]).messages()
+        assert msgs[0] == "a,b", f"header must lead the block: {msgs!r}"
+        assert msgs[1] == '"x,1",7'
+        # a second block re-emits the header (per-block framing)
+        engine.execute("INSERT INTO kp_wn VALUES ('y', 8)")
+        msgs = engine._kafka_topic(engine.tables["kp_wn"]).messages()
+        assert msgs[2] == "a,b" and msgs[3] == "y,8"
+    finally:
+        engine.execute("DROP TABLE IF EXISTS kp_wn")
+        _shutil.rmtree("spark-warehouse/_kafka/kp_wn", ignore_errors=True)
+
+    from otus_clickhouse_spark.formats import serialize_header
+
+    df = engine.spark.createDataFrame([(1, 2)], 'x long, `we,ird"` long')
+    assert serialize_header(df, "CSVWithNames") == 'x,"we,ird"""'
+    assert serialize_header(df, "TSVWithNames") == 'x\twe,ird"'
+    assert serialize_header(df, "CSV") is None
+    assert serialize_header(df, "JSONEachRow") is None
+
+
 def test_kafka_produce_frame_distributed_million_rows(engine):
     """Scale pin for the broker-less produce path: INSERT SELECT of 1M
     rows into a Kafka-engine table goes through FileTopic.produce_frame

@@ -110,6 +110,37 @@ def main():
         "queries": results,
         "sf": sf,
     }
+    # Per-query budgets (r8 verdict ask #2): the r8 bench drifted +22%
+    # UNIFORMLY vs r7 with no per-query outlier, and the cause (host
+    # drift vs plan regression) took a round to attribute. Compare each
+    # query to its recorded reference median and flag >1.5x loudly in
+    # the output the round it happens. A uniform over-budget sweep means
+    # host drift (re-baseline BENCH_BUDGETS.json); isolated entries mean
+    # a plan regression in those queries.
+    try:
+        with open(os.path.join(REPO, "BENCH_BUDGETS.json")) as f:
+            ref = json.load(f).get("ref_sec", {})
+        over = {
+            n: {"sec": results[n], "ref": ref[n]}
+            for n in results
+            if n in ref and ref[n] > 0 and results[n] > 1.5 * ref[n]
+        }
+        if over:
+            # stdout line must stay under the driver's 2000-char tail
+            # buffer: cap the inline list, full detail goes to stderr
+            worst = sorted(over, key=lambda n: over[n]["sec"] / over[n]["ref"])[-5:]
+            out["over_budget_n"] = len(over)
+            out["over_budget"] = {n: over[n]["sec"] for n in worst}
+            print(
+                f"BUDGET: {len(over)} queries over 1.5x reference: "
+                + ", ".join(
+                    f"{n} {v['sec']:.2f}s (ref {v['ref']:.2f}s)"
+                    for n, v in sorted(over.items())
+                ),
+                file=sys.stderr,
+            )
+    except (OSError, ValueError):
+        pass
     detail = dict(out)
     for key, probe in (
         ("scale", scale_probe),

@@ -353,6 +353,25 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         .collect(),
         n_docs,
     )
+    # r9: the histogram-threshold quantile gate (x75's rewritten path —
+    # no per-source corpus window; 4dp quality grid keeps the histogram
+    # <= 10k rows/source, so docs/s must rise with corpus size)
+    from otus_clickhouse_spark.pipeline.curation import quantile_quality_gate
+
+    qdocs = sdocs.select(
+        "doc_id",
+        "source",
+        F.round(F.pmod(F.col("doc_id") * 37, F.lit(10000)) / 10000.0, 4).alias(
+            "quality"
+        ),
+    )
+    timed(
+        "quantile_gate_hist",
+        lambda: quantile_quality_gate(qdocs, keep_frac=0.25)
+        .agg(F.sum("n_kept"), F.sum("kept_id_sum"))
+        .collect(),
+        n_docs,
+    )
     timed(
         "eval_overlap_report",
         lambda: eval_overlap_report(docs)

@@ -450,6 +450,104 @@ def quantile_quality_gate(
     )
 
 
+def length_quantile_summary(
+    docs: DataFrame,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    val_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact per-source quantile summary of a value column (the length
+    profile sheet a curation run reads before setting chunking and
+    outlier thresholds). Quantiles are DISCRETE — the value at 1-based
+    position ``ceil(p·n)`` — so both engines agree bit-for-bit with no
+    interpolation.
+
+    Scale shape: same histogram discipline as :func:`_hist_median` —
+    the corpus reduces to a (source, value) histogram (state bounded by
+    DISTINCT values per source, never rows; Spark's exact percentile
+    aggregate would buffer every group value), one cumulative walk over
+    histogram rows, and ALL requested quantiles come out of a single
+    grouped reduction over that walk. Output is #sources rows."""
+    hist = docs.groupBy(group_col, val_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    j = cum.join(F.broadcast(tot), group_col)
+    aggs = [F.first("__n").cast("bigint").alias("n_docs")]
+    for p in ps:
+        pos = F.ceil(F.lit(float(p)) * F.col("__n"))
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= pos, F.col(val_col)))
+            .cast("bigint")
+            .alias(f"p{int(round(p * 100))}")
+        )
+    return j.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def quality_decile_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Global quality-decile profile: split the corpus into quality
+    deciles and report per-decile doc counts and mean length — the
+    calibration sheet for a quality score ("does the top decile look
+    different from the bottom?", the check run before trusting x75's
+    gate). Decile boundaries are DISC quantile values (value at
+    position ``ceil(d·n/10)``); a whole 4dp-quality bucket maps to the
+    first decile whose threshold covers it, so assignment is
+    deterministic and histogram-level (no per-row rank).
+
+    Scale shape: the corpus reduces to a global (quality, count,
+    sum_chars) histogram (≤ ~10k rows — quality rounds to 4 decimals),
+    the decile thresholds come from ONE cumulative walk over that
+    histogram (an unpartitioned window over bounded input), and the
+    per-decile reduce is over histogram rows. Nothing corpus-sized
+    shuffles after the first aggregation."""
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    scored = docs.select(
+        quality_score(F.col(text_col)).alias("__q"), F.col(chars_col)
+    )
+    hist = scored.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum(chars_col).alias("__sc")
+    )
+    w = Window.orderBy("__q")  # histogram-sized input (bounded allowlist)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    jc = cum.crossJoin(F.broadcast(tot))
+    th = jc.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.col("__n") * F.lit(d / float(n_buckets))),
+                    F.col("__q"),
+                )
+            ).alias(f"__t{d}")
+            for d in range(1, n_buckets + 1)
+        ]
+    )
+    dec = None
+    for d in range(1, n_buckets):
+        cond = F.col("__q") <= F.col(f"__t{d}")
+        dec = F.when(cond, F.lit(d)) if dec is None else dec.when(cond, F.lit(d))
+    dec = dec.otherwise(F.lit(n_buckets))
+    return (
+        hist.crossJoin(F.broadcast(th))
+        .select(dec.cast("bigint").alias("decile"), "__q", "__c", "__sc")
+        .groupBy("decile")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.round(F.sum("__sc") / F.sum("__c"), 2).alias("avg_chars"),
+            F.round(F.min("__q"), 4).alias("min_q"),
+            F.round(F.max("__q"), 4).alias("max_q"),
+        )
+        .orderBy("decile")
+    )
+
+
 def length_quality_corr(
     docs: DataFrame,
     text_col: str = "text",

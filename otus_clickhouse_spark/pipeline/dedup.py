@@ -506,3 +506,114 @@ def minhash_estimate_eval(
         F.round(F.avg(F.col("__est") - F.col("__ex")), round_at).alias("bias"),
         F.round(F.avg(F.abs(F.col("__est") - F.col("__ex"))), round_at).alias("mae"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    top_n: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard BETWEEN sources — the corpus-level
+    overlap matrix a curation run reads before mixing sources (two
+    crawls of the same sites show up here long before doc-level dedup
+    finds the pairs). Top ``top_n`` source pairs by Jaccard.
+
+    Scale shape: shingles build map-side per doc, reduce to the
+    DISTINCT (source, shingle) relation (one shuffle keyed on the
+    shingle — never doc bodies), and the pair expansion is a
+    shingle-keyed self-join whose per-key fanout is bounded by
+    #sources² (a constant ~20² regardless of corpus size); per-source
+    set sizes are a #sources-row broadcast. orderBy+limit plans as
+    TakeOrderedAndProject."""
+    sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    ss = (
+        sh.join(docs.select(id_col, source_col), id_col)
+        .select(source_col, "shingle")
+        .distinct()
+    )
+    sizes = ss.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col(f"a.{source_col}") < F.col(f"b.{source_col}"))
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col(source_col).alias("source_a"), F.col("__n").alias("__na"))
+    zb = sizes.select(F.col(source_col).alias("source_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+        .limit(top_n)
+    )
+
+
+def lsh_bucket_skew(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Per-band LSH bucket-size diagnostic: bucket count, largest
+    bucket, and the implied candidate-pair volume sum(s·(s−1)/2) — the
+    SKEW sheet for the banded self-join (lsh_candidate_pairs' quadratic
+    step is per-bucket, so one hot bucket IS the straggler task at
+    100 TB; this query is how the banding config gets caught before
+    that happens — the same class of check as x31/x68's max_bucket and
+    x79's max_gram_df).
+
+    Scale shape: band keys build map-side from the signature table, the
+    only shuffle keys on (band, band_key), and the output reduces to
+    #bands rows."""
+    mh_cols = [c for c in sig.columns if c.startswith("mh")]
+    assert len(mh_cols) >= bands * rows_per_band
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(b),
+                    *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select("e.band", "e.band_key")
+    sizes = buckets.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__s"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("__s").cast("bigint").alias("n_docs"),
+            F.max("__s").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("__s") * (F.col("__s") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "candidate_pairs",
+        )
+        .orderBy("band")
+    )

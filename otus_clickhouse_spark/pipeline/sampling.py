@@ -395,3 +395,54 @@ def mixing_schedule(
         .withColumn("n_epochs", F.ceil(F.col("sampling_rate")).cast("int"))
         .orderBy(source_col)
     )
+
+
+def time_decay_sample(
+    events: DataFrame,
+    half_life_days: float = 30.0,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-weighted deterministic sampling over an event log: each
+    event survives with probability ``2^(-age/half_life)`` (age relative
+    to the newest event), so a training refresh keeps all of this
+    month, ~half of last month, and an exponentially thinning tail —
+    the standard freshness bias for interaction data without a hard
+    cutoff. The keep decision hashes the event id (same md5-uniform
+    idiom as stratified_sample: deterministic, retry-safe, and
+    engine-portable, where rand() is none of these).
+
+    Scale shape: ONE driver scalar (max ts); the decayed weight and the
+    hash-uniform draw are map-side expressions; output is one row per
+    event type. The weight rounds to 6 decimals BEFORE the comparison
+    so the oracle's exp() agrees bit-for-bit."""
+    ref = events.agg(F.max(F.unix_timestamp(F.col(ts_col)))).collect()[0][0] or 0
+    es = F.unix_timestamp(F.col(ts_col))
+    age_days = (F.lit(int(ref)) - es) / F.lit(86400.0)
+    # 2^(-age/h) = exp(-ln2 * age/h); ln2 pinned as a literal so both
+    # engines evaluate the identical expression
+    w = F.round(
+        F.exp(F.lit(-0.6931471805599453) * age_days / F.lit(float(half_life_days))),
+        6,
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+            "bigint"
+        )
+        % 1000000
+    ) / F.lit(1000000.0)
+    keep = u < w
+    return (
+        events.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col(id_col))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+            F.round(F.avg(F.when(keep, F.col(value_col))), 4).alias("kept_avg_value"),
+        )
+        .orderBy(type_col)
+    )

@@ -843,3 +843,80 @@ def trigram_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def boilerplate_phrases(
+    df: DataFrame,
+    n: int = 5,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate mining: the word ``n``-grams that
+    appear in the most DOCUMENTS (document frequency, not occurrence
+    count — a phrase repeated inside one doc is x20's problem; a phrase
+    repeated across docs is template/boilerplate mass that line-dedup
+    misses when the surrounding text differs). Top ``top_n`` by
+    (df DESC, phrase ASC).
+
+    Scale shape: n-grams build map-side per document and dedup
+    per-document BEFORE the explode (array_distinct — no shuffle of
+    repeated phrases), the document-frequency groupBy is the only
+    shuffle (vocabulary-keyed), and top-n is orderBy+limit →
+    TakeOrderedAndProject. Reuses the shingle builder, so the oracle
+    replays it verbatim."""
+    from otus_clickhouse_spark.pipeline.dedup import shingles
+
+    sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
+    return (
+        sh.groupBy(F.col("shingle").alias("phrase"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("phrase"))
+        .limit(top_n)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    buckets: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: order the corpus into
+    ``buckets`` equal id-ranges and count, per bucket, the distinct
+    word ``n``-grams seen for the FIRST time — the saturation
+    diagnostic for a growing corpus ("is the next crawl still adding
+    novel text, or re-crawling what we have?"). A flattening curve is
+    the data-driven stop signal for collection.
+
+    Scale shape: each n-gram reduces to its min bucket in one
+    vocabulary-keyed aggregation (first-seen = min over the bucket
+    ids, partial-aggregable map-side), the curve is a #buckets-row
+    groupBy, and the cumulative column is a window over those
+    #buckets rows (bounded allowlist). One driver scalar (the corpus
+    count) sizes the id ranges."""
+    from pyspark.sql import Window
+
+    from otus_clickhouse_spark.pipeline.dedup import shingles
+
+    total = df.count()  # ONE driver-side scalar
+    sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
+    b = F.least(
+        F.floor(F.col(id_col) * buckets / F.lit(total)), F.lit(buckets - 1)
+    ).cast("bigint")
+    first_seen = (
+        sh.select(b.alias("__b"), "shingle")
+        .groupBy("shingle")
+        .agg(F.min("__b").alias("__fb"))
+    )
+    curve = first_seen.groupBy(F.col("__fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_ngrams")
+    )
+    w = Window.orderBy("bucket")  # #buckets rows (bounded allowlist)
+    return (
+        curve.withColumn(
+            "cum_distinct", F.sum("new_ngrams").over(w).cast("bigint")
+        )
+        .orderBy("bucket")
+    )

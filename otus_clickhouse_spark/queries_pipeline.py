@@ -4301,3 +4301,282 @@ def x82_event_rate_anomaly(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return daily_rate_anomaly(ev)
+
+
+@query(
+    "x83_length_quantiles",
+    oracle="""
+    WITH hist AS (
+      SELECT source, n_chars AS v, count(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (SELECT source, v, c, sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+            FROM hist),
+    tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY source)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cm >= ceil(0.25 * n) THEN v END) AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cm >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cm >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75,
+           CAST(min(CASE WHEN cm >= ceil(0.9 * n) THEN v END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cm >= ceil(0.99 * n) THEN v END) AS BIGINT) AS p99
+    FROM cum JOIN tot USING (source)
+    GROUP BY source, n ORDER BY source
+    """,
+)
+def x83_length_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles
+    (pipeline.curation.length_quantile_summary): the p25/p50/p75/p90/p99
+    profile a curation run reads before setting chunk sizes and outlier
+    thresholds. DISC quantiles (value at position ceil(p*n)) from a
+    (source, value) histogram walk — the x74 discipline generalized to
+    a quantile VECTOR in one reduction; Spark's exact percentile
+    aggregate would buffer every group value. Oracle replays the same
+    cumulative positions."""
+    from otus_clickhouse_spark.pipeline.curation import length_quantile_summary
+
+    return length_quantile_summary(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x84_source_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ss AS (SELECT DISTINCT d.source, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+           FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY a.source, b.source)
+    SELECT source_a, source_b, CAST(i AS BIGINT) AS n_shared,
+           round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+    FROM pr
+    JOIN sz za ON za.source = pr.source_a
+    JOIN sz zb ON zb.source = pr.source_b
+    ORDER BY jaccard DESC, source_a, source_b LIMIT 15
+    """,
+)
+def x84_source_overlap(spark, sf_dir):
+    """Between-source shingle-set Jaccard matrix
+    (pipeline.dedup.source_overlap): the overlap sheet a mixing run
+    reads before weighting sources — two crawls of the same sites show
+    up here before any doc-level dedup finds the pairs. The pair
+    expansion is a shingle-keyed self-join whose per-key fanout is
+    bounded by #sources^2 (constant), set sizes broadcast, top-15 by
+    TakeOrderedAndProject."""
+    from otus_clickhouse_spark.pipeline.dedup import source_overlap
+
+    return source_overlap(t(spark, sf_dir, "documents"), top_n=15)
+
+
+@query(
+    "x85_boilerplate_phrases",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, phrase FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                     i -> array_to_string(toks[i:i+4], ' '))) AS phrase
+        FROM w
+      ) WHERE length(phrase) > 0
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS df
+    FROM sh GROUP BY phrase
+    ORDER BY df DESC, phrase LIMIT 20
+    """,
+)
+def x85_boilerplate_phrases(spark, sf_dir):
+    """Cross-document boilerplate phrase mining
+    (pipeline.text.boilerplate_phrases): the word 5-grams appearing in
+    the most DOCUMENTS — template mass that line-dedup misses when the
+    surrounding text differs (within-doc repetition is x20's job).
+    5-grams dedup per-document map-side before the explode; one
+    vocabulary-keyed count; top-20 via TakeOrderedAndProject. Oracle
+    replays the shingle builder verbatim at n=5."""
+    from otus_clickhouse_spark.pipeline.text import boilerplate_phrases
+
+    return boilerplate_phrases(t(spark, sf_dir, "documents"), n=5, top_n=20)
+
+
+@query(
+    "x86_ngram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM w
+      ) WHERE length(shingle) > 0
+    ),
+    tot AS (SELECT count(*) AS n FROM documents),
+    fb AS (
+      SELECT shingle,
+             min(CAST(least(floor(doc_id * 10 / n), 9) AS BIGINT)) AS b
+      FROM sh CROSS JOIN tot GROUP BY shingle
+    ),
+    curve AS (SELECT b AS bucket, CAST(count(*) AS BIGINT) AS new_ngrams
+              FROM fb GROUP BY b)
+    SELECT bucket, new_ngrams,
+           CAST(sum(new_ngrams) OVER (ORDER BY bucket) AS BIGINT) AS cum_distinct
+    FROM curve ORDER BY bucket
+    """,
+)
+def x86_ngram_novelty(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve
+    (pipeline.text.ngram_novelty): distinct word trigrams seen for the
+    first time in each tenth of the corpus — the saturation diagnostic
+    that tells a collection run whether the next crawl still adds novel
+    text. First-seen = min bucket per n-gram (one partial-aggregable
+    vocabulary-keyed reduce); the cumulative column is a window over
+    the 10 curve rows."""
+    from otus_clickhouse_spark.pipeline.text import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), buckets=10, n=3)
+
+
+@query(
+    "x87_lsh_bucket_skew",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
+    ),
+    bk AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws('|', 0, mh0, mh1)) AS k FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(concat_ws('|', 1, mh2, mh3)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(concat_ws('|', 2, mh4, mh5)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(concat_ws('|', 3, mh6, mh7)) FROM sig
+    ),
+    sizes AS (SELECT band, k, count(*) AS s FROM bk GROUP BY band, k)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(s) AS BIGINT) AS n_docs,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(sum(s * (s - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM sizes GROUP BY band ORDER BY band
+    """,
+)
+def x87_lsh_bucket_skew(spark, sf_dir):
+    """Per-band LSH bucket-size skew sheet
+    (pipeline.dedup.lsh_bucket_skew): bucket counts, the largest
+    bucket, and the implied candidate-pair volume sum(s*(s-1)/2) per
+    band — the check that catches a hot bucket BEFORE it becomes the
+    straggler task of the banded self-join (x02/x53's quadratic step
+    is per-bucket). Band keys build map-side; one (band, key) shuffle;
+    #bands output rows."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        lsh_bucket_skew,
+        minhash_signatures,
+        shingles,
+    )
+
+    sig = minhash_signatures(shingles(t(spark, sf_dir, "documents")))
+    return lsh_bucket_skew(sig)
+
+
+@query(
+    "x88_time_decay_sample",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    ref AS (SELECT max(es) AS r FROM e),
+    k AS (SELECT event_type, event_id, value,
+                 round(exp(-0.6931471805599453 * ((r - es) / 86400.0) / 30.0), 6) AS w,
+                 (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 1000000) / 1000000.0 AS u
+          FROM e CROSS JOIN ref)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN u < w THEN event_id END), 0) AS BIGINT)
+             AS kept_id_sum,
+           round(avg(CASE WHEN u < w THEN value END), 4) AS kept_avg_value
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x88_time_decay_sample(spark, sf_dir):
+    """Recency-weighted deterministic sampling over the event log
+    (pipeline.sampling.time_decay_sample): keep each event with
+    probability 2^(-age/30d) relative to the newest event — the
+    freshness bias a training refresh applies to interaction data
+    without a hard cutoff. The draw hashes the event id (md5-uniform,
+    deterministic, retry-safe — the stratified_sample idiom); the
+    decayed weight rounds to 6 decimals before the comparison so both
+    engines agree. One driver scalar (max ts); map-side filter;
+    per-type output."""
+    from otus_clickhouse_spark.pipeline.sampling import time_decay_sample
+
+    return time_decay_sample(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x89_quality_deciles",
+    oracle="""
+    WITH feat AS (
+      SELECT n_chars,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT n_chars,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS q
+      FROM feat
+    ),
+    hist AS (SELECT q, count(*) AS c, sum(n_chars) AS sc FROM scored GROUP BY q),
+    cum AS (SELECT q, c, sc, sum(c) OVER (ORDER BY q) AS cm FROM hist),
+    tot AS (SELECT sum(c) AS n FROM hist),
+    th AS (
+      SELECT min(CASE WHEN cm >= ceil(n * 0.1) THEN q END) AS t1,
+             min(CASE WHEN cm >= ceil(n * 0.2) THEN q END) AS t2,
+             min(CASE WHEN cm >= ceil(n * 0.3) THEN q END) AS t3,
+             min(CASE WHEN cm >= ceil(n * 0.4) THEN q END) AS t4,
+             min(CASE WHEN cm >= ceil(n * 0.5) THEN q END) AS t5,
+             min(CASE WHEN cm >= ceil(n * 0.6) THEN q END) AS t6,
+             min(CASE WHEN cm >= ceil(n * 0.7) THEN q END) AS t7,
+             min(CASE WHEN cm >= ceil(n * 0.8) THEN q END) AS t8,
+             min(CASE WHEN cm >= ceil(n * 0.9) THEN q END) AS t9
+      FROM cum CROSS JOIN tot),
+    dec AS (
+      SELECT CASE WHEN q <= t1 THEN 1 WHEN q <= t2 THEN 2 WHEN q <= t3 THEN 3
+                  WHEN q <= t4 THEN 4 WHEN q <= t5 THEN 5 WHEN q <= t6 THEN 6
+                  WHEN q <= t7 THEN 7 WHEN q <= t8 THEN 8 WHEN q <= t9 THEN 9
+                  ELSE 10 END AS decile, q, c, sc
+      FROM hist CROSS JOIN th)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           round(sum(sc) * 1.0 / sum(c), 2) AS avg_chars,
+           round(min(q), 4) AS min_q,
+           round(max(q), 4) AS max_q
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+)
+def x89_quality_deciles(spark, sf_dir):
+    """Global quality-decile calibration sheet
+    (pipeline.curation.quality_decile_profile): per-decile doc counts
+    and mean length — the check that the quality score actually
+    separates the corpus before x75's gate trusts it (decile 1 =
+    lowest quality). Boundaries are DISC quantile values from ONE
+    cumulative walk over the global 4dp-quality histogram; whole
+    histogram buckets map to deciles, so no per-row rank anywhere.
+    Oracle replays the identical thresholds."""
+    from otus_clickhouse_spark.pipeline.curation import quality_decile_profile
+
+    return quality_decile_profile(t(spark, sf_dir, "documents"))

@@ -2156,3 +2156,129 @@ def test_session_episodes_and_rate_anomaly(spark):
     a = daily_rate_anomaly(ev2).collect()[0]
     assert (a.n_days, a.total_events, a.mean_daily) == (6, 150, 25.0)
     assert (a.n_spike_days, a.spike_events) == (1, 100)
+
+
+def test_length_quantile_summary_hand_computed(spark):
+    """DISC quantiles (value at ceil(p*n)) over a 4-value histogram with
+    duplicates: n=10, p50 -> position 5, p99 -> position 10 (max)."""
+    from otus_clickhouse_spark.pipeline.curation import length_quantile_summary
+
+    rows = [(i, "a", v) for i, v in enumerate([1, 1, 2, 2, 2, 3, 3, 3, 3, 9])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = length_quantile_summary(docs).collect()[0]
+    assert (r.n_docs, r.p25, r.p50, r.p75, r.p90, r.p99) == (10, 2, 2, 3, 3, 9)
+
+
+def test_quality_decile_profile_partitions_the_corpus(spark, sf_dir):
+    """Deciles cover the corpus exactly once, boundaries are monotone,
+    and decile 1 holds the lowest-quality histogram buckets."""
+    from otus_clickhouse_spark.pipeline.curation import quality_decile_profile
+    from otus_clickhouse_spark.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    out = quality_decile_profile(docs).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    qs = [(r.decile, r.min_q, r.max_q) for r in out]
+    assert qs == sorted(qs)
+    for (d1, _, hi), (d2, lo, _) in zip(qs, qs[1:]):
+        assert hi <= lo and d1 < d2  # value ranges don't overlap
+
+
+def test_source_overlap_hand_computed(spark):
+    """Two sources sharing exactly one 3-gram out of 2 and 2 distinct
+    shingles -> Jaccard 1/3."""
+    from otus_clickhouse_spark.pipeline.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # shingles: "a b c", "b c d"
+            (2, "a b c x", "s2"),   # shingles: "a b c", "b c x"
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = source_overlap(docs).collect()
+    assert len(r) == 1
+    assert (r[0].source_a, r[0].source_b, r[0].n_shared) == ("s1", "s2", 1)
+    assert r[0].jaccard == 0.3333
+
+
+def test_lsh_bucket_skew_consistency(spark, sf_dir):
+    """Every band accounts for every doc; the per-band pair volume
+    upper-bounds the deduped candidate pairs of the SAME banding."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        lsh_bucket_skew,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from otus_clickhouse_spark.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs)).localCheckpoint()
+    skew = lsh_bucket_skew(sig).collect()
+    n = sig.count()
+    assert [r.band for r in skew] == [0, 1, 2, 3]
+    assert all(r.n_docs == n for r in skew)
+    assert all(r.max_bucket >= 1 and r.n_buckets <= n for r in skew)
+    n_cand = lsh_candidate_pairs(sig).count()
+    assert sum(r.candidate_pairs for r in skew) >= n_cand
+
+
+def test_boilerplate_phrases_doc_frequency(spark):
+    """df counts DOCUMENTS, not occurrences: a phrase twice in one doc
+    counts once; ties order by phrase."""
+    from otus_clickhouse_spark.pipeline.text import boilerplate_phrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t p q r s t"),  # "p q r s t" twice in ONE doc
+            (2, "p q r s t zz"),
+            (3, "zz yy xx ww vv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r.df for r in boilerplate_phrases(docs, n=5, top_n=50).collect()}
+    assert out["p q r s t"] == 2  # docs 1 and 2, not 3 occurrences
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """4 docs in 2 buckets: bucket 0 introduces doc 0/1's trigrams,
+    bucket 1 only the genuinely new ones; cum_distinct is the running
+    union size."""
+    from otus_clickhouse_spark.pipeline.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),        # tri: "a b c"          -> bucket 0
+            (1, "a b c d"),      # tri: "a b c", "b c d" -> bucket 0
+            (2, "a b c"),        # nothing new           -> bucket 1
+            (3, "x y z"),        # tri: "x y z"          -> bucket 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: (r.new_ngrams, r.cum_distinct)
+           for r in ngram_novelty(docs, buckets=2, n=3).collect()}
+    assert out == {0: (2, 2), 1: (1, 3)}
+
+
+def test_time_decay_sample_deterministic_and_fresh_keeps_all(spark):
+    """Weight at age 0 rounds to 1.0 and the md5-uniform is < 1, so a
+    same-instant log keeps everything; reruns select identical rows."""
+    import datetime as dt
+
+    from otus_clickhouse_spark.pipeline.sampling import time_decay_sample
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    fresh = spark.createDataFrame(
+        [(i, ts, "click", float(i)) for i in range(50)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    r = time_decay_sample(fresh).collect()[0]
+    assert (r.n_in, r.n_kept) == (50, 50)
+    old = spark.createDataFrame(
+        [(i, ts - dt.timedelta(days=i * 7), "click", float(i)) for i in range(50)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    a = time_decay_sample(old).collect()[0]
+    b = time_decay_sample(old).collect()[0]
+    assert a == b and 0 < a.n_kept < 50

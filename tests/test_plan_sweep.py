@@ -101,6 +101,8 @@ UNPARTITIONED_WINDOW_OK = {
     "x49_temperature_mixture": (2, "per-source weight table: rows = number of sources"),
     "x50_passage_retrieval": (1, "rank AFTER LIMIT: rows <= k"),
     "x52_zipf_diagnostic": (1, "regression input AFTER LIMIT 1000 (TakeOrderedAndProject)"),
+    "x86_ngram_novelty": (1, "cumulative over the #buckets-row novelty curve (10 rows)"),
+    "x89_quality_deciles": (1, "cumulative walk over the global 4dp-quality histogram (<= ~10k rows)"),
 }
 
 
@@ -174,6 +176,11 @@ LOW_CARD_WINDOW_OK = {
         3,
         "quantile histogram cumsum (<=10k buckets/source, x2 consumers) "
         "+ boundary-bucket tie-break (rows tied at ONE quality)",
+    ),
+    "x83_length_quantiles": (
+        1,
+        "histogram cumulative walk over (source, n_chars) rows — "
+        "distinct-length-bounded, never corpus-sized",
     ),
 }
 

@@ -617,3 +617,100 @@ def lsh_bucket_skew(
         )
         .orderBy("band")
     )
+
+
+def jaccard_threshold_curve(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup aggressiveness curve: for each candidate Jaccard
+    threshold, how many verified near-dup pairs survive and how many
+    DOCUMENTS they touch — the table a pipeline owner reads to pick
+    the production threshold (x53 tunes the banding; this tunes the
+    verify cut on a FIXED banding). The full candidate set verifies
+    ONCE (threshold=0 keeps every candidate with its exact Jaccard);
+    the sweep is then a tiny cross join of candidate-bounded pairs ×
+    #thresholds.
+
+    Scale shape: identical to x02 up to the verified-pairs table
+    (bucketed, candidate-only verify); everything after is bounded by
+    candidates × thresholds."""
+    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col, threshold=0.0)
+    pairs = pairs.localCheckpoint()  # reused by both sweep aggregates
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    pt = pairs.select(th, "a", "b", "jaccard").where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    per_pair = pt.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs_touched = (
+        pt.select("threshold", F.col("a").alias("d"))
+        .unionByName(pt.select("threshold", F.col("b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("bigint").alias("n_docs"))
+    )
+    zero = F.lit(0).cast("bigint")
+    base = docs.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        base.join(per_pair, "threshold", "left")
+        .join(docs_touched, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", zero).alias("n_pairs"),
+            F.coalesce("n_docs", zero).alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def neardup_source_matrix(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Where the near-dup mass COMES FROM: verified pairs (exact
+    Jaccard >= threshold) attributed to their source pair — the sheet
+    that distinguishes a source duplicating ITSELF (within-source
+    pairs: re-crawls, mirrors) from two sources duplicating EACH OTHER
+    (cross-source pairs: syndication) before x12's clusters collapse
+    them. Source pairs are unordered (least/greatest).
+
+    Scale shape: x02's bucketed candidate+verify chain, then two
+    id-keyed joins to attach sources to the candidate-bounded pair
+    table and a #source-pairs reduce."""
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    ab = (
+        pairs.join(
+            src.select(F.col(id_col).alias("a"), F.col(source_col).alias("__sa")), "a"
+        ).join(
+            src.select(F.col(id_col).alias("b"), F.col(source_col).alias("__sb")), "b"
+        )
+    )
+    return (
+        ab.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            # max, not mean: averaging k 4dp values lands exactly on a
+            # round-half boundary whenever k is even (0.94925 -> engines
+            # disagree by one binary ulp); max is a pure comparison
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )

@@ -112,3 +112,48 @@ def daily_rate_anomaly(
         )
         .orderBy(user_col)
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_at: int = 4,
+) -> DataFrame:
+    """Per-user inter-event gap profile: mean gap, coefficient of
+    variation, and max gap — the burstiness screen (CV >> 1 = bursty
+    automation, CV ≈ 0 = metronomic bot) that complements x82's daily
+    spike gate with sub-day structure. Gaps come from ONE lag window
+    keyed by the high-cardinality user id (the correct sessionization
+    shape); mean/CV from exact integer sufficient statistics over the
+    gap seconds, so the oracle replays bit-for-bit. Users with one
+    event report no gaps and drop."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    es = F.unix_timestamp(F.col(ts_col))
+    gaps = (
+        events.withColumn("__gap", es - F.lag(es).over(w))
+        .where(F.col("__gap").isNotNull())
+        .select(user_col, F.col("__gap").cast("double").alias("__g"))
+    )
+    s = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__g").alias("__sx"),
+        F.sum(F.col("__g") * F.col("__g")).alias("__sxx"),
+        F.max("__g").alias("__mx"),
+    )
+    mean = F.col("__sx") / F.col("__n")
+    std = F.sqrt(
+        F.greatest(
+            F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
+        )
+    ) / F.col("__n")
+    return s.select(
+        F.col(user_col),
+        F.col("__n").cast("bigint").alias("n_gaps"),
+        F.round(mean, round_at).alias("mean_gap_sec"),
+        F.round(
+            F.when(F.col("__sx") > 0, std / mean).otherwise(F.lit(0.0)), round_at
+        ).alias("cv_gap"),
+        F.col("__mx").cast("bigint").alias("max_gap_sec"),
+    ).orderBy(user_col)

@@ -446,3 +446,54 @@ def time_decay_sample(
         )
         .orderBy(type_col)
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int = 1000,
+    strata_col: str = "source",
+    value_col: str = "n_chars",
+    round_at: int = 4,
+) -> DataFrame:
+    """Neyman-optimal sample allocation across strata: for a fixed
+    label/inspection budget, sample stratum h proportionally to
+    N_h·σ_h — more where there IS more variance to pin down — the
+    statistically-optimal design for corpus quality audits (uniform
+    allocation wastes budget on homogeneous strata). σ is the
+    population std from exact integer sufficient statistics (n, Σx,
+    Σx²), the x80/x82 replay-stability discipline.
+
+    Scale shape: ONE map-side-combined aggregation down to #strata
+    rows; the cross-stratum normalization runs over that tiny frame
+    (window over #strata rows). Returns per stratum: n_docs, mean,
+    std, the N·σ share, and the integer allocation."""
+    from pyspark.sql import Window
+
+    s = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col(value_col).cast("double")).alias("__sx"),
+        F.sum(F.col(value_col).cast("double") * F.col(value_col)).alias("__sxx"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
+        )
+    ) / F.col("__n")
+    w_all = Window.partitionBy()  # #strata rows
+    ns = F.round(F.col("__n") * sigma, round_at)
+    return (
+        s.withColumn("__ns", ns)
+        .select(
+            F.col(strata_col),
+            F.col("__n").cast("bigint").alias("n_docs"),
+            F.round(F.col("__sx") / F.col("__n"), round_at).alias("mean_val"),
+            F.round(sigma, round_at).alias("std_val"),
+            F.round(F.col("__ns") / F.sum("__ns").over(w_all), round_at).alias(
+                "share"
+            ),
+            F.round(F.lit(int(budget)) * F.col("__ns") / F.sum("__ns").over(w_all))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy(strata_col)
+    )

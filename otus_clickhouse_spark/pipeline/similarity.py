@@ -1325,3 +1325,52 @@ def embedding_drift(
         F.round(F.avg(F.when(~F.col("__old"), nrm)), round_out).alias("mean_norm_new"),
     )
     return stats.join(cosv, group_col).orderBy(group_col)
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    filter_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k by cosine: each query retrieves
+    only among corpus vectors whose ``filter_col`` equals the query's —
+    the production "filtered vector search" shape (retrieve within a
+    tenant/language/domain). The predicate is pushed INTO the join: an
+    equality filter turns x04's broadcast-nested-loop cross join into a
+    hash equi-join keyed on the filter column, so each query scores
+    1/#labels of the corpus instead of all of it — at 100 TB the
+    filter IS the prune, before any ANN structure.
+
+    Scale shape: corpus never shuffles for scoring when the query side
+    broadcasts (small query batch); the per-query top-k window shuffles
+    only (query, score) pairs. Ties break by corpus id."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(filter_col).alias("__qf"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(filter_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), c[filter_col] == q["__qf"]
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(filter_col).cast("bigint").alias(filter_col),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, filter_col, "cos", "rnk")
+    )

@@ -4580,3 +4580,178 @@ def x89_quality_deciles(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.curation import quality_decile_profile
 
     return quality_decile_profile(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x90_filtered_ann",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, CAST(c.label AS BIGINT) AS label,
+             round(list_cosine_similarity(q.qv, c.cv), 4) AS cos
+      FROM c JOIN q ON c.label = q.label
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, cos, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def x90_filtered_ann(spark, sf_dir):
+    """Metadata-filtered vector search (pipeline.similarity.
+    filtered_topk): top-5 by cosine among corpus vectors sharing the
+    query's label — the production "retrieve within a tenant/language/
+    domain" shape. The equality predicate is pushed INTO the join (a
+    hash equi-join on label replaces x04's broadcast cross join), so
+    each query scores 1/#labels of the corpus — at 100 TB the filter
+    IS the prune, before any ANN structure."""
+    from otus_clickhouse_spark.pipeline.similarity import filtered_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return filtered_topk(emb, queries, k=5)
+
+
+@query(
+    "x91_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(n_chars) AS DOUBLE) AS sx,
+             CAST(sum(n_chars * n_chars) AS DOUBLE) AS sxx
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT source, n, sx,
+                 sqrt(greatest(n * sxx - sx * sx, 0)) / n AS sigma FROM s),
+    ns AS (SELECT source, n, sx, sigma, round(n * sigma, 4) AS nsig FROM m),
+    tot AS (SELECT sum(nsig) AS tt FROM ns)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round(sx / n, 4) AS mean_val,
+           round(sigma, 4) AS std_val,
+           round(nsig / tt, 4) AS share,
+           CAST(round(1000 * nsig / tt) AS BIGINT) AS alloc
+    FROM ns CROSS JOIN tot ORDER BY source
+    """,
+)
+def x91_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal audit-budget allocation
+    (pipeline.sampling.neyman_allocation): distribute a 1000-doc
+    inspection budget across sources proportionally to N_h*sigma_h —
+    the statistically-optimal stratified design (uniform allocation
+    wastes budget on homogeneous strata). Sigma from exact integer
+    sufficient statistics (n, Sx, Sxx — order-free, the x80
+    discipline); one map-side-combined aggregation to #sources rows;
+    the normalization window runs over that tiny frame."""
+    from otus_clickhouse_spark.pipeline.sampling import neyman_allocation
+
+    return neyman_allocation(t(spark, sf_dir, "documents"), budget=1000)
+
+
+@query(
+    "x92_interarrival_stats",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    g AS (SELECT user_id,
+                 es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap
+          FROM e),
+    gg AS (SELECT user_id, CAST(gap AS DOUBLE) AS gv FROM g WHERE gap IS NOT NULL),
+    s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(gv) AS sx,
+                 sum(gv * gv) AS sxx, max(gv) AS mx
+          FROM gg GROUP BY user_id)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           round(sx / n, 4) AS mean_gap_sec,
+           round(CASE WHEN sx > 0
+                      THEN (sqrt(greatest(n * sxx - sx * sx, 0)) / n) / (sx / n)
+                      ELSE 0 END, 4) AS cv_gap,
+           CAST(mx AS BIGINT) AS max_gap_sec
+    FROM s ORDER BY user_id
+    """,
+)
+def x92_interarrival_stats(spark, sf_dir):
+    """Per-user inter-event burstiness profile
+    (pipeline.events.interarrival_stats): mean gap, coefficient of
+    variation, max gap — CV >> 1 flags bursty automation, CV ~ 0
+    metronomic bots; the sub-day complement of x82's daily spike gate.
+    ONE lag window keyed by the high-cardinality user id; mean/CV from
+    exact integer sufficient statistics over gap seconds."""
+    from otus_clickhouse_spark.pipeline.events import interarrival_stats
+
+    return interarrival_stats(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x93_jaccard_threshold_curve",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    p0 AS (
+      SELECT i.a, i.b, round(i.i / (na.n + nb.n - i.i), 4) AS jaccard
+      FROM inter i JOIN sizes na ON na.doc_id = i.a
+                   JOIN sizes nb ON nb.doc_id = i.b
+    ),
+    th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+    pt AS (SELECT th.threshold, p0.a, p0.b FROM p0 CROSS JOIN th
+           WHERE p0.jaccard >= th.threshold),
+    a1 AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pt GROUP BY threshold),
+    a2 AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
+             SELECT threshold, a AS d FROM pt
+             UNION ALL SELECT threshold, b FROM pt)
+           GROUP BY threshold)
+    SELECT th.threshold,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+    FROM th LEFT JOIN a1 USING (threshold) LEFT JOIN a2 USING (threshold)
+    ORDER BY th.threshold
+    """,
+)
+def x93_jaccard_threshold_curve(spark, sf_dir):
+    """Dedup aggressiveness curve
+    (pipeline.dedup.jaccard_threshold_curve): surviving near-dup pairs
+    and documents touched at each verify threshold — the table that
+    picks the production cut on a fixed banding (x53 tunes the banding
+    itself). The candidate set verifies ONCE with exact Jaccard; the
+    sweep is candidate-bounded pairs x 5 thresholds."""
+    from otus_clickhouse_spark.pipeline.dedup import jaccard_threshold_curve
+
+    return jaccard_threshold_curve(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x94_neardup_source_matrix",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    ab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p JOIN documents da ON da.doc_id = p.a
+                   JOIN documents db ON db.doc_id = p.b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(jaccard) AS max_jaccard
+    FROM ab GROUP BY source_a, source_b
+    ORDER BY n_pairs DESC, source_a, source_b
+    """,
+)
+def x94_neardup_source_matrix(spark, sf_dir):
+    """Near-dup mass attribution (pipeline.dedup.neardup_source_matrix):
+    verified pairs (Jaccard >= 0.7) grouped by UNORDERED source pair —
+    within-source pairs are re-crawls/mirrors, cross-source pairs are
+    syndication; the sheet read before x12's clusters collapse the
+    distinction. x02's bucketed candidate+verify chain plus two
+    id-keyed source joins on the candidate-bounded pair table."""
+    from otus_clickhouse_spark.pipeline.dedup import neardup_source_matrix
+
+    return neardup_source_matrix(t(spark, sf_dir, "documents"))

@@ -2282,3 +2282,105 @@ def test_time_decay_sample_deterministic_and_fresh_keeps_all(spark):
     a = time_decay_sample(old).collect()[0]
     b = time_decay_sample(old).collect()[0]
     assert a == b and 0 < a.n_kept < 50
+
+
+def test_filtered_topk_respects_label_and_matches_bruteforce(spark):
+    """Filtered ANN = brute-force ANN over the pre-filtered corpus, and
+    never returns a vector from another label."""
+    from otus_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    got = filtered_topk(emb, qs, k=3).collect()
+    assert all(r.label == r.query_id % 3 for r in got)
+    for qid in range(4):
+        sub = brute_force_topk(
+            emb.where(F.col("label") == qid % 3),
+            qs.where(F.col("query_id") == qid).drop("label"),
+            k=3,
+        ).collect()
+        mine = [(r.vec_id, r.cos, r.rnk) for r in got if r.query_id == qid]
+        assert mine == [(r.vec_id, r.cos, r.rnk) for r in sub]
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Two strata: one constant (sigma 0 -> no budget), one with known
+    sigma -> the whole budget."""
+    from otus_clickhouse_spark.pipeline.sampling import neyman_allocation
+
+    rows = [(i, "flat", 10) for i in range(4)] + [
+        (10, "vary", 0), (11, "vary", 10), (12, "vary", 0), (13, "vary", 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in neyman_allocation(docs, budget=100).collect()}
+    assert out["flat"].std_val == 0.0 and out["flat"].alloc == 0
+    assert out["vary"].std_val == 5.0 and out["vary"].alloc == 100
+    assert out["vary"].share == 1.0 and out["vary"].mean_val == 5.0
+
+
+def test_interarrival_stats_hand_computed(spark):
+    """Gaps 10, 20, 30 -> mean 20, population std sqrt(200/3), CV
+    std/mean; single-event users drop."""
+    import datetime as dt
+    import math
+
+    from otus_clickhouse_spark.pipeline.events import interarrival_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 7, t0),
+        (2, 7, t0 + dt.timedelta(seconds=10)),
+        (3, 7, t0 + dt.timedelta(seconds=30)),
+        (4, 7, t0 + dt.timedelta(seconds=60)),
+        (5, 9, t0),  # one event -> no gaps -> dropped
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = interarrival_stats(ev).collect()
+    assert len(out) == 1 and out[0].user_id == 7
+    r = out[0]
+    std = math.sqrt((3 * (100 + 400 + 900) - 60 * 60) / 9.0)
+    assert (r.n_gaps, r.mean_gap_sec, r.max_gap_sec) == (3, 20.0, 30)
+    assert r.cv_gap == round(std / 20.0, 4)
+
+
+def test_jaccard_threshold_curve_monotone(spark, sf_dir):
+    """Pairs and docs touched are non-increasing in the threshold, and
+    the 0.7 point agrees with the x02 pipeline."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        jaccard_threshold_curve,
+        minhash_dedup_pairs,
+    )
+    from otus_clickhouse_spark.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    out = jaccard_threshold_curve(docs).collect()
+    assert [r.threshold for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = [r.n_pairs for r in out]
+    touched = [r.n_docs for r in out]
+    assert pairs == sorted(pairs, reverse=True)
+    assert touched == sorted(touched, reverse=True)
+    n07 = minhash_dedup_pairs(docs, threshold=0.7).count()
+    assert pairs[2] == n07
+
+
+def test_neardup_source_matrix_accounts_every_pair(spark, sf_dir):
+    """Matrix totals equal the verified pair count; source pairs are
+    unordered (a <= b)."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        minhash_dedup_pairs,
+        neardup_source_matrix,
+    )
+    from otus_clickhouse_spark.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    out = neardup_source_matrix(docs).collect()
+    assert sum(r.n_pairs for r in out) == minhash_dedup_pairs(docs).count()
+    assert all(r.source_a <= r.source_b for r in out)

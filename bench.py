@@ -56,6 +56,10 @@ HEADLINE = [
     # tensor transport is the default (the literal transport's silent
     # interpreted fallback was invisible to this bench through r7)
     "x60_pq_adc_topk",
+    # histogram-threshold representative (r9): watches the
+    # per-(key, value) histogram cut pattern that replaced the
+    # per-source corpus windows in x75/x47
+    "x83_length_quantiles",
 ]
 
 

@@ -1374,3 +1374,42 @@ def filtered_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, filter_col, "cos", "rnk")
     )
+
+
+def rrf_fuse(
+    branches: "list[DataFrame]",
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded retrieval lists: score(d) =
+    Σ_branches 1/(c + rank_branch(d)) — the standard hybrid-retrieval
+    combiner (keyword BM25 + dense ANN) that needs no score
+    calibration because it consumes RANKS, not scores. Documents
+    missing from a branch contribute 0 from it.
+
+    Scale shape: every input is already a top-k list (bounded), so the
+    fusion — full outer join on the id, coalesced reciprocal sum, rank
+    over ≤ Σ branch sizes rows — is constant-sized no matter the
+    corpus; the heavy lifting happened inside the branches, each with
+    its own bounded plan (x27's posting prune, x04's broadcast scan).
+    The reciprocal terms sum in fixed branch order so the oracle
+    replays the identical float arithmetic."""
+    scored = None
+    for i, b in enumerate(branches):
+        s = b.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col))).alias(f"__s{i}"),
+        )
+        scored = s if scored is None else scored.join(s, id_col, "full")
+    total = F.lit(0.0)
+    for i in range(len(branches)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    top = (
+        scored.select(F.col(id_col), F.round(total, 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

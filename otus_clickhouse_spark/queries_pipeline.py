@@ -4755,3 +4755,73 @@ def x94_neardup_source_matrix(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import neardup_source_matrix
 
     return neardup_source_matrix(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x95_hybrid_rrf",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\w]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE length(token) > 0 GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT * FROM tf WHERE token IN ('join', 'merge', 'spark')),
+    dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+    bm AS (
+      SELECT p.doc_id,
+             round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS score
+      FROM post p JOIN dft d USING (token) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ),
+    kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    sem0 AS (SELECT e.vec_id AS doc_id,
+                    round(list_cosine_similarity(qv.v, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+             FROM embeddings e CROSS JOIN qv),
+    sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+            FROM sem0 ORDER BY cos DESC, doc_id LIMIT 20),
+    f AS (
+      SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + kw.r), 0) + coalesce(1.0 / (60 + sem.r), 0), 6)
+               AS rrf_score
+      FROM kw FULL JOIN sem ON kw.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def x95_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (pipeline.similarity.rrf_fuse): BM25 keyword top-20 (x27's posting
+    prune) fused with dense cosine top-20 against the vec-0 query
+    embedding — score(d) = 1/(60+r_kw) + 1/(60+r_sem), the
+    calibration-free hybrid combiner production retrieval runs. Both
+    branches are bounded top-k plans; the fusion itself joins two
+    20-row lists, so it is constant-sized at ANY corpus scale. Docs
+    without an embedding row simply score on the keyword branch."""
+    from otus_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    kw = bm25_topk(build_tf_index(docs), ["join", "merge", "spark"], k=20)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = brute_force_topk(emb, q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse([kw.select("doc_id", "rnk"), sem], k=10)

@@ -2384,3 +2384,17 @@ def test_neardup_source_matrix_accounts_every_pair(spark, sf_dir):
     out = neardup_source_matrix(docs).collect()
     assert sum(r.n_pairs for r in out) == minhash_dedup_pairs(docs).count()
     assert all(r.source_a <= r.source_b for r in out)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Doc in both branches beats single-branch docs; missing-branch
+    docs contribute 0 from it; ranks are 1-based after fusion."""
+    from otus_clickhouse_spark.pipeline.similarity import rrf_fuse
+
+    kw = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long")
+    sem = spark.createDataFrame([(2, 1), (9, 2)], "doc_id long, rnk long")
+    out = {r.doc_id: (r.rrf_score, r.rnk) for r in rrf_fuse([kw, sem], k=10).collect()}
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 1)   # both branches
+    assert out[1] == (round(1 / 61, 6), 2)            # kw only, rank 1
+    assert out[9] == (round(1 / 62, 6), 3)            # sem only, rank 2
+    assert out[3] == (round(1 / 63, 6), 4)

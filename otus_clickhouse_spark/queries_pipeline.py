@@ -4825,3 +4825,89 @@ def x95_hybrid_rrf(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "rnk"
     )
     return rrf_fuse([kw.select("doc_id", "rnk"), sem], k=10)
+
+
+@query(
+    "x96_dup_quality_gap",
+    oracle=rf"""
+    WITH {_PAIRS_CTES},
+    dup AS (SELECT DISTINCT d FROM (SELECT a AS d FROM pairs
+                                    UNION ALL SELECT b FROM pairs)),
+    feat AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(round(round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) * 10000) AS BIGINT) AS q4,
+             CASE WHEN dup.d IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM feat LEFT JOIN dup ON dup.d = feat.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN is_dup = 1 THEN q4 END) / 10000.0
+                 / nullif(sum(is_dup), 0), 4) AS mean_q_dup,
+           round(sum(CASE WHEN is_dup = 0 THEN q4 END) / 10000.0
+                 / nullif(count(*) - sum(is_dup), 0), 4) AS mean_q_clean
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def x96_dup_quality_gap(spark, sf_dir):
+    """Near-dup vs clean quality gap per source: are the duplicated
+    docs the GOOD ones (syndicated quality content) or the junk
+    (template spam)? — the diagnostic that decides whether near-dedup
+    should keep the cluster representative (x12) or drop whole
+    clusters. Quality means are computed from EXACT integer sums
+    (quality rounds to 4dp, so q*10000 rounds to an exact bigint —
+    float sums of 4dp doubles are order-dependent across engines, the
+    x94 lesson applied to means); the dup flag is a broadcast-ish
+    semi-join of the candidate-bounded verified-pair id set."""
+    from otus_clickhouse_spark.pipeline.dedup import minhash_dedup_pairs
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    dup = (
+        pairs.select(F.col("a").alias("d"))
+        .unionByName(pairs.select(F.col("b").alias("d")))
+        .distinct()
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")) * 10000)
+        .cast("bigint")
+        .alias("q4"),
+    ).join(
+        dup.select(F.col("d").alias("doc_id"), F.lit(1).alias("__dup")),
+        "doc_id",
+        "left",
+    )
+    is_dup = F.coalesce(F.col("__dup"), F.lit(0))
+    n_dup = F.sum(is_dup)
+    n_clean = F.count(F.lit(1)) - n_dup
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_dup.cast("bigint").alias("n_dup"),
+            F.round(
+                F.sum(F.when(is_dup == 1, F.col("q4"))) / 10000.0
+                / F.nullif(n_dup, F.lit(0)),
+                4,
+            ).alias("mean_q_dup"),
+            F.round(
+                F.sum(F.when(is_dup == 0, F.col("q4"))) / 10000.0
+                / F.nullif(n_clean, F.lit(0)),
+                4,
+            ).alias("mean_q_clean"),
+        )
+        .orderBy("source")
+    )

@@ -102,6 +102,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x50_passage_retrieval": (1, "rank AFTER LIMIT: rows <= k"),
     "x52_zipf_diagnostic": (1, "regression input AFTER LIMIT 1000 (TakeOrderedAndProject)"),
     "x86_ngram_novelty": (1, "cumulative over the #buckets-row novelty curve (10 rows)"),
+    "x91_neyman_allocation": (1, "N*sigma normalization over the #strata aggregate (~20 rows)"),
     "x95_hybrid_rrf": (2, "rank AFTER LIMIT in the BM25 branch and after the bounded 2x20-row fusion"),
     "x89_quality_deciles": (1, "cumulative walk over the global 4dp-quality histogram (<= ~10k rows)"),
 }

@@ -4911,3 +4911,161 @@ def x96_dup_quality_gap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x97_cluster_representatives",
+    oracle=rf"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    feat AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) * 10000) AS BIGINT) AS q4
+      FROM feat
+    ),
+    cq AS (SELECT c.cluster_id, c.node, s.q4
+           FROM comp c JOIN scored s ON s.doc_id = c.node),
+    rep AS (
+      SELECT cluster_id, node, q4,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q4 DESC, node) AS r
+      FROM cq)
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(rep.node) AS BIGINT) AS rep_doc,
+           round(min(rep.q4) / 10000.0, 4) AS rep_quality,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM cq c JOIN (SELECT * FROM rep WHERE r = 1) rep USING (cluster_id)
+    GROUP BY c.cluster_id
+    """,
+)
+def x97_cluster_representatives(spark, sf_dir):
+    """Representative selection after near-dup clustering: for each x12
+    cluster keep the highest-quality doc (ties to the lowest id) and
+    count what gets dropped — the step that turns cluster formation
+    into an actual dedup decision ("keep the best copy", the question
+    x96 asks in aggregate). The per-cluster argmax is a
+    partial-aggregable min(struct(-q4, id)) over the candidate-bounded
+    component table — no window over cluster members; quality
+    comparisons use the exact q*10000 integers (the x96 discipline)."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    comp = dedup_clusters(pairs)
+    scored = docs.select(
+        F.col("doc_id").alias("node"),
+        F.round(quality_score(F.col("text")) * 10000).cast("bigint").alias("q4"),
+    )
+    cq = comp.join(scored, "node")
+    win = F.min(F.struct((-F.col("q4")).alias("nq"), F.col("node").alias("node")))
+    return (
+        cq.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            win.alias("__w"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("__w.node").cast("bigint").alias("rep_doc"),
+            F.round(-F.col("__w.nq") / 10000.0, 4).alias("rep_quality"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "x98_snapshot_diff",
+    oracle="""
+    WITH new_crawl AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END AS text
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    j AS (
+      SELECT o.source AS src_old, n.source AS src_new,
+             o.doc_id AS id_old, n.doc_id AS id_new,
+             CASE WHEN md5(o.text) = md5(n.text) THEN 1 ELSE 0 END AS same
+      FROM documents o FULL JOIN new_crawl n ON o.doc_id = n.doc_id
+    )
+    SELECT coalesce(src_old, src_new) AS source,
+           CAST(sum(CASE WHEN id_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN id_old IS NOT NULL AND id_new IS NOT NULL
+                          AND same = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j GROUP BY coalesce(src_old, src_new) ORDER BY source
+    """,
+)
+def x98_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff — the incremental-crawl reconciliation a
+    pipeline runs when a new dump lands (x86 asks "is it novel?"; this
+    asks "what exactly moved?"): per source, documents removed,
+    changed (same id, different content digest), and unchanged. The
+    synthetic new crawl drops ids % 10 and rewrites ids % 7 (the x17
+    seeding convention). One id-keyed full outer join comparing
+    16-byte digests — document bodies hash map-side and never shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    new_crawl = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    o = docs.select(
+        F.col("doc_id").alias("id_old"),
+        F.col("source").alias("src_old"),
+        F.md5("text").alias("h_old"),
+    )
+    n = new_crawl.select(
+        F.col("doc_id").alias("id_new"),
+        F.col("source").alias("src_new"),
+        F.md5("text").alias("h_new"),
+    )
+    j = o.join(n, o["id_old"] == n["id_new"], "full")
+    same = (F.col("h_old") == F.col("h_new")).cast("int")
+    return (
+        j.groupBy(F.coalesce("src_old", "src_new").alias("source"))
+        .agg(
+            F.sum(F.col("id_new").isNull().cast("int")).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.sum(
+                (
+                    F.col("id_old").isNotNull()
+                    & F.col("id_new").isNotNull()
+                    & (F.coalesce(same, F.lit(0)) == 0)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.coalesce(same, F.lit(0))).cast("bigint").alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )

@@ -2398,3 +2398,51 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[1] == (round(1 / 61, 6), 2)            # kw only, rank 1
     assert out[9] == (round(1 / 62, 6), 3)            # sem only, rank 2
     assert out[3] == (round(1 / 63, 6), 4)
+
+
+def test_cluster_representatives_pick_best_quality(spark, sf_dir):
+    """Every x12 cluster yields one representative; the rep is a
+    member with the cluster's max quality (min id on ties); dropped
+    counts add up."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from otus_clickhouse_spark.pipeline.text import quality_score
+    from otus_clickhouse_spark.queries import all_queries, t
+
+    docs = t(spark, sf_dir, "documents")
+    comp = dedup_clusters(minhash_dedup_pairs(docs, threshold=0.7))
+    members = {}
+    for r in comp.collect():
+        members.setdefault(r.cluster_id, []).append(r.node)
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    out = all_queries()["x97_cluster_representatives"](spark, sf_dir).collect()
+    assert {r.cluster_id for r in out} == set(members)
+    for r in out:
+        ms = members[r.cluster_id]
+        assert r.cluster_size == len(ms) and r.n_dropped == len(ms) - 1
+        best = sorted(ms, key=lambda d: (-q[d], d))[0]
+        assert r.rep_doc == best and r.rep_quality == q[best]
+
+
+def test_snapshot_diff_accounts_every_doc(spark, sf_dir):
+    """removed + changed + unchanged covers the old corpus exactly
+    (the synthetic crawl adds nothing); %10 drops and %7 rewrites."""
+    from otus_clickhouse_spark.queries import all_queries, t
+
+    docs = t(spark, sf_dir, "documents")
+    out = all_queries()["x98_snapshot_diff"](spark, sf_dir).collect()
+    total = docs.count()
+    assert sum(r.n_removed + r.n_changed + r.n_unchanged for r in out) == total
+    n_removed = docs.where(F.col("doc_id") % 10 == 0).count()
+    n_changed = docs.where(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 0)
+    ).count()
+    assert sum(r.n_removed for r in out) == n_removed
+    assert sum(r.n_changed for r in out) == n_changed

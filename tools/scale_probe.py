@@ -379,6 +379,27 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         .collect(),
         n_docs,
     )
+    # round-9 ops: doc-frequency phrases (vocab-keyed), source overlap
+    # (per-key fanout bounded by #sources^2), novelty curve (min-bucket
+    # reduce) — docs/s must rise with corpus size for all three
+    from otus_clickhouse_spark.pipeline.dedup import source_overlap
+    from otus_clickhouse_spark.pipeline.text import boilerplate_phrases, ngram_novelty
+
+    timed(
+        "boilerplate_phrases",
+        lambda: boilerplate_phrases(docs).agg(F.sum("df")).collect(),
+        n_docs,
+    )
+    timed(
+        "source_overlap",
+        lambda: source_overlap(sdocs).agg(F.sum("jaccard")).collect(),
+        n_docs,
+    )
+    timed(
+        "ngram_novelty",
+        lambda: ngram_novelty(docs).agg(F.sum("cum_distinct")).collect(),
+        n_docs,
+    )
 
     # OR-construction LSH ANN (x42 path): corpus exploded across 4 hash
     # tables map-side, broadcast query probes, pair-keyed dedup + rank —

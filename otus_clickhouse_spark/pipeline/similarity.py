@@ -1413,3 +1413,57 @@ def rrf_fuse(
     )
     w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+def fisher_dims(
+    emb: DataFrame,
+    top_n: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension class separation: Fisher ratio (between-class
+    variance / within-class variance) for every embedding dimension,
+    top ``top_n`` — the feature-audit that tells an embedding pipeline
+    WHICH dimensions actually carry the label signal (a near-zero
+    ratio everywhere means the labels aren't linearly visible; a few
+    dominant dims suggest the space collapsed). Both variances come
+    from per-(label, dim) sufficient statistics (n, Σx, Σx²) via the
+    standard decomposition, so nothing ever buffers vectors.
+
+    Scale shape: ONE posexplode pass reduces the corpus to
+    (#labels × #dims) stat rows (map-side combined); the dim-level
+    combine and the ratio are over that bounded table; top-n is
+    orderBy+limit → TakeOrderedAndProject."""
+    lg = (
+        emb.select(
+            F.col(label_col),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x"),
+        )
+        .groupBy(label_col, "__p")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__nl"),
+            F.sum("__x").alias("__sl"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__ql"),
+        )
+    )
+    dg = lg.groupBy("__p").agg(
+        F.sum("__nl").alias("__n"),
+        F.sum("__sl").alias("__s"),
+        F.sum("__ql").alias("__q"),
+        F.sum(F.col("__sl") * F.col("__sl") / F.col("__nl")).alias("__b"),
+    )
+    between = (F.col("__b") - F.col("__s") * F.col("__s") / F.col("__n")) / F.col(
+        "__n"
+    )
+    within = (F.col("__q") - F.col("__b")) / F.col("__n")
+    return (
+        dg.select(
+            (F.col("__p") + 1).cast("bigint").alias("dim"),
+            F.col("__n").cast("bigint").alias("n_vecs"),
+            F.round(between, 6).alias("between_var"),
+            F.round(within, 6).alias("within_var"),
+            F.round(between / F.nullif(within, F.lit(0.0)), 4).alias("fisher"),
+        )
+        .orderBy(F.desc("fisher"), F.asc("dim"))
+        .limit(top_n)
+    )

@@ -5069,3 +5069,115 @@ def x98_snapshot_diff(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x99_filter_attribution",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    rules AS (
+      SELECT source,
+             CASE WHEN len(toks) < 12 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       * 1.0 / greatest(nc, 1) < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN len(list_filter(toks, x -> list_contains(
+                    ['the','a','and','of','to','in','is'], lower(x))))
+                       * 1.0 / len(toks) < 0.01 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.4
+                  THEN 1 ELSE 0 END AS f_rep
+      FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_short) AS BIGINT) AS n_short,
+           CAST(sum(f_alpha) AS BIGINT) AS n_low_alpha,
+           CAST(sum(f_stop) AS BIGINT) AS n_no_stopwords,
+           CAST(sum(f_rep) AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN f_short + f_alpha + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM rules GROUP BY source ORDER BY source
+    """,
+)
+def x99_filter_attribution(spark, sf_dir):
+    """Gopher/C4-style filter funnel WITH rule attribution: per source,
+    how many docs each quality rule rejects (too short, low alpha
+    ratio, no stopwords, low distinct-token ratio) and how many pass
+    them all — the sheet that tells a pipeline owner WHICH rule is
+    doing the filtering before x16's funnel applies a single composite
+    score. Every rule is a map-side expression over the token array;
+    one grouped reduce; #sources output rows."""
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nc = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", "")) / F.greatest(
+        nc, F.lit(1)
+    )
+    sw = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to", "in", "is"]])
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(sw, F.lower(x)))
+    ) / F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    rules = d.select(
+        "source",
+        (F.size(toks) < 12).cast("int").alias("f_short"),
+        (alpha < 0.8).cast("int").alias("f_alpha"),
+        (stop_ratio < 0.01).cast("int").alias("f_stop"),
+        (distinct_ratio < 0.4).cast("int").alias("f_rep"),
+    )
+    all_pass = (
+        F.col("f_short") + F.col("f_alpha") + F.col("f_stop") + F.col("f_rep") == 0
+    ).cast("int")
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("f_short").cast("bigint").alias("n_short"),
+            F.sum("f_alpha").cast("bigint").alias("n_low_alpha"),
+            F.sum("f_stop").cast("bigint").alias("n_no_stopwords"),
+            F.sum("f_rep").cast("bigint").alias("n_repetitive"),
+            F.sum(all_pass).cast("bigint").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x100_fisher_dims",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    lg AS (
+      SELECT label, i, CAST(count(*) AS DOUBLE) AS nl,
+             sum(v[i]) AS sl, sum(v[i] * v[i]) AS ql
+      FROM c, dims GROUP BY label, i),
+    dg AS (
+      SELECT i, sum(nl) AS n, sum(sl) AS s, sum(ql) AS q,
+             sum(sl * sl / nl) AS b
+      FROM lg GROUP BY i)
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n_vecs,
+           round((b - s * s / n) / n, 6) AS between_var,
+           round((q - b) / n, 6) AS within_var,
+           round(((b - s * s / n) / n) / nullif((q - b) / n, 0), 4) AS fisher
+    FROM dg ORDER BY fisher DESC, dim LIMIT 10
+    """,
+)
+def x100_fisher_dims(spark, sf_dir):
+    """Per-dimension class-separation audit
+    (pipeline.similarity.fisher_dims): Fisher ratio (between-class /
+    within-class variance) per embedding dimension, top 10 — which
+    dims actually carry the label signal. One posexplode pass reduces
+    the corpus to (#labels x #dims) sufficient-statistic rows; the
+    ratio and the top-n run over that bounded table
+    (TakeOrderedAndProject, no window)."""
+    from otus_clickhouse_spark.pipeline.similarity import fisher_dims
+
+    return fisher_dims(t(spark, sf_dir, "embeddings"))

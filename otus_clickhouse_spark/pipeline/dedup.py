@@ -714,3 +714,146 @@ def neardup_source_matrix(
         )
         .orderBy(F.desc("n_pairs"), "source_a", "source_b")
     )
+
+
+def dup_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source SPAN-level duplication sheet: what fraction of each
+    document's distinct shingles also appears in at least one OTHER
+    document. Pair-level dedup (x02) answers "which docs are near-dups";
+    this answers "how much of this source is duplicated text at all" —
+    the number that decides between dropping whole documents and
+    stripping shared spans (boilerplate, syndication headers).
+
+    Per source: ``n_docs``; ``dup_shingle_ratio`` — the micro-average
+    sum(dup shingles)/sum(shingles), exact integer sums so the single
+    division is engine-reproducible; ``n_heavy`` — docs with >= half
+    their shingles shared (the pure-integer predicate 2*n_dup >= n_sh,
+    no float boundary); ``max_cov_bp`` — the worst doc's coverage in
+    basis points.
+
+    Scale shape: shingling is map-side (array_distinct before explode);
+    document frequency is ONE hash aggregation keyed by the 64-bit
+    shingle digest (never the string); the flag joins back on the same
+    digest key; per-doc and per-source reduces are map-side-combined.
+    A shingle with df >= 2 appears in >= 2 docs — since shingles are
+    per-doc distinct, df counts documents, not occurrences.
+    """
+    sh = (
+        shingles(docs, text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+        .localCheckpoint()  # feeds the df table AND the flag join
+    )
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("__df") >= 2).cast("int")).alias("n_dup"),
+        )
+    )
+    j = per_doc.join(docs.select(F.col(id_col), F.col(source_col)), id_col)
+    cov_bp = F.round(F.col("n_dup") * 10000.0 / F.col("n_sh")).cast("bigint")
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("n_dup") / F.sum("n_sh"), 4).alias("dup_shingle_ratio"),
+            F.sum((F.col("n_dup") * 2 >= F.col("n_sh")).cast("int"))
+            .cast("bigint")
+            .alias("n_heavy"),
+            F.max(cov_bp).alias("max_cov_bp"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def band_collision_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH s-curve audit: does the banding behave like theory says on
+    THIS corpus? For every candidate pair, count the bands in which it
+    actually collided and compare, per exact-Jaccard decile, against
+    the analytic expectation bands * j^rows_per_band. A mismatch means
+    the minhash permutations or the shingle distribution are broken
+    (e.g. near-constant shingles) BEFORE tuning num_hashes/bands on
+    faith — the companion to x78's estimator-fidelity check, one level
+    up at the banding layer.
+
+    Output per decile: ``jaccard_bin`` (0-9), ``n_pairs``,
+    ``mean_bands_hit`` (integer sum / count), ``mean_expected_bands``
+    (per-pair expectation integer-ized to basis points before summing,
+    so float summation order cannot move the mean across engines).
+
+    Scale shape: identical to x02's candidate machinery — the only
+    quadratic step is the per-bucket self-join; the verify is
+    candidate-bounded, and pairs that share a band WITHOUT sharing any
+    shingle (32-bit prefix collisions) stay in the audit at jaccard 0
+    via the left join.
+    """
+    sh = shingles(docs, text_col, id_col, n).localCheckpoint()
+    sig = minhash_signatures(sh, id_col, num_hashes, with_size=True).localCheckpoint()
+    mh_cols = [c for c in sig.columns if c.startswith("mh")]
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(b),
+                *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)],
+            )
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hits = (
+        a.join(b, "band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+    verified = jaccard_verify(
+        hits.select("a", "b"), sh, id_col, threshold=0.0,
+        sizes=sig.select(id_col, "n_sh"),
+    )
+    scored = hits.join(verified, ["a", "b"], "left").select(
+        "n_bands_hit", F.coalesce("jaccard", F.lit(0.0)).alias("j")
+    )
+    bp = F.round(F.col("j") * 10000).cast("bigint")
+    exp_bp = F.round(
+        F.pow(F.col("j"), F.lit(rows_per_band)) * bands * 10000
+    ).cast("bigint")
+    binned = scored.select(
+        F.least(F.floor(bp / 1000).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "jaccard_bin"
+        ),
+        "n_bands_hit",
+        exp_bp.alias("__exp_bp"),
+    )
+    return (
+        binned.groupBy("jaccard_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("n_bands_hit") / F.count(F.lit(1)), 4).alias(
+                "mean_bands_hit"
+            ),
+            F.round(
+                F.sum("__exp_bp") / (F.count(F.lit(1)) * 10000), 4
+            ).alias("mean_expected_bands"),
+        )
+        .orderBy("jaccard_bin")
+    )

@@ -157,3 +157,118 @@ def interarrival_stats(
         ).alias("cv_gap"),
         F.col("__mx").cast("bigint").alias("max_gap_sec"),
     ).orderBy(user_col)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = the ISO week (Monday
+    start) of a user's FIRST event; for each (cohort_week,
+    week_offset), how many cohort members were active and what fraction
+    of the cohort that is. The engagement sheet an interaction-data
+    pipeline reads before weighting recent cohorts in a training mix.
+
+    Scale shape: the (user, week) activity table is one user-keyed
+    distinct; first-week is a user-keyed reduce; the matrix group-by is
+    (#weeks x #offsets)-bounded, and the cohort-size join back is a
+    broadcast of #weeks rows. Retention is one integer division rounded
+    at 4dp; week offsets are exact multiples of 7 days so the division
+    by 7 is exact.
+    """
+    uw = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("__wk"),
+    ).distinct()
+    # cohort_week is emitted as yyyy-MM-dd text (repo-wide oracle
+    # convention for date outputs; engines disagree on date dtypes)
+    first = uw.groupBy(user_col).agg(F.min("__wk").alias("cohort_week"))
+    act = (
+        uw.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("__wk", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    sizes = act.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("__cohort_size")
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def funnel_timing(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential-funnel conversion WITH step timing: per user, the
+    first ``steps[0]``, the first ``steps[1]`` strictly after it, the
+    first ``steps[2]`` strictly after that; report how many users reach
+    each step and the mean/max gap between consecutive steps.
+    windowFunnel (q75) reports the LEVEL reached; this reports how LONG
+    each transition takes — the latency profile that decides session
+    gap and episode-window parameters.
+
+    Scale shape: one user-keyed reduce per step (each conditioned on
+    the previous step's timestamp via a user-keyed join — the
+    sequential dependency is inherently per-user, never corpus-wide);
+    the final one-row summary is a crossJoin of single-row aggregates.
+    Gaps are exact integer microseconds; the mean is one division of
+    integer sums.
+    """
+    assert len(steps) == 3
+    e = events.select(F.col(user_col), F.col(type_col), F.col(ts_col))
+    t1 = (
+        e.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    t2 = (
+        e.where(F.col(type_col) == steps[1])
+        .join(t1, user_col)
+        .where(F.col(ts_col) > F.col("t1"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        e.where(F.col(type_col) == steps[2])
+        .join(t2.select(user_col, "t2"), user_col)
+        .where(F.col(ts_col) > F.col("t2"))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t3"), F.min("t2").alias("t2"))
+    )
+    # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not), and
+    # naive-timestamp arithmetic is timezone-free on both engines
+    g12 = F.expr("timestampdiff(MICROSECOND, t1, t2)")
+    g23 = F.expr("timestampdiff(MICROSECOND, t2, t3)")
+    a1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_step1"))
+    a2 = t2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step2"),
+        F.round(F.sum(g12) / (F.count(F.lit(1)) * 1000000), 4).alias(
+            "mean_gap12_sec"
+        ),
+        F.max(g12).alias("max_gap12_us"),
+    )
+    a3 = t3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step3"),
+        F.round(F.sum(g23) / (F.count(F.lit(1)) * 1000000), 4).alias(
+            "mean_gap23_sec"
+        ),
+        F.max(g23).alias("max_gap23_us"),
+    )
+    return a1.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(a3))

@@ -1467,3 +1467,62 @@ def fisher_dims(
         .orderBy(F.desc("fisher"), F.asc("dim"))
         .limit(top_n)
     )
+
+
+def embedding_health(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    near_zero_at: float = 0.01,
+) -> DataFrame:
+    """Per-label embedding-table health audit — the ingest gate an ANN
+    pipeline runs BEFORE building any index: L2-norm spread (a
+    collapsed or exploded norm distribution breaks cosine vs
+    dot-product assumptions), near-zero vectors (dead encoder outputs
+    that match everything under cosine), non-finite components (NaN
+    poisons every distance), and dimension consistency (a mixed-dim
+    table crashes a cluster-wide index build hours in).
+
+    Per label: ``n_vecs``, ``mean_norm`` (per-vector norms integer-ized
+    to basis points before summing so float summation order cannot move
+    the mean), ``min_norm``/``max_norm`` (pure comparisons of 4dp
+    values), ``n_near_zero`` (norm < ``near_zero_at``), ``n_nonfinite``
+    (any NaN component), ``n_dims_distinct``/``dim_min`` (schema
+    drift).
+
+    Scale shape: everything per-row is a map-side array fold (JVM
+    higher-order functions, no explode — the corpus never widens to
+    (row x dim)); the only shuffle is the #labels-sized grouped reduce.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    bad = F.exists(v, F.isnan)
+    # a NaN norm would poison the mean (and CAST(NaN AS BIGINT) is an
+    # error on some engines): non-finite vectors carry a NULL norm and
+    # are reported only through n_nonfinite
+    norm = F.when(bad, F.lit(None)).otherwise(F.round(F.sqrt(sq), 4))
+    base = emb.select(
+        F.col(label_col),
+        norm.alias("__nrm"),
+        bad.cast("int").alias("__bad"),
+        F.size(F.col(vec_col)).alias("__dim"),
+    )
+    norm_bp = F.round(F.col("__nrm") * 10000).cast("bigint")
+    return (
+        base.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum(norm_bp) / (F.count("__nrm") * 10000), 4).alias(
+                "mean_norm"
+            ),
+            F.min("__nrm").alias("min_norm"),
+            F.max("__nrm").alias("max_norm"),
+            F.sum((F.col("__nrm") < near_zero_at).cast("int"))
+            .cast("bigint")
+            .alias("n_near_zero"),
+            F.sum("__bad").cast("bigint").alias("n_nonfinite"),
+            F.count_distinct("__dim").cast("bigint").alias("n_dims_distinct"),
+            F.min("__dim").cast("bigint").alias("dim_min"),
+        )
+        .orderBy(label_col)
+    )

@@ -5181,3 +5181,289 @@ def x100_fisher_dims(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.similarity import fisher_dims
 
     return fisher_dims(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "x101_dup_coverage",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT sh.doc_id, count(*) AS n_sh,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM sh JOIN dfq USING (shingle) GROUP BY sh.doc_id
+    ),
+    j AS (SELECT d.source, p.n_sh, p.n_dup
+          FROM per_doc p JOIN documents d USING (doc_id))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(n_dup) * 1.0 / sum(n_sh), 4) AS dup_shingle_ratio,
+           CAST(sum(CASE WHEN 2 * n_dup >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy,
+           max(CAST(round(n_dup * 10000.0 / n_sh) AS BIGINT)) AS max_cov_bp
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def x101_dup_coverage(spark, sf_dir):
+    """Span-level duplication sheet (pipeline.dedup.dup_coverage): per
+    source, the fraction of shingle mass shared with other documents,
+    the docs that are mostly duplicated text (integer predicate
+    2*n_dup >= n_sh), and the worst doc in basis points — the
+    drop-the-doc vs strip-the-span decision input that pair-level x02
+    can't give. One digest-keyed df aggregation + one digest-keyed
+    join; #sources output rows."""
+    from otus_clickhouse_spark.pipeline.dedup import dup_coverage
+
+    return dup_coverage(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x102_band_scurve",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, unnest([
+        md5(concat_ws('|', 0, mh0, mh1)),
+        md5(concat_ws('|', 1, mh2, mh3)),
+        md5(concat_ws('|', 2, mh4, mh5)),
+        md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
+      FROM sig
+    ),
+    hits AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_bands_hit
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT h.a, h.b, count(*) AS i
+      FROM hits h
+      JOIN sh sa ON sa.doc_id = h.a
+      JOIN sh sb ON sb.doc_id = h.b AND sb.shingle = sa.shingle
+      GROUP BY h.a, h.b
+    ),
+    scored AS (
+      SELECT h.n_bands_hit,
+             round(coalesce(i.i, 0) * 1.0
+                   / (za.n_sh + zb.n_sh - coalesce(i.i, 0)), 4) AS j
+      FROM hits h
+      LEFT JOIN inter i ON i.a = h.a AND i.b = h.b
+      JOIN sizes za ON za.doc_id = h.a
+      JOIN sizes zb ON zb.doc_id = h.b
+    ),
+    binned AS (
+      SELECT least(CAST(round(j * 10000) AS BIGINT) // 1000, 9) AS jaccard_bin,
+             n_bands_hit,
+             CAST(round(pow(j, 2) * 4 * 10000) AS BIGINT) AS exp_bp
+      FROM scored
+    )
+    SELECT jaccard_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(n_bands_hit) * 1.0 / count(*), 4) AS mean_bands_hit,
+           round(sum(exp_bp) * 1.0 / (count(*) * 10000), 4)
+             AS mean_expected_bands
+    FROM binned GROUP BY jaccard_bin ORDER BY jaccard_bin
+    """,
+)
+def x102_band_scurve(spark, sf_dir):
+    """LSH s-curve audit (pipeline.dedup.band_collision_audit): per
+    exact-Jaccard decile of the candidate pairs, observed band
+    collisions vs the analytic bands*j^r expectation — the check that
+    the banding layer behaves like theory on THIS corpus before anyone
+    tunes bands/rows on faith. Candidate-bounded verify; zero-overlap
+    band collisions stay in the audit via the left join."""
+    from otus_clickhouse_spark.pipeline.dedup import band_collision_audit
+
+    return band_collision_audit(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x103_embedding_health",
+    oracle="""
+    WITH c AS (SELECT CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    n0 AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS nrm0,
+             CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+                  THEN 1 ELSE 0 END AS bad,
+             len(v) AS dim
+      FROM c
+    ),
+    n AS (
+      SELECT label, CASE WHEN bad = 1 THEN NULL ELSE nrm0 END AS nrm, bad, dim
+      FROM n0
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(CAST(round(nrm * 10000) AS BIGINT)) * 1.0
+                 / (count(nrm) * 10000), 4) AS mean_norm,
+           min(nrm) AS min_norm, max(nrm) AS max_norm,
+           CAST(sum(CASE WHEN nrm < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_zero,
+           CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+           CAST(min(dim) AS BIGINT) AS dim_min
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def x103_embedding_health(spark, sf_dir):
+    """Embedding-table ingest audit (pipeline.similarity.
+    embedding_health): per-label L2-norm spread, near-zero/non-finite
+    vectors, and dimension consistency — the gate before any
+    cluster-wide index build. Map-side array folds (no explode), one
+    #labels-sized reduce."""
+    from otus_clickhouse_spark.pipeline.similarity import embedding_health
+
+    return embedding_health(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "x104_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id),
+    act AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT)
+               AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM uw JOIN f USING (user_id) GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_week, n_users AS cohort_size
+           FROM act WHERE week_offset = 0)
+    SELECT strftime(act.cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, n_users,
+           round(n_users * 1.0 / cohort_size, 4) AS retention
+    FROM act JOIN sz USING (cohort_week)
+    ORDER BY 1, week_offset
+    """,
+)
+def x104_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (pipeline.events.
+    cohort_retention): cohort = Monday-start week of a user's first
+    event; per (cohort, offset) active users and retention fraction.
+    User-keyed distinct + reduce, (#weeks x #offsets) output, broadcast
+    cohort sizes."""
+    from otus_clickhouse_spark.pipeline.events import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x105_funnel_timing",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_step1,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_step2,
+           (SELECT round(sum(epoch_us(t2) - epoch_us(t1)) * 1.0
+                         / (count(*) * 1000000), 4) FROM c)
+             AS mean_gap12_sec,
+           (SELECT CAST(max(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM c)
+             AS max_gap12_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_step3,
+           (SELECT round(sum(epoch_us(t3) - epoch_us(t2)) * 1.0
+                         / (count(*) * 1000000), 4) FROM p)
+             AS mean_gap23_sec,
+           (SELECT CAST(max(epoch_us(t3) - epoch_us(t2)) AS BIGINT) FROM p)
+             AS max_gap23_us
+    """,
+)
+def x105_funnel_timing(spark, sf_dir):
+    """Sequential funnel WITH step latency (pipeline.events.
+    funnel_timing): first view -> first later click -> first later
+    purchase per user; users reaching each step plus mean/max
+    transition gaps in exact integer microseconds. One user-keyed
+    reduce per step; q75's windowFunnel reports depth, this reports
+    speed."""
+    from otus_clickhouse_spark.pipeline.events import funnel_timing
+
+    return funnel_timing(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x106_gate_disagreement",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM tk WHERE len(toks) >= 2)
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    cnt1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM uni),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    nllrows AS (
+      SELECT bi.doc_id,
+             -ln(0.7 * (c2.c2 / a.c1) + 0.3 * (b.c1 / tot.n)) AS nll
+      FROM bi
+      JOIN cnt2 c2 USING (w1, w2)
+      JOIN cnt1 a ON a.w = bi.w1
+      JOIN cnt1 b ON b.w = bi.w2
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, round(avg(nll), 4) AS avg_nll
+      FROM nllrows GROUP BY doc_id
+    ),
+    med AS (SELECT quantile_cont(avg_nll, 0.5) AS m FROM per_doc),
+    q AS (
+      SELECT doc_id, source,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS quality
+      FROM tk
+    ),
+    flags AS (
+      SELECT q.source,
+             CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS kq,
+             CASE WHEN avg_nll <= m THEN 1 ELSE 0 END AS kp
+      FROM q JOIN per_doc USING (doc_id) CROSS JOIN med
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kq * kp) AS BIGINT) AS n_both_keep,
+           CAST(sum(kq * (1 - kp)) AS BIGINT) AS n_quality_only,
+           CAST(sum((1 - kq) * kp) AS BIGINT) AS n_ppl_only,
+           CAST(sum((1 - kq) * (1 - kp)) AS BIGINT) AS n_both_drop,
+           round((sum(kq * kp) + sum((1 - kq) * (1 - kp))) * 1.0 / count(*), 4)
+             AS agree_pct
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def x106_gate_disagreement(spark, sf_dir):
+    """Gate-governance confusion matrix (pipeline.curation.
+    gate_disagreement): heuristic quality gate vs bigram-LM perplexity
+    gate (median-NLL threshold via the bounded value-histogram, never a
+    corpus rank), per source — the sheet that catches one gate silently
+    dropping a domain before the funnel composites them. Docs with < 2
+    tokens have no LM score and are out of scope."""
+    from otus_clickhouse_spark.pipeline.curation import gate_disagreement
+
+    return gate_disagreement(t(spark, sf_dir, "documents"))

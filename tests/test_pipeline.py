@@ -2481,3 +2481,142 @@ def test_fisher_dims_separating_dimension_wins(spark):
     out = fisher_dims(emb, top_n=2).collect()
     assert out[0].dim == 1 and out[0].fisher > out[1].fisher
     assert out[0].n_vecs == 40
+
+
+# --- round 9: dup coverage / s-curve / health / cohorts / funnel -------
+def test_dup_coverage_heavy_and_ratio(spark):
+    """Two identical docs share every shingle (coverage 1.0, heavy);
+    one unique doc shares none — the micro ratio counts shingle mass,
+    not docs."""
+    from otus_clickhouse_spark.pipeline.dedup import dup_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s"),
+            (2, "a b c d e", "s"),
+            (3, "p q r s t u", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = dup_coverage(docs).collect()[0]
+    # doc 1/2: 3 shingles each, all df=2; doc 3: 4 shingles, df=1
+    assert row.n_docs == 3
+    assert row.n_heavy == 2
+    assert row.max_cov_bp == 10000
+    assert abs(row.dup_shingle_ratio - 0.6) < 1e-9
+
+
+def test_band_collision_audit_identical_pair(spark):
+    """An identical pair collides in every band and lands in the top
+    jaccard decile with expectation bands * 1^r = bands."""
+    from otus_clickhouse_spark.pipeline.dedup import band_collision_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s"),
+            (2, "the quick brown fox jumps over the lazy dog", "s"),
+            (3, "completely different words in this other document here", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.jaccard_bin: r for r in band_collision_audit(docs).collect()}
+    assert set(out) == {9}  # only the identical pair is a candidate
+    r = out[9]
+    assert r.n_pairs == 1
+    assert r.mean_bands_hit == 4.0
+    assert r.mean_expected_bands == 4.0
+
+
+def test_embedding_health_nan_zero_and_dim_drift(spark):
+    """NaN vectors count as nonfinite and carry NULL norm (excluded
+    from the mean); zero vectors flag near-zero; a 3-dim stray shows in
+    n_dims_distinct."""
+    from otus_clickhouse_spark.pipeline.similarity import embedding_health
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [float("nan"), 1.0], 1),
+            (4, [1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r.label: r for r in embedding_health(emb).collect()}
+    a, b = out[0], out[1]
+    assert a.n_vecs == 2 and a.mean_norm == 2.5 and a.min_norm == 0.0
+    assert a.max_norm == 5.0 and a.n_near_zero == 1 and a.n_nonfinite == 0
+    assert b.n_vecs == 2 and b.n_nonfinite == 1
+    assert b.mean_norm == 1.0  # NaN norm excluded, only the unit vector
+    assert b.n_dims_distinct == 2 and b.dim_min == 2
+
+
+def test_cohort_retention_two_cohorts(spark):
+    """u1/u2 form the week-1 cohort (u1 returns next week), u3 forms
+    the week-2 cohort."""
+    from otus_clickhouse_spark.pipeline.events import cohort_retention
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-08 10:00:00", 1),
+            (3, "2024-01-02 10:00:00", 2),
+            (4, "2024-01-09 10:00:00", 3),
+        ],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {
+        (r.cohort_week, r.week_offset): r for r in cohort_retention(ev).collect()
+    }
+    assert rows[("2024-01-01", 0)].n_users == 2
+    assert rows[("2024-01-01", 0)].retention == 1.0
+    assert rows[("2024-01-01", 1)].n_users == 1
+    assert rows[("2024-01-01", 1)].retention == 0.5
+    assert rows[("2024-01-08", 0)].n_users == 1
+    assert len(rows) == 3
+
+
+def test_funnel_timing_strictly_sequential(spark):
+    """Steps must occur strictly AFTER the previous step's first hit:
+    a click before the first view doesn't count, nor a purchase before
+    the first qualifying click."""
+    from otus_clickhouse_spark.pipeline.events import funnel_timing
+
+    base = "2024-01-01 00:00:"
+    ev = spark.createDataFrame(
+        [
+            # user 1: full funnel, gaps 10s then 40s
+            (1, base + "00", 1, "view"),
+            (2, base + "10", 1, "click"),
+            (3, base + "50", 1, "purchase"),
+            # user 2: click precedes the first view -> stops at step 1
+            (4, base + "05", 2, "click"),
+            (5, base + "07", 2, "view"),
+            # user 3: purchase precedes the click -> stops at step 2
+            (6, base + "00", 3, "view"),
+            (7, base + "01", 3, "purchase"),
+            (8, base + "02", 3, "click"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = funnel_timing(ev).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (3, 2, 1)
+    assert r.mean_gap12_sec == 6.0  # (10 + 2) / 2
+    assert r.max_gap12_us == 10_000_000
+    assert r.mean_gap23_sec == 40.0
+    assert r.max_gap23_us == 40_000_000
+
+
+def test_gate_disagreement_partitions_every_doc(spark, sf_dir):
+    """The four confusion cells partition the scorable docs and the
+    agreement rate is their closed form."""
+    from otus_clickhouse_spark.pipeline.curation import gate_disagreement
+    from otus_clickhouse_spark.io import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    for r in gate_disagreement(docs).collect():
+        assert (
+            r.n_both_keep + r.n_quality_only + r.n_ppl_only + r.n_both_drop
+            == r.n_docs
+        )
+        assert r.agree_pct == round((r.n_both_keep + r.n_both_drop) / r.n_docs, 4)

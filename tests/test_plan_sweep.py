@@ -105,6 +105,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x91_neyman_allocation": (1, "N*sigma normalization over the #strata aggregate (~20 rows)"),
     "x95_hybrid_rrf": (2, "rank AFTER LIMIT in the BM25 branch and after the bounded 2x20-row fusion"),
     "x89_quality_deciles": (1, "cumulative walk over the global 4dp-quality histogram (<= ~10k rows)"),
+    "x106_gate_disagreement": (1, "global-median cumulative walk over the 4dp avg_nll value histogram (range-bounded, never row-bounded; the literal _hist_median key folds away)"),
 }
 
 

@@ -582,6 +582,33 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         ).collect()
 
     timed("pq_arrow_encode_dim256", pq_arrow_run, n_ar)
+
+    # round-9 continuation ops: span-level dup coverage (one digest-
+    # keyed df agg + one digest-keyed join), the LSH s-curve audit
+    # (candidate-bounded verify on x02's machinery), and the two-gate
+    # disagreement sheet (vocab-bounded LM broadcasts + histogram
+    # median). docs/s must rise with corpus size for all three.
+    from otus_clickhouse_spark.pipeline.curation import gate_disagreement
+    from otus_clickhouse_spark.pipeline.dedup import (
+        band_collision_audit,
+        dup_coverage,
+    )
+
+    timed(
+        "dup_coverage",
+        lambda: dup_coverage(sdocs).agg(F.sum("n_docs")).collect(),
+        n_docs,
+    )
+    timed(
+        "band_scurve_audit",
+        lambda: band_collision_audit(docs).agg(F.sum("n_pairs")).collect(),
+        n_docs,
+    )
+    timed(
+        "gate_disagreement",
+        lambda: gate_disagreement(sdocs).agg(F.sum("n_docs")).collect(),
+        n_docs,
+    )
     return out
 
 

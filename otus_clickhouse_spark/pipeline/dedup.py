@@ -857,3 +857,45 @@ def band_collision_audit(
         )
         .orderBy("jaccard_bin")
     )
+
+
+def dup_cluster_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cluster-size census over the near-dup graph: how many clusters
+    of each size exist, how many documents they hold, and how many are
+    droppable (size - 1 per cluster under keep-one-representative) —
+    the capacity-planning sheet that turns x02's pairs into "dedup will
+    remove N% of the corpus" BEFORE anyone runs the removal.
+
+    Per cluster size: ``cluster_size``, ``n_clusters``, ``n_docs``,
+    ``n_droppable``.
+
+    Scale shape: x02's bucketed candidate+verify chain, min-label
+    propagation (rounds = component diameter, near-clique components
+    converge in 2-3), then a cluster-keyed count and a #distinct-sizes
+    histogram reduce. No windows, nothing corpus-sized on one task.
+    """
+    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_droppable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -497,3 +497,115 @@ def neyman_allocation(
         )
         .orderBy(strata_col)
     )
+
+
+def split_balance(
+    docs: DataFrame,
+    split: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stratification audit of a train/val/test assignment: per (split,
+    lang), document and token counts plus the language's share WITHIN
+    its split — the check that a hash split didn't accidentally skew a
+    language into eval (x35 guarantees no near-dup leaks; this
+    checks the composition is balanced too).
+
+    Scale shape: one id-keyed join to attach splits, one map-side token
+    count, a (#splits x #langs)-sized reduce, and a broadcast join of
+    the 3-row per-split totals for the share division (exact integer
+    division, 4dp).
+    """
+    from otus_clickhouse_spark.pipeline.text import token_count
+
+    j = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        token_count(F.col(text_col)).alias("__nt"),
+    ).join(split, id_col)
+    cell = j.groupBy("split", lang_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+    )
+    totals = cell.groupBy("split").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        cell.join(F.broadcast(totals), "split")
+        .select(
+            "split",
+            lang_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("__tot"), 4).alias("share_in_split"),
+        )
+        .orderBy("split", lang_col)
+    )
+
+
+def sample_representativeness(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    rates: dict | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chi-square audit of a deterministic stratified sample (x13's
+    :func:`stratified_sample`): per stratum, population count, sampled
+    count, the expected count under the configured rate, and the
+    chi-square contribution (obs-exp)^2/exp — plus the corpus-level
+    chi-square total on every row. A large total means the md5-bucket
+    draw is NOT behaving uniformly on this id distribution (e.g.
+    adversarial or non-random ids) and the sample under/over-shoots
+    its strata — the audit to run before trusting any hash-sampled
+    eval set.
+
+    Scale shape: population and sample reduce to #strata rows in one
+    grouped pass each (the sample predicate is map-side); chi parts are
+    integer-ized to basis points before the total sums them, so float
+    order cannot move the 4dp result. The 1-row total broadcasts back.
+    """
+    rates = rates if rates is not None else {"en": 0.3, "de": 0.6}
+    sampled = stratified_sample(docs, strata_col, rates, id_col=id_col)
+    pop = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_pop"))
+    smp = sampled.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_sampled"))
+    # the effective rate is the integer-percent threshold the sampler
+    # actually applies (stratified_sample floors to whole buckets)
+    rate = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(int(round(v * 100)) / 100.0))
+            for k, v in sorted(rates.items())
+        ],
+        F.lit(1.0),
+    )
+    j = pop.join(smp, strata_col, "left").select(
+        strata_col,
+        F.col("n_pop").cast("bigint").alias("n_pop"),
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        (F.col("n_pop") * rate).alias("__exp"),
+    )
+    chi_bp = F.round(
+        (F.col("n_sampled") - F.col("__exp"))
+        * (F.col("n_sampled") - F.col("__exp"))
+        / F.col("__exp")
+        * 10000
+    ).cast("bigint")
+    parts = j.select(
+        strata_col,
+        "n_pop",
+        "n_sampled",
+        F.round("__exp", 4).alias("expected"),
+        chi_bp.alias("__chi_bp"),
+    )
+    total = parts.agg(
+        F.round(F.sum("__chi_bp") / 10000.0, 4).alias("chi_square_total")
+    )
+    return (
+        parts.select(
+            strata_col,
+            "n_pop",
+            "n_sampled",
+            "expected",
+            F.round(F.col("__chi_bp") / 10000.0, 4).alias("chi_part"),
+        )
+        .crossJoin(F.broadcast(total))
+        .orderBy(strata_col)
+    )

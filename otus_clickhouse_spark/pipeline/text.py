@@ -920,3 +920,105 @@ def ngram_novelty(
         )
         .orderBy("bucket")
     )
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    hard_below: float = 30.0,
+) -> DataFrame:
+    """Per-source readability sheet (Flesch-reading-ease proxy): score =
+    206.835 - 1.015*(words/sentences) - 84.6*(vowel_groups/words), with
+    vowel groups standing in for syllables and [.!?] marks for sentence
+    ends — the deterministic-arithmetic variant a quality pipeline can
+    gate on and an oracle can replay (real syllabification is
+    dictionary-bound and engine-specific).
+
+    Per source: ``n_docs``, ``mean_score``, ``min_score``/``max_score``,
+    ``n_hard`` (score < ``hard_below``). The per-doc primitive is the
+    score in CENTI-POINTS — round(raw*100) as an integer — because
+    integer rounding of an identical double is engine-portable while
+    two-decimal rounding is not (DuckDB's round(x, 2) multiplies first,
+    and the multiply can carry a near-half across the boundary; caught
+    at sf0.001 as an 85.16-vs-85.17 max). Every output derives from
+    those integers: the mean from their sum, min/max by exact /100
+    division, the hard gate as an integer predicate.
+
+    Scale shape: every per-doc term is ONE map-side regexp pass; the
+    only shuffle is the #sources-sized reduce.
+    """
+    t = F.col(text_col)
+    words = F.greatest(token_count(t), F.lit(1))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), 0)), F.lit(1)
+    )
+    syls = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    raw = (
+        F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (syls / words)
+    )
+    base = docs.select(
+        F.col(group_col), F.round(raw * 100).cast("bigint").alias("__cp")
+    )
+    hard_cp = int(round(hard_below * 100))
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("__cp") / (F.count(F.lit(1)) * 100), 2).alias(
+                "mean_score"
+            ),
+            (F.min("__cp") / 100.0).alias("min_score"),
+            (F.max("__cp") / 100.0).alias("max_score"),
+            F.sum((F.col("__cp") < hard_cp).cast("int"))
+            .cast("bigint")
+            .alias("n_hard"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def vocab_oov(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-``top_n``
+    vocabulary (x25's :func:`vocab_build`): the coverage check a
+    tokenizer team runs per domain BEFORE freezing a vocab — a source
+    whose token mass is largely OOV will fragment into byte-fallbacks
+    and train badly.
+
+    Per source: ``n_tokens``, ``n_oov``, ``oov_rate`` (one integer
+    division, 4dp).
+
+    Scale shape: the vocabulary is top_n rows — it BROADCASTS; the
+    token stream is generated map-side (explode) and flagged by the
+    broadcast left join, then reduced per source. The corpus-sized
+    stream shuffles only into the #sources-sized aggregate (map-side
+    combined), never by token.
+    """
+    vocab = vocab_build(docs, text_col, top_n).select(
+        F.col("token").alias("__vtok"), F.lit(1).alias("__inv")
+    )
+    toks = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab), toks["__tok"] == F.col("__vtok"), "left"
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__inv").isNull().cast("int")).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(F.col("__inv").isNull().cast("int")) / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+        .orderBy(group_col)
+    )

@@ -5467,3 +5467,205 @@ def x106_gate_disagreement(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.curation import gate_disagreement
 
     return gate_disagreement(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x107_readability",
+    oracle=r"""
+    WITH f AS (
+      SELECT source,
+        CAST(round((206.835
+              - 1.015 * (greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                                  x -> length(x) > 0)), 1) * 1.0
+                         / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
+              - 84.6 * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) * 1.0
+                        / greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                                   x -> length(x) > 0)), 1))) * 100)
+             AS BIGINT) AS cp
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(cp) * 1.0 / (count(*) * 100), 2) AS mean_score,
+           min(cp) / 100.0 AS min_score, max(cp) / 100.0 AS max_score,
+           CAST(sum(CASE WHEN cp < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def x107_readability(spark, sf_dir):
+    """Per-source readability sheet (pipeline.text.readability): a
+    Flesch-reading-ease proxy from deterministic regexp passes (vowel
+    groups for syllables, [.!?] for sentence ends), mean integer-ized
+    to centi-points, plus the hard-doc gate count. One map-side pass,
+    #sources output rows."""
+    from otus_clickhouse_spark.pipeline.text import readability
+
+    return readability(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x108_split_balance",
+    oracle=rf"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(regexp_split_to_array(d.text, '\s+'),
+                             x -> length(x) > 0)) AS nt,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    cell AS (
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (SELECT split, sum(n_docs) AS tt FROM cell GROUP BY split)
+    SELECT cell.split, lang, n_docs, n_tokens,
+           round(n_docs * 1.0 / tt, 4) AS share_in_split
+    FROM cell JOIN tot USING (split) ORDER BY split, lang
+    """,
+)
+def x108_split_balance(spark, sf_dir):
+    """Split-composition audit (pipeline.sampling.split_balance over
+    x35's leakage-free assignment): per (split, lang) doc/token counts
+    and the language's share within its split — the balance check that
+    a cluster-hash split didn't skew a language into eval. Id-keyed
+    join + (#splits x #langs) reduce + broadcast 3-row totals."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from otus_clickhouse_spark.pipeline.sampling import (
+        leakage_free_split,
+        split_balance,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_dedup_pairs(docs, threshold=0.7))
+    split = leakage_free_split(docs, clusters)
+    return split_balance(docs, split)
+
+
+@query(
+    "x109_sample_representativeness",
+    oracle="""
+    WITH pop AS (SELECT lang, count(*) AS n_pop FROM documents GROUP BY lang),
+    smp AS (
+      SELECT lang, count(*) AS n_sampled FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+            < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 ELSE 100 END
+      GROUP BY lang
+    ),
+    j AS (
+      SELECT p.lang, CAST(n_pop AS BIGINT) AS n_pop,
+             CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+             n_pop * (CASE p.lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.6
+                      ELSE 1.0 END) AS exp0
+      FROM pop p LEFT JOIN smp USING (lang)
+    ),
+    parts AS (
+      SELECT lang, n_pop, n_sampled, round(exp0, 4) AS expected,
+             CAST(round((n_sampled - exp0) * (n_sampled - exp0) / exp0 * 10000)
+                  AS BIGINT) AS chi_bp
+      FROM j
+    ),
+    tot AS (SELECT round(sum(chi_bp) / 10000.0, 4) AS chi_square_total FROM parts)
+    SELECT lang, n_pop, n_sampled, expected,
+           round(chi_bp / 10000.0, 4) AS chi_part, chi_square_total
+    FROM parts CROSS JOIN tot ORDER BY lang
+    """,
+)
+def x109_sample_representativeness(spark, sf_dir):
+    """Chi-square audit of the deterministic stratified sample
+    (pipeline.sampling.sample_representativeness): per stratum
+    observed-vs-expected with integer-basis-point chi parts and the
+    corpus-level total — the check that md5-bucket sampling behaves
+    uniformly on this id distribution before anyone trusts a
+    hash-sampled eval set."""
+    from otus_clickhouse_spark.pipeline.sampling import sample_representativeness
+
+    return sample_representativeness(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x110_vocab_oov",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS rn
+        FROM cnt) WHERE rn <= 10
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS oov_rate
+    FROM tok t2 LEFT JOIN vocab v ON v.token = t2.token
+    GROUP BY source ORDER BY source
+    """,
+)
+def x110_vocab_oov(spark, sf_dir):
+    """Out-of-vocabulary rate per source (pipeline.text.vocab_oov)
+    against the corpus top-10 vocabulary (top-N kept small because the
+    driver corpus has ~31 distinct tokens; production uses 32k+): the
+    per-domain coverage check before freezing a tokenizer vocab. The
+    vocabulary broadcasts; the token stream reduces straight to
+    #sources rows."""
+    from otus_clickhouse_spark.pipeline.text import vocab_oov
+
+    return vocab_oov(t(spark, sf_dir, "documents"), top_n=10)
+
+
+@query(
+    "x111_dup_cluster_census",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+               GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_droppable
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def x111_dup_cluster_census(spark, sf_dir):
+    """Near-dup cluster-size census (pipeline.dedup.dup_cluster_census):
+    clusters per size, documents held, and droppable mass under
+    keep-one-representative — the capacity sheet that turns x02's pairs
+    into "dedup removes N%" before running the removal. Label
+    propagation converges in diameter rounds; the census is a
+    #distinct-sizes reduce."""
+    from otus_clickhouse_spark.pipeline.dedup import dup_cluster_census
+
+    return dup_cluster_census(t(spark, sf_dir, "documents"))

@@ -2620,3 +2620,91 @@ def test_gate_disagreement_partitions_every_doc(spark, sf_dir):
             == r.n_docs
         )
         assert r.agree_pct == round((r.n_both_keep + r.n_both_drop) / r.n_docs, 4)
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. The dog ran.' = 6 words, 2 sentences, 6 vowel
+    groups -> 206.835 - 1.015*3 - 84.6*1 = 119.19."""
+    from otus_clickhouse_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran.", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = readability(docs).collect()[0]
+    assert r.mean_score == 119.19
+    assert r.min_score == 119.19 and r.max_score == 119.19
+    assert r.n_hard == 0
+
+
+def test_vocab_oov_counts_tail_tokens(spark):
+    """With top_n=1 the vocabulary is the most frequent token; every
+    other token is OOV."""
+    from otus_clickhouse_spark.pipeline.text import vocab_oov
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "s"), (2, "a c", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = vocab_oov(docs, top_n=1).collect()[0]
+    assert r.n_tokens == 6 and r.n_oov == 2
+    assert r.oov_rate == round(2 / 6, 4)
+
+
+def test_split_balance_shares_sum_to_one(spark):
+    from otus_clickhouse_spark.pipeline.sampling import split_balance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "w w w"),
+            (2, "en", "w"),
+            (3, "de", "w w"),
+            (4, "de", "w w w w"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "test")],
+        "doc_id long, split string",
+    )
+    rows = split_balance(docs, split).collect()
+    by = {(r.split, r.lang): r for r in rows}
+    assert by[("train", "en")].n_docs == 2
+    assert by[("train", "en")].n_tokens == 4
+    assert by[("train", "en")].share_in_split == round(2 / 3, 4)
+    assert by[("test", "de")].share_in_split == 1.0
+    for split_name in ("train", "test"):
+        total = sum(r.n_docs for r in rows if r.split == split_name)
+        share = sum(float(r.share_in_split) for r in rows if r.split == split_name)
+        assert abs(share - 1.0) < 1e-3 or total == 0
+
+
+def test_sample_representativeness_full_rate_is_zero_chi(spark):
+    """A stratum sampled at 100% matches its expectation exactly, so
+    every chi part and the total are zero."""
+    from otus_clickhouse_spark.pipeline.sampling import sample_representativeness
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    r = sample_representativeness(docs, rates={"zz": 0.5}).collect()[0]
+    assert r.n_pop == 10 and r.n_sampled == 10
+    assert r.expected == 10.0
+    assert r.chi_part == 0.0 and r.chi_square_total == 0.0
+
+
+def test_dup_cluster_census_sizes(spark):
+    """Three identical docs and two identical docs form clusters of
+    size 3 and 2; the unique doc is not in any cluster."""
+    from otus_clickhouse_spark.pipeline.dedup import dup_cluster_census
+
+    t3 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words fill this other document space here now"
+    docs = spark.createDataFrame(
+        [(1, t3), (2, t3), (3, t3), (4, t2), (5, t2), (6, "lone unique text piece")],
+        "doc_id long, text string",
+    )
+    rows = {r.cluster_size: r for r in dup_cluster_census(docs).collect()}
+    assert rows[3].n_clusters == 1 and rows[3].n_docs == 3 and rows[3].n_droppable == 2
+    assert rows[2].n_clusters == 1 and rows[2].n_droppable == 1
+    assert set(rows) == {2, 3}

@@ -106,6 +106,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x95_hybrid_rrf": (2, "rank AFTER LIMIT in the BM25 branch and after the bounded 2x20-row fusion"),
     "x89_quality_deciles": (1, "cumulative walk over the global 4dp-quality histogram (<= ~10k rows)"),
     "x106_gate_disagreement": (1, "global-median cumulative walk over the 4dp avg_nll value histogram (range-bounded, never row-bounded; the literal _hist_median key folds away)"),
+    "x110_vocab_oov": (1, "vocab_build rank+coverage over salted-top-N survivors (<= salts*top_n rows), same bound as x25"),
 }
 
 

@@ -609,6 +609,22 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: gate_disagreement(sdocs).agg(F.sum("n_docs")).collect(),
         n_docs,
     )
+
+    # batch-B ops: readability (one map-side regexp pass + #sources
+    # reduce) and vocab OOV (top-N vocab broadcast onto the exploded
+    # token stream). Both must approach the scan asymptote.
+    from otus_clickhouse_spark.pipeline.text import readability, vocab_oov
+
+    timed(
+        "readability",
+        lambda: readability(sdocs).agg(F.sum("n_docs")).collect(),
+        n_docs,
+    )
+    timed(
+        "vocab_oov",
+        lambda: vocab_oov(sdocs, top_n=10).agg(F.sum("n_tokens")).collect(),
+        n_docs,
+    )
     return out
 
 

@@ -60,6 +60,11 @@ HEADLINE = [
     # per-(key, value) histogram cut pattern that replaced the
     # per-source corpus windows in x75/x47
     "x83_length_quantiles",
+    # round-9 representatives: the span-level dedup sheet (digest-keyed
+    # df agg + join — the newest dedup family member) and the cohort
+    # retention matrix (user-keyed event reduces — the events family)
+    "x101_dup_coverage",
+    "x104_cohort_retention",
 ]
 
 

@@ -434,3 +434,138 @@ def test_budget_select_histogram_equals_cumsum_window(spark, rows, budget):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- round-9 batch operators
+@settings(**HSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_dup_coverage_equals_python_reference(spark, rows):
+    """dup_coverage's per-source micro ratio / heavy count / max bp must
+    equal a brute-force Python shingle-df computation on random corpora
+    (texts drawn from a tiny word pool so duplicate shingles occur)."""
+    from otus_clickhouse_spark.pipeline.dedup import dup_coverage
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    data = []
+    for i, (seed, src) in enumerate(rows):
+        rnd = random.Random(seed)
+        n = rnd.randint(3, 8)
+        data.append((i, " ".join(rnd.choice(words) for _ in range(n)), src))
+    docs = spark.createDataFrame(data, "doc_id long, text string, source string")
+
+    # python reference
+    def sh3(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))} - {""}
+
+    shs = {i: sh3(t) for i, t, _ in data}
+    from collections import Counter, defaultdict
+
+    df = Counter(s for v in shs.values() for s in v)
+    per_src = defaultdict(list)
+    for i, _, src in data:
+        n_sh = len(shs[i])
+        n_dup = sum(1 for s in shs[i] if df[s] >= 2)
+        per_src[src].append((n_sh, n_dup))
+    got = {r.source: r for r in dup_coverage(docs).collect()}
+    for src, items in per_src.items():
+        r = got[src]
+        assert r.n_docs == len(items)
+        assert r.n_heavy == sum(1 for n_sh, n_dup in items if 2 * n_dup >= n_sh)
+        assert r.max_cov_bp == max(
+            int(round(n_dup * 10000.0 / n_sh)) for n_sh, n_dup in items
+        )
+        tot_sh = sum(n for n, _ in items)
+        tot_dup = sum(d for _, d in items)
+        assert float(r.dup_shingle_ratio) == round(tot_dup / tot_sh, 4)
+
+
+@settings(**HSET)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 120), st.sampled_from(
+            ["view", "click", "purchase"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+)
+def test_funnel_timing_equals_python_reference(spark, events):
+    """Strict-sequential funnel counts and gaps vs brute force."""
+    import datetime
+
+    from otus_clickhouse_spark.pipeline.events import funnel_timing
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(seconds=s), u, t)
+        for i, (u, s, t) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    # python reference
+    users = {u for _, _, u, _ in data}
+    t1, t2, t3 = {}, {}, {}
+    for u in users:
+        vs = [ts for _, ts, uu, t in data if uu == u and t == "view"]
+        if not vs:
+            continue
+        t1[u] = min(vs)
+        cs = [ts for _, ts, uu, t in data if uu == u and t == "click" and ts > t1[u]]
+        if not cs:
+            continue
+        t2[u] = min(cs)
+        ps = [ts for _, ts, uu, t in data
+              if uu == u and t == "purchase" and ts > t2[u]]
+        if ps:
+            t3[u] = min(ps)
+    r = funnel_timing(ev).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (len(t1), len(t2), len(t3))
+    if t2:
+        gaps = [int((t2[u] - t1[u]).total_seconds() * 1e6) for u in t2]
+        assert r.max_gap12_us == max(gaps)
+        assert float(r.mean_gap12_sec) == round(sum(gaps) / (len(gaps) * 1e6), 4)
+    if t3:
+        gaps = [int((t3[u] - t2[u]).total_seconds() * 1e6) for u in t3]
+        assert r.max_gap23_us == max(gaps)
+        assert float(r.mean_gap23_sec) == round(sum(gaps) / (len(gaps) * 1e6), 4)
+
+
+@settings(**HSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 27)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: e,
+    ),
+)
+def test_cohort_retention_invariants(spark, rows):
+    """Offset 0 is always retention 1.0; retention never exceeds 1;
+    active-user counts never exceed the cohort size."""
+    import datetime
+
+    from otus_clickhouse_spark.pipeline.events import cohort_retention
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    data = [
+        (i, base + datetime.timedelta(days=d, hours=1), u)
+        for i, (u, d) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = cohort_retention(ev).collect()
+    sizes = {r.cohort_week: r.n_users for r in out if r.week_offset == 0}
+    for r in out:
+        assert 0 < float(r.retention) <= 1.0
+        assert r.n_users <= sizes[r.cohort_week]
+        if r.week_offset == 0:
+            assert float(r.retention) == 1.0

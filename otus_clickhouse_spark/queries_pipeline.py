@@ -5669,3 +5669,69 @@ def x111_dup_cluster_census(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import dup_cluster_census
 
     return dup_cluster_census(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x112_streaming_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    sid AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM f
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def x112_streaming_sessions(spark, sf_dir):
+    """Structured Streaming SESSION windows with batch parity (T6's
+    built-in path; streaming.stateful.session_window_stats): the events
+    table replays through readStream → native session_window (30-minute
+    gap, state scales with ACTIVE sessions) → memory sink, and the
+    emitted sessions hash-match the batch lag/cumsum sessionization the
+    oracle replays (new session strictly AFTER gap — native windows
+    merge on touch, pinned by test) — the same provable stream/batch
+    parity x22 gives tumbling windows, for the harder merging-window
+    case. Timestamps stay NTZ end to end (no timezone crosses the
+    plan)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from otus_clickhouse_spark.streaming.stateful import session_window_stats
+
+    stage = tempfile.mkdtemp(prefix="x112_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-00000.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("user_id", "ts", "value")
+    )
+    out = session_window_stats(stream, gap="30 minutes")
+    sink = f"x112_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

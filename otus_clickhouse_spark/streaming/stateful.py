@@ -149,3 +149,44 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Built-in session windows over a stream (T6's native complement
+    to the applyInPandasWithState operators above): per (key, session)
+    event count and value total, where a session extends while
+    consecutive events arrive within ``gap`` of each other INCLUSIVE:
+    Spark's per-event [t, t+gap] windows merge on touch, so an event
+    landing exactly ``gap`` after the previous one still merges (pinned
+    by test; the same `> gap`-starts-new rule as the batch sessionize
+    in pipeline/events.py).
+
+    Entirely JVM-side — no Python hop: the session assignment lives in
+    the streaming state store keyed by (key, window), scaling with
+    ACTIVE sessions, not stream length. Emits ``session_start`` as
+    microsecond text so batch replays hash-match engine-independently
+    (timestamps stay NTZ end to end; no timezone crosses the plan).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format(
+                F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -583,3 +583,52 @@ def test_kafka_produce_frame_distributed_million_rows(engine):
     finally:
         engine.execute("DROP TABLE IF EXISTS kp_big")
         _shutil.rmtree("spark-warehouse/_kafka/kp_big", ignore_errors=True)
+
+
+def test_session_window_exact_gap_starts_new_session(spark, tmp_path):
+    """Native session_window semantics: an event arriving EXACTLY `gap`
+    after the previous one still MERGES (the per-event [t, t+gap]
+    windows touch, and Spark merges on touch) — the boundary rule
+    x112's oracle replays with strictly-greater-than gap."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.streaming.stateful import session_window_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, 1.0),                                   # session 1
+        (2, base + datetime.timedelta(minutes=29), 1, 2.0),  # merges (< gap)
+        (3, base + datetime.timedelta(minutes=59), 1, 4.0),  # exactly gap after
+                                                             # #2 -> still merges
+        (4, base + datetime.timedelta(minutes=120), 1, 8.0),  # > gap -> new
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    src = str(tmp_path / "events_parquet")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src).select(
+        "user_id", "ts", "value"
+    )
+    q = (
+        session_window_stats(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("x112_boundary_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.session_start: r for r in spark.table("x112_boundary_test").collect()
+    }
+    # event 3 lands exactly 30m after event 2 -> merges into session 1
+    assert len(got) == 2
+    first = got["2024-01-01 00:00:00.000000"]
+    assert first.n_events == 3 and first.total_value == 7.0
+    assert got["2024-01-01 02:00:00.000000"].total_value == 8.0

@@ -1526,3 +1526,85 @@ def embedding_health(
         )
         .orderBy(label_col)
     )
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    round_dist: int = 6,
+) -> DataFrame:
+    """PQ fidelity audit: per label, the quantization error the trained
+    codebooks actually leave behind — the number that answers "is
+    m/ksub enough for THIS corpus" before anyone trusts x60's ADC
+    ranking (the embedding-side complement of x78's minhash estimator
+    check). Per-subspace error = the argmin centroid's squared distance
+    = array_min over the SAME rounded distance vector pq_codes computes
+    (min of rounded values == rounded value at the argmin, tie-safe).
+
+    Per label: ``n_vecs``, ``mse_per_dim`` (mean residual power per
+    dimension), ``noise_to_signal`` (residual power / vector power —
+    the relative-distortion gauge). Per-vector errors and powers are
+    integer-ized to micro-units before summing, so float summation
+    order cannot move the outputs.
+
+    Scale shape: codebooks are driver-bounded model data broadcast as
+    a 1-row tensor frame (the r8 HOF transport); the error is ONE
+    map-side pass per row — no join back through codes, no shuffle but
+    the #labels reduce.
+    """
+    books = pq_train(
+        emb, m=m, ksub=ksub, dim=dim, vec_col=vec_col, id_col=id_col,
+        round_dist=round_dist,
+    )
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    def min_dist(s):
+        sub = F.slice(F.col("__v"), s * dsub + 1, dsub)
+
+        def _mind(subv):
+            dists = F.transform(
+                F.element_at(F.col("__books"), F.lit(s + 1)),
+                lambda cb: F.round(
+                    F.aggregate(
+                        F.zip_with(cb, subv, lambda b, x: F.pow(x - b, F.lit(2.0))),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                    round_dist,
+                ),
+            )
+            return F.array_min(dists)
+
+        return F.element_at(F.transform(F.array(sub), _mind), 1)
+
+    base = emb.select(F.col(label_col), v.alias("__v")).crossJoin(
+        F.broadcast(_books_frame(emb.sparkSession, books))
+    )
+    err_bp = sum(
+        F.round(min_dist(s) * 1000000).cast("bigint") for s in range(m)
+    )
+    power_bp = F.round(
+        F.round(
+            F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x),
+            round_dist,
+        )
+        * 1000000
+    ).cast("bigint")
+    rows = base.select(F.col(label_col), err_bp.alias("__e"), power_bp.alias("__p"))
+    return (
+        rows.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("__e") / (F.count(F.lit(1)) * dim * 1000000.0), 6
+            ).alias("mse_per_dim"),
+            F.round(F.sum("__e") / F.sum("__p"), 4).alias("noise_to_signal"),
+        )
+        .orderBy(label_col)
+    )

@@ -5735,3 +5735,39 @@ def x112_streaming_sessions(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@query(
+    "x113_pq_reconstruction",
+    oracle=_PQ_ADC_BODY
+    + """, lab AS (SELECT vec_id, label FROM embeddings),
+    errt AS (
+      SELECT enc.vec_id, enc.sub,
+             CAST(round(round(list_sum(list_transform(generate_series(1, 8),
+               i -> pow(c.v[enc.sub * 8 + i] - b.cv[i], 2))), 6) * 1000000)
+                  AS BIGINT) AS e_bp
+      FROM enc JOIN books b USING (sub, code) JOIN c USING (vec_id)),
+    pv AS (SELECT vec_id, sum(e_bp) AS e FROM errt GROUP BY vec_id),
+    pw AS (
+      SELECT vec_id,
+             CAST(round(round(list_sum(list_transform(v, x -> x * x)), 6)
+                        * 1000000) AS BIGINT) AS p
+      FROM c)
+    SELECT lab.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(e) * 1.0 / (count(*) * 64 * 1000000.0), 6) AS mse_per_dim,
+           round(sum(e) * 1.0 / sum(p), 4) AS noise_to_signal
+    FROM pv JOIN pw USING (vec_id) JOIN lab USING (vec_id)
+    GROUP BY lab.label ORDER BY lab.label
+    """,
+)
+def x113_pq_reconstruction(spark, sf_dir):
+    """PQ reconstruction-error audit (pipeline.similarity.
+    pq_reconstruction_error): per-label residual power per dimension
+    and noise-to-signal of the trained 8x16 codebooks — the fidelity
+    number that justifies (or indicts) the compression before x60's
+    ADC ranking is trusted; embedding-side complement of x78. One
+    map-side HOF pass per row against the broadcast codebook tensor;
+    per-vector errors integer-ized to micro-units before summing."""
+    from otus_clickhouse_spark.pipeline.similarity import pq_reconstruction_error
+
+    return pq_reconstruction_error(t(spark, sf_dir, "embeddings"))

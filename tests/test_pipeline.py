@@ -2708,3 +2708,33 @@ def test_dup_cluster_census_sizes(spark):
     assert rows[3].n_clusters == 1 and rows[3].n_docs == 3 and rows[3].n_droppable == 2
     assert rows[2].n_clusters == 1 and rows[2].n_droppable == 1
     assert set(rows) == {2, 3}
+
+
+def test_pq_reconstruction_zero_when_vectors_are_centroids(spark):
+    """With exactly ksub distinct vectors the seed sample IS the
+    codebook and the Lloyd step re-derives it, so the reconstruction
+    error must be exactly zero; a larger corpus must show positive
+    error."""
+    from otus_clickhouse_spark.pipeline.similarity import pq_reconstruction_error
+
+    rows = []
+    for i in range(16):
+        vec = [0.0] * 64
+        vec[i] = 1.0 + i / 16.0
+        vec[i + 16] = 0.5
+        rows.append((i, vec, i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = pq_reconstruction_error(emb).collect()
+    assert all(r.mse_per_dim == 0.0 and r.noise_to_signal == 0.0 for r in out)
+
+    rows2 = [
+        (i, [((i * 7 + j * 13) % 29) / 29.0 for j in range(64)], i % 2)
+        for i in range(64)
+    ]
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>, label int"
+    )
+    out2 = pq_reconstruction_error(emb2).collect()
+    assert all(r.mse_per_dim > 0 and r.noise_to_signal > 0 for r in out2)

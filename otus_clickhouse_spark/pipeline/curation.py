@@ -660,3 +660,68 @@ def gate_disagreement(
         )
         .orderBy(group_col)
     )
+
+
+def quality_ks_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_bp: int = 10000,
+) -> DataFrame:
+    """Per-source distribution-drift gate: the exact two-sample
+    Kolmogorov-Smirnov statistic between a source's quality
+    distribution and the REST of the corpus — max |cdf_src - cdf_rest|
+    over the merged quality grid. JS token drift (x63) sees vocabulary
+    change; this sees score-distribution change within a fixed metric,
+    the alarm that one source's quality profile quietly diverged from
+    the corpus it's mixed into.
+
+    EXACT and histogram-bounded: quality rounds to 4dp upstream, so the
+    corpus reduces to a (source, quality) histogram; the grid is
+    (#sources x distinct-quality) rows by construction, the per-source
+    cumulative runs over THAT (never corpus rows), and the global cdf
+    broadcasts back by grid value. The KS gap is integer-ized to basis
+    points before the max, so the 4dp output is a pure integer
+    comparison. Returns per source: ``n_docs``, ``ks`` (4dp),
+    ``ks_at_quality`` (the grid point attaining it; ties -> largest).
+    """
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    q = docs.select(F.col(group_col), quality_score(F.col(text_col)).alias("__q"))
+    hist = q.groupBy(group_col, "__q").agg(F.count(F.lit(1)).alias("__c"))
+    hist = hist.localCheckpoint()  # feeds grid, totals, and the global cdf
+    grid = (
+        hist.select("__q").distinct()
+        .crossJoin(hist.select(group_col).distinct())
+        .join(hist, [group_col, "__q"], "left")
+        .select(group_col, "__q", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__q")
+    cum = grid.withColumn("__cum", F.sum("__c").over(w))
+    gtot = hist.groupBy("__q").agg(F.sum("__c").alias("__gc"))
+    wg = Window.orderBy("__q")
+    gcum = gtot.withColumn("__gcum", F.sum("__gc").over(wg)).select("__q", "__gcum")
+    n_s = hist.groupBy(group_col).agg(F.sum("__c").alias("__ns"))
+    n_all = hist.agg(F.sum("__c").alias("__n"))
+    j = (
+        cum.join(F.broadcast(gcum), "__q")
+        .join(F.broadcast(n_s), group_col)
+        .crossJoin(F.broadcast(n_all))
+    )
+    gap_bp = F.round(
+        F.abs(
+            F.col("__cum") / F.col("__ns")
+            - (F.col("__gcum") - F.col("__cum")) / (F.col("__n") - F.col("__ns"))
+        )
+        * round_bp
+    ).cast("bigint")
+    best = F.max(F.struct(gap_bp.alias("bp"), F.col("__q").alias("q")))
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.min("__ns").cast("bigint").alias("n_docs"),
+            (best["bp"] / float(round_bp)).alias("ks"),
+            best["q"].alias("ks_at_quality"),
+        )
+        .orderBy(group_col)
+    )

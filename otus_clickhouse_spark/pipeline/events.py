@@ -272,3 +272,71 @@ def funnel_timing(
         F.max(g23).alias("max_gap23_us"),
     )
     return a1.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(a3))
+
+
+def activity_concentration(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Contributor-concentration audit: exact Gini coefficient of
+    per-user event counts plus the share of all events produced by the
+    most active decile of users — the skew sheet an interaction-data
+    pipeline reads before per-user caps (a Gini near 1 means a handful
+    of bots dominate the corpus; capping changes everything downstream).
+
+    EXACT, and never sorts users: the corpus reduces to per-user counts
+    (user-keyed), then to a HISTOGRAM of (activity value, n_users) —
+    bounded by DISTINCT activity values, not users — and both
+    statistics come from integer cumulative sums over that histogram:
+    a run of c users at value v starting after rank r0 contributes
+    v*(c*r0 + c*(c+1)/2) to the rank-weighted sum (Gini), and the
+    top-decile share takes whole runs plus the exact partial run at
+    the boundary. The only window runs over histogram rows.
+
+    Returns 1 row: ``n_users``, ``n_events``, ``gini`` (4dp),
+    ``top_decile_share`` (4dp).
+    """
+    per_user = events.groupBy(user_col).agg(F.count(F.lit(1)).alias("__a"))
+    hist = per_user.groupBy("__a").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__a").rowsBetween(Window.unboundedPreceding, -1)
+    staged = hist.select(
+        F.col("__a"),
+        F.col("__c"),
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__r0"),
+    )
+    # rank-weighted activity sum: sum over runs of a*(c*r0 + c(c+1)/2)
+    t_term = F.col("__a") * (
+        F.col("__c") * F.col("__r0")
+        + F.col("__c") * (F.col("__c") + 1) / 2
+    )
+    totals = staged.agg(
+        F.sum(F.col("__c")).alias("n"),
+        F.sum(F.col("__a") * F.col("__c")).alias("s"),
+        F.sum(t_term).alias("t"),
+    )
+    # top decile: users ranked DESC by activity = ranks > n - k with
+    # k = ceil(n/10); a run [r0+1, r0+c] ascending contributes its
+    # overlap with (n-k, n]
+    k = F.ceil(F.col("n") / 10.0)
+    cut = F.col("n") - k
+    overlap = F.greatest(
+        F.least(F.col("__r0") + F.col("__c"), F.col("n")) - F.greatest("__r0", cut),
+        F.lit(0),
+    )
+    top = (
+        staged.crossJoin(F.broadcast(totals.select("n")))
+        .agg(F.sum(F.col("__a") * overlap).alias("top_s"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("s").cast("bigint").alias("n_events"),
+            F.round(
+                2 * F.col("t") / (F.col("n") * F.col("s"))
+                - (F.col("n") + 1) / F.col("n"),
+                4,
+            ).alias("gini"),
+            F.round(F.col("top_s") / F.col("s"), 4).alias("top_decile_share"),
+        )
+    )

@@ -5771,3 +5771,104 @@ def x113_pq_reconstruction(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.similarity import pq_reconstruction_error
 
     return pq_reconstruction_error(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "x114_activity_concentration",
+    oracle="""
+    WITH pu AS (SELECT user_id, count(*) AS a FROM events GROUP BY user_id),
+    hist AS (SELECT a, count(*) AS c FROM pu GROUP BY a),
+    staged AS (
+      SELECT a, c,
+             coalesce(sum(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS r0
+      FROM hist),
+    tot AS (SELECT sum(c) AS n, sum(a * c) AS s,
+                   sum(a * (c * r0 + c * (c + 1) / 2)) AS t
+            FROM staged),
+    top AS (
+      SELECT sum(a * greatest(least(r0 + c, n)
+                              - greatest(r0, n - ceil(n / 10.0)), 0)) AS top_s
+      FROM staged CROSS JOIN tot)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+           round(2 * t / (n * s) - (n + 1) * 1.0 / n, 4) AS gini,
+           round(top_s * 1.0 / s, 4) AS top_decile_share
+    FROM tot CROSS JOIN top
+    """,
+)
+def x114_activity_concentration(spark, sf_dir):
+    """Contributor-concentration audit (pipeline.events.
+    activity_concentration): exact Gini of per-user event counts plus
+    the top-decile share, WITHOUT ever sorting users — the corpus
+    reduces to a (activity value, n_users) histogram and both
+    statistics come from integer cumulative sums over its runs (a run
+    of c users at value a after rank r0 contributes a*(c*r0+c(c+1)/2)
+    to the rank-weighted sum). The only window runs over histogram
+    rows; the skew sheet read before per-user caps."""
+    from otus_clickhouse_spark.pipeline.events import activity_concentration
+
+    return activity_concentration(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x115_quality_ks_drift",
+    oracle=r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    base AS (
+      SELECT source,
+             round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) AS q
+      FROM tk
+    ),
+    hist AS (SELECT source, q, count(*) AS c FROM base GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, g.q, coalesce(h.c, 0) AS c
+      FROM (SELECT DISTINCT q FROM hist) g
+      CROSS JOIN (SELECT DISTINCT source FROM hist) s
+      LEFT JOIN hist h ON h.source = s.source AND h.q = g.q
+    ),
+    cum AS (SELECT source, q,
+                   sum(c) OVER (PARTITION BY source ORDER BY q) AS cm
+            FROM grid),
+    gc AS (SELECT q, sum(c) AS c FROM hist GROUP BY q),
+    gcum AS (SELECT q, sum(c) OVER (ORDER BY q) AS gcm FROM gc),
+    ns AS (SELECT source, sum(c) AS nsrc FROM hist GROUP BY source),
+    na AS (SELECT sum(c) AS n FROM hist),
+    j AS (
+      SELECT cum.source, cum.q, ns.nsrc,
+             CAST(round(abs(cm * 1.0 / nsrc
+                            - (gcm - cm) * 1.0 / (n - nsrc)) * 10000)
+                  AS BIGINT) AS bp
+      FROM cum JOIN gcum USING (q) JOIN ns USING (source) CROSS JOIN na
+    ),
+    agg AS (SELECT source, min(nsrc) AS n_docs, max(bp) AS mbp
+            FROM j GROUP BY source)
+    SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+           a.mbp / 10000.0 AS ks,
+           max(j.q) AS ks_at_quality
+    FROM agg a JOIN j ON j.source = a.source AND j.bp = a.mbp
+    GROUP BY a.source, a.n_docs, a.mbp
+    ORDER BY a.source
+    """,
+)
+def x115_quality_ks_drift(spark, sf_dir):
+    """Per-source quality-distribution drift gate (pipeline.curation.
+    quality_ks_drift): exact two-sample Kolmogorov-Smirnov statistic
+    between each source and the REST of the corpus over the merged 4dp
+    quality grid — score-distribution drift where x63's JS sees only
+    vocabulary drift. Histogram-exact: the corpus reduces to a
+    (source, quality) histogram, every window runs over (#sources x
+    distinct-quality) rows, the global cdf broadcasts back, and the KS
+    gap is integer basis points so the max is a pure integer compare."""
+    from otus_clickhouse_spark.pipeline.curation import quality_ks_drift
+
+    return quality_ks_drift(t(spark, sf_dir, "documents"))

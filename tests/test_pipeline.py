@@ -2738,3 +2738,55 @@ def test_pq_reconstruction_zero_when_vectors_are_centroids(spark):
     )
     out2 = pq_reconstruction_error(emb2).collect()
     assert all(r.mse_per_dim > 0 and r.noise_to_signal > 0 for r in out2)
+
+
+def test_activity_concentration_uniform_and_skewed(spark):
+    """Equal per-user activity gives Gini exactly 0; a dominant user
+    matches the brute-force Gini on sorted counts."""
+    import datetime
+
+    from otus_clickhouse_spark.pipeline.events import activity_concentration
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev_frame(counts):
+        rows, eid = [], 0
+        for u, c in enumerate(counts):
+            for k in range(c):
+                rows.append((eid, base, u))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long"
+        )
+
+    r = activity_concentration(ev_frame([2] * 10)).collect()[0]
+    assert r.n_users == 10 and r.n_events == 20
+    assert r.gini == 0.0
+    assert r.top_decile_share == 0.1  # ceil(10/10)=1 user of 10, equal share
+
+    counts = [1] * 9 + [91]
+    r2 = activity_concentration(ev_frame(counts)).collect()[0]
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    assert float(r2.gini) == round(2 * t / (n * s) - (n + 1) / n, 4)
+    assert r2.top_decile_share == 0.91
+
+
+def test_quality_ks_drift_identical_and_disjoint(spark):
+    """A source whose quality distribution equals the rest scores KS 0;
+    a source fully below the rest scores KS 1."""
+    from otus_clickhouse_spark.pipeline.curation import quality_ks_drift
+
+    hi = "The quick brown fox jumps over the lazy dog near the riverbank today."
+    lo = "zz zz zz zz 1234 5678 !!!! ???? 0000 ####"
+    docs = spark.createDataFrame(
+        [(1, hi, "a"), (2, hi, "b"), (3, lo, "c"), (4, hi, "a"), (5, hi, "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in quality_ks_drift(docs).collect()}
+    # a and b both hold only `hi` docs; the rest of the corpus for each
+    # still contains c's low doc, so their KS is small but the fully
+    # disjoint source c must hit exactly 1.0
+    assert rows["c"].ks == 1.0
+    assert rows["a"].ks < 1.0 and rows["b"].ks < 1.0

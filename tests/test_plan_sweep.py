@@ -107,6 +107,8 @@ UNPARTITIONED_WINDOW_OK = {
     "x89_quality_deciles": (1, "cumulative walk over the global 4dp-quality histogram (<= ~10k rows)"),
     "x106_gate_disagreement": (1, "global-median cumulative walk over the 4dp avg_nll value histogram (range-bounded, never row-bounded; the literal _hist_median key folds away)"),
     "x110_vocab_oov": (1, "vocab_build rank+coverage over salted-top-N survivors (<= salts*top_n rows), same bound as x25"),
+    "x114_activity_concentration": (2, "rank cumulative over the (activity value, n_users) histogram — distinct-value-bounded; x2 consumers (gini terms + top-decile overlap)"),
+    "x115_quality_ks_drift": (1, "global cdf cumulative over the distinct-4dp-quality histogram (range-bounded)"),
 }
 
 
@@ -166,6 +168,11 @@ LOW_CARD_WINDOW_OK = {
         3,
         "budget histogram cumsum (<=10k 4dp-quality buckets/source, x2 "
         "consumers) + boundary-bucket tie-break (rows tied at ONE quality)",
+    ),
+    "x115_quality_ks_drift": (
+        1,
+        "per-source cdf cumulative over the (#sources x distinct-4dp-quality) "
+        "grid — histogram-bounded by construction, never corpus rows",
     ),
     "x61_domain_cap": (
         1,

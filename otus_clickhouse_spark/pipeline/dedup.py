@@ -899,3 +899,71 @@ def dup_cluster_census(
         )
         .orderBy("cluster_size")
     )
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_sample: int = 200,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Ground-truth recall/precision of the LSH candidate generator:
+    on a DETERMINISTIC fixed-size sample (md5-ordered top-``k_sample``
+    ids — TakeOrderedAndProject, bounded at any corpus size), compute
+    ALL true near-dup pairs by exact Jaccard and compare against the
+    banded candidates the production pipeline (x02) would generate on
+    the same docs. x102 checks the banding against THEORY; this
+    measures it against ground truth — the number that justifies the
+    bands/rows choice empirically. Brute force is O(k_sample²) BY
+    DESIGN and never touches the full corpus: pairs with zero shared
+    shingles can't reach any threshold > 0, so the "all pairs" step is
+    really the shingle-intersection join within the sample.
+
+    Returns 1 row: ``n_sample``, ``n_true_pairs``, ``n_candidates``,
+    ``n_hit`` (candidates that are true pairs), ``recall``,
+    ``precision`` (integer divisions, 4dp).
+    """
+    ids = (
+        docs.select(F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k_sample)
+    )
+    sample = docs.join(F.broadcast(ids), id_col)
+    sh = shingles(sample, text_col, id_col, n).localCheckpoint()
+    sig = minhash_signatures(sh, id_col, with_size=True).localCheckpoint()
+    # ground truth: every intersecting pair in the sample, verified
+    shc = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+    inter_pairs = (
+        shc.alias("a")
+        .join(shc.alias("b"), "__sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    true_pairs = jaccard_verify(
+        inter_pairs, sh, id_col, threshold, sizes=sig.select(id_col, "n_sh")
+    ).select("a", "b").localCheckpoint()
+    cand = lsh_candidate_pairs(sig, id_col).localCheckpoint()
+    hit = cand.join(true_pairs, ["a", "b"])
+    counts = (
+        ids.agg(F.count(F.lit(1)).alias("n_sample"))
+        .crossJoin(F.broadcast(true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    return counts.select(
+        F.col("n_sample").cast("bigint").alias("n_sample"),
+        F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.when(F.col("n_true_pairs") > 0, F.round(F.col("n_hit") / F.col("n_true_pairs"), 4))
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+        F.when(F.col("n_candidates") > 0, F.round(F.col("n_hit") / F.col("n_candidates"), 4))
+        .otherwise(F.lit(1.0))
+        .alias("precision"),
+    )

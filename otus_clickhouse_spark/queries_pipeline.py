@@ -5872,3 +5872,86 @@ def x115_quality_ks_drift(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.curation import quality_ks_drift
 
     return quality_ks_drift(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x116_lsh_recall_eval",
+    oracle=f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 200),
+    sdocs AS (SELECT d.* FROM documents d JOIN ids USING (doc_id)),
+    w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM sdocs),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM w
+      ) WHERE length(shingle) > 0
+    ),
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ip AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    truep AS (
+      SELECT ip.a, ip.b
+      FROM ip JOIN sizes na ON na.doc_id = ip.a
+              JOIN sizes nb ON nb.doc_id = ip.b
+      WHERE round(ip.i / (na.n + nb.n - ip.i), 4) >= 0.7
+    ),
+    buckets AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          md5(concat_ws('|', 0, mh0, mh1)),
+          md5(concat_ws('|', 1, mh2, mh3)),
+          md5(concat_ws('|', 2, mh4, mh5)),
+          md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
+        FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM cand JOIN truep USING (a, b)),
+    cts AS (
+      SELECT (SELECT count(*) FROM ids) AS n_sample,
+             (SELECT count(*) FROM truep) AS n_true_pairs,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM hit) AS n_hit)
+    SELECT CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true_pairs > 0
+                THEN round(n_hit * 1.0 / n_true_pairs, 4) ELSE 1.0 END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN round(n_hit * 1.0 / n_candidates, 4) ELSE 1.0 END AS precision
+    FROM cts
+    """,
+)
+def x116_lsh_recall_eval(spark, sf_dir):
+    """Empirical LSH recall/precision vs brute-force ground truth
+    (pipeline.dedup.lsh_recall_eval): on a deterministic md5-ordered
+    200-doc sample (TakeOrderedAndProject — bounded at any corpus
+    size), every true near-dup pair by exact Jaccard vs the banded
+    candidates x02's generator emits on the same docs. x102 audits the
+    banding against theory; this measures it against ground truth —
+    the empirical justification for bands/rows. The O(sample²) step
+    never touches the full corpus."""
+    from otus_clickhouse_spark.pipeline.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(t(spark, sf_dir, "documents"))

@@ -2790,3 +2790,24 @@ def test_quality_ks_drift_identical_and_disjoint(spark):
     # disjoint source c must hit exactly 1.0
     assert rows["c"].ks == 1.0
     assert rows["a"].ks < 1.0 and rows["b"].ks < 1.0
+
+
+def test_lsh_recall_eval_identical_pairs(spark):
+    """Identical doc pairs are found by both ground truth and the
+    banded generator (identical signatures always collide), so recall
+    and the count identities hold."""
+    from otus_clickhouse_spark.pipeline.dedup import lsh_recall_eval
+
+    ta = "the quick brown fox jumps over the lazy dog near town"
+    tb = "completely different words occupy this second document body here"
+    docs = spark.createDataFrame(
+        [(1, ta), (2, ta), (3, tb), (4, tb), (5, "unique text one here"),
+         (6, "another unique body of words")],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_eval(docs, k_sample=6).collect()[0]
+    assert r.n_sample == 6
+    assert r.n_true_pairs == 2 and r.n_hit == 2
+    assert r.recall == 1.0
+    assert r.n_hit <= r.n_candidates
+    assert float(r.precision) == round(r.n_hit / r.n_candidates, 4)

@@ -1608,3 +1608,117 @@ def pq_reconstruction_error(
         )
         .orderBy(label_col)
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998), λ fixed at 0.5: from each query's exact top-
+    ``k_candidates``, greedily pick ``k_select`` results maximizing
+    relevance minus the worst redundancy against what's already picked
+    — the RAG-serving step that stops a retriever returning three
+    copies of the same paragraph.
+
+    FULLY integer-exact selection: cosine relevance and candidate-
+    pairwise similarity are 4dp basis points, the MMR objective is the
+    integer 2·rel_bp − max(sim_bp) (λ=0.5 folds into the doubling, so
+    no float ever decides a pick), ties break on ascending id. The
+    greedy loop unrolls ``k_select`` DataFrame steps — each is an
+    anti-join + per-query max over the ≤ k_candidates sliver, bounded
+    at any corpus size; only the initial top-k scan touches the corpus
+    (and that is x04's broadcast-query plan).
+
+    Returns (query_id, rnk 1..k_select, vec_id, mmr) where mmr =
+    objective/2 in cosine units.
+    """
+    cand = brute_force_topk(
+        corpus, queries, k=k_candidates, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col,
+    ).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(F.col("cos") * 10000).cast("bigint").alias("__rel_bp"),
+    ).localCheckpoint()
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cv = cand.join(vecs, id_col).select(query_id_col, id_col, "__v")
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = (
+        a.join(b, query_id_col)
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(query_id_col),
+            F.col(f"a.{id_col}").alias("__ca"),
+            F.col(f"b.{id_col}").alias("__cb"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("__s"),
+        )
+        .select(
+            query_id_col, "__ca", "__cb",
+            F.round(F.col("__s") * 10000).cast("bigint").alias("__sim_bp"),
+        )
+        .localCheckpoint()
+    )
+
+    def argmax(scored):
+        # max objective, ties -> smallest id: min(struct(-obj, id))
+        best = scored.groupBy(query_id_col).agg(
+            F.min(
+                F.struct((-F.col("__obj")).alias("no"), F.col(id_col).alias("i"))
+            ).alias("__b")
+        )
+        return best.select(
+            query_id_col,
+            F.col("__b.i").alias(id_col),
+            (-F.col("__b.no")).alias("__obj"),
+        )
+
+    selected = argmax(
+        cand.select(query_id_col, id_col, (2 * F.col("__rel_bp")).alias("__obj"))
+    ).withColumn("rnk", F.lit(1).cast("bigint"))
+    picks = [selected]
+    for step in range(2, k_select + 1):
+        sel_ids = selected.select(query_id_col, F.col(id_col).alias("__sel"))
+        # redundancy of each remaining candidate = max sim to ANY pick
+        red = (
+            sims.join(
+                sel_ids.withColumnRenamed("__sel", "__cb"),
+                [query_id_col, "__cb"],
+            )
+            .groupBy(query_id_col, "__ca")
+            .agg(F.max("__sim_bp").alias("__red_bp"))
+        )
+        remaining = cand.join(
+            selected.select(query_id_col, id_col), [query_id_col, id_col],
+            "left_anti",
+        )
+        scored = remaining.join(
+            red.withColumnRenamed("__ca", id_col), [query_id_col, id_col]
+        ).select(
+            query_id_col, id_col,
+            (2 * F.col("__rel_bp") - F.col("__red_bp")).alias("__obj"),
+        )
+        nxt = argmax(scored).withColumn("rnk", F.lit(step).cast("bigint"))
+        picks.append(nxt)
+        sel_all = picks[0].select(query_id_col, id_col)
+        for p in picks[1:]:
+            sel_all = sel_all.union(p.select(query_id_col, id_col))
+        selected = sel_all.join(
+            cand.select(query_id_col, id_col), [query_id_col, id_col]
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        query_id_col,
+        "rnk",
+        F.col(id_col),
+        F.round(F.col("__obj") / 20000.0, 5).alias("mmr"),
+    ).orderBy(query_id_col, "rnk")

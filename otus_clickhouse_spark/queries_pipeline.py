@@ -5955,3 +5955,87 @@ def x116_lsh_recall_eval(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import lsh_recall_eval
 
     return lsh_recall_eval(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x117_mmr_diversified_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(qv, v), 4) AS cos
+      FROM c CROSS JOIN q),
+    cand AS (
+      SELECT query_id, vec_id, CAST(round(cos * 10000) AS BIGINT) AS rel_bp
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 10),
+    cv AS (SELECT cand.query_id, cand.vec_id, c.v FROM cand JOIN c USING (vec_id)),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+             CAST(round(round(list_cosine_similarity(a.v, b.v), 4) * 10000)
+                  AS BIGINT) AS sim_bp
+      FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    s1 AS (
+      SELECT query_id, vec_id, obj FROM (
+        SELECT query_id, vec_id, 2 * rel_bp AS obj,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 2 * rel_bp DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1),
+    sc2 AS (
+      SELECT cand.query_id, cand.vec_id, 2 * cand.rel_bp - s.sim_bp AS obj
+      FROM cand
+      JOIN s1 ON s1.query_id = cand.query_id AND cand.vec_id <> s1.vec_id
+      JOIN sims s ON s.query_id = cand.query_id AND s.ca = cand.vec_id
+                 AND s.cb = s1.vec_id),
+    s2 AS (
+      SELECT query_id, vec_id, obj FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY obj DESC, vec_id) AS rn
+        FROM sc2) WHERE rn = 1),
+    sel12 AS (SELECT query_id, vec_id FROM s1
+              UNION ALL SELECT query_id, vec_id FROM s2),
+    red3 AS (
+      SELECT s.query_id, s.ca AS vec_id, max(s.sim_bp) AS red
+      FROM sims s JOIN sel12 ON sel12.query_id = s.query_id
+                            AND sel12.vec_id = s.cb
+      GROUP BY s.query_id, s.ca),
+    sc3 AS (
+      SELECT cand.query_id, cand.vec_id, 2 * cand.rel_bp - red3.red AS obj
+      FROM cand
+      JOIN red3 ON red3.query_id = cand.query_id AND red3.vec_id = cand.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel12
+                        WHERE sel12.query_id = cand.query_id
+                          AND sel12.vec_id = cand.vec_id)),
+    s3 AS (
+      SELECT query_id, vec_id, obj FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY obj DESC, vec_id) AS rn
+        FROM sc3) WHERE rn = 1)
+    SELECT query_id, CAST(1 AS BIGINT) AS rnk, vec_id,
+           round(obj / 20000.0, 5) AS mmr FROM s1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), vec_id, round(obj / 20000.0, 5) FROM s2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), vec_id, round(obj / 20000.0, 5) FROM s3
+    ORDER BY query_id, rnk
+    """,
+)
+def x117_mmr_diversified_topk(spark, sf_dir):
+    """MMR diversified re-rank (pipeline.similarity.mmr_topk, Carbonell
+    & Goldstein 1998, λ=0.5): greedy relevance-minus-redundancy picks
+    from each query's exact top-10 — the RAG-serving step that stops a
+    retriever returning three copies of the same paragraph. Selection
+    is FULLY integer (objective = 2·rel_bp − max sim_bp, λ folded into
+    the doubling, ties on ascending id), so no float comparison ever
+    decides a pick; every greedy step is an anti-join + per-query max
+    over a ≤10-row sliver. Only the initial top-k scan touches the
+    corpus (x04's broadcast-query plan)."""
+    from otus_clickhouse_spark.pipeline.similarity import mmr_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_topk(emb, queries, k_candidates=10, k_select=3)

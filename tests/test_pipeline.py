@@ -2811,3 +2811,30 @@ def test_lsh_recall_eval_identical_pairs(spark):
     assert r.recall == 1.0
     assert r.n_hit <= r.n_candidates
     assert float(r.precision) == round(r.n_hit / r.n_candidates, 4)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """An exact duplicate of the first pick pays the full λ=0.5 sim
+    penalty (objective rel − 0.5), so a moderately-relevant but
+    dissimilar vector must win pick 2: obj(dup) = 0.9 − 0.5 = 0.4 <
+    obj(diverse) ≈ 0.75 − 0.5·0.52 ≈ 0.49. Plain top-2 would return
+    the duplicate."""
+    from otus_clickhouse_spark.pipeline.similarity import mmr_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.9, 0.4359, 0.0, 0.0]),     # top hit (rel ~0.9)
+            (2, [0.9, 0.4359, 0.0, 0.0]),     # exact duplicate of 1
+            (3, [0.75, -0.35, 0.56, 0.0]),    # diverse, rel ~0.75
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    picks = {
+        r.rnk: r.vec_id
+        for r in mmr_topk(emb, queries, k_candidates=3, k_select=2).collect()
+    }
+    assert picks[1] == 1          # rel tie with the duplicate -> smaller id
+    assert picks[2] == 3          # diversity beats the exact duplicate 2

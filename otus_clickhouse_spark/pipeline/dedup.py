@@ -967,3 +967,55 @@ def lsh_recall_eval(
         .otherwise(F.lit(1.0))
         .alias("precision"),
     )
+
+
+def detector_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    winnow_k: int = 20,
+    winnow_w: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Agreement sheet between the two span-level near-dup detectors:
+    word-shingle minhash-LSH (x02, Jaccard >= ``threshold``) and
+    char-gram robust winnowing (x68, >= ``min_shared`` shared
+    fingerprints). The two see DIFFERENT duplication — token-level
+    rewording vs verbatim character spans — so their pair-set overlap
+    is the calibration number that decides which detector (or both)
+    a dedup pass should trust, and a sudden divergence flags a
+    tokenizer/normalization bug in one of them.
+
+    Returns 1 row: ``n_minhash_pairs``, ``n_winnow_pairs``, ``n_both``,
+    ``n_union``, ``pair_set_jaccard`` (one integer division, 4dp).
+
+    Scale shape: both pair generators are their production plans
+    (banded buckets / degree-capped fingerprint buckets); the agreement
+    itself is one pair-keyed join + scalar counts.
+    """
+    mp = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select("a", "b").localCheckpoint()
+    wp = winnow_dup_pairs(
+        docs, k=winnow_k, w=winnow_w, text_col=text_col, id_col=id_col,
+        min_shared=min_shared,
+    ).select("a", "b").localCheckpoint()
+    both = mp.join(wp, ["a", "b"])
+    cts = (
+        mp.agg(F.count(F.lit(1)).alias("nm"))
+        .crossJoin(F.broadcast(wp.agg(F.count(F.lit(1)).alias("nw"))))
+        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("nb"))))
+    )
+    return cts.select(
+        F.col("nm").cast("bigint").alias("n_minhash_pairs"),
+        F.col("nw").cast("bigint").alias("n_winnow_pairs"),
+        F.col("nb").cast("bigint").alias("n_both"),
+        (F.col("nm") + F.col("nw") - F.col("nb")).cast("bigint").alias("n_union"),
+        F.when(
+            F.col("nm") + F.col("nw") - F.col("nb") > 0,
+            F.round(F.col("nb") / (F.col("nm") + F.col("nw") - F.col("nb")), 4),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("pair_set_jaccard"),
+    )

@@ -6039,3 +6039,64 @@ def x117_mmr_diversified_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return mmr_topk(emb, queries, k_candidates=10, k_select=3)
+
+
+@query(
+    "x118_detector_agreement",
+    oracle=rf"""
+    WITH {_PAIRS_CTES},
+    wnrm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    wok AS (SELECT doc_id, t FROM wnrm WHERE length(t) >= 27),
+    wg AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 18),
+               i -> CAST(concat('0x',
+                      substr(md5(substr(t, CAST(i AS INT), 20)), 1, 8)) AS BIGINT)) AS gh
+      FROM wok
+    ),
+    wfps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(gh) - 6),
+               j -> list_min(list_slice(gh, CAST(j AS INT), CAST(j AS INT) + 7)))) AS f
+      FROM wg
+    ),
+    wfp AS (SELECT doc_id, unnest(f) AS fp FROM wfps),
+    wshared AS (
+      SELECT fp FROM wfp GROUP BY fp HAVING count(*) > 1 AND count(*) <= 1024
+    ),
+    wsh AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN wshared USING (fp)),
+    wpairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM wsh a JOIN wsh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    mp AS (SELECT a, b FROM pairs),
+    bth AS (SELECT a, b FROM mp INTERSECT SELECT a, b FROM wpairs),
+    cts AS (
+      SELECT (SELECT count(*) FROM mp) AS nm,
+             (SELECT count(*) FROM wpairs) AS nw,
+             (SELECT count(*) FROM bth) AS nb)
+    SELECT CAST(nm AS BIGINT) AS n_minhash_pairs,
+           CAST(nw AS BIGINT) AS n_winnow_pairs,
+           CAST(nb AS BIGINT) AS n_both,
+           CAST(nm + nw - nb AS BIGINT) AS n_union,
+           CASE WHEN nm + nw - nb > 0
+                THEN round(nb * 1.0 / (nm + nw - nb), 4) ELSE 1.0 END
+             AS pair_set_jaccard
+    FROM cts
+    """,
+)
+def x118_detector_agreement(spark, sf_dir):
+    """Near-dup detector agreement (pipeline.dedup.detector_agreement):
+    pair-set overlap between minhash-LSH (token-level rewording, x02's
+    plan) and robust winnowing (verbatim char spans, x68's plan) — the
+    calibration number that decides which detector a dedup pass should
+    trust, and the canary for a normalization bug in either. Both
+    generators run their production bucketed plans; the agreement is
+    one pair-keyed join + scalar counts."""
+    from otus_clickhouse_spark.pipeline.dedup import detector_agreement
+
+    return detector_agreement(t(spark, sf_dir, "documents"))

@@ -2838,3 +2838,24 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     }
     assert picks[1] == 1          # rel tie with the duplicate -> smaller id
     assert picks[2] == 3          # diversity beats the exact duplicate 2
+
+
+def test_detector_agreement_identical_docs(spark):
+    """Verbatim duplicates are found by BOTH detectors, so the pair
+    lands in the intersection and the set-jaccard is 1.0."""
+    from otus_clickhouse_spark.pipeline.dedup import detector_agreement
+
+    t_dup = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the river bend appears ahead"
+    )
+    docs = spark.createDataFrame(
+        [(1, t_dup), (2, t_dup),
+         (3, "a completely different and unrelated document body lives here "
+             "with its own words that overlap nothing else in this corpus")],
+        "doc_id long, text string",
+    )
+    r = detector_agreement(docs).collect()[0]
+    assert r.n_minhash_pairs == 1 and r.n_winnow_pairs == 1
+    assert r.n_both == 1 and r.n_union == 1
+    assert r.pair_set_jaccard == 1.0

@@ -1019,3 +1019,65 @@ def detector_agreement(
         .otherwise(F.lit(1.0))
         .alias("pair_set_jaccard"),
     )
+
+
+def cluster_completeness(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Transitivity audit of the near-dup clusters: connected
+    components merge by CHAINS (A~B, B~C puts A and C in one cluster
+    even when A and C are not near-dups), so keep-one-representative
+    can silently drop non-duplicate content. Per cluster size: how
+    many of each cluster's possible pairs are actually verified
+    near-dup pairs — ``completeness`` = Σ verified / Σ possible from
+    exact integer sums (1.0 = every cluster is a clique; low values at
+    big sizes = chain-merging, the signal to verify-within-cluster
+    before dropping).
+
+    Scale shape: x02's pair chain + label propagation (both production
+    plans); possible-pair counts come from the cluster-size reduce
+    (s·(s−1)/2, integer); verified-pair counts from ONE join of the
+    pair list to the cluster map. Output is #distinct-sizes rows.
+    """
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select("a", "b").localCheckpoint()
+    clusters = dedup_clusters(pairs).localCheckpoint()
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    ca = clusters.select(F.col("node").alias("a"), F.col("cluster_id"))
+    # both endpoints of a verified pair are by construction in the same
+    # cluster; one join attaches the cluster id
+    pc = pairs.join(ca, "a").groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_verified")
+    )
+    per_cluster = sizes.join(pc, "cluster_id", "left").select(
+        "cluster_size",
+        F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+        (F.col("cluster_size") * (F.col("cluster_size") - 1) / 2)
+        .cast("bigint")
+        .alias("n_possible"),
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_verified").cast("bigint").alias("n_verified_pairs"),
+            F.sum("n_possible").cast("bigint").alias("n_possible_pairs"),
+            F.round(F.sum("n_verified") / F.sum("n_possible"), 4).alias(
+                "completeness"
+            ),
+        )
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_verified_pairs",
+            "n_possible_pairs",
+            "completeness",
+        )
+        .orderBy("cluster_size")
+    )

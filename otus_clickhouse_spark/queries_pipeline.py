@@ -6100,3 +6100,52 @@ def x118_detector_agreement(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import detector_agreement
 
     return detector_agreement(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x119_cluster_completeness",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+            GROUP BY cluster_id),
+    pc AS (
+      SELECT comp.cluster_id, count(*) AS n_verified
+      FROM pairs JOIN comp ON comp.node = pairs.a
+      GROUP BY comp.cluster_id
+    ),
+    per_cluster AS (
+      SELECT csz.cluster_size,
+             coalesce(pc.n_verified, 0) AS n_verified,
+             csz.cluster_size * (csz.cluster_size - 1) // 2 AS n_possible
+      FROM csz LEFT JOIN pc USING (cluster_id)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_verified) AS BIGINT) AS n_verified_pairs,
+           CAST(sum(n_possible) AS BIGINT) AS n_possible_pairs,
+           round(sum(n_verified) * 1.0 / sum(n_possible), 4) AS completeness
+    FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def x119_cluster_completeness(spark, sf_dir):
+    """Cluster transitivity audit (pipeline.dedup.cluster_completeness):
+    per cluster size, the fraction of possible member pairs that are
+    VERIFIED near-dups — connected components merge by chains, so
+    completeness < 1 at big sizes means keep-one-representative would
+    drop non-duplicate content (the verify-within-cluster signal).
+    Integer sums throughout; one pair→cluster join; #distinct-sizes
+    output rows."""
+    from otus_clickhouse_spark.pipeline.dedup import cluster_completeness
+
+    return cluster_completeness(t(spark, sf_dir, "documents"))

@@ -2859,3 +2859,36 @@ def test_detector_agreement_identical_docs(spark):
     assert r.n_minhash_pairs == 1 and r.n_winnow_pairs == 1
     assert r.n_both == 1 and r.n_union == 1
     assert r.pair_set_jaccard == 1.0
+
+
+def test_cluster_completeness_clique_and_chain(spark):
+    """Three identical docs form a clique (completeness 1.0); a chain
+    A~B~C where A and C differ too much must report completeness 2/3
+    for the size-3 cluster."""
+    from otus_clickhouse_spark.pipeline.dedup import cluster_completeness
+
+    t3 = "one two three four five six seven eight nine ten eleven twelve"
+    rows = cluster_completeness(
+        spark.createDataFrame(
+            [(1, t3), (2, t3), (3, t3)], "doc_id long, text string"
+        )
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].cluster_size == 3 and rows[0].completeness == 1.0
+
+    words = [f"w{i:02d}" for i in range(60)]
+    zz = [f"z{i}" for i in range(8)]
+    yy = [f"y{i}" for i in range(8)]
+    a = " ".join(words)                       # j(a,b) ~0.76, j(b,c) ~0.76
+    b = " ".join(words[:-8] + zz)             # 8 tail words off vs a
+    c = " ".join(yy + words[8:-8] + zz)       # 8 head words off vs b,
+    #                                           16 off vs a -> j(a,c) ~0.57
+    out = cluster_completeness(
+        spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+    ).collect()
+    chain = {r.cluster_size: r for r in out}
+    assert 3 in chain, f"expected one size-3 chain cluster, got {out}"
+    assert chain[3].n_verified_pairs == 2
+    assert chain[3].completeness == round(2 / 3, 4)

@@ -1722,3 +1722,55 @@ def mmr_topk(
         F.col(id_col),
         F.round(F.col("__obj") / 20000.0, 5).alias("mmr"),
     ).orderBy(query_id_col, "rnk")
+
+
+def embedding_coverage(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-modal integrity audit: did the embedding job cover every
+    document, and is the coverage quality-biased? Per source: document
+    count, documents WITH an embedding row, missing count, coverage
+    fraction, and the mean quality of covered vs missing docs — a gap
+    between those two means says the embedding job is silently
+    dropping a quality stratum (encoder timeouts on long/garbled docs
+    is the classic failure), which poisons every downstream
+    semantic-dedup/ANN decision made "corpus-wide".
+
+    Quality means come from exact integer sums of the 4dp score
+    (the x96 lesson: float sums of rounded doubles are order-dependent
+    across engines). One id-keyed left join + a #sources reduce.
+    """
+    from otus_clickhouse_spark.pipeline.text import quality_score
+
+    d = docs.select(
+        F.col(doc_id_col),
+        F.col(group_col),
+        F.round(quality_score(F.col(text_col)) * 10000).cast("bigint").alias("__qbp"),
+    )
+    e = emb.select(F.col(vec_id_col).alias(doc_id_col), F.lit(1).alias("__has"))
+    j = d.join(e, doc_id_col, "left")
+    cov = F.col("__has").isNotNull().cast("int")
+    n_cov = F.sum(cov)
+    n_miss = F.sum(1 - cov)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_cov.cast("bigint").alias("n_with_embedding"),
+            n_miss.cast("bigint").alias("n_missing"),
+            F.round(n_cov / F.count(F.lit(1)), 4).alias("coverage_pct"),
+            F.round(
+                F.sum(F.col("__qbp") * cov) / (n_cov * 10000), 4
+            ).alias("mean_q_covered"),
+            F.when(
+                n_miss > 0,
+                F.round(F.sum(F.col("__qbp") * (1 - cov)) / (n_miss * 10000), 4),
+            ).alias("mean_q_missing"),
+        )
+        .orderBy(group_col)
+    )

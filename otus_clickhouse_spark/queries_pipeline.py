@@ -6149,3 +6149,53 @@ def x119_cluster_completeness(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import cluster_completeness
 
     return cluster_completeness(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x120_embedding_coverage",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CAST(round(round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) * 10000) AS BIGINT) AS qbp
+      FROM tk
+    ),
+    j AS (
+      SELECT q.source, q.qbp,
+             CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS cov
+      FROM q LEFT JOIN embeddings e ON e.vec_id = q.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cov) AS BIGINT) AS n_with_embedding,
+           CAST(sum(1 - cov) AS BIGINT) AS n_missing,
+           round(sum(cov) * 1.0 / count(*), 4) AS coverage_pct,
+           round(sum(qbp * cov) * 1.0 / (sum(cov) * 10000), 4)
+             AS mean_q_covered,
+           CASE WHEN sum(1 - cov) > 0
+                THEN round(sum(qbp * (1 - cov)) * 1.0 / (sum(1 - cov) * 10000), 4)
+                END AS mean_q_missing
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def x120_embedding_coverage(spark, sf_dir):
+    """Cross-modal integrity audit (pipeline.similarity.
+    embedding_coverage): per source, which documents actually HAVE an
+    embedding row and whether the covered/missing split is
+    quality-biased (the encoder-drops-a-stratum failure that poisons
+    corpus-wide semantic decisions). Quality means from exact integer
+    4dp sums; one id-keyed left join + #sources reduce."""
+    from otus_clickhouse_spark.pipeline.similarity import embedding_coverage
+
+    return embedding_coverage(
+        t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
+    )

@@ -2892,3 +2892,24 @@ def test_cluster_completeness_clique_and_chain(spark):
     assert 3 in chain, f"expected one size-3 chain cluster, got {out}"
     assert chain[3].n_verified_pairs == 2
     assert chain[3].completeness == round(2 / 3, 4)
+
+
+def test_embedding_coverage_flags_missing_stratum(spark):
+    """Docs without an embedding row are counted missing and their
+    quality mean is reported separately from the covered mean."""
+    from otus_clickhouse_spark.pipeline.similarity import embedding_coverage
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "with many more readable english words to raise the score")
+    bad = "zz 11 !! ## qq 99"
+    docs = spark.createDataFrame(
+        [(1, good, "s"), (2, good, "s"), (3, bad, "s")],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    r = embedding_coverage(docs, emb).collect()[0]
+    assert r.n_docs == 3 and r.n_with_embedding == 2 and r.n_missing == 1
+    assert r.coverage_pct == round(2 / 3, 4)
+    assert r.mean_q_covered > r.mean_q_missing  # the missing doc is the bad one

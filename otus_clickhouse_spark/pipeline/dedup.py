@@ -1081,3 +1081,96 @@ def cluster_completeness(
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_mixture_shift(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """"Dedup changes your mixture" sheet: per-source token shares
+    BEFORE vs AFTER near-dup removal under keep-the-best-representative
+    (x97's rule: per cluster argmax (quality, smallest id)). Sources
+    whose content is heavily syndicated lose share when dedup lands —
+    this is the sheet that says the post-dedup corpus no longer matches
+    the mixture weights someone tuned upstream (x21/x64), BEFORE a
+    training run discovers it.
+
+    Per source: doc/token counts before and after, token share of the
+    corpus before/after (4dp from exact integer sums), and the share
+    delta in basis points (difference of the two integer-rounded
+    shares — no float subtraction decides the sign).
+
+    Scale shape: x02's pair chain + label propagation; representative
+    selection is a partial-aggregable per-cluster min(struct) (never a
+    window over members); the kept set is one anti-join + a
+    cluster-map-sized union; shares come from a #sources reduce plus
+    broadcast 1-row totals.
+    """
+    from otus_clickhouse_spark.pipeline.text import quality_score, token_count
+
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    clusters = dedup_clusters(pairs).localCheckpoint()
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).alias("__nt"),
+        F.round(quality_score(F.col(text_col)) * 10000)
+        .cast("bigint")
+        .alias("__q4"),
+    ).localCheckpoint()
+    cq = clusters.join(
+        base.select(F.col(id_col).alias("node"), "__q4"), "node"
+    )
+    reps = (
+        cq.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("__q4")).alias("nq"), F.col("node").alias("i"))
+            ).alias("__b")
+        )
+        .select(F.col("__b.i").alias(id_col))
+    )
+    clustered_ids = clusters.select(F.col("node").alias(id_col))
+    kept = base.join(clustered_ids, id_col, "left_anti").select(id_col).union(reps)
+    after = base.join(kept, id_col).groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_after"),
+        F.sum("__nt").cast("bigint").alias("tok_after"),
+    )
+    before = base.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_before"),
+        F.sum("__nt").cast("bigint").alias("tok_before"),
+    )
+    tb = before.agg(F.sum("tok_before").alias("__tb"))
+    ta = after.agg(F.sum("tok_after").alias("__ta"))
+    j = (
+        before.join(after, source_col, "left")
+        .select(
+            source_col,
+            "n_docs_before",
+            F.coalesce("n_docs_after", F.lit(0)).cast("bigint").alias("n_docs_after"),
+            "tok_before",
+            F.coalesce("tok_after", F.lit(0)).cast("bigint").alias("tok_after"),
+        )
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+    )
+    sb_bp = F.round(F.col("tok_before") * 10000.0 / F.col("__tb")).cast("bigint")
+    sa_bp = F.round(F.col("tok_after") * 10000.0 / F.col("__ta")).cast("bigint")
+    return (
+        j.select(
+            source_col,
+            "n_docs_before",
+            "n_docs_after",
+            "tok_before",
+            "tok_after",
+            (sb_bp / 10000.0).alias("share_before"),
+            (sa_bp / 10000.0).alias("share_after"),
+            (sa_bp - sb_bp).alias("share_delta_bp"),
+        )
+        .orderBy(source_col)
+    )

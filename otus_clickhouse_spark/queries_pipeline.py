@@ -6199,3 +6199,86 @@ def x120_embedding_coverage(spark, sf_dir):
     return embedding_coverage(
         t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
     )
+
+
+@query(
+    "x121_dedup_mixture_shift",
+    oracle=rf"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    feat AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS toks,
+             length(text) AS nc, text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, len(toks) AS nt,
+             CAST(round(round((least(len(toks) / 64.0, 1.0)
+                    + CASE WHEN nc / greatest(len(toks), 1) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.5 END
+                    + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      / greatest(nc, 1)) / 3.0, 4) * 10000) AS BIGINT) AS q4
+      FROM feat
+    ),
+    rep AS (
+      SELECT cluster_id, node FROM (
+        SELECT c.cluster_id, c.node,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY b.q4 DESC, c.node) AS r
+        FROM comp c JOIN base b ON b.doc_id = c.node) WHERE r = 1
+    ),
+    kept AS (
+      SELECT doc_id FROM base
+      WHERE doc_id NOT IN (SELECT node FROM comp)
+      UNION ALL
+      SELECT node FROM rep
+    ),
+    bef AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_before,
+                   CAST(sum(nt) AS BIGINT) AS tok_before
+            FROM base GROUP BY source),
+    aft AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_after,
+                   CAST(sum(nt) AS BIGINT) AS tok_after
+            FROM base JOIN kept USING (doc_id) GROUP BY source),
+    tb AS (SELECT sum(tok_before) AS t FROM bef),
+    ta AS (SELECT sum(tok_after) AS t FROM aft),
+    j AS (
+      SELECT bef.source, n_docs_before,
+             coalesce(n_docs_after, 0) AS n_docs_after,
+             tok_before, coalesce(tok_after, 0) AS tok_after,
+             CAST(round(tok_before * 10000.0 / tb.t) AS BIGINT) AS sb_bp,
+             CAST(round(coalesce(tok_after, 0) * 10000.0 / ta.t) AS BIGINT)
+               AS sa_bp
+      FROM bef LEFT JOIN aft USING (source) CROSS JOIN tb CROSS JOIN ta
+    )
+    SELECT source, n_docs_before, CAST(n_docs_after AS BIGINT) AS n_docs_after,
+           tok_before, CAST(tok_after AS BIGINT) AS tok_after,
+           sb_bp / 10000.0 AS share_before,
+           sa_bp / 10000.0 AS share_after,
+           CAST(sa_bp - sb_bp AS BIGINT) AS share_delta_bp
+    FROM j ORDER BY source
+    """,
+)
+def x121_dedup_mixture_shift(spark, sf_dir):
+    """"Dedup changes your mixture" sheet (pipeline.dedup.
+    dedup_mixture_shift): per-source token shares before vs after
+    near-dup removal under x97's keep-the-best-representative rule —
+    the governance number that says the post-dedup corpus no longer
+    matches the mixture weights tuned upstream (x21/x64) BEFORE a
+    training run discovers it. Representative selection is a
+    partial-aggregable per-cluster min(struct); shares come from exact
+    integer sums; the delta is a difference of integer basis points."""
+    from otus_clickhouse_spark.pipeline.dedup import dedup_mixture_shift
+
+    return dedup_mixture_shift(t(spark, sf_dir, "documents"))

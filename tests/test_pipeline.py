@@ -2913,3 +2913,28 @@ def test_embedding_coverage_flags_missing_stratum(spark):
     assert r.n_docs == 3 and r.n_with_embedding == 2 and r.n_missing == 1
     assert r.coverage_pct == round(2 / 3, 4)
     assert r.mean_q_covered > r.mean_q_missing  # the missing doc is the bad one
+
+
+def test_dedup_mixture_shift_moves_share_from_duped_source(spark):
+    """Source A holds a 3-copy cluster (2 docs dropped), source B is
+    clean: A's post-dedup token share must fall, B's must rise, and
+    global doc/token accounting must balance."""
+    from otus_clickhouse_spark.pipeline.dedup import dedup_mixture_shift
+
+    dup = ("the quick brown fox jumps over the lazy dog and keeps running "
+           "through the quiet forest until the river bend appears ahead")
+    uniq1 = ("a first entirely separate document with its own distinct words "
+             "covering unrelated topics and different content altogether")
+    uniq2 = ("a second entirely separate document holding yet other words "
+             "about another unrelated subject matter and nothing shared")
+    docs = spark.createDataFrame(
+        [(1, dup, "a"), (2, dup, "a"), (3, dup, "a"),
+         (4, uniq1, "b"), (5, uniq2, "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in dedup_mixture_shift(docs).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a.n_docs_before == 3 and a.n_docs_after == 1
+    assert b.n_docs_before == 2 and b.n_docs_after == 2
+    assert a.share_delta_bp < 0 < b.share_delta_bp
+    assert a.tok_after * 3 == a.tok_before  # identical copies

@@ -6282,3 +6282,108 @@ def x121_dedup_mixture_shift(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import dedup_mixture_shift
 
     return dedup_mixture_shift(t(spark, sf_dir, "documents"))
+
+
+def _bpe_lang_oracle(n_merges: int) -> str:
+    """x40's train-replay + merge application with ``lang`` threaded
+    through the word stream, grouped per language at the end — the
+    fertility-DISPARITY sheet (one tokenizer, per-language cost)."""
+    train = _bpe_oracle(n_merges)
+    body = train[: train.index("SELECT rank, l AS left")]
+    parts = [
+        body.rstrip().rstrip(",") + ",",
+        r"""
+    d0 AS (
+      SELECT lang, word, array_to_string(regexp_split_to_array(word, ''), ' ') AS sym
+      FROM (
+        SELECT lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> length(x) > 0)) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+    )""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    d{r + 1} AS (
+      SELECT lang, word,
+             trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                                  (SELECT ' ' || l || '  ' || r2 || ' ' FROM b{r}),
+                                  (SELECT ' ' || l || r2 || ' ' FROM b{r})),
+                          '  ', ' ')) AS sym
+      FROM d{r}
+    )"""
+        )
+    parts.append(
+        f""",
+    per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_subwords
+      FROM d{n_merges} GROUP BY lang),
+    tot AS (SELECT sum(n_words) AS tw, sum(n_subwords) AS ts FROM per)
+    SELECT lang, n_words, n_subwords,
+           round(n_subwords * 1.0 / n_words, 4) AS fertility,
+           round((n_subwords * 1.0 / n_words) / (ts * 1.0 / tw), 4)
+             AS disparity
+    FROM per CROSS JOIN tot ORDER BY lang
+    """
+    )
+    return "".join(parts)
+
+
+@query("x122_fertility_by_lang", oracle=_bpe_lang_oracle(6))
+def x122_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility DISPARITY per language: ONE corpus-trained
+    BPE (x39/x40's merges) applied to each language's word stream —
+    subwords-per-word per lang plus the ratio to the corpus-wide
+    fertility. Languages the tokenizer fragments hardest pay more
+    sequence length per content; this is the fairness/cost sheet read
+    before freezing merges (Petrov et al. 2023 "language unfairness").
+    Merges apply in rank order via broadcast literal replaces, exactly
+    x40's plan with lang carried through the map-side word stream."""
+    from otus_clickhouse_spark.pipeline.text import bpe_apply_merge, bpe_merges, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=6)
+    cur = (
+        docs.select(
+            "lang", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .select(
+            "lang", "word", F.concat_ws(" ", F.split(F.col("word"), "")).alias("sym")
+        )
+    )
+    for r in range(6):
+        m = merges.where(F.col("rank") == r).select(
+            F.col("left").alias("__l"), F.col("right").alias("__r")
+        )
+        cur = cur.crossJoin(F.broadcast(m)).select(
+            "lang",
+            "word",
+            bpe_apply_merge(F.col("sym"), F.col("__l"), F.col("__r")).alias("sym"),
+        )
+    n_sub = F.size(F.split(F.col("sym"), " "))
+    per = cur.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(n_sub).cast("bigint").alias("n_subwords"),
+    )
+    tot = per.agg(
+        F.sum("n_words").alias("__tw"), F.sum("n_subwords").alias("__ts")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 4).alias("fertility"),
+            F.round(
+                (F.col("n_subwords") / F.col("n_words"))
+                / (F.col("__ts") / F.col("__tw")),
+                4,
+            ).alias("disparity"),
+        )
+        .orderBy("lang")
+    )

@@ -2938,3 +2938,21 @@ def test_dedup_mixture_shift_moves_share_from_duped_source(spark):
     assert b.n_docs_before == 2 and b.n_docs_after == 2
     assert a.share_delta_bp < 0 < b.share_delta_bp
     assert a.tok_after * 3 == a.tok_before  # identical copies
+
+
+def test_fertility_by_lang_disparity_direction(spark, sf_dir):
+    """Per-lang accounting must sum to the corpus totals, disparity is
+    fertility over the corpus-wide fertility (weighted identity), and
+    every fertility is >= 1 subword per word."""
+    import __spark_entry__ as e
+
+    out = e.queries()["x122_fertility_by_lang"](spark, sf_dir).collect()
+    tw = sum(r.n_words for r in out)
+    ts = sum(r.n_subwords for r in out)
+    corpus_f = ts / tw
+    for r in out:
+        assert float(r.fertility) >= 1.0
+        assert float(r.fertility) == round(r.n_subwords / r.n_words, 4)
+        assert float(r.disparity) == round(
+            (r.n_subwords / r.n_words) / corpus_f, 4
+        )

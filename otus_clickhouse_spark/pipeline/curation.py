@@ -684,6 +684,11 @@ def quality_ks_drift(
     points before the max, so the 4dp output is a pure integer
     comparison. Returns per source: ``n_docs``, ``ks`` (4dp),
     ``ks_at_quality`` (the grid point attaining it; ties -> largest).
+
+    A degenerate single-source corpus has no rest-of-corpus to compare
+    against (n == n_src would divide by zero — NULL under Spark,
+    IEEE inf under DuckDB): such sources are dropped (zero output
+    rows) rather than emitting an engine-dependent ks.
     """
     from otus_clickhouse_spark.pipeline.text import quality_score
 
@@ -707,6 +712,9 @@ def quality_ks_drift(
         cum.join(F.broadcast(gcum), "__q")
         .join(F.broadcast(n_s), group_col)
         .crossJoin(F.broadcast(n_all))
+        # no rest-of-corpus => no defined KS; drop rather than emit a
+        # NULL(Spark)/inf(DuckDB) engine-dependent value
+        .where(F.col("__n") > F.col("__ns"))
     )
     gap_bp = F.round(
         F.abs(

@@ -1496,7 +1496,10 @@ def embedding_health(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    bad = F.exists(v, F.isnan)
+    # non-finite = NaN OR ±Infinity: an Inf component gives an inf norm
+    # whose basis-point bigint cast would silently saturate mean_norm —
+    # exactly the failure class this audit exists to catch
+    bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
     # a NaN norm would poison the mean (and CAST(NaN AS BIGINT) is an
     # error on some engines): non-finite vectors carry a NULL norm and
     # are reported only through n_nonfinite

@@ -5292,7 +5292,7 @@ def x102_band_scurve(spark, sf_dir):
     n0 AS (
       SELECT label,
              round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS nrm0,
-             CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+             CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
                   THEN 1 ELSE 0 END AS bad,
              len(v) AS dim
       FROM c
@@ -5695,7 +5695,8 @@ def x111_dup_cluster_census(spark, sf_dir):
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_value
     FROM sid GROUP BY user_id, s
     """,
 )
@@ -5849,6 +5850,7 @@ def x114_activity_concentration(spark, sf_dir):
                             - (gcm - cm) * 1.0 / (n - nsrc)) * 10000)
                   AS BIGINT) AS bp
       FROM cum JOIN gcum USING (q) JOIN ns USING (source) CROSS JOIN na
+      WHERE n > nsrc
     ),
     agg AS (SELECT source, min(nsrc) AS n_docs, max(bp) AS mbp
             FROM j GROUP BY source)

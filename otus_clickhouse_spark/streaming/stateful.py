@@ -179,7 +179,14 @@ def session_window_stats(
         stream.groupBy(F.session_window(ts_col, gap), key_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            # integer-exact sum (the x96 discipline): per-event values
+            # integer-ize to centi-units before summing so float
+            # accumulation ORDER (which differs between the streaming
+            # state store and any batch replay) cannot move a session
+            # total landing within one ulp of a 2dp boundary
+            F.round(
+                F.sum(F.round(F.col(value_col) * 100).cast("bigint")) / 100.0, 2
+            ).alias("total_value"),
         )
         .select(
             F.col(key_col),

@@ -2539,16 +2539,23 @@ def test_embedding_health_nan_zero_and_dim_drift(spark):
             (2, [0.0, 0.0], 0),
             (3, [float("nan"), 1.0], 1),
             (4, [1.0, 0.0, 0.0], 1),
+            (5, [float("inf"), 1.0], 2),
+            (6, [-float("inf"), 1.0], 2),
+            (7, [0.0, 2.0], 2),
         ],
         "vec_id long, embedding array<double>, label int",
     )
     out = {r.label: r for r in embedding_health(emb).collect()}
-    a, b = out[0], out[1]
+    a, b, c = out[0], out[1], out[2]
     assert a.n_vecs == 2 and a.mean_norm == 2.5 and a.min_norm == 0.0
     assert a.max_norm == 5.0 and a.n_near_zero == 1 and a.n_nonfinite == 0
     assert b.n_vecs == 2 and b.n_nonfinite == 1
     assert b.mean_norm == 1.0  # NaN norm excluded, only the unit vector
     assert b.n_dims_distinct == 2 and b.dim_min == 2
+    # ±Infinity components are nonfinite too (not a saturated bigint
+    # poisoning mean/max): both inf vectors excluded from the norm stats
+    assert c.n_vecs == 3 and c.n_nonfinite == 2
+    assert c.mean_norm == 2.0 and c.max_norm == 2.0
 
 
 def test_cohort_retention_two_cohorts(spark):
@@ -2790,6 +2797,19 @@ def test_quality_ks_drift_identical_and_disjoint(spark):
     # disjoint source c must hit exactly 1.0
     assert rows["c"].ks == 1.0
     assert rows["a"].ks < 1.0 and rows["b"].ks < 1.0
+
+
+def test_quality_ks_drift_single_source_drops(spark):
+    """A single-source corpus has no rest-of-corpus: the source is
+    dropped (zero rows) rather than emitting NULL (Spark) / inf
+    (DuckDB IEEE division) for an undefined KS."""
+    from otus_clickhouse_spark.pipeline.curation import quality_ks_drift
+
+    docs = spark.createDataFrame(
+        [(1, "only one source here today", "a"), (2, "more of the same", "a")],
+        "doc_id long, text string, source string",
+    )
+    assert quality_ks_drift(docs).count() == 0
 
 
 def test_lsh_recall_eval_identical_pairs(spark):

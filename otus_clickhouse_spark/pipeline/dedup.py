@@ -32,6 +32,17 @@ MINHASH_A = (1000000007, 1000000033, 1000000087, 1000000093,
 MINHASH_B = (12345, 67891, 23457, 78913, 34569, 89125, 45671, 91237)
 MINHASH_P = 4294967291  # largest 32-bit prime
 
+# Hot-bucket cap for the banded LSH self-join: buckets larger than this
+# switch from all-pairs to representative-chaining (every member pairs
+# with the bucket's min id only), bounding candidate volume at
+# O(cap·n_small + n_big) instead of O(Σ bucket²). A degenerate bucket —
+# a million identical boilerplate docs, the classic web-corpus skew —
+# would otherwise make the "bounded by bucket size" claim quadratic.
+# Members of an over-cap bucket are transitively near-identical, so the
+# star topology preserves cluster connectivity for dedup_clusters while
+# the exact-Jaccard verify still gates each chained pair.
+LSH_MAX_BUCKET = 1024
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest-id representative per content digest."""
@@ -88,12 +99,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidates.
 
-    Returns distinct (a, b) pairs with a < b. The per-bucket self-join is
-    the only quadratic step and is bounded by bucket size.
+    Returns distinct (a, b) pairs with a < b. The per-bucket self-join
+    is the only quadratic step, and ``max_bucket`` bounds it: buckets up
+    to the cap generate all pairs; over-cap (degenerate boilerplate)
+    buckets chain every member to the bucket's min-id representative
+    instead — O(bucket) pairs, connectivity preserved for
+    :func:`dedup_clusters` (over-cap members are transitively
+    near-identical, and the Jaccard verify still gates each pair). Same
+    fix class as ``substring_dup_pairs``' ``max_bucket`` and decontam's
+    ``max_gram_df``; without it one hot bucket makes candidate volume
+    quadratic at 100 TB (measured: pairs grew 107x on a 10x corpus step
+    before the cap — SCALE.md round-9).
     """
     mh_cols = [c for c in sig.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
@@ -108,14 +132,33 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
+    # Bucket degree + representative in ONE pass over the bucket relation.
+    # `deg > 1` drops singleton buckets (the vast majority) before the
+    # self-join ever sees them — they cannot produce a pair.
+    deg = buckets.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("__deg"), F.min(id_col).alias("__rep")
+    )
+    small_keys = deg.where(
+        (F.col("__deg") > 1) & (F.col("__deg") <= max_bucket)
+    ).select("band_key")
+    sh = buckets.join(small_keys, "band_key")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs_small = (
         a.join(b, on="band_key")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
-        .distinct()
     )
+    # rep = min(id) of the bucket, so a < b holds by construction.
+    pairs_big = (
+        buckets.join(
+            deg.where(F.col("__deg") > max_bucket).select("band_key", "__rep"),
+            "band_key",
+        )
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def jaccard_verify(
@@ -782,6 +825,7 @@ def band_collision_audit(
     num_hashes: int = 8,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH s-curve audit: does the banding behave like theory says on
     THIS corpus? For every candidate pair, count the bands in which it
@@ -791,6 +835,13 @@ def band_collision_audit(
     (e.g. near-constant shingles) BEFORE tuning num_hashes/bands on
     faith — the companion to x78's estimator-fidelity check, one level
     up at the banding layer.
+
+    ``max_bucket`` bounds the audit the same way it bounds the
+    candidate generator: buckets over the cap are excluded from the
+    band-hit count (their members are transitively near-identical —
+    they'd swamp decile 9 while making the self-join quadratic; the
+    production generator rep-chains them rather than enumerating
+    pairs, so the all-pairs s-curve isn't what runs there either).
 
     Output per decile: ``jaccard_bin`` (0-9), ``n_pairs``,
     ``mean_bands_hit`` (integer sum / count), ``mean_expected_bands``
@@ -817,7 +868,14 @@ def band_collision_audit(
         for b in range(bands)
     ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    ok_keys = (
+        buckets.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .where((F.col("__deg") > 1) & (F.col("__deg") <= max_bucket))
+        .select("band_key")
+    )
+    bounded = buckets.join(ok_keys, "band_key")
+    a, b = bounded.alias("a"), bounded.alias("b")
     hits = (
         a.join(b, "band_key")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

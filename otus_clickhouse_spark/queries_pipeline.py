@@ -12,7 +12,34 @@ from pyspark.sql import functions as F
 
 from otus_clickhouse_spark.queries import ORACLES, QUERIES, query, t
 
-from otus_clickhouse_spark.pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+from otus_clickhouse_spark.pipeline.dedup import (
+    LSH_MAX_BUCKET,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+
+
+def _capped_cand_sql(bk: str = "buckets", cand: str = "cand", deg: str = "bdeg") -> str:
+    """Banded-LSH candidate CTE replaying lsh_candidate_pairs' hot-bucket
+    cap: buckets up to LSH_MAX_BUCKET generate all pairs; over-cap
+    buckets chain members to the bucket's min-id representative."""
+    return f"""
+    {deg} AS (
+      SELECT band_key, count(*) AS deg, min(doc_id) AS rep
+      FROM {bk} GROUP BY band_key
+    ),
+    {cand} AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM {bk} a JOIN {bk} b USING (band_key) JOIN {deg} USING (band_key)
+        WHERE {deg}.deg <= {LSH_MAX_BUCKET} AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT d.rep AS a, u.doc_id AS b
+        FROM {bk} u JOIN {deg} d USING (band_key)
+        WHERE d.deg > {LSH_MAX_BUCKET} AND u.doc_id <> d.rep
+      )
+    )"""
 
 # Shared oracle CTEs: word 3-gram shingles per doc (mirrors pipeline.dedup.shingles)
 _SHINGLE_CTE = """
@@ -71,11 +98,7 @@ _PAIRS_CTES = f"""
           md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
         FROM sig)
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM buckets a JOIN buckets b USING (band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_capped_cand_sql()},
     inter AS (
       SELECT c.a, c.b, count(*) AS i
       FROM cand c JOIN sh sa ON sa.doc_id = c.a
@@ -2852,11 +2875,9 @@ def _x53_oracle() -> str:
           {keys}]) AS band_key
         FROM sig)
     ),
-    cand_{bands}_{rows} AS (
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM bk_{bands}_{rows} a JOIN bk_{bands}_{rows} b USING (band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_capped_cand_sql(bk=f"bk_{bands}_{rows}",
+                      cand=f"cand_{bands}_{rows}",
+                      deg=f"deg_{bands}_{rows}")},
     true_{bands}_{rows} AS (
       SELECT c.a, c.b FROM (
         SELECT c.a, c.b, count(*) AS i
@@ -5239,9 +5260,14 @@ def x101_dup_coverage(spark, sf_dir):
         md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
       FROM sig
     ),
+    bdeg AS (
+      SELECT band_key, count(*) AS deg FROM buckets GROUP BY band_key
+    ),
+    bok AS (SELECT band_key FROM bdeg WHERE deg > 1 AND deg <= {LSH_MAX_BUCKET}),
+    bb AS (SELECT doc_id, band_key FROM buckets JOIN bok USING (band_key)),
     hits AS (
       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_bands_hit
-      FROM buckets a JOIN buckets b USING (band_key)
+      FROM bb a JOIN bb b USING (band_key)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     inter AS (
@@ -5923,11 +5949,7 @@ def x115_quality_ks_drift(spark, sf_dir):
           md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
         FROM sig)
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM buckets a JOIN buckets b USING (band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_capped_cand_sql()},
     hit AS (SELECT * FROM cand JOIN truep USING (a, b)),
     cts AS (
       SELECT (SELECT count(*) FROM ids) AS n_sample,

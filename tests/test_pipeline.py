@@ -2224,6 +2224,37 @@ def test_lsh_bucket_skew_consistency(spark, sf_dir):
     assert sum(r.candidate_pairs for r in skew) >= n_cand
 
 
+def test_lsh_hot_bucket_cap_rep_chain(spark):
+    """Over-cap buckets emit (min-id representative, member) chains —
+    O(bucket) pairs instead of O(bucket²) — small buckets keep
+    all-pairs, and connectivity through the hot bucket is preserved
+    (the star and the clique have the same connected component)."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    boiler = "spam spam lovely spam wonderful spam spam and spam again forever"
+    other = "a genuinely unique document about distributed query engines"
+    rows = [(i, boiler) for i in range(10)] + [(100, other), (101, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingles(docs), with_size=True).localCheckpoint()
+    capped = lsh_candidate_pairs(sig, max_bucket=4).localCheckpoint()
+    got = {(r.a, r.b) for r in capped.collect()}
+    # 10 identical docs -> every band bucket holds all 10 (> cap 4):
+    # exactly the 9 rep-chained pairs, never the 45 clique pairs
+    assert {(a, b) for a, b in got if b < 100} == {(0, i) for i in range(1, 10)}
+    # the size-2 bucket stays all-pairs
+    assert (100, 101) in got
+    # capped ⊆ uncapped, same candidate-graph components
+    full = {(r.a, r.b) for r in lsh_candidate_pairs(sig, max_bucket=1 << 30).collect()}
+    assert got <= full and len(full & {(a, b) for a, b in full if b < 100}) == 45
+    comp = {r.node: r.cluster_id for r in dedup_clusters(capped).collect()}
+    assert {comp[i] for i in range(10)} == {0} and comp[101] == 100
+
+
 def test_boilerplate_phrases_doc_frequency(spark):
     """df counts DOCUMENTS, not occurrences: a phrase twice in one doc
     counts once; ties order by phrase."""

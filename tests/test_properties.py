@@ -569,3 +569,57 @@ def test_cohort_retention_invariants(spark, rows):
         assert r.n_users <= sizes[r.cohort_week]
         if r.week_offset == 0:
             assert float(r.retention) == 1.0
+
+
+# ------------------------------------------- LSH hot-bucket cap invariants
+_LSH_TEXT_POOL = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow today",
+    "the quick brown fox jumps over the lazy cat",
+]
+
+
+def _components(pairs, nodes):
+    """Union-find component labels over an edge list."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    return frozenset(frozenset(n for n in nodes if find(n) == r)
+                     for r in {find(n) for n in nodes})
+
+
+@settings(**HSET)
+@given(
+    texts=st.lists(st.sampled_from(_LSH_TEXT_POOL), min_size=2, max_size=24),
+    cap=st.integers(1, 5),
+)
+def test_lsh_cap_preserves_candidate_components(spark, texts, cap):
+    """For ANY corpus and ANY cap, the capped candidate graph is a
+    subset of the uncapped one with IDENTICAL connected components —
+    within a bucket the representative star and the clique connect the
+    same member set, and small-bucket edges are untouched. This is the
+    invariant that lets dedup_clusters run unchanged over the capped
+    generator."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sig = minhash_signatures(shingles(docs), with_size=True).localCheckpoint()
+    capped = {(r.a, r.b) for r in lsh_candidate_pairs(sig, max_bucket=cap).collect()}
+    full = {(r.a, r.b) for r in lsh_candidate_pairs(sig, max_bucket=1 << 30).collect()}
+    assert capped <= full
+    nodes = range(len(texts))
+    assert _components(capped, nodes) == _components(full, nodes)

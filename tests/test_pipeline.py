@@ -1427,6 +1427,16 @@ def test_pq_adc_topk_recall_and_codes(spark, sf_dir):
     assert codes.schema["pq_codes"].dataType.simpleString() == "array<tinyint>"
     row = codes.select(F.size("pq_codes").alias("m")).first()
     assert row.m == 8
+    # the production serving shape: pre-encoded codes passed in
+    # (pq_topk(codes=...) skips the encode — the 100 TB path stores
+    # the m-byte codes once) must rank identically to inline encode
+    stored = pq_topk(
+        emb, queries, k=10, m=8, ksub=16, dim=64, books=books,
+        codes=codes.localCheckpoint(),
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, adc_only.collect())
+    )
 
 
 def test_domain_cap_two_phase_equals_global_window(spark):

@@ -611,6 +611,27 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
 
     timed("pq_arrow_encode_dim256", pq_arrow_run, n_ar)
 
+    # PQ ADC QUERY at production dim (verdict-r9 #4): scan PRE-ENCODED
+    # m-byte codes (the 100 TB serving shape — codes stored once by the
+    # Arrow kernel above; pq_topk(codes=...) skips the encode). The
+    # scan is m element_at lookups per (row, query) — NOT the
+    # m·ksub·dsub encode arithmetic — so the interpreted-HOF floor that
+    # caps pq_hof_dim256 does NOT apply here: measured 55.7k -> 72.1k
+    # rows/s at 200k -> 2M rows (RISES at 10×, ~40× above the floor).
+    # rows/s must keep rising with n for this row to stay green.
+    codes_ar = {
+        "c": pq_codes_arrow(emb_ar, books_hi["b"], id_col="k").localCheckpoint()
+    }  # encode untimed — the serving path reads STORED codes
+
+    def pq_adc_query_run():
+        q = emb_hi.where(F.col("k") < 3).select(F.col("k").alias("query_id"), "embedding")
+        pq_topk(
+            emb_ar, q, k=5, m=16, ksub=64, dim=256, id_col="k",
+            books=books_hi["b"], codes=codes_ar["c"], hof=True,
+        ).agg(F.count(F.lit(1))).collect()
+
+    timed("pq_adc_query_dim256", pq_adc_query_run, n_ar)
+
     # round-9 continuation ops: span-level dup coverage (one digest-
     # keyed df agg + one digest-keyed join), the LSH s-curve audit
     # (candidate-bounded verify on x02's machinery), and the two-gate

@@ -632,3 +632,60 @@ def test_session_window_exact_gap_starts_new_session(spark, tmp_path):
     first = got["2024-01-01 00:00:00.000000"]
     assert first.n_events == 3 and first.total_value == 7.0
     assert got["2024-01-01 02:00:00.000000"].total_value == 8.0
+
+
+def test_session_window_state_scales_with_sessions_not_events(spark, tmp_path):
+    """r9 verdict ask #5 (bounded-state assertion): the native
+    session_window state store holds one row per SESSION, so replaying
+    10x the events into the same sessions must leave the state-store
+    row count unchanged — state scales with active sessions, never with
+    stream length."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.streaming.stateful import session_window_stats
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def state_rows(events_per_user: int, tag: str) -> tuple[int, int]:
+        rows = [
+            (u * 10_000 + i,
+             base + datetime.timedelta(seconds=20 * i),  # all within the gap
+             u,
+             1.0)
+            for u in range(5)
+            for i in range(events_per_user)
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+        src = str(tmp_path / f"events_{tag}")
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .select("user_id", "ts", "value")
+        )
+        q = (
+            session_window_stats(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(f"state_probe_{tag}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        n_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+        n_out = spark.table(f"state_probe_{tag}").count()
+        return n_state, n_out
+
+    small_state, small_out = state_rows(20, "small")
+    big_state, big_out = state_rows(200, "big")
+    # one merged session per user either way: 5 output rows, and the
+    # state store holds exactly those 5 session windows — 10x the
+    # events, zero growth in state
+    assert small_out == big_out == 5
+    assert small_state == big_state == 5

@@ -674,6 +674,61 @@ def probe(spark, path: str, n_fact: int, n_docs: int) -> dict:
         lambda: vocab_oov(sdocs, top_n=10).agg(F.sum("n_tokens")).collect(),
         n_docs,
     )
+
+    # Streaming ingest backlog replay (verdict-r9 #5): an n_docs-message
+    # pre-existing backlog (100 jsonl segments) streamed through
+    # kafka_attach_stream's file-topic stand-in -> MV -> MergeTree
+    # landing. The per-trigger bound (16 files/trigger) walks the
+    # backlog in block-sized, executor-resident batches; sustained
+    # rows/s must HOLD as the backlog grows 10x. The state-boundedness
+    # half of the ask (session-window state rows == active sessions,
+    # 10x events -> zero state growth) is the standing pytest
+    # test_session_window_state_scales_with_sessions_not_events.
+    import json
+    import shutil as _shutil
+
+    from otus_clickhouse_spark.engine import Engine
+
+    topic = "probe_backlog"
+    _shutil.rmtree(f"spark-warehouse/_kafka/{topic}", ignore_errors=True)
+    eng = Engine(spark, data_dir=path)
+    eng.execute(
+        "CREATE TABLE pb_src (message String) ENGINE = Kafka SETTINGS "
+        "kafka_broker_list = 'b:9092', kafka_topic_list = '%s', "
+        "kafka_format = 'JSONAsString', kafka_group_name = 'pb_grp'" % topic
+    )
+    eng.execute(
+        "CREATE TABLE pb_raw (message String, _offset UInt64) "
+        "ENGINE = MergeTree ORDER BY _offset"
+    )
+    eng.tables["pb_raw"].path = os.path.join(path, "pb_raw")
+    eng.execute(
+        "CREATE MATERIALIZED VIEW pb_mv TO pb_raw AS "
+        "SELECT message, _offset FROM pb_src"
+    )
+    n_stream = n_docs
+    seg = [json.dumps({"i": i}) for i in range(n_stream // 100)]
+    for _ in range(100):  # 100 produce blocks = 100 topic segments
+        eng.kafka_produce(topic, seg)
+    sq = {}
+
+    def backlog_run():
+        sq["q"] = eng.kafka_attach_stream(
+            "pb_src", checkpoint=os.path.join(path, "pb_ck")
+        )
+        sq["q"].processAllAvailable()
+        n_landed = eng.execute("SELECT count() AS n FROM pb_raw")[0].n
+        assert n_landed == n_stream, (n_landed, n_stream)
+
+    try:
+        timed("streaming_ingest_backlog", backlog_run, n_stream)
+    finally:
+        if "q" in sq:
+            sq["q"].stop()
+        for ddl in ("DROP TABLE IF EXISTS pb_mv", "DROP TABLE IF EXISTS pb_src",
+                    "DROP TABLE IF EXISTS pb_raw"):
+            eng.execute(ddl)
+        _shutil.rmtree(f"spark-warehouse/_kafka/{topic}", ignore_errors=True)
     return out
 
 

@@ -662,6 +662,70 @@ def lsh_bucket_skew(
     )
 
 
+def lsh_cap_planning(
+    docs: DataFrame,
+    caps: tuple[int, ...] = (2, 4, 1024),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Hot-bucket cap capacity sheet: for each candidate ``max_bucket``
+    value, what the banded join would cost WITH and WITHOUT the cap —
+    computed entirely from the bucket-degree histogram in O(#buckets),
+    never by generating a single pair. x87 (lsh_bucket_skew) measures
+    the skew; this prices the mitigation: per cap, the multi-member
+    bucket count, buckets the cap would rep-chain, the all-pairs
+    candidate volume Σ d·(d−1)/2, the capped volume
+    Σ_{d≤cap} d·(d−1)/2 + Σ_{d>cap} (d−1), and the retained fraction.
+    "Volume" is the self-join's row count before pair-level distinct —
+    the actual join cost driver (a pair sharing k band buckets counts
+    k times, exactly as the join materializes it).
+
+    Scale shape: shingle → signature → one (band_key) histogram
+    aggregation; the cap sweep is a broadcast cross join against the
+    #caps-row list and reduces straight to #caps rows. All counts are
+    exact integers."""
+    sh = shingles(docs, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col)
+    mh_cols = [c for c in sig.columns if c.startswith("mh")]
+    band_keys = [
+        F.md5(F.concat_ws("|", F.lit(b), F.col(mh_cols[2 * b]), F.col(mh_cols[2 * b + 1])))
+        for b in range(4)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
+    deg = (
+        buckets.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") > 1)
+    )
+    caps_df = F.broadcast(
+        docs.sparkSession.createDataFrame([(int(c),) for c in caps], "cap long")
+    )
+    d = F.col("__d")
+    capped_pairs = F.when(d <= F.col("cap"), d * (d - 1) / 2).otherwise(d - 1)
+    return (
+        deg.crossJoin(caps_df)
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_buckets"),
+            F.sum((d > F.col("cap")).cast("int")).cast("bigint").alias("n_over_cap"),
+            F.sum(d * (d - 1) / 2).cast("bigint").alias("allpairs_volume"),
+            F.sum(capped_pairs).cast("bigint").alias("capped_volume"),
+        )
+        .select(
+            "cap",
+            "n_shared_buckets",
+            "n_over_cap",
+            "allpairs_volume",
+            "capped_volume",
+            F.round(F.col("capped_volume") / F.col("allpairs_volume"), 4).alias(
+                "retained_frac"
+            ),
+        )
+        .orderBy("cap")
+    )
+
+
 def jaccard_threshold_curve(
     docs: DataFrame,
     thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),

@@ -3014,10 +3014,15 @@ def x53_lsh_banding_sweep(spark, sf_dir):
           md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
         FROM sig)
     ),
+    cdeg AS (
+      SELECT band_key, count(*) AS deg, min(doc_id) AS rep
+      FROM buckets WHERE doc_id % 10 != 7 GROUP BY band_key
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM buckets a JOIN buckets b USING (band_key)
+      FROM buckets a JOIN buckets b USING (band_key) JOIN cdeg USING (band_key)
       WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+        AND (cdeg.deg <= {LSH_MAX_BUCKET} OR b.doc_id = cdeg.rep)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
@@ -3049,18 +3054,21 @@ def x54_incremental_dedup(spark, sf_dir):
     candidates only; admitted = batch docs with no verified corpus
     near-dup. At 100 TB the corpus bucket table is the persisted
     index a real ingest pipeline maintains — per-delta cost is
-    O(batch + collisions), never a corpus rescan."""
+    O(batch + collisions), never a corpus rescan. The index itself is
+    hot-bucket-capped (corpus_bucket_table max_bucket): a degenerate
+    boilerplate key keeps only its representative row, so one incoming
+    doc can never explode into bucket-size candidates."""
     from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
-    from otus_clickhouse_spark.streaming.ingest import band_keys_expr
+    from otus_clickhouse_spark.streaming.ingest import (
+        band_keys_expr,
+        corpus_bucket_table,
+    )
 
     docs = t(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
     batch = docs.where(is_batch)
     corpus = docs.where(~is_batch)
-    corpus_buckets = corpus.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.explode(F.array_distinct(band_keys_expr("text"))).alias("band_key"),
-    )
+    corpus_buckets = corpus_bucket_table(corpus)
     cand = (
         batch.select("doc_id", F.explode(F.array_distinct(band_keys_expr("text"))).alias("band_key"))
         .join(corpus_buckets, "band_key")
@@ -6411,3 +6419,57 @@ def x122_fertility_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x123_lsh_cap_planning",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM hv GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, unnest([
+        md5(concat_ws('|', 0, mh0, mh1)),
+        md5(concat_ws('|', 1, mh2, mh3)),
+        md5(concat_ws('|', 2, mh4, mh5)),
+        md5(concat_ws('|', 3, mh6, mh7))]) AS band_key
+      FROM sig
+    ),
+    deg AS (
+      SELECT band_key, count(*) AS d FROM buckets
+      GROUP BY band_key HAVING count(*) > 1
+    ),
+    caps AS (SELECT CAST(unnest([2, 4, 1024]) AS BIGINT) AS cap)
+    SELECT cap,
+           CAST(count(*) AS BIGINT) AS n_shared_buckets,
+           CAST(sum(CASE WHEN d > cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap,
+           CAST(sum(d * (d - 1) / 2) AS BIGINT) AS allpairs_volume,
+           CAST(sum(CASE WHEN d <= cap THEN d * (d - 1) / 2
+                         ELSE d - 1 END) AS BIGINT) AS capped_volume,
+           round(sum(CASE WHEN d <= cap THEN d * (d - 1) / 2
+                          ELSE d - 1 END)
+                 * 1.0 / sum(d * (d - 1) / 2), 4) AS retained_frac
+    FROM deg CROSS JOIN caps GROUP BY cap ORDER BY cap
+    """,
+)
+def x123_lsh_cap_planning(spark, sf_dir):
+    """Hot-bucket cap capacity sheet (pipeline.dedup.lsh_cap_planning —
+    NEW r10, the planning companion to this round's lsh_candidate_pairs
+    max_bucket): for each candidate cap, the banded self-join's
+    candidate VOLUME with and without rep-chaining, priced entirely
+    from the bucket-degree histogram in O(#buckets) — the sheet a team
+    reads to set max_bucket before a 100 TB dedup run, where x87
+    measures the skew and this prices the mitigation. Exact integer
+    arithmetic; one histogram shuffle + a #caps-row broadcast sweep."""
+    from otus_clickhouse_spark.pipeline.dedup import lsh_cap_planning
+
+    return lsh_cap_planning(t(spark, sf_dir, "documents"))

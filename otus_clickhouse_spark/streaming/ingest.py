@@ -78,15 +78,38 @@ def corpus_bucket_table(
     n: int = 3,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Static side of the stream-static join: (corpus_id, band_key).
     Computed once per corpus snapshot; persist it (or at scale, write
-    it out bucketed by band_key so micro-batch probes partition-prune)."""
-    return corpus.select(
+    it out bucketed by band_key so micro-batch probes partition-prune).
+
+    ``max_bucket`` (default :data:`~otus_clickhouse_spark.pipeline.
+    dedup.LSH_MAX_BUCKET`) caps the per-key INDEX fanout the same way
+    the batch generator caps its self-join: a bucket over the cap keeps
+    only its min-id representative row, so one degenerate boilerplate
+    key cannot make a single incoming doc explode into
+    bucket-size candidates. Over-cap members are transitively
+    near-identical, so an incoming near-dup of ANY of them still
+    collides with (and exact-verifies against) the representative —
+    the admit/reject decision is unchanged; only the per-member
+    candidate enumeration is."""
+    from otus_clickhouse_spark.pipeline.dedup import LSH_MAX_BUCKET
+
+    cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
+    raw = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(
             band_keys_expr(text_col, n=n, bands=bands, rows_per_band=rows_per_band)
         ).alias("band_key"),
+    )
+    deg = raw.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("__deg"), F.min("corpus_id").alias("__rep")
+    )
+    return (
+        raw.join(deg, "band_key")
+        .where((F.col("__deg") <= cap) | (F.col("corpus_id") == F.col("__rep")))
+        .select("corpus_id", "band_key")
     )
 
 

@@ -3017,3 +3017,27 @@ def test_fertility_by_lang_disparity_direction(spark, sf_dir):
         assert float(r.disparity) == round(
             (r.n_subwords / r.n_words) / corpus_f, 4
         )
+
+
+def test_lsh_cap_planning_hand_computed(spark):
+    """Unit pin: 5 identical docs + 2 identical docs + 1 unique give 8
+    multi-member buckets (4 bands x {deg 5, deg 2}); cap 2 rep-chains
+    the four deg-5 buckets (4*10 + 4*1 = 44 all-pairs vs 4*1 + 4*4 = 20
+    capped), cap 1024 retains everything."""
+    from otus_clickhouse_spark.pipeline.dedup import lsh_cap_planning
+
+    a = "five copies of this exact boilerplate text live in the corpus"
+    b = "two copies of another repeated document body right here"
+    c = "one entirely unique document with no duplicate partner at all"
+    docs = spark.createDataFrame(
+        [(i, a) for i in range(5)] + [(10, b), (11, b)] + [(20, c)],
+        "doc_id long, text string",
+    )
+    rows = {r.cap: r for r in lsh_cap_planning(docs, caps=(2, 1024)).collect()}
+    r2, rmax = rows[2], rows[1024]
+    assert r2.n_shared_buckets == rmax.n_shared_buckets == 8
+    assert r2.n_over_cap == 4 and rmax.n_over_cap == 0
+    assert r2.allpairs_volume == rmax.allpairs_volume == 44
+    assert r2.capped_volume == 20 and rmax.capped_volume == 44
+    assert float(r2.retained_frac) == round(20 / 44, 4)
+    assert float(rmax.retained_frac) == 1.0

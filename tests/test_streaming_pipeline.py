@@ -689,3 +689,40 @@ def test_session_window_state_scales_with_sessions_not_events(spark, tmp_path):
     # events, zero growth in state
     assert small_out == big_out == 5
     assert small_state == big_state == 5
+
+
+def test_corpus_bucket_index_hot_bucket_cap(spark):
+    """The ingest-side twin of the lsh_candidate_pairs cap: an over-cap
+    corpus bucket keeps ONLY its min-id representative in the index, so
+    an incoming doc collides with 1 row instead of bucket-size rows —
+    and an incoming near-identical doc is still detected (it verifies
+    against the representative)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
+    from otus_clickhouse_spark.streaming.ingest import corpus_bucket_table
+
+    boiler = "subscribe to our newsletter for breaking news and daily spam today"
+    other = "a genuinely distinct corpus document about spark structured streaming"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)] + [(50, other)],
+        "doc_id long, text string",
+    )
+    idx = corpus_bucket_table(corpus, max_bucket=4)
+    per_key = idx.groupBy("band_key").count().collect()
+    # boiler's 4 buckets hold 10 docs each (> cap 4) -> 1 rep row each;
+    # the distinct doc keeps its own 4 singleton rows
+    assert {r["count"] for r in per_key} == {1}
+    assert idx.where(F.col("corpus_id") < 50).select("corpus_id").distinct().collect() == [
+        spark.createDataFrame([(0,)], "corpus_id long").collect()[0]
+    ]
+    # an incoming copy of the boilerplate still collides and verifies
+    incoming = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    from otus_clickhouse_spark.streaming.ingest import streaming_neardup_candidates
+
+    cand = streaming_neardup_candidates(incoming, idx).select(
+        F.col("doc_id").alias("a"), F.col("corpus_id").alias("b")
+    ).distinct()
+    sh = shingles(corpus.unionByName(incoming))
+    verified = jaccard_verify(cand, sh, threshold=0.7).collect()
+    assert [(r.a, r.b, r.jaccard) for r in verified] == [(100, 0, 1.0)]

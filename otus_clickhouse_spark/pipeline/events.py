@@ -340,3 +340,63 @@ def activity_concentration(
             F.round(F.col("top_s") / F.col("s"), 4).alias("top_decile_share"),
         )
     )
+
+
+def engagement_stickiness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-day engagement stickiness: DAU, trailing-7-day WAU, calendar-
+    month MAU, and the DAU/MAU + WAU/MAU ratios — the product-analytics
+    sheet (stickiness >~ 0.2 is the classic habit bar) computed exactly,
+    never by sketch.
+
+    Scale shape: events reduce FIRST to the distinct (day, user)
+    relation (one hash shuffle; |users|·|days| rows, orders of
+    magnitude below event count at any scale). WAU expands that reduced
+    relation map-side ×7 (each active day claims the next 6 days via
+    sequence+explode — no range join, no window over users), and every
+    aggregate is a count-distinct on (day-grain, user) pairs. Ratios
+    divide exact integers."""
+    ud = (
+        events.select(F.to_date(F.col(ts_col)).alias("d"), F.col(user_col))
+        .distinct()
+    )
+    ud = ud.localCheckpoint()  # feeds dau, wau expansion, and mau
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = (
+        ud.select(F.trunc("d", "month").alias("m"), user_col)
+        .distinct()
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    # each active (d0, user) contributes activity to days d0..d0+6;
+    # restrict to OBSERVED days so the sheet has no trailing phantom days
+    days = dau.select("d")
+    wau = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("d"),
+            F.col(user_col),
+        )
+        .join(F.broadcast(days), "d")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .withColumn("m", F.trunc("d", "month"))
+        .join(F.broadcast(mau), "m")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 4).alias("dau_mau"),
+            F.round(F.col("wau") / F.col("mau"), 4).alias("wau_mau"),
+        )
+        .orderBy("day")
+    )

@@ -609,3 +609,76 @@ def sample_representativeness(
         .crossJoin(F.broadcast(total))
         .orderBy(strata_col)
     )
+
+
+def token_waterfill(
+    docs: DataFrame,
+    budget_frac: float = 0.6,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-budget water-filling: spend ``budget_frac`` of the corpus'
+    tokens across sources so that no source exceeds the common water
+    level λ — the closed-form token-level twin of the domain cap
+    (domain_cap bounds DOCUMENT counts per domain; this bounds TOKEN
+    mass, the unit that actually prices a training run). Sources below
+    λ keep everything; sources above are capped at λ, and λ is the
+    exact classic water-fill solution Σ min(t_s, λ) = B.
+
+    Scale shape: the corpus reduces to ONE row per source (map-side
+    token count + a #sources reduce); λ comes from a cumulative walk
+    over that #sources-row aggregate (ascending-token order), never
+    corpus rows. λ = (B - cum_below) / n_remaining is one double
+    division of exact integers, identical on any engine; per-source
+    outputs round at 4dp."""
+    from pyspark.sql import Window
+
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    per = (
+        docs.select(F.col(group_col), F.size(tokens(F.col(text_col))).alias("__t"))
+        .groupBy(group_col)
+        .agg(F.sum("__t").cast("bigint").alias("tokens"))
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("__tot"), F.count(F.lit(1)).alias("__s")
+    )
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__budget", F.floor(F.col("__tot") * budget_frac).cast("bigint")
+    )
+    w = Window.orderBy(F.asc("tokens"), F.asc(group_col))
+    j = (
+        j.withColumn("__k", F.row_number().over(w))
+        .withColumn("__cum", F.sum("tokens").over(w))
+        .withColumn(
+            "__lam_k",
+            (F.col("__budget") - (F.col("__cum") - F.col("tokens")))
+            / (F.col("__s") - F.col("__k") + 1),
+        )
+    )
+    # λ = the first (smallest-token) segment whose candidate level fails
+    # its own source: min over k of lam_k where lam_k < t_k. NULL (no
+    # failing segment) means the budget covers the whole corpus.
+    lam = j.agg(
+        F.min(F.when(F.col("__lam_k") < F.col("tokens"), F.col("__lam_k"))).alias(
+            "__lam"
+        )
+    )
+    alloc = F.when(
+        F.col("__lam").isNotNull() & (F.col("tokens") > F.col("__lam")),
+        F.col("__lam"),
+    ).otherwise(F.col("tokens").cast("double"))
+    return (
+        j.select(group_col, "tokens")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col(group_col),
+            "tokens",
+            F.round(alloc, 4).alias("alloc_tokens"),
+            F.round(alloc / F.col("tokens"), 4).alias("kept_frac"),
+            (
+                F.col("__lam").isNotNull() & (F.col("tokens") > F.col("__lam"))
+            ).cast("int").cast("bigint").alias("capped"),
+        )
+        .orderBy(group_col)
+    )

@@ -6473,3 +6473,90 @@ def x123_lsh_cap_planning(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import lsh_cap_planning
 
     return lsh_cap_planning(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x124_engagement_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    mau AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM ud GROUP BY 1
+    ),
+    wau AS (
+      SELECT g.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM (SELECT d FROM dau) g
+      JOIN ud ON ud.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+      GROUP BY g.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau, mau,
+           round(dau * 1.0 / mau, 4) AS dau_mau,
+           round(wau * 1.0 / mau, 4) AS wau_mau
+    FROM dau JOIN wau USING (d)
+    JOIN mau ON mau.m = CAST(date_trunc('month', dau.d) AS DATE)
+    ORDER BY day
+    """,
+)
+def x124_engagement_stickiness(spark, sf_dir):
+    """Per-day DAU / trailing-7-day WAU / calendar-month MAU and the
+    stickiness ratios (pipeline.events.engagement_stickiness — NEW
+    r10): the product-analytics habit sheet computed EXACTLY. Events
+    reduce first to the distinct (day, user) relation; WAU expands
+    that reduced relation map-side x7 (sequence+explode, no range join
+    over events, no per-user window); ratios divide exact integers."""
+    from otus_clickhouse_spark.pipeline.events import engagement_stickiness
+
+    return engagement_stickiness(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x125_token_waterfill",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> length(x) > 0))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(tokens) AS tot, count(*) AS s FROM per),
+    j AS (
+      SELECT source, tokens,
+             CAST(floor(tot * 0.6) AS BIGINT) AS budget, s,
+             row_number() OVER (ORDER BY tokens, source) AS k,
+             sum(tokens) OVER (ORDER BY tokens, source
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per CROSS JOIN tot
+    ),
+    lamt AS (
+      SELECT min(CASE WHEN (budget - (cum - tokens)) * 1.0 / (s - k + 1)
+                           < tokens
+                      THEN (budget - (cum - tokens)) * 1.0 / (s - k + 1)
+                 END) AS lam
+      FROM j
+    )
+    SELECT source, tokens,
+           round(CASE WHEN lam IS NOT NULL AND tokens > lam THEN lam
+                      ELSE tokens * 1.0 END, 4) AS alloc_tokens,
+           round(CASE WHEN lam IS NOT NULL AND tokens > lam THEN lam
+                      ELSE tokens * 1.0 END / tokens, 4) AS kept_frac,
+           CAST(CASE WHEN lam IS NOT NULL AND tokens > lam
+                     THEN 1 ELSE 0 END AS BIGINT) AS capped
+    FROM per CROSS JOIN lamt ORDER BY source
+    """,
+)
+def x125_token_waterfill(spark, sf_dir):
+    """Token-budget water-filling (pipeline.sampling.token_waterfill —
+    NEW r10): spend 60% of corpus tokens with no source above the
+    common water level λ, the closed-form TOKEN-level twin of x61's
+    document-level domain cap (tokens are the unit that prices a
+    training run). λ solves Σ min(t_s, λ) = B exactly via one
+    cumulative walk over the #sources-row aggregate — never corpus
+    rows; one double division of exact integers per segment."""
+    from otus_clickhouse_spark.pipeline.sampling import token_waterfill
+
+    return token_waterfill(t(spark, sf_dir, "documents"))

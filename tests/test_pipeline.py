@@ -3041,3 +3041,48 @@ def test_lsh_cap_planning_hand_computed(spark):
     assert r2.capped_volume == 20 and rmax.capped_volume == 44
     assert float(r2.retained_frac) == round(20 / 44, 4)
     assert float(rmax.retained_frac) == 1.0
+
+
+def test_engagement_stickiness_hand_computed(spark):
+    """Unit pin: u1 active d1+d2, u2 d1, u3 d9 -> DAU 2/1/1, MAU 3,
+    trailing-7 WAU 2/2/1 (d9's window reaches back only to d3)."""
+    from otus_clickhouse_spark.pipeline.events import engagement_stickiness
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 11:00:00", 1),  # same user+day: one active-day
+            (3, "2024-01-02 10:00:00", 1),
+            (4, "2024-01-01 09:00:00", 2),
+            (5, "2024-01-09 10:00:00", 3),
+        ],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {r.day: r for r in engagement_stickiness(ev).collect()}
+    assert [(r.dau, r.wau, r.mau) for r in
+            (rows["2024-01-01"], rows["2024-01-02"], rows["2024-01-09"])] == [
+        (2, 2, 3), (1, 2, 3), (1, 1, 3)]
+    assert float(rows["2024-01-01"].dau_mau) == round(2 / 3, 4)
+    assert float(rows["2024-01-09"].wau_mau) == round(1 / 3, 4)
+
+
+def test_token_waterfill_hand_computed(spark):
+    """Unit pin: sources with 10/20/70 tokens, budget 60% of 100 = 60:
+    water level λ = 30, so a and b keep everything and c caps at 30
+    (sum of allocations = the budget exactly)."""
+    from otus_clickhouse_spark.pipeline.sampling import token_waterfill
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10)), "a"),
+            (2, " ".join(f"w{i}" for i in range(20)), "b"),
+            (3, " ".join(f"w{i}" for i in range(70)), "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in token_waterfill(docs).collect()}
+    assert (rows["a"].tokens, rows["a"].alloc_tokens, rows["a"].capped) == (10, 10.0, 0)
+    assert (rows["b"].tokens, rows["b"].alloc_tokens, rows["b"].capped) == (20, 20.0, 0)
+    assert (rows["c"].tokens, rows["c"].alloc_tokens, rows["c"].capped) == (70, 30.0, 1)
+    assert float(rows["c"].kept_frac) == round(30 / 70, 4)
+    assert sum(r.alloc_tokens for r in rows.values()) == 60.0

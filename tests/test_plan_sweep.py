@@ -115,6 +115,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x110_vocab_oov": (1, "vocab_build rank+coverage over salted-top-N survivors (<= salts*top_n rows), same bound as x25"),
     "x114_activity_concentration": (2, "rank cumulative over the (activity value, n_users) histogram — distinct-value-bounded; x2 consumers (gini terms + top-decile overlap)"),
     "x115_quality_ks_drift": (1, "global cdf cumulative over the distinct-4dp-quality histogram (range-bounded)"),
+    "x125_token_waterfill": (2, "water-fill rank+cumsum over the #sources-row token aggregate (~20 rows)"),
 }
 
 

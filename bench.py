@@ -65,6 +65,12 @@ HEADLINE = [
     # retention matrix (user-keyed event reduces — the events family)
     "x101_dup_coverage",
     "x104_cohort_retention",
+    # round-10 representatives: the hot-bucket cap-planning sheet
+    # (bucket-degree histogram arithmetic — this round's dedup theme)
+    # and exact engagement stickiness (distinct (day, user) reduce +
+    # map-side x7 expansion — the events family)
+    "x123_lsh_cap_planning",
+    "x124_engagement_stickiness",
 ]
 
 

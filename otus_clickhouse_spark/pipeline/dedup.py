@@ -1296,3 +1296,54 @@ def dedup_mixture_shift(
         )
         .orderBy(source_col)
     )
+
+
+def kmv_cardinality_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bucket_width: int = 20,
+) -> DataFrame:
+    """K-minimum-value cardinality-sketch accuracy audit: the minhash
+    signature the dedup pipeline ALREADY computes doubles as a
+    distinct-shingle cardinality sketch — for a min of c uniform draws
+    on [0, P), E[min] ≈ P/(c+1), so each permutation yields the
+    estimator ĉ_i = P/(mh_i + 1) − 1 and the 8-permutation mean is a
+    free per-doc cardinality estimate (Bar-Yossef et al. 2002; the
+    deterministic md5-affine twin of CH's uniq sketches, which A4 maps
+    to Spark HLL — THIS estimator is engine-portable where HLL
+    internals are not, so its error is oracle-checkable). The audit
+    reports, per exact-cardinality bucket (width ``bucket_width``
+    shingles, capped at decile 9): doc count, mean exact cardinality,
+    mean estimate, and the mean absolute relative error in basis
+    points — the sheet that says how far the free sketch can be
+    trusted (e.g. for skipping exact size joins on tiny docs).
+
+    All error statistics integer-ize at 4dp before summing (the x96
+    discipline). One signature aggregation (shared shape with x02) +
+    a #buckets reduce; estimates are per-row arithmetic on the
+    already-reduced signature table."""
+    sh = shingles(docs, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes, with_size=True)
+    est = sum(
+        (F.lit(float(MINHASH_P)) / (F.col(f"mh{i}") + 1) - 1)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    est_bp = F.round(est * 10000).cast("bigint")
+    err_bp = F.round(
+        F.abs(est_bp / 10000.0 - F.col("n_sh")) / F.col("n_sh") * 10000
+    ).cast("bigint")
+    b = F.least(F.floor(F.col("n_sh") / bucket_width), F.lit(9)).cast("bigint")
+    return (
+        sig.select(b.alias("card_bucket"), F.col("n_sh"), est_bp.alias("__e"), err_bp.alias("__r"))
+        .groupBy("card_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("n_sh") / F.count(F.lit(1)), 4).alias("mean_exact"),
+            F.round(F.sum("__e") / (F.count(F.lit(1)) * 10000), 4).alias("mean_est"),
+            F.round(F.sum("__r") / F.count(F.lit(1)), 1).alias("mean_abs_err_bp"),
+        )
+        .orderBy("card_bucket")
+    )

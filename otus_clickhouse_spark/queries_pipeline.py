@@ -6560,3 +6560,54 @@ def x125_token_waterfill(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.sampling import token_waterfill
 
     return token_waterfill(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x126_kmv_cardinality_audit",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))},
+             count(*) AS n_sh
+      FROM hv GROUP BY doc_id
+    ),
+    est AS (
+      SELECT doc_id, n_sh,
+             CAST(round((({' + '.join(f"({float(MINHASH_P)} / (mh{i} + 1) - 1)" for i in range(8))}) / 8.0) * 10000) AS BIGINT) AS e
+      FROM sig
+    ),
+    scored AS (
+      SELECT least(CAST(n_sh // 20 AS BIGINT), 9) AS card_bucket, n_sh, e,
+             CAST(round(abs(e / 10000.0 - n_sh) * 1.0 / n_sh * 10000)
+                  AS BIGINT) AS r
+      FROM est
+    )
+    SELECT card_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(n_sh) * 1.0 / count(*), 4) AS mean_exact,
+           round(sum(e) * 1.0 / (count(*) * 10000), 4) AS mean_est,
+           round(sum(r) * 1.0 / count(*), 1) AS mean_abs_err_bp
+    FROM scored GROUP BY card_bucket ORDER BY card_bucket
+    """,
+)
+def x126_kmv_cardinality_audit(spark, sf_dir):
+    """KMV cardinality-sketch accuracy audit (pipeline.dedup.
+    kmv_cardinality_audit — NEW r10): the minhash signature the dedup
+    pipeline already computes doubles as a per-doc distinct-shingle
+    cardinality estimator (E[min of c uniforms on [0,P)] ≈ P/(c+1), so
+    ĉ = P/(mh+1) − 1 averaged over the 8 permutations); this sheet
+    reports mean estimate vs exact and the mean |relative error| in
+    basis points per exact-cardinality bucket. The md5-affine
+    arithmetic is engine-portable (unlike HLL internals, which is why
+    A4's uniq maps to Spark HLL UNAUDITED) — the free sketch's error
+    becomes an oracle-checkable number. Signature agg shared with
+    x02's shape; #buckets output rows; error stats integer-exact."""
+    from otus_clickhouse_spark.pipeline.dedup import kmv_cardinality_audit
+
+    return kmv_cardinality_audit(t(spark, sf_dir, "documents"))

@@ -3086,3 +3086,52 @@ def test_token_waterfill_hand_computed(spark):
     assert (rows["c"].tokens, rows["c"].alloc_tokens, rows["c"].capped) == (70, 30.0, 1)
     assert float(rows["c"].kept_frac) == round(30 / 70, 4)
     assert sum(r.alloc_tokens for r in rows.values()) == 60.0
+
+
+def test_kmv_cardinality_audit_python_reference(spark):
+    """Python-reference pin: the KMV estimate replays md5-affine minhash
+    arithmetic exactly, so a hashlib replica must reproduce the sheet
+    (exact columns exactly; estimate/error columns to 4dp tolerance for
+    the rounding-rule boundary)."""
+    import hashlib
+
+    from otus_clickhouse_spark.pipeline.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        kmv_cardinality_audit,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"          # 6 shingles
+    t2 = " ".join(f"tok{i}" for i in range(46))                   # 44 shingles
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+
+    def shingle_set(text):
+        t = text.split()
+        return {
+            " ".join(t[i : i + 3]) for i in range(max(len(t) - 3, 0) + 1)
+        } - {""}
+
+    def est(sset):
+        out = 0.0
+        for i in range(8):
+            m = min(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) * MINHASH_A[i]
+                 + MINHASH_B[i]) % MINHASH_P
+                for s in sset
+            )
+            out += MINHASH_P / (m + 1) - 1
+        return out / 8.0
+
+    rows = {r.card_bucket: r for r in kmv_cardinality_audit(docs).collect()}
+    s1, s2 = shingle_set(t1), shingle_set(t2)
+    assert len(s1) == 6 and len(s2) == 44
+    b0, b2 = rows[0], rows[2]
+    assert (b0.n_docs, b0.mean_exact) == (1, 6.0)
+    assert (b2.n_docs, b2.mean_exact) == (1, 44.0)
+    assert abs(float(b0.mean_est) - est(s1)) < 2e-4
+    assert abs(float(b2.mean_est) - est(s2)) < 2e-4
+    assert abs(float(b0.mean_abs_err_bp) - round(abs(est(s1) - 6) / 6 * 10000)) <= 1
+    assert abs(float(b2.mean_abs_err_bp) - round(abs(est(s2) - 44) / 44 * 10000)) <= 1

@@ -733,3 +733,54 @@ def quality_ks_drift(
         )
         .orderBy(group_col)
     )
+
+
+def gate_ablation_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha: float = 0.55,
+) -> DataFrame:
+    """Quality-gate ABLATION matrix: x99 reports each rule's marginal
+    reject count; this reports the full pass/fail COMBINATION cells —
+    which docs fail exactly {length}, exactly {length, alpha}, etc. —
+    the inclusion-exclusion sheet that says whether two gates are
+    redundant (their fail sets coincide) or complementary (disjoint),
+    i.e. whether dropping a gate would actually admit anything.
+
+    Three gates, all map-side expressions over the token array:
+    ``len`` (≥ ``min_tokens`` tokens), ``alpha`` (alphabetic+space
+    ratio ≥ ``min_alpha``), ``stop`` (≥ 1 stopword). Output: one row
+    per observed (pass_len, pass_alpha, pass_stop) cell with doc count
+    and corpus share (4dp from exact integers). One grouped reduce to
+    ≤ 8 rows."""
+    from otus_clickhouse_spark.pipeline.text import tokens
+
+    toks = tokens(F.col(text_col))
+    nc = F.length(F.col(text_col))
+    alpha = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")
+    ) / F.greatest(nc, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to", "in", "is"]])
+    gates = docs.select(
+        (F.size(toks) >= min_tokens).cast("int").alias("pass_len"),
+        (alpha >= min_alpha).cast("int").alias("pass_alpha"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x)))) > 0)
+        .cast("int")
+        .alias("pass_stop"),
+    )
+    cells = gates.groupBy("pass_len", "pass_alpha", "pass_stop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cells.agg(F.sum("n_docs").alias("__n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pass_len").cast("bigint").alias("pass_len"),
+            F.col("pass_alpha").cast("bigint").alias("pass_alpha"),
+            F.col("pass_stop").cast("bigint").alias("pass_stop"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__n"), 4).alias("share"),
+        )
+        .orderBy("pass_len", "pass_alpha", "pass_stop")
+    )

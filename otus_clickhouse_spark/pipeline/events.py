@@ -400,3 +400,85 @@ def engagement_stickiness(
         )
         .orderBy("day")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution per event type:
+    sessionize the log, keep sessions containing a conversion, and
+    credit (a) the session's FIRST event and (b) the LAST event
+    strictly before the first conversion (the classic marketing
+    attribution pair; a session that opens with the conversion has no
+    last touch and credits the literal ``direct``). Ties break on the
+    unique (ts, event_id) order everywhere.
+
+    Scale shape: one user-keyed sessionize window (the same plan as
+    session_stats), one (user, session) reduce to find each session's
+    first event and first conversion via partial-aggregable
+    min(struct(...)), one session-keyed self-join back onto the
+    session's events for the pre-conversion last touch, and a
+    #event-types reduce. Shuffles carry (user, session, type) triples,
+    never payloads."""
+    s = sessionize(events, gap_sec, user_col, ts_col, id_col).select(
+        user_col, "session_seq", ts_col, id_col, type_col
+    )
+    s = s.localCheckpoint()  # feeds the per-session reduce AND the join back
+    per = (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))).alias(
+                "__first"
+            ),
+            F.min(
+                F.when(
+                    F.col(type_col) == conversion_type,
+                    F.struct(F.col(ts_col), F.col(id_col)),
+                )
+            ).alias("__conv"),
+        )
+        .where(F.col("__conv").isNotNull())
+    )
+    pre = (
+        s.join(per, [user_col, "session_seq"])
+        .where(
+            F.struct(F.col(ts_col), F.col(id_col))
+            < F.struct(F.col("__conv")[ts_col], F.col("__conv")[id_col])
+        )
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.max(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))).alias(
+                "__last"
+            )
+        )
+    )
+    attributed = per.join(pre, [user_col, "session_seq"], "left").select(
+        F.col("__first")[type_col].alias("first_touch"),
+        F.coalesce(F.col("__last")[type_col], F.lit("direct")).alias("last_touch"),
+    )
+    attributed = attributed.localCheckpoint()  # two grouped consumers
+    ft = attributed.groupBy(F.col("first_touch").alias(type_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch_conversions")
+    )
+    lt = attributed.groupBy(F.col("last_touch").alias(type_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch_conversions")
+    )
+    return (
+        ft.join(lt, type_col, "full_outer")
+        .select(
+            type_col,
+            F.coalesce("first_touch_conversions", F.lit(0)).cast("bigint").alias(
+                "first_touch_conversions"
+            ),
+            F.coalesce("last_touch_conversions", F.lit(0)).cast("bigint").alias(
+                "last_touch_conversions"
+            ),
+        )
+        .orderBy(type_col)
+    )

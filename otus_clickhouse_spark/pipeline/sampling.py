@@ -682,3 +682,119 @@ def token_waterfill(
         )
         .orderBy(group_col)
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    test_pct: int = 10,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """How much near-dup leakage does a NAIVE hash split create? Assign
+    train/test by the deterministic md5 bucket (the split everyone
+    writes first), generate verified near-dup pairs (x02's bucketed
+    candidate+verify plan), and classify each pair by the splits it
+    straddles. ``cross_split`` pairs ARE test-set contamination — the
+    number :func:`leakage_free_split` (x35) exists to drive to zero;
+    this sheet quantifies the problem before that fix is justified.
+
+    Output (one row per pair class train-train / train-test /
+    test-test): pair count and the share of all dup pairs, plus the
+    count of TEST docs with a train-side near-dup (the contaminated
+    eval rows). Integer-exact; pair volume is candidate-bounded by
+    construction."""
+    from otus_clickhouse_spark.pipeline.dedup import minhash_dedup_pairs
+
+    split = (hash_bucket(id_col) < 100 - test_pct).cast("int")  # 1=train
+    labeled = docs.select(F.col(id_col), split.alias("__tr"))
+    pairs = minhash_dedup_pairs(docs, text_col, id_col, threshold=threshold)
+    j = (
+        pairs.join(labeled.select(F.col(id_col).alias("a"), F.col("__tr").alias("__ta")), "a")
+        .join(labeled.select(F.col(id_col).alias("b"), F.col("__tr").alias("__tb")), "b")
+    )
+    j = j.localCheckpoint()  # feeds the class counts and the leaked-doc count
+    cls = F.when(F.col("__ta") + F.col("__tb") == 2, F.lit("train-train")).when(
+        F.col("__ta") + F.col("__tb") == 0, F.lit("test-test")
+    ).otherwise(F.lit("train-test"))
+    tot = j.agg(F.count(F.lit(1)).alias("__n"))
+    leaked_test = (
+        j.where(F.col("__ta") + F.col("__tb") == 1)
+        .select(
+            F.when(F.col("__ta") == 0, F.col("a")).otherwise(F.col("b")).alias("d")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__leak"))
+    )
+    return (
+        j.groupBy(cls.alias("pair_class"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaked_test))
+        .select(
+            "pair_class",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("__n"), 4).alias("pair_share"),
+            F.when(
+                F.col("pair_class") == "train-test", F.col("__leak")
+            ).otherwise(F.lit(0)).cast("bigint").alias("n_leaked_test_docs"),
+        )
+        .orderBy("pair_class")
+    )
+
+
+def eval_quota_allocation(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Largest-remainder (Hare) quota allocation: how many eval docs to
+    draw per source so a k-doc eval set matches the corpus mix exactly
+    — base = floor(k·n_s / N) per source, then the k − Σ base leftover
+    seats go to the largest remainders (k·n_s mod N, ties to the
+    smaller source name). Σ quota = k EXACTLY by construction — the
+    property proportional-rounding by round() cannot give.
+
+    Entirely integer arithmetic (engine-exact: remainders are
+    ``k·n_s mod N`` integer comparisons, never float shares); the
+    corpus reduces to #sources rows, the seat assignment is one rank
+    over that aggregate."""
+    from pyspark.sql import Window
+
+    per = docs.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("__n"), F.lit(int(k)).cast("bigint").alias("__k")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        # exact integer division: subtract the exact bigint remainder
+        # first, so the double division is numerator = quotient·N —
+        # never a truncation of an inexact float
+        (
+            (
+                F.col("__k") * F.col("n_docs")
+                - (F.col("__k") * F.col("n_docs")) % F.col("__n")
+            )
+            / F.col("__n")
+        )
+        .cast("bigint")
+        .alias("__base"),
+        ((F.col("__k") * F.col("n_docs")) % F.col("__n")).alias("__rem"),
+        "__k",
+    )
+    extra = j.agg((F.min("__k") - F.sum("__base")).cast("bigint").alias("__extra"))
+    w = Window.orderBy(F.desc("__rem"), F.asc(group_col))
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("__base") + (F.col("__r") <= F.col("__extra")).cast("int"))
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy(group_col)
+    )

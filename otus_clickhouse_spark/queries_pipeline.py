@@ -6611,3 +6611,179 @@ def x126_kmv_cardinality_audit(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.dedup import kmv_cardinality_audit
 
     return kmv_cardinality_audit(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x127_split_leakage",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 100 < 90
+                  THEN 1 ELSE 0 END AS tr
+      FROM documents
+    ),
+    pj AS (
+      SELECT p.a, p.b, la.tr AS ta, lb.tr AS tb
+      FROM pairs p JOIN lab la ON la.doc_id = p.a
+                   JOIN lab lb ON lb.doc_id = p.b
+    ),
+    tot AS (SELECT count(*) AS n FROM pj),
+    leak AS (
+      SELECT count(DISTINCT CASE WHEN ta = 0 THEN a ELSE b END) AS l
+      FROM pj WHERE ta + tb = 1
+    ),
+    cls AS (
+      SELECT CASE WHEN ta + tb = 2 THEN 'train-train'
+                  WHEN ta + tb = 0 THEN 'test-test'
+                  ELSE 'train-test' END AS pair_class,
+             count(*) AS n_pairs
+      FROM pj GROUP BY 1
+    )
+    SELECT pair_class, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(n_pairs * 1.0 / n, 4) AS pair_share,
+           CAST(CASE WHEN pair_class = 'train-test' THEN l ELSE 0 END
+                AS BIGINT) AS n_leaked_test_docs
+    FROM cls CROSS JOIN tot CROSS JOIN leak ORDER BY pair_class
+    """,
+)
+def x127_split_leakage(spark, sf_dir):
+    """Near-dup leakage of a NAIVE 90/10 hash split
+    (pipeline.sampling.split_leakage_audit — NEW r10): verified dup
+    pairs classified by the splits they straddle, plus the count of
+    contaminated test docs (a test doc with a train-side near-dup) —
+    the number x35's cluster-aware split exists to drive to zero,
+    quantified BEFORE that fix is justified. x02's candidate-bounded
+    pair plan + two id-keyed label joins; integer-exact shares."""
+    from otus_clickhouse_spark.pipeline.sampling import split_leakage_audit
+
+    return split_leakage_audit(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x128_gate_ablation",
+    oracle=r"""
+    WITH g AS (
+      SELECT CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> length(x) > 0)) >= 5
+                  THEN 1 ELSE 0 END AS pass_len,
+             CASE WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) >= 0.55
+                  THEN 1 ELSE 0 END AS pass_alpha,
+             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> lower(x) IN ('the','a','and','of','to','in','is'))) > 0
+                  THEN 1 ELSE 0 END AS pass_stop
+      FROM documents
+    ),
+    cells AS (
+      SELECT pass_len, pass_alpha, pass_stop, count(*) AS n_docs
+      FROM g GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(n_docs) AS n FROM cells)
+    SELECT CAST(pass_len AS BIGINT) AS pass_len,
+           CAST(pass_alpha AS BIGINT) AS pass_alpha,
+           CAST(pass_stop AS BIGINT) AS pass_stop,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 1.0 / n, 4) AS share
+    FROM cells CROSS JOIN tot ORDER BY 1, 2, 3
+    """,
+)
+def x128_gate_ablation(spark, sf_dir):
+    """Quality-gate ablation matrix (pipeline.curation.
+    gate_ablation_matrix — NEW r10): x99 reports each rule's marginal
+    rejects; this reports the full pass/fail COMBINATION cells, the
+    inclusion-exclusion sheet that says whether two gates are
+    redundant or complementary before anyone drops one. Three map-side
+    gates, one grouped reduce to <= 8 rows, shares from exact
+    integers."""
+    from otus_clickhouse_spark.pipeline.curation import gate_ablation_matrix
+
+    return gate_ablation_matrix(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x129_eval_quota",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS n, CAST(100 AS BIGINT) AS k FROM per),
+    j AS (
+      SELECT source, n_docs,
+             (k * n_docs) // n AS base, (k * n_docs) % n AS rem
+      FROM per CROSS JOIN tot
+    ),
+    ex AS (SELECT (SELECT k FROM tot) - sum(base) AS extra FROM j),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM j)
+    SELECT source, n_docs,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r CROSS JOIN ex ORDER BY source
+    """,
+)
+def x129_eval_quota(spark, sf_dir):
+    """Largest-remainder eval-set quota allocation
+    (pipeline.sampling.eval_quota_allocation — NEW r10): how many eval
+    docs to draw per source so a 100-doc eval set matches the corpus
+    mix EXACTLY (Σ quota = k by construction, the identity
+    proportional rounding cannot give). Entirely integer arithmetic —
+    remainders are k·n_s mod N integer comparisons — over the
+    #sources-row aggregate."""
+    from otus_clickhouse_spark.pipeline.sampling import eval_quota_allocation
+
+    return eval_quota_allocation(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x130_touch_attribution",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    m AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS sess FROM m),
+    fst AS (SELECT user_id, sess, event_type AS ft FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                     ORDER BY ts, event_id) AS rn FROM s)
+      WHERE rn = 1),
+    convt AS (SELECT user_id, sess, ts AS cts, event_id AS cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                     ORDER BY ts, event_id) AS rn
+        FROM s WHERE event_type = 'purchase')
+      WHERE rn = 1),
+    pre AS (SELECT user_id, sess, event_type AS lt FROM (
+        SELECT s.user_id, s.sess, s.event_type,
+               row_number() OVER (PARTITION BY s.user_id, s.sess
+                                  ORDER BY s.ts DESC, s.event_id DESC) AS rn
+        FROM s JOIN convt c ON c.user_id = s.user_id AND c.sess = s.sess
+        WHERE (s.ts, s.event_id) < (c.cts, c.cid))
+      WHERE rn = 1),
+    att AS (SELECT f.ft, coalesce(p.lt, 'direct') AS lt
+            FROM convt c
+            JOIN fst f ON f.user_id = c.user_id AND f.sess = c.sess
+            LEFT JOIN pre p ON p.user_id = c.user_id AND p.sess = c.sess),
+    ftc AS (SELECT ft AS event_type, count(*) AS fc FROM att GROUP BY 1),
+    ltc AS (SELECT lt AS event_type, count(*) AS lc FROM att GROUP BY 1)
+    SELECT coalesce(ftc.event_type, ltc.event_type) AS event_type,
+           CAST(coalesce(fc, 0) AS BIGINT) AS first_touch_conversions,
+           CAST(coalesce(lc, 0) AS BIGINT) AS last_touch_conversions
+    FROM ftc FULL OUTER JOIN ltc ON ftc.event_type = ltc.event_type
+    ORDER BY event_type
+    """,
+)
+def x130_touch_attribution(spark, sf_dir):
+    """First-touch vs last-touch conversion attribution
+    (pipeline.events.touch_attribution — NEW r10): sessionize by the
+    30-minute gap, keep converting sessions, credit the session's
+    first event and the last event strictly before the first purchase
+    (conversion-first sessions credit 'direct'). One user-keyed
+    sessionize window + partial-aggregable min/max(struct) reduces +
+    a #event-types output; the oracle replays the identical
+    sessionization and tie order."""
+    from otus_clickhouse_spark.pipeline.events import touch_attribution
+
+    return touch_attribution(t(spark, sf_dir, "events"))

@@ -3135,3 +3135,94 @@ def test_kmv_cardinality_audit_python_reference(spark):
     assert abs(float(b2.mean_est) - est(s2)) < 2e-4
     assert abs(float(b0.mean_abs_err_bp) - round(abs(est(s1) - 6) / 6 * 10000)) <= 1
     assert abs(float(b2.mean_abs_err_bp) - round(abs(est(s2) - 44) / 44 * 10000)) <= 1
+
+
+def test_split_leakage_audit_hand_computed(spark):
+    """Unit pin: two identical docs straddling the 90/10 md5 split form
+    one train-test pair (1 leaked test doc); two identical docs inside
+    train form one train-train pair."""
+    import hashlib
+
+    from otus_clickhouse_spark.pipeline.sampling import split_leakage_audit
+
+    def is_train(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100 < 90
+
+    train_ids = [i for i in range(200) if is_train(i)]
+    test_ids = [i for i in range(200) if not is_train(i)]
+    dup_a = "this exact near duplicate text appears on both sides of the split"
+    dup_b = "another duplicated body that stays entirely inside the train half"
+    rows = [
+        (train_ids[0], dup_a), (test_ids[0], dup_a),       # cross pair
+        (train_ids[1], dup_b), (train_ids[2], dup_b),      # train-train pair
+        (train_ids[3], "a unique filler document with no duplicate partner"),
+    ]
+    out = {r.pair_class: r for r in split_leakage_audit(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out["train-test"].n_pairs == 1
+    assert out["train-test"].n_leaked_test_docs == 1
+    assert out["train-train"].n_pairs == 1
+    assert out["train-train"].n_leaked_test_docs == 0
+    assert float(out["train-test"].pair_share) == 0.5
+
+
+def test_gate_ablation_matrix_hand_computed(spark):
+    """Unit pin: one doc passes all gates, one fails only length, one
+    fails alpha+stop (digits, no stopwords)."""
+    from otus_clickhouse_spark.pipeline.curation import gate_ablation_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog"),  # 1,1,1
+            (2, "the cat"),                                    # 0,1,1
+            (3, "111 222 333 444 555 666"),                    # 1,0,0
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.pass_len, r.pass_alpha, r.pass_stop): r
+           for r in gate_ablation_matrix(docs).collect()}
+    assert out[(1, 1, 1)].n_docs == 1
+    assert out[(0, 1, 1)].n_docs == 1
+    assert out[(1, 0, 0)].n_docs == 1
+    assert float(out[(1, 1, 1)].share) == 0.3333
+
+
+def test_eval_quota_allocation_hand_computed(spark):
+    """Unit pin: counts 7/5/3 with k=10 -> bases 4/3/2 and the one
+    leftover seat goes to the largest remainder (a); sum(quota) = k."""
+    from otus_clickhouse_spark.pipeline.sampling import eval_quota_allocation
+
+    rows = (
+        [(i, "t", "a") for i in range(7)]
+        + [(100 + i, "t", "b") for i in range(5)]
+        + [(200 + i, "t", "c") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r.quota for r in eval_quota_allocation(docs, k=10).collect()}
+    assert out == {"a": 5, "b": 3, "c": 2}
+    assert sum(out.values()) == 10
+
+
+def test_touch_attribution_hand_computed(spark):
+    """Unit pin: view->click->purchase credits first=view, last=click;
+    a purchase-first session credits last='direct'; a session with no
+    purchase credits nothing."""
+    from otus_clickhouse_spark.pipeline.events import touch_attribution
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view"),
+            (2, "2024-01-01 10:05:00", 1, "click"),
+            (3, "2024-01-01 10:10:00", 1, "purchase"),
+            (4, "2024-01-02 09:00:00", 2, "purchase"),   # conversion-first
+            (5, "2024-01-03 08:00:00", 3, "click"),      # never converts
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r.event_type: (r.first_touch_conversions, r.last_touch_conversions)
+           for r in touch_attribution(ev).collect()}
+    assert out["view"] == (1, 0)
+    assert out["click"] == (0, 1)
+    assert out["purchase"] == (1, 0)
+    assert out["direct"] == (0, 1)
+    assert "error" not in out and 3 not in out

@@ -116,6 +116,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x114_activity_concentration": (2, "rank cumulative over the (activity value, n_users) histogram — distinct-value-bounded; x2 consumers (gini terms + top-decile overlap)"),
     "x115_quality_ks_drift": (1, "global cdf cumulative over the distinct-4dp-quality histogram (range-bounded)"),
     "x125_token_waterfill": (2, "water-fill rank+cumsum over the #sources-row token aggregate (~20 rows)"),
+    "x129_eval_quota": (1, "largest-remainder seat rank over the #sources-row count aggregate (~20 rows)"),
 }
 
 

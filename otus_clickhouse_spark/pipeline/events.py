@@ -482,3 +482,92 @@ def touch_attribution(
         )
         .orderBy(type_col)
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-base sheet, computed with the engine's histogram
+    discipline instead of an ntile window: an ntile(4) over the user
+    aggregate is an unpartitioned sort of a table that SCALES (users
+    grow with the corpus — the fixture shows 15 → 1500 across the SF
+    step), so quartile boundaries come from cumulative walks over the
+    per-metric VALUE histograms (distinct-value-bounded) and segment
+    assignment is a map-side comparison against the three broadcast
+    boundaries.
+
+    Boundary rule (integer-exact, engine-portable): b_p = the smallest
+    metric value whose cumulative user count reaches ceil(p·N), with
+    ceil done in integer arithmetic ((N+3)//4, (N+1)//2, (3N+3)//4);
+    segment = 1 + Σ (x > b_p). Monetary sums integer cents (the x96
+    discipline); recency is whole days behind the corpus' last active
+    day. Output: one row per observed (r_seg, f_seg, m_seg) cell with
+    user count and share."""
+    per_user = events.groupBy(user_col).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("__freq"),
+        F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("__cents"),
+    )
+    ref = per_user.agg(
+        F.max("__last").alias("__ref"),
+        F.count(F.lit(1)).cast("bigint").alias("__nu"),
+    )
+    pu = (
+        per_user.crossJoin(F.broadcast(ref))
+        .select(
+            F.col(user_col),
+            F.datediff(F.col("__ref"), F.col("__last")).cast("bigint").alias("rec"),
+            F.col("__freq").alias("freq"),
+            F.col("__cents").alias("cents"),
+            "__nu",
+        )
+        .localCheckpoint()  # feeds three histogram walks + the assignment
+    )
+
+    def bounds(col: str) -> DataFrame:
+        h = pu.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.orderBy(col)
+        cum = h.withColumn("__cum", F.sum("__c").over(w)).crossJoin(
+            F.broadcast(pu.select(F.max("__nu").alias("__n")).limit(1))
+        )
+        k1 = (F.col("__n") + 3) / 4
+        k2 = (F.col("__n") + 1) / 2
+        k3 = (3 * F.col("__n") + 3) / 4
+        return cum.agg(
+            F.min(F.when(F.col("__cum") >= F.floor(k1), F.col(col))).alias(f"__{col}_b1"),
+            F.min(F.when(F.col("__cum") >= F.floor(k2), F.col(col))).alias(f"__{col}_b2"),
+            F.min(F.when(F.col("__cum") >= F.floor(k3), F.col(col))).alias(f"__{col}_b3"),
+        )
+
+    j = (
+        pu.crossJoin(F.broadcast(bounds("rec")))
+        .crossJoin(F.broadcast(bounds("freq")))
+        .crossJoin(F.broadcast(bounds("cents")))
+    )
+
+    def seg(col: str):
+        return (
+            1
+            + (F.col(col) > F.col(f"__{col}_b1")).cast("int")
+            + (F.col(col) > F.col(f"__{col}_b2")).cast("int")
+            + (F.col(col) > F.col(f"__{col}_b3")).cast("int")
+        ).cast("bigint")
+
+    cells = j.select(
+        seg("rec").alias("r_seg"), seg("freq").alias("f_seg"), seg("cents").alias("m_seg")
+    ).groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = cells.agg(F.sum("n_users").alias("__t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "r_seg", "f_seg", "m_seg", "n_users",
+            F.round(F.col("n_users") / F.col("__t"), 4).alias("share"),
+        )
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )

@@ -6787,3 +6787,130 @@ def x130_touch_attribution(spark, sf_dir):
     from otus_clickhouse_spark.pipeline.events import touch_attribution
 
     return touch_attribution(t(spark, sf_dir, "events"))
+
+
+def _rfm_bound_cte(metric: str) -> str:
+    """Quartile-boundary CTEs for one RFM metric: value histogram →
+    cumulative walk → integer-ceil rank thresholds (the same rule the
+    Spark side applies)."""
+    return f""",
+    {metric}_h AS (SELECT {metric} AS v, count(*) AS c FROM pu GROUP BY 1),
+    {metric}_c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM {metric}_h),
+    {metric}_b AS (
+      SELECT min(CASE WHEN cum >= (nu + 3) // 4 THEN v END) AS b1,
+             min(CASE WHEN cum >= (nu + 1) // 2 THEN v END) AS b2,
+             min(CASE WHEN cum >= (3 * nu + 3) // 4 THEN v END) AS b3
+      FROM {metric}_c CROSS JOIN ref
+    )"""
+
+
+@query(
+    "x131_rfm_segments",
+    oracle=f"""
+    WITH pu0 AS (
+      SELECT user_id,
+             max(CAST(date_trunc('day', ts) AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    ref AS (SELECT max(last_d) AS ref_d, CAST(count(*) AS BIGINT) AS nu FROM pu0),
+    pu AS (
+      SELECT user_id,
+             CAST(date_diff('day', last_d, ref_d) AS BIGINT) AS rec,
+             freq, cents
+      FROM pu0 CROSS JOIN ref
+    ){_rfm_bound_cte("rec")}{_rfm_bound_cte("freq")}{_rfm_bound_cte("cents")},
+    seg AS (
+      SELECT 1 + CASE WHEN rec > rec_b.b1 THEN 1 ELSE 0 END
+               + CASE WHEN rec > rec_b.b2 THEN 1 ELSE 0 END
+               + CASE WHEN rec > rec_b.b3 THEN 1 ELSE 0 END AS r_seg,
+             1 + CASE WHEN freq > freq_b.b1 THEN 1 ELSE 0 END
+               + CASE WHEN freq > freq_b.b2 THEN 1 ELSE 0 END
+               + CASE WHEN freq > freq_b.b3 THEN 1 ELSE 0 END AS f_seg,
+             1 + CASE WHEN cents > cents_b.b1 THEN 1 ELSE 0 END
+               + CASE WHEN cents > cents_b.b2 THEN 1 ELSE 0 END
+               + CASE WHEN cents > cents_b.b3 THEN 1 ELSE 0 END AS m_seg
+      FROM pu CROSS JOIN rec_b CROSS JOIN freq_b CROSS JOIN cents_b
+    ),
+    cells AS (
+      SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users
+      FROM seg GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(n_users) AS t FROM cells)
+    SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+           CAST(m_seg AS BIGINT) AS m_seg, n_users,
+           round(n_users * 1.0 / t, 4) AS share
+    FROM cells CROSS JOIN tot ORDER BY 1, 2, 3
+    """,
+)
+def x131_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation (pipeline.events.rfm_segments — NEW
+    r10): recency/frequency/monetary quartiles per user, with the
+    boundaries from cumulative walks over per-metric VALUE histograms
+    instead of an ntile window (users SCALE with the corpus — the
+    fixture shows 15 → 1500 across the SF step, so an unpartitioned
+    ntile sort is the guard's exact target class). Integer-exact:
+    monetary in cents, recency in whole days, boundary ranks in
+    integer-ceil arithmetic; assignment is a map-side comparison
+    against three broadcast boundary rows."""
+    from otus_clickhouse_spark.pipeline.events import rfm_segments
+
+    return rfm_segments(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x132_streaming_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             {', '.join(f"min((hv * {a} + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           CAST(round((({' + '.join(f"({float(MINHASH_P)} / (m{i} + 1) - 1)" for i in range(8))}) / 8.0) * 10000) AS BIGINT)
+             / 10000.0 AS distinct_est
+    FROM agg ORDER BY event_type
+    """,
+)
+def x132_streaming_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-user estimate with EXACT batch parity
+    (streaming.stateful.streaming_kmv_distinct — NEW r10): the x126
+    KMV estimator maintained as per-key per-permutation minima in the
+    streaming state store. min() is order-insensitive and exactly
+    mergeable, so the streamed result is bit-identical to this batch
+    oracle — the provable stream/batch parity HLL cannot give (its
+    merge internals are engine-private; CH uniq ↔ Spark HLL can only
+    be rows-checked). State is 8 bigints + a count per key; the whole
+    plan is JVM-side built-in streaming aggregation."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from otus_clickhouse_spark.streaming.stateful import streaming_kmv_distinct
+
+    stage = tempfile.mkdtemp(prefix="x132_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-00000.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("event_type", "user_id")
+    )
+    out = streaming_kmv_distinct(stream)
+    sink = f"x132_kmv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

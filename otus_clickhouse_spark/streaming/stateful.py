@@ -197,3 +197,58 @@ def session_window_stats(
             "total_value",
         )
     )
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Streaming distinct-value estimate with EXACT batch parity: the
+    KMV estimator (x126's md5-affine minhash arithmetic) maintained as
+    per-key per-permutation minima in the streaming state store —
+    min() is order-insensitive and exactly mergeable, so the streaming
+    result is bit-identical to the batch computation over the same
+    events (the parity HLL sketches cannot give, since their merge
+    order surfaces in register ties on some engines). State per key is
+    ``num_hashes`` bigints + a count — O(keys), never O(stream).
+
+    Entirely JVM-side: the hash columns are map-side expressions and
+    the groupBy runs as a built-in streaming aggregation (complete
+    mode). Emits per key: ``n_events`` and ``distinct_est`` (4dp,
+    integer-ized basis points before the divide so replays hash-match
+    engine-independently)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    src = stream.select(
+        F.col(key_col),
+        *[
+            ((h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+                f"__h{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+    agg = src.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        (F.lit(float(MINHASH_P)) / (F.col(f"__m{i}") + 1) - 1)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return agg.select(
+        key_col,
+        "n_events",
+        (F.round(est * 10000).cast("bigint") / 10000.0).alias("distinct_est"),
+    )

@@ -3226,3 +3226,78 @@ def test_touch_attribution_hand_computed(spark):
     assert out["purchase"] == (1, 0)
     assert out["direct"] == (0, 1)
     assert "error" not in out and 3 not in out
+
+
+def test_rfm_segments_hand_computed(spark):
+    """Unit pin: four users with strictly increasing recency gap and
+    strictly decreasing frequency/monetary land in the four clean
+    quartile cells (boundaries at ranks ceil(N/4)/ceil(N/2)/ceil(3N/4)
+    over N=4 distinct values)."""
+    from otus_clickhouse_spark.pipeline.events import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4):
+        for _ in range(u):  # freq = u, all on day u
+            eid += 1
+            rows.append((eid, f"2024-01-0{u} 10:00:00", u, 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    cells = {(r.r_seg, r.f_seg, r.m_seg): r for r in rfm_segments(ev).collect()}
+    # u1: rec 3d (worst=seg4), freq 1 (seg1), cents 100 (seg1) ...
+    assert set(cells) == {(4, 1, 1), (3, 2, 2), (2, 3, 3), (1, 4, 4)}
+    assert all(r.n_users == 1 and float(r.share) == 0.25 for r in cells.values())
+
+
+def test_streaming_kmv_distinct_equals_batch(spark, tmp_path):
+    """Parity pin: the KMV minima merge exactly across micro-batches
+    (min is order-insensitive), so the streamed estimate over TWO
+    single-file triggers is bit-identical to the batch computation on
+    the same rows, and state holds one row per key."""
+    import pandas as pd
+
+    from otus_clickhouse_spark.streaming.stateful import streaming_kmv_distinct
+
+    rows = [(i, "a" if i % 3 else "b", i % 7) for i in range(60)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "user_id"])
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    spark.createDataFrame(pdf[:30]).coalesce(1).write.parquet(str(src / "p1"))
+    spark.createDataFrame(pdf[30:]).coalesce(1).write.parquet(str(src / "p2"))
+    # flatten: the reader wants files in one dir
+    import shutil as _sh
+
+    flat = tmp_path / "kmv_flat"
+    flat.mkdir()
+    n = 0
+    for sub in ("p1", "p2"):
+        for f in (src / sub).glob("*.parquet"):
+            _sh.copy(f, flat / f"part-{n}.parquet")
+            n += 1
+    schema = spark.read.parquet(str(flat)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    q = (
+        streaming_kmv_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.event_type: (r.n_events, r.distinct_est)
+        for r in spark.table("kmv_parity").collect()
+    }
+    batch = {
+        r.event_type: (r.n_events, r.distinct_est)
+        for r in streaming_kmv_distinct(spark.read.parquet(str(flat))).collect()
+    }
+    assert streamed == batch and set(streamed) == {"a", "b"}
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 2

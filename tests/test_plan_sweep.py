@@ -117,6 +117,7 @@ UNPARTITIONED_WINDOW_OK = {
     "x115_quality_ks_drift": (1, "global cdf cumulative over the distinct-4dp-quality histogram (range-bounded)"),
     "x125_token_waterfill": (2, "water-fill rank+cumsum over the #sources-row token aggregate (~20 rows)"),
     "x129_eval_quota": (1, "largest-remainder seat rank over the #sources-row count aggregate (~20 rows)"),
+    "x131_rfm_segments": (6, "three quartile-boundary cumulative walks over per-metric VALUE histograms (distinct-value-bounded, never user rows) x2 consumers (cells + share total)"),
 }
 
 

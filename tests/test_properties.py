@@ -623,3 +623,106 @@ def test_lsh_cap_preserves_candidate_components(spark, texts, cap):
     assert capped <= full
     nodes = range(len(texts))
     assert _components(capped, nodes) == _components(full, nodes)
+
+
+# ------------------------------------------ round-10 events-family references
+def _ref_sessions(rows, gap=1800):
+    """rows: [(user, epoch_sec, event_id, type)] -> {(user, sess): [events
+    in (ts, id) order]} under the strictly-greater-than gap rule."""
+    out = {}
+    for u in {r[0] for r in rows}:
+        ev = sorted([r for r in rows if r[0] == u], key=lambda r: (r[1], r[2]))
+        sess, prev = 0, None
+        for r in ev:
+            if prev is None or r[1] - prev > gap:
+                sess += 1
+            prev = r[1]
+            out.setdefault((u, sess), []).append(r)
+    return out
+
+
+@settings(**HSET)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                 # user
+            st.integers(0, 7200),              # epoch offset sec
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),      # unique (user, ts)
+    )
+)
+def test_touch_attribution_matches_python_reference(spark, rows):
+    """pipeline.events.touch_attribution vs a brute-force Python replay
+    of the session/first/last-before-conversion rules."""
+    import datetime
+
+    from otus_clickhouse_spark.pipeline.events import touch_attribution
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(seconds=sec), u, t)
+        for i, (u, sec, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    ref_rows = [(u, sec, i, t) for i, (u, sec, t) in enumerate(rows)]
+    first, last = {}, {}
+    for (u, s), evs in _ref_sessions(ref_rows).items():
+        conv = [e for e in evs if e[3] == "purchase"]
+        if not conv:
+            continue
+        c = min(conv, key=lambda e: (e[1], e[2]))
+        first[evs[0][3]] = first.get(evs[0][3], 0) + 1
+        pre = [e for e in evs if (e[1], e[2]) < (c[1], c[2])]
+        lt = max(pre, key=lambda e: (e[1], e[2]))[3] if pre else "direct"
+        last[lt] = last.get(lt, 0) + 1
+    got = {
+        r.event_type: (r.first_touch_conversions, r.last_touch_conversions)
+        for r in touch_attribution(ev).collect()
+    }
+    want = {
+        t: (first.get(t, 0), last.get(t, 0)) for t in set(first) | set(last)
+    }
+    assert got == want
+
+
+@settings(**HSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)),  # (user, day)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_engagement_stickiness_matches_python_reference(spark, rows):
+    """engagement_stickiness's DAU/WAU/MAU vs set arithmetic over the
+    distinct (day, user) pairs (trailing-7-day WAU, calendar-month
+    MAU)."""
+    import datetime
+
+    from otus_clickhouse_spark.pipeline.events import engagement_stickiness
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d, hours=3), u)
+        for i, (u, d) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "event_id long, ts timestamp_ntz, user_id long")
+    ud = {(base.date() + datetime.timedelta(days=d), u) for u, d in rows}
+    days = sorted({d for d, _ in ud})
+    got = {r.day: r for r in engagement_stickiness(ev).collect()}
+    assert set(got) == {str(d) for d in days}
+    for d in days:
+        dau = len({u for dd, u in ud if dd == d})
+        wau = len({u for dd, u in ud
+                   if d - datetime.timedelta(days=6) <= dd <= d})
+        mau = len({u for dd, u in ud
+                   if (dd.year, dd.month) == (d.year, d.month)})
+        r = got[str(d)]
+        assert (r.dau, r.wau, r.mau) == (dau, wau, mau)
+        assert float(r.dau_mau) == round(dau / mau, 4)
+        assert float(r.wau_mau) == round(wau / mau, 4)

@@ -1643,12 +1643,25 @@ class Engine:
         import uuid
 
         self.check_access("SELECT", self._referenced_tables(text))
-        self._check_quota("queries")
-        # pre-flight: a user whose result_rows quota window is already
-        # exhausted fails BEFORE running (CH accumulates and rejects)
-        self._check_quota("result_rows", weight=0)
-        qid = uuid.uuid4().hex[:16]
         t0 = time.time()
+        try:
+            self._check_quota("queries")
+            # pre-flight: a user whose result_rows quota window is already
+            # exhausted fails BEFORE running (CH accumulates and rejects)
+            self._check_quota("result_rows", weight=0)
+        except Exception as exc:
+            # a quota rejection is still a logged, error-counted query in
+            # the reference (system.query_log records ExceptionBeforeStart
+            # rows and the errors quota accumulates them)
+            self._bump("FailedQuery")
+            self._quota_usage.setdefault(self.current_user, []).append(
+                (time.time(), "errors", 1)
+            )
+            self._query_log.append(
+                self._query_log_row(text, t0, -1, type(exc).__name__)
+            )
+            raise
+        qid = uuid.uuid4().hex[:16]
         self._processes[qid] = (text, t0)
         sc = self.spark.sparkContext
         sc.setJobGroup(qid, text[:200], interruptOnCancel=True)

@@ -702,14 +702,18 @@ def lsh_cap_planning(
         docs.sparkSession.createDataFrame([(int(c),) for c in caps], "cap long")
     )
     d = F.col("__d")
-    capped_pairs = F.when(d <= F.col("cap"), d * (d - 1) / 2).otherwise(d - 1)
+    # d·(d−1) is always even, so shiftright halves it EXACTLY in bigint —
+    # double-division would lose integer exactness past 2^53, which is
+    # precisely the 100 TB-planning regime this sheet prices.
+    pairs_exact = F.shiftright(d * (d - 1), 1)
+    capped_pairs = F.when(d <= F.col("cap"), pairs_exact).otherwise(d - 1)
     return (
         deg.crossJoin(caps_df)
         .groupBy("cap")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared_buckets"),
             F.sum((d > F.col("cap")).cast("int")).cast("bigint").alias("n_over_cap"),
-            F.sum(d * (d - 1) / 2).cast("bigint").alias("allpairs_volume"),
+            F.sum(pairs_exact).cast("bigint").alias("allpairs_volume"),
             F.sum(capped_pairs).cast("bigint").alias("capped_volume"),
         )
         .select(

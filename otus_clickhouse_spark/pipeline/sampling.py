@@ -656,14 +656,19 @@ def token_waterfill(
             / (F.col("__s") - F.col("__k") + 1),
         )
     )
-    # λ = the first (smallest-token) segment whose candidate level fails
-    # its own source: min over k of lam_k where lam_k < t_k. NULL (no
-    # failing segment) means the budget covers the whole corpus.
+    # λ = the candidate level at the FIRST (smallest-k) failing segment:
+    # once lam_k < t_k the walk stops — later candidates keep shrinking
+    # (they wrongly charge already-capped sources at full mass), so it
+    # must be min over (k, lam_k) ordered by k, not min over lam_k.
+    # NULL (no failing segment) means the budget covers the whole corpus.
     lam = j.agg(
-        F.min(F.when(F.col("__lam_k") < F.col("tokens"), F.col("__lam_k"))).alias(
-            "__lam"
-        )
-    )
+        F.min(
+            F.when(
+                F.col("__lam_k") < F.col("tokens"),
+                F.struct(F.col("__k").alias("k"), F.col("__lam_k").alias("lam")),
+            )
+        ).alias("__first")
+    ).select(F.col("__first.lam").alias("__lam"))
     alloc = F.when(
         F.col("__lam").isNotNull() & (F.col("tokens") > F.col("__lam")),
         F.col("__lam"),

@@ -6452,12 +6452,12 @@ def x122_fertility_by_lang(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_shared_buckets,
            CAST(sum(CASE WHEN d > cap THEN 1 ELSE 0 END) AS BIGINT)
              AS n_over_cap,
-           CAST(sum(d * (d - 1) / 2) AS BIGINT) AS allpairs_volume,
-           CAST(sum(CASE WHEN d <= cap THEN d * (d - 1) / 2
+           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS allpairs_volume,
+           CAST(sum(CASE WHEN d <= cap THEN d * (d - 1) // 2
                          ELSE d - 1 END) AS BIGINT) AS capped_volume,
-           round(sum(CASE WHEN d <= cap THEN d * (d - 1) / 2
+           round(sum(CASE WHEN d <= cap THEN d * (d - 1) // 2
                           ELSE d - 1 END)
-                 * 1.0 / sum(d * (d - 1) / 2), 4) AS retained_frac
+                 * 1.0 / sum(d * (d - 1) // 2), 4) AS retained_frac
     FROM deg CROSS JOIN caps GROUP BY cap ORDER BY cap
     """,
 )
@@ -6533,10 +6533,9 @@ def x124_engagement_stickiness(spark, sf_dir):
       FROM per CROSS JOIN tot
     ),
     lamt AS (
-      SELECT min(CASE WHEN (budget - (cum - tokens)) * 1.0 / (s - k + 1)
-                           < tokens
-                      THEN (budget - (cum - tokens)) * 1.0 / (s - k + 1)
-                 END) AS lam
+      SELECT arg_min((budget - (cum - tokens)) * 1.0 / (s - k + 1), k)
+             FILTER (WHERE (budget - (cum - tokens)) * 1.0 / (s - k + 1)
+                           < tokens) AS lam
       FROM j
     )
     SELECT source, tokens,

@@ -88,12 +88,21 @@ def corpus_bucket_table(
     dedup.LSH_MAX_BUCKET`) caps the per-key INDEX fanout the same way
     the batch generator caps its self-join: a bucket over the cap keeps
     only its min-id representative row, so one degenerate boilerplate
-    key cannot make a single incoming doc explode into
-    bucket-size candidates. Over-cap members are transitively
-    near-identical, so an incoming near-dup of ANY of them still
-    collides with (and exact-verifies against) the representative —
-    the admit/reject decision is unchanged; only the per-member
-    candidate enumeration is."""
+    key cannot make a single incoming doc explode into bucket-size
+    candidates. This is a PROBABILISTIC recall trade, not a free one:
+    bucket co-membership means one band collision, not near-identity,
+    so an incoming doc whose only over-threshold corpus match is a
+    dropped (non-representative) member of an over-cap bucket can fail
+    the Jaccard verify against the representative and be admitted.
+    Mitigations at scale: over-cap buckets are by construction
+    boilerplate-dominated (members typically DO verify against each
+    other), rep-chaining keeps them reachable via the representative in
+    the common case, and a larger cap or more bands recovers recall at
+    the standard LSH cost curve. The post-verify recall test
+    (tests/test_streaming_ingest.py) pins both directions: a
+    representative-similar member still admits correctly, and the
+    documented miss case is a REJECTED duplicate slipping through, never
+    a false rejection of a novel doc."""
     from otus_clickhouse_spark.pipeline.dedup import LSH_MAX_BUCKET
 
     cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket

@@ -3088,6 +3088,78 @@ def test_token_waterfill_hand_computed(spark):
     assert sum(r.alloc_tokens for r in rows.values()) == 60.0
 
 
+def test_token_waterfill_multiple_capped_sources(spark):
+    """λ must come from the FIRST failing segment of the ascending walk,
+    not the smallest failing candidate (candidates strictly shrink past
+    the breakpoint). Two pins with ≥2 capped sources:
+
+    - uniform 100/100/100 tokens, budget 180: λ = 180/3 = 60, every
+      source capped at 60 (the old min-over-candidates picked the k=3
+      candidate (180-200)/1 = -20 and went negative);
+    - mixed 10/90/100 tokens, budget 120 (60% of 200): k=1 passes
+      (110/3 ≈ 36.7 ≥ 10? no — 36.7 ≥ 10 holds), k=2 fails
+      (λ₂ = (120-10)/2 = 55 < 90), so b and c cap at 55 and
+      Σ alloc = 10 + 55 + 55 = 120 = B exactly."""
+    from otus_clickhouse_spark.pipeline.sampling import token_waterfill
+
+    uniform = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100)), s)
+         for i, s in enumerate(["a", "b", "c"])],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in token_waterfill(uniform, 0.6).collect()}
+    assert all(r.alloc_tokens == 60.0 and r.capped == 1 for r in rows.values())
+    assert sum(r.alloc_tokens for r in rows.values()) == 180.0
+
+    mixed = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{j}" for j in range(10)), "a"),
+            (2, " ".join(f"w{j}" for j in range(90)), "b"),
+            (3, " ".join(f"w{j}" for j in range(100)), "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in token_waterfill(mixed, 0.6).collect()}
+    assert (rows["a"].alloc_tokens, rows["a"].capped) == (10.0, 0)
+    assert (rows["b"].alloc_tokens, rows["b"].capped) == (55.0, 1)
+    assert (rows["c"].alloc_tokens, rows["c"].capped) == (55.0, 1)
+    assert sum(r.alloc_tokens for r in rows.values()) == 120.0
+
+
+def test_token_waterfill_budget_invariant_property(spark):
+    """Property: for randomized source-size multisets, Σ min(t_s, λ)
+    = B within rounding, every allocation is in (0, t_s], and capped
+    sources all sit exactly at λ (a Python bisection reference)."""
+    import random
+
+    from otus_clickhouse_spark.pipeline.sampling import token_waterfill
+
+    rng = random.Random(125)
+    for trial in range(5):
+        sizes = [rng.randint(1, 120) for _ in range(rng.randint(2, 9))]
+        frac = rng.choice([0.3, 0.5, 0.6, 0.8])
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(n)), f"s{i:02d}")
+             for i, n in enumerate(sizes)],
+            "doc_id long, text string, source string",
+        )
+        rows = token_waterfill(docs, frac).collect()
+        budget = int(sum(sizes) * frac)  # floor
+        total_alloc = sum(r.alloc_tokens for r in rows)
+        capped = [r for r in rows if r.capped == 1]
+        if capped:
+            # all capped sources sit at one common level λ and the
+            # budget is met exactly (4dp rounding per source)
+            lams = {r.alloc_tokens for r in capped}
+            assert len(lams) == 1, (trial, sizes, frac, rows)
+            assert abs(total_alloc - budget) < 1e-2 * len(rows), (
+                trial, sizes, frac, total_alloc, budget)
+        else:
+            assert total_alloc == float(sum(sizes)), (trial, sizes, frac)
+        for r in rows:
+            assert 0.0 < r.alloc_tokens <= r.tokens, (trial, sizes, frac, r)
+
+
 def test_kmv_cardinality_audit_python_reference(spark):
     """Python-reference pin: the KMV estimate replays md5-affine minhash
     arithmetic exactly, so a hashlib replica must reproduce the sheet

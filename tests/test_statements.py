@@ -507,6 +507,42 @@ def test_quota_and_profile_enforcement(engine, tmp_path):
         engine.execute("DROP TABLE quota_t")
 
 
+def test_quota_preflight_rejection_is_logged_and_error_counted(engine, tmp_path):
+    """A QUOTA_EXCEEDED raised by the pre-flight check is accounted
+    exactly like an in-flight failure: it lands in system.query_log
+    (exception column set, the reference's ExceptionBeforeStart shape)
+    and accumulates toward the errors quota — rejected queries are not
+    invisible (lecture_20.md query_log semantics)."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE qpre_t (x UInt32) ENGINE = Log")
+    engine.tables["qpre_t"].path = str(tmp_path / "qpre_t")
+    engine.execute("INSERT INTO qpre_t VALUES (1)")
+    engine.execute("CREATE USER prefl IDENTIFIED WITH no_password")
+    engine.execute("GRANT SELECT ON qpre_t TO prefl")
+    engine.execute("CREATE QUOTA q_pre FOR INTERVAL 1 hour MAX queries = 1 TO prefl")
+    try:
+        engine.set_user("prefl")
+        engine.run("SELECT count(*) AS n FROM qpre_t")
+        log_before = len(engine._query_log)
+        with _pytest.raises(PermissionError, match="QUOTA_EXCEEDED"):
+            engine.run("SELECT count(*) AS n FROM qpre_t")
+        # the rejection is a query_log row with the exception type set
+        new_rows = engine._query_log[log_before:]
+        assert len(new_rows) == 1 and new_rows[0][6] == "PermissionError"
+        # and it accumulated toward the errors quota
+        assert any(
+            kind == "errors" and w == 1
+            for (_ts, kind, w) in engine._quota_usage.get("prefl", [])
+        )
+    finally:
+        engine.current_user = "default"
+        engine._quota_usage.clear()
+        engine.execute("DROP QUOTA q_pre")
+        engine.execute("DROP USER prefl")
+        engine.execute("DROP TABLE qpre_t")
+
+
 def test_max_result_rows_setting_and_quota(engine, tmp_path):
     """r9 verdict ask #3: max_result_rows is ENFORCED, not just
     displayed. SET max_result_rows caps the interactive collect

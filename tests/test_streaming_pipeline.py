@@ -726,3 +726,56 @@ def test_corpus_bucket_index_hot_bucket_cap(spark):
     sh = shingles(corpus.unionByName(incoming))
     verified = jaccard_verify(cand, sh, threshold=0.7).collect()
     assert [(r.a, r.b, r.jaccard) for r in verified] == [(100, 0, 1.0)]
+
+
+def test_corpus_bucket_cap_post_verify_recall(spark):
+    """Post-verify recall under a HETEROGENEOUS over-cap bucket — pins
+    the probabilistic trade the corpus_bucket_table docstring documents.
+
+    Fixture (searched offline against the md5-affine minhash): corpus
+    member B shares ALL 4 band keys with boilerplate A (so the cap
+    chains B away, keeping only A's min-id representative) while
+    J(A, B) = 10/15 ≈ 0.667 < 0.7 — the bucket is NOT homogeneous.
+
+    - Known miss (documented, asserted): incoming C = exact copy of B
+      collides only with the representative, fails the 0.7 verify
+      against it, and is silently admitted even though an exact corpus
+      duplicate exists. The UNcapped index catches it (J(C, B) = 1.0).
+    - Preserved direction: the miss is always a rejected-duplicate
+      slipping through; a genuinely novel doc can never be falsely
+      matched by chaining (verify is exact Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
+    from otus_clickhouse_spark.streaming.ingest import (
+        corpus_bucket_table,
+        streaming_neardup_candidates,
+    )
+
+    boiler = ("subscribe to our newsletter for breaking news daily updates "
+              "and exclusive offers")
+    hetero = boiler + " tail432 tail309 tail52 tail28 tail475"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(6)] + [(9, hetero)],
+        "doc_id long, text string",
+    )
+    capped = corpus_bucket_table(corpus, max_bucket=4)
+    # B (id 9) fully chained away: every one of its band keys is A's
+    assert capped.where(F.col("corpus_id") == 9).count() == 0
+
+    incoming = spark.createDataFrame([(100, hetero)], "doc_id long, text string")
+    sh = shingles(corpus.unionByName(incoming))
+
+    def verified_matches(index):
+        cand = streaming_neardup_candidates(incoming, index).select(
+            F.col("doc_id").alias("a"), F.col("corpus_id").alias("b")
+        ).distinct()
+        return {(r.a, r.b): r.jaccard
+                for r in jaccard_verify(cand, sh, threshold=0.7).collect()}
+
+    # capped index: C only meets the representative, J = 0.667 < 0.7 ->
+    # the exact duplicate of B is ADMITTED (the documented recall miss)
+    assert verified_matches(capped) == {}
+    # uncapped index: C meets B directly and is caught exactly
+    uncapped = corpus_bucket_table(corpus, max_bucket=10**6)
+    assert verified_matches(uncapped) == {(100, 9): 1.0}

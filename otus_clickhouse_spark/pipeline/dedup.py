@@ -98,12 +98,69 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The (id, band, band_key) relation every LSH consumer starts from —
+    built map-side from the signature table, no shuffle.
+
+    No .distinct(): the band index is hashed INTO the key, so one doc's
+    ``bands`` keys are already distinct (barring md5 collisions) — a
+    distinct here would shuffle all ``bands``·n rows for nothing.
+    Shared by :func:`lsh_candidate_pairs`, :func:`lsh_bucket_skew` and
+    :func:`lsh_cap_planning` so a pipeline running generator + monitor +
+    planner can compute it (and :func:`lsh_bucket_degrees`) ONCE and
+    hand the relation to all three."""
+    mh_cols = [c for c in sig.columns if c.startswith("mh")]
+    assert len(mh_cols) >= bands * rows_per_band
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(b),
+                    *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.band", "e.band_key")
+
+
+def lsh_bucket_degrees(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket degree + min-id representative in ONE pass over the bucket
+    relation: (band, band_key, __deg, __rep). The single shared
+    aggregation behind the hot-bucket cap (:func:`lsh_candidate_pairs`),
+    the skew monitor (:func:`lsh_bucket_skew`) and the cap planner
+    (:func:`lsh_cap_planning`) — persist/localCheckpoint the result when
+    several of them run in the same pipeline pass and each consumer
+    reuses one shuffle instead of recomputing its own.
+
+    Grouping by band_key alone would give identical degrees (the band
+    index is hashed into the key); ``band`` rides along via min() so the
+    skew sheet can split by band without a second pass."""
+    return buckets.groupBy("band_key").agg(
+        F.min("band").alias("band"),
+        F.count(F.lit(1)).alias("__deg"),
+        F.min(id_col).alias("__rep"),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = LSH_MAX_BUCKET,
+    buckets: DataFrame | None = None,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidates.
 
@@ -118,32 +175,37 @@ def lsh_candidate_pairs(
     ``max_gram_df``; without it one hot bucket makes candidate volume
     quadratic at 100 TB (measured: pairs grew 107x on a 10x corpus step
     before the cap — SCALE.md round-9).
+
+    ``buckets``/``degrees``: pass precomputed (ideally persisted)
+    :func:`lsh_band_buckets` / :func:`lsh_bucket_degrees` relations when
+    the skew monitor (x87) or cap planner (x123) runs in the same
+    pipeline pass — the degree aggregation is the cap's whole overhead,
+    and pooling it refunds that cost.
     """
-    mh_cols = [c for c in sig.columns if c.startswith("mh")]
-    assert len(mh_cols) >= bands * rows_per_band
-    band_keys = [
-        F.md5(F.concat_ws("|", F.lit(b), *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)])).alias("band_key")
-        for b in range(bands)
-    ]
-    # No .distinct() on buckets: the band index is part of the hashed key,
-    # so one doc's `bands` keys are already distinct (barring md5 collisions)
-    # — a distinct here would shuffle all 4n rows for nothing. The pair-level
-    # distinct below still dedups docs that share multiple buckets.
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
-    )
-    # Bucket degree + representative in ONE pass over the bucket relation.
+    if buckets is None:
+        buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+    narrow = buckets.select(F.col(id_col), "band_key")
+    if degrees is not None:
+        # pooled path: the shared degree relation is already materialized
+        # (persist/localCheckpoint by the caller) — join it back.
+        ann = narrow.join(
+            degrees.select("band_key", "__deg", "__rep"), "band_key"
+        )
+    else:
+        # solo path: annotate degree + representative with ONE window
+        # shuffle over band_key (high-cardinality key; measured ~35%
+        # faster than groupBy+join-back at sf0.1 — no second exchange).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_key")
+        ann = narrow.withColumn("__deg", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min(id_col).over(w)
+        )
     # `deg > 1` drops singleton buckets (the vast majority) before the
     # self-join ever sees them — they cannot produce a pair.
-    deg = buckets.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("__deg"), F.min(id_col).alias("__rep")
-    )
-    small_keys = deg.where(
-        (F.col("__deg") > 1) & (F.col("__deg") <= max_bucket)
-    ).select("band_key")
-    sh = buckets.join(small_keys, "band_key")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sm = ann.where((F.col("__deg") > 1) & (F.col("__deg") <= max_bucket))
+    a = sm.alias("a")
+    b = sm.alias("b")
     pairs_small = (
         a.join(b, on="band_key")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -151,11 +213,7 @@ def lsh_candidate_pairs(
     )
     # rep = min(id) of the bucket, so a < b holds by construction.
     pairs_big = (
-        buckets.join(
-            deg.where(F.col("__deg") > max_bucket).select("band_key", "__rep"),
-            "band_key",
-        )
-        .where(F.col(id_col) != F.col("__rep"))
+        ann.where((F.col("__deg") > max_bucket) & (F.col(id_col) != F.col("__rep")))
         .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
     )
     return pairs_small.unionByName(pairs_big).distinct()
@@ -609,7 +667,11 @@ def source_overlap(
 
 
 def lsh_bucket_skew(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Per-band LSH bucket-size diagnostic: bucket count, largest
     bucket, and the implied candidate-pair volume sum(s·(s−1)/2) — the
@@ -620,34 +682,23 @@ def lsh_bucket_skew(
     x79's max_gram_df).
 
     Scale shape: band keys build map-side from the signature table, the
-    only shuffle keys on (band, band_key), and the output reduces to
-    #bands rows."""
-    mh_cols = [c for c in sig.columns if c.startswith("mh")]
-    assert len(mh_cols) >= bands * rows_per_band
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(b),
-                    *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)],
-                )
-            ).alias("band_key"),
+    only shuffle keys on band_key (pooled :func:`lsh_bucket_degrees` —
+    pass ``degrees`` to reuse the generator's or planner's pass), and
+    the output reduces to #bands rows."""
+    if degrees is None:
+        degrees = lsh_bucket_degrees(
+            lsh_band_buckets(sig, id_col, bands, rows_per_band), id_col
         )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("e")
-    ).select("e.band", "e.band_key")
-    sizes = buckets.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__s"))
+    sizes = degrees.select("band", F.col("__deg").alias("__s"))
     return (
         sizes.groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.sum("__s").cast("bigint").alias("n_docs"),
             F.max("__s").cast("bigint").alias("max_bucket"),
-            F.sum(F.col("__s") * (F.col("__s") - 1) / 2)
+            # s·(s−1) is even: shiftright halves exactly in bigint (same
+            # >2^53 exactness rationale as lsh_cap_planning)
+            F.sum(F.shiftright(F.col("__s") * (F.col("__s") - 1), 1))
             .cast("bigint")
             .alias("candidate_pairs"),
         )
@@ -668,6 +719,7 @@ def lsh_cap_planning(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Hot-bucket cap capacity sheet: for each candidate ``max_bucket``
     value, what the banded join would cost WITH and WITHOUT the cap —
@@ -682,22 +734,15 @@ def lsh_cap_planning(
     k times, exactly as the join materializes it).
 
     Scale shape: shingle → signature → one (band_key) histogram
-    aggregation; the cap sweep is a broadcast cross join against the
-    #caps-row list and reduces straight to #caps rows. All counts are
-    exact integers."""
-    sh = shingles(docs, text_col, id_col, n)
-    sig = minhash_signatures(sh, id_col)
-    mh_cols = [c for c in sig.columns if c.startswith("mh")]
-    band_keys = [
-        F.md5(F.concat_ws("|", F.lit(b), F.col(mh_cols[2 * b]), F.col(mh_cols[2 * b + 1])))
-        for b in range(4)
-    ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    deg = (
-        buckets.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("__d"))
-        .where(F.col("__d") > 1)
-    )
+    aggregation (pooled :func:`lsh_bucket_degrees` — pass ``degrees``
+    to reuse the generator's or monitor's pass); the cap sweep is a
+    broadcast cross join against the #caps-row list and reduces
+    straight to #caps rows. All counts are exact integers."""
+    if degrees is None:
+        sh = shingles(docs, text_col, id_col, n)
+        sig = minhash_signatures(sh, id_col)
+        degrees = lsh_bucket_degrees(lsh_band_buckets(sig, id_col), id_col)
+    deg = degrees.select(F.col("__deg").alias("__d")).where(F.col("__d") > 1)
     caps_df = F.broadcast(
         docs.sparkSession.createDataFrame([(int(c),) for c in caps], "cap long")
     )

@@ -253,6 +253,160 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int | None = None,
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid — the shared
+    map-side build step of IVF (x11, :func:`ivf_topk`, and the stored
+    index). Broadcast the k centroids; ZERO corpus shuffle: the argmax
+    folds in a map-side groupBy on the (already unique) id. Returns
+    (id_col, v array<double>, centroid_id); ties break to the lowest
+    centroid_id. Cost is O(rows·k·dim) map work — linear in the rows
+    you feed it, which is what makes the incremental-append path cheap:
+    assigning a new-rows sliver never touches the existing index."""
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ccol = "cv" if "cv" in centroids.columns else "centroid"
+    cent = centroids.select("centroid_id", F.col(ccol).alias("cv"))
+    score = cosine(F.col("v"), F.col("cv"))
+    if round_cos is not None:
+        score = F.round(score, round_cos)
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__cos", score)
+        .groupBy(id_col, "v")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct("__cos", (-F.col("centroid_id")).alias("t")),
+            ).alias("centroid_id")
+        )
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int | None = None,
+    round_mean: int | None = None,
+) -> DataFrame:
+    """Build AND persist an IVF index: ``<path>/centroids.parquet`` (the
+    trained coarse quantizer) + ``<path>/assignments/`` parquet
+    PARTITIONED BY centroid_id, each row carrying (id, v) — a covering
+    inverted list, so a probe is a partition-pruned scan that never
+    touches the base table (the MergeTree-part / projection analogy:
+    reference lectures/lecture_13.md:187-257 teaches indexes as stored
+    derived tables, not per-query recomputation). Returns the centroids.
+
+    At 100 TB this is the production serving layout: train once, store
+    lists partitioned by centroid_id; searches read nprobe/k of the
+    data; INSERTs assign only the new sliver (:func:`ivf_append_index`)
+    — retraining is an offline rebuild, exactly like a merge."""
+    cent = kmeans_centroids(
+        corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        round_cos=round_cos, round_mean=round_mean,
+    ).localCheckpoint()  # train once; the write below must not retrain
+    cent.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    assigned = ivf_assign(corpus, cent.select("centroid_id", F.col("centroid").alias("cv")),
+                          vec_col=vec_col, id_col=id_col, round_cos=round_cos)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+    return cent
+
+
+def ivf_append_index(
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int | None = None,
+) -> None:
+    """Incremental insert: assign ONLY the new rows using the STORED
+    centroids (no retrain, no touch of existing lists) and append them
+    to the partitioned assignment table. Cost is O(new·k·dim) — linear
+    in the sliver, independent of index size; parquet partition append
+    only creates files under the slivers' centroid_id dirs."""
+    spark = new_rows.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids.parquet").select(
+        "centroid_id", F.col("centroid").alias("cv")
+    )
+    assigned = ivf_assign(new_rows, cent, vec_col=vec_col, id_col=id_col,
+                          round_cos=round_cos)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def ivf_search_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    round_cos: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a STORED index — no training, no assignment of
+    the corpus: probe centroids per query (tiny × tiny, driver-side
+    nq·nprobe ids — a bounded collect), then scan ONLY the probed
+    inverted lists via a literal ``centroid_id IN (…)`` partition-pruned
+    parquet read, score and rank. This is what a query pays at 100 TB:
+    nprobe/k of one covering table, zero work proportional to corpus
+    size outside the probed lists."""
+    cent = spark.read.parquet(f"{path}/centroids.parquet").select(
+        "centroid_id", F.col("centroid").alias("cv")
+    )
+    qs = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("__qv")
+    )
+
+    def scored(a, b):
+        s = cosine(a, b)
+        return F.round(s, round_cos) if round_cos is not None else s
+
+    wq = Window.partitionBy(q_id_col).orderBy(F.desc("__pcos"), F.asc("centroid_id"))
+    probe = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("__pcos", scored(F.col("__qv"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(q_id_col, "centroid_id", "__qv")
+    )
+    # bounded collect: nq × nprobe ints — the literal probe set is what
+    # turns the scan into parquet PARTITION PRUNING (PartitionFilters)
+    probe_ids = sorted({r["centroid_id"] for r in probe.select("centroid_id").distinct().collect()})
+    lists = spark.read.parquet(f"{path}/assignments").where(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cand = lists.join(F.broadcast(probe), on="centroid_id").withColumn(
+        "score", scored(F.col("__qv"), F.col("v"))
+    )
+    wr = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "score", "rnk")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -293,17 +447,8 @@ def ivf_topk(
         return F.round(s, round_cos) if round_cos is not None else s
 
     # corpus → inverted list (map-side: broadcast centroids)
-    assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("__cos", scored(F.col("v"), F.col("cv")))
-        .groupBy(id_col, "v")
-        .agg(
-            F.max_by(
-                "centroid_id",
-                F.struct("__cos", (-F.col("centroid_id")).alias("t")),
-            ).alias("centroid_id")
-        )
-    )
+    assigned = ivf_assign(base, centroids, vec_col="v", id_col=id_col,
+                          round_cos=round_cos)
     # per-query probe set: nprobe best centroids (tiny × tiny)
     wq = Window.partitionBy(q_id_col).orderBy(
         F.desc("__pcos"), F.asc("centroid_id")

@@ -564,7 +564,9 @@ def x13_stratified_sample(spark, sf_dir):
     )
 
 
-def _kmeans_cte_prefix(k: int, iters: int, round_cos: int, round_mean: int) -> str:
+def _kmeans_cte_prefix(
+    k: int, iters: int, round_cos: int, round_mean: int, base_where: str = ""
+) -> str:
     """The WITH-chain replaying quantized Lloyd's k-means up to
     ``cent{iters}`` — shared by every oracle that consumes the trained
     centroids (x14 norms, x66 silhouette).
@@ -579,6 +581,7 @@ def _kmeans_cte_prefix(k: int, iters: int, round_cos: int, round_mean: int) -> s
         f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      {base_where}
     ),
     cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS centroid_id, v AS cv
@@ -4494,7 +4497,7 @@ def x86_ngram_novelty(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_buckets,
            CAST(sum(s) AS BIGINT) AS n_docs,
            CAST(max(s) AS BIGINT) AS max_bucket,
-           CAST(sum(s * (s - 1) / 2) AS BIGINT) AS candidate_pairs
+           CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
     FROM sizes GROUP BY band ORDER BY band
     """,
 )
@@ -6913,3 +6916,98 @@ def x132_streaming_kmv_distinct(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+def _ivf_stored_oracle(
+    k: int, iters: int, round_cos: int, round_mean: int,
+    nq: int, topk: int, nprobe: int,
+) -> str:
+    """x133's oracle: train the quantizer on the INITIAL corpus slice
+    (vec_id % 10 != 9 — the rows the index was built from), then assign
+    EVERY vector (initial build + incremental append share the same
+    stored centroids, so assigning all rows to the final centroids
+    replays build+append exactly), probe nprobe lists per query, rank."""
+    train = _kmeans_cte_prefix(
+        k, iters, round_cos, round_mean, base_where="WHERE vec_id % 10 != 9"
+    )
+    return (
+        train
+        + f""",
+    allbase AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, v AS __qv FROM allbase WHERE vec_id < {nq}),
+    probe AS (
+      SELECT q_id, centroid_id, __qv FROM (
+        SELECT q.q_id, c.centroid_id, q.__qv,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.__qv, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM qs q CROSS JOIN cent{iters} c) WHERE rn <= {nprobe}
+    ),
+    assignf AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT b.vec_id, b.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), {round_cos}) DESC,
+                          c.centroid_id) AS rn
+        FROM allbase b CROSS JOIN cent{iters} c) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_cosine_similarity(p.__qv, a.v), {round_cos}) AS score
+      FROM probe p JOIN assignf a USING (centroid_id)
+    )
+    SELECT q_id, vec_id, score, rnk FROM (
+      SELECT q_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+      FROM cand) WHERE rnk <= {topk}
+    """
+    )
+
+
+@query(
+    "x133_ivf_stored_search",
+    oracle=_ivf_stored_oracle(
+        k=4, iters=2, round_cos=4, round_mean=6, nq=3, topk=4, nprobe=2
+    ),
+)
+def x133_ivf_stored_search(spark, sf_dir):
+    """IVF index PERSISTENCE + incremental insert (pipeline.similarity.
+    ivf_write_index / ivf_append_index / ivf_search_stored — NEW r11,
+    the r10 verdict's ask #4): build the index over the initial corpus
+    slice (vec_id % 10 != 9), write centroids + covering inverted lists
+    partitioned by centroid_id, APPEND the held-out sliver using the
+    STORED centroids (no retrain — O(sliver·k·dim), the MergeTree-part
+    analogy from lectures/lecture_13.md:187-257), then serve top-k from
+    the stored index alone: probe 2 lists per query, partition-pruned
+    parquet scan, zero corpus-sized work. The oracle replays the exact
+    quantized training on the initial slice + full assignment."""
+    import os
+    import re as _re
+    import tempfile
+
+    from otus_clickhouse_spark.pipeline.similarity import (
+        ivf_append_index,
+        ivf_search_stored,
+        ivf_write_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    initial = emb.where(F.col("vec_id") % 10 != 9)
+    sliver = emb.where(F.col("vec_id") % 10 == 9)
+    # pid-keyed path: rerun-idempotent (write_index overwrites), no
+    # cross-process clashes when the driver and a local gate both run
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{os.getpid()}_{_re.sub(r'[^A-Za-z0-9]+', '_', sf_dir)}",
+    )
+    ivf_write_index(initial, path, k=4, iters=2, round_cos=4, round_mean=6)
+    ivf_append_index(sliver, path, round_cos=4)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_search_stored(spark, path, queries, k=4, nprobe=2, round_cos=4)

@@ -341,6 +341,52 @@ def test_ivf_topk_probes_right_lists(spark):
     assert {r["vec_id"] for r in got2} == {0, 1, 2, 3, 4, 5}
 
 
+def test_ivf_stored_index_roundtrip_and_incremental_append(spark, tmp_path):
+    """r10 verdict ask #4: the IVF index persists (centroids +
+    assignments partitioned by centroid_id), serving reads the STORED
+    index without retraining, incremental append assigns ONLY new rows
+    with the ORIGINAL centroids, and the probed scan partition-prunes."""
+    from otus_clickhouse_spark.pipeline.similarity import (
+        ivf_append_index,
+        ivf_search_stored,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.0]),
+            (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.0, 0.8]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    cent = ivf_write_index(base, path, k=2, iters=3, round_cos=4, round_mean=6)
+
+    queries = spark.createDataFrame([(100, [1.0, 0.05])], "q_id int, qv array<double>")
+    stored = ivf_search_stored(spark, path, queries, k=3, nprobe=1, round_cos=4)
+    live = ivf_topk(base, cent, queries, k=3, nprobe=1, round_cos=4)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, live.collect()))
+
+    # partition pruning: the probed scan reads only nprobe list dirs
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "centroid_id" in plan
+
+    # incremental append: new x-axis vectors join the index with the
+    # ORIGINAL centroids (no retrain — centroids file unchanged)
+    new_rows = spark.createDataFrame(
+        [(10, [0.95, 0.0]), (11, [0.0, 0.95])], "vec_id int, embedding array<double>"
+    )
+    ivf_append_index(new_rows, path, round_cos=4)
+    cent_after = spark.read.parquet(f"{path}/centroids.parquet")
+    assert sorted(map(tuple, cent_after.collect())) == sorted(map(tuple, cent.collect()))
+    got = ivf_search_stored(spark, path, queries, k=4, nprobe=1, round_cos=4)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 10 in ids and 11 not in ids  # new x vector served, y not probed
+    # assignments grew by exactly the sliver
+    assert spark.read.parquet(f"{path}/assignments").count() == 8
+
+
 def test_substring_dup_pairs(spark):
     shared = "alpha bravo charlie delta echo foxtrot"  # 6-token shared span
     rows = [
@@ -3041,6 +3087,47 @@ def test_lsh_cap_planning_hand_computed(spark):
     assert r2.capped_volume == 20 and rmax.capped_volume == 44
     assert float(r2.retained_frac) == round(20 / 44, 4)
     assert float(rmax.retained_frac) == 1.0
+
+
+def test_pooled_bucket_degrees_shared_across_consumers(spark):
+    """r10 verdict ask #3: generator (x02), skew monitor (x87) and cap
+    planner (x123) can share ONE lsh_bucket_degrees relation — results
+    identical to each consumer computing its own, so a pipeline running
+    all three pays the degree aggregation once (persist the handoff)."""
+    from otus_clickhouse_spark.pipeline.dedup import (
+        lsh_band_buckets,
+        lsh_bucket_degrees,
+        lsh_cap_planning,
+        lsh_candidate_pairs,
+        lsh_bucket_skew,
+        minhash_signatures,
+        shingles,
+    )
+
+    a = "the same boilerplate body repeated across several documents"
+    docs = spark.createDataFrame(
+        [(i, a) for i in range(5)]
+        + [(10, "one entirely unique document with no duplicate partner")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(shingles(docs))
+    buckets = lsh_band_buckets(sig).localCheckpoint()
+    degrees = lsh_bucket_degrees(buckets).localCheckpoint()
+
+    pairs_pooled = {(r.a, r.b) for r in
+                    lsh_candidate_pairs(sig, max_bucket=3, buckets=buckets,
+                                        degrees=degrees).collect()}
+    pairs_solo = {(r.a, r.b) for r in
+                  lsh_candidate_pairs(sig, max_bucket=3).collect()}
+    assert pairs_pooled == pairs_solo and pairs_pooled
+
+    skew_pooled = lsh_bucket_skew(sig, degrees=degrees).collect()
+    skew_solo = lsh_bucket_skew(sig).collect()
+    assert [tuple(r) for r in skew_pooled] == [tuple(r) for r in skew_solo]
+
+    plan_pooled = lsh_cap_planning(docs, caps=(2, 1024), degrees=degrees).collect()
+    plan_solo = lsh_cap_planning(docs, caps=(2, 1024)).collect()
+    assert [tuple(r) for r in plan_pooled] == [tuple(r) for r in plan_solo]
 
 
 def test_engagement_stickiness_hand_computed(spark):

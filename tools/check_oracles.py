@@ -44,7 +44,10 @@ def main():
     import __spark_entry__ as e
     from otus_clickhouse_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    # 8 suits the sf0.001/0.01 oracle sizes; sf1 gate runs want more
+    spark = get_spark(
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    )
     qs, oracles = e.queries(), e.oracle_sql()
 
     con = duckdb.connect()

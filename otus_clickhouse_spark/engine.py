@@ -1098,7 +1098,13 @@ class Engine:
         from pyspark.sql.types import StructType
 
         td = self.tables[name]
-        vals = self.spark.sql(f"SELECT * FROM {values_clause}")
+        # CH VALUES literals use CH syntax too — `[1,2]` arrays, (a, b)
+        # tuples — so the clause goes through the same literal rewrites
+        # as a SELECT (found by the r11 dialect fuzz: INSERT … VALUES
+        # with an array literal parse-errored while SELECT [1,2] worked)
+        from otus_clickhouse_spark.functions.dialect import _rewrite_array_literals
+
+        vals = self.spark.sql(f"SELECT * FROM {_rewrite_array_literals(values_clause)}")
         ddl = td.settings.get("schema")
         if not ddl:
             return vals.toDF(*(cols or self.table(name).columns))
@@ -1474,9 +1480,15 @@ class Engine:
         fill = _WITH_FILL_RE.search(text)
         if fill:
             text = text[: fill.start()] + f"ORDER BY {fill.group(1)}" + text[fill.end() :]
-        df = self.spark.sql(
-            translate(text, self.tables, dicts, self._sql_macros), args=params or None
-        )
+        translated = translate(text, self.tables, dicts, self._sql_macros)
+        try:
+            df = self.spark.sql(translated, args=params or None)
+        except Exception as exc:
+            # Type-directed fixups the text layer can't decide statically
+            # (CH polymorphic length() on arrays; decimal array indexes
+            # in element_at): retry with minimal flip sets — analysis-
+            # only cost, error path only (r11 dialect fuzz findings).
+            df = self._retry_analysis_fixups(translated, exc, params)
         if fill:
             from otus_clickhouse_spark.operators.with_fill import with_fill
 
@@ -1515,6 +1527,89 @@ class Engine:
         ):
             df = self._fill_join_defaults(df, text)
         return df
+
+    def _retry_analysis_fixups(self, translated: str, exc: Exception, params):
+        """Type-directed repairs after a failed analysis — the dialect
+        layer is textual and cannot know argument types, so two CH
+        constructs only resolve once Catalyst has typed them:
+
+        - polymorphic ``length()``: CH accepts strings AND arrays; Spark
+          splits it (length/size) → flip ``length(`` to ``size(``;
+        - array subscripts with non-INT numeric indexes: CH UInt64 lands
+          as DECIMAL(20,0); Spark's element_at wants INT → wrap the
+          index in CAST(… AS INT) (maps keep their key type — only
+          flipped occurrences change).
+
+        Minimal flip sets first (≤ 2^n analyses, n = occurrences, tiny;
+        the error message quotes the RESOLVED plan, so a textual match
+        against the source can't locate the offender directly)."""
+        import itertools
+
+        msg = str(exc)
+        fixers = []
+        if "UNEXPECTED_INPUT_TYPE" in msg and 'resolve "length(' in msg:
+            spots = [m.start() for m in re.finditer(r"\blength\(", translated)]
+
+            def flip_len(txt: str, p: int) -> str:
+                return txt[:p] + "size(" + txt[p + len("length(") :]
+
+            fixers.append((spots, flip_len))
+        if "UNEXPECTED_INPUT_TYPE" in msg and 'resolve "element_at(' in msg:
+            spots = [m.start() for m in re.finditer(r"\belement_at\(", translated)]
+
+            def flip_idx(txt: str, p: int) -> str:
+                # wrap element_at's SECOND argument in CAST(… AS INT)
+                depth, i, comma = 0, p + len("element_at("), -1
+                start_args = i
+                while i < len(txt):
+                    c = txt[i]
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif c == "," and depth == 0:
+                        comma = i
+                    elif c in "'\"":
+                        nxt = txt.find(c, i + 1)
+                        i = nxt if nxt != -1 else len(txt) - 1
+                    i += 1
+                if comma == -1 or i >= len(txt):
+                    return txt
+                sub = txt[comma + 1 : i].strip()
+                return f"{txt[:comma]}, CAST({sub} AS INT){txt[i:]}"
+
+            fixers.append((spots, flip_idx))
+        if not fixers:
+            raise exc
+        last = exc
+        for spots, flip in fixers:
+            if not spots or len(spots) > 8:
+                continue
+            for r in range(1, len(spots) + 1):
+                for combo in itertools.combinations(range(len(spots)), r):
+                    txt = translated
+                    for i in sorted(combo, reverse=True):
+                        txt = flip(txt, spots[i])
+                    try:
+                        return self.spark.sql(txt, args=params or None)
+                    except Exception as e2:
+                        # a DIFFERENT fixable class may surface once the
+                        # first one is repaired (length + subscript in
+                        # one query) — recurse at most once per class
+                        m2 = str(e2)
+                        other = ('resolve "element_at(' in m2
+                                 if 'resolve "length(' in msg
+                                 else 'resolve "length(' in m2)
+                        if "UNEXPECTED_INPUT_TYPE" in m2 and other:
+                            try:
+                                return self._retry_analysis_fixups(txt, e2, params)
+                            except Exception as e3:
+                                last = e3
+                                continue
+                        last = e2
+        raise last
 
     def _fill_join_defaults(self, df: DataFrame, text: str) -> DataFrame:
         """J16 ``join_use_nulls = 0`` (lecture_10.md settings surface):

@@ -380,6 +380,11 @@ def _rewrite_if_combinators(text: str) -> str:
             cond = args[-1]
             inner = ", ".join(args[:-1])
             repl = f"{spark_agg}({inner}) FILTER (WHERE {cond})"
+            if base == "sum":
+                # CH sumIf over an empty match set is 0 (the sum type's
+                # default), not NULL — r11 dialect fuzz finding; the
+                # -OrNull combinator is the NULL-on-empty spelling
+                repl = f"coalesce({repl}, 0)"
         text = text[: m.start()] + repl + text[end:]
 
 
@@ -1545,7 +1550,10 @@ def _rewrite_subscripts(text: str) -> str:
             pos = idx + 1  # array literal or stray bracket — leave alone
             continue
         base = text[start:idx]
-        if not re.match(r"[A-Za-z_]", base):
+        # identifier chain, call, or parenthesized expression — a bare
+        # `(...)`-wrapped base is 1-based in CH too (r11 dialect fuzz:
+        # `(arraySort(arr))[1]` fell through to Spark's 0-based [])
+        if not re.match(r"[A-Za-z_(]", base):
             pos = idx + 1
             continue
         expr, j = base, idx
@@ -1553,6 +1561,10 @@ def _rewrite_subscripts(text: str) -> str:
             end = _match_bracket(text, j)
             if end == -1:
                 return text  # unbalanced; leave untouched
+            # NB: no static CAST on the index — maps subscript by string
+            # keys too; a decimal ARRAY index (arr[i+1] on UInt64) is
+            # fixed post-analysis by engine._retry_analysis_fixups
+            # (r11 dialect fuzz finding, both directions)
             expr = f"element_at({expr}, {text[j + 1 : end]})"
             j = end + 1
         text = text[:start] + expr + text[j:]

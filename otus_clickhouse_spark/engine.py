@@ -11,6 +11,7 @@ reference lectures/lecture_07.md:34-817) are carried as metadata on
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -2154,6 +2155,47 @@ class Engine:
             fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
             fs.delete(hpath, True)
 
+        # --- exactly-once landing protocol (r10 verdict ask #6) -------
+        # foreachBatch is AT-LEAST-ONCE: after a crash, Spark replays the
+        # last uncommitted epoch WITH THE SAME epoch id, and the MV
+        # cascade's appends would duplicate. Protocol (local-fs
+        # checkpoints; a remote ck URI skips it — the broker path's
+        # production answer is a transactional table format):
+        #   pre-image : before touching any landing table, persist the
+        #               file listing of every (transitive) MV target
+        #               under <ck>/_epochs/<epoch>.pre;
+        #   commit    : after all appends, write <epoch>.commit and drop
+        #               the pre-image;
+        #   replay    : .commit present → the epoch fully landed, skip;
+        #               .pre present → a crash interrupted the appends;
+        #               delete landing files NOT in the pre-image (roll
+        #               back the partial attempt), then process normally.
+        # Kill the stream at ANY point and restart from the checkpoint:
+        # the landing tables converge to exactly-once contents. (MV
+        # targets are owned by the stream while attached — same contract
+        # as the reference's Kafka→MV→MergeTree pipeline.)
+        epochs_dir = os.path.join(ck, "_epochs") if "://" not in ck else None
+        if epochs_dir:
+            os.makedirs(epochs_dir, exist_ok=True)
+
+        def _landing_targets() -> dict[str, str]:
+            out, stack = {}, list(mvs)
+            while stack:
+                mv = stack.pop()
+                td = self.tables.get(mv.target) if mv.target else None
+                if td is not None and td.path:
+                    out[mv.target] = td.path
+                stack.extend(mv.cascades)
+            return out
+
+        def _listing(path: str) -> list[str]:
+            files = []
+            for root, _, fns in os.walk(path):
+                files.extend(
+                    os.path.relpath(os.path.join(root, f), path) for f in fns
+                )
+            return sorted(files)
+
         def process(batch_df, epoch):
             # foreachBatch hands a frame bound to the micro-batch's CLONED
             # session; MV transforms register temp views on the ENGINE's
@@ -2170,6 +2212,33 @@ class Engine:
             # schema') — guard BEFORE the write.
             if batch_df.isEmpty():
                 return
+            pre = commit = None
+            if epochs_dir:
+                commit = os.path.join(epochs_dir, f"{epoch}.commit")
+                pre = os.path.join(epochs_dir, f"{epoch}.pre")
+                if os.path.exists(commit):
+                    return  # replay of a fully-committed epoch
+                targets = _landing_targets()
+                if os.path.exists(pre):
+                    # crash mid-epoch: roll back the partial appends
+                    with open(pre) as fh:
+                        snap = json.loads(fh.read())
+                    for tname, path in targets.items():
+                        keep = set(snap.get(tname, []))
+                        if not os.path.exists(path):
+                            continue
+                        for rel in _listing(path):
+                            if rel not in keep:
+                                os.remove(os.path.join(path, rel))
+                else:
+                    snap = {
+                        t: (_listing(p) if os.path.exists(p) else [])
+                        for t, p in targets.items()
+                    }
+                    tmp = pre + ".tmp"
+                    with open(tmp, "w") as fh:
+                        fh.write(json.dumps(snap))
+                    os.replace(tmp, pre)
             stage = f"{stage_root.rstrip('/')}/epoch_{epoch}"
             batch_df.write.mode("overwrite").parquet(stage)
             block = self.spark.read.parquet(stage)
@@ -2189,6 +2258,11 @@ class Engine:
             _stage_rm(stage)
             for mv in mvs:
                 mv.process_block(shaped)
+            if epochs_dir:
+                with open(commit, "w") as fh:
+                    fh.write("")
+                if pre and os.path.exists(pre):
+                    os.remove(pre)
 
         return (
             raw.writeStream.foreachBatch(process)
@@ -2225,7 +2299,8 @@ class Engine:
                 self.spark.catalog.dropTempView(view)
 
         mv = MaterializedView(
-            name=name, transform=transform, sink=lambda out: self.insert(target, out)
+            name=name, transform=transform,
+            sink=lambda out: self.insert(target, out), target=target,
         )
         self._mvs.setdefault(source, []).append(mv)
         if populate:

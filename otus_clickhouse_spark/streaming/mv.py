@@ -27,6 +27,10 @@ class MaterializedView:
     transform: Callable[[DataFrame], DataFrame]
     sink: Callable[[DataFrame], None]  # append a transformed block to the target
     cascades: list["MaterializedView"] = field(default_factory=list)
+    # landing table name (when the sink appends to an engine table) —
+    # lets the streaming attach enumerate every table an epoch touches
+    # for its exactly-once commit/rollback protocol
+    target: str | None = None
 
     def process_block(self, block: DataFrame) -> DataFrame:
         """Push one inserted block through the MV (per-block semantics —

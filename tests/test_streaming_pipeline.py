@@ -779,3 +779,87 @@ def test_corpus_bucket_cap_post_verify_recall(spark):
     # uncapped index: C meets B directly and is caught exactly
     uncapped = corpus_bucket_table(corpus, max_bucket=10**6)
     assert verified_matches(uncapped) == {(100, 9): 1.0}
+
+
+def test_kafka_attach_exactly_once_under_crash_and_restart(engine, tmp_path):
+    """r10 verdict ask #6: kill the engine's Kafka→MV→MergeTree stream
+    MID-EPOCH — after the MV appended its block to the landing table but
+    BEFORE the epoch committed (the exact window where at-least-once
+    foreachBatch used to duplicate) — restart from the checkpoint, and
+    assert the landing table converges to exactly-once contents: every
+    produced message exactly once, none lost.
+
+    Mechanics under test (engine.kafka_attach_stream's epoch protocol):
+    the replayed epoch finds its .pre file listing, rolls back the
+    orphaned partial appends, reprocesses, then commits; fully-committed
+    epochs replayed by Spark are skipped via their .commit marker."""
+    import json
+    import shutil as _shutil
+
+    topic = "eo_topic"
+    _shutil.rmtree(f"spark-warehouse/_kafka/{topic}", ignore_errors=True)
+    for ddl in ("DROP TABLE IF EXISTS eo_mv", "DROP TABLE IF EXISTS eo_src",
+                "DROP TABLE IF EXISTS eo_raw"):
+        engine.execute(ddl)
+    engine.execute(
+        "CREATE TABLE eo_src (message String) ENGINE = Kafka "
+        f"SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = '{topic}', "
+        "kafka_format = 'JSONAsString', kafka_group_name = 'eo_grp'"
+    )
+    engine.execute(
+        "CREATE TABLE eo_raw (message String, _offset UInt64) "
+        "ENGINE = MergeTree ORDER BY _offset"
+    )
+    engine.tables["eo_raw"].path = str(tmp_path / "eo_raw")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW eo_mv TO eo_raw AS "
+        "SELECT message, _offset FROM eo_src"
+    )
+    # 2 produce blocks = 2 topic segments; all messages distinct
+    msgs = [json.dumps({"i": i}) for i in range(20)]
+    engine.kafka_produce(topic, msgs[:10])
+    engine.kafka_produce(topic, msgs[10:])
+
+    # inject the crash: the MV lands its block, then the process dies
+    # before the epoch commit marker is written
+    mv = engine._mvs["eo_src"][0]
+    orig_sink, state = mv.sink, {"armed": True}
+
+    def crashing_sink(out):
+        orig_sink(out)
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected crash: landed but uncommitted")
+
+    mv.sink = crashing_sink
+    ck = str(tmp_path / "eo_ck")
+    try:
+        q = engine.kafka_attach_stream("eo_src", checkpoint=ck)
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+        q.stop()
+        # the partial appends ARE in the landing table right now —
+        # this is the state a naive append-only sink would double
+        landed_mid = engine.execute("SELECT count() AS n FROM eo_raw")[0].n
+        assert landed_mid > 0
+
+        mv.sink = orig_sink
+        q2 = engine.kafka_attach_stream("eo_src", checkpoint=ck)
+        q2.processAllAvailable()
+        q2.stop()
+        rows = engine.execute("SELECT message FROM eo_raw")
+        got = sorted(r.message for r in rows)
+        assert got == sorted(msgs), (len(got), len(msgs))
+
+        # and a replay of fully-committed epochs (fresh attach, same
+        # checkpoint) must be a no-op, not a re-append
+        q3 = engine.kafka_attach_stream("eo_src", checkpoint=ck)
+        q3.processAllAvailable()
+        q3.stop()
+        assert engine.execute("SELECT count() AS n FROM eo_raw")[0].n == len(msgs)
+    finally:
+        mv.sink = orig_sink
+        for ddl in ("DROP TABLE IF EXISTS eo_mv", "DROP TABLE IF EXISTS eo_src",
+                    "DROP TABLE IF EXISTS eo_raw"):
+            engine.execute(ddl)
+        _shutil.rmtree(f"spark-warehouse/_kafka/{topic}", ignore_errors=True)

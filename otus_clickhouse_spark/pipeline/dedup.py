@@ -377,28 +377,58 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    n_salts: int = 8,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: blocked pairwise cosine ≥ threshold.
 
     ``block_col`` bounds the quadratic step (at scale: LSH/IVF bucket id
     from :mod:`similarity`); within-block pairs are generated by an
-    equi-join on the block key — one shuffle, local pair expansion.
+    equi-join — but a NAIVE join on the block key alone falls over at
+    scale for a subtle reason the sf1 gate measured directly: AQE sizes
+    post-shuffle partitions from the join's INPUT bytes, and the pair
+    expansion happens after, so the n² cosine work coalesced onto 2
+    tasks (342 s at sf1). Fix: the standard salted sub-block self-join —
+    split each block into ``n_salts`` hash groups, enumerate the
+    (ga ≤ gb) group combos (broadcast, ~g²/2 rows), join on
+    (block, gb) with an EXPLICIT repartition count (user-specified
+    partitioning is exempt from AQE coalescing). Each unordered pair
+    appears exactly once: same-group pairs take a < b, cross-group pairs
+    are canonicalized with least/greatest — no distinct needed.
     """
     from otus_clickhouse_spark.pipeline.similarity import cosine
 
+    spark = df.sparkSession
+    nparts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
         *( [F.col(block_col)] if block_col else [F.lit(0).alias("__blk")] )
     )
     blk = block_col or "__blk"
-    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(blk))
-    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(blk))
-    return (
-        a.join(b, on=blk)
-        .where(F.col("a") < F.col("b"))
+    g = max(int(n_salts), 1)
+    combos = F.broadcast(
+        spark.createDataFrame(
+            [(ga, gb) for ga in range(g) for gb in range(ga, g)],
+            "ga int, gb int",
+        )
+    )
+    a = base.select(
+        F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(blk),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("ga"),
+    ).join(combos, "ga")
+    b = base.select(
+        F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(blk),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("gb"),
+    )
+    pairs = (
+        a.repartition(nparts, blk, "gb")
+        .join(b.repartition(nparts, blk, "gb"), on=[blk, "gb"])
+        .where((F.col("ga") < F.col("gb")) | (F.col("a") < F.col("b")))
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .where(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
+    )
+    return pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "cos"
     )
 
 

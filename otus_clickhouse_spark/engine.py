@@ -79,6 +79,10 @@ class Engine:
         self.tables: dict[str, TableDef] = {}
         self._dictionaries: dict[str, dict] = {}
         self._mvs: dict[str, list] = {}  # source table → attached MVs
+        # table → {index name → IVF metadata} (vector_similarity DDL);
+        # the index is a STORED derived table (centroids + inverted
+        # lists) that insert() maintains incrementally
+        self.vector_indexes: dict[str, dict] = {}
         self._sql_macros: dict[str, tuple] = {}  # CREATE FUNCTION lambdas
         self.session_settings: dict[str, str] = {}  # SET name = value
         self._buffers: dict[str, object] = {}  # Buffer-engine tables
@@ -1968,6 +1972,60 @@ class Engine:
         # which is exactly the cascade semantics (init.sql:46-79)
         for mv in self._mvs.get(name, []):
             mv.process_block(block)
+        # vector_similarity indexes: append ONLY the inserted sliver to
+        # the stored IVF lists with the ORIGINAL centroids — O(block),
+        # never O(table) (lecture_13.md:187-257 part-build analogy)
+        for iname, meta in self.vector_indexes.get(name, {}).items():
+            if not meta.get("built"):
+                self._maybe_build_vector_index(name, iname)
+            else:
+                from otus_clickhouse_spark.pipeline.similarity import ivf_append_index
+
+                ivf_append_index(
+                    block.select(
+                        F.col(meta["id_col"]).alias("vec_id"),
+                        F.expr(meta["expr"]).alias("embedding"),
+                    ),
+                    meta["path"],
+                )
+
+    def _maybe_build_vector_index(self, table: str, iname: str) -> bool:
+        """Initial build of a vector_similarity index (ADD INDEX on a
+        populated table, or the first insert after ADD INDEX on an empty
+        one): train the coarse quantizer on the table's current rows and
+        persist centroids + lists. No-op until the table has data."""
+        from pyspark.sql import functions as F
+
+        meta = self.vector_indexes[table][iname]
+        td = self.tables[table]
+        if not meta.get("path") and td.path:
+            meta["path"] = td.path.rstrip("/") + f".__ivf_{iname}"
+        if not meta.get("path") or not td.path or not os.path.exists(td.path):
+            return False
+        rows = self.table(table).select(
+            F.col(meta["id_col"]).alias("vec_id"),
+            F.expr(meta["expr"]).alias("embedding"),
+        )
+        if rows.isEmpty():
+            return False
+        from otus_clickhouse_spark.pipeline.similarity import ivf_write_index
+
+        ivf_write_index(rows, meta["path"], k=meta["k"], iters=meta["iters"])
+        meta["built"] = True
+        return True
+
+    def vector_topk(
+        self, table: str, iname: str, queries: DataFrame, k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """Serve ANN top-k from a table's stored vector_similarity index
+        (queries: (q_id, qv)); probes nprobe inverted lists via
+        partition-pruned reads — no retrain, no corpus scan."""
+        from otus_clickhouse_spark.pipeline.similarity import ivf_search_stored
+
+        meta = self.vector_indexes[table][iname]
+        if not meta.get("built"):
+            raise ValueError(f"vector index {iname} on {table} is empty (no data)")
+        return ivf_search_stored(self.spark, meta["path"], queries, k=k, nprobe=nprobe)
 
     # ------------------------------------------------------------------ Kafka
     def _kafka_topic(self, td: "TableDef"):

@@ -1558,3 +1558,58 @@ def test_base_name_rewrite_comma_list_with_aliases(engine):
     finally:
         engine.execute("USE default")
         engine.execute("DROP DATABASE IF EXISTS cml")
+
+
+def test_vector_similarity_index_ddl_lifecycle(engine, tmp_path):
+    """r10 verdict ask #4, engine surface: ADD INDEX … TYPE
+    vector_similarity(k, iters) materializes a STORED IVF index
+    (centroids + inverted lists partitioned by centroid_id) next to the
+    table; INSERT appends only the new sliver with the ORIGINAL
+    centroids; engine.vector_topk serves from the stored lists; DROP
+    INDEX removes the derived table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    engine.execute("DROP TABLE IF EXISTS vs_t")
+    engine.execute(
+        "CREATE TABLE vs_t (vec_id UInt64, embedding Array(Float64)) "
+        "ENGINE = MergeTree ORDER BY vec_id"
+    )
+    engine.tables["vs_t"].path = str(tmp_path / "vs_t")
+    try:
+        engine.execute(
+            "INSERT INTO vs_t VALUES "
+            "(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.0]), "
+            "(3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.0, 0.8])"
+        )
+        engine.execute(
+            "ALTER TABLE vs_t ADD INDEX emb_idx embedding "
+            "TYPE vector_similarity(2, 3)"
+        )
+        meta = engine.vector_indexes["vs_t"]["emb_idx"]
+        assert meta["built"] and os.path.exists(f"{meta['path']}/assignments")
+        cent_before = sorted(
+            map(tuple, engine.spark.read.parquet(f"{meta['path']}/centroids.parquet").collect())
+        )
+        # incremental insert: sliver assigned with the ORIGINAL centroids
+        engine.execute("INSERT INTO vs_t VALUES (10, [0.95, 0.0])")
+        cent_after = sorted(
+            map(tuple, engine.spark.read.parquet(f"{meta['path']}/centroids.parquet").collect())
+        )
+        assert cent_after == cent_before
+        assert engine.spark.read.parquet(f"{meta['path']}/assignments").count() == 7
+
+        queries = engine.spark.createDataFrame(
+            [(100, [1.0, 0.05])], "q_id int, qv array<double>"
+        )
+        got = engine.vector_topk("vs_t", "emb_idx", queries, k=4, nprobe=1).collect()
+        ids = {r["vec_id"] for r in got}
+        assert 10 in ids and 0 in ids and 3 not in ids  # y-list not probed
+
+        engine.execute("ALTER TABLE vs_t DROP INDEX emb_idx")
+        assert not os.path.exists(meta["path"])
+        assert "emb_idx" not in engine.vector_indexes["vs_t"]
+    finally:
+        engine.vector_indexes.pop("vs_t", None)
+        engine.execute("DROP TABLE IF EXISTS vs_t")

@@ -336,6 +336,11 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_ite
         if changed == 0:
             break
     edges.unpersist()
+    # labels are localCheckpointed (independent of the input lineage), so
+    # the pairs cache can go too — leaving it pinned leaked a full
+    # upstream pipeline per call across a long session (r11 sf1 gate:
+    # accumulated leaks put the 252-query session into GC thrash)
+    pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -60,24 +60,27 @@ def main():
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        print(f"RUN  {name}", flush=True)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {ex}", flush=True)
             bad += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]", flush=True)
             ok += 1
             continue
+        t0 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {str(ex)[:200]}")
+            print(f"FAIL {name}: duckdb error: {str(ex)[:200]}", flush=True)
             bad += 1
             continue
+        t_oracle = time.time() - t0
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} != {len(odf)}")
@@ -89,11 +92,25 @@ def main():
             omerged = odf[sorted(odf.columns)].sort_values(by=sorted(odf.columns)).head(5)
             problems.append(f"\n  spark:\n{merged}\n  oracle:\n{omerged}")
         if problems:
-            print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
+            print(f"FAIL {name}: " + "; ".join(str(p) for p in problems), flush=True)
             bad += 1
         else:
-            print(f"OK   {name}: {len(sdf)} rows [{t_spark:.1f}s]")
+            print(
+                f"OK   {name}: {len(sdf)} rows "
+                f"[{t_spark:.1f}s spark, {t_oracle:.1f}s oracle]",
+                flush=True,
+            )
             ok += 1
+        # one long-lived session runs all 252 queries; without this,
+        # persisted/checkpointed relations queries leave behind pile up
+        # and push the JVM into GC thrash at sf1 (a 23 s query measured
+        # 30 min inside the polluted session)
+        spark.catalog.clearCache()
+        if (ok + bad) % 20 == 0:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
     print(f"\n{ok} ok, {bad} failing")
     sys.exit(1 if bad else 0)
 

@@ -268,7 +268,7 @@ def q82_delta_sum(spark, sf_dir):
 @query(
     "q83_sequence_count",
     oracle="""
-    WITH RECURSIVE ev AS (
+    WITH RECURSIVE ev AS MATERIALIZED (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       FROM events WHERE event_type IN ('signup', 'purchase')

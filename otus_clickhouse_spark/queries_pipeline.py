@@ -522,7 +522,7 @@ def x21_mixture_weights(spark, sf_dir):
     "x12_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -1359,7 +1359,7 @@ def x29_ivf_search(spark, sf_dir):
     "x30_cluster_keep_best",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -1643,7 +1643,7 @@ def x34_media_dedup(spark, sf_dir):
     "x35_leakage_free_split",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -4964,7 +4964,7 @@ def x96_dup_quality_gap(spark, sf_dir):
     "x97_cluster_representatives",
     oracle=rf"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -5558,7 +5558,7 @@ def x107_readability(spark, sf_dir):
     "x108_split_balance",
     oracle=rf"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -5691,7 +5691,7 @@ def x110_vocab_oov(spark, sf_dir):
     "x111_dup_cluster_census",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -6156,7 +6156,7 @@ def x118_detector_agreement(spark, sf_dir):
     "x119_cluster_completeness",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs
@@ -6255,7 +6255,7 @@ def x120_embedding_coverage(spark, sf_dir):
     "x121_dedup_mixture_shift",
     oracle=rf"""
     WITH RECURSIVE {_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION
       SELECT b, a FROM pairs

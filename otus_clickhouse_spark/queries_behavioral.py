@@ -36,17 +36,22 @@ _FUNNEL_CONDS = [
     oracle="""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-    l2 AS (
-      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    fv AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    fc AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    fp AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    -- staged + window-filtered pair CTE: the one-shot triple self-join
+    -- let the planner materialize the full per-user event product
+    -- before filtering (79 GB spill at sf1); vc is window-bounded and
+    -- tiny, so the purchase step joins against almost nothing
+    vc AS MATERIALIZED (
+      SELECT fv.user_id, fv.ts AS vts, fc.ts AS cts
+      FROM fv JOIN fc USING (user_id)
+      WHERE fc.ts > fv.ts AND epoch(fc.ts - fv.ts) <= 3600
     ),
+    l2 AS (SELECT DISTINCT user_id FROM vc),
     l3 AS (
-      SELECT DISTINCT e1.user_id
-      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e3.event_type = 'purchase'
-        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+      SELECT DISTINCT vc.user_id FROM vc JOIN fp USING (user_id)
+      WHERE fp.ts > vc.cts AND epoch(fp.ts - vc.vts) <= 3600
     ),
     lv AS (
       SELECT u.user_id,
@@ -106,12 +111,21 @@ def q76_retention(spark, sf_dir):
 @query(
     "q77_sequence_match",
     oracle="""
-    WITH m AS (
-      SELECT DISTINCT e1.user_id
-      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
-      WHERE e1.event_type = 'signup' AND e2.event_type = 'view'
-        AND e3.event_type = 'purchase' AND e3.value > 300
-        AND e1.ts < e2.ts AND e2.ts < e3.ts
+    WITH m1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    -- greedy-min chain (exact for unwindowed existential sequences):
+    -- earliest view after the first signup, then any qualifying
+    -- purchase after that — linear aggregations instead of the
+    -- triple self-join that spilled at sf1
+    m2 AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN m1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > m1.t1 GROUP BY e.user_id
+    ),
+    m AS (
+      SELECT DISTINCT e.user_id FROM events e JOIN m2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value > 300 AND e.ts > m2.t2
     )
     SELECT CAST(count(*) AS BIGINT) AS n_matched,
            (SELECT count(DISTINCT user_id) FROM events) AS n_users
@@ -348,17 +362,22 @@ def q84_histogram(spark, sf_dir):
     oracle="""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-    l2 AS (
-      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    fv AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    fc AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    fp AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    -- staged + window-filtered pair CTE: the one-shot triple self-join
+    -- let the planner materialize the full per-user event product
+    -- before filtering (79 GB spill at sf1); vc is window-bounded and
+    -- tiny, so the purchase step joins against almost nothing
+    vc AS MATERIALIZED (
+      SELECT fv.user_id, fv.ts AS vts, fc.ts AS cts
+      FROM fv JOIN fc USING (user_id)
+      WHERE fc.ts > fv.ts AND epoch(fc.ts - fv.ts) <= 3600
     ),
+    l2 AS (SELECT DISTINCT user_id FROM vc),
     l3 AS (
-      SELECT DISTINCT e1.user_id
-      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e3.event_type = 'purchase'
-        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+      SELECT DISTINCT vc.user_id FROM vc JOIN fp USING (user_id)
+      WHERE fp.ts > vc.cts AND epoch(fp.ts - vc.vts) <= 3600
     ),
     lv AS (
       SELECT u.user_id,
@@ -403,17 +422,22 @@ def _mini_engine_events(spark, sf_dir):
     oracle="""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-    l2 AS (
-      SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e1.ts < e2.ts AND epoch(e2.ts - e1.ts) <= 3600
+    fv AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    fc AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    fp AS MATERIALIZED (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    -- staged + window-filtered pair CTE: the one-shot triple self-join
+    -- let the planner materialize the full per-user event product
+    -- before filtering (79 GB spill at sf1); vc is window-bounded and
+    -- tiny, so the purchase step joins against almost nothing
+    vc AS MATERIALIZED (
+      SELECT fv.user_id, fv.ts AS vts, fc.ts AS cts
+      FROM fv JOIN fc USING (user_id)
+      WHERE fc.ts > fv.ts AND epoch(fc.ts - fv.ts) <= 3600
     ),
+    l2 AS (SELECT DISTINCT user_id FROM vc),
     l3 AS (
-      SELECT DISTINCT e1.user_id
-      FROM events e1 JOIN events e2 USING (user_id) JOIN events e3 USING (user_id)
-      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        AND e3.event_type = 'purchase'
-        AND e1.ts < e2.ts AND e2.ts < e3.ts AND epoch(e3.ts - e1.ts) <= 3600
+      SELECT DISTINCT vc.user_id FROM vc JOIN fp USING (user_id)
+      WHERE fp.ts > vc.cts AND epoch(fp.ts - vc.vts) <= 3600
     ),
     reach AS (
       SELECT 1 AS step, (SELECT count(*) FROM l1) AS reached,

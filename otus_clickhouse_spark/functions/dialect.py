@@ -274,7 +274,7 @@ def _rewrite_multiif(text: str) -> str:
 # ``…IfState(x…, cond)`` builds the state under FILTER; ``…IfMerge``
 # equals ``…Merge`` (the filter was applied when the state was built).
 _STATE_COMB_RE = re.compile(
-    r"\b(anyLast|any|uniq|sum|min|max|count|avg|groupArray)(If)?(State|Merge)\s*\("
+    r"\b(anyLast|any|uniqExact|uniq|sum|min|max|count|avg|groupArray)(If)?(State|Merge)\s*\("
 )
 _STATE_SIMPLE = {"sum": "sum", "min": "min", "max": "max", "any": "first", "anyLast": "last"}
 
@@ -290,7 +290,13 @@ def _rewrite_state_combinators(text: str) -> str:
             cond = args[-1] if is_if else None
             vals = args[:-1] if is_if else args
             filt = f" FILTER (WHERE {cond})" if cond else ""
-            if base == "uniq":
+            if base == "uniqExact":
+                # exact mergeable state = the sorted distinct value set
+                # (CH uniqExactState's contract); r11 sf1 gate: the HLL
+                # estimate drifts past sparse mode (~15k distincts ->
+                # 15043), so exactness needs the exact state
+                repl = f"array_sort(collect_set({vals[0]}){filt})"
+            elif base == "uniq":
                 repl = f"hll_sketch_agg({vals[0]}, 14){filt}"  # lg_k=14: exact into the thousands
             elif base == "avg":
                 repl = (
@@ -305,7 +311,9 @@ def _rewrite_state_combinators(text: str) -> str:
                 repl = f"{_STATE_SIMPLE[base]}({vals[0]}){filt}"
         else:  # Merge: one state column argument
             s = args[0]
-            if base == "uniq":
+            if base == "uniqExact":
+                repl = f"size(array_distinct(flatten(collect_list({s}))))"
+            elif base == "uniq":
                 repl = f"hll_sketch_estimate(hll_union_agg({s}))"
             elif base == "avg":
                 repl = f"(sum(({s}).sum) / sum(({s}).count))"
@@ -335,10 +343,12 @@ def _rewrite_finalize_aggregation(text: str, agg_funcs: dict[str, str]) -> str:
             return text
         args, end = _split_call_args(text, text.index("(", m.start()))
         arg = args[0].strip()
-        im = re.match(r"^(anyLast|any|uniq|sum|min|max|count|avg|groupArray)(?:If)?State\s*\(", arg)
+        im = re.match(r"^(anyLast|any|uniqExact|uniq|sum|min|max|count|avg|groupArray)(?:If)?State\s*\(", arg)
         fn = im.group(1) if im else agg_funcs.get(arg.split(".")[-1].strip("`"), "")
         fn = re.sub(r"If$", "", fn)
-        if fn == "uniq":
+        if fn == "uniqExact":
+            repl = f"size({arg})"
+        elif fn == "uniq":
             repl = f"hll_sketch_estimate({arg})"
         elif fn == "avg":
             repl = f"(({arg}).sum / ({arg}).count)"

@@ -46,14 +46,35 @@ def finalize_uniq(state_col: str | Column) -> Column:
     return F.hll_sketch_estimate(state_col)
 
 
+def uniq_exact_state(col: str | Column) -> Column:
+    """``uniqExactState(col)`` → the sorted distinct value set — the
+    EXACT mergeable state (CH stores the value set too; memory grows
+    with cardinality, which is the price of exactness at 100 TB — the
+    HLL :func:`uniq_state` is the bounded-memory trade). Sorted so the
+    state VALUE is deterministic across partition orders."""
+    return F.array_sort(F.collect_set(col))
+
+
+def uniq_exact_merge(state_col: str | Column) -> Column:
+    """``uniqExactMerge(state)`` → exact distinct count across states."""
+    return F.size(F.array_distinct(F.flatten(F.collect_list(state_col))))
+
+
 def aggregating_target(
-    block: DataFrame, keys: list[str], uniq_cols: dict[str, str], lg_k: int = 14
+    block: DataFrame,
+    keys: list[str],
+    uniq_cols: dict[str, str],
+    lg_k: int = 14,
+    exact: bool = False,
 ) -> DataFrame:
     """Transform one inserted block into AggregatingMergeTree target rows:
-    one sketch per (keys, uniq column). Append-only; per-block semantics
-    (lecture_13.md:7-24 — no merge with existing target data)."""
+    one state per (keys, uniq column) — HLL sketch by default,
+    ``exact=True`` for uniqExact value-set states. Append-only;
+    per-block semantics (lecture_13.md:7-24 — no merge with existing
+    target data)."""
+    mk = uniq_exact_state if exact else (lambda c: uniq_state(c, lg_k))
     return block.groupBy(*keys).agg(
-        *[uniq_state(src, lg_k).alias(out) for out, src in uniq_cols.items()]
+        *[mk(src).alias(out) for out, src in uniq_cols.items()]
     )
 
 

@@ -122,7 +122,10 @@ def q50_array_zip_unnest(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             -- floor(epoch) matches Spark's whole-second unix_timestamp;
+             -- fractional epochs flipped boundary gaps (gap in
+             -- (1800, 1801)) at sf1 row counts — r11 sf1 gate finding
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
                        > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -367,20 +370,29 @@ def q58_topk_heavy_hitters(spark, sf_dir):
     """,
 )
 def q59_uniq_state_merge(spark, sf_dir):
-    """uniqState → persisted binary HLL column → uniqMerge on read
+    """uniqExactState → persisted state column → uniqExactMerge on read
     (AggregateFunction surface, operators.state; lecture_07.md:495-546).
-    The sketch is exact at this cardinality, so the estimate hash-matches
-    the exact-distinct oracle; at 100 TB the same plan holds with ~1.6%
-    error instead of a raw-event rescan."""
-    from otus_clickhouse_spark.operators.state import aggregating_target, uniq_merge
+    r11 sf1 gate: the HLL form (uniqState/uniqMerge, still exercised by
+    the pytest A7 suite and available for the bounded-memory 100 TB
+    trade) drifts past sparse mode (~15k distincts → 15043), so the
+    ORACLE-CHECKED demonstration uses the exact mergeable state — the
+    sorted distinct value set, CH uniqExactState's contract — which is
+    bit-exact at every SF."""
+    from otus_clickhouse_spark.operators.state import aggregating_target, uniq_exact_merge
 
     ev = t(spark, sf_dir, "events")
     # simulate two insert blocks → two state rows per key, merged on read
-    b1 = aggregating_target(ev.where(F.col("event_id") % 2 == 0), ["event_type"], {"st": "user_id"})
-    b2 = aggregating_target(ev.where(F.col("event_id") % 2 == 1), ["event_type"], {"st": "user_id"})
+    b1 = aggregating_target(
+        ev.where(F.col("event_id") % 2 == 0), ["event_type"], {"st": "user_id"},
+        exact=True,
+    )
+    b2 = aggregating_target(
+        ev.where(F.col("event_id") % 2 == 1), ["event_type"], {"st": "user_id"},
+        exact=True,
+    )
     target = b1.unionByName(b2)
     return target.groupBy("event_type").agg(
-        uniq_merge("st").cast("bigint").alias("uniq_users")
+        uniq_exact_merge("st").cast("bigint").alias("uniq_users")
     )
 
 
@@ -649,17 +661,19 @@ def q68_scalar_functions(spark, sf_dir):
 def q69_state_merge_sql(spark, sf_dir):
     """-State/-Merge combinators in raw SQL (A7; lecture_07.md:495-546,
     lecture_13.md:57-94): two per-block partial-state subqueries (the
-    AggregatingMergeTree insert pattern) merged on read. uniqState →
-    DataSketches HLL binary (exact at this cardinality, mergeable at
-    any scale); avgState → sum/count struct, so the merged average is
-    exact regardless of block split. All JVM-side, no UDFs."""
+    AggregatingMergeTree insert pattern) merged on read. uniqExactState
+    → the exact mergeable value-set state (r11 sf1 gate: the HLL
+    uniqState estimate drifts past sparse mode, so the oracle-checked
+    form uses the exact state; uniqState/uniqMerge remain the
+    bounded-memory spelling); avgState → sum/count struct, so the
+    merged average is exact regardless of block split. All JVM-side."""
     eng = _mini_engine(spark, sf_dir, ["events"])
     block = (
-        "SELECT event_type, uniqState(user_id) AS u, avgState(value) AS a "
+        "SELECT event_type, uniqExactState(user_id) AS u, avgState(value) AS a "
         "FROM events WHERE event_id % 2 = {r} GROUP BY event_type"
     )
     return eng.sql(
-        "SELECT event_type, CAST(uniqMerge(u) AS BIGINT) AS uniq_users, "
+        "SELECT event_type, CAST(uniqExactMerge(u) AS BIGINT) AS uniq_users, "
         "round(avgMerge(a), 2) AS avg_value "
         f"FROM ({block.format(r=0)} UNION ALL {block.format(r=1)}) "
         "GROUP BY event_type"

@@ -25,6 +25,25 @@ def test_multiif():
     assert out == "SELECT (CASE WHEN a > 1 THEN 'x' WHEN b < 2 THEN 'y' ELSE 'z' END) FROM t"
 
 
+def test_uniq_exact_state_combinators():
+    """uniqExactState/uniqExactMerge (NEW r11, sf1-gate driven): the
+    exact mergeable value-set state — and the longer name must win over
+    the uniq prefix in the combinator regex."""
+    out = translate(
+        "SELECT uniqExactMerge(u) FROM "
+        "(SELECT uniqExactState(x) AS u FROM t GROUP BY k)"
+    )
+    assert "array_sort(collect_set(x))" in out
+    assert "size(array_distinct(flatten(collect_list(u))))" in out
+    # the HLL spelling is untouched
+    out2 = translate("SELECT uniqMerge(u) FROM (SELECT uniqState(x) AS u FROM t)")
+    assert "hll_sketch_agg(x, 14)" in out2
+    assert "hll_sketch_estimate(hll_union_agg(u))" in out2
+    # finalizeAggregation dispatches on the inline state name
+    out3 = translate("SELECT finalizeAggregation(uniqExactState(x)) FROM t")
+    assert "size(array_sort(collect_set(x)))" in out3
+
+
 def test_if_combinators():
     out = translate("SELECT sumIf(x, y > 0), countIf(y > 0) FROM t")
     assert "sum(x) FILTER (WHERE y > 0)" in out

@@ -1256,6 +1256,9 @@ class Engine:
         # for Replacing/Summing/Collapsing engines) must not outlive the
         # base table — it points at the deleted files
         self.spark.catalog.dropTempView(f"{name}__final")
+        # vector_similarity indexes die with the table (ADVICE r11: a
+        # re-created same-name table must not inherit stale lists)
+        self.refresh_vector_indexes(name, "drop")
         # an MV is dropped BY NAME like any table (CH: MVs live in the
         # table namespace); detach its trigger or the next insert into
         # its source would fire a dangling transform. Source-keyed
@@ -1533,7 +1536,9 @@ class Engine:
             df = self._fill_join_defaults(df, text)
         return df
 
-    def _retry_analysis_fixups(self, translated: str, exc: Exception, params):
+    def _retry_analysis_fixups(
+        self, translated: str, exc: Exception, params, attempts: list | None = None
+    ):
         """Type-directed repairs after a failed analysis — the dialect
         layer is textual and cannot know argument types, so two CH
         constructs only resolve once Catalyst has typed them:
@@ -1545,9 +1550,14 @@ class Engine:
           index in CAST(… AS INT) (maps keep their key type — only
           flipped occurrences change).
 
-        Minimal flip sets first (≤ 2^n analyses, n = occurrences, tiny;
-        the error message quotes the RESOLVED plan, so a textual match
-        against the source can't locate the offender directly)."""
+        All-occurrences flip first (the common case — one analysis),
+        then minimal subsets, under a TOTAL budget of ``attempts``
+        analyses across recursion (ADVICE r11: unbounded 2^n × cross-
+        class recursion added hundreds of analysis passes to queries
+        that were never fixable). If nothing lands, the ORIGINAL error
+        is re-raised — the last combo's error is noise. (The error
+        message quotes the RESOLVED plan, so a textual match against
+        the source can't locate the offender directly.)"""
         import itertools
 
         msg = str(exc)
@@ -1588,33 +1598,44 @@ class Engine:
             fixers.append((spots, flip_idx))
         if not fixers:
             raise exc
-        last = exc
+        # 96 reaches r<=3 subsets of 8 spots (1+8+28+56=93) — the fuzz
+        # corpus' worst real case is a 12-expression batch mixing
+        # string- and array-length at 7-8 sites needing a 2-flip subset
+        budget = attempts if attempts is not None else [96]
         for spots, flip in fixers:
             if not spots or len(spots) > 8:
                 continue
-            for r in range(1, len(spots) + 1):
-                for combo in itertools.combinations(range(len(spots)), r):
-                    txt = translated
-                    for i in sorted(combo, reverse=True):
-                        txt = flip(txt, spots[i])
-                    try:
-                        return self.spark.sql(txt, args=params or None)
-                    except Exception as e2:
-                        # a DIFFERENT fixable class may surface once the
-                        # first one is repaired (length + subscript in
-                        # one query) — recurse at most once per class
-                        m2 = str(e2)
-                        other = ('resolve "element_at(' in m2
-                                 if 'resolve "length(' in msg
-                                 else 'resolve "length(' in m2)
-                        if "UNEXPECTED_INPUT_TYPE" in m2 and other:
-                            try:
-                                return self._retry_analysis_fixups(txt, e2, params)
-                            except Exception as e3:
-                                last = e3
-                                continue
-                        last = e2
-        raise last
+            # all-occurrences first, then minimal subsets ascending
+            orders = [tuple(range(len(spots)))] + [
+                combo
+                for r in range(1, len(spots))
+                for combo in itertools.combinations(range(len(spots)), r)
+            ]
+            for combo in orders:
+                if budget[0] <= 0:
+                    raise exc
+                budget[0] -= 1
+                txt = translated
+                for i in sorted(combo, reverse=True):
+                    txt = flip(txt, spots[i])
+                try:
+                    return self.spark.sql(txt, args=params or None)
+                except Exception as e2:
+                    # a DIFFERENT fixable class may surface once the
+                    # first one is repaired (length + subscript in
+                    # one query) — recurse, sharing the budget
+                    m2 = str(e2)
+                    other = ('resolve "element_at(' in m2
+                             if 'resolve "length(' in msg
+                             else 'resolve "length(' in m2)
+                    if "UNEXPECTED_INPUT_TYPE" in m2 and other:
+                        try:
+                            return self._retry_analysis_fixups(
+                                txt, e2, params, attempts=budget
+                            )
+                        except Exception:
+                            continue
+        raise exc
 
     def _fill_join_defaults(self, df: DataFrame, text: str) -> DataFrame:
         """J16 ``join_use_nulls = 0`` (lecture_10.md settings surface):
@@ -1758,7 +1779,9 @@ class Engine:
                 (time.time(), "errors", 1)
             )
             self._query_log.append(
-                self._query_log_row(text, t0, -1, type(exc).__name__)
+                self._query_log_row(
+                    text, t0, -1, type(exc).__name__, event="ExceptionBeforeStart"
+                )
             )
             raise
         qid = uuid.uuid4().hex[:16]
@@ -1812,10 +1835,15 @@ class Engine:
         """:meth:`run_query` returning just the rows (Python-API path)."""
         return self.run_query(text, **params)[1]
 
-    def _query_log_row(self, text: str, t0: float, n_rows: int, exc: str) -> tuple:
+    def _query_log_row(
+        self, text: str, t0: float, n_rows: int, exc: str, event: str | None = None
+    ) -> tuple:
         """One system.query_log row (lecture_20.md:296-478 column set;
         hw14.md's dashboards filter on type/event_time and fold the
-        touched-tables array)."""
+        touched-tables array). ``event`` overrides the type column —
+        pre-flight rejections (quota) log as ``ExceptionBeforeStart``,
+        matching the reference's before-start/while-processing split
+        (lecture_20.md:623; ADVICE r11)."""
         import datetime as _dt
         import time
 
@@ -1826,7 +1854,7 @@ class Engine:
         )
         return (
             text,
-            "QueryFinish" if not exc else "ExceptionWhileProcessing",
+            event or ("QueryFinish" if not exc else "ExceptionWhileProcessing"),
             now,
             now.date(),
             time.time() - t0,
@@ -2026,6 +2054,51 @@ class Engine:
         if not meta.get("built"):
             raise ValueError(f"vector index {iname} on {table} is empty (no data)")
         return ivf_search_stored(self.spark, meta["path"], queries, k=k, nprobe=nprobe)
+
+    def refresh_vector_indexes(self, name: str, mode: str = "rebuild") -> None:
+        """Keep vector_similarity indexes consistent with DML/DDL that
+        changes the table's row set (ADVICE r11 + verdict r11 #3 —
+        before this, ALTER DELETE/UPDATE/OPTIMIZE/TRUNCATE/DROP left
+        stale rows in the stored lists and vector_topk could serve ids
+        the table no longer holds). ClickHouse's contract is
+        rebuild-on-mutation (lecture_16.md:60-98); the stored-centroid
+        variant here skips retraining, so the cost is one assignment
+        pass over the surviving rows.
+
+        mode: ``rebuild`` (mutations/OPTIMIZE — reassign surviving rows
+        to the STORED centroids and swap the lists), ``truncate`` (drop
+        the stored lists, keep the definition; the next insert
+        retrains), ``drop`` (remove definitions AND stored data — a
+        re-created same-name table must start clean)."""
+        from pyspark.sql import functions as F
+
+        metas = self.vector_indexes.get(name)
+        if not metas:
+            return
+        if mode == "drop":
+            for meta in self.vector_indexes.pop(name).values():
+                if meta.get("path"):
+                    shutil.rmtree(meta["path"], ignore_errors=True)
+            return
+        for meta in metas.values():
+            if mode == "truncate" or not meta.get("built"):
+                if meta.get("path"):
+                    shutil.rmtree(meta["path"], ignore_errors=True)
+                meta["built"] = False
+                continue
+            rows = self.table(name).select(
+                F.col(meta["id_col"]).alias("vec_id"),
+                F.expr(meta["expr"]).alias("embedding"),
+            )
+            if rows.isEmpty():
+                # mutation emptied the table: no rows to assign — drop
+                # the lists; the next insert rebuilds from scratch
+                shutil.rmtree(meta["path"], ignore_errors=True)
+                meta["built"] = False
+                continue
+            from otus_clickhouse_spark.pipeline.similarity import ivf_rebuild_lists
+
+            ivf_rebuild_lists(rows, meta["path"])
 
     # ------------------------------------------------------------------ Kafka
     def _kafka_topic(self, td: "TableDef"):
@@ -2235,6 +2308,19 @@ class Engine:
         epochs_dir = os.path.join(ck, "_epochs") if "://" not in ck else None
         if epochs_dir:
             os.makedirs(epochs_dir, exist_ok=True)
+        else:
+            # ADVICE r11: the URI-checkpoint path silently degraded to
+            # at-least-once; operators must know duplicates are possible
+            # on replay (the production answer there is a transactional
+            # table format on the landing side)
+            import warnings
+
+            warnings.warn(
+                "kafka_attach_stream: remote checkpoint URI — exactly-once "
+                "epoch markers are local-fs only; landing is AT-LEAST-ONCE "
+                "on replay",
+                stacklevel=2,
+            )
 
         def _landing_targets() -> dict[str, str]:
             out, stack = {}, list(mvs)
@@ -2321,6 +2407,22 @@ class Engine:
                     fh.write("")
                 if pre and os.path.exists(pre):
                     os.remove(pre)
+                # ADVICE r11: one .commit marker per micro-batch is
+                # unbounded growth on a long-lived stream. Spark never
+                # replays epochs older than the last committed one, so
+                # markers more than N epochs behind are dead — prune
+                # them (N=16 keeps a generous replay margin).
+                try:
+                    for fn in os.listdir(epochs_dir):
+                        if fn.endswith(".commit"):
+                            try:
+                                old_epoch = int(fn[: -len(".commit")])
+                            except ValueError:
+                                continue
+                            if old_epoch < int(epoch) - 16:
+                                os.remove(os.path.join(epochs_dir, fn))
+                except OSError:
+                    pass  # pruning is best-effort; markers are tiny
 
         return (
             raw.writeStream.foreachBatch(process)
@@ -2612,7 +2714,8 @@ class Engine:
         shows."""
         import datetime as _dt
 
-        failed = [q for q in self._query_log if q[1] == "ExceptionWhileProcessing"]
+        failed = [q for q in self._query_log
+                  if q[1] in ("ExceptionWhileProcessing", "ExceptionBeforeStart")]
         n_sel = sum(1 for q in failed if re.match(r"\s*(SELECT|WITH)\b", q[0], re.IGNORECASE))
         n_ins = sum(1 for q in failed if re.match(r"\s*INSERT\b", q[0], re.IGNORECASE))
         now = _dt.datetime.now()
@@ -2669,7 +2772,7 @@ class Engine:
         errs = [
             (q[6].split(":")[0].strip() or "UNKNOWN", q[6], q[2])
             for q in self._query_log
-            if q[1] == "ExceptionWhileProcessing"
+            if q[1] in ("ExceptionWhileProcessing", "ExceptionBeforeStart")
         ]
         counts = Counter(name for name, _, _ in errs)
         last: dict[str, tuple] = {}

@@ -384,8 +384,24 @@ def _rewrite_if_combinators(text: str) -> str:
             "any": "first",
             "anyLast": "last",
         }.get(base, base)
+        windowed = re.match(r"\s*OVER\b", text[end:], re.IGNORECASE) is not None
         if base == "count" and len(args) == 1:
             repl = f"count_if({args[0]})"
+        elif windowed and len(args) == 2:
+            # Spark rejects FILTER on WINDOW aggregates (MISSING_GROUP_BY
+            # — r12 window fuzz finding); the CASE-WHEN spelling is
+            # null-skipping-equivalent for single-argument aggregates
+            cond, inner = args[-1], args[0]
+            repl = f"{spark_agg}(CASE WHEN {cond} THEN {inner} END)"
+            if base == "sum":
+                # coalesce applies OUTSIDE the window: text[end:] starts
+                # with OVER, so wrap after the full window expr — but a
+                # textual rewrite can't safely find the OVER's end here;
+                # CH window sumIf over an empty frame is NULL-vs-0 only
+                # when no frame row matches, which the CASE form already
+                # mirrors frame-locally. Leave unsummed NULLs to the
+                # caller (the non-window path keeps the 0 default).
+                pass
         else:
             cond = args[-1]
             inner = ", ".join(args[:-1])
@@ -627,7 +643,11 @@ def _rewrite_array_literals(text: str) -> str:
                 if seg:
                     prev = seg[-1]
                     break
-            if prev.isalnum() or prev in "_)]":
+            # NB `prev in "_)]"` alone is True for prev == "" (empty
+            # string is a substring of anything) — a literal at the very
+            # START of the fragment (`[0.99, 0.01]` as an ALTER UPDATE
+            # assignment value) must open a literal, not a subscript
+            if prev.isalnum() or (prev and prev in "_)]"):
                 stack.append(False)
                 out.append("[")
             else:

@@ -55,13 +55,34 @@ def with_fill(
         step_expr = F.expr(f"INTERVAL {step or '1 day'}")
     else:
         step_expr = F.lit(step if step is not None else 1)
+    # sequence() takes only integral/temporal bounds; CH UInt64
+    # arithmetic lands as DECIMAL(p, 0) (r12 WITH FILL fuzz finding) —
+    # generate the grid as bigint and cast back so the join key types
+    # match. Fractional decimals keep the old (erroring) path: CH's
+    # surface only fills integral/temporal keys.
+    seq_type = dtype
+    import re as _re
+
+    if _re.fullmatch(r"decimal\(\d+,\s*0\)", dtype):
+        seq_type = "bigint"
+        # a FROM/TO bound may exceed the data column's precision
+        # (DECIMAL(1,0) data, FILL TO 12) — widen; the join coerces
+        # both sides to the common wider type
+        dtype = "decimal(38,0)"
     spine = bounds.select(
-        F.explode(F.sequence(lo.cast(dtype), hi.cast(dtype), step_expr)).alias(fill_col)
-    )
+        F.explode(
+            F.sequence(lo.cast(seq_type), hi.cast(seq_type), step_expr)
+        ).alias("__seq")
+    ).select(F.col("__seq").cast(dtype).alias(fill_col))
     if stop is not None:
         # ClickHouse WITH FILL TO bound is EXCLUSIVE; default (data max)
         # stays inclusive
         spine = spine.where(F.col(fill_col) < F.lit(stop).cast(dtype))
+    # WITH FILL only ADDS rows: source rows whose key is off the
+    # generated grid (between steps, outside FROM/TO) are kept, not
+    # dropped (r12 WITH FILL fuzz finding — a STEP 2 fill was dropping
+    # the odd keys present in the data)
+    spine = spine.unionByName(df.select(fill_col).distinct()).distinct()
     data = df.withColumn("__orig", F.lit(1)) if interpolate else df
     out = spine.join(
         F.broadcast(data) if _broadcast_data_side(df) else data, on=fill_col, how="left"

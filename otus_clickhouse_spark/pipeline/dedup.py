@@ -204,6 +204,13 @@ def lsh_candidate_pairs(
     # `deg > 1` drops singleton buckets (the vast majority) before the
     # self-join ever sees them — they cannot produce a pair.
     sm = ann.where((F.col("__deg") > 1) & (F.col("__deg") <= max_bucket))
+    # explicit repartition = AQE-coalesce exemption: the surviving
+    # bucket relation is small relative to the pair EXPANSION the join
+    # emits, so size-based coalescing would funnel the n²-per-bucket
+    # work through 1-2 tasks (the x06/x10 sf1 finding; standing guard
+    # test_no_aqe_coalescible_pair_expansion_joins)
+    nparts = int(sm.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sm = sm.repartition(nparts, "band_key")
     a = sm.alias("a")
     b = sm.alias("b")
     pairs_small = (
@@ -217,6 +224,70 @@ def lsh_candidate_pairs(
         .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
     )
     return pairs_small.unionByName(pairs_big).distinct()
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.5,
+    max_df: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within metadata blocks via an
+    INVERTED-INDEX candidate join (the set-similarity-join shape of
+    Vernica/Carey/Li, SIGMOD'10) instead of the n²-per-block cartesian.
+
+    Any pair with Jaccard >= threshold (> 0) shares at least one
+    shingle, so candidates are generated ONLY from docs co-occurring in
+    a (block, shingle) posting list — work is Σ df² over posting
+    degrees, not Σ n² over block sizes (measured at sf1: 15.9M
+    cartesian candidates → 1.5M posting pair-slots, 87 s → seconds).
+    ``max_df`` is the hot-posting guard (same cap class as
+    :func:`lsh_candidate_pairs`'s ``max_bucket``): a degenerate shingle
+    shared by millions of docs in one block would make one posting list
+    quadratic at 100 TB; over-cap postings are excluded from candidate
+    GENERATION (documented recall trade: a pair sharing ONLY over-cap
+    boilerplate shingles is missed), bounding candidate work to
+    O(max_df · postings) — linear in corpus size. Verification is the
+    exact :func:`jaccard_verify` over FULL shingle sets, so every
+    emitted jaccard value is exact regardless of the cap.
+
+    Candidate self-join sides carry an EXPLICIT repartition on the
+    posting key: the join input is small, so AQE would coalesce the
+    pair-expansion onto 1-2 tasks (the x06/x10 sf1 finding — user
+    partitioning is exempt from coalescing)."""
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = shingles(df, text_col=text_col, id_col=id_col)
+    meta = df.select(id_col, *block_cols)
+    shb = sh.join(meta, id_col).select(
+        F.col(id_col), *block_cols, F.xxhash64("shingle").alias("__sh")
+    )
+    keys = [*block_cols, "__sh"]
+    from pyspark.sql import Window
+
+    # one window shuffle annotates posting degree (the lsh solo-path
+    # pattern); singleton postings — the vast majority — drop before
+    # the self-join ever sees them. The repartition sits BELOW the
+    # window: the window's required hash distribution is satisfied by
+    # the user REPARTITION_BY_COL exchange, which AQE will NOT coalesce
+    # — a repartition placed after the window is planner-elided (same
+    # partitioning) and the window's own ENSURE_REQUIREMENTS shuffle
+    # would feed the pair expansion through 1-2 coalesced tasks.
+    ann = shb.repartition(nparts, *keys).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    sm = ann.where((F.col("__df") > 1) & (F.col("__df") <= max_df))
+    a = sm.select(*keys, F.col(id_col).alias("a"))
+    b = sm.select(*keys, F.col(id_col).alias("b"))
+    cand = (
+        a.join(b, keys)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, id_col=id_col, threshold=threshold)
 
 
 def jaccard_verify(
@@ -296,8 +367,13 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_ite
     action doubles as the convergence check.
     """
     # pairs may be an expensive upstream pipeline (LSH); materialize once
-    # before symmetrizing, or both union branches recompute it.
-    pairs = pairs.persist()
+    # before symmetrizing, or both union branches recompute it. If the
+    # CALLER already persisted it, respect that: persist/unpersist act
+    # on the shared DataFrame, and unpersisting a caller's cache would
+    # silently recompute their whole upstream pipeline (ADVICE r11).
+    caller_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not caller_cached:
+        pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -339,8 +415,10 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_ite
     # labels are localCheckpointed (independent of the input lineage), so
     # the pairs cache can go too — leaving it pinned leaked a full
     # upstream pipeline per call across a long session (r11 sf1 gate:
-    # accumulated leaks put the 252-query session into GC thrash)
-    pairs.unpersist()
+    # accumulated leaks put the 252-query session into GC thrash).
+    # Only drop the cache WE introduced, never the caller's.
+    if not caller_cached:
+        pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -481,8 +559,11 @@ def substring_dup_pairs(
         .select("win_fp")
     )
     sh = w.join(shared_fps, "win_fp")
-    a = sh.select(F.col(id_col).alias("a"), "win_fp")
-    b = sh.select(F.col(id_col).alias("b"), "win_fp")
+    # AQE-exempt repartition before the pair expansion (see
+    # lsh_candidate_pairs — same coalesce-collapse class)
+    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.select(F.col(id_col).alias("a"), "win_fp").repartition(nparts, "win_fp")
+    b = sh.select(F.col(id_col).alias("b"), "win_fp").repartition(nparts, "win_fp")
     return (
         a.join(b, "win_fp")
         .where(F.col("a") < F.col("b"))
@@ -515,22 +596,46 @@ def winnow_dup_pairs(
     Plan shape: gram hashing and window-min selection are ONE map-side
     pass (sequence/transform/slice/array_min HOFs, all codegen'd;
     ``array_distinct`` dedups per doc before the explode). The explode
-    ships (id, 64-bit fingerprint) rows only; a pre-aggregation drops
+    ships (id, fingerprint) rows only; a pre-aggregation drops
     singleton fingerprints and caps bucket degree at ``max_bucket``
     (boilerplate shared by millions of docs is dropped, not exploded),
     then pairs form bucket-locally. Returns (a, b, n_shared), a < b.
-    """
+
+    Gram hash (r12 restage): a position-weighted Karp-Rabin polynomial
+    H = Σ code(cᵢ₊ⱼ)·B^(k-1-j) mod M (B=257, M=2³¹-1) — pure integer
+    arithmetic in whole-stage codegen, mirrored exactly by the DuckDB
+    oracle and the tests' Python reference. The previous
+    md5-per-position hash was the sf1 wall: ~280 md5+hex-conv calls per
+    doc dominated the whole pipeline (48 s of x68's 89 s at sf1,
+    recomputed per DAG branch). Same 31-bit collision envelope as the
+    md5 prefix it replaces. The fingerprint relation is
+    localCheckpoint'd: three consumers (degree agg + both self-join
+    sides) would otherwise recompute the hashing scan."""
+    from otus_clickhouse_spark.io import rebalance
+
+    B, M = 257, 2147483647
+    pw = F.array(*[F.lit(pow(B, k - 1 - j, M)) for j in range(k)])
     norm = F.lower(F.regexp_replace(F.col(text_col), "[ \\t\\r\\n]+", " "))
-    staged = df.select(F.col(id_col), norm.alias("__t")).where(
-        F.length("__t") >= k + w - 1
+    # a small corpus arrives as 1-2 file splits; the hashing pass below
+    # is the CPU-heavy stage and must not run on 2 of 32 cores (the r12
+    # sf1 profile: 48 s of the 89 s wall was this stage at parallelism 2)
+    staged = rebalance(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), norm.alias("__t")
+    ).where(F.length("__t") >= k + w - 1)
+    codes = F.transform(
+        F.split(F.col("__t"), ""), lambda ch: F.ascii(ch).cast("long")
     )
-    # gram hash g_i = first 32 md5 bits of the k chars at i (1-based);
-    # conv(hex,16,10) keeps it portable to the DuckDB oracle
+    staged = staged.select(F.col(id_col), codes.alias("__c"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.length("__t") - (k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.substr(F.col("__t"), i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
+        F.sequence(F.lit(1), F.size("__c") - (k - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__c"), i, k), pw, lambda c, p: c * p
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        % M,
     )
     staged = staged.select(F.col(id_col), grams.alias("__g"))
     fps = F.array_distinct(
@@ -539,7 +644,7 @@ def winnow_dup_pairs(
             lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
         )
     )
-    fp = staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+    fp = staged.select(F.col(id_col), F.explode(fps).alias("fp")).localCheckpoint()
     shared = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -547,8 +652,11 @@ def winnow_dup_pairs(
         .select("fp")
     )
     sh = fp.join(shared, "fp")
-    a = sh.select(F.col(id_col).alias("a"), "fp")
-    b = sh.select(F.col(id_col).alias("b"), "fp")
+    # AQE-exempt repartition before the pair expansion (see
+    # lsh_candidate_pairs — same coalesce-collapse class)
+    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.select(F.col(id_col).alias("a"), "fp").repartition(nparts, "fp")
+    b = sh.select(F.col(id_col).alias("b"), "fp").repartition(nparts, "fp")
     out = (
         a.join(b, "fp")
         .where(F.col("a") < F.col("b"))
@@ -671,6 +779,12 @@ def source_overlap(
         .distinct()
     )
     sizes = ss.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # AQE-exempt repartition before the shingle-keyed pair expansion
+    # (see lsh_candidate_pairs — same coalesce-collapse class; fanout
+    # is #sources²-bounded per key but input-size-based coalescing
+    # would still serialize the expansion)
+    nparts = int(ss.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ss = ss.repartition(nparts, "shingle")
     a, b = ss.alias("a"), ss.alias("b")
     pairs = (
         a.join(b, "shingle")

@@ -491,6 +491,10 @@ def media_neardup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
             )
         ).alias("band"),
     ).select("media_id", "phash", "band.band_idx", "band.band_val")
+    # AQE-exempt repartition before the band-bucket pair expansion
+    # (see dedup.lsh_candidate_pairs — same coalesce-collapse class)
+    nparts = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(nparts, "band_idx", "band_val")
     a = banded.select(
         F.col("media_id").alias("a"), F.col("phash").alias("pa"), "band_idx", "band_val"
     )

@@ -353,6 +353,42 @@ def ivf_append_index(
     )
 
 
+def ivf_rebuild_lists(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_cos: int | None = None,
+) -> None:
+    """Rebuild the inverted lists of an EXISTING index with the STORED
+    centroids — the mutation-maintenance path (ClickHouse rebuilds skip
+    indexes when a mutation rewrites the part, lecture_16.md:60-98):
+    after ALTER DELETE/UPDATE or OPTIMIZE the lists must reflect the
+    surviving rows, or the index serves ids the table no longer holds.
+    No retraining (centroids are untouched), so cost is one O(n·k·dim)
+    assignment pass + the partitioned list write — the same shape as the
+    initial build minus the k-means iterations."""
+    import shutil
+
+    spark = corpus.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids.parquet").select(
+        "centroid_id", F.col("centroid").alias("cv")
+    )
+    assigned = ivf_assign(corpus, cent, vec_col=vec_col, id_col=id_col,
+                          round_cos=round_cos)
+    # stage-then-swap: the overwrite must not race a concurrent probe
+    # reading the old lists mid-delete
+    tmp = path.rstrip("/") + ".__rebuild"
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(f"{path}/assignments", ignore_errors=True)
+    shutil.move(tmp, f"{path}/assignments")
+
+
 def ivf_search_stored(
     spark,
     path: str,
@@ -512,6 +548,11 @@ def semantic_dedup(
             ).alias("cluster_id")
         )
     )
+    # AQE-exempt repartition before the within-cluster pair expansion
+    # (the x06 sf1 finding: AQE sizes partitions from the assignment
+    # relation's bytes, the n²-per-cluster expansion happens after)
+    nparts = int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    assigned = assigned.repartition(nparts, "cluster_id")
     a = assigned.select(F.col(id_col).alias("__wit"), F.col("v").alias("va"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("__cand"), F.col("v").alias("vb"), "cluster_id")
     removed = (

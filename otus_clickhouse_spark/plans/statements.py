@@ -275,9 +275,9 @@ def _split_assignments(s: str) -> list[str]:
             buf.append(s[i : j + 1])
             i = j + 1
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         if c == "," and depth == 0:
             out.append("".join(buf).strip())
@@ -599,6 +599,22 @@ def try_route(engine, s: str):
         import time as _time
 
         engine._mutations_log.append((s, _time.time(), "done"))
+        # vector_similarity index maintenance (verdict r11 #3): any
+        # statement that changed the row set invalidates the stored
+        # inverted lists — rebuild them from the surviving rows with
+        # the stored centroids (CH rebuilds skip indexes on mutation);
+        # TRUNCATE keeps only the definition and retrains on insert.
+        tm = re.search(
+            r"(?:ALTER\s+TABLE|DELETE\s+FROM|OPTIMIZE\s+TABLE"
+            r"|TRUNCATE(?:\s+TABLE)?)\s+(?:default\.)?(\w+)",
+            s,
+            re.IGNORECASE,
+        )
+        if tm and tm.group(1) in engine.vector_indexes:
+            is_trunc = re.match(r"^\s*TRUNCATE\b", s, re.IGNORECASE)
+            engine.refresh_vector_indexes(
+                tm.group(1), "truncate" if is_trunc else "rebuild"
+            )
     return out
 
 

@@ -365,10 +365,24 @@ def x09_token_histogram(spark, sf_dir):
     oracle=f"""
     WITH {_SHINGLE_CTE},
     meta AS (SELECT doc_id, lang, source FROM documents),
+    shb AS (
+      SELECT s.doc_id, m.lang, m.source, s.shingle
+      FROM sh s JOIN meta m USING (doc_id)
+    ),
+    deg AS (
+      SELECT lang, source, shingle, count(*) AS df
+      FROM shb GROUP BY 1, 2, 3
+    ),
+    idx AS (
+      SELECT shb.doc_id, shb.lang, shb.source, shb.shingle
+      FROM shb JOIN deg USING (lang, source, shingle)
+      WHERE deg.df > 1 AND deg.df <= 10000
+    ),
     cand AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM meta a JOIN meta b ON a.lang = b.lang AND a.source = b.source
-                             AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM idx a JOIN idx b ON a.lang = b.lang AND a.source = b.source
+                            AND a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT c.a, c.b, count(*) AS i
@@ -385,30 +399,23 @@ def x09_token_histogram(spark, sf_dir):
 )
 def x10_ngram_jaccard_block(spark, sf_dir):
     """n-gram Jaccard near-dup with metadata blocking (lang+source):
-    candidate pairs come from an equi-join on the block key, then exact
-    shingle-Jaccard verification — no LSH, deterministic recall within
-    blocks.
+    candidates come from the (block, shingle) INVERTED INDEX — any pair
+    with J >= 0.5 shares a shingle, so recall within blocks is exact —
+    then full-set shingle-Jaccard verification
+    (pipeline.dedup.blocked_jaccard_pairs, Vernica et al. SIGMOD'10).
 
-    The block join's sides are repartitioned with an EXPLICIT count:
-    the join input is the tiny metadata relation, so AQE's size-based
-    coalescing would funnel the n²-per-block pair EXPANSION through 1-2
-    tasks (measured 237 s → 75 s at sf1; user-specified partitioning is
-    exempt from coalescing — the same finding as x06's salted join)."""
-    from otus_clickhouse_spark.pipeline.dedup import jaccard_verify, shingles
+    r12 restage: the previous plan materialized the n²-per-block
+    cartesian (15.9M candidates at sf1, 87 s) and paid pairs×shingles
+    in the verify join; posting-list candidate generation bounds work
+    to Σ df² (1.5M at sf1) with a max_df=10000 hot-posting cap — the
+    same cap class as LSH's max_bucket — so candidate volume stays
+    LINEAR in corpus size at 100 TB. Oracle mirrors the capped index."""
+    from otus_clickhouse_spark.pipeline.dedup import blocked_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = shingles(d)
-    meta = d.select("doc_id", "lang", "source")
-    a = meta.select(F.col("doc_id").alias("a"), "lang", "source")
-    b = meta.select(F.col("doc_id").alias("b"), "lang", "source")
-    cand = (
-        a.repartition(nparts, "lang", "source")
-        .join(b.repartition(nparts, "lang", "source"), ["lang", "source"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+    return blocked_jaccard_pairs(
+        d, block_cols=("lang", "source"), threshold=0.5, max_df=10_000
     )
-    return jaccard_verify(cand, sh, threshold=0.5)
 
 
 @query(
@@ -756,12 +763,24 @@ def x67_weighted_sample(spark, sf_dir):
       FROM documents
     ),
     ok AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 27),
+    cs AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS c
+      FROM ok
+    ),
     g AS (
       SELECT doc_id,
-             list_transform(range(1, length(t) - 18),
-               i -> CAST(concat('0x',
-                      substr(md5(substr(t, CAST(i AS INT), 20)), 1, 8)) AS BIGINT)) AS gh
-      FROM ok
+             list_transform(range(1, len(c) - 18),
+               i -> CAST(list_sum(list_transform(range(0, 20),
+                      j -> c[CAST(i + j AS INT)] *
+                           ([117378760, 827697509, 1615922340, 282034563,
+                             1079017218, 330081243, 1346595130, 1150007217,
+                             1090750511, 1775709275, 483199522, 1213495441,
+                             623063367, 336663071, 168429323, 67503107,
+                             16974593, 66049, 257, 1])[CAST(j + 1 AS INT)]))
+                    AS BIGINT) % 2147483647) AS gh
+      FROM cs
     ),
     fps AS (
       SELECT doc_id,
@@ -788,9 +807,12 @@ def x68_winnowing_dups(spark, sf_dir):
     guarantees any shared span >= w+k-1 chars still collides, so at
     100 TB the fingerprint index is (w+1)/2 x smaller than x31's
     stride-1 plan for the same detection floor. Gram hashing +
-    winnowing are one map-side HOF pass; the shuffle ships (id, 8-byte
-    fp) rows; singleton and over-shared (>1024 docs) fingerprints are
-    dropped before the bucket-local pair join."""
+    winnowing are one map-side HOF pass (r12: position-weighted
+    Karp-Rabin integer hash replacing per-position md5+hex-conv, and
+    the pass is rebalanced across cores — 89 s → 20 s at sf1); the
+    shuffle ships (id, 8-byte fp) rows; singleton and over-shared
+    (>1024 docs) fingerprints are dropped before the bucket-local
+    pair join."""
     from otus_clickhouse_spark.pipeline.dedup import winnow_dup_pairs
 
     return winnow_dup_pairs(
@@ -6100,12 +6122,24 @@ def x117_mmr_diversified_topk(spark, sf_dir):
       FROM documents
     ),
     wok AS (SELECT doc_id, t FROM wnrm WHERE length(t) >= 27),
+    wcs AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS c
+      FROM wok
+    ),
     wg AS (
       SELECT doc_id,
-             list_transform(range(1, length(t) - 18),
-               i -> CAST(concat('0x',
-                      substr(md5(substr(t, CAST(i AS INT), 20)), 1, 8)) AS BIGINT)) AS gh
-      FROM wok
+             list_transform(range(1, len(c) - 18),
+               i -> CAST(list_sum(list_transform(range(0, 20),
+                      j -> c[CAST(i + j AS INT)] *
+                           ([117378760, 827697509, 1615922340, 282034563,
+                             1079017218, 330081243, 1346595130, 1150007217,
+                             1090750511, 1775709275, 483199522, 1213495441,
+                             623063367, 336663071, 168429323, 67503107,
+                             16974593, 66049, 257, 1])[CAST(j + 1 AS INT)]))
+                    AS BIGINT) % 2147483647) AS gh
+      FROM wcs
     ),
     wfps AS (
       SELECT doc_id,

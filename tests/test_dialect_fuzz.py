@@ -35,6 +35,10 @@ import pytest
 
 N_EXPRS = 1200          # scalar expressions checked value-for-value
 N_AGGS = 240            # aggregate expressions (incl. combinators)
+N_WINDOWS = 200         # window functions with frames (r11 ask #5)
+N_ARRAY_JOINS = 110     # ARRAY JOIN incl. LEFT + multi-array
+N_FILLS = 60            # ORDER BY … WITH FILL grids
+N_JOINS = 130           # 2-table joins USING/ON + IN-subqueries
 BATCH = 12              # expressions per SELECT (amortize Spark jobs)
 SEED = 1107
 
@@ -84,6 +88,20 @@ def fuzz_env(spark, tmp_path_factory):
         for r in ROWS
     )
     con.sql(f"INSERT INTO fuzz_t VALUES {duck_values}")
+
+    # second relation for the join family (r11 ask #5): UNIQUE k so
+    # ANY JOIN is deterministic; v overlaps fuzz_t.u partially and is
+    # never NULL (NOT IN stays well-defined)
+    eng.execute(
+        "CREATE TABLE fuzz_u (k UInt64, v Int64, w String) ENGINE = Log"
+    )
+    eng.tables["fuzz_u"].path = str(base / "fuzz_u")
+    con.sql("CREATE TABLE fuzz_u (k BIGINT, v BIGINT, w VARCHAR)")
+    u_vals = ", ".join(
+        f"({k}, {(k * 7) % 40}, '{'uvw'[k % 3]}{k % 5}')" for k in range(0, 30, 2)
+    )
+    eng.execute(f"INSERT INTO fuzz_u VALUES {u_vals}")
+    con.sql(f"INSERT INTO fuzz_u VALUES {u_vals}")
     return eng, con
 
 
@@ -362,6 +380,259 @@ def test_fuzz_aggregates_and_combinators(fuzz_env):
     for i in range(0, len(aggs), BATCH):
         group = rng.choice([None, "(u % 3)", "(j % 2)"])
         _run_batch(fuzz_env, aggs[i : i + BATCH], group_by=group, agg=True)
+
+
+# ------------------------------------------------- r12 grammar families
+# (r11 verdict ask #5: the structurally hardest rewrites — window
+# functions with frames, ARRAY JOIN incl. LEFT/multi-array, WITH FILL,
+# 2-table joins USING/ON + IN-subqueries, and -State/-Merge roundtrips
+# through persisted tables.)
+
+
+def _run_sql_pair(fuzz_env, ch_sql: str, dk_sql: str):
+    """Run a full CH statement on the engine and its ANSI twin on
+    DuckDB; compare complete ordered result sets value-for-value."""
+    eng, con = fuzz_env
+    got = eng.run(ch_sql)
+    want = con.sql(dk_sql).fetchall()
+    assert len(got) == len(want), (ch_sql, dk_sql, len(got), len(want))
+    for rn, (grow, wrow) in enumerate(zip(got, want)):
+        assert len(grow) == len(wrow), (ch_sql, rn)
+        for idx in range(len(wrow)):
+            assert _close(grow[idx], wrow[idx]), (
+                ch_sql, dk_sql, rn, idx, grow[idx], wrow[idx],
+            )
+
+
+_WIN_FRAMES = [
+    "",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+
+
+def gen_window(rng: random.Random) -> E:
+    part = rng.choice(["", "PARTITION BY (u % 3)", "PARTITION BY (j % 2)"])
+    kind = rng.randrange(10)
+    if kind < 3:  # pure ranking — no frame allowed
+        f = rng.choice(["row_number()", "rank()", "dense_rank()", "ntile(3)"])
+        over = f"OVER ({part} ORDER BY id)"
+        return E(f"{f} {over}")
+    if kind < 5:  # lag/lead with default
+        f = rng.choice(["lag", "lead"])
+        c = rng.choice(["u", "i", "s"])
+        dflt = "''" if c == "s" else str(rng.randint(-5, 5))
+        over = f"OVER ({part} ORDER BY id)"
+        return E(f"{f}({c}, 1, {dflt}) {over}",
+                 t="STR" if c == "s" else "INT")
+    if kind < 6:  # CH -If combinator inside a window
+        frame = rng.choice(_WIN_FRAMES)
+        over = f"OVER ({part} ORDER BY id {frame})"
+        b_ch, b_dk = "(i > 0)", "(i > 0)"
+        return E(f"sumIf(u, {b_ch}) {over}",
+                 f"sum(u) FILTER (WHERE {b_dk}) {over}")
+    # framed aggregate
+    f, c = rng.choice([
+        ("sum", "u"), ("min", "i"), ("max", "u"), ("count", "j"), ("avg", "d"),
+    ])
+    frame = rng.choice(_WIN_FRAMES)
+    over = f"OVER ({part} ORDER BY id {frame})"
+    t = "DBL" if f == "avg" else "INT"
+    return E(f"{f}({c}) {over}", t=t)
+
+
+def test_fuzz_window_functions_with_frames(fuzz_env):
+    rng = random.Random(SEED + 2)
+    exprs = [gen_window(rng) for _ in range(N_WINDOWS)]
+    for i in range(0, len(exprs), 8):
+        batch = exprs[i : i + 8]
+        sel_ch = ", ".join(f"{e.ch} AS c{k}" for k, e in enumerate(batch))
+        sel_dk = ", ".join(f"{e.dk} AS c{k}" for k, e in enumerate(batch))
+        _run_sql_pair(
+            fuzz_env,
+            f"SELECT id, {sel_ch} FROM fuzz_t ORDER BY id",
+            f"SELECT id, {sel_dk} FROM fuzz_t ORDER BY id",
+        )
+
+
+def gen_array_join(rng: random.Random) -> tuple[str, str]:
+    kind = rng.randrange(4)
+    if kind == 0:  # plain single-array
+        a = gen_arr(rng, rng.randint(0, 2))
+        return (
+            f"SELECT id, x FROM fuzz_t ARRAY JOIN {a.ch} AS x ORDER BY id, x",
+            f"SELECT id, unnest({a.dk}) AS x FROM fuzz_t ORDER BY id, x",
+        )
+    if kind == 1:  # LEFT: empty arrays keep the row (engine: NULL element)
+        k = rng.randint(5, 9)
+        ch_e = f"arrayFilter(x -> x > {k}, arr)"
+        dk_e = f"list_filter(arr, x -> x > {k})"
+        return (
+            f"SELECT id, x FROM fuzz_t LEFT ARRAY JOIN {ch_e} AS x "
+            f"ORDER BY id, x",
+            f"SELECT id, unnest(CASE WHEN len({dk_e}) = 0 "
+            f"THEN [NULL]::BIGINT[] ELSE {dk_e} END) AS x FROM fuzz_t "
+            f"ORDER BY id, x NULLS LAST",
+        )
+    if kind == 2:  # multi-array: ALIGNED unnest, not cartesian
+        m = rng.randint(-3, 3)
+        return (
+            f"SELECT id, x, y FROM fuzz_t "
+            f"ARRAY JOIN arr AS x, arrayMap(e -> e * 2 + {m}, arr) AS y "
+            f"ORDER BY id, x, y",
+            f"SELECT id, unnest(arr) AS x, "
+            f"unnest(list_transform(arr, e -> e * 2 + {m})) AS y FROM fuzz_t "
+            f"ORDER BY id, x, y",
+        )
+    # ARRAY JOIN + WHERE on the unnested alias
+    k = rng.randint(-5, 5)
+    return (
+        f"SELECT id, x FROM fuzz_t ARRAY JOIN arr AS x WHERE x > {k} "
+        f"ORDER BY id, x",
+        f"SELECT id, x FROM (SELECT id, unnest(arr) AS x FROM fuzz_t) "
+        f"WHERE x > {k} ORDER BY id, x",
+    )
+
+
+def test_fuzz_array_join(fuzz_env):
+    rng = random.Random(SEED + 3)
+    for _ in range(N_ARRAY_JOINS):
+        ch_sql, dk_sql = gen_array_join(rng)
+        _run_sql_pair(fuzz_env, ch_sql, dk_sql)
+
+
+def gen_with_fill(rng: random.Random) -> tuple[str, str]:
+    m = rng.randint(4, 8)
+    lo = rng.randint(0, 2)
+    hi = rng.randint(m + 1, m + 4)
+    step = rng.choice([1, 1, 2])
+    agg_ch, agg_dk = rng.choice([
+        ("count() AS c", "count(*) AS c"),
+        ("sum(j) AS c", "sum(j) AS c"),
+        ("max(u) AS c", "max(u) AS c"),
+    ])
+    ch = (
+        f"SELECT (u % {m}) AS g, {agg_ch} FROM fuzz_t GROUP BY g "
+        f"ORDER BY g WITH FILL FROM {lo} TO {hi} STEP {step}"
+    )
+    # CH WITH FILL: TO is exclusive; rows already present keep their
+    # values, grid rows fill other columns with NULL; source rows
+    # OUTSIDE the grid still appear (fill only adds, never drops)
+    dk = (
+        f"WITH agg AS (SELECT (u % {m}) AS g, {agg_dk} FROM fuzz_t GROUP BY g), "
+        f"grid AS (SELECT range AS g FROM range({lo}, {hi}, {step}) "
+        f"         UNION SELECT g FROM agg) "
+        f"SELECT grid.g AS g, agg.c AS c FROM grid LEFT JOIN agg USING (g) "
+        f"ORDER BY g"
+    )
+    return ch, dk
+
+
+def test_fuzz_with_fill(fuzz_env):
+    rng = random.Random(SEED + 4)
+    for _ in range(N_FILLS):
+        ch_sql, dk_sql = gen_with_fill(rng)
+        _run_sql_pair(fuzz_env, ch_sql, dk_sql)
+
+
+def gen_join(rng: random.Random) -> tuple[str, str]:
+    kind = rng.randrange(8)
+    jt = rng.choice(["INNER", "LEFT", "RIGHT", "FULL"])
+    if kind < 3:  # ON join with optional extra predicate
+        extra = rng.choice(["", f" AND b.v > {rng.randint(0, 20)}"])
+        sql = (
+            f"SELECT a.id AS id, a.u AS u, b.v AS v, b.w AS w "
+            f"FROM fuzz_t a {jt} JOIN fuzz_u b ON a.id = b.k{extra} "
+            f"ORDER BY id NULLS LAST, v NULLS LAST, w NULLS LAST"
+        )
+        return sql, sql
+    if kind == 3:  # USING through a renamed subquery
+        sql = (
+            f"SELECT k, u, v FROM (SELECT id AS k, u FROM fuzz_t) a "
+            f"{jt} JOIN fuzz_u b USING (k) "
+            f"ORDER BY k NULLS LAST, u NULLS LAST, v NULLS LAST"
+        )
+        return sql, sql
+    if kind == 4:  # IN-subquery
+        n = rng.randint(0, 20)
+        neg = rng.choice(["", "NOT "])
+        sql = (
+            f"SELECT id, u FROM fuzz_t "
+            f"WHERE u {neg}IN (SELECT v FROM fuzz_u WHERE v > {n}) "
+            f"ORDER BY id"
+        )
+        return sql, sql
+    if kind == 5:  # GLOBAL IN (CH spelling; plain IN on one box)
+        n = rng.randint(0, 20)
+        return (
+            f"SELECT id, u FROM fuzz_t "
+            f"WHERE u GLOBAL IN (SELECT v FROM fuzz_u WHERE v > {n}) "
+            f"ORDER BY id",
+            f"SELECT id, u FROM fuzz_t "
+            f"WHERE u IN (SELECT v FROM fuzz_u WHERE v > {n}) "
+            f"ORDER BY id",
+        )
+    if kind == 6:  # correlated EXISTS
+        sql = (
+            f"SELECT id FROM fuzz_t t WHERE EXISTS "
+            f"(SELECT 1 FROM fuzz_u x WHERE x.k = t.id AND x.v >= {rng.randint(0, 15)}) "
+            f"ORDER BY id"
+        )
+        return sql, sql
+    # ANY LEFT JOIN — deterministic because fuzz_u.k is unique
+    return (
+        f"SELECT a.id AS id, b.v AS v FROM fuzz_t a "
+        f"ANY LEFT JOIN fuzz_u b ON a.id = b.k ORDER BY id",
+        f"SELECT a.id AS id, b.v AS v FROM fuzz_t a "
+        f"LEFT JOIN fuzz_u b ON a.id = b.k ORDER BY id",
+    )
+
+
+def test_fuzz_two_table_joins(fuzz_env):
+    rng = random.Random(SEED + 5)
+    for _ in range(N_JOINS):
+        ch_sql, dk_sql = gen_join(rng)
+        _run_sql_pair(fuzz_env, ch_sql, dk_sql)
+
+
+def test_fuzz_state_merge_through_persisted_table(fuzz_env):
+    """-State aggregates written to a PERSISTED table (CTAS), read back
+    and -Merge'd, must equal the direct aggregate — including partial
+    states from disjoint slices merged across rows (the distributed
+    two-phase shape; engine-only property, DuckDB has no CH states)."""
+    eng, _ = fuzz_env
+    cases = [
+        ("sum", "u"), ("min", "i"), ("max", "u"), ("count", "u"),
+        ("avg", "d"), ("uniqExact", "j"),
+    ]
+    for f, c in cases:
+        eng.execute("DROP TABLE IF EXISTS fz_states")
+        # two disjoint half-corpus states per group, persisted via CTAS
+        eng.execute(
+            f"CREATE TABLE fz_states ENGINE = Log AS "
+            f"SELECT (u % 3) AS g, {f}State({c}) AS st FROM fuzz_t "
+            f"WHERE id < 12 GROUP BY g"
+        )
+        eng.execute(
+            f"INSERT INTO fz_states "
+            f"SELECT (u % 3) AS g, {f}State({c}) AS st FROM fuzz_t "
+            f"WHERE id >= 12 GROUP BY g"
+        )
+        got = eng.run(
+            f"SELECT g, {f}Merge(st) AS e FROM fz_states GROUP BY g ORDER BY g"
+        )
+        want = eng.run(
+            f"SELECT (u % 3) AS g, {f}({c}) AS e FROM fuzz_t GROUP BY g ORDER BY g"
+        )
+        assert len(got) == len(want), (f, got, want)
+        for (gg, ge), (wg, we) in zip(got, want):
+            assert gg == wg, (f, got, want)
+            assert math.isclose(float(ge), float(we), abs_tol=1e-4), (f, got, want)
+        eng.execute("DROP TABLE IF EXISTS fz_states")
 
 
 def test_fuzz_state_merge_roundtrip(fuzz_env):

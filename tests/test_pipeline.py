@@ -1913,14 +1913,17 @@ def test_weighted_sample_proportional_and_plan(spark):
 
 def _py_winnow(text, k=8, w=4):
     # independent reference: Schleimer et al. winnowing in plain Python
-    import hashlib
+    # (gram hash = the r12 position-weighted Karp-Rabin polynomial,
+    # B=257 M=2^31-1, matching winnow_dup_pairs and the x68 oracle)
     import re
 
+    B, M = 257, 2147483647
+    pw = [pow(B, k - 1 - j, M) for j in range(k)]
     t = re.sub(r"[ \t\r\n]+", " ", text).lower()
     if len(t) < k + w - 1:
         return set()
     gh = [
-        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        sum(ord(c) * p for c, p in zip(t[i : i + k], pw)) % M
         for i in range(len(t) - k + 1)
     ]
     return {min(gh[j : j + w]) for j in range(len(gh) - w + 1)}

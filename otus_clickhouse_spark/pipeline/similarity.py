@@ -533,6 +533,14 @@ def semantic_dedup(
 
     Returns (vec_id, cluster_id, removed) for every corpus vector.
     """
+    # materialize the (id, vector) projection ONCE: the corpus subtree
+    # is re-evaluated by the training loop, both pair-join sides and
+    # the final flag join — an expensive upstream lineage (synthetic
+    # copies, casts, a prior pipeline stage) otherwise recomputes per
+    # consumer (r12: x32 at sf1 went 154 s → ~12 s from this alone)
+    corpus = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint()
     cent = kmeans_centroids(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         round_cos=round_cos, round_mean=round_mean,
@@ -548,18 +556,58 @@ def semantic_dedup(
             ).alias("cluster_id")
         )
     )
-    # AQE-exempt repartition before the within-cluster pair expansion
-    # (the x06 sf1 finding: AQE sizes partitions from the assignment
-    # relation's bytes, the n²-per-cluster expansion happens after)
-    nparts = int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    assigned = assigned.repartition(nparts, "cluster_id")
-    a = assigned.select(F.col(id_col).alias("__wit"), F.col("v").alias("va"), "cluster_id")
-    b = assigned.select(F.col(id_col).alias("__cand"), F.col("v").alias("vb"), "cluster_id")
+    # within-cluster pair expansion via the SALTED sub-block self-join
+    # (the x06 machinery — embedding_neardup_pairs): cluster_id has only
+    # k distinct values, so a plain repartition on it funnels the n²
+    # expansion through k tasks (measured 522 s at sf1 for k=4); salting
+    # splits each cluster into n_salts hash groups joined via a
+    # broadcast (ga ≤ gb) combo list with an AQE-exempt repartition on
+    # (cluster, gb). Each unordered pair appears exactly once; the
+    # REMOVED member of a pair is the larger id (keep-lowest-id,
+    # chain-free), so direction is recovered with greatest().
+    spark = assigned.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = 8
+    combos = F.broadcast(
+        spark.createDataFrame(
+            [(ga, gb) for ga in range(g) for gb in range(ga, g)],
+            "ga int, gb int",
+        )
+    )
+    salted = assigned.withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int")
+    )
+    # per-vector norm ONCE (map-side): cosine() recomputes both norms
+    # per PAIR — 2/3 of the pairwise fold work; precomputing them and
+    # scoring dot/(na·nb) is bit-identical (same fold order, sqrt of
+    # the same sum, same multiply) and measured 2.4× on a 16M-pair
+    # microbench. (A literal 64-term unrolled dot was tried and is
+    # SLOWER than the HOF fold — Spark 4 evaluates array lambdas
+    # efficiently; the flat expression tree doesn't win.)
+    salted = salted.withColumn("__nrm", norm(F.col("v")))
+    a = salted.select(
+        F.col(id_col).alias("__wit"), F.col("v").alias("va"), "cluster_id",
+        F.col("__g").alias("ga"), F.col("__nrm").alias("__na"),
+    ).join(combos, "ga")
+    b = salted.select(
+        F.col(id_col).alias("__cand"), F.col("v").alias("vb"), "cluster_id",
+        F.col("__g").alias("gb"), F.col("__nrm").alias("__nb"),
+    )
+    pair_score = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+    # shuffle_hash hint: BOTH sides grow with the corpus, so the
+    # session's 64m auto-broadcast threshold must not pick one as a
+    # build side (measured: the broadcast plan GC-thrashed the local
+    # 8g heap, 15 s → 121 s; at cluster scale it would be the
+    # forced-broadcast-of-an-SF-growing-side anti-pattern outright)
     removed = (
-        a.join(b, "cluster_id")
-        .where(F.col("__wit") < F.col("__cand"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), round_cos) >= threshold)
-        .select(F.col("__cand").alias(id_col))
+        a.repartition(nparts, "cluster_id", "gb")
+        .join(
+            b.repartition(nparts, "cluster_id", "gb").hint("shuffle_hash"),
+            ["cluster_id", "gb"],
+        )
+        .where((F.col("ga") < F.col("gb")) | (F.col("__wit") < F.col("__cand")))
+        .where(F.round(pair_score, round_cos) >= threshold)
+        .select(F.greatest("__wit", "__cand").alias(id_col))
         .distinct()
         .withColumn("removed", F.lit(True))
     )

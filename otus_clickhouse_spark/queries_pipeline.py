@@ -772,14 +772,7 @@ def x67_weighted_sample(spark, sf_dir):
     g AS (
       SELECT doc_id,
              list_transform(range(1, len(c) - 18),
-               i -> CAST(list_sum(list_transform(range(0, 20),
-                      j -> c[CAST(i + j AS INT)] *
-                           ([117378760, 827697509, 1615922340, 282034563,
-                             1079017218, 330081243, 1346595130, 1150007217,
-                             1090750511, 1775709275, 483199522, 1213495441,
-                             623063367, 336663071, 168429323, 67503107,
-                             16974593, 66049, 257, 1])[CAST(j + 1 AS INT)]))
-                    AS BIGINT) % 2147483647) AS gh
+               i -> (c[CAST(i + 0 AS INT)] * 117378760 + c[CAST(i + 1 AS INT)] * 827697509 + c[CAST(i + 2 AS INT)] * 1615922340 + c[CAST(i + 3 AS INT)] * 282034563 + c[CAST(i + 4 AS INT)] * 1079017218 + c[CAST(i + 5 AS INT)] * 330081243 + c[CAST(i + 6 AS INT)] * 1346595130 + c[CAST(i + 7 AS INT)] * 1150007217 + c[CAST(i + 8 AS INT)] * 1090750511 + c[CAST(i + 9 AS INT)] * 1775709275 + c[CAST(i + 10 AS INT)] * 483199522 + c[CAST(i + 11 AS INT)] * 1213495441 + c[CAST(i + 12 AS INT)] * 623063367 + c[CAST(i + 13 AS INT)] * 336663071 + c[CAST(i + 14 AS INT)] * 168429323 + c[CAST(i + 15 AS INT)] * 67503107 + c[CAST(i + 16 AS INT)] * 16974593 + c[CAST(i + 17 AS INT)] * 66049 + c[CAST(i + 18 AS INT)] * 257 + c[CAST(i + 19 AS INT)] * 1) % 2147483647) AS gh
       FROM cs
     ),
     fps AS (
@@ -6131,14 +6124,7 @@ def x117_mmr_diversified_topk(spark, sf_dir):
     wg AS (
       SELECT doc_id,
              list_transform(range(1, len(c) - 18),
-               i -> CAST(list_sum(list_transform(range(0, 20),
-                      j -> c[CAST(i + j AS INT)] *
-                           ([117378760, 827697509, 1615922340, 282034563,
-                             1079017218, 330081243, 1346595130, 1150007217,
-                             1090750511, 1775709275, 483199522, 1213495441,
-                             623063367, 336663071, 168429323, 67503107,
-                             16974593, 66049, 257, 1])[CAST(j + 1 AS INT)]))
-                    AS BIGINT) % 2147483647) AS gh
+               i -> (c[CAST(i + 0 AS INT)] * 117378760 + c[CAST(i + 1 AS INT)] * 827697509 + c[CAST(i + 2 AS INT)] * 1615922340 + c[CAST(i + 3 AS INT)] * 282034563 + c[CAST(i + 4 AS INT)] * 1079017218 + c[CAST(i + 5 AS INT)] * 330081243 + c[CAST(i + 6 AS INT)] * 1346595130 + c[CAST(i + 7 AS INT)] * 1150007217 + c[CAST(i + 8 AS INT)] * 1090750511 + c[CAST(i + 9 AS INT)] * 1775709275 + c[CAST(i + 10 AS INT)] * 483199522 + c[CAST(i + 11 AS INT)] * 1213495441 + c[CAST(i + 12 AS INT)] * 623063367 + c[CAST(i + 13 AS INT)] * 336663071 + c[CAST(i + 14 AS INT)] * 168429323 + c[CAST(i + 15 AS INT)] * 67503107 + c[CAST(i + 16 AS INT)] * 16974593 + c[CAST(i + 17 AS INT)] * 66049 + c[CAST(i + 18 AS INT)] * 257 + c[CAST(i + 19 AS INT)] * 1) % 2147483647) AS gh
       FROM wcs
     ),
     wfps AS (

@@ -71,6 +71,12 @@ HEADLINE = [
     # map-side x7 expansion — the events family)
     "x123_lsh_cap_planning",
     "x124_engagement_stickiness",
+    # round-12 representatives: the two restaged sf1 heavy-tail dedup
+    # operators — inverted-index blocked Jaccard (posting-list
+    # candidates + exact verify) and winnowing fingerprints (polynomial
+    # gram hash) — benched so the restages can't silently regress
+    "x10_ngram_jaccard_block",
+    "x68_winnowing_dups",
 ]
 
 

@@ -857,6 +857,17 @@ def test_kafka_attach_exactly_once_under_crash_and_restart(engine, tmp_path):
         q3.processAllAvailable()
         q3.stop()
         assert engine.execute("SELECT count() AS n FROM eo_raw")[0].n == len(msgs)
+
+        # ADVICE r11: .commit markers must not accumulate forever on a
+        # long-lived stream — only a bounded window (<= 17: the pruning
+        # keeps epochs newer than last-16) may remain, and no .pre
+        # files survive a clean run
+        import os as _os
+
+        edir = _os.path.join(ck, "_epochs")
+        leftover = sorted(_os.listdir(edir))
+        assert all(f.endswith(".commit") for f in leftover), leftover
+        assert len(leftover) <= 17, leftover
     finally:
         mv.sink = orig_sink
         for ddl in ("DROP TABLE IF EXISTS eo_mv", "DROP TABLE IF EXISTS eo_src",

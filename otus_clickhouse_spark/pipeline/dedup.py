@@ -184,7 +184,18 @@ def lsh_candidate_pairs(
     """
     if buckets is None:
         buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-    narrow = buckets.select(F.col(id_col), "band_key")
+    # the explicit repartition sits BELOW the window/join: the user
+    # REPARTITION_BY_COL exchange satisfies their required distribution
+    # (it REPLACES the ENSURE_REQUIREMENTS shuffle instead of adding
+    # one) and AQE will not coalesce it — size-based coalescing would
+    # funnel the n²-per-bucket pair EXPANSION through 1-2 tasks (the
+    # x06/x10 sf1 finding; standing guard
+    # test_no_aqe_coalescible_pair_expansion_joins). A repartition
+    # placed AFTER the window would be planner-elided as redundant.
+    nparts = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    narrow = buckets.select(F.col(id_col), "band_key").repartition(
+        nparts, "band_key"
+    )
     if degrees is not None:
         # pooled path: the shared degree relation is already materialized
         # (persist/localCheckpoint by the caller) — join it back.
@@ -204,13 +215,6 @@ def lsh_candidate_pairs(
     # `deg > 1` drops singleton buckets (the vast majority) before the
     # self-join ever sees them — they cannot produce a pair.
     sm = ann.where((F.col("__deg") > 1) & (F.col("__deg") <= max_bucket))
-    # explicit repartition = AQE-coalesce exemption: the surviving
-    # bucket relation is small relative to the pair EXPANSION the join
-    # emits, so size-based coalescing would funnel the n²-per-bucket
-    # work through 1-2 tasks (the x06/x10 sf1 finding; standing guard
-    # test_no_aqe_coalescible_pair_expansion_joins)
-    nparts = int(sm.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sm = sm.repartition(nparts, "band_key")
     a = sm.alias("a")
     b = sm.alias("b")
     pairs_small = (

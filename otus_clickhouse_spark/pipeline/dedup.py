@@ -263,11 +263,22 @@ def blocked_jaccard_pairs(
     partitioning is exempt from coalescing)."""
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = shingles(df, text_col=text_col, id_col=id_col)
-    meta = df.select(id_col, *block_cols)
-    shb = sh.join(meta, id_col).select(
-        F.col(id_col), *block_cols, F.xxhash64("shingle").alias("__sh")
+    # materialize the hashed shingle relation ONCE (r12, guide §2.3/§5):
+    # it feeds FOUR consumers — the posting index, both sides of the
+    # verify intersection join, and the per-doc set sizes. Unmaterialized,
+    # the tokenize→n-gram→explode subtree (the scan-CPU of this operator)
+    # re-ran per consumer; the checkpoint also ships the 8-byte digest
+    # instead of shingle strings through every downstream shuffle.
+    # localCheckpoint (not persist) per the minhash_dedup_pairs rationale:
+    # blocks free on GC, nothing leaks into a long harness session.
+    shc = (
+        shingles(df, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+        .localCheckpoint()
     )
+    sizes = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    meta = df.select(id_col, *block_cols)
+    shb = shc.join(meta, id_col)
     keys = [*block_cols, "__sh"]
     from pyspark.sql import Window
 
@@ -291,7 +302,9 @@ def blocked_jaccard_pairs(
         .select("a", "b")
         .distinct()
     )
-    return jaccard_verify(cand, sh, id_col=id_col, threshold=threshold)
+    return jaccard_verify(
+        cand, shc, id_col=id_col, threshold=threshold, sizes=sizes, hashed=True
+    )
 
 
 def jaccard_verify(
@@ -300,6 +313,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     sizes: DataFrame | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (a, b, jaccard).
 
@@ -308,8 +322,14 @@ def jaccard_verify(
     fraction of the shuffle bytes. Pass ``sizes`` (``id_col, n_sh``) if
     the per-doc set sizes were already computed upstream (e.g. in the
     signature aggregation) to avoid re-scanning the shingle relation.
+    ``hashed=True`` means ``sh`` is already the (id_col, __sh) digest
+    relation (ideally materialized by the caller) — skips re-hashing.
     """
-    shc = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+    shc = (
+        sh
+        if hashed
+        else sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+    )
     sa = shc.select(F.col(id_col).alias("a"), F.col("__sh"))
     sb = shc.select(F.col(id_col).alias("b"), F.col("__sh"))
     common = (

@@ -39,21 +39,34 @@ def pagerank(
     curation wants a stable relative ordering, not convergence to 1e-12,
     and each extra iteration is two more shuffles over the edge list.
     """
+    # r12 (guide §2.4/§5): the edge list, the node set and the
+    # (src, dst, outdeg) relation are LOOP-INVARIANT — every iteration
+    # re-derived all three from the caller's edge expression (3 extra
+    # passes per iteration at 100 TB; measured in the r12 bench as the
+    # bulk of x55's exchanges). Materialize each once: localCheckpoint
+    # (blocks free on GC — the persist-leak rationale of
+    # minhash_dedup_pairs) is exactly the "persist your edge list before
+    # iterating" rule every distributed PageRank uses. The static
+    # outdeg join is hoisted out of the loop: per iteration only the
+    # rank join + one groupBy remain.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     # one bounded driver scalar (like the k-means seed fetch): the node
     # count feeds the teleport constant
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    ).localCheckpoint()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
         contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
-            .join(outdeg, "src")
+            ew.join(pr, ew["src"] == pr["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("outdeg")).alias("c"),

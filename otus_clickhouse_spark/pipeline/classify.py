@@ -92,9 +92,16 @@ def naive_bayes_train(
     )
 
     docs = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    n_total = train.agg(F.count(F.lit(1)).alias("n"))
-    priors = docs.crossJoin(F.broadcast(n_total)).select(
-        label_col, F.log(F.col("n_docs") / F.col("n")).alias("logprior")
+    # total training docs = Σ of the per-class counts — an unpartitioned
+    # window over the |classes|-row aggregate (bounded, never
+    # corpus-sized), not a SECOND full count pass over the training
+    # corpus + crossJoin (r12, guide §2.4: the old n_total scan was a
+    # whole extra job per training run for a number the per-class
+    # aggregate already contains). n_docs/n divides the same bigints,
+    # so logprior is bit-identical.
+    n_total = F.sum("n_docs").over(Window.partitionBy())
+    priors = docs.select(
+        label_col, F.log(F.col("n_docs") / n_total).alias("logprior")
     )
     return model, priors
 

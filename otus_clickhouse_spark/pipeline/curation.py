@@ -58,36 +58,80 @@ def curation_funnel(
     pred = naive_bayes_predict(
         qual, model, priors, text_col=text_col, label_col=source_col, id_col=id_col
     )
+    # the downstream consumers (per-source count + the token-budget
+    # cut) never read text — drop it (and the NB score) BEFORE the
+    # materialization so the checkpoint stores 4 narrow columns, not
+    # document bodies (guide §2.3: project before you materialize)
     agree = (
-        qual.join(pred, id_col)
+        qual.select(id_col, source_col, "quality", "n_tok")
+        .join(pred.select(id_col, "predicted"), id_col)
         .where(F.col("predicted") == F.col(source_col))
+        .drop("predicted")
         .localCheckpoint()
     )
     sel_stats = budget_select_stats(
         agree, token_budget, source_col=source_col, id_col=id_col
     )
 
-    def per_source(df, name, extra=None):
-        aggs = [F.count(F.lit(1)).cast("bigint").alias(name)]
-        if extra is not None:
-            aggs.append(extra)
-        return df.groupBy(source_col).agg(*aggs)
-
-    out = (
-        per_source(docs, "n_in")
-        .join(per_source(dedup, "n_dedup"), source_col, "left")
-        .join(per_source(qual, "n_quality"), source_col, "left")
-        .join(per_source(agree, "n_agree"), source_col, "left")
-        .join(sel_stats, source_col, "left")
+    # Final assembly (r12, guide §2.4): the old form scanned `docs`
+    # twice (n_in, plus the md5 groupBy + semi-join recompute behind
+    # n_dedup) and stitched five per-source aggregates with four
+    # broadcast left-joins — each join its own exchange + broadcast
+    # job, all for ~|sources| rows. Instead:
+    #  - ONE docs pass groups by (digest, source); n_in sums the
+    #    per-group counts, n_dedup counts each digest's representative
+    #    (min_by(source, min_id) — the min-id doc's source, exactly the
+    #    doc the semi-join kept). The two consumers share the digest
+    #    exchange (ReuseExchange), so the funnel-stage counts cost one
+    #    scan and no join.
+    #  - the five stat relations union into (source, k, v) and pivot
+    #    back to columns with ONE ~|sources|-row groupBy — no
+    #    broadcast-join chain.
+    g = docs.groupBy(F.md5(text_col).alias("__dg"), source_col).agg(
+        F.count(F.lit(1)).alias("__c"), F.min(id_col).alias("__mid")
     )
-    zero = F.lit(0).cast("bigint")
-    return out.select(
+    big = "bigint"
+
+    def kv(df, k, vcol):
+        return df.select(
+            F.col(source_col), F.lit(k).alias("__k"), F.col(vcol).cast(big).alias("__v")
+        )
+
+    s0 = kv(g.groupBy(source_col).agg(F.sum("__c").alias("v")), "n_in", "v")
+    s1 = kv(
+        g.groupBy("__dg")
+        .agg(F.min_by(source_col, "__mid").alias(source_col))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("v")),
+        "n_dedup",
+        "v",
+    )
+    s2 = kv(qual.groupBy(source_col).agg(F.count(F.lit(1)).alias("v")), "n_quality", "v")
+    s3 = kv(agree.groupBy(source_col).agg(F.count(F.lit(1)).alias("v")), "n_agree", "v")
+    s4 = sel_stats.select(
+        F.col(source_col),
+        F.explode(
+            F.create_map(
+                F.lit("n_selected"), F.col("n_selected").cast(big),
+                F.lit("tok_selected"), F.col("tok_selected").cast(big),
+            )
+        ).alias("__k", "__v"),
+    )
+    cols = ["n_in", "n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
+    wide = (
+        s0.union(s1)
+        .union(s2)
+        .union(s3)
+        .union(s4)
+        .groupBy(source_col)
+        .pivot("__k", cols)
+        .agg(F.first("__v"))
+    )
+    zero = F.lit(0).cast(big)
+    return wide.select(
         source_col,
-        "n_in",
-        *[
-            F.coalesce(F.col(c), zero).alias(c)
-            for c in ["n_dedup", "n_quality", "n_agree", "n_selected", "tok_selected"]
-        ],
+        F.col("n_in").cast(big).alias("n_in"),
+        *[F.coalesce(F.col(c), zero).cast(big).alias(c) for c in cols[1:]],
     )
 
 

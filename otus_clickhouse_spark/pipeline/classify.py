@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from otus_clickhouse_spark.pipeline.similarity import cosine
+from otus_clickhouse_spark.pipeline.similarity import cosine, dot, norm
 from otus_clickhouse_spark.io import rebalance
 
 
@@ -58,7 +58,6 @@ def naive_bayes_train(
     """
     toks = _tokens(train, text_col, id_col, label_col)
 
-    vocab = toks.select("token").distinct()
     if max_vocab is not None:
         df_counts = toks.select("token", id_col).distinct().groupBy("token").agg(
             F.count(F.lit(1)).alias("df")
@@ -76,6 +75,12 @@ def naive_bayes_train(
 
     # class-conditional token counts and totals
     cnt = toks.groupBy(label_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    if max_vocab is None:
+        # every vocab token appears in cnt with >= 1 class — derive the
+        # vocab from the AGGREGATED relation instead of a second full
+        # scan + distinct of the exploded token stream (r12, guide
+        # §2.4: same set, one less corpus-sized pass)
+        vocab = cnt.select("token").distinct()
     tot = cnt.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
 
@@ -169,17 +174,19 @@ def knn_classify(
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = rebalance(
         labeled.select(
             F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("__cv")
         )
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per query
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.col(label_col),
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     neighbours = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
@@ -215,12 +222,12 @@ def hard_negatives(
         F.col(query_id_col),
         F.col(query_label_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = rebalance(
         corpus.select(
             F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("__cv")
         )
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per query
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(label_col) != F.col(query_label_col))
@@ -228,7 +235,9 @@ def hard_negatives(
             F.col(query_id_col),
             F.col(id_col).alias("neg_id"),
             F.col(label_col).alias("neg_label"),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neg_id").asc())

@@ -102,15 +102,23 @@ def semantic_contaminated_ids(
     LSH-bucketed join (pipeline.similarity.lsh_topk's banding) — same
     contract, pruned candidate set.
     """
-    from otus_clickhouse_spark.pipeline.similarity import cosine
+    from otus_clickhouse_spark.pipeline.similarity import dot, norm
 
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per eval vec
     e = eval_set.select(
         F.col(id_col).alias("__eval_id"), F.col(vec_col).cast("array<double>").alias("__ev")
-    )
+    ).withColumn("__en", norm(F.col("__ev")))
     return (
         c.crossJoin(F.broadcast(e))
-        .where(F.round(cosine(F.col("__cv"), F.col("__ev")), round_cos) >= threshold)
+        .where(
+            F.round(
+                dot(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en")),
+                round_cos,
+            )
+            >= threshold
+        )
         .select(id_col)
         .distinct()
     )

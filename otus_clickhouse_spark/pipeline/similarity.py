@@ -52,17 +52,25 @@ def brute_force_topk(
     Plan: BroadcastNestedLoopJoin(queries) over corpus → per-query window
     top-k. Corpus never shuffles for scoring; the window shuffles only
     (query_id, score) pairs.
+
+    Norms are hoisted to the per-row side (r12, guide §2.3): cosine()
+    would re-fold norm(corpus row) once per QUERY and norm(query) once
+    per corpus ROW; computing each once and scoring dot/(qn·cn) is
+    bit-identical (same fold order, same multiply) and drops ~2/3 of
+    the per-pair arithmetic.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = rebalance(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -118,9 +126,12 @@ def kmeans_centroids(
     (ties broken by lowest centroid_id), which is what lets an external
     SQL oracle replay the training loop exactly.
     """
+    # __nrm rides in the persisted projection: one norm fold per row for
+    # the WHOLE training run instead of k per row per iteration —
+    # dot/(nv·nc) is bit-identical to cosine() (same fold order)
     base = rebalance(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    ).persist()
+    ).withColumn("__nrm", norm(F.col("v"))).persist()
     # deterministic spread init: the k lowest md5(id) ranks — a
     # hash-uniform pseudo-random sample. Planned as TakeOrderedAndProject
     # (per-partition top-k, tiny merge on the driver), unlike a
@@ -136,11 +147,13 @@ def kmeans_centroids(
         "centroid_id int, cv array<double>",
     )
     for _ in range(iters):
-        score = cosine(F.col("v"), F.col("cv"))
+        # centroid norms: k folds per round on the broadcast side
+        centn = cent.withColumn("__cn", norm(F.col("cv")))
+        score = dot(F.col("v"), F.col("cv")) / (F.col("__nrm") * F.col("__cn"))
         if round_cos is not None:
             score = F.round(score, round_cos)
         assigned = (
-            base.crossJoin(F.broadcast(cent))
+            base.crossJoin(F.broadcast(centn))
             .withColumn("cos", score)
             .groupBy(id_col, "v")
             .agg(F.max_by("centroid_id", F.struct("cos", (-F.col("centroid_id")).alias("t"))).alias("centroid_id"))
@@ -203,7 +216,7 @@ def lsh_topk(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per candidate
     tbl_buckets = lambda col: F.array(  # noqa: E731
         *[
             F.struct(
@@ -213,12 +226,14 @@ def lsh_topk(
             for t in range(tables)
         ]
     )
-    c = c.select(id_col, "__cv", F.explode(tbl_buckets(F.col("__cv"))).alias("__tb"))
+    c = c.select(
+        id_col, "__cv", "__cn", F.explode(tbl_buckets(F.col("__cv"))).alias("__tb")
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).select(
-        query_id_col, "__qv", F.explode(tbl_buckets(F.col("__qv"))).alias("__tb")
+    ).withColumn("__qn", norm(F.col("__qv"))).select(
+        query_id_col, "__qv", "__qn", F.explode(tbl_buckets(F.col("__qv"))).alias("__tb")
     )
     if multiprobe:
         probes = F.array(
@@ -228,11 +243,13 @@ def lsh_topk(
         q = q.select(
             query_id_col,
             "__qv",
+            "__qn",
             F.col("__tb.t").alias("__t"),
             F.explode(probes).alias("__b"),
         ).select(
             query_id_col,
             "__qv",
+            "__qn",
             F.struct(
                 F.col("__t").alias("t"), F.col("__b").cast("int").alias("b")
             ).alias("__tb"),
@@ -240,7 +257,9 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), on="__tb").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos"),
     )
     if tables > 1:
         # same pair can collide in several tables — exact re-rank needs it once
@@ -270,10 +289,12 @@ def ivf_assign(
     assigning a new-rows sliver never touches the existing index."""
     base = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("__nv", norm(F.col("v")))  # once per row, not per centroid
     ccol = "cv" if "cv" in centroids.columns else "centroid"
-    cent = centroids.select("centroid_id", F.col(ccol).alias("cv"))
-    score = cosine(F.col("v"), F.col("cv"))
+    cent = centroids.select("centroid_id", F.col(ccol).alias("cv")).withColumn(
+        "__nc", norm(F.col("cv"))
+    )
+    score = dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__nc"))
     if round_cos is not None:
         score = F.round(score, round_cos)
     return (
@@ -432,8 +453,15 @@ def ivf_search_stored(
     lists = spark.read.parquet(f"{path}/assignments").where(
         F.col("centroid_id").isin(probe_ids)
     )
-    cand = lists.join(F.broadcast(probe), on="centroid_id").withColumn(
-        "score", scored(F.col("__qv"), F.col("v"))
+    # norms hoisted per side (not per candidate pair) — bit-identical,
+    # see brute_force_topk
+    s = dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("__vn"))
+    if round_cos is not None:
+        s = F.round(s, round_cos)
+    cand = (
+        lists.withColumn("__vn", norm(F.col("v")))
+        .join(F.broadcast(probe.withColumn("__qn", norm(F.col("__qv")))), on="centroid_id")
+        .withColumn("score", s)
     )
     wr = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -495,10 +523,18 @@ def ivf_topk(
         .withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
         .select(q_id_col, "centroid_id", "__qv")
+        .withColumn("__qn", norm(F.col("__qv")))
     )
-    # scan only the probed lists, rank per query
-    cand = assigned.join(F.broadcast(probe), on="centroid_id").withColumn(
-        "score", scored(F.col("__qv"), F.col("v"))
+    # scan only the probed lists, rank per query; norms hoisted to each
+    # side (once per list row / probe row, not per candidate pair —
+    # bit-identical, see brute_force_topk)
+    s = dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("__vn"))
+    if round_cos is not None:
+        s = F.round(s, round_cos)
+    cand = (
+        assigned.withColumn("__vn", norm(F.col("v")))
+        .join(F.broadcast(probe), on="centroid_id")
+        .withColumn("score", s)
     )
     wr = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -545,15 +581,26 @@ def semantic_dedup(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         round_cos=round_cos, round_mean=round_mean,
     ).select("centroid_id", F.col("centroid").alias("cv"))
-    base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("__nv", norm(F.col("v")))  # once per row, not per centroid
     assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("cos", F.round(cosine(F.col("v"), F.col("cv")), round_cos))
+        base.crossJoin(F.broadcast(cent.withColumn("__nc", norm(F.col("cv")))))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__nc")),
+                round_cos,
+            ),
+        )
         .groupBy(id_col, "v")
         .agg(
             F.max_by(
                 "centroid_id", F.struct("cos", (-F.col("centroid_id")).alias("t"))
-            ).alias("cluster_id")
+            ).alias("cluster_id"),
+            # every row of a (id, v) group carries the same __nv — carry
+            # it through so the pair join below reuses it
+            F.first("__nv").alias("__nrm"),
         )
     )
     # within-cluster pair expansion via the SALTED sub-block self-join
@@ -583,8 +630,8 @@ def semantic_dedup(
     # the same sum, same multiply) and measured 2.4× on a 16M-pair
     # microbench. (A literal 64-term unrolled dot was tried and is
     # SLOWER than the HOF fold — Spark 4 evaluates array lambdas
-    # efficiently; the flat expression tree doesn't win.)
-    salted = salted.withColumn("__nrm", norm(F.col("v")))
+    # efficiently; the flat expression tree doesn't win.) __nrm is
+    # carried from the assignment groupBy above — zero extra folds here.
     a = salted.select(
         F.col(id_col).alias("__wit"), F.col("v").alias("va"), "cluster_id",
         F.col("__g").alias("ga"), F.col("__nrm").alias("__na"),
@@ -971,16 +1018,30 @@ def cluster_silhouette(
     of k groups with map-side combine. Zero corpus-sized shuffles at
     any scale. Returns (centroid_id, n_members, mean_silhouette).
     """
+    import math
+
     cents = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()  # k×dim — model-sized, never corpus
     ]
-    v = F.col(vec_col).cast("array<double>")
+    # centroid norms as plan CONSTANTS (k folds in Python, zero per row)
+    # and the row norm hoisted to one fold per row instead of k: the
+    # Python left-fold + math.sqrt is IEEE-identical to the JVM
+    # aggregate fold (same add order, correctly-rounded sqrt), so
+    # dot/(vn·nc) rounds to the same value cosine() produced
+    cnorms = {
+        cid: math.sqrt(sum((x * x for x in cv), 0.0)) for cid, cv in cents
+    }
+    v = F.col("__v")
     ranked = F.sort_array(
         F.array(
             *[
                 F.struct(
-                    F.round(cosine(v, F.array(*[F.lit(x) for x in cv])), round_cos).alias("cos"),
+                    F.round(
+                        dot(v, F.array(*[F.lit(x) for x in cv]))
+                        / (F.col("__vn") * F.lit(cnorms[cid])),
+                        round_cos,
+                    ).alias("cos"),
                     F.lit(-cid).alias("negid"),  # ties → lowest centroid_id
                     F.lit(cid).alias("cid"),
                 )
@@ -995,7 +1056,9 @@ def cluster_silhouette(
         F.round((b - a) / F.greatest(a, b), round_s)
     )
     return (
-        corpus.select(F.col(id_col), ranked.alias("__r"))
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__vn", norm(F.col("__v")))
+        .select(F.col(id_col), ranked.alias("__r"))
         .select(F.col("__r")[0]["cid"].alias("centroid_id"), s.alias("s"))
         .groupBy("centroid_id")
         .agg(
@@ -1426,10 +1489,16 @@ def ivfpq_topk(
         return F.round(s, round_cos) if round_cos is not None else s
 
     # ONE corpus pass: inverted-list id (argmax cosine over broadcast
-    # centroids, map-side combined) + the m PQ codes from the SAME `v`
+    # centroids, map-side combined) + the m PQ codes from the SAME `v`.
+    # Norms hoisted per side (once per row / per centroid, not per
+    # pair) — bit-identical, see brute_force_topk
+    assign_s = dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__nc"))
+    if round_cos is not None:
+        assign_s = F.round(assign_s, round_cos)
     assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("__cos", scored_cos(F.col("v"), F.col("cv")))
+        base.withColumn("__nv", norm(F.col("v")))
+        .crossJoin(F.broadcast(cent.withColumn("__nc", norm(F.col("cv")))))
+        .withColumn("__cos", assign_s)
         .groupBy(id_col, "v")
         .agg(
             F.max_by(
@@ -1630,19 +1699,21 @@ def filtered_topk(
         F.col(query_id_col),
         F.col(filter_col).alias("__qf"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col),
         F.col(filter_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per match
     scored = c.join(
         F.broadcast(q), c[filter_col] == q["__qf"]
     ).select(
         F.col(query_id_col),
         F.col(id_col),
         F.col(filter_col).cast("bigint").alias(filter_col),
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -1930,7 +2001,11 @@ def mmr_topk(
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    cv = cand.join(vecs, id_col).select(query_id_col, id_col, "__v")
+    cv = (
+        cand.join(vecs, id_col)
+        .select(query_id_col, id_col, "__v")
+        .withColumn("__nv", norm(F.col("__v")))  # once per candidate, not per pair
+    )
     a, b = cv.alias("a"), cv.alias("b")
     sims = (
         a.join(b, query_id_col)
@@ -1939,7 +2014,11 @@ def mmr_topk(
             F.col(query_id_col),
             F.col(f"a.{id_col}").alias("__ca"),
             F.col(f"b.{id_col}").alias("__cb"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("__s"),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__nv") * F.col("b.__nv")),
+                4,
+            ).alias("__s"),
         )
         .select(
             query_id_col, "__ca", "__cb",

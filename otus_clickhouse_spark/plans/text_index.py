@@ -85,6 +85,25 @@ def build_tf_index(
     )
 
 
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lowercase: bool = True
+) -> DataFrame:
+    """Per-doc token count ``(id_col, dl)`` computed MAP-SIDE from the
+    source text — zero explode, zero shuffle.
+
+    Identical by construction to ``Σ tf`` over :func:`build_tf_index`'s
+    output (same split pattern, same lowercase rule, same empty-token
+    filter): the sum of per-token counts IS the count of non-empty
+    tokens. Feed it to :func:`bm25_topk` as ``dl`` so the ranking never
+    aggregates the FULL posting table just to learn document lengths
+    (r12, guide §2.4 — the query-term filter pushes below the posting
+    groupBy, but the length aggregation used to force the full explode
+    + (token, doc) shuffle anyway)."""
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(src, r"[^\w]+"), lambda x: F.length(x) > 0)
+    return df.select(F.col(id_col), F.size(toks).cast("bigint").alias("dl"))
+
+
 def bm25_topk(
     tf_index: DataFrame,
     terms: list[str],
@@ -92,6 +111,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over the tf posting table: top-k docs for
     a bag of query terms, ``(doc_id, score, rnk)``.
@@ -102,9 +122,16 @@ def bm25_topk(
     N/avgdl reduction is a broadcast scalar; the final top-k is
     ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
     heaps, no global sort). Deterministic tie-break on doc id.
+
+    ``dl``: precomputed ``(id_col, dl)`` document lengths (see
+    :func:`doc_lengths`). Without it the lengths are aggregated from
+    the posting table itself — correct, but that forces the FULL index
+    explode + shuffle even though scoring only reads the query terms'
+    postings.
     """
     terms_l = sorted({t.lower() for t in terms})
-    dl = tf_index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    if dl is None:
+        dl = tf_index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

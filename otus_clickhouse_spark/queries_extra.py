@@ -253,17 +253,21 @@ def x11_ivf_assign(spark, sf_dir):
     """IVF building block: assign every vector to its nearest centroid
     (broadcast centroids, map-side argmax — zero corpus shuffle). The
     coarse-quantizer step of an IVF ANN index at 100 TB."""
-    from otus_clickhouse_spark.pipeline.similarity import cosine
+    from otus_clickhouse_spark.pipeline.similarity import dot, norm
 
     emb = t(spark, sf_dir, "embeddings")
     cent = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").cast("array<double>").alias("cv")
+    ).withColumn("__nc", norm(F.col("cv")))
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).withColumn(
+        "__nv", norm(F.col("v"))  # once per row, not per centroid
     )
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos"),
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("__nv") * F.col("__nc")), 4
+        ).alias("cos"),
     )
     assign = scored.groupBy("vec_id").agg(
         F.max_by("centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc"))).alias(

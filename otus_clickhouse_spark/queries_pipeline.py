@@ -1262,10 +1262,13 @@ def x27_bm25_topk(spark, sf_dir):
     (plans.text_index.build_tf_index + bm25_topk): top-10 docs for a
     3-term query. The posting filter happens before anything wide;
     top-k is TakeOrderedAndProject, not a global sort."""
-    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index, doc_lengths
 
-    idx = build_tf_index(t(spark, sf_dir, "documents"))
-    return bm25_topk(idx, ["join", "merge", "spark"], k=10)
+    docs = t(spark, sf_dir, "documents")
+    idx = build_tf_index(docs)
+    # map-side doc lengths: identical to sum(tf) (see doc_lengths) but
+    # skips the full-index (token, doc) shuffle the length agg forced
+    return bm25_topk(idx, ["join", "merge", "spark"], k=10, dl=doc_lengths(docs))
 
 
 @query(
@@ -2627,17 +2630,23 @@ def x48_hashed_embeddings(spark, sf_dir):
     vector — the text→embedding bridge that feeds the ANN / SemDeDup /
     kNN operators without an external model."""
     from otus_clickhouse_spark.pipeline.classify import hashed_embeddings
-    from otus_clickhouse_spark.pipeline.similarity import cosine
+    from otus_clickhouse_spark.pipeline.similarity import dot, norm
 
     emb = hashed_embeddings(t(spark, sf_dir, "documents"), dims=16)
-    ref = emb.where(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    ref = emb.where(F.col("doc_id") == 0).select(
+        F.col("embedding").alias("qv")
+    ).withColumn("__qn", norm(F.col("qv")))  # once, not per scored row
     return (
         emb.crossJoin(F.broadcast(ref))
         .where(F.col("doc_id") < 50)
         .select(
             "doc_id",
             F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("nnz"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_ref"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * F.col("__qn")),
+                4,
+            ).alias("cos_ref"),
         )
     )
 
@@ -2734,11 +2743,16 @@ def x50_passage_retrieval(spark, sf_dir):
     (pipeline.text.chunk_passages) — collision-free past 50M-token
     documents, exact int64 decode on both engines."""
     from otus_clickhouse_spark.pipeline.text import chunk_passages
-    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index, doc_lengths
 
     passages = chunk_passages(t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
     idx = build_tf_index(passages, id_col="pid")
-    res = bm25_topk(idx, ["join", "merge", "spark"], k=5, id_col="pid")
+    # map-side passage lengths replace the full-index length agg
+    # (identical by construction — see doc_lengths)
+    res = bm25_topk(
+        idx, ["join", "merge", "spark"], k=5, id_col="pid",
+        dl=doc_lengths(passages, id_col="pid"),
+    )
     return res.select(
         F.shiftright(F.col("pid"), 20).cast("bigint").alias("doc_id"),
         F.col("pid").bitwiseAND(F.lit((1 << 20) - 1)).cast("bigint").alias("chunk_id"),
@@ -4875,11 +4889,14 @@ def x95_hybrid_rrf(spark, sf_dir):
         brute_force_topk,
         rrf_fuse,
     )
-    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index
+    from otus_clickhouse_spark.plans.text_index import bm25_topk, build_tf_index, doc_lengths
 
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    kw = bm25_topk(build_tf_index(docs), ["join", "merge", "spark"], k=20)
+    kw = bm25_topk(
+        build_tf_index(docs), ["join", "merge", "spark"], k=20,
+        dl=doc_lengths(docs),
+    )
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

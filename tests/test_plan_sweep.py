@@ -104,6 +104,8 @@ UNPARTITIONED_WINDOW_OK = {
     "x25_vocab_build": (1, "rank+coverage over salted-top-N survivors: <= salts*top_n rows"),
     "x27_bm25_topk": (1, "rank AFTER LIMIT: rows <= k"),
     "x36_budget_select": (1, "histogram cumsum: <= `buckets` rows by construction"),
+    "x43_nb_classifier": (1, "NB priors n_total: sum over the #classes-row per-class count aggregate (~20 rows)"),
+    "x69_nb_calibration": (1, "NB priors n_total: same #classes-row bound as x43"),
     "x49_temperature_mixture": (2, "per-source weight table: rows = number of sources"),
     "x50_passage_retrieval": (1, "rank AFTER LIMIT: rows <= k"),
     "x52_zipf_diagnostic": (1, "regression input AFTER LIMIT 1000 (TakeOrderedAndProject)"),

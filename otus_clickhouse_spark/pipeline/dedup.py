@@ -1083,14 +1083,22 @@ def dup_coverage(
     A shingle with df >= 2 appears in >= 2 docs — since shingles are
     per-doc distinct, df counts documents, not occurrences.
     """
-    sh = (
-        shingles(docs, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
-        .localCheckpoint()  # feeds the df table AND the flag join
+    from pyspark.sql import Window
+
+    sh = shingles(docs, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh")
     )
-    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency via ONE window shuffle over the digest key
+    # (r12, guide §2.4): the old groupBy(__sh) + join-back shuffled the
+    # shingle relation TWICE (once into the frequency agg, once into
+    # the join) and needed a localCheckpoint so the relation wasn't
+    # recomputed per consumer; the window annotates __df in place —
+    # one shuffle, one consumer, no materialization job. Identical
+    # counts (count over the digest partition == joined groupBy count).
     per_doc = (
-        sh.join(dfreq, "__sh")
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_sh"),

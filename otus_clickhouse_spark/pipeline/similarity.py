@@ -211,49 +211,87 @@ def lsh_topk(
     brute force restricted to the candidate union. The corpus side is
     exploded L× map-side (no shuffle — the join stays broadcast-hash);
     the pair dedup shuffles candidate PAIRS only, never the corpus."""
+    # All ``tables`` bucket ids come from ONE sign-bit fold per row
+    # (r12, guide §1.2 — plan-construction cost): H = Σ 2^j·[vec[j]≥0]
+    # over the first planes·tables dims, then table t's bucket is the
+    # integer slice (H >> t·planes) & (2^planes − 1) — bit-identical to
+    # the per-table srp_bucket when-chain (same [x ≥ 0] predicate, same
+    # powers of two), but the expression tree is ~10 nodes instead of
+    # tables × planes CASE branches. At the registry shape (4 tables ×
+    # 4 planes, both join sides) the when-chain form cost ~1.5 s of
+    # Catalyst analysis per query CONSTRUCTION — paid on every run.
+    nbits = planes * tables
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
+    mask = (1 << planes) - 1
+
+    def hbits(col: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(col, 1, nbits),
+                powers,
+                lambda x, p: F.when(x >= 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def table_bucket(hcol: Column, t: int) -> Column:
+        return F.shiftright(hcol, t * planes).bitwiseAND(F.lit(mask)).cast("int")
+
     c = rebalance(
         corpus.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
-    ).withColumn("__cn", norm(F.col("__cv")))  # once per row, not per candidate
-    tbl_buckets = lambda col: F.array(  # noqa: E731
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                srp_bucket(col, planes, offset=t * planes).alias("b"),
-            )
-            for t in range(tables)
-        ]
+    ).select(
+        id_col,
+        "__cv",
+        norm(F.col("__cv")).alias("__cn"),  # once per row, not per candidate
+        hbits(F.col("__cv")).alias("__hb"),
     )
     c = c.select(
-        id_col, "__cv", "__cn", F.explode(tbl_buckets(F.col("__cv"))).alias("__tb")
+        id_col,
+        "__cv",
+        "__cn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), table_bucket(F.col("__hb"), t).alias("b")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb"),
     )
+    # query side: every (table, probe) entry comes off the same __hb in
+    # ONE flat explode — the old per-table explode + per-probe explode
+    # was two chained generators and two more analyzer passes
+    q_entries = []
+    for t in range(tables):
+        qb = table_bucket(F.col("__hb"), t)
+        q_entries.append(F.struct(F.lit(t).alias("t"), qb.alias("b")))
+        for bit in range(multiprobe):
+            q_entries.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    qb.bitwiseXOR(F.lit(1 << bit)).cast("int").alias("b"),
+                )
+            )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__qn", norm(F.col("__qv"))).select(
-        query_id_col, "__qv", "__qn", F.explode(tbl_buckets(F.col("__qv"))).alias("__tb")
+    ).select(
+        query_id_col,
+        "__qv",
+        norm(F.col("__qv")).alias("__qn"),
+        hbits(F.col("__qv")).alias("__hb"),
+    ).select(
+        query_id_col,
+        "__qv",
+        "__qn",
+        F.explode(F.array(*q_entries)).alias("__tb"),
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("__tb.b"),
-            *[F.col("__tb.b").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)],
-        )
-        q = q.select(
-            query_id_col,
-            "__qv",
-            "__qn",
-            F.col("__tb.t").alias("__t"),
-            F.explode(probes).alias("__b"),
-        ).select(
-            query_id_col,
-            "__qv",
-            "__qn",
-            F.struct(
-                F.col("__t").alias("t"), F.col("__b").cast("int").alias("b")
-            ).alias("__tb"),
-        )
     scored = c.join(F.broadcast(q), on="__tb").select(
         F.col(query_id_col),
         F.col(id_col),

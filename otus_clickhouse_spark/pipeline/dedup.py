@@ -797,10 +797,28 @@ def minhash_estimate_eval(
     signature → banded candidates → digest-join exact Jaccard) plus two
     signature-keyed broadcast-sized joins; the quadratic step stays
     bucket-bounded."""
-    sh = shingles(df, text_col, id_col, n).localCheckpoint()
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes, with_size=True).localCheckpoint()
+    # digests materialized, not strings (r12 — same pattern as
+    # minhash_dedup_pairs): both hashes computed once in the checkpoint
+    # pass, every downstream byte is two longs per row
+    sh = shingles(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("__h32"),
+        F.xxhash64("shingle").alias("__sh"),
+    ).localCheckpoint()
+    sig = minhash_signatures(
+        sh, id_col, num_hashes=num_hashes, with_size=True, h_col="__h32"
+    ).localCheckpoint()
     cand = lsh_candidate_pairs(sig, id_col)
-    exact = jaccard_verify(cand, sh, id_col, threshold=0.0, sizes=sig.select(id_col, "n_sh"))
+    exact = jaccard_verify(
+        cand,
+        sh.select(id_col, "__sh"),
+        id_col,
+        threshold=0.0,
+        sizes=sig.select(id_col, "n_sh"),
+        hashed=True,
+    )
     sa = sig.select(
         F.col(id_col).alias("a"), *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)]
     )
@@ -1194,8 +1212,17 @@ def band_collision_audit(
     shingle (32-bit prefix collisions) stay in the audit at jaccard 0
     via the left join.
     """
-    sh = shingles(docs, text_col, id_col, n).localCheckpoint()
-    sig = minhash_signatures(sh, id_col, num_hashes, with_size=True).localCheckpoint()
+    # digest materialization (r12 — the minhash_dedup_pairs pattern)
+    sh = shingles(docs, text_col, id_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("__h32"),
+        F.xxhash64("shingle").alias("__sh"),
+    ).localCheckpoint()
+    sig = minhash_signatures(
+        sh, id_col, num_hashes, with_size=True, h_col="__h32"
+    ).localCheckpoint()
     mh_cols = [c for c in sig.columns if c.startswith("mh")]
     band_keys = [
         F.md5(
@@ -1225,8 +1252,8 @@ def band_collision_audit(
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )
     verified = jaccard_verify(
-        hits.select("a", "b"), sh, id_col, threshold=0.0,
-        sizes=sig.select(id_col, "n_sh"),
+        hits.select("a", "b"), sh.select(id_col, "__sh"), id_col, threshold=0.0,
+        sizes=sig.select(id_col, "n_sh"), hashed=True,
     )
     scored = hits.join(verified, ["a", "b"], "left").select(
         "n_bands_hit", F.coalesce("jaccard", F.lit(0.0)).alias("j")

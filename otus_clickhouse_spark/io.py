@@ -38,6 +38,36 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# partition-probe memo (r12, guide §1.2 step 2): the rebalance() probe
+# ``df.rdd.getNumPartitions()`` costs 30-60 ms of driver-side physical
+# planning PER CALL (measured; ~1.3 s per full bench). For identical
+# analyzed semantics over the SAME leaf relation objects the partition
+# count is deterministic, so it is memoized on (semanticHash, leaf
+# hashCodes). Leaf hashCodes carry the relations' attribute expr-ids —
+# globally unique per JVM and minted fresh by every read — so a
+# re-read of a rewritten engine table can never be served a stale
+# count. (A mid-session change to spark.sql.files.* split confs could
+# stale an entry; that is perf-only and nothing in the engine does it.)
+_NPARTS: dict[tuple, int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()
+        key = (
+            plan.semanticHash(),
+            tuple(leaves.apply(i).hashCode() for i in range(leaves.size())),
+        )
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _NPARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPARTS[key] = n
+    return n
+
+
 def rebalance(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy stages.
 
@@ -50,6 +80,6 @@ def rebalance(df: DataFrame, *key_cols: str) -> DataFrame:
     a shuffle at scale.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _num_partitions(df) >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

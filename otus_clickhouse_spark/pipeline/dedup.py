@@ -708,10 +708,19 @@ def winnow_dup_pairs(
 
     grams = F.transform(F.sequence(F.lit(1), F.size("__c") - (k - 1)), _gram)
     staged = staged.select(F.col(id_col), grams.alias("__g"))
+    # window min via least() over w direct element_at terms (r12, guide
+    # §1.2 step 2 — same class as the gram-hash direct indexing above):
+    # array_min(slice(...)) allocated a w-array per window position;
+    # least() compares the same w non-null longs with no allocation.
+    # Bounds guarantee full windows, values are never null, so the
+    # result is the identical minimum (measured 0.76 s → 0.68 s on the
+    # sf0.1 fingerprint stage, interleaved A/B, values asserted equal).
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("__g") - (w - 1)),
-            lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
+            lambda j: F.least(
+                *[F.element_at(F.col("__g"), j + F.lit(i)) for i in range(w)]
+            ),
         )
     )
     fp = staged.select(F.col(id_col), F.explode(fps).alias("fp")).localCheckpoint()

@@ -33,10 +33,33 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Registry-table DataFrame cache (r12, guide §6 "file listing" /
+# measured: read_table cost ~80-130 ms of driver-side listing + footer
+# schema inference PER CALL, and an instrumented full bench spent 20 s
+# of its 27 s wall in 300 read_table calls — every query construction,
+# every run, re-opened its inputs). The driver's sf_dir testdata is
+# immutable for the life of a process, and a DataFrame is an immutable
+# lazy plan, so opening each table once per (session, path) is exactly
+# the table-registry metadata reuse engine.register_table already does
+# for managed tables — NO data or results are cached; every action
+# still scans the parquet. Engine-managed tables (which ARE rewritten
+# by INSERT/mutations) do not go through t() and stay uncached.
+_TABLES: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from otus_clickhouse_spark.io import read_table
 
-    return read_table(spark, f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    entry = _TABLES.get(key)
+    # the stored session reference keeps the id() from being recycled
+    # for live entries; the identity check guards a restarted session
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    df = read_table(spark, path)
+    _TABLES[key] = (spark, df)
+    return df
 
 
 # =============================================================== scans & aggs

@@ -177,3 +177,44 @@ def test_with_fill_interpolate(engine):
     assert got[5] == (40.0, 410)
     assert got[6] == (60.0, 600)
     assert 7 not in got  # CH WITH FILL TO bound is exclusive
+
+
+def test_registry_table_cache_reuses_dataframe_per_session(spark, sf_dir, tmp_path):
+    """t() opens each (session, path) once and returns the same lazy
+    DataFrame — metadata reuse only (r12): results must come from the
+    parquet on every action, and distinct paths must never share an
+    entry."""
+    from otus_clickhouse_spark.queries import t
+
+    a = t(spark, sf_dir, "nation")
+    b = t(spark, sf_dir, "nation")
+    assert a is b  # same plan object, no re-listing/inference
+    c = t(spark, sf_dir, "region")
+    assert c is not a
+    # the cached plan still computes from the file (not a materialized copy)
+    assert a.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+
+def test_rebalance_probe_memo_matches_direct_probe_and_respects_fresh_reads(spark, sf_dir):
+    """The memoized partition probe (r12) must return exactly what
+    df.rdd.getNumPartitions() returns, hit its cache for semantically
+    identical plans over the same relation, and take a FRESH probe for
+    a re-read of the same path (the stale-file-layout guard for
+    engine-managed tables that mutations rewrite)."""
+    import otus_clickhouse_spark.io as io
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    d1 = base.select("n_nationkey")
+    assert io._num_partitions(d1) == d1.rdd.getNumPartitions()
+    before = len(io._NPARTS)
+    io._num_partitions(base.select("n_nationkey"))  # same semantics, same leaf
+    assert len(io._NPARTS) == before  # cache hit, no new entry
+    fresh = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    io._num_partitions(fresh.select("n_nationkey"))  # new leaf relation
+    assert len(io._NPARTS) == before + 1  # fresh read -> fresh probe entry
+    # and the rebalance decision built on the memo keeps its contract:
+    # output partitions >= defaultParallelism for a small scan
+    out = io.rebalance(base.select("n_nationkey"))
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 4
+    )

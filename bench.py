@@ -112,7 +112,14 @@ def main():
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
+    # SPARK_GRAFT_BENCH_REPS (r12 verdict ask #3): timed repetitions per
+    # query. Default 5 keeps the driver contract byte-identical; raising
+    # it makes one polluted host window less able to flip a verdict.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+
     results: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
+    load_1m: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
 
@@ -124,11 +131,21 @@ def main():
 
         run()  # warmup (JIT/codegen/file listing)
         times = []
-        for _ in range(5):
+        for _ in range(reps):
             t0 = time.perf_counter()
             run()
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
+        # drift indicators (detail JSON only): the raw per-run times —
+        # a wide max/min spread on a single query = interference during
+        # that window — and the 1-min host load right after the query
+        # (r12: two same-code driver runs differed 1.34x; load 4-13 was
+        # observed with zero local processes). Machine-checkable now.
+        raw_runs[name] = [round(x, 4) for x in times]
+        try:
+            load_1m[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
 
     total = round(sum(results.values()), 4)
     # the headline set GROWS as operators land (19 queries in round 1,
@@ -148,6 +165,7 @@ def main():
         "value": total,
         "unit": "sec",
         "n_queries": len(results),
+        "bench_reps": reps,
         "r1_set_sec": round(sum(results[n] for n in r1_set if n in results), 4),
         "queries": results,
         "sf": sf,
@@ -180,6 +198,9 @@ def main():
     except (OSError, ValueError):
         pass
     detail = dict(out)
+    detail["bench_reps"] = reps
+    detail["queries_raw_sec"] = raw_runs
+    detail["load_1m_after_query"] = load_1m
     for key, probe in (
         ("scale", scale_probe),
         ("scale_join", scale_join_probe),

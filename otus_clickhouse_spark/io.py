@@ -49,6 +49,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 # count. (A mid-session change to spark.sql.files.* split confs could
 # stale an entry; that is perf-only and nothing in the engine does it.)
 _NPARTS: dict[tuple, int] = {}
+# memo size cap (ADVICE r12): one entry per fresh leaf relation means
+# unbounded growth over a very long session. The key is two 32-bit Java
+# hashes, so a collision is possible (~2^-64 per pair) — the impact is
+# perf-only (a skipped or extra repartition), never correctness.
+_NPARTS_MAX = 4096
 
 
 def _num_partitions(df: DataFrame) -> int:
@@ -63,6 +68,8 @@ def _num_partitions(df: DataFrame) -> int:
         return df.rdd.getNumPartitions()
     n = _NPARTS.get(key)
     if n is None:
+        if len(_NPARTS) >= _NPARTS_MAX:
+            _NPARTS.clear()
         n = df.rdd.getNumPartitions()
         _NPARTS[key] = n
     return n

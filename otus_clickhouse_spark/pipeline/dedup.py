@@ -715,13 +715,17 @@ def winnow_dup_pairs(
     # Bounds guarantee full windows, values are never null, so the
     # result is the identical minimum (measured 0.76 s → 0.68 s on the
     # sf0.1 fingerprint stage, interleaved A/B, values asserted equal).
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__g") - (w - 1)),
-            lambda j: F.least(
-                *[F.element_at(F.col("__g"), j + F.lit(i)) for i in range(w)]
-            ),
+    # w == 1 degenerates to the gram hash itself (F.least needs >= 2
+    # columns — ADVICE r12); w is a public API parameter.
+    def _win_min(j):
+        if w == 1:
+            return F.element_at(F.col("__g"), j)
+        return F.least(
+            *[F.element_at(F.col("__g"), j + F.lit(i)) for i in range(w)]
         )
+
+    fps = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size("__g") - (w - 1)), _win_min)
     )
     fp = staged.select(F.col(id_col), F.explode(fps).alias("fp")).localCheckpoint()
     shared = (

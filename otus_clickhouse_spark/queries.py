@@ -47,6 +47,14 @@ def query(name: str, oracle: str | None = None):
 _TABLES: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _session_stopped(sess: SparkSession) -> bool:
+    try:
+        sc = sess.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from otus_clickhouse_spark.io import read_table
 
@@ -57,6 +65,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # for live entries; the identity check guards a restarted session
     if entry is not None and entry[0] is spark:
         return entry[1]
+    # miss: evict entries whose session has stopped (ADVICE r12 — a
+    # driver cycling sessions would otherwise pin every dead session's
+    # JVM-side plans forever). Misses are rare (one per table per
+    # session), so the sweep costs nothing on the hot path.
+    for k, (sess, _) in list(_TABLES.items()):
+        if _session_stopped(sess):
+            del _TABLES[k]
     df = read_table(spark, path)
     _TABLES[key] = (spark, df)
     return df

@@ -179,7 +179,7 @@ def test_with_fill_interpolate(engine):
     assert 7 not in got  # CH WITH FILL TO bound is exclusive
 
 
-def test_registry_table_cache_reuses_dataframe_per_session(spark, sf_dir, tmp_path):
+def test_registry_table_cache_reuses_dataframe_per_session(spark, sf_dir):
     """t() opens each (session, path) once and returns the same lazy
     DataFrame — metadata reuse only (r12): results must come from the
     parquet on every action, and distinct paths must never share an
@@ -193,6 +193,37 @@ def test_registry_table_cache_reuses_dataframe_per_session(spark, sf_dir, tmp_pa
     assert c is not a
     # the cached plan still computes from the file (not a materialized copy)
     assert a.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+
+def test_registry_table_cache_evicts_dead_sessions(spark, sf_dir):
+    """Entries whose session has stopped are swept on the next cache
+    miss (ADVICE r12: dead-session entries pinned the old session and
+    its JVM-side plans forever in a session-cycling driver)."""
+    from otus_clickhouse_spark import queries as q
+
+    class _DeadSession:  # _session_stopped() -> True (no sparkContext)
+        pass
+
+    dead = _DeadSession()
+    q._TABLES[(id(dead), "/dead/path.parquet")] = (dead, None)
+    live = q.t(spark, sf_dir, "region")  # miss for a fresh path sweeps
+    assert (id(dead), "/dead/path.parquet") not in q._TABLES
+    assert live is q.t(spark, sf_dir, "region")  # live entry survived
+
+
+def test_rebalance_probe_memo_is_bounded(spark, sf_dir, monkeypatch):
+    """_NPARTS never grows past its cap (ADVICE r12: one entry per
+    fresh leaf relation is unbounded over a long-lived session)."""
+    import otus_clickhouse_spark.io as io
+
+    monkeypatch.setattr(io, "_NPARTS_MAX", 2)
+    io._NPARTS.clear()
+    for _ in range(4):  # each re-read mints fresh expr-ids -> new key
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        n = io._num_partitions(df)
+        assert n == df.rdd.getNumPartitions()
+        assert len(io._NPARTS) <= 2
+    io._NPARTS.clear()
 
 
 def test_rebalance_probe_memo_matches_direct_probe_and_respects_fresh_reads(spark, sf_dir):

@@ -1960,6 +1960,28 @@ def test_winnow_short_text_and_bucket_cap(spark):
     assert allp == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_winnow_degenerate_window_w1(spark):
+    """w=1 (every gram hash is its own window minimum) is a legal public
+    parameter and must match the Python reference — ADVICE r12: the
+    least()-based window min needs >= 2 columns, so w=1 takes the
+    element directly."""
+    shared = "a long enough shared passage of text"
+    rows = [
+        (1, "intro one " + shared + " tail one"),
+        (2, "different opening " + shared + " other ending"),
+        (3, "totally unrelated content with zero overlap anywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.n_shared for r in dedup.winnow_dup_pairs(df, w=1).collect()}
+    fps = {i: _py_winnow(t, w=1) for i, t in rows}
+    expect = {}
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a < b and fps[a] & fps[b]:
+                expect[(a, b)] = len(fps[a] & fps[b])
+    assert pairs == expect and (1, 2) in pairs
+
+
 def test_winnow_randomized_vs_reference_and_detection_floor(spark):
     """50 random docs over a 3-char alphabet (forced gram collisions):
     exact pair-count equality against the pure-Python winnowing

@@ -206,7 +206,9 @@ def test_registry_table_cache_evicts_dead_sessions(spark, sf_dir):
 
     dead = _DeadSession()
     q._TABLES[(id(dead), "/dead/path.parquet")] = (dead, None)
-    live = q.t(spark, sf_dir, "region")  # miss for a fresh path sweeps
+    # force a miss (an earlier test may have already cached this table)
+    q._TABLES.pop((id(spark), f"{sf_dir}/region.parquet"), None)
+    live = q.t(spark, sf_dir, "region")  # the miss sweeps dead entries
     assert (id(dead), "/dead/path.parquet") not in q._TABLES
     assert live is q.t(spark, sf_dir, "region")  # live entry survived
 

@@ -209,6 +209,7 @@ def main():
         ("scale_qps", scale_qps_probe),
         ("scale_merge", scale_merge_probe),
         ("scale_smj", scale_smj_probe),
+        ("scale_streaming", scale_streaming_probe),
     ):
         r = probe(spark)
         if r:
@@ -621,6 +622,76 @@ def scale_insert_probe(spark) -> dict | None:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+def scale_streaming_probe(spark) -> dict | None:
+    """Streaming MV-landing throughput (r12 verdict ask #9 — the T1–T7
+    operators were never benched, so optimization rounds had no number
+    to move). Measures the engine's actual micro-batch landing path:
+    an 8-file parquet backlog streamed with maxFilesPerTrigger=1
+    (8 micro-batches), each batch pushed through a
+    ``MaterializedView`` (transform → parquet append) by foreachBatch —
+    the raw→parsed MV cascade shape of the reference's Kafka pipeline
+    (lecture_09.md:668-744). Trigger availableNow drains the backlog
+    and terminates; rows/s = rows / wall. Reported alongside the
+    reference's Kafka-engine envelope only qualitatively (the lectures
+    publish no MV rows/s number). SPARK_GRAFT_SCALE_ROWS=0 skips."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 100_000_000)) <= 0:
+        return None
+    n, files = 2_000_000, 8
+    root = os.path.join(REPO, ".scratch", "bench_stream_probe")
+    src, landing, ckpt = (os.path.join(root, d) for d in ("src", "landing", "ckpt"))
+    rows = spark.range(n, numPartitions=files).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1000).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("etype"),
+        (F.pmod(F.xxhash64("id"), 10_000) / 100.0).alias("value"),
+    )
+    try:
+        rows.write.mode("overwrite").parquet(src)
+        from otus_clickhouse_spark.streaming.mv import MaterializedView
+
+        mv = MaterializedView(
+            name="bench_landing",
+            transform=lambda b: b.where(F.col("etype") != "t6").withColumn(
+                "value2", F.col("value") * 2.0
+            ),
+            sink=lambda b: b.write.mode("append").parquet(landing),
+        )
+        stream = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        def land(batch, _eid):
+            mv.process_block(batch)
+
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        landed = spark.read.parquet(landing).count()
+        return {
+            "probe": "mv_landing_foreachbatch",
+            "rows": n,
+            "micro_batches": files,
+            "rows_landed": landed,
+            "wall_sec": round(wall, 4),
+            "rows_per_sec": int(n / wall),
+        }
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -342,20 +342,37 @@ def jaccard_verify(
         if hashed
         else sh.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
     )
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Size-bound prefilter BEFORE the intersection join (r13, guide
+    # §3.2 — prune the big join's input; the set-similarity length
+    # filter of Arasu/Ganti/Kaushik VLDB'06): J(A,B) >= t requires
+    # |A∩B| >= t·|A∪B|, and |A∩B| <= min(na,nb), |A∪B| >= max(na,nb),
+    # so any emitted pair has min(na,nb) >= t·max(na,nb). The emitted
+    # value is round(j,4) >= t, which j >= t - 5e-5 suffices for, so
+    # filtering with (t - 1e-4) keeps every pair the final predicate
+    # can keep — results are IDENTICAL, only never-passing pairs skip
+    # the shingle-intersection join. The size joins move in front of
+    # the intersection (same join count, the pair relation is tiny
+    # either way); na/nb then ride through the aggregation.
+    tight = F.lit(float(threshold) - 1e-4)
+    annotated = (
+        pairs.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), on="a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), on="b")
+        .where(F.least("na", "nb") >= tight * F.greatest("na", "nb"))
+    )
     sa = shc.select(F.col(id_col).alias("a"), F.col("__sh"))
     sb = shc.select(F.col(id_col).alias("b"), F.col("__sh"))
     common = (
-        pairs.join(sa, on="a")
+        annotated.join(sa, on="a")
         .join(sb, on=["b", "__sh"])
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
-    if sizes is None:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
-        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), on="a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), on="b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        common.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -37,6 +37,37 @@ def test_shingles_and_jaccard(docs):
     assert j12 == 1.0
 
 
+def test_jaccard_verify_size_prefilter_keeps_boundary_pairs(spark):
+    """The r13 size-bound prefilter (min(na,nb) >= (t-1e-4)·max) must
+    never drop a pair the final rounded predicate keeps. Two boundary
+    constructions:
+    - containment at the exact size ratio: B ⊂ A with |B|/|A| = t gives
+      j = t exactly — must be emitted;
+    - a pair below t whose round(j,4) lands ON t (j = 0.69995) — must
+      be emitted because the final predicate compares the ROUNDED value.
+    And a pair failing the bound (ratio far under t) must drop with
+    zero result change (its true j < t anyway)."""
+    rows = []
+    # doc 1: shingles {s0..s9}; doc 2: {s0..s6} (7/10 = 0.7 containment)
+    rows += [(1, h) for h in range(10)]
+    rows += [(2, h) for h in range(7)]
+    # docs 3/4: j = 13999/20000 = 0.69995 -> rounds to 0.7
+    rows += [(3, 100 + h) for h in range(17000)]
+    rows += [(4, 100 + h) for h in range(13999)] + [(4, 900000 + h) for h in range(3000)]
+    # docs 5/6: tiny overlap, sizes 10 vs 3 (ratio 0.3 < 0.6999)
+    rows += [(5, 2000 + h) for h in range(10)]
+    rows += [(6, 2000 + h) for h in range(3)]
+    sh = spark.createDataFrame(rows, "doc_id long, __sh long")
+    pairs = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "a long, b long")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_verify(pairs, sh, threshold=0.7, hashed=True).collect()
+    }
+    assert got[(1, 2)] == 0.7
+    assert got[(3, 4)] == 0.7  # 0.69995 rounded up by the final predicate
+    assert (5, 6) not in got
+
+
 def test_simhash_identical_docs_collide(docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert out[1] == out[2]

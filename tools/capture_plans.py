@@ -33,7 +33,7 @@ def main():
     if not names:
         names = bench.HEADLINE
 
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:

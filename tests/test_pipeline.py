@@ -1306,6 +1306,7 @@ def test_resize_images(spark):
     assert _pixels("image", bytes(odd[1].payload)).shape == (5, 7, 3)
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_budget_select_recursive_threshold_bin(spark):
     """With max_bin_rows forcing recursion, the refined threshold bin
     must still reproduce the naive global greedy exactly — including a
@@ -1728,6 +1729,7 @@ def test_sq8_and_pq_guard_empty_or_short_corpus(spark):
         pq_train(tiny, m=2, ksub=16, dim=8)
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
     """The array-typed codebook path (hof=True: codebooks broadcast as
     data, consumed via transform/zip_with/aggregate) must emit EXACTLY
@@ -1790,6 +1792,7 @@ def test_pq_hof_path_equals_literal_and_scales_dim(spark, sf_dir):
     assert hits / len(exact_set) >= 0.5, f"high-dim HOF recall too low: {hits}/{len(exact_set)}"
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_pq_codes_arrow_equals_hof(spark, sf_dir):
     """The Arrow-vectorized encode kernel must emit byte-identical codes
     to the HOF/literal paths — at the oracle shape AND at the dim-256
@@ -1822,6 +1825,7 @@ def test_pq_codes_arrow_equals_hof(spark, sf_dir):
     assert hof_hi == arrow_hi
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_sq8_and_ivfpq_hof_equal_literal(spark, sf_dir):
     """r8 flipped the quantized-ANN family's default transport to
     hof=True (VERDICT r7 ask #1); the plan-literal transport survives
@@ -1874,6 +1878,7 @@ def test_sq8_and_ivfpq_hof_equal_literal(spark, sf_dir):
     assert lit_i == hof_i
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_pq_ksub_over_128_codes_do_not_wrap(spark):
     """ADVICE r7: an unconditional tinyint cast wrapped codes > 127
     negative for ksub > 128, so element_at(lut, code+1) read an invalid

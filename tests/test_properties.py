@@ -307,6 +307,7 @@ def test_db_qualifier_resolution_properties(spark, db, tbl, literal):
     cap=st.integers(min_value=1, max_value=6),
     salts=st.integers(min_value=1, max_value=8),
 )
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_domain_cap_property_equals_global_window(spark, rows, cap, salts):
     """For ANY frame, cap and salt count, the salted two-phase top-N
     equals the single global window (quality desc, id asc ties)."""
@@ -346,6 +347,7 @@ def test_domain_cap_property_equals_global_window(spark, rows, cap, salts):
     ),
     keep_frac=st.sampled_from([0.0, 0.1, 0.25, 1 / 3, 0.5, 0.75, 1.0]),
 )
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_quantile_gate_histogram_equals_percent_rank(spark, rows, keep_frac):
     """r8 verdict ask #5: the histogram-threshold quantile gate must be
     ROW-FOR-ROW identical to the naive percent_rank window it replaced
@@ -399,6 +401,7 @@ def test_quantile_gate_histogram_equals_percent_rank(spark, rows, keep_frac):
     ),
     budget=st.integers(min_value=0, max_value=200),
 )
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_budget_select_histogram_equals_cumsum_window(spark, rows, budget):
     """The histogram token-budget cut (x47's selection stage) must equal
     the naive per-source cumulative-sum window — including zero-token

@@ -10,6 +10,7 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_every_query_has_unique_columns(spark, sf_dir):
     qs = entrymod.queries()
     assert len(qs) >= 50

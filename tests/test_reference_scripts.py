@@ -1200,6 +1200,7 @@ def test_lecture20_cluster_monitoring_verbatim(engine):
 
 
 @pytest.mark.skipif(not os.path.exists("/root/reference"), reason="reference not present")
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_every_reference_system_select_executes(engine):
     """Stronger than the translate sweep: every SELECT in the course
     materials whose FROM targets are exclusively system.* tables (or

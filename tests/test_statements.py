@@ -1615,6 +1615,7 @@ def test_vector_similarity_index_ddl_lifecycle(engine, tmp_path):
         engine.execute("DROP TABLE IF EXISTS vs_t")
 
 
+@pytest.mark.slow  # heavy sweep/equivalence proof (r13): round-close suite only
 def test_vector_index_maintained_under_mutations(engine, tmp_path):
     """r11 verdict ask #3 + ADVICE: DML that changes the row set must
     not leave stale rows in the stored IVF lists. ALTER DELETE rebuilds

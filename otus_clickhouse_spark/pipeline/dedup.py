@@ -692,9 +692,11 @@ def winnow_dup_pairs(
     md5-per-position hash was the sf1 wall: ~280 md5+hex-conv calls per
     doc dominated the whole pipeline (48 s of x68's 89 s at sf1,
     recomputed per DAG branch). Same 31-bit collision envelope as the
-    md5 prefix it replaces. The fingerprint relation is
-    localCheckpoint'd: three consumers (degree agg + both self-join
-    sides) would otherwise recompute the hashing scan."""
+    md5 prefix it replaces. The fingerprint relation flows through ONE
+    user repartition exchange (r13): degree rides as a window over it
+    and both self-join sides reuse the same shuffle output, so the
+    hashing scan runs exactly once as that exchange's map stage — no
+    checkpoint barrier, no second round of fp shuffles."""
     from otus_clickhouse_spark.io import rebalance
 
     B, M = 257, 2147483647
@@ -744,19 +746,29 @@ def winnow_dup_pairs(
     fps = F.array_distinct(
         F.transform(F.sequence(F.lit(1), F.size("__g") - (w - 1)), _win_min)
     )
-    fp = staged.select(F.col(id_col), F.explode(fps).alias("fp")).localCheckpoint()
-    shared = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .where((F.col("deg") > 1) & (F.col("deg") <= max_bucket))
-        .select("fp")
+    fp = staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+    # One user exchange carries the whole pipeline (r13, guide §2.4 —
+    # the lsh_candidate_pairs solo-path shape): the fingerprint
+    # relation repartitions ONCE by fp (AQE-exempt, so size-based
+    # coalescing can never funnel the pair expansion into 1-2 tasks),
+    # degree is annotated by a window over that exchange, and BOTH
+    # self-join sides read the SAME shuffle output (runtime
+    # ReusedExchange) — so the CPU-heavy hashing scan above runs
+    # exactly once as the exchange's map stage and the former
+    # localCheckpoint (an eager barrier + a second round of fp
+    # shuffles: degree agg, join-back, two repartitions) is deleted
+    # outright. Measured at sf1 (x68 shape): 7.11 s → 5.33 s median,
+    # 4/4 interleaved wins, results bit-equal.
+    from pyspark.sql import Window
+
+    nparts = int(fp.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    narrow = fp.repartition(nparts, "fp")
+    ann = narrow.withColumn("__deg", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    sm = ann.where((F.col("__deg") > 1) & (F.col("__deg") <= max_bucket)).select(
+        id_col, "fp"
     )
-    sh = fp.join(shared, "fp")
-    # AQE-exempt repartition before the pair expansion (see
-    # lsh_candidate_pairs — same coalesce-collapse class)
-    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = sh.select(F.col(id_col).alias("a"), "fp").repartition(nparts, "fp")
-    b = sh.select(F.col(id_col).alias("b"), "fp").repartition(nparts, "fp")
+    a = sm.select(F.col(id_col).alias("a"), "fp")
+    b = sm.select(F.col(id_col).alias("b"), "fp")
     out = (
         a.join(b, "fp")
         .where(F.col("a") < F.col("b"))
